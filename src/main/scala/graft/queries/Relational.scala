@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{load, fp2, fp6, fpSql}
+
+/** Baseline relational layer (SURVEY.md §2.3): scan/filter/agg,
+  * broadcast join, window functions. These anchor the bench and prove
+  * the oracle plumbing before the signal operators land.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. One shuffle (the groupBy); the
+    * shipdate filter and 6-column projection push to the parquet scan.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00"))
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        fp2(sum(col("l_quantity"))).as("sum_qty"),
+        fp2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        fp2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Broadcast join: orders ⋈ customer (customer is the small side at
+    * any SF relative to orders×lineitem; at 100 TB customer stays
+    * broadcastable per-nation or falls back to shuffle-hash via AQE).
+    */
+  def q2Join(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val customer = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        fp2(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  /** Window functions over the events stream table: per-user running
+    * aggregates ordered by time. One shuffle (partitionBy user_id);
+    * scales by number of users.
+    */
+  def q3Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_sum", fp6(sum(col("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .select(col("event_id"), col("user_id"), col("rn"), col("running_sum"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join" -> (q2Join _),
+    "q3_window" -> (q3Window _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty,
+         |  ${fpSql("SUM(l_extendedprice)", "100")} AS sum_base_price,
+         |  ${fpSql("SUM(l_extendedprice * (1.0 - l_discount))", "100")} AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_join" ->
+      s"""SELECT c_mktsegment, o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  ${fpSql("SUM(o_totalprice)", "100")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_window" ->
+      s"""SELECT event_id, user_id,
+         |  ROW_NUMBER() OVER w AS rn,
+         |  ${fpSql("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", "1000000")} AS running_sum
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin)
+}
