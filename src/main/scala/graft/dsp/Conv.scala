@@ -1,0 +1,182 @@
+package graft.dsp
+
+/** 1-D and 2-D convolution kernels matching `scipy.signal.convolve` /
+  * `fftconvolve` as wrapped by the reference (xarray_scipy/signal.py:34-106).
+  * Modes: full / same / valid ('same' is centered on in1, scipy
+  * convention). `method`: direct for small kernels, FFT otherwise —
+  * same spirit as scipy's "auto".
+  */
+object Conv {
+
+  def outLength(n1: Int, n2: Int, mode: String): Int = mode match {
+    case "full"  => n1 + n2 - 1
+    case "same"  => n1
+    case "valid" => math.max(n1, n2) - math.min(n1, n2) + 1
+    case other   => throw new IllegalArgumentException(s"unknown mode: $other")
+  }
+
+  private def trim(full: Array[Double], n1: Int, n2: Int, mode: String): Array[Double] = mode match {
+    case "full" => full
+    case "same" =>
+      val start = (n2 - 1) / 2
+      java.util.Arrays.copyOfRange(full, start, start + n1)
+    case "valid" =>
+      val start = math.min(n1, n2) - 1
+      java.util.Arrays.copyOfRange(full, start, start + outLength(n1, n2, "valid"))
+    case other => throw new IllegalArgumentException(s"unknown mode: $other")
+  }
+
+  def convolveDirect(a: Array[Double], b: Array[Double], mode: String = "full"): Array[Double] = {
+    val n1 = a.length; val n2 = b.length
+    val full = new Array[Double](n1 + n2 - 1)
+    var i = 0
+    while (i < n1) {
+      val ai = a(i)
+      if (ai != 0.0) {
+        var j = 0
+        while (j < n2) { full(i + j) += ai * b(j); j += 1 }
+      }
+      i += 1
+    }
+    trim(full, n1, n2, mode)
+  }
+
+  def fftconvolve(a: Array[Double], b: Array[Double], mode: String = "full"): Array[Double] = {
+    val n1 = a.length; val n2 = b.length
+    val nfull = n1 + n2 - 1
+    val m = Fft.nextPow2(nfull)
+    val fa = Fft.fft(a, null, m)
+    val fb = Fft.fft(b, null, m)
+    var i = 0
+    while (i < m) {
+      val tr = fa.re(i) * fb.re(i) - fa.im(i) * fb.im(i)
+      fa.im(i) = fa.re(i) * fb.im(i) + fa.im(i) * fb.re(i)
+      fa.re(i) = tr
+      i += 1
+    }
+    val inv = Fft.ifft(fa.re, fa.im, m)
+    trim(java.util.Arrays.copyOf(inv.re, nfull), n1, n2, mode)
+  }
+
+  /** scipy.signal.convolve(method="auto"): direct for small problems,
+    * FFT otherwise. Cutover ~ where n1*n2 exceeds the FFT cost.
+    */
+  def convolve(a: Array[Double], b: Array[Double], mode: String = "full", method: String = "auto"): Array[Double] =
+    method match {
+      case "direct" => convolveDirect(a, b, mode)
+      case "fft"    => fftconvolve(a, b, mode)
+      case "auto" =>
+        if (math.min(a.length, b.length).toLong * math.max(a.length, b.length) <= 8192L)
+          convolveDirect(a, b, mode)
+        else fftconvolve(a, b, mode)
+      case other => throw new IllegalArgumentException(s"unknown method: $other")
+    }
+
+  /** Cross-correlation (scipy.signal.correlate): convolve with reversed b. */
+  def correlate(a: Array[Double], b: Array[Double], mode: String = "full", method: String = "auto"): Array[Double] = {
+    val br = b.reverse
+    convolve(a, br, mode, method)
+  }
+
+  /** 2-D FFT convolution on row-major flattened arrays; covers the
+    * reference's multi-dim `fftconvolve(dims=[d1,d2])` (signal.py:51).
+    */
+  def fftconvolve2d(a: Array[Double], aRows: Int, aCols: Int,
+                    b: Array[Double], bRows: Int, bCols: Int,
+                    mode: String = "full"): (Array[Double], Int, Int) = {
+    val fullR = aRows + bRows - 1; val fullC = aCols + bCols - 1
+    val mR = Fft.nextPow2(fullR); val mC = Fft.nextPow2(fullC)
+    // pack into mR x mC, FFT rows then cols, multiply, inverse.
+    def fft2(x: Array[Double], rows: Int, cols: Int): (Array[Double], Array[Double]) = {
+      val re = new Array[Double](mR * mC); val im = new Array[Double](mR * mC)
+      var r = 0
+      while (r < rows) {
+        System.arraycopy(x, r * cols, re, r * mC, cols)
+        r += 1
+      }
+      // rows
+      r = 0
+      while (r < mR) {
+        val rowRe = java.util.Arrays.copyOfRange(re, r * mC, (r + 1) * mC)
+        val rowIm = java.util.Arrays.copyOfRange(im, r * mC, (r + 1) * mC)
+        val f = Fft.fft(rowRe, rowIm, mC)
+        System.arraycopy(f.re, 0, re, r * mC, mC)
+        System.arraycopy(f.im, 0, im, r * mC, mC)
+        r += 1
+      }
+      // cols
+      var c = 0
+      val colRe = new Array[Double](mR); val colIm = new Array[Double](mR)
+      while (c < mC) {
+        var rr = 0
+        while (rr < mR) { colRe(rr) = re(rr * mC + c); colIm(rr) = im(rr * mC + c); rr += 1 }
+        val f = Fft.fft(colRe, colIm, mR)
+        rr = 0
+        while (rr < mR) { re(rr * mC + c) = f.re(rr); im(rr * mC + c) = f.im(rr); rr += 1 }
+        c += 1
+      }
+      (re, im)
+    }
+    val (are, aim) = fft2(a, aRows, aCols)
+    val (bre, bim) = fft2(b, bRows, bCols)
+    var i = 0
+    while (i < mR * mC) {
+      val tr = are(i) * bre(i) - aim(i) * bim(i)
+      aim(i) = are(i) * bim(i) + aim(i) * bre(i)
+      are(i) = tr
+      i += 1
+    }
+    // inverse 2-D: conj trick — ifft2 = conj(fft2(conj(x))) / (mR*mC)
+    i = 0
+    while (i < mR * mC) { aim(i) = -aim(i); i += 1 }
+    val (cre, cim) = {
+      // reuse fft2 on the full mR x mC buffer: repack via rows=mR, cols=mC
+      val re = are; val im = aim
+      var r = 0
+      while (r < mR) {
+        val rowRe = java.util.Arrays.copyOfRange(re, r * mC, (r + 1) * mC)
+        val rowIm = java.util.Arrays.copyOfRange(im, r * mC, (r + 1) * mC)
+        val f = Fft.fft(rowRe, rowIm, mC)
+        System.arraycopy(f.re, 0, re, r * mC, mC)
+        System.arraycopy(f.im, 0, im, r * mC, mC)
+        r += 1
+      }
+      var c = 0
+      val colRe = new Array[Double](mR); val colIm = new Array[Double](mR)
+      while (c < mC) {
+        var rr = 0
+        while (rr < mR) { colRe(rr) = re(rr * mC + c); colIm(rr) = im(rr * mC + c); rr += 1 }
+        val f = Fft.fft(colRe, colIm, mR)
+        rr = 0
+        while (rr < mR) { re(rr * mC + c) = f.re(rr); im(rr * mC + c) = f.im(rr); rr += 1 }
+        c += 1
+      }
+      (re, im)
+    }
+    val scale = 1.0 / (mR * mC)
+    val (outR, outC) = mode match {
+      case "full" => (fullR, fullC)
+      case "same" => (aRows, aCols)
+      case "valid" => (math.max(aRows, bRows) - math.min(aRows, bRows) + 1,
+                       math.max(aCols, bCols) - math.min(aCols, bCols) + 1)
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+    val (offR, offC) = mode match {
+      case "full"  => (0, 0)
+      case "same"  => ((bRows - 1) / 2, (bCols - 1) / 2)
+      case "valid" => (math.min(aRows, bRows) - 1, math.min(aCols, bCols) - 1)
+      case _       => (0, 0)
+    }
+    val out = new Array[Double](outR * outC)
+    var r = 0
+    while (r < outR) {
+      var c = 0
+      while (c < outC) {
+        out(r * outC + c) = cre((r + offR) * mC + (c + offC)) * scale
+        c += 1
+      }
+      r += 1
+    }
+    (out, outR, outC)
+  }
+}

@@ -1,0 +1,293 @@
+package graft.dsp
+
+/** Pure-JVM FFT kernels (no Spark deps). Semantics follow
+  * `numpy.fft` / `scipy.fft` as wrapped by the reference
+  * (xarray_scipy/signal.py:155-241): fft/ifft/rfft/irfft/hfft/ihfft
+  * with `n` (crop/zero-pad) and `norm` (backward/ortho/forward), plus
+  * fftfreq/rfftfreq coordinate generation and fftshift/ifftshift
+  * (signal.py:244-276).
+  *
+  * Complex arrays are struct-of-arrays: (re, im) as two
+  * Array[Double] — matches Spark's columnar array<double> layout with
+  * no boxing.
+  *
+  * Radix-2 iterative Cooley-Tukey for powers of two; Bluestein's
+  * chirp-z (via power-of-two convolution) for arbitrary n. O(n log n)
+  * for every n.
+  */
+object Fft {
+
+  final case class C(re: Array[Double], im: Array[Double]) {
+    def length: Int = re.length
+  }
+
+  private def bitReverse(x: Int, bits: Int): Int = {
+    var v = x; var r = 0; var i = 0
+    while (i < bits) { r = (r << 1) | (v & 1); v >>= 1; i += 1 }
+    r
+  }
+
+  def isPow2(n: Int): Boolean = n > 0 && (n & (n - 1)) == 0
+
+  def nextPow2(n: Int): Int = {
+    var p = 1
+    while (p < n) p <<= 1
+    p
+  }
+
+  /** In-place iterative radix-2; requires power-of-two length. */
+  private def fftPow2(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
+    if (n <= 1) return
+    val bits = java.lang.Integer.numberOfTrailingZeros(n)
+    var i = 0
+    while (i < n) {
+      val j = bitReverse(i, bits)
+      if (j > i) {
+        var t = re(i); re(i) = re(j); re(j) = t
+        t = im(i); im(i) = im(j); im(j) = t
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = (if (inverse) 2.0 else -2.0) * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        val half = len >> 1
+        while (k < half) {
+          val i0 = blk + k; val i1 = i0 + half
+          val tr = re(i1) * cr - im(i1) * ci
+          val ti = re(i1) * ci + im(i1) * cr
+          re(i1) = re(i0) - tr; im(i1) = im(i0) - ti
+          re(i0) += tr; im(i0) += ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Bluestein chirp-z transform for arbitrary n (uses pow-2 FFTs). */
+  private def fftBluestein(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
+    val m = nextPow2(2 * n + 1)
+    val cosT = new Array[Double](n)
+    val sinT = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      // angle = pi * i^2 / n (mod 2pi), computed with Long to avoid fp blowup
+      val j = (i.toLong * i) % (2L * n)
+      val ang = math.Pi * j / n
+      cosT(i) = math.cos(ang)
+      sinT(i) = if (inverse) math.sin(ang) else -math.sin(ang)
+      i += 1
+    }
+    val ar = new Array[Double](m); val ai = new Array[Double](m)
+    i = 0
+    while (i < n) {
+      ar(i) = re(i) * cosT(i) - im(i) * sinT(i)
+      ai(i) = re(i) * sinT(i) + im(i) * cosT(i)
+      i += 1
+    }
+    val br = new Array[Double](m); val bi = new Array[Double](m)
+    br(0) = cosT(0); bi(0) = -sinT(0)
+    i = 1
+    while (i < n) {
+      br(i) = cosT(i); bi(i) = -sinT(i)
+      br(m - i) = cosT(i); bi(m - i) = -sinT(i)
+      i += 1
+    }
+    fftPow2(ar, ai, inverse = false)
+    fftPow2(br, bi, inverse = false)
+    i = 0
+    while (i < m) {
+      val tr = ar(i) * br(i) - ai(i) * bi(i)
+      ai(i) = ar(i) * bi(i) + ai(i) * br(i)
+      ar(i) = tr
+      i += 1
+    }
+    fftPow2(ar, ai, inverse = true)
+    val inv = 1.0 / m
+    i = 0
+    while (i < n) {
+      val tr = (ar(i) * cosT(i) - ai(i) * sinT(i)) * inv
+      val ti = (ar(i) * sinT(i) + ai(i) * cosT(i)) * inv
+      re(i) = tr; im(i) = ti
+      i += 1
+    }
+  }
+
+  /** Unnormalized DFT (forward) / unnormalized inverse; caller applies norm. */
+  private def rawFft(re: Array[Double], im: Array[Double], inverse: Boolean): Unit =
+    if (isPow2(re.length)) fftPow2(re, im, inverse) else fftBluestein(re, im, inverse)
+
+  private def cropOrPad(x: Array[Double], n: Int): Array[Double] =
+    if (x.length == n) x.clone()
+    else {
+      val out = new Array[Double](n)
+      System.arraycopy(x, 0, out, 0, math.min(x.length, n))
+      out
+    }
+
+  private def normFactor(norm: String, n: Int, forward: Boolean): Double = norm match {
+    case null | "backward" => if (forward) 1.0 else 1.0 / n
+    case "ortho"           => 1.0 / math.sqrt(n.toDouble)
+    case "forward"         => if (forward) 1.0 / n else 1.0
+    case other => throw new IllegalArgumentException(s"unknown norm: $other")
+  }
+
+  private def scaleInPlace(c: C, f: Double): C = {
+    if (f != 1.0) {
+      var i = 0
+      while (i < c.length) { c.re(i) *= f; c.im(i) *= f; i += 1 }
+    }
+    c
+  }
+
+  /** numpy.fft.fft(a, n, norm) for complex input. */
+  def fft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): C = {
+    val nn = if (n <= 0) xre.length else n
+    val re = cropOrPad(xre, nn)
+    val im = cropOrPad(if (xim == null) new Array[Double](xre.length) else xim, nn)
+    rawFft(re, im, inverse = false)
+    scaleInPlace(C(re, im), normFactor(norm, nn, forward = true))
+  }
+
+  /** numpy.fft.ifft(a, n, norm). */
+  def ifft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): C = {
+    val nn = if (n <= 0) xre.length else n
+    val re = cropOrPad(xre, nn)
+    val im = cropOrPad(if (xim == null) new Array[Double](xre.length) else xim, nn)
+    rawFft(re, im, inverse = true)
+    scaleInPlace(C(re, im), normFactor(norm, nn, forward = false))
+  }
+
+  /** numpy.fft.rfft: real input, n//2+1 output bins. */
+  def rfft(x: Array[Double], n: Int = -1, norm: String = "backward"): C = {
+    val nn = if (n <= 0) x.length else n
+    val full = fft(x, null, nn, norm)
+    val m = nn / 2 + 1
+    C(java.util.Arrays.copyOf(full.re, m), java.util.Arrays.copyOf(full.im, m))
+  }
+
+  /** numpy.fft.irfft: hermitian input (m bins), real output of length
+    * n (default (m-1)*2, signal.py:210-211).
+    */
+  def irfft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): Array[Double] = {
+    val m = xre.length
+    val nn = if (n <= 0) (m - 1) * 2 else n
+    // Rebuild the full hermitian spectrum at length nn, then complex ifft.
+    val nb = nn / 2 + 1 // bins actually used from input
+    val fre = new Array[Double](nn); val fim = new Array[Double](nn)
+    var i = 0
+    while (i < math.min(m, nb)) { fre(i) = xre(i); fim(i) = xim(i); i += 1 }
+    // hermitian symmetry: X[nn-k] = conj(X[k])
+    i = 1
+    while (i < nb - (if (nn % 2 == 0) 1 else 0)) {
+      if (nn - i < nn && i < math.min(m, nb)) { fre(nn - i) = xre(i); fim(nn - i) = -xim(i) }
+      i += 1
+    }
+    // even nn: Nyquist bin nn/2 must be real; numpy uses it as-is from input
+    if (nn % 2 == 0 && nb - 1 < m) { fre(nn / 2) = xre(nb - 1); fim(nn / 2) = 0.0 }
+    val inv = ifft(fre, fim, nn, "backward")
+    val out = inv.re
+    norm match {
+      case null | "backward" => ()
+      case "ortho" =>
+        // numpy irfft ortho: multiply by sqrt(n) relative to backward
+        val f = math.sqrt(nn.toDouble)
+        var k = 0; while (k < nn) { out(k) *= f; k += 1 }
+      case "forward" =>
+        val f = nn.toDouble
+        var k = 0; while (k < nn) { out(k) *= f; k += 1 }
+      case other => throw new IllegalArgumentException(s"unknown norm: $other")
+    }
+    out
+  }
+
+  /** numpy.fft.hfft: hermitian-symmetric (complex) input → real
+    * spectrum of length n (default (m-1)*2). hfft(a, n) = irfft(conj(a), n) * n.
+    */
+  def hfft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): Array[Double] = {
+    val m = xre.length
+    val nn = if (n <= 0) (m - 1) * 2 else n
+    val conjIm = new Array[Double](m)
+    var i = 0
+    while (i < m) { conjIm(i) = -xim(i); i += 1 }
+    val y = irfft(xre, conjIm, nn, "backward")
+    val f = norm match {
+      case null | "backward" => nn.toDouble
+      case "ortho"           => math.sqrt(nn.toDouble)
+      case "forward"         => 1.0
+      case other => throw new IllegalArgumentException(s"unknown norm: $other")
+    }
+    var k = 0
+    while (k < nn) { y(k) *= f; k += 1 }
+    y
+  }
+
+  /** numpy.fft.ihfft: real input → hermitian half-spectrum, n//2+1 bins.
+    * ihfft(a, n) = conj(rfft(a, n)) / n.
+    */
+  def ihfft(x: Array[Double], n: Int = -1, norm: String = "backward"): C = {
+    val nn = if (n <= 0) x.length else n
+    val r = rfft(x, nn, "backward")
+    val f = norm match {
+      case null | "backward" => 1.0 / nn
+      case "ortho"           => 1.0 / math.sqrt(nn.toDouble)
+      case "forward"         => 1.0
+      case other => throw new IllegalArgumentException(s"unknown norm: $other")
+    }
+    var i = 0
+    while (i < r.length) { r.re(i) *= f; r.im(i) = -r.im(i) * f; i += 1 }
+    r
+  }
+
+  /** numpy.fft.fftfreq(n, d). */
+  def fftfreq(n: Int, d: Double): Array[Double] = {
+    val out = new Array[Double](n)
+    val f = 1.0 / (n * d)
+    val mid = (n - 1) / 2 + 1
+    var i = 0
+    while (i < mid) { out(i) = i * f; i += 1 }
+    while (i < n) { out(i) = (i - n) * f; i += 1 }
+    out
+  }
+
+  /** numpy.fft.rfftfreq(n, d). */
+  def rfftfreq(n: Int, d: Double): Array[Double] = {
+    val m = n / 2 + 1
+    val out = new Array[Double](m)
+    val f = 1.0 / (n * d)
+    var i = 0
+    while (i < m) { out(i) = i * f; i += 1 }
+    out
+  }
+
+  /** numpy.fft.fftshift for 1-D: rotate left half to the end. */
+  def fftshift(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val s = n - n / 2 // shift amount: elements [s, n) move to front
+    val out = new Array[Double](n)
+    System.arraycopy(x, s, out, 0, n - s)
+    System.arraycopy(x, 0, out, n - s, s)
+    out
+  }
+
+  /** numpy.fft.ifftshift for 1-D (inverse of fftshift). */
+  def ifftshift(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val s = n / 2
+    val out = new Array[Double](n)
+    System.arraycopy(x, s, out, 0, n - s)
+    System.arraycopy(x, 0, out, n - s, s)
+    out
+  }
+}

@@ -1,0 +1,246 @@
+package graft.dsp
+
+/** IIR/FIR filtering kernels matching scipy.signal semantics used by
+  * the reference: sosfilt (xarray_scipy/signal.py:403), sosfiltfilt
+  * (signal.py:433), and lfilter/filtfilt (the b,a path of decimate,
+  * signal.py:109).
+  *
+  * sos layout: flattened row-major Array[Double] of shape (nSections, 6)
+  * = [b0 b1 b2 a0 a1 a2] per section — the same (section, coefficient)
+  * layout the reference uses for its sos DataArray.
+  */
+object Filt {
+
+  /** Direct-form II transposed lfilter; a(0) must be nonzero. */
+  def lfilter(b: Array[Double], a: Array[Double], x: Array[Double],
+              zi: Array[Double] = null): Array[Double] = {
+    val n = math.max(b.length, a.length)
+    val bn = new Array[Double](n); val an = new Array[Double](n)
+    System.arraycopy(b, 0, bn, 0, b.length)
+    System.arraycopy(a, 0, an, 0, a.length)
+    val a0 = an(0)
+    var i = 0
+    while (i < n) { bn(i) /= a0; an(i) /= a0; i += 1 }
+    val z = new Array[Double](n - 1)
+    if (zi != null) System.arraycopy(zi, 0, z, 0, math.min(zi.length, n - 1))
+    val y = new Array[Double](x.length)
+    var t = 0
+    while (t < x.length) {
+      val xt = x(t)
+      val yt = bn(0) * xt + (if (n > 1) z(0) else 0.0)
+      var k = 0
+      while (k < n - 2) {
+        z(k) = bn(k + 1) * xt + z(k + 1) - an(k + 1) * yt
+        k += 1
+      }
+      if (n > 1) z(n - 2) = bn(n - 1) * xt - an(n - 1) * yt
+      y(t) = yt
+      t += 1
+    }
+    y
+  }
+
+  /** Solve a small dense linear system in-place (Gaussian elimination,
+    * partial pivoting). Sizes here are filter orders (≤ ~16).
+    */
+  private[dsp] def solve(aIn: Array[Array[Double]], bIn: Array[Double]): Array[Double] = {
+    val n = bIn.length
+    val a = aIn.map(_.clone())
+    val b = bIn.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb }
+      val d = a(col)(col)
+      require(d != 0.0, "singular system in lfilter_zi")
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / d
+        if (f != 0.0) {
+          var c = col
+          while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+          b(r) -= f * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var r = n - 1
+    while (r >= 0) {
+      var s = b(r)
+      var c = r + 1
+      while (c < n) { s -= a(r)(c) * x(c); c += 1 }
+      x(r) = s / a(r)(r)
+      r -= 1
+    }
+    x
+  }
+
+  /** scipy.signal.lfilter_zi: steady-state initial conditions for a
+    * unit step: zi = (I - A^T)^-1 B with A the companion matrix of a.
+    */
+  def lfilterZi(bIn: Array[Double], aIn: Array[Double]): Array[Double] = {
+    val n = math.max(bIn.length, aIn.length)
+    val b = new Array[Double](n); val a = new Array[Double](n)
+    System.arraycopy(bIn, 0, b, 0, bIn.length)
+    System.arraycopy(aIn, 0, a, 0, aIn.length)
+    val a0 = a(0)
+    var i = 0
+    while (i < n) { b(i) /= a0; a(i) /= a0; i += 1 }
+    val m = n - 1
+    // IminusA = eye(m) - companion(a).T ; companion(a)(0,j) = -a(j+1), sub-diagonal ones
+    val iMinusA = Array.ofDim[Double](m, m)
+    var r = 0
+    while (r < m) {
+      var c = 0
+      while (c < m) {
+        val comp = if (r == 0) -a(c + 1) else if (c == r - 1) 1.0 else 0.0 // companion(a)(r)(c)
+        val compT = if (c == 0) -a(r + 1) else if (r == c - 1) 1.0 else 0.0 // companion.T(r)(c)
+        iMinusA(r)(c) = (if (r == c) 1.0 else 0.0) - compT
+        val _ = comp
+        c += 1
+      }
+      r += 1
+    }
+    val rhs = new Array[Double](m)
+    r = 0
+    while (r < m) { rhs(r) = b(r + 1) - a(r + 1) * b(0); r += 1 }
+    solve(iMinusA, rhs)
+  }
+
+  val SOS_W = 6
+
+  def nSections(sos: Array[Double]): Int = {
+    require(sos.length % SOS_W == 0, "sos must be flattened (n,6)")
+    sos.length / SOS_W
+  }
+
+  /** scipy.signal.sosfilt, DF2T biquad cascade. zi: flattened (n,2) or null. */
+  def sosfilt(sos: Array[Double], x: Array[Double], zi: Array[Double] = null): Array[Double] = {
+    val ns = nSections(sos)
+    val z = new Array[Double](ns * 2)
+    if (zi != null) System.arraycopy(zi, 0, z, 0, math.min(zi.length, ns * 2))
+    val y = x.clone()
+    var s = 0
+    while (s < ns) {
+      val o = s * SOS_W
+      val a0 = sos(o + 3)
+      val b0 = sos(o) / a0; val b1 = sos(o + 1) / a0; val b2 = sos(o + 2) / a0
+      val a1 = sos(o + 4) / a0; val a2 = sos(o + 5) / a0
+      var z0 = z(s * 2); var z1 = z(s * 2 + 1)
+      var t = 0
+      while (t < y.length) {
+        val xt = y(t)
+        val yt = b0 * xt + z0
+        z0 = b1 * xt + z1 - a1 * yt
+        z1 = b2 * xt - a2 * yt
+        y(t) = yt
+        t += 1
+      }
+      z(s * 2) = z0; z(s * 2 + 1) = z1
+      s += 1
+    }
+    y
+  }
+
+  /** scipy.signal.sosfilt_zi: per-section lfilter_zi with cumulative
+    * DC-gain scaling.
+    */
+  def sosfiltZi(sos: Array[Double]): Array[Double] = {
+    val ns = nSections(sos)
+    val zi = new Array[Double](ns * 2)
+    var scale = 1.0
+    var s = 0
+    while (s < ns) {
+      val o = s * SOS_W
+      val b = Array(sos(o), sos(o + 1), sos(o + 2))
+      val a = Array(sos(o + 3), sos(o + 4), sos(o + 5))
+      val z = lfilterZi(b, a)
+      zi(s * 2) = scale * z(0)
+      zi(s * 2 + 1) = scale * z(1)
+      scale *= (b(0) + b(1) + b(2)) / (a(0) + a(1) + a(2))
+      s += 1
+    }
+    zi
+  }
+
+  /** Odd/even/constant edge extension (scipy.signal._arraytools). */
+  def padExt(x: Array[Double], padlen: Int, padtype: String): Array[Double] = {
+    if (padlen == 0 || padtype == null || padtype == "none") return x.clone()
+    val n = x.length
+    require(padlen < n, s"padlen $padlen must be less than signal length $n")
+    val out = new Array[Double](n + 2 * padlen)
+    System.arraycopy(x, 0, out, padlen, n)
+    var i = 0
+    while (i < padlen) {
+      padtype match {
+        case "odd" =>
+          out(padlen - 1 - i) = 2 * x(0) - x(i + 1)
+          out(padlen + n + i) = 2 * x(n - 1) - x(n - 2 - i)
+        case "even" =>
+          out(padlen - 1 - i) = x(i + 1)
+          out(padlen + n + i) = x(n - 2 - i)
+        case "constant" =>
+          out(padlen - 1 - i) = x(0)
+          out(padlen + n + i) = x(n - 1)
+        case other => throw new IllegalArgumentException(s"unknown padtype: $other")
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def reverse(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x(n - 1 - i); i += 1 }
+    out
+  }
+
+  /** scipy.signal.sosfiltfilt: edge-pad, forward+backward sosfilt with
+    * step-matched initial conditions, trim.
+    */
+  def sosfiltfilt(sos: Array[Double], x: Array[Double],
+                  padtype: String = "odd", padlen: Int = -1): Array[Double] = {
+    val ns = nSections(sos)
+    var zeroB = 0; var zeroA = 0
+    var s = 0
+    while (s < ns) {
+      if (sos(s * SOS_W + 2) == 0.0) zeroB += 1
+      if (sos(s * SOS_W + 5) == 0.0) zeroA += 1
+      s += 1
+    }
+    val ntaps = 2 * ns + 1 - math.min(zeroB, zeroA)
+    val edge = if (padlen >= 0) padlen else 3 * ntaps
+    val ext = padExt(x, edge, if (edge > 0) padtype else "none")
+    val zi = sosfiltZi(sos)
+    val ziX0 = zi.map(_ * ext(0))
+    val fwd = sosfilt(sos, ext, ziX0)
+    val fwdRev = reverse(fwd)
+    val ziY0 = zi.map(_ * fwdRev(0))
+    val bwd = sosfilt(sos, fwdRev, ziY0)
+    val y = reverse(bwd)
+    if (edge > 0) java.util.Arrays.copyOfRange(y, edge, y.length - edge) else y
+  }
+
+  /** scipy.signal.filtfilt (b,a form), pad method. */
+  def filtfilt(b: Array[Double], a: Array[Double], x: Array[Double],
+               padtype: String = "odd", padlen: Int = -1): Array[Double] = {
+    val ntaps = math.max(b.length, a.length)
+    val edge = if (padlen >= 0) padlen else 3 * ntaps
+    val ext = padExt(x, edge, if (edge > 0) padtype else "none")
+    val zi = lfilterZi(b, a)
+    val ziX0 = zi.map(_ * ext(0))
+    val fwd = lfilter(b, a, ext, ziX0)
+    val fwdRev = reverse(fwd)
+    val ziY0 = zi.map(_ * fwdRev(0))
+    val bwd = lfilter(b, a, fwdRev, ziY0)
+    val y = reverse(bwd)
+    if (edge > 0) java.util.Arrays.copyOfRange(y, edge, y.length - edge) else y
+  }
+}
