@@ -47,14 +47,17 @@ object Relational {
 
   /** Window functions over the events stream table: per-user running
     * aggregates ordered by time. One shuffle (partitionBy user_id);
-    * scales by number of users.
+    * scales by number of users. running_sum is hashed at fp2: DuckDB's
+    * segment-tree windowed SUM associates differently than Spark's
+    * sequential accumulation, so 1e-6 fixed point can flip on long
+    * histories (ADVICE r1).
     */
   def q3Window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("running_sum", fp6(sum(col("value"))
+      .withColumn("running_sum", fp2(sum(col("value"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .select(col("event_id"), col("user_id"), col("rn"), col("running_sum"))
       .orderBy("event_id")
@@ -84,7 +87,7 @@ object Relational {
     "q3_window" ->
       s"""SELECT event_id, user_id,
          |  ROW_NUMBER() OVER w AS rn,
-         |  ${fpSql("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", "1000000")} AS running_sum
+         |  ${fpSql("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", "100")} AS running_sum
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin)

@@ -46,8 +46,10 @@ def main():
             continue
         sdf = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
         if name not in oracles:
-            results[name] = f"rows-only: {len(sdf)} rows" + \
-                (" EMPTY!" if len(sdf) == 0 else "")
+            # rows==0 with no oracle is a FAIL (silently-empty results
+            # must not pass the gate — ADVICE r1).
+            results[name] = (f"rows-only: {len(sdf)} rows" if len(sdf) > 0
+                             else "EMPTY rows-only result")
             continue
         try:
             odf = con.sql(oracles[name]).df()
@@ -65,8 +67,14 @@ def main():
         o = odf[ocols].sort_values(ocols).reset_index(drop=True)
         bad = None
         for c in scols:
-            sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore") \
-                if s[c].dtype != o[c].dtype else o[c]
+            if s[c].dtype != o[c].dtype:
+                try:
+                    ov = o[c].astype(s[c].dtype)
+                except (ValueError, TypeError):
+                    ov = o[c]
+            else:
+                ov = o[c]
+            sv = s[c]
             try:
                 eq = (sv == ov) | (sv.isna() & ov.isna())
             except Exception:
