@@ -1,0 +1,108 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filter design is checked against analytic properties of the
+  * published designs (scipy has no numpy-only golden source in this
+  * container): Butterworth is maximally flat with |H(wn)| = 1/sqrt(2);
+  * Chebyshev-I is equiripple in the passband with |H(wn)| = 10^(-rp/20);
+  * firwin has unit DC gain and linear phase (symmetric taps).
+  */
+class DesignSpec extends AnyFunSuite {
+
+  private def db(x: Double) = 20 * math.log10(x)
+
+  test("butterSos: -3dB at cutoff, DC gain 1, monotone rolloff") {
+    for (n <- Seq(2, 3, 4, 5, 8); wn <- Seq(0.1, 0.25, 0.5, 0.8)) {
+      val sos = Design.butterSos(n, wn)
+      assert(Filt.nSections(sos) == (n + 1) / 2)
+      val dc = Design.sosFreqAbs(sos, 0.0)
+      assert(math.abs(dc - 1.0) < 1e-9, s"n=$n wn=$wn dc=$dc")
+      val hc = Design.sosFreqAbs(sos, math.Pi * wn)
+      assert(math.abs(hc - 1.0 / math.sqrt(2)) < 1e-9, s"n=$n wn=$wn |H(wn)|=$hc")
+      // monotone decreasing magnitude
+      var prev = Double.MaxValue
+      for (k <- 0 to 100) {
+        val h = Design.sosFreqAbs(sos, math.Pi * k / 100.0)
+        assert(h <= prev + 1e-12, s"n=$n wn=$wn not monotone at k=$k")
+        prev = h
+      }
+      // asymptotic slope ~ -20n dB/decade: compare 2*wn vs wn region
+      if (wn <= 0.25) {
+        val att = db(Design.sosFreqAbs(sos, math.Pi * 2 * wn))
+        assert(att < -6.0 * n + 3, s"n=$n wn=$wn att at 2wn=$att dB")
+      }
+    }
+  }
+
+  test("cheby1Sos: rp-ripple passband, |H(wn)|=-rp dB, equiripple extrema") {
+    for (n <- Seq(2, 3, 4, 5, 8); rp <- Seq(0.05, 1.0, 3.0); wn <- Seq(0.25, 0.8)) {
+      val sos = Design.cheby1Sos(n, rp, wn)
+      val floorG = math.pow(10.0, -rp / 20.0)
+      val dc = Design.sosFreqAbs(sos, 0.0)
+      val expDc = if (n % 2 == 0) floorG else 1.0
+      assert(math.abs(dc - expDc) < 1e-9, s"n=$n rp=$rp wn=$wn dc=$dc exp=$expDc")
+      val hc = Design.sosFreqAbs(sos, math.Pi * wn)
+      assert(math.abs(hc - floorG) < 1e-8, s"n=$n rp=$rp wn=$wn |H(wn)|=$hc")
+      // passband magnitude stays in [floorG - eps, 1 + eps]
+      var nearMax = 0
+      for (k <- 0 to 2000) {
+        val h = Design.sosFreqAbs(sos, math.Pi * wn * k / 2000.0)
+        assert(h <= 1.0 + 1e-9, s"n=$n rp=$rp wn=$wn passband overshoot $h")
+        assert(h >= floorG - 1e-8, s"n=$n rp=$rp wn=$wn passband droop $h")
+        if (h > 1.0 - 1e-4) nearMax += 1
+      }
+      // equiripple: the response actually touches its 1.0 ceiling
+      // (combined with the floor/cutoff/DC pins above this fixes the
+      // ripple structure; exact extrema counting is too sampling-
+      // sensitive for narrow peaks).
+      assert(nearMax >= 1, s"n=$n rp=$rp wn=$wn never reaches passband max")
+      // stopband: strictly below the passband floor and decreasing
+      val h15 = Design.sosFreqAbs(sos, math.Pi * math.min(1.0, wn * 1.5))
+      assert(h15 < floorG, s"n=$n rp=$rp stopband $h15")
+    }
+  }
+
+  test("cheby1 poles are stable (inside unit circle)") {
+    for (n <- Seq(2, 5, 8)) {
+      val sos = Design.cheby1Sos(n, 0.05, 0.3)
+      for (s <- 0 until Filt.nSections(sos)) {
+        val o = s * Filt.SOS_W
+        val a1 = sos(o + 4); val a2 = sos(o + 5)
+        // stability triangle: |a2| < 1 and |a1| < 1 + a2
+        assert(math.abs(a2) < 1.0, s"n=$n s=$s a2=$a2")
+        assert(math.abs(a1) < 1.0 + a2 + 1e-12, s"n=$n s=$s a1=$a1 a2=$a2")
+      }
+    }
+  }
+
+  test("firwinLowpass: unit DC gain, symmetric, -6dB near cutoff, stopband") {
+    for (taps <- Seq(21, 31, 64); cutoff <- Seq(0.2, 0.5)) {
+      val h = Design.firwinLowpass(taps, cutoff)
+      assert(h.length == taps)
+      assert(math.abs(h.sum - 1.0) < 1e-12)
+      for (i <- 0 until taps / 2)
+        assert(math.abs(h(i) - h(taps - 1 - i)) < 1e-12, s"tap $i asymmetric")
+      def mag(w: Double): Double = {
+        var re = 0.0; var im = 0.0
+        for (i <- h.indices) { re += h(i) * math.cos(w * i); im -= h(i) * math.sin(w * i) }
+        math.hypot(re, im)
+      }
+      // hamming-window lowpass crosses ~-6dB at the cutoff
+      assert(math.abs(db(mag(math.Pi * cutoff)) + 6.0) < 1.0,
+        s"taps=$taps cutoff=$cutoff |H(wc)|=${db(mag(math.Pi * cutoff))} dB")
+      // stopband attenuation beyond transition: hamming gives ~-53 dB
+      val trans = 8.0 / taps // double-sided hamming transition width (cycles)
+      val ws = math.Pi * math.min(0.98, cutoff + trans)
+      assert(db(mag(ws)) < -40.0, s"taps=$taps cutoff=$cutoff stopband ${db(mag(ws))} dB")
+    }
+  }
+
+  test("hamming window endpoints and symmetry") {
+    val w = Design.hamming(11)
+    assert(math.abs(w(0) - 0.08) < 1e-12)
+    assert(math.abs(w(10) - 0.08) < 1e-12)
+    assert(math.abs(w(5) - 1.0) < 1e-12)
+    assert(Design.hamming(1).toSeq == Seq(1.0))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class FftSpec extends AnyFunSuite {
+  private val g = Golden.load("fft.txt")
+  private val tol = 1e-10
+
+  private def check(name: String, got: Array[Double]): Unit = {
+    val want = g.getOrElse(name, fail(s"no golden $name"))
+    val d = Golden.maxAbsDiff(got, want)
+    assert(d < tol, s"$name maxAbsDiff=$d")
+  }
+
+  for (n <- Seq(16, 15, 17, 64)) {
+    val re = g(s"in_re_$n"); val im = g(s"in_im_$n")
+
+    test(s"fft/ifft n=$n all norms vs numpy") {
+      for (norm <- Seq("backward", "ortho", "forward")) {
+        val f = Fft.fft(re, im, -1, norm)
+        check(s"fft_${n}_${norm}_re", f.re)
+        check(s"fft_${n}_${norm}_im", f.im)
+        val i = Fft.ifft(re, im, -1, norm)
+        check(s"ifft_${n}_${norm}_re", i.re)
+        check(s"ifft_${n}_${norm}_im", i.im)
+      }
+    }
+
+    test(s"fft n=$n crop/pad vs numpy") {
+      for (m <- Seq(n / 2 + 1, 2 * n)) {
+        val f = Fft.fft(re, im, m, "backward")
+        check(s"fftn_${n}_${m}_re", f.re)
+        check(s"fftn_${n}_${m}_im", f.im)
+      }
+    }
+
+    test(s"rfft/irfft n=$n vs numpy") {
+      val r = Fft.rfft(re)
+      check(s"rfft_${n}_re", r.re)
+      check(s"rfft_${n}_im", r.im)
+      check(s"irfft_$n", Fft.irfft(r.re, r.im))
+      check(s"irfft_n_$n", Fft.irfft(r.re, r.im, n))
+    }
+
+    test(s"hfft/ihfft n=$n vs numpy") {
+      val m = n / 2 + 1
+      check(s"hfft_$n", Fft.hfft(re.take(m), im.take(m)))
+      val ih = Fft.ihfft(re)
+      check(s"ihfft_${n}_re", ih.re)
+      check(s"ihfft_${n}_im", ih.im)
+    }
+
+    test(s"fftfreq/rfftfreq/shift n=$n vs numpy") {
+      check(s"fftfreq_$n", Fft.fftfreq(n, 0.25))
+      check(s"rfftfreq_$n", Fft.rfftfreq(n, 0.25))
+      check(s"fftshift_$n", Fft.fftshift(re))
+      check(s"ifftshift_$n", Fft.ifftshift(re))
+    }
+  }
+
+  test("rfft/irfft ortho+forward norms vs numpy") {
+    val x = g("in2_re_16")
+    for (norm <- Seq("ortho", "forward")) {
+      val r = Fft.rfft(x, -1, norm)
+      check(s"rfft2_16_${norm}_re", r.re)
+      check(s"rfft2_16_${norm}_im", r.im)
+      check(s"irfft2_16_$norm", Fft.irfft(r.re, r.im, -1, norm))
+    }
+  }
+
+  test("hfft/ihfft norms vs numpy") {
+    val hre = g("hin_re_9"); val him = g("hin_im_9")
+    for (norm <- Seq("backward", "ortho", "forward")) {
+      check(s"hfft_9_$norm", Fft.hfft(hre, him, -1, norm))
+      val base = Fft.hfft(hre, him) // length 16 real
+      val ih = Fft.ihfft(base, -1, norm)
+      check(s"ihfft_16_${norm}_re", ih.re)
+      check(s"ihfft_16_${norm}_im", ih.im)
+    }
+  }
+
+  test("ifftshift inverts fftshift for odd and even n") {
+    for (n <- Seq(8, 9, 15, 16)) {
+      val x = Array.tabulate(n)(_.toDouble)
+      assert(Golden.maxAbsDiff(Fft.ifftshift(Fft.fftshift(x)), x) == 0.0)
+    }
+  }
+
+  test("fft roundtrip identity at non-golden sizes") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 3, 5, 12, 100, 257)) {
+      val re = Array.fill(n)(rnd.nextGaussian())
+      val im = Array.fill(n)(rnd.nextGaussian())
+      val f = Fft.fft(re, im)
+      val b = Fft.ifft(f.re, f.im)
+      assert(Golden.maxAbsDiff(b.re, re) < 1e-9, s"n=$n re")
+      assert(Golden.maxAbsDiff(b.im, im) < 1e-9, s"n=$n im")
+    }
+  }
+}

@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Generate golden vectors for the graft.dsp kernel tests.
+
+numpy-only (no scipy in this container). FFT-family goldens come from
+numpy.fft (an independent implementation of the same published
+semantics the reference wraps). Filter goldens come from naive
+textbook difference equations written here — deliberately the simplest
+possible direct-form implementation, structurally different from the
+Scala DF2T kernels they check.
+
+Output: src/test/resources/golden/*.txt, one `name: v v v ...` per line
+(17 significant digits, lossless for float64).
+"""
+import os
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "src/test/resources/golden")
+os.makedirs(OUT, exist_ok=True)
+
+
+def emit(f, name, arr):
+    arr = np.asarray(arr, dtype=np.float64).ravel()
+    f.write(name + ": " + " ".join("%.17g" % v for v in arr) + "\n")
+
+
+rng = np.random.default_rng(42)
+
+# ---------------------------------------------------------------- fft
+with open(os.path.join(OUT, "fft.txt"), "w") as f:
+    for n in (16, 15, 17, 64):
+        x = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        emit(f, f"in_re_{n}", x)
+        emit(f, f"in_im_{n}", y)
+        z = x + 1j * y
+        for norm in ("backward", "ortho", "forward"):
+            F = np.fft.fft(z, norm=norm)
+            emit(f, f"fft_{n}_{norm}_re", F.real)
+            emit(f, f"fft_{n}_{norm}_im", F.imag)
+            I = np.fft.ifft(z, norm=norm)
+            emit(f, f"ifft_{n}_{norm}_re", I.real)
+            emit(f, f"ifft_{n}_{norm}_im", I.imag)
+        # n-crop / n-pad variants (backward norm)
+        for m in (n // 2 + 1, 2 * n):
+            F = np.fft.fft(z, n=m)
+            emit(f, f"fftn_{n}_{m}_re", F.real)
+            emit(f, f"fftn_{n}_{m}_im", F.imag)
+        # real family
+        R = np.fft.rfft(x)
+        emit(f, f"rfft_{n}_re", R.real)
+        emit(f, f"rfft_{n}_im", R.imag)
+        emit(f, f"irfft_{n}", np.fft.irfft(R))          # back to even length
+        emit(f, f"irfft_n_{n}", np.fft.irfft(R, n=n))   # exact length
+        H = np.fft.hfft(z[: n // 2 + 1])
+        emit(f, f"hfft_{n}", H)
+        IH = np.fft.ihfft(x)
+        emit(f, f"ihfft_{n}_re", IH.real)
+        emit(f, f"ihfft_{n}_im", IH.imag)
+        emit(f, f"fftfreq_{n}", np.fft.fftfreq(n, d=0.25))
+        emit(f, f"rfftfreq_{n}", np.fft.rfftfreq(n, d=0.25))
+        emit(f, f"fftshift_{n}", np.fft.fftshift(x))
+        emit(f, f"ifftshift_{n}", np.fft.ifftshift(x))
+    # ortho/forward norms for the real family (n=16 only)
+    x16 = rng.standard_normal(16)
+    emit(f, "in2_re_16", x16)
+    for norm in ("ortho", "forward"):
+        R = np.fft.rfft(x16, norm=norm)
+        emit(f, f"rfft2_16_{norm}_re", R.real)
+        emit(f, f"rfft2_16_{norm}_im", R.imag)
+        emit(f, f"irfft2_16_{norm}", np.fft.irfft(R, norm=norm))
+        H = np.fft.hfft(x16[:9] + 1j * rng.standard_normal(9), norm=norm) \
+            if False else None
+    # hfft/ihfft norm variants via identities on a fixed complex input
+    zin = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    emit(f, "hin_re_9", zin.real)
+    emit(f, "hin_im_9", zin.imag)
+    for norm in ("backward", "ortho", "forward"):
+        emit(f, f"hfft_9_{norm}", np.fft.hfft(zin, norm=norm))
+        IH = np.fft.ihfft(np.fft.hfft(zin), norm=norm)
+        emit(f, f"ihfft_16_{norm}_re", IH.real)
+        emit(f, f"ihfft_16_{norm}_im", IH.imag)
+
+# ----------------------------------------------------------- convolve
+# scipy.signal.convolve conventions: full = n1+n2-1; same = length n1
+# centered on full (start (n2-1)//2); valid = max-min+1 (start min-1).
+with open(os.path.join(OUT, "conv.txt"), "w") as f:
+    for (n1, n2) in ((20, 5), (5, 20), (16, 16), (31, 7)):
+        a = rng.standard_normal(n1)
+        b = rng.standard_normal(n2)
+        emit(f, f"a_{n1}_{n2}", a)
+        emit(f, f"b_{n1}_{n2}", b)
+        full = np.convolve(a, b)
+        emit(f, f"conv_full_{n1}_{n2}", full)
+        s = (n2 - 1) // 2
+        emit(f, f"conv_same_{n1}_{n2}", full[s: s + n1])
+        v = min(n1, n2) - 1
+        emit(f, f"conv_valid_{n1}_{n2}", full[v: v + max(n1, n2) - min(n1, n2) + 1])
+        emit(f, f"corr_full_{n1}_{n2}", np.convolve(a, b[::-1]))
+    # 2-D case (small, direct quadratic reference)
+    A = rng.standard_normal((6, 5))
+    B = rng.standard_normal((3, 4))
+    emit(f, "a2d", A)
+    emit(f, "b2d", B)
+    fullR, fullC = 6 + 3 - 1, 5 + 4 - 1
+    out = np.zeros((fullR, fullC))
+    for i in range(6):
+        for j in range(5):
+            out[i:i + 3, j:j + 4] += A[i, j] * B
+    emit(f, "conv2d_full", out)
+    emit(f, "conv2d_same", out[(3 - 1) // 2:(3 - 1) // 2 + 6,
+                               (4 - 1) // 2:(4 - 1) // 2 + 5])
+
+# ------------------------------------------------------------ filters
+def lfilter_naive(b, a, x, zi=None):
+    """Textbook direct-form I difference equation, O(n*order)."""
+    b = np.asarray(b, dtype=float) / a[0]
+    a = np.asarray(a, dtype=float) / a[0]
+    # Convert zi (DF2T state) to equivalent output via scipy state-space
+    # is messy — instead, when zi is given, we use the DF2T recurrence
+    # directly (still an independent reimplementation in numpy).
+    n = max(len(b), len(a))
+    bb = np.zeros(n); bb[:len(b)] = b
+    aa = np.zeros(n); aa[:len(a)] = a
+    z = np.zeros(n - 1)
+    if zi is not None:
+        z[:len(zi)] = zi
+    y = np.zeros(len(x))
+    for t, xt in enumerate(x):
+        yt = bb[0] * xt + (z[0] if n > 1 else 0.0)
+        for k in range(n - 2):
+            z[k] = bb[k + 1] * xt + z[k + 1] - aa[k + 1] * yt
+        if n > 1:
+            z[n - 2] = bb[n - 1] * xt - aa[n - 1] * yt
+        y[t] = yt
+    return y
+
+
+def lfilter_df1(b, a, x):
+    """Pure direct-form I (no shared state vector) — maximally
+    independent check for the zero-state case."""
+    b = np.asarray(b, dtype=float) / a[0]
+    a = np.asarray(a, dtype=float) / a[0]
+    y = np.zeros(len(x))
+    for t in range(len(x)):
+        s = 0.0
+        for k in range(len(b)):
+            if t - k >= 0:
+                s += b[k] * x[t - k]
+        for k in range(1, len(a)):
+            if t - k >= 0:
+                s -= a[k] * y[t - k]
+        y[t] = s
+    return y
+
+
+def lfilter_zi_np(b, a):
+    """scipy.signal.lfilter_zi via numpy.linalg (independent solver)."""
+    n = max(len(b), len(a))
+    bb = np.zeros(n); bb[:len(b)] = b
+    aa = np.zeros(n); aa[:len(a)] = a
+    bb, aa = bb / aa[0], aa / aa[0]
+    m = n - 1
+    companion = np.zeros((m, m))
+    companion[0, :] = -aa[1:]
+    companion[1:, :-1] = np.eye(m - 1)
+    IminusA = np.eye(m) - companion.T
+    Bvec = bb[1:] - aa[1:] * bb[0]
+    return np.linalg.solve(IminusA, Bvec)
+
+
+with open(os.path.join(OUT, "filt.txt"), "w") as f:
+    x = rng.standard_normal(64)
+    emit(f, "x_64", x)
+    # a couple of fixed, hand-specified stable filters
+    b1 = [0.2, 0.3, 0.1]
+    a1 = [1.0, -0.5, 0.25]
+    emit(f, "b1", b1)
+    emit(f, "a1", a1)
+    emit(f, "lfilter_1", lfilter_df1(b1, a1, x))
+    emit(f, "lfilter_zi_1", lfilter_zi_np(b1, a1))
+    zi1 = lfilter_zi_np(b1, a1) * x[0]
+    emit(f, "lfilter_1_zi", lfilter_naive(b1, a1, x, zi1))
+    b2 = [0.05, 0.1, 0.05]          # gentle lowpass biquad
+    a2 = [1.0, -1.2, 0.45]
+    emit(f, "b2", b2)
+    emit(f, "a2", a2)
+    emit(f, "lfilter_2", lfilter_df1(b2, a2, x))
+    emit(f, "lfilter_zi_2", lfilter_zi_np(b2, a2))
+    # sos cascade = the two biquads above in sequence (zero state):
+    # independent check = sequential DF1 passes.
+    emit(f, "sosfilt_12", lfilter_df1(b2, a2, lfilter_df1(b1, a1, x)))
+
+print("golden vectors written to", OUT)
