@@ -1,0 +1,82 @@
+package graft.dsp
+
+/** Peak prominence and width measurement matching
+  * `scipy.signal.peak_widths` / `peak_prominences` as wrapped by the
+  * reference (xarray_scipy/signal.py:330-371): peaks are caller-
+  * provided sample indices; widths are measured at
+  * `rel_height` of the prominence and linearly interpolated between
+  * samples.
+  */
+object Peaks {
+
+  final case class Prominence(prominence: Double, leftBase: Int, rightBase: Int)
+  final case class Width(width: Double, widthHeight: Double, leftIp: Double, rightIp: Double)
+
+  /** scipy.signal.peak_prominences (wlen unset): walk outward from the
+    * peak to the first higher sample (or the signal edge); the base on
+    * each side is the lowest point in that stretch.
+    */
+  def prominence(x: Array[Double], peak: Int): Prominence = {
+    val n = x.length
+    require(peak >= 0 && peak < n, s"peak index $peak out of range")
+    val hp = x(peak)
+    var leftMin = hp; var leftBase = peak
+    var i = peak
+    while (i >= 0 && x(i) <= hp) {
+      if (x(i) < leftMin) { leftMin = x(i); leftBase = i }
+      i -= 1
+    }
+    var rightMin = hp; var rightBase = peak
+    i = peak
+    while (i < n && x(i) <= hp) {
+      if (x(i) < rightMin) { rightMin = x(i); rightBase = i }
+      i += 1
+    }
+    Prominence(hp - math.max(leftMin, rightMin), leftBase, rightBase)
+  }
+
+  /** scipy.signal.peak_widths for one peak at `rel_height` of its
+    * prominence (default 0.5 = FWHM when prominence spans the full
+    * peak height).
+    */
+  def width(x: Array[Double], peak: Int, relHeight: Double = 0.5): Width = {
+    require(relHeight >= 0, s"rel_height must be >= 0: $relHeight")
+    val p = prominence(x, peak)
+    val height = x(peak) - p.prominence * relHeight
+    // left intersection
+    var i = peak
+    while (p.leftBase < i && height < x(i)) i -= 1
+    var leftIp = i.toDouble
+    if (x(i) < height) leftIp += (height - x(i)) / (x(i + 1) - x(i))
+    // right intersection
+    i = peak
+    while (i < p.rightBase && height < x(i)) i += 1
+    var rightIp = i.toDouble
+    if (x(i) < height) rightIp -= (height - x(i)) / (x(i - 1) - x(i))
+    Width(rightIp - leftIp, height, leftIp, rightIp)
+  }
+
+  /** Interior local maxima (plateaus report their left edge), the
+    * "peaks" input a user would get from scipy.signal.find_peaks with
+    * no filtering — a convenience for queries where peaks are not
+    * precomputed.
+    */
+  def localMaxima(x: Array[Double]): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = x.length
+    var i = 1
+    while (i < n - 1) {
+      if (x(i - 1) < x(i)) {
+        // scan any plateau
+        var j = i
+        while (j < n - 1 && x(j + 1) == x(i)) j += 1
+        if (j < n - 1 && x(j + 1) < x(i)) {
+          out += (i + j) / 2 // midpoint, matching scipy's plateau rule
+          i = j
+        }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}

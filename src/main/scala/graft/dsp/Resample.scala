@@ -1,0 +1,71 @@
+package graft.dsp
+
+/** Fourier-domain resampling and decimation, matching
+  * `scipy.signal.resample` (xarray_scipy/signal.py:374-400) and
+  * `scipy.signal.decimate` (signal.py:109-152) for real-valued input.
+  */
+object Resample {
+
+  /** scipy.signal.resample(x, num, domain): real input path.
+    * domain "time": x is a time series → rfft first.
+    * domain "freq": x is already a (real-input, packed rfft) spectrum is
+    * not representable as real array — the reference's `domain` kwarg is
+    * forwarded to scipy where "freq" expects the spectrum; we support
+    * "time" (the default and the only mode the reference tests).
+    */
+  def resample(x: Array[Double], num: Int): Array[Double] = {
+    val nx = x.length
+    require(num > 0, "num must be positive")
+    val xf = Fft.rfft(x) // nx//2+1 bins
+    val nyOut = num / 2 + 1
+    val yRe = new Array[Double](nyOut)
+    val yIm = new Array[Double](nyOut)
+    val nMin = math.min(num, nx)
+    val nyq = nMin / 2 + 1
+    var i = 0
+    while (i < math.min(nyq, nyOut)) { yRe(i) = xf.re(i); yIm(i) = xf.im(i); i += 1 }
+    if (nMin % 2 == 0) {
+      if (num < nx) {
+        // downsampling: fold the (dropped) negative Nyquist energy in
+        yRe(nMin / 2) *= 2.0; yIm(nMin / 2) *= 2.0
+      } else if (num > nx) {
+        // upsampling: split the Nyquist component
+        yRe(nMin / 2) *= 0.5; yIm(nMin / 2) *= 0.5
+      }
+    }
+    val y = Fft.irfft(yRe, yIm, num, "backward")
+    val scale = num.toDouble / nx.toDouble
+    var k = 0
+    while (k < num) { y(k) *= scale; k += 1 }
+    y
+  }
+
+  /** scipy.signal.decimate(x, q, n, ftype, zero_phase): anti-alias
+    * filter then take every q-th sample. ftype "iir" → cheby1(order 8,
+    * 0.05 dB ripple, 0.8/q) sos; "fir" → firwin(20q+1 taps, 1/q,
+    * hamming). Output length ceil(n/q) (numpy slice [::q]).
+    */
+  def decimate(x: Array[Double], q: Int, n: Int = -1, ftype: String = "iir",
+               zeroPhase: Boolean = true): Array[Double] = {
+    require(q >= 1, s"q must be >= 1: $q")
+    if (q == 1) return x.clone()
+    val filtered = ftype match {
+      case "iir" =>
+        val order = if (n > 0) n else 8
+        val sos = Design.cheby1Sos(order, 0.05, 0.8 / q)
+        if (zeroPhase) Filt.sosfiltfilt(sos, x) else Filt.sosfilt(sos, x)
+      case "fir" =>
+        val numtaps = (if (n > 0) n else 20 * q) + 1
+        val b = Design.firwinLowpass(numtaps, 1.0 / q)
+        val a = Array(1.0)
+        if (zeroPhase) Filt.filtfilt(b, a, x)
+        else Filt.lfilter(b, a, x)
+      case other => throw new IllegalArgumentException(s"unknown ftype: $other")
+    }
+    val outLen = (x.length + q - 1) / q
+    val out = new Array[Double](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = filtered(i * q); i += 1 }
+    out
+  }
+}

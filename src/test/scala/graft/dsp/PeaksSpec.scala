@@ -1,0 +1,45 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PeaksSpec extends AnyFunSuite {
+  private val g = Golden.load("peaks.txt")
+
+  test("hand-computed triangle peak") {
+    val x = Array(0.0, 1.0, 0.0, 2.0, 0.0)
+    val p1 = Peaks.prominence(x, 1)
+    assert(p1.prominence == 1.0 && p1.leftBase == 0 && p1.rightBase == 2)
+    val w1 = Peaks.width(x, 1, 0.5)
+    assert(math.abs(w1.width - 1.0) < 1e-12)
+    assert(math.abs(w1.leftIp - 0.5) < 1e-12)
+    assert(math.abs(w1.rightIp - 1.5) < 1e-12)
+    assert(w1.widthHeight == 0.5)
+    // base updates are strict-< (scipy rule): the first 0 encountered
+    // (index 2) stays the left base even though x(0) ties it.
+    val p3 = Peaks.prominence(x, 3)
+    assert(p3.prominence == 2.0 && p3.leftBase == 2 && p3.rightBase == 4)
+  }
+
+  test("multi-peak signal vs python reimplementation") {
+    val x = g("px")
+    val peaks = g("ppeaks").map(_.toInt)
+    assert(peaks.sameElements(Peaks.localMaxima(x)))
+    for (rel <- Seq(0.5, 1.0)) {
+      val ws = peaks.map(p => Peaks.width(x, p, rel))
+      assert(Golden.maxAbsDiff(ws.map(_.width), g(s"widths_$rel")) < 1e-10)
+      assert(Golden.maxAbsDiff(ws.map(_.widthHeight), g(s"wheights_$rel")) < 1e-10)
+      assert(Golden.maxAbsDiff(ws.map(_.leftIp), g(s"lips_$rel")) < 1e-10)
+      assert(Golden.maxAbsDiff(ws.map(_.rightIp), g(s"rips_$rel")) < 1e-10)
+    }
+    val ps = peaks.map(p => Peaks.prominence(x, p))
+    assert(Golden.maxAbsDiff(ps.map(_.prominence), g("proms")) < 1e-10)
+    assert(Golden.maxAbsDiff(ps.map(_.leftBase.toDouble), g("lbases")) < 1e-10)
+    assert(Golden.maxAbsDiff(ps.map(_.rightBase.toDouble), g("rbases")) < 1e-10)
+  }
+
+  test("localMaxima handles plateaus and edges") {
+    assert(Peaks.localMaxima(Array(0, 2, 2, 2, 0).map(_.toDouble)).toSeq == Seq(2))
+    assert(Peaks.localMaxima(Array(3, 1, 2, 1, 3).map(_.toDouble)).toSeq == Seq(2))
+    assert(Peaks.localMaxima(Array(1.0, 2.0)).isEmpty)
+  }
+}

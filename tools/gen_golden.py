@@ -192,3 +192,135 @@ with open(os.path.join(OUT, "filt.txt"), "w") as f:
     emit(f, "sosfilt_12", lfilter_df1(b2, a2, lfilter_df1(b1, a1, x)))
 
 print("golden vectors written to", OUT)
+
+# ------------------------------------------------- hilbert / resample
+def hilbert_np(x, N=None):
+    """Published analytic-signal algorithm, via numpy.fft."""
+    n = N or len(x)
+    Xf = np.fft.fft(x, n)
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1
+        h[1:n // 2] = 2
+    else:
+        h[0] = 1
+        h[1:(n + 1) // 2] = 2
+    return np.fft.ifft(Xf * h)
+
+
+def resample_np(x, num):
+    """Published Fourier resampling algorithm (real input), numpy.fft."""
+    nx = len(x)
+    X = np.fft.rfft(x)
+    Y = np.zeros(num // 2 + 1, dtype=complex)
+    N = min(num, nx)
+    nyq = N // 2 + 1
+    Y[:min(nyq, len(Y))] = X[:min(nyq, len(Y))]
+    if N % 2 == 0:
+        if num < nx:
+            Y[N // 2] *= 2.0
+        elif num > nx:
+            Y[N // 2] *= 0.5
+    y = np.fft.irfft(Y, num)
+    return y * (float(num) / float(nx))
+
+
+def firwin_np(numtaps, cutoff):
+    m = np.arange(numtaps) - (numtaps - 1) / 2.0
+    h = cutoff * np.sinc(cutoff * m)
+    w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(numtaps) / (numtaps - 1))
+    h = h * w
+    return h / h.sum()
+
+
+def filtfilt_np(b, a, x):
+    ntaps = max(len(b), len(a))
+    edge = 3 * ntaps
+    n = len(x)
+    assert edge < n
+    ext = np.concatenate([2 * x[0] - x[1:edge + 1][::-1], x,
+                          2 * x[-1] - x[-edge - 1:-1][::-1]])
+    zi = lfilter_zi_np(b, a)
+    fwd = lfilter_naive(b, a, ext, zi * ext[0])
+    bwd = lfilter_naive(b, a, fwd[::-1], zi * fwd[-1])
+    return bwd[::-1][edge:-edge]
+
+
+with open(os.path.join(OUT, "spectral.txt"), "w") as f:
+    for n in (64, 63):
+        x = rng.standard_normal(n)
+        emit(f, f"hx_{n}", x)
+        h = hilbert_np(x)
+        emit(f, f"hilbert_{n}_re", h.real)
+        emit(f, f"hilbert_{n}_im", h.imag)
+        hN = hilbert_np(x, N=80)
+        emit(f, f"hilbertN_{n}_re", hN.real)
+        emit(f, f"hilbertN_{n}_im", hN.imag)
+        for num in (n // 2, n // 3, 2 * n, n):
+            emit(f, f"resample_{n}_{num}", resample_np(x, num))
+    # decimate, FIR path: firwin(20q+1, 1/q) + filtfilt + [::q]
+    x = rng.standard_normal(256)
+    emit(f, "dx_256", x)
+    for q in (2, 4):
+        b = firwin_np(20 * q + 1, 1.0 / q)
+        emit(f, f"firwin_{q}", b)
+        y = filtfilt_np(b, [1.0], x)
+        emit(f, f"decimate_fir_{q}", y[::q])
+        yl = lfilter_naive(b, [1.0], x)
+        emit(f, f"decimate_fir_nzp_{q}", yl[::q])
+
+# ------------------------------------------------------------- peaks
+def prominence_np(x, peak):
+    n = len(x)
+    hp = x[peak]
+    left_min, left_base = hp, peak
+    i = peak
+    while i >= 0 and x[i] <= hp:
+        if x[i] < left_min:
+            left_min, left_base = x[i], i
+        i -= 1
+    right_min, right_base = hp, peak
+    i = peak
+    while i < n and x[i] <= hp:
+        if x[i] < right_min:
+            right_min, right_base = x[i], i
+        i += 1
+    return hp - max(left_min, right_min), left_base, right_base
+
+
+def width_np(x, peak, rel_height=0.5):
+    prom, lb, rb = prominence_np(x, peak)
+    height = x[peak] - prom * rel_height
+    i = peak
+    while lb < i and height < x[i]:
+        i -= 1
+    left_ip = float(i)
+    if x[i] < height:
+        left_ip += (height - x[i]) / (x[i + 1] - x[i])
+    i = peak
+    while i < rb and height < x[i]:
+        i += 1
+    right_ip = float(i)
+    if x[i] < height:
+        right_ip -= (height - x[i]) / (x[i - 1] - x[i])
+    return right_ip - left_ip, height, left_ip, right_ip
+
+
+with open(os.path.join(OUT, "peaks.txt"), "w") as f:
+    # smooth multi-peak signal
+    t = np.arange(200)
+    x = (np.sin(2 * np.pi * t / 40) + 0.6 * np.sin(2 * np.pi * t / 13)
+         + 0.05 * rng.standard_normal(200))
+    emit(f, "px", x)
+    peaks = [p for p in range(1, 199) if x[p - 1] < x[p] > x[p + 1]]
+    emit(f, "ppeaks", peaks)
+    for rel in (0.5, 1.0):
+        rows = [width_np(x, p, rel) for p in peaks]
+        proms = [prominence_np(x, p) for p in peaks]
+        emit(f, f"widths_{rel}", [r[0] for r in rows])
+        emit(f, f"wheights_{rel}", [r[1] for r in rows])
+        emit(f, f"lips_{rel}", [r[2] for r in rows])
+        emit(f, f"rips_{rel}", [r[3] for r in rows])
+    emit(f, "proms", [p[0] for p in (prominence_np(x, p) for p in peaks)])
+    emit(f, "lbases", [prominence_np(x, p)[1] for p in peaks])
+    emit(f, "rbases", [prominence_np(x, p)[2] for p in peaks])
