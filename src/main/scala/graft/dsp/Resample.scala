@@ -57,9 +57,22 @@ object Resample {
       case "fir" =>
         val numtaps = (if (n > 0) n else 20 * q) + 1
         val b = Design.firwinLowpass(numtaps, 1.0 / q)
-        val a = Array(1.0)
-        if (zeroPhase) Filt.filtfilt(b, a, x)
-        else Filt.lfilter(b, a, x)
+        if (zeroPhase) {
+          // scipy routes FIR+zero_phase through resample_poly/upfirdn:
+          // one centered pass of the linear-phase filter (group delay
+          // (numtaps-1)/2 compensated), zero-padded edges.
+          val full = Conv.convolve(x, b, "full", "auto")
+          val half = (numtaps - 1) / 2
+          val outLen = (x.length + q - 1) / q
+          val out = new Array[Double](outLen)
+          var i = 0
+          while (i < outLen) {
+            val idx = half + i * q
+            out(i) = if (idx < full.length) full(idx) else 0.0
+            i += 1
+          }
+          return out
+        } else Filt.lfilter(b, Array(1.0), x)
       case other => throw new IllegalArgumentException(s"unknown ftype: $other")
     }
     val outLen = (x.length + q - 1) / q

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.DataType
+
+/** One Catalyst expression for every [[Bridge]] kernel. eval uses the
+  * interpreted dispatch; doGenCode emits a direct static call to the
+  * bridge method, so the enclosing plan stays inside whole-stage
+  * codegen (no UDF closure, no Row boxing — arrays move as
+  * UnsafeArrayData).
+  */
+case class DspExpr(fn: String, children: Seq[Expression]) extends Expression {
+
+  private val sig = Bridge.signatures.getOrElse(
+    fn, throw new IllegalArgumentException(s"unknown dsp function: $fn"))
+
+  override def dataType: DataType = sig._2
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = sig._1
+    if (children.length != want.length)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$fn expects ${want.length} args, got ${children.length}")
+    else {
+      // nullability-insensitive compare (transform()'d arrays arrive
+      // as containsNull=true; the equispaced-series contract forbids
+      // null elements at runtime)
+      def norm(t: DataType): DataType = t match {
+        case org.apache.spark.sql.types.ArrayType(e, _) =>
+          org.apache.spark.sql.types.ArrayType(norm(e), containsNull = true)
+        case s: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(
+            s.fields.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
+        case other => other
+      }
+      val bad = children.zip(want).zipWithIndex.collectFirst {
+        case ((c, w), i) if norm(c.dataType) != norm(w) => (i, c.dataType, w)
+      }
+      bad match {
+        case Some((i, got, w)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$fn arg $i: expected $w, got $got")
+        case None =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val args = new Array[Any](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      args(i) = v
+      i += 1
+    }
+    Bridge.dispatch(fn, args)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val javaRet = CodeGenerator.javaType(dataType)
+    val argList = gens.map(_.value).mkString(", ")
+    val anyNull =
+      if (children.forall(!_.nullable)) "false"
+      else gens.map(_.isNull).mkString("(", " || ", ")")
+    ev.copy(code = code"""
+      |${gens.map(_.code).foldLeft(code"")(_ + _)}
+      |boolean ${ev.isNull} = $anyNull;
+      |$javaRet ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = graft.functions.Bridge.$fn($argList);
+      |}""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+
+  override def prettyName: String = s"graft_${fn.toLowerCase}"
+}
+
+/** Registers every bridge kernel as a SQL-callable function
+  * `graft_<name>` and exposes typed Column wrappers. Usable both from
+  * the DataFrame DSL (via [[dsl]]) and from `spark.sql`.
+  */
+object Functions {
+
+  val names: Seq[String] = Bridge.signatures.keys.toSeq.sorted
+
+  def install(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    names.foreach { n =>
+      registry.createOrReplaceTempFunction(
+        s"graft_${n.toLowerCase}", exprs => DspExpr(n, exprs), "built-in")
+    }
+  }
+
+  /** Column DSL over the registered functions; `install` must have run
+    * on the owning session.
+    */
+  object dsl {
+    private def call(fn: String, cols: Column*): Column =
+      call_function(s"graft_${fn.toLowerCase}", cols: _*)
+
+    import org.apache.spark.sql.functions.lit
+
+    def fftC(re: Column, im: Column, n: Int = -1, norm: String = "backward"): Column =
+      call("fft", re, im, lit(n), lit(norm))
+    def ifftC(re: Column, im: Column, n: Int = -1, norm: String = "backward"): Column =
+      call("ifft", re, im, lit(n), lit(norm))
+    def rfftC(x: Column, n: Int = -1, norm: String = "backward"): Column =
+      call("rfft", x, lit(n), lit(norm))
+    def irfftC(re: Column, im: Column, n: Int = -1, norm: String = "backward"): Column =
+      call("irfft", re, im, lit(n), lit(norm))
+    def hfftC(re: Column, im: Column, n: Int = -1, norm: String = "backward"): Column =
+      call("hfft", re, im, lit(n), lit(norm))
+    def ihfftC(x: Column, n: Int = -1, norm: String = "backward"): Column =
+      call("ihfft", x, lit(n), lit(norm))
+    def fftfreqC(n: Column, delta: Column): Column = call("fftfreq", n, delta)
+    def rfftfreqC(n: Column, delta: Column): Column = call("rfftfreq", n, delta)
+    def fftshiftC(x: Column): Column = call("fftshift", x)
+    def ifftshiftC(x: Column): Column = call("ifftshift", x)
+    def convolveC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
+      call("convolve", a, b, lit(mode), lit(method))
+    def correlateC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
+      call("correlate", a, b, lit(mode), lit(method))
+    def sosfiltC(sos: Column, x: Column): Column = call("sosfilt", sos, x)
+    def sosfiltfiltC(sos: Column, x: Column, padtype: String = "odd", padlen: Int = -1): Column =
+      call("sosfiltfilt", sos, x, lit(padtype), lit(padlen))
+    def lfilterC(b: Column, a: Column, x: Column): Column = call("lfilter", b, a, x)
+    def filtfiltC(b: Column, a: Column, x: Column): Column = call("filtfilt", b, a, x)
+    def hilbertC(x: Column, n: Int = -1): Column = call("hilbert", x, lit(n))
+    def envelopeC(x: Column, n: Int = -1): Column = call("envelope", x, lit(n))
+    def resampleC(x: Column, num: Column): Column = call("resample", x, num)
+    def decimateC(x: Column, q: Int, n: Int = -1, ftype: String = "iir",
+                  zeroPhase: Boolean = true): Column =
+      call("decimate", x, lit(q), lit(n), lit(ftype), lit(zeroPhase))
+    def peakWidthsC(x: Column, peaks: Column, relHeight: Double = 0.5): Column =
+      call("peakWidths", x, peaks, lit(relHeight))
+    def localMaximaC(x: Column): Column = call("localMaxima", x)
+  }
+}

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions.dsl._
+
+/** The user-facing xarray_scipy-equivalent API (reference surface:
+  * xarray_scipy/signal.py) on long-format DataFrames.
+  *
+  * Data model (SURVEY.md §1): a labelled array is a long DataFrame
+  * with key columns (batch dims), one coordinate column (the core
+  * dim, equispaced), and value column(s). Complex series are (re, im)
+  * column pairs.
+  *
+  * Execution shape (SURVEY.md §4): ONE hash shuffle (groupBy keys)
+  * per operator; the kernel runs map-side per group over
+  * array<double> (UnsafeArrayData, no boxing); `posexplode` restores
+  * long format. Batch dims scale out embarrassingly — at 100 TB the
+  * parallelism axis is the number of series, exactly like the
+  * reference's dask chunks over batch dims. Like the reference
+  * (test_fft__dask_raises_main_axis), a single series must fit in one
+  * task; chunk-longer-than-memory signals go through convolveLong.
+  */
+object Signal {
+
+  /** keys+coord+values long frame → one row per series:
+    * keys..., n (int), delta (double), cmin, cmax, coords
+    * (array<double>), <value> (array<double>) per value column —
+    * deterministically ordered by coordinate regardless of shuffle
+    * nondeterminism (array_sort on struct(coord, ...)).
+    */
+  def seriesify(df: DataFrame, keys: Seq[String], dim: String,
+                values: Seq[String]): DataFrame = {
+    val packed = struct(
+      (col(dim).cast("double").as("c") +:
+        values.zipWithIndex.map { case (v, i) => col(v).cast("double").as(s"v$i") }): _*)
+    val grouped =
+      if (keys.isEmpty) df.groupBy()
+      else df.groupBy(keys.map(col): _*)
+    var out = grouped
+      .agg(
+        array_sort(collect_list(packed)).as("_arr"),
+        count(lit(1)).cast("int").as("n"),
+        min(col(dim).cast("double")).as("cmin"),
+        max(col(dim).cast("double")).as("cmax"))
+      .withColumn("delta",
+        when(col("n") > 1, (col("cmax") - col("cmin")) / (col("n") - 1))
+          .otherwise(lit(1.0)))
+      .withColumn("coords", expr("transform(_arr, s -> s.c)"))
+    values.zipWithIndex.foreach { case (v, i) =>
+      out = out.withColumn(v, expr(s"transform(_arr, s -> s.v$i)"))
+    }
+    out.drop("_arr")
+  }
+
+  /** Inverse of [[seriesify]]: explode parallel array columns back to
+    * long format with a position column. `arrays` maps output column
+    * name -> array column (all the same length).
+    */
+  def explodeSeries(sdf: DataFrame, keys: Seq[String],
+                    arrays: Seq[(String, Column)],
+                    posName: String = "pos"): DataFrame = {
+    var tmp = sdf
+    val tmpNames = arrays.zipWithIndex.map { case ((_, c), i) =>
+      val tn = s"_x$i"
+      tmp = tmp.withColumn(tn, c)
+      tn
+    }
+    val zipped = arrays_zip(tmpNames.map(col): _*)
+    val exploded = tmp.select(
+      (keys.map(col) :+ posexplode(zipped).as(Seq(posName, "_z"))): _*)
+    val outCols = keys.map(col) ++ Seq(col(posName)) ++
+      arrays.zipWithIndex.map { case ((name, _), i) => col(s"_z._x$i").as(name) }
+    exploded.select(outCols: _*)
+  }
+
+  // ---- FFT family (signal.py:155-241) -------------------------------
+  // Coordinate rule mirrors the reference (signal.py:199-227):
+  // ndim = n or len (doubled for irfft/hfft with n unset); new coords =
+  // fftfreq-or-rfftfreq(ndim, delta/ndim).
+
+  /** fft of a complex long frame (re/im value columns). Output: keys,
+    * pos, <newdim>, re, im.
+    */
+  def fft(df: DataFrame, keys: Seq[String], dim: String,
+          re: String = "re", im: String = "im", newdim: String = "frequency",
+          n: Int = -1, norm: String = "backward", inverse: Boolean = false): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(re, im))
+    val ndim = if (n > 0) lit(n) else col("n")
+    val k = if (inverse) ifftC(col(re), col(im), n, norm) else fftC(col(re), col(im), n, norm)
+    val withOut = sdf.withColumn("_out", k)
+      .withColumn("_ndim", ndim)
+      .withColumn("_freq", fftfreqC(col("_ndim"), col("delta") / col("_ndim")))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "re" -> col("_out.re"), "im" -> col("_out.im")))
+  }
+
+  def ifft(df: DataFrame, keys: Seq[String], dim: String,
+           re: String = "re", im: String = "im", newdim: String = "time",
+           n: Int = -1, norm: String = "backward"): DataFrame =
+    fft(df, keys, dim, re, im, newdim, n, norm, inverse = true)
+
+  /** rfft of a real long frame. Output: keys, pos, <newdim>, re, im. */
+  def rfft(df: DataFrame, keys: Seq[String], dim: String, value: String,
+           newdim: String = "frequency", n: Int = -1, norm: String = "backward"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val ndim = if (n > 0) lit(n) else col("n")
+    val withOut = sdf.withColumn("_out", rfftC(col(value), n, norm))
+      .withColumn("_ndim", ndim)
+      .withColumn("_freq", rfftfreqC(col("_ndim"), col("delta") / col("_ndim")))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "re" -> col("_out.re"), "im" -> col("_out.im")))
+  }
+
+  /** irfft of a complex (hermitian half-spectrum) long frame. Output:
+    * keys, pos, <newdim>, value. Reference coord rule (signal.py:208-211):
+    * real+inverse → fftfreq with ndim=(len-1)*2 when n unset.
+    */
+  def irfft(df: DataFrame, keys: Seq[String], dim: String,
+            re: String = "re", im: String = "im", newdim: String = "time",
+            n: Int = -1, norm: String = "backward"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(re, im))
+    val ndim = if (n > 0) lit(n) else (col("n") - 1) * 2
+    val withOut = sdf.withColumn("_out", irfftC(col(re), col(im), n, norm))
+      .withColumn("_ndim", ndim)
+      .withColumn("_freq", fftfreqC(col("_ndim"), col("delta") / col("_ndim")))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "value" -> col("_out")))
+  }
+
+  /** hfft: hermitian-symmetric complex input → real spectrum. */
+  def hfft(df: DataFrame, keys: Seq[String], dim: String,
+           re: String = "re", im: String = "im", newdim: String = "frequency",
+           n: Int = -1, norm: String = "backward"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(re, im))
+    val ndim = if (n > 0) lit(n) else (col("n") - 1) * 2
+    val withOut = sdf.withColumn("_out", hfftC(col(re), col(im), n, norm))
+      .withColumn("_ndim", ndim)
+      .withColumn("_freq", fftfreqC(col("_ndim"), col("delta") / col("_ndim")))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "value" -> col("_out")))
+  }
+
+  /** ihfft: real input → hermitian half-spectrum. */
+  def ihfft(df: DataFrame, keys: Seq[String], dim: String, value: String,
+            newdim: String = "frequency", n: Int = -1, norm: String = "backward"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val ndim = if (n > 0) lit(n) else col("n")
+    val withOut = sdf.withColumn("_out", ihfftC(col(value), n, norm))
+      .withColumn("_ndim", ndim)
+      .withColumn("_freq", rfftfreqC(col("_ndim"), col("delta") / col("_ndim")))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "re" -> col("_out.re"), "im" -> col("_out.im")))
+  }
+
+  /** fftshift/ifftshift (signal.py:244-276): values AND coordinates
+    * rotate together; pos is the post-shift array position.
+    */
+  def fftshift(df: DataFrame, keys: Seq[String], dim: String, value: String,
+               inverse: Boolean = false): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val shift: Column => Column = if (inverse) ifftshiftC else fftshiftC
+    val withOut = sdf
+      .withColumn("_sv", shift(col(value)))
+      .withColumn("_sc", shift(col("coords")))
+    explodeSeries(withOut, keys, Seq(dim -> col("_sc"), "value" -> col("_sv")))
+  }
+
+  def ifftshift(df: DataFrame, keys: Seq[String], dim: String, value: String): DataFrame =
+    fftshift(df, keys, dim, value, inverse = true)
+
+  // ---- convolution (signal.py:34-106) --------------------------------
+
+  /** convolve/fftconvolve two long frames along `dim` per key group.
+    * If `in2` has no keys it is a single kernel series: broadcast to
+    * every group of in1 (the common smoothing-kernel case — no shuffle
+    * of in2 at any scale). Output: keys, pos, value.
+    */
+  def convolve(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
+               value: String, mode: String = "full", method: String = "auto"): DataFrame = {
+    val s1 = seriesify(in1, keys, dim, Seq(value))
+    val s2 = seriesify(in2, if (keys.nonEmpty && in2.columns.toSet.intersect(keys.toSet).size == keys.size) keys else Nil,
+      dim, Seq(value)).withColumnRenamed(value, "_b")
+    val joined =
+      if (s2.columns.toSet.intersect(keys.toSet).size == keys.size && keys.nonEmpty)
+        s1.join(s2.select((keys.map(col) :+ col("_b")): _*), keys)
+      else
+        s1.crossJoin(broadcast(s2.select(col("_b"))))
+    val withOut = joined.withColumn("_out", convolveC(col(value), col("_b"), mode, method))
+    explodeSeries(withOut, keys, Seq("value" -> col("_out")))
+  }
+
+  def fftconvolve(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
+                  value: String, mode: String = "full"): DataFrame =
+    convolve(in1, in2, keys, dim, value, mode, "fft")
+
+  // ---- filtering (signal.py:403-461) ---------------------------------
+
+  /** sosfilt: causal cascaded-biquad filter per series; coords pass
+    * through unchanged.
+    */
+  def sosfilt(sos: Array[Double], df: DataFrame, keys: Seq[String], dim: String,
+              value: String): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", sosfiltC(typedLit(sos), col(value)))
+    explodeSeries(withOut, keys, Seq(dim -> col("coords"), "value" -> col("_out")))
+  }
+
+  /** sosfiltfilt: zero-phase forward-backward filter per series. */
+  def sosfiltfilt(sos: Array[Double], df: DataFrame, keys: Seq[String], dim: String,
+                  value: String, padtype: String = "odd", padlen: Int = -1): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out",
+      sosfiltfiltC(typedLit(sos), col(value), padtype, padlen))
+    explodeSeries(withOut, keys, Seq(dim -> col("coords"), "value" -> col("_out")))
+  }
+
+  // ---- rate changes (signal.py:109-152, 374-400) ----------------------
+
+  /** decimate: anti-alias + downsample by q. The reference drops the
+    * core-dim coords (signal.py:124 TODO); we additionally emit the
+    * true new coordinate (every q-th original coord).
+    */
+  def decimate(df: DataFrame, keys: Seq[String], dim: String, value: String,
+               q: Int, n: Int = -1, ftype: String = "iir",
+               zeroPhase: Boolean = true): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_out", decimateC(col(value), q, n, ftype, zeroPhase))
+      .withColumn("_dc", expr(s"filter(transform(coords, (c, i) -> IF(i % $q = 0, c, null)), c -> c IS NOT NULL)"))
+    explodeSeries(withOut, keys, Seq(dim -> col("_dc"), "value" -> col("_out")))
+  }
+
+  /** resample to `num` samples via Fourier method. Output: keys, pos,
+    * <dim> (uniform re-spaced coords over the original span), value.
+    */
+  def resample(df: DataFrame, keys: Seq[String], dim: String, value: String,
+               num: Int): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_out", resampleC(col(value), lit(num)))
+      .withColumn("_nc", expr(
+        s"transform(sequence(0, $num - 1), i -> cmin + i * (delta * n) / $num)"))
+    explodeSeries(withOut, keys, Seq(dim -> col("_nc"), "value" -> col("_out")))
+  }
+
+  // ---- hilbert (signal.py:279-327) ------------------------------------
+
+  /** Analytic signal. With N set, coords become the N-point linear
+    * interpolation of the original span (signal.py:314-326); otherwise
+    * original coords pass through. Output: keys, pos, <dim>, re, im,
+    * envelope.
+    */
+  def hilbert(df: DataFrame, keys: Seq[String], dim: String, value: String,
+              n: Int = -1): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_out", hilbertC(col(value), n))
+      .withColumn("_nc",
+        if (n <= 0) col("coords")
+        else expr(s"transform(sequence(0, $n - 1), i -> cmin + i * (cmax - cmin) / $n)"))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("_nc"), "re" -> col("_out.re"), "im" -> col("_out.im"),
+      "envelope" -> expr("transform(arrays_zip(_out.re, _out.im), s -> sqrt(s.re * s.re + s.im * s.im))")))
+  }
+
+  // ---- peaks (signal.py:330-371) --------------------------------------
+
+  /** peak_widths at rel_height of prominence. Peaks default to the
+    * series' interior local maxima (the find_peaks-shaped convenience);
+    * output: keys, pos (peak ordinal), peak (sample index), coord of
+    * peak, width, width_height, left_ip, right_ip — widths in samples,
+    * like scipy.
+    */
+  def peakWidths(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                 relHeight: Double = 0.5): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_pk", localMaximaC(col(value)))
+      .withColumn("_pw", peakWidthsC(col(value), col("_pk"), relHeight))
+    explodeSeries(withOut, keys, Seq(
+      "peak" -> col("_pk"),
+      "width" -> col("_pw.widths"),
+      "width_height" -> col("_pw.width_heights"),
+      "left_ip" -> col("_pw.left_ips"),
+      "right_ip" -> col("_pw.right_ips")))
+  }
+}

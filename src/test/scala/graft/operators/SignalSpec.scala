@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.SparkTestBase
+import graft.dsp.{Conv, Fft, Filt, Design, Hilbert, Resample}
+
+/** End-to-end checks of the long-frame Signal API against the pure
+  * kernels: the Spark path (shuffle → array kernel → explode) must
+  * reproduce exactly what the kernel computes on a locally assembled
+  * series, for every key group, with codegen forced on.
+  */
+class SignalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val nPerKey = Map("a" -> 32, "b" -> 27, "c" -> 1)
+
+  /** Long frame: 3 series of different lengths, deterministic values,
+    * coords = 10*k + 0.5*i (equispaced, distinct per series), rows
+    * pre-shuffled to prove order-insensitivity.
+    */
+  private lazy val longDf: DataFrame = {
+    val rnd = new scala.util.Random(5)
+    val rows = for {
+      (k, n) <- nPerKey.toSeq
+      i <- 0 until n
+    } yield (k, 100.0 * nPerKey.keys.toSeq.indexOf(k) + 0.5 * i, math.sin(i * 0.3) + 0.1 * i % 3, math.cos(i * 0.2))
+    rnd.shuffle(rows).toDF("k", "t", "x", "y")
+  }
+
+  private def series(k: String, col: String): Array[Double] = {
+    val n = nPerKey(k)
+    (0 until n).map { i =>
+      col match {
+        case "x" => math.sin(i * 0.3) + 0.1 * i % 3
+        case "y" => math.cos(i * 0.2)
+      }
+    }.toArray
+  }
+
+  private def collectBy[T](df: DataFrame, k: String, valueCol: String): Array[Double] =
+    df.filter($"k" === k).orderBy("pos").select(valueCol).as[Double].collect()
+
+  test("rfft matches kernel per group, coords = rfftfreq(n, delta/n)") {
+    val out = Signal.rfft(longDf, Seq("k"), "t", "x").cache()
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      val want = Fft.rfft(x)
+      assert(maxDiff(collectBy(out, k, "re"), want.re) < 1e-9)
+      assert(maxDiff(collectBy(out, k, "im"), want.im) < 1e-9)
+      val freqs = collectBy(out, k, "frequency")
+      val wantF = Fft.rfftfreq(x.length, 0.5 / x.length)
+      assert(maxDiff(freqs, wantF) < 1e-9)
+    }
+  }
+
+  test("fft/ifft roundtrip through two Spark ops") {
+    val f = Signal.fft(longDf.withColumnRenamed("x", "re").withColumnRenamed("y", "im"),
+      Seq("k"), "t", "re", "im", newdim = "f")
+    val back = Signal.ifft(f, Seq("k"), "f", "re", "im", newdim = "t2")
+    // ifft(fft(z)) == z, but the roundtrip reorders by frequency coord;
+    // check multiset of values matches per key at 1e-9.
+    for (k <- Seq("a", "b", "c")) {
+      val got = back.filter($"k" === k).orderBy("pos").select("re").as[Double].collect()
+      val x = series(k, "x")
+      val y = series(k, "y")
+      val fwd = Fft.fft(x, y)
+      // kernel roundtrip on the fft-coord-sorted spectrum
+      val n = x.length
+      val order = Fft.fftfreq(n, 0.5 / n).zipWithIndex.sortBy(_._1).map(_._2)
+      val re2 = order.map(fwd.re(_)); val im2 = order.map(fwd.im(_))
+      val kv = Fft.ifft(re2, im2)
+      assert(maxDiff(got, kv.re) < 1e-9, s"k=$k")
+    }
+  }
+
+  test("irfft(rfft(x)) recovers even-length x end-to-end") {
+    val f = Signal.rfft(longDf, Seq("k"), "t", "x", newdim = "freq")
+    // rfftfreq coords are ascending, so seriesify ordering is stable
+    val back = Signal.irfft(f, Seq("k"), "freq")
+    val x = series("a", "x") // n=32 even
+    val got = collectBy(back, "a", "value")
+    assert(got.length == 32)
+    assert(maxDiff(got, x) < 1e-9)
+  }
+
+  test("fftshift rotates values and coords together; ifftshift undoes") {
+    val out = Signal.fftshift(longDf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      val n = x.length
+      val coords = (0 until n).map(i => 100.0 * nPerKey.keys.toSeq.indexOf(k) + 0.5 * i).toArray
+      assert(maxDiff(collectBy(out, k, "value"), Fft.fftshift(x)) < 1e-12)
+      assert(maxDiff(collectBy(out, k, "t"), Fft.fftshift(coords)) < 1e-12)
+    }
+    val back = Signal.ifftshift(
+      Signal.fftshift(longDf, Seq("k"), "t", "x").withColumnRenamed("value", "x"),
+      Seq("k"), "t", "x")
+    // after undo, sorting by coord gives the original series
+    for (k <- Seq("a", "b"))
+      assert(maxDiff(
+        back.filter($"k" === k).orderBy("t").select("value").as[Double].collect(),
+        series(k, "x")) < 1e-12)
+  }
+
+  test("convolve with broadcast kernel series (keyless in2)") {
+    val kern = Seq((0.0, 0.25), (0.5, 0.5), (1.0, 0.25)).toDF("t", "x")
+    val out = Signal.convolve(longDf, kern, Seq("k"), "t", "x", "same")
+    for (k <- Seq("a", "b")) {
+      val want = Conv.convolve(series(k, "x"), Array(0.25, 0.5, 0.25), "same", "auto")
+      assert(maxDiff(collectBy(out, k, "value"), want) < 1e-9, s"k=$k")
+    }
+  }
+
+  test("convolve with keyed in2 joins per group") {
+    val in2 = longDf.select($"k", $"t", ($"x" * 0.5).as("x"))
+    val out = Signal.fftconvolve(longDf, in2, Seq("k"), "t", "x", "full")
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      val want = Conv.convolve(x, x.map(_ * 0.5), "full", "fft")
+      assert(maxDiff(collectBy(out, k, "value"), want) < 1e-8, s"k=$k")
+    }
+  }
+
+  test("sosfilt/sosfiltfilt preserve coords and match kernels") {
+    val sos = Design.butterSos(4, 0.3)
+    val out = Signal.sosfilt(sos, longDf, Seq("k"), "t", "x")
+    val outFF = Signal.sosfiltfilt(sos, longDf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      assert(maxDiff(collectBy(out, k, "value"), Filt.sosfilt(sos, x)) < 1e-9)
+      assert(maxDiff(collectBy(outFF, k, "value"), Filt.sosfiltfilt(sos, x)) < 1e-9)
+      val n = x.length
+      val coords = (0 until n).map(i => 100.0 * nPerKey.keys.toSeq.indexOf(k) + 0.5 * i).toArray
+      assert(maxDiff(collectBy(out, k, "t"), coords) < 1e-12)
+    }
+  }
+
+  test("decimate emits every q-th coord and kernel values") {
+    val out = Signal.decimate(longDf, Seq("k"), "t", "x", q = 2, ftype = "fir")
+    val x = series("a", "x")
+    val want = Resample.decimate(x, 2, -1, "fir")
+    assert(maxDiff(collectBy(out, "a", "value"), want) < 1e-9)
+    val coords = collectBy(out, "a", "t")
+    assert(coords.length == 16)
+    assert(coords.zipWithIndex.forall { case (c, i) => math.abs(c - i * 1.0) < 1e-12 })
+  }
+
+  test("resample re-spaces coords over the original span") {
+    val out = Signal.resample(longDf, Seq("k"), "t", "x", num = 16)
+    val x = series("a", "x")
+    assert(maxDiff(collectBy(out, "a", "value"), Resample.resample(x, 16)) < 1e-9)
+    val coords = collectBy(out, "a", "t")
+    // span = delta * n = 0.5 * 32 = 16 → step = 1.0 from cmin = 0
+    assert(coords.zipWithIndex.forall { case (c, i) => math.abs(c - i * 1.0) < 1e-12 })
+  }
+
+  test("hilbert matches kernel and emits envelope") {
+    val out = Signal.hilbert(longDf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      val h = Hilbert.hilbert(series(k, "x"))
+      assert(maxDiff(collectBy(out, k, "re"), h.re) < 1e-9)
+      assert(maxDiff(collectBy(out, k, "im"), h.im) < 1e-9)
+      assert(maxDiff(collectBy(out, k, "envelope"), Hilbert.envelope(series(k, "x"))) < 1e-9)
+    }
+  }
+
+  test("peakWidths emits one row per local maximum with scipy widths") {
+    val out = Signal.peakWidths(longDf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      val peaks = graft.dsp.Peaks.localMaxima(x)
+      val rows = out.filter($"k" === k).orderBy("pos")
+        .select("peak", "width").collect()
+      assert(rows.map(_.getInt(0)).sameElements(peaks))
+      val widths = peaks.map(p => graft.dsp.Peaks.width(x, p).width)
+      assert(maxDiff(rows.map(_.getDouble(1)), widths) < 1e-9)
+    }
+  }
+
+  test("sql surface: graft_* functions callable from spark.sql") {
+    val r = spark.sql(
+      "SELECT graft_rfft(array(1.0d, 2.0d, 3.0d, 4.0d), -1, 'backward') AS s").collect()(0)
+    val s = r.getStruct(0)
+    val re = s.getSeq[Double](0)
+    assert(math.abs(re.head - 10.0) < 1e-12) // DC bin = sum
+  }
+
+  private def maxDiff(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length, s"length ${a.length} vs ${b.length}")
+    if (a.isEmpty) 0.0 else a.indices.map(i => math.abs(a(i) - b(i))).max
+  }
+}

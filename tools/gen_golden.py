@@ -264,8 +264,14 @@ with open(os.path.join(OUT, "spectral.txt"), "w") as f:
     for q in (2, 4):
         b = firwin_np(20 * q + 1, 1.0 / q)
         emit(f, f"firwin_{q}", b)
-        y = filtfilt_np(b, [1.0], x)
-        emit(f, f"decimate_fir_{q}", y[::q])
+        # scipy decimate FIR zero_phase = resample_poly/upfirdn: one
+        # centered pass of the linear-phase filter, zero-padded edges
+        full = np.convolve(x, b)
+        half = 10 * q
+        n_out = -(-len(x) // q)
+        emit(f, f"decimate_fir_{q}",
+             [full[half + i * q] if half + i * q < len(full) else 0.0
+              for i in range(n_out)])
         yl = lfilter_naive(b, [1.0], x)
         emit(f, f"decimate_fir_nzp_{q}", yl[::q])
 
