@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{load, fp, fp4, fp6, fpSql}
+import graft.dsp.Design
+import graft.operators.Signal
+
+/** Signal-operator anchor queries over the events table (SURVEY.md
+  * §2.1), one per reference op, with DuckDB oracles where the op is
+  * SQL-expressible (naive DFT; O(n²) per series is fine at the oracle
+  * SF) and rows-only + golden/e2e ScalaTest coverage for the recursive
+  * filters (SURVEY.md §5 rule 3).
+  *
+  * Series = per-user event values ordered by time; coords are epoch
+  * seconds (`ts`/1e9). Both engines order ties by (t, value) — (user,
+  * ts) is unique in TESTDATA, so ordering is deterministic. The
+  * "64-frame" restricts to users with ≥64 events, first 64 samples,
+  * coord = sample index — an equispaced frame for ops whose semantics
+  * need a known even length.
+  */
+object Sig {
+
+  private def installed(s: SparkSession): SparkSession = {
+    graft.functions.Functions.install(s); s
+  }
+
+  /** events as long frame: user_id, t (epoch seconds, double), value.
+    * t is truncated to microseconds first: DuckDB reads the parquet
+    * TIMESTAMP(NANOS) as µs-precision TIMESTAMP, so the oracle can
+    * only see epoch_us — `ts div 1000` reproduces it exactly.
+    */
+  private def evReal(s: SparkSession, dir: String): DataFrame =
+    load(installed(s), dir, "events")
+      .select(col("user_id"),
+        (expr("ts div 1000").cast("double") / lit(1e6)).as("t"),
+        col("value"))
+
+  /** SQL twin of [[evReal]] + (j, n) indexing per user. */
+  private val sSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value FROM events
+      |), s AS (
+      |  SELECT user_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, value) - 1 AS j,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |         t, value
+      |  FROM raw
+      |)""".stripMargin
+
+  /** 64-frame: users with >=64 events, first 64 samples, coord = index. */
+  private def ev64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "value")
+    evReal(s, dir)
+      .withColumn("j", row_number().over(w) - 1)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("cnt") >= 64 && col("j") < 64)
+      .select(col("user_id"), col("j").cast("double").as("t"), col("value"))
+  }
+
+  private val s64Sql: String =
+    """WITH raw AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value FROM raw0
+      |), b AS (
+      |  SELECT user_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, value) - 1 AS j,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+      |         value
+      |  FROM raw
+      |), s AS (
+      |  SELECT user_id, j, CAST(j AS DOUBLE) AS t, value FROM b
+      |  WHERE cnt >= 64 AND j < 64
+      |)""".stripMargin.replace("FROM raw0", "FROM events")
+
+  // ------------------------------------------------------------------
+  // FFT family
+  // ------------------------------------------------------------------
+
+  /** rfft per user on real-time coords; freq = rfftfreq(n, delta/n). */
+  def sigRfft(s: SparkSession, dir: String): DataFrame =
+    Signal.rfft(evReal(s, dir), Seq("user_id"), "t", "value", newdim = "freq")
+      .select(col("user_id"), col("pos"),
+        fp(col("freq"), 1e9).as("freq_fp"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigRfftSql: String =
+    s"""$sSql, d AS (
+       |  SELECT user_id, (MAX(t) - MIN(t))/(COUNT(*) - 1) AS delta, COUNT(*) AS n
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("a.j * (1.0/(d.n * (d.delta/d.n)))", "1e9")} AS freq_fp,
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/a.n))", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n))", "1e6")} AS im_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id JOIN d ON d.user_id = a.user_id
+       |WHERE a.j <= a.n // 2
+       |GROUP BY a.user_id, a.j, a.n, d.n, d.delta
+       |ORDER BY 1, 2""".stripMargin
+
+  /** fft (complex input, im=0) per user: all n bins. */
+  def sigFft(s: SparkSession, dir: String): DataFrame =
+    Signal.fft(
+      evReal(s, dir).select(col("user_id"), col("t"),
+        col("value").as("re"), lit(0.0).as("im")),
+      Seq("user_id"), "t", "re", "im", newdim = "freq")
+      .select(col("user_id"), col("pos"),
+        fp(col("freq"), 1e9).as("freq_fp"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigFftSql: String =
+    s"""$sSql, d AS (
+       |  SELECT user_id, (MAX(t) - MIN(t))/(COUNT(*) - 1) AS delta, COUNT(*) AS n
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("(CASE WHEN a.j < (a.n - 1) // 2 + 1 THEN a.j ELSE a.j - a.n END) * (1.0/(d.n * (d.delta/d.n)))", "1e9")} AS freq_fp,
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/a.n))", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n))", "1e6")} AS im_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id JOIN d ON d.user_id = a.user_id
+       |GROUP BY a.user_id, a.j, a.n, d.n, d.delta
+       |ORDER BY 1, 2""".stripMargin
+
+  /** ifft(fft(x)) via two Spark ops (inverse over the pos dim) — must
+    * reproduce x exactly (to fp6).
+    */
+  def sigIfftRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val f = Signal.fft(
+      evReal(s, dir).select(col("user_id"), col("t"),
+        col("value").as("re"), lit(0.0).as("im")),
+      Seq("user_id"), "t", "re", "im", newdim = "freq")
+    Signal.ifft(f, Seq("user_id"), "pos", "re", "im", newdim = "t2")
+      .select(col("user_id"), col("pos"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigIfftRoundtripSql: String =
+    s"""$sSql
+       |SELECT user_id, CAST(j AS INT) AS pos,
+       |  ${fpSql("value", "1e6")} AS re_fp, CAST(0 AS BIGINT) AS im_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+
+  /** irfft(rfft(x)) on the 64-frame: recovers x (even length). */
+  def sigIrfftRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val f = Signal.rfft(ev64(s, dir), Seq("user_id"), "t", "value", newdim = "freq")
+    Signal.irfft(f, Seq("user_id"), "pos")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigIrfftRoundtripSql: String =
+    s"""$s64Sql
+       |SELECT user_id, CAST(j AS INT) AS pos, ${fpSql("value", "1e6")} AS value_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+
+  /** hfft of the 64-frame taken as a real half-spectrum (im=0):
+    * y_k = a_0 + (-1)^k a_63 + 2 Σ_{j=1}^{62} a_j cos(2πjk/126).
+    */
+  def sigHfft(s: SparkSession, dir: String): DataFrame =
+    Signal.hfft(
+      ev64(s, dir).select(col("user_id"), col("t"),
+        col("value").as("re"), lit(0.0).as("im")),
+      Seq("user_id"), "t")
+      .select(col("user_id"), col("pos"),
+        fp6(col("frequency")).as("freq_fp"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigHfftSql: String =
+    s"""$s64Sql, d AS (
+       |  SELECT user_id, (MAX(t) - MIN(t))/(COUNT(*) - 1) AS delta FROM s GROUP BY 1
+       |), grid AS (
+       |  SELECT user_id, k FROM (SELECT DISTINCT user_id FROM s), range(126) r(k)
+       |)
+       |SELECT g.user_id, CAST(g.k AS INT) AS pos,
+       |  ${fpSql("(CASE WHEN g.k < (126 - 1) // 2 + 1 THEN g.k ELSE g.k - 126 END) * (1.0/(126 * (d.delta/126)))", "1e6")} AS freq_fp,
+       |  ${fpSql("SUM(CASE WHEN s.j = 0 THEN s.value WHEN s.j = 63 THEN (CASE WHEN g.k % 2 = 0 THEN s.value ELSE -s.value END) ELSE 2 * s.value * COS(2*PI()*s.j*g.k/126) END)", "1e6")} AS value_fp
+       |FROM grid g JOIN s ON s.user_id = g.user_id JOIN d ON d.user_id = g.user_id
+       |GROUP BY g.user_id, g.k, d.delta
+       |ORDER BY 1, 2""".stripMargin
+
+  /** ihfft of the 64-frame: conj(rfft(x))/64; freq = k exactly.
+    * Outputs are encoded at scale 64e5: at resonant bins (k=0, 16, 32)
+    * the true value is an exact 2-decimal sum / 64, which at a 10^k
+    * scale lands exactly on floor half-integer boundaries — 64e5 makes
+    * those encode to integers, away from any boundary.
+    */
+  def sigIhfft(s: SparkSession, dir: String): DataFrame =
+    Signal.ihfft(ev64(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"),
+        fp6(col("frequency")).as("freq_fp"),
+        fp(col("re"), 6.4e6).as("re_fp"), fp(col("im"), 6.4e6).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigIhfftSql: String =
+    s"""$s64Sql
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("CAST(a.j AS DOUBLE)", "1e6")} AS freq_fp,
+       |  ${fpSql("SUM(b.value * COS(2*PI()*a.j*b.j/64)) / 64", "6.4e6")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(2*PI()*a.j*b.j/64)) / 64", "6.4e6")} AS im_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |WHERE a.j <= 32
+       |GROUP BY a.user_id, a.j
+       |ORDER BY 1, 2""".stripMargin
+
+  /** fftshift rotates values and coords together; pos is the
+    * post-shift position: p = (j + n/2) mod n.
+    */
+  def sigFftshift(s: SparkSession, dir: String): DataFrame =
+    Signal.fftshift(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"),
+        fp6(col("t")).as("t_fp"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigFftshiftSql: String =
+    s"""$sSql
+       |SELECT user_id, CAST((j + n // 2) % n AS INT) AS pos,
+       |  ${fpSql("t", "1e6")} AS t_fp, ${fpSql("value", "1e6")} AS value_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+
+  /** ifftshift: p = (j + n - n/2) mod n (inverse rotation). */
+  def sigIfftshift(s: SparkSession, dir: String): DataFrame =
+    Signal.ifftshift(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"),
+        fp6(col("t")).as("t_fp"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigIfftshiftSql: String =
+    s"""$sSql
+       |SELECT user_id, CAST((j + n - n // 2) % n AS INT) AS pos,
+       |  ${fpSql("t", "1e6")} AS t_fp, ${fpSql("value", "1e6")} AS value_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // convolution
+  // ------------------------------------------------------------------
+
+  private def kernel3(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0.0, 0.25), (1.0, 0.5), (2.0, 0.25)).toDF("t", "value")
+  }
+
+  private val h3Sql = "(VALUES (0, 0.25), (1, 0.5), (2, 0.25)) h(i, w)"
+
+  def sigConvolveFull(s: SparkSession, dir: String): DataFrame =
+    Signal.convolve(evReal(s, dir), kernel3(s), Seq("user_id"), "t", "value", "full")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigConvolveFullSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j + h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $h3Sql
+       |GROUP BY s.user_id, s.j + h.i
+       |ORDER BY 1, 2""".stripMargin
+
+  def sigConvolveSame(s: SparkSession, dir: String): DataFrame =
+    Signal.convolve(evReal(s, dir), kernel3(s), Seq("user_id"), "t", "value", "same")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigConvolveSameSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j + h.i - 1 AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $h3Sql
+       |WHERE s.j + h.i - 1 >= 0 AND s.j + h.i - 1 < s.n
+       |GROUP BY s.user_id, s.j + h.i - 1
+       |ORDER BY 1, 2""".stripMargin
+
+  /** FFT-method convolution must agree with the direct oracle. */
+  def sigFftconvolve(s: SparkSession, dir: String): DataFrame =
+    Signal.fftconvolve(evReal(s, dir), kernel3(s), Seq("user_id"), "t", "value", "full")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  // ------------------------------------------------------------------
+  // rate changes
+  // ------------------------------------------------------------------
+
+  /** decimate(q=2, fir, zero_phase) on the 64-frame: centered firwin
+    * (41 taps, cutoff 1/2) pass sampled at even indices.
+    */
+  def sigDecimateFir(s: SparkSession, dir: String): DataFrame =
+    Signal.decimate(ev64(s, dir), Seq("user_id"), "t", "value", q = 2, ftype = "fir")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigDecimateFirSql: String =
+    s"""$s64Sql, tap AS (
+       |  SELECT i,
+       |    0.5 * (CASE WHEN i = 20 THEN 1.0
+       |           ELSE SIN(PI()*(0.5*(i-20)))/(PI()*(0.5*(i-20))) END)
+       |        * (0.54 - 0.46*COS(2*PI()*i/40)) AS hw
+       |  FROM range(41) r(i)
+       |), tapn AS (
+       |  SELECT i, hw / (SELECT SUM(hw) FROM tap) AS w FROM tap
+       |), conv AS (
+       |  SELECT s.user_id, s.j + t.i AS fi, SUM(s.value * t.w) AS v
+       |  FROM s, tapn t GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST((fi - 20) // 2 AS INT) AS pos, ${fpSql("v", "1e6")} AS value_fp
+       |FROM conv
+       |WHERE fi >= 20 AND (fi - 20) % 2 = 0 AND (fi - 20) // 2 < 32
+       |ORDER BY 1, 2""".stripMargin
+
+  /** decimate(q=4, iir cheby1(8, 0.05 dB), zero-phase) — recursive,
+    * not SQL-expressible: rows-only here; kernel and e2e behavior are
+    * golden-tested in DesignSpec/SpectralSpec/SignalSpec.
+    */
+  def sigDecimateIir(s: SparkSession, dir: String): DataFrame =
+    Signal.decimate(ev64(s, dir), Seq("user_id"), "t", "value", q = 4, ftype = "iir")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  /** Fourier resample 64 → 48 on the 64-frame. Scale 64e5 for the same
+    * resonant-bin boundary reason as [[sigIhfft]] (the synthesis
+    * divides exact sums by 48 and scales by 48/64 → /64).
+    */
+  def sigResample(s: SparkSession, dir: String): DataFrame =
+    Signal.resample(ev64(s, dir), Seq("user_id"), "t", "value", num = 48)
+      .select(col("user_id"), col("pos"), fp(col("value"), 6.4e6).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigResampleSql: String =
+    s"""$s64Sql, X AS (
+       |  SELECT a.user_id, a.j AS k,
+       |    SUM(b.value * COS(-2*PI()*a.j*b.j/64)) AS re,
+       |    SUM(b.value * SIN(-2*PI()*a.j*b.j/64)) AS im
+       |  FROM s a JOIN s b ON a.user_id = b.user_id
+       |  WHERE a.j <= 24 GROUP BY 1, 2
+       |), Y AS (
+       |  SELECT user_id, k,
+       |    CASE WHEN k = 24 THEN 2*re ELSE re END AS re,
+       |    CASE WHEN k = 24 THEN 2*im ELSE im END AS im
+       |  FROM X
+       |), grid AS (
+       |  SELECT user_id, tt FROM (SELECT DISTINCT user_id FROM s), range(48) r(tt)
+       |)
+       |SELECT g.user_id, CAST(g.tt AS INT) AS pos,
+       |  ${fpSql("(SUM(CASE WHEN y.k = 0 THEN y.re " +
+         "WHEN y.k = 24 THEN (CASE WHEN g.tt % 2 = 0 THEN y.re ELSE -y.re END) " +
+         "ELSE 2*(y.re*COS(2*PI()*y.k*g.tt/48) - y.im*SIN(2*PI()*y.k*g.tt/48)) END) / 48) * (48.0/64.0)", "6.4e6")} AS value_fp
+       |FROM grid g JOIN Y y ON y.user_id = g.user_id
+       |GROUP BY g.user_id, g.tt
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // hilbert / filters / peaks
+  // ------------------------------------------------------------------
+
+  /** |hilbert(x)| per user (real-ts series): envelope via the weighted
+    * double DFT, fp4 (two chained transforms in the oracle).
+    */
+  def sigHilbertEnvelope(s: SparkSession, dir: String): DataFrame =
+    Signal.hilbert(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp4(col("envelope")).as("env_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigHilbertEnvelopeSql: String =
+    s"""$sSql, X AS (
+       |  SELECT a.user_id, a.j AS k, a.n,
+       |    SUM(b.value * COS(-2*PI()*a.j*b.j/a.n)) AS re,
+       |    SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n)) AS im
+       |  FROM s a JOIN s b ON a.user_id = b.user_id
+       |  WHERE a.j <= a.n // 2 GROUP BY 1, 2, 3
+       |), W AS (
+       |  SELECT user_id, k, n,
+       |    CASE WHEN k = 0 THEN 1.0
+       |         WHEN n % 2 = 0 AND k = n // 2 THEN 1.0
+       |         ELSE 2.0 END AS w,
+       |    re, im
+       |  FROM X
+       |), A AS (
+       |  SELECT g.user_id, g.j AS tt,
+       |    SUM(x.w*(x.re*COS(2*PI()*x.k*g.j/g.n) - x.im*SIN(2*PI()*x.k*g.j/g.n)))/g.n AS are,
+       |    SUM(x.w*(x.re*SIN(2*PI()*x.k*g.j/g.n) + x.im*COS(2*PI()*x.k*g.j/g.n)))/g.n AS aim
+       |  FROM s g JOIN W x ON x.user_id = g.user_id
+       |  GROUP BY g.user_id, g.j, g.n
+       |)
+       |SELECT user_id, CAST(tt AS INT) AS pos,
+       |  ${fpSql("SQRT(are*are + aim*aim)", "1e4")} AS env_fp
+       |FROM A ORDER BY 1, 2""".stripMargin
+
+  /** sosfilt with butter(4, 0.3) — recursive: rows-only + golden/e2e
+    * ScalaTest (FiltSpec, SignalSpec).
+    */
+  def sigSosfilt(s: SparkSession, dir: String): DataFrame =
+    Signal.sosfilt(Design.butterSos(4, 0.3), evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  /** sosfiltfilt with butter(4, 0.3) — rows-only, see sigSosfilt. */
+  def sigSosfiltfilt(s: SparkSession, dir: String): DataFrame =
+    Signal.sosfiltfilt(Design.butterSos(4, 0.3), evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  /** peak_widths at rel_height 0.5 over per-user local maxima —
+    * iterative interpolation walk: rows-only + golden tests (PeaksSpec,
+    * SignalSpec).
+    */
+  def sigPeakWidths(s: SparkSession, dir: String): DataFrame =
+    Signal.peakWidths(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), col("peak"),
+        fp6(col("width")).as("width_fp"),
+        fp6(col("width_height")).as("wh_fp"),
+        fp6(col("left_ip")).as("lip_fp"),
+        fp6(col("right_ip")).as("rip_fp"))
+      .orderBy("user_id", "pos")
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sig_rfft" -> (sigRfft _),
+    "sig_fft" -> (sigFft _),
+    "sig_ifft_roundtrip" -> (sigIfftRoundtrip _),
+    "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
+    "sig_hfft" -> (sigHfft _),
+    "sig_ihfft" -> (sigIhfft _),
+    "sig_fftshift" -> (sigFftshift _),
+    "sig_ifftshift" -> (sigIfftshift _),
+    "sig_convolve_full" -> (sigConvolveFull _),
+    "sig_convolve_same" -> (sigConvolveSame _),
+    "sig_fftconvolve" -> (sigFftconvolve _),
+    "sig_decimate_fir" -> (sigDecimateFir _),
+    "sig_decimate_iir" -> (sigDecimateIir _),
+    "sig_resample" -> (sigResample _),
+    "sig_hilbert_envelope" -> (sigHilbertEnvelope _),
+    "sig_sosfilt" -> (sigSosfilt _),
+    "sig_sosfiltfilt" -> (sigSosfiltfilt _),
+    "sig_peak_widths" -> (sigPeakWidths _))
+
+  val oracleSql: Map[String, String] = Map(
+    "sig_rfft" -> sigRfftSql,
+    "sig_fft" -> sigFftSql,
+    "sig_ifft_roundtrip" -> sigIfftRoundtripSql,
+    "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
+    "sig_hfft" -> sigHfftSql,
+    "sig_ihfft" -> sigIhfftSql,
+    "sig_fftshift" -> sigFftshiftSql,
+    "sig_ifftshift" -> sigIfftshiftSql,
+    "sig_convolve_full" -> sigConvolveFullSql,
+    "sig_convolve_same" -> sigConvolveSameSql,
+    "sig_fftconvolve" -> sigConvolveFullSql,
+    "sig_decimate_fir" -> sigDecimateFirSql,
+    "sig_resample" -> sigResampleSql,
+    "sig_hilbert_envelope" -> sigHilbertEnvelopeSql)
+}
