@@ -122,6 +122,127 @@ object Bridge {
     UnsafeArrayData.fromPrimitiveArray(m)
   }
 
+  // ---- text fingerprints (SURVEY.md §2.2 ops 20/28) -----------------
+
+  /** Winnowing document fingerprint: k-codepoint rolling polynomial
+    * hashes (h_i = Σ c_{i+j} B^{k-1-j} mod M), then the minimum of
+    * each `w`-window, deduplicated and sorted. One pass over the
+    * string per row; the SQL oracle replays the same definition
+    * quadratically.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int, base: Long, mod: Long): ArrayData = {
+    val str = s.toString
+    // codepoints
+    val cps = new Array[Int](str.length)
+    var n = 0; var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val p = n - k + 1
+    val hs = new Array[Long](p)
+    i = 0
+    while (i < p) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * base + cps(i + j)) % mod; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val nw = math.max(1, p - w + 1)
+    val kept = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nw) {
+      var m = hs(i)
+      var j = 1
+      while (j < w && i + j < p) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+      kept.add(m)
+      i += 1
+    }
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over a word array (term-frequency weighted): bit b
+    * of md5(word)'s leading 64 bits votes ±tf; the sign of each
+    * accumulator forms the signature, returned as (hi32, lo32) to stay
+    * inside signed-BIGINT SQL arithmetic.
+    */
+  def simhash(words: ArrayData): InternalRow = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](64)
+    val nw = words.numElements()
+    var i = 0
+    while (i < nw) {
+      val w = words.getUTF8String(i)
+      md.reset()
+      val dig = md.digest(w.getBytes)
+      // leading 64 bits = dig(0..7), MSB first
+      var b = 0
+      while (b < 64) {
+        val bit = (dig(b >>> 3) >>> (7 - (b & 7))) & 1
+        acc(b) += (if (bit == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 32) {
+      if (acc(b) >= 0) hi |= 1L << (31 - b)
+      if (acc(b + 32) >= 0) lo |= 1L << (31 - b)
+      b += 1
+    }
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+
+  // ---- multimodal byte kernels (SURVEY.md §2.2 op 29) ---------------
+  // The decode step for real media needs codec libraries not present
+  // in this environment; these kernels are the DETERMINISTIC STUBS the
+  // plumbing (schema, batching, partitioning) is exercised with. A real
+  // deployment swaps the body, not the plumbing.
+
+  /** Stub "feature extraction": histogram of high nibbles (16 bins). */
+  def byteHistogram(bin: Array[Byte]): ArrayData = {
+    val h = new Array[Long](16)
+    var i = 0
+    while (i < bin.length) { h(((bin(i) & 0xff) >>> 4)) += 1; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(h)
+  }
+
+  /** Stub "resize": deterministic stride subsample to `outLen` bytes. */
+  def resizeStub(bin: Array[Byte], outLen: Int): Array[Byte] = {
+    if (bin.isEmpty || outLen <= 0) return Array.emptyByteArray
+    val out = new Array[Byte](math.min(outLen, bin.length))
+    var i = 0
+    while (i < out.length) {
+      out(i) = bin((i.toLong * bin.length / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Stub "frame sampling": split into fixed-size frames, keep every
+    * `stride`-th. Returns array<binary>.
+    */
+  def frameSample(bin: Array[Byte], frameLen: Int, stride: Int): ArrayData = {
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    val nFrames = bin.length / frameLen
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var f = 0
+    while (f < nFrames) {
+      if (f % stride == 0)
+        kept += java.util.Arrays.copyOfRange(bin, f * frameLen, (f + 1) * frameLen)
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
+  }
+
   // ---- signatures for DspExpr --------------------------------------
 
   /** Catalyst argument/return types per bridge function; the generic
@@ -149,7 +270,16 @@ object Bridge {
     "resample" -> (Seq(arrD, IntegerType) -> arrD),
     "decimate" -> (Seq(arrD, IntegerType, IntegerType, StringType, BooleanType) -> arrD),
     "peakWidths" -> (Seq(arrD, arrI, DoubleType) -> peakWidthsT),
-    "localMaxima" -> (Seq(arrD) -> arrI))
+    "localMaxima" -> (Seq(arrD) -> arrI),
+    "winnow" -> (Seq(StringType, IntegerType, IntegerType, LongType, LongType)
+      -> ArrayType(LongType, containsNull = false)),
+    "simhash" -> (Seq(ArrayType(StringType)) -> StructType(Seq(
+      StructField("hi", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false)))),
+    "byteHistogram" -> (Seq(BinaryType) -> ArrayType(LongType, containsNull = false)),
+    "resizeStub" -> (Seq(BinaryType, IntegerType) -> BinaryType),
+    "frameSample" -> (Seq(BinaryType, IntegerType, IntegerType)
+      -> ArrayType(BinaryType, containsNull = false)))
 
   /** Interpreted-path dispatch (mirrors the static calls codegen makes). */
   def dispatch(fn: String, a: Array[Any]): Any = fn match {
@@ -175,6 +305,11 @@ object Bridge {
     case "decimate" => decimate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Boolean])
     case "peakWidths" => peakWidths(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double])
     case "localMaxima" => localMaxima(a(0).asInstanceOf[ArrayData])
+    case "winnow" => winnow(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Long], a(4).asInstanceOf[Long])
+    case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
+    case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
+    case "resizeStub" => resizeStub(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
+    case "frameSample" => frameSample(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")
   }
 }

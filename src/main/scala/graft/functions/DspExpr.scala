@@ -145,5 +145,14 @@ object Functions {
     def peakWidthsC(x: Column, peaks: Column, relHeight: Double = 0.5): Column =
       call("peakWidths", x, peaks, lit(relHeight))
     def localMaximaC(x: Column): Column = call("localMaxima", x)
+    def winnowC(text: Column, k: Int = 8, w: Int = 4,
+                base: Long = 31L, mod: Long = 1000000007L): Column =
+      call("winnow", text, lit(k), lit(w), lit(base), lit(mod))
+    def simhashC(words: Column): Column = call("simhash", words)
+    def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
+    def resizeStubC(bin: Column, outLen: Int): Column =
+      call("resizeStub", bin, lit(outLen))
+    def frameSampleC(bin: Column, frameLen: Int, stride: Int): Column =
+      call("frameSample", bin, lit(frameLen), lit(stride))
   }
 }

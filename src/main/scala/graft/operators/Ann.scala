@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.fp6
+import graft.functions.TopKAgg
+
+/** Similarity search over an embedding column (SURVEY.md §2.2 ops
+  * 22-24): brute-force exact top-k as the baseline and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale shape: the query set broadcasts; scoring is map-side over the
+  * corpus scan; TopKAgg partial-aggregates each partition down to k
+  * candidates per query BEFORE the exchange, so the shuffle carries
+  * O(k × partitions) rows, not the corpus. The LSH variant buckets the
+  * corpus once (a write-time cost at 100 TB) and probes only
+  * hamming<=1 buckets.
+  */
+object Ann {
+
+  /** Embedding (array<float>) → array<double>. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — deterministic order, matching
+    * an oracle that folds in index order.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, score_fp) where score_fp is
+    * the fp6 fixed-point cosine used for (deterministic) ranking.
+    */
+  def topkBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("_cid") =!= col("query_id"))
+      .withColumn("_score", fp6(cosine(col("_cv"), col("_qv"))))
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
+      .select(col("query_id"), (col("_r") + 1).as("rank"),
+        col("_e.id").as("neighbor_id"), col("_e.score").as("score_fp"))
+  }
+
+  /** ±1 hyperplane matrix derived from md5 parity — reproducible by
+    * any engine with md5: h(p,i) = -1 iff first hex digit of
+    * md5("p,i") is odd.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      md.reset()
+      val hex = md.digest(s"$p,$i".getBytes("UTF-8"))
+      val firstNibble = (hex(0) >> 4) & 0xf
+      if (firstNibble % 2 == 1) -1.0 else 1.0
+    }
+  }
+
+  /** Bucket id from hyperplane signs: bit p set iff dot(v, h_p) >= 0. */
+  def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      when(dot(v, typedLit(h)) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH ANN: bucket the corpus on nPlanes random hyperplanes, probe
+    * each query's bucket plus all hamming-1 neighbors, rerank probed
+    * candidates by exact cosine. Output like [[topkBruteForce]].
+    */
+  def topkLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val c = corpus.select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_cv"))
+      .withColumn("_bucket", bucketOf(col("_cv"), planes))
+    val masks = 0 +: (0 until nPlanes).map(1 << _)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .withColumn("_qb", bucketOf(col("_qv"), planes))
+      .withColumn("_probe", explode(array(masks.map(m => col("_qb").bitwiseXOR(lit(m))): _*)))
+    val scored = c.join(broadcast(q), col("_bucket") === col("_probe"))
+      .filter(col("_cid") =!= col("query_id"))
+      .withColumn("_score", fp6(cosine(col("_cv"), col("_qv"))))
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
+      .select(col("query_id"), (col("_r") + 1).as("rank"),
+        col("_e.id").as("neighbor_id"), col("_e.score").as("score_fp"))
+  }
+
+  /** Embedding near-duplicate pairs: block on the hyperplane bucket
+    * (hamming-0) and keep same-bucket pairs with cosine >= minCos.
+    * Approximate by construction — the oracle replays the identical
+    * blocking.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     minCos: Double, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val v = df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_bucket", bucketOf(col("_v"), planes))
+    val a = v.select(col("_bucket"), col("_id").as("a"), col("_v").as("_va"))
+    val b = v.select(col("_bucket"), col("_id").as("b"), col("_v").as("_vb"))
+    a.join(b, "_bucket").filter(col("a") < col("b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), fp6(col("cos")).as("cos_fp"))
+  }
+}

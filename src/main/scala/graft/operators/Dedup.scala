@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions.dsl._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.2
+  * ops 18-22). Hash/bucket families are md5-derived so the DuckDB
+  * oracle can reproduce them bit-for-bit (lexicographic min over hex
+  * strings — engine-portable).
+  *
+  * Scale notes (§4): exact dedup shuffles md5 keys, not documents;
+  * MinHash banding turns O(n²) candidate generation into a shuffle on
+  * band signatures (skew-capped by construction: identical docs cap a
+  * bucket, verification is per-bucket map-side); embedding blocking
+  * uses random-hyperplane buckets so only same-bucket pairs are
+  * scored.
+  */
+object Dedup {
+
+  /** Exact dedup after normalization: every doc mapped to the smallest
+    * doc_id sharing its normalized text. One shuffle on the hash.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(encode(TextOps.normalize(col(textCol)), "UTF-8"))
+    val w = Window.partitionBy(col("_h"))
+    df.withColumn("_h", h)
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+      .drop("_h")
+  }
+
+  /** Lowercased 3-word shingles of the text. */
+  def shingles(text: Column): Column = {
+    val ws = TextOps.words(text)
+    transform(sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+        element_at(ws, i + 3)))
+  }
+
+  /** (id, shingle) long frame (docs with <3 words drop out). */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(size(TextOps.words(col(textCol))) >= 3)
+      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
+
+  /** MinHash signatures: k independent permutations approximated by
+    * min(md5(seed || shingle)); one shuffle (groupBy id) computes all
+    * k mins map-side-combined.
+    */
+  def minhash(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      min(md5(encode(concat(lit(s"$i|"), col("s")), "UTF-8"))).as(s"h$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band signatures: k hashes in bands of r → (id, band, sig). */
+  def bands(mh: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
+    val nBands = k / r
+    val sigs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("sig"))
+    }
+    mh.select(col(idCol), explode(array(sigs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs (a < b): docs sharing any band signature.
+    * The join shuffles on (band, sig) — identical docs collapse to one
+    * bucket; candidate verification happens within buckets.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 12, r: Int = 3): DataFrame = {
+    val sh = shingleFrame(df, idCol, textCol)
+    val bd = bands(minhash(sh, idCol, k), idCol, k, r)
+    val a = bd.select(col("band"), col("sig"), col(idCol).as("a"))
+    val b = bd.select(col("band"), col("sig"), col(idCol).as("b"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact n-gram (3-word shingle) Jaccard over LSH candidates,
+    * keeping pairs with jac >= minJac.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   minJac: Double = 0.8, k: Int = 12, r: Int = 3): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, k, r)
+    val shd = shingleFrame(df, idCol, textCol).distinct()
+    val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shd.select(col(idCol).as("a"), col("s")), "a")
+      .join(shd.select(col(idCol).as("b"), col("s").as("s2")), "b")
+      .filter(col("s") === col("s2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("nb")), "b")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only. */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_sh", simhashC(TextOps.words(col(textCol))))
+      .withColumn("sim_hi", col("_sh.hi"))
+      .withColumn("sim_lo", col("_sh.lo"))
+      .drop("_sh")
+
+  /** SimHash near-dup pairs with hamming distance <= maxHam. The
+    * self-join here blocks on the high 16 bits first (near-dups almost
+    * always agree there), then verifies full hamming — at scale this
+    * is the standard rotate-and-block scheme's first table.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHam: Int = 3): DataFrame = {
+    val sig = simhashFrame(df, idCol, textCol)
+      .select(col(idCol), col("sim_hi"), col("sim_lo"))
+      .withColumn("blk", shiftright(col("sim_hi"), 16))
+    val a = sig.select(col("blk"), col(idCol).as("a"),
+      col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"))
+    val b = sig.select(col("blk"), col(idCol).as("b"),
+      col("sim_hi").as("hi_b"), col("sim_lo").as("lo_b"))
+    a.join(b, "blk").filter(col("a") < col("b"))
+      .withColumn("hamming",
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+      .filter(col("hamming") <= maxHam)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions.dsl._
+
+/** Text analysis for large-scale training-data pipelines (SURVEY.md
+  * §2.2 ops 25-28): language-ID, quality scoring, token counting,
+  * winnowing fingerprints. All map-side column transforms — no
+  * shuffle; scale is limited only by scan width.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace-collapsed lowercase normalization (dedup canonical form). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Tiny embedded stopword lists per language (alphabetical order —
+    * ties in scoring resolve to the alphabetically first language).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Per-language stopword occurrence counts (tf, not distinct). */
+  def langScore(ws: Column, lang: String): Column = {
+    val sw = langStopwords.toMap.apply(lang)
+    size(filter(ws, w => w.isin(sw.map(_.asInstanceOf[Any]): _*)))
+  }
+
+  /** Predicted language: argmax score, ties to alphabetically first. */
+  def langidFrame(df: DataFrame, textCol: String): DataFrame = {
+    var out = df.withColumn("_ws", words(col(textCol)))
+    langStopwords.foreach { case (l, _) =>
+      out = out.withColumn(s"s_$l", langScore(col("_ws"), l))
+    }
+    val scores = langStopwords.map { case (l, _) => col(s"s_$l") }
+    val m = greatest(scores: _*)
+    // CASE chain in alphabetical order: first language hitting the max
+    // wins (same tie rule as the SQL oracle's CASE).
+    val pred = langStopwords.tail.foldLeft(
+      when(col(s"s_${langStopwords.head._1}") === m, lit(langStopwords.head._1))) {
+      case (c, (l, _)) => c.when(col(s"s_$l") === m, lit(l))
+    }.otherwise(lit("und"))
+    out.withColumn("pred_lang", pred).drop("_ws")
+  }
+
+  /** Quality features + composite score in [0,1]:
+    * word count (saturating at 100), vocabulary diversity, English
+    * stopword density (×4, saturating), non-alphanumeric density
+    * (inverted, ×5 saturating).
+    */
+  def qualityFrame(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("_ws", words(t))
+      .withColumn("n_words", size(col("_ws")))
+      .withColumn("n_chars_q", length(t))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("_ws"))).cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        langScore(col("_ws"), "en").cast("double") / col("n_words"))
+      .withColumn("punct_count", regexp_count(lower(t), lit("[^a-z0-9\\s]")))
+      .withColumn("quality",
+        lit(0.25) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+          lit(0.25) * col("distinct_ratio") +
+          lit(0.25) * least(lit(1.0), col("stop_ratio") * 4.0) +
+          lit(0.25) * (lit(1.0) - least(lit(1.0),
+            col("punct_count").cast("double") / col("n_chars_q") * 5.0)))
+      .drop("_ws")
+  }
+
+  /** Whitespace token count and a BPE-ish regex token count
+    * (letter runs, single digits, single other non-space chars).
+    */
+  def tokensFrame(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(words(col(textCol))))
+      .withColumn("bpe_tokens",
+        regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")))
+
+  /** Winnowing fingerprints (k-codepoint rolling hash, window-min,
+    * dedup): one row per kept fingerprint.
+    */
+  def fingerprintFrame(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol), explode(winnowC(normalize(col(textCol)), k, w)).as("fp"))
+}

@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{load, fp6, fpSql}
+import graft.operators.{Ann, Dedup, Multimodal, TextOps}
+
+/** Training-data pipeline anchor queries (SURVEY.md §2.2) over the
+  * documents/embeddings tables, every one with a DuckDB oracle — the
+  * hash families (md5 string-min, md5-parity hyperplanes, nibble-
+  * parsed simhash) are chosen to be reproducible bit-for-bit in SQL.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.install(s)
+    load(s, dir, "documents")
+  }
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+
+  // ---- dedup --------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+      .orderBy("doc_id")
+
+  private val dedupExactSql: String =
+    """SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canonical_id,
+      |  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Shared shingle/minhash/band CTEs (k=12, r=3 → 4 bands). */
+  private val bandSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                         for i in generate_series(1, len(ws) - 2)]) AS s
+      |  FROM w WHERE len(ws) >= 3
+      |), mh AS (
+      |  SELECT doc_id, r.i, MIN(md5(CAST(r.i AS VARCHAR) || '|' || s)) AS h
+      |  FROM sh, range(12) r(i) GROUP BY 1, 2
+      |), band AS (
+      |  SELECT doc_id, i // 3 AS band, STRING_AGG(h, '|' ORDER BY i) AS sig
+      |  FROM mh GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM band x JOIN band y ON x.band = y.band AND x.sig = y.sig
+      |  WHERE x.doc_id < y.doc_id
+      |)""".stripMargin
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+      .orderBy("a", "b")
+
+  private val dedupMinhashLshSql: String =
+    s"$bandSql\nSELECT a, b FROM cand ORDER BY 1, 2"
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", minJac = 0.8)
+      .select(col("a"), col("b"), fp6(col("jac")).as("jac_fp"))
+      .orderBy("a", "b")
+
+  private val dedupNgramJaccardSql: String =
+    s"""$bandSql, shd AS (
+       |  SELECT DISTINCT doc_id, s FROM sh
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1
+       |), inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i
+       |  FROM cand c JOIN shd x ON x.doc_id = c.a JOIN shd y ON y.doc_id = c.b AND y.s = x.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.a, i.b,
+       |  ${fpSql("CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i)", "1e6")} AS jac_fp
+       |FROM inter i JOIN sz na ON na.doc_id = i.a JOIN sz nb ON nb.doc_id = i.b
+       |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.8
+       |ORDER BY 1, 2""".stripMargin
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashFrame(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"))
+      .orderBy("doc_id")
+
+  /** SQL twin of Bridge.simhash: per-word md5, leading 64 bits via
+    * nibble parsing, tf-weighted ±1 votes, sign → bit.
+    */
+  private val dedupSimhashSql: String = {
+    val nib = "(CASE substr(h.hx, b.b // 4 + 1, 1) " +
+      (0 until 16).map(v => s"WHEN '${Integer.toHexString(v)}' THEN $v").mkString(" ") +
+      " END)"
+    val div = "(CASE b.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS wd FROM documents
+       |), h AS (
+       |  SELECT doc_id, wd, md5(wd) AS hx, COUNT(*) AS tf FROM w GROUP BY 1, 2, 3
+       |), bits AS (
+       |  SELECT h.doc_id, b.b,
+       |    SUM(h.tf * (2 * (($nib // $div) % 2) - 1)) AS acc
+       |  FROM h, range(64) b(b) GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |  SUM(CASE WHEN b < 32 AND acc >= 0 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS sim_hi,
+       |  SUM(CASE WHEN b >= 32 AND acc >= 0 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS sim_lo
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHam = 3)
+      .orderBy("a", "b")
+
+  private val dedupSimhashPairsSql: String = {
+    val inner = dedupSimhashSql.replace(" ORDER BY doc_id", "")
+    s"""WITH sig AS ($inner)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming
+       |FROM sig x JOIN sig y
+       |  ON x.sim_hi // 65536 = y.sim_hi // 65536 AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Shared embedding CTEs: md5-parity hyperplanes (8 × 64), per-vector
+    * bucket, norms.
+    */
+  private val embBaseSql: String =
+    """WITH ee AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |), idx AS (
+      |  SELECT unnest(generate_series(1, 64)) AS i
+      |), pl AS (
+      |  SELECT p.p, i.i,
+      |    CASE WHEN substr(md5(p.p || ',' || (i.i - 1)), 1, 1)
+      |         IN ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END AS h
+      |  FROM range(8) p(p), idx i
+      |), dots AS (
+      |  SELECT e.vec_id, p.p, SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.h) AS d
+      |  FROM ee e, pl p GROUP BY 1, 2
+      |), buck AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), nrm AS (
+      |  SELECT e.vec_id,
+      |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+      |  FROM ee e, idx i GROUP BY 1
+      |)""".stripMargin
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.embeddingPairs(embs(s, dir), "vec_id", "embedding", minCos = 0.35)
+      .orderBy("a", "b")
+
+  private val dedupEmbeddingSql: String =
+    s"""$embBaseSql, cand AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM buck x JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |), dp AS (
+       |  SELECT c.a, c.b,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM cand c JOIN ee ea ON ea.vec_id = c.a JOIN ee eb ON eb.vec_id = c.b, idx i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.a, d.b, ${fpSql("d.d / (na.nr * nb.nr)", "1e6")} AS cos_fp
+       |FROM dp d JOIN nrm na ON na.vec_id = d.a JOIN nrm nb ON nb.vec_id = d.b
+       |WHERE d.d / (na.nr * nb.nr) >= 0.35
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- ANN ----------------------------------------------------------
+
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).filter(col("vec_id") < 10)
+
+  def annTopkBruteforce(s: SparkSession, dir: String): DataFrame =
+    Ann.topkBruteForce(embs(s, dir), annQueries(s, dir), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+
+  private val annTopkBruteforceSql: String =
+    s"""$embBaseSql, q AS (
+       |  SELECT vec_id AS qid FROM ee WHERE vec_id < 10
+       |), dp AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM q JOIN ee ea ON ea.vec_id = q.qid, ee c, idx i
+       |  WHERE c.vec_id != q.qid
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
+       |FROM ranked WHERE rk <= 5 ORDER BY 1, 2""".stripMargin
+
+  def annTopkLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.topkLsh(embs(s, dir), annQueries(s, dir), "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+
+  private val annTopkLshSql: String =
+    s"""$embBaseSql, probes AS (
+       |  SELECT q.vec_id AS qid, xor(q.bucket, m.m) AS pb
+       |  FROM buck q, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
+       |  WHERE q.vec_id < 10
+       |), candq AS (
+       |  SELECT DISTINCT p.qid, c.vec_id AS cid
+       |  FROM probes p JOIN buck c ON c.bucket = p.pb
+       |  WHERE c.vec_id != p.qid
+       |), dp AS (
+       |  SELECT cq.qid, cq.cid,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM candq cq JOIN ee ea ON ea.vec_id = cq.qid JOIN ee eb ON eb.vec_id = cq.cid, idx i
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
+       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
+  // ---- text ---------------------------------------------------------
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextOps.langidFrame(docs(s, dir), "text")
+      .select((col("doc_id") +:
+        TextOps.langStopwords.map { case (l, _) => col(s"s_$l") }) :+
+        col("pred_lang"): _*)
+      .orderBy("doc_id")
+
+  private val textLangidSql: String = {
+    val scoreExprs = TextOps.langStopwords.map { case (l, sw) =>
+      val inList = sw.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, x -> x IN ($inList))) AS s_$l"
+    }.mkString(",\n  ")
+    val caseChain = TextOps.langStopwords.map { case (l, _) =>
+      s"WHEN s_$l = m THEN '$l'"
+    }.mkString(" ")
+    val greatestArgs = TextOps.langStopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |  $scoreExprs
+       |  FROM w
+       |), mm AS (
+       |  SELECT *, GREATEST($greatestArgs) AS m FROM sc
+       |)
+       |SELECT doc_id, ${TextOps.langStopwords.map(p => "s_" + p._1).mkString(", ")},
+       |  CASE $caseChain ELSE 'und' END AS pred_lang
+       |FROM mm ORDER BY doc_id""".stripMargin
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFrame(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_words"),
+        fp6(col("distinct_ratio")).as("dr_fp"),
+        fp6(col("stop_ratio")).as("sr_fp"),
+        col("punct_count"),
+        fp6(col("quality")).as("q_fp"))
+      .orderBy("doc_id")
+
+  private val textQualitySql: String = {
+    val enList = TextOps.langStopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    length(text) AS n_chars_q,
+       |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+       |    CAST(len(list_filter(ws, x -> x IN ($enList))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct_count
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       |  ${fpSql("distinct_ratio", "1e6")} AS dr_fp,
+       |  ${fpSql("stop_ratio", "1e6")} AS sr_fp,
+       |  CAST(punct_count AS INT) AS punct_count,
+       |  ${fpSql("0.25 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0) + 0.25 * distinct_ratio + 0.25 * LEAST(1.0, stop_ratio * 4.0) + 0.25 * (1.0 - LEAST(1.0, CAST(punct_count AS DOUBLE) / n_chars_q * 5.0))", "1e6")} AS q_fp
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokensFrame(docs(s, dir), "text")
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprintFrame(docs(s, dir), "text", "doc_id")
+      .orderBy("doc_id", "fp")
+
+  /** SQL twin of Bridge.winnow: nested Horner rolling hash (k=8,
+    * base 31, mod 1e9+7), window-4 minima, distinct.
+    */
+  private val textFingerprintSql: String = {
+    val horner = (1 until 8).foldLeft("CAST(unicode(substr(t, i, 1)) AS BIGINT)") {
+      (acc, j) => s"(($acc * 31 + unicode(substr(t, i + $j, 1))) % 1000000007)"
+    }
+    s"""WITH nt AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS i
+       |  FROM nt WHERE length(t) >= 8
+       |), h AS (
+       |  SELECT doc_id, i, $horner AS hv FROM pos
+       |), win AS (
+       |  SELECT doc_id, i,
+       |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS p
+       |  FROM h
+       |)
+       |SELECT DISTINCT doc_id, wmin AS fp FROM win
+       |WHERE i <= GREATEST(p - 3, 1)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- multimodal ---------------------------------------------------
+
+  /** Byte-histogram "features" of the binary content column (ASCII
+    * subset so the oracle can reproduce bytes from codepoints).
+    */
+  def mmImageFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"))
+      .select(col("media_id").as("doc_id"),
+        posexplode(col("features")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+      .orderBy("doc_id", "bin")
+
+  private val mmImageFeaturesSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text FROM documents WHERE lang = 'en'
+      |), ch AS (
+      |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM en
+      |)
+      |SELECT doc_id, CAST(unicode(substr(text, i, 1)) // 16 AS INT) AS bin,
+      |  COUNT(*) AS cnt
+      |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_topk_bruteforce" -> (annTopkBruteforce _),
+    "ann_topk_lsh" -> (annTopkLsh _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_image_features" -> (mmImageFeatures _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "ann_topk_bruteforce" -> annTopkBruteforceSql,
+    "ann_topk_lsh" -> annTopkLshSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "mm_image_features" -> mmImageFeaturesSql)
+}

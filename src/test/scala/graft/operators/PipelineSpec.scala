@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.TopKAgg
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("TopKAgg keeps k best with deterministic order and partial merge") {
+    val df = (1 to 1000).map(i => ("g" + (i % 3), (i * 37 % 997).toLong, i.toLong))
+      .toDF("g", "score", "id").repartition(7) // force multi-partition merge
+    val out = df.groupBy("g")
+      .agg(TopKAgg.topK(col("score"), col("id"), 5).as("tk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Row](1)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val want = (1 to 1000).filter(i => "g" + (i % 3) == g)
+        .map(i => ((i * 37 % 997).toLong, i.toLong))
+        .sortBy { case (s, id) => (-s, id) }.take(5)
+      val got = out(g).map(r => (r.getLong(0), r.getLong(1)))
+      assert(got == want, s"group $g")
+    }
+  }
+
+  test("simhash: identical docs collide, near-dups are close, disjoint far") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("dog", "cat")
+    val far = "completely different words describing nothing alike whatsoever here"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val sig = Dedup.simhashFrame(df, "doc_id", "text")
+      .select("doc_id", "sim_hi", "sim_lo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+    assert(ham(sig(1L), sig(3L)) <= 16)
+  }
+
+  test("winnow fingerprints: containment for shared content, short-text empty") {
+    import graft.functions.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String): Set[Long] =
+      Bridge.winnow(UTF8String.fromString(s), 8, 4, 31, 1000000007L)
+        .toLongArray().toSet
+    val a = fps("shared middle segment of text plus unique head")
+    val b = fps("other prefix then shared middle segment of text")
+    assert(a.intersect(b).nonEmpty) // shared substring → shared fingerprints
+    assert(fps("short") == Set.empty[Long])
+    assert(fps("exactly8") == fps("exactly8"))
+  }
+
+  test("exact dedup maps duplicates to min id") {
+    val df = Seq((10L, "A  b C"), (11L, "a b c"), (12L, "different")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((10L, 10L, 0), (11L, 10L, 1), (12L, 12L, 0)))
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "changed").mkString(" ")
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, words), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val jac = Dedup.ngramJaccard(df, "doc_id", "text", minJac = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(jac((1L, 2L)) - 57.0 / 59.0) < 1e-12) // 58 shingles, 57 shared
+  }
+
+  test("multimodal stubs: histogram counts bytes, resize/frames deterministic") {
+    import graft.functions.Bridge
+    val bytes = "aAzZ09".getBytes("UTF-8")
+    val h = Bridge.byteHistogram(bytes).toLongArray()
+    assert(h.sum == 6)
+    // 'a'→6, 'A'→4, 'z'→7, 'Z'→5, '0'/'9'→3
+    assert(h(3) == 2 && h(4) == 1 && h(5) == 1 && h(6) == 1 && h(7) == 1)
+    val r = Bridge.resizeStub((0 until 100).map(_.toByte).toArray, 10)
+    assert(r.length == 10 && r(0) == 0 && r(9) == 90)
+    val f = Bridge.frameSample((0 until 100).map(_.toByte).toArray, 10, 3)
+    assert(f.numElements() == 4) // frames 0,3,6,9
+    assert(f.getBinary(1)(0) == 30)
+  }
+
+  test("ANN brute force matches a local computation") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Ann.topkBruteForce(df, df.filter($"vec_id" < 2), "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (q <- 0L until 2L) {
+      val qv = vecs(q.toInt)._2
+      val want = vecs.filter(_._1 != q)
+        .map { case (i, v) => (math.floor(cos(qv, v) * 1e6 + 0.5).toLong, i) }
+        .sortBy { case (s, i) => (-s, i) }.take(4).map(_._2)
+      val got = out.filter(_._1 == q).sortBy(_._2).map(_._3)
+      assert(got == want, s"query $q")
+    }
+  }
+
+  test("langid scores and quality are deterministic and sane") {
+    val df = Seq((1L, "the cat and the dog is in a house"),
+      (2L, "der hund und die katze ist da")).toDF("doc_id", "text")
+    val lid = TextOps.langidFrame(df, "text").select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lid(1L) == "en" && lid(2L) == "de")
+    val q = TextOps.qualityFrame(df, "text").select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0 && v <= 1))
+  }
+}
