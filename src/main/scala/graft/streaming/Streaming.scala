@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dsp.Filt
+
+/** Structured Streaming variants (SURVEY.md §2.2 op 30): the same
+  * engine semantics on unbounded event streams.
+  *
+  * Scale shape: all three are keyed-state operators — state lives
+  * partitioned by user/key in the state store, watermarks bound it,
+  * and throughput scales with executors exactly like the batch
+  * groupBy(keys) shuffle.
+  */
+object Streaming {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, sum_value: Double)
+  final case class FilteredPoint(user_id: Long, ts_ms: Long, value: Double)
+  /** Open-session buffer held in the state store. */
+  final case class S(start: Long, last: Long, n: Int, sum: Double)
+
+  /** Watermarked sliding-window aggregation per event_type:
+    * 5-minute tumbling windows, 10-minute lateness bound.
+    */
+  def windowedCounts(events: DataFrame,
+                     window: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization per user via flatMapGroupsWithState with
+    * an event-time timeout: a session closes when the watermark passes
+    * last-event + gap, emitting (start, end, n, sum).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[S, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(S(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(S(t, t, 1, e.value))
+                case None =>
+                  cur = Some(S(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming per-user sosfilt: cascaded-biquad state carried across
+    * micro-batches in the state store (events assumed in order per key
+    * within the stream, the usual telemetry contract). Reuses the
+    * batch kernel's DF2T recurrence via its zi parameter.
+    */
+  def streamingSosfilt(events: Dataset[Event], sos: Array[Double]): Dataset[FilteredPoint] = {
+    import events.sparkSession.implicits._
+    val nState = (sos.length / 6) * 2
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Double], FilteredPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Array[Double]]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val zi = state.getOption.getOrElse(new Array[Double](nState))
+            val x = sorted.map(_.value).toArray
+            // run the cascade with carried state, then recover the new
+            // state by replaying each section's tail (sosfilt mutates a
+            // copy; we recompute the final zi with a stateful pass)
+            val (y, zo) = sosfiltWithState(sos, x, zi)
+            state.update(zo)
+            sorted.iterator.zip(y.iterator).map { case (e, v) =>
+              FilteredPoint(user, e.ts.getTime, v)
+            }
+          }
+      }
+  }
+
+  /** sosfilt that also returns the final filter state (DF2T z per
+    * section) for carry-over across micro-batches.
+    */
+  private[streaming] def sosfiltWithState(
+      sos: Array[Double], x: Array[Double], zi: Array[Double]): (Array[Double], Array[Double]) = {
+    val ns = Filt.nSections(sos)
+    val z = zi.clone()
+    val y = x.clone()
+    var s = 0
+    while (s < ns) {
+      val o = s * Filt.SOS_W
+      val a0 = sos(o + 3)
+      val b0 = sos(o) / a0; val b1 = sos(o + 1) / a0; val b2 = sos(o + 2) / a0
+      val a1 = sos(o + 4) / a0; val a2 = sos(o + 5) / a0
+      var z0 = z(s * 2); var z1 = z(s * 2 + 1)
+      var t = 0
+      while (t < y.length) {
+        val xt = y(t)
+        val yt = b0 * xt + z0
+        z0 = b1 * xt + z1 - a1 * yt
+        z1 = b2 * xt - a2 * yt
+        y(t) = yt
+        t += 1
+      }
+      z(s * 2) = z0; z(s * 2 + 1) = z1
+      s += 1
+    }
+    (y, z)
+  }
+}

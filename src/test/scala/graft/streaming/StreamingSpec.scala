@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.dsp.{Design, Filt}
+import graft.streaming.Streaming.{Event, FilteredPoint, Session}
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minutes: Double): Timestamp =
+    new Timestamp((minutes * 60000).toLong)
+
+  test("windowed aggregation with watermark over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.windowedCounts(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(0.5), "click", 1.0), Event(1, ts(1.5), "click", 2.0),
+        Event(2, ts(6.0), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("w_start", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((5L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions after the gap via event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionize(in.toDS(), gapMs = 5 * 60000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // session 1: user 1, minutes 1-3 (3 events, off zero — an event at
+      // exactly the initial watermark is dropped as late); then silence
+      in.addData(
+        Event(1, ts(1), "c", 1.0), Event(1, ts(2), "c", 2.0), Event(1, ts(3), "c", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past the gap with a later event
+      in.addData(Event(2, ts(60), "c", 9.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(61), "c", 1.0)) // nudge watermark once more
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect().toSet
+      assert(sessions.contains(Session(1, 60000, 3 * 60000, 3, 6.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sosfilt equals batch sosfilt across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val sos = Design.butterSos(4, 0.25)
+    val xs = Array.tabulate(40)(i => math.sin(i * 0.3) + 0.2 * math.cos(i * 1.1))
+    val in = MemoryStream[Event]
+    val q = Streaming.streamingSosfilt(in.toDS(), sos)
+      .writeStream.format("memory").queryName("filt").outputMode("append").start()
+    try {
+      // three micro-batches, in order per user
+      in.addData((0 until 15).map(i => Event(7, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      in.addData((15 until 30).map(i => Event(7, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      in.addData((30 until 40).map(i => Event(7, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      val got = spark.table("filt").as[FilteredPoint].collect()
+        .sortBy(_.ts_ms).map(_.value)
+      val want = Filt.sosfilt(sos, xs)
+      assert(got.length == 40)
+      val d = got.zip(want).map { case (a, b) => math.abs(a - b) }.max
+      assert(d < 1e-12, s"maxAbsDiff=$d")
+    } finally q.stop()
+  }
+
+  test("sosfiltWithState composes: filter(a++b) == filter(a) then filter(b)") {
+    val sos = Design.cheby1Sos(6, 0.5, 0.4)
+    val rnd = new scala.util.Random(3)
+    val x = Array.fill(64)(rnd.nextGaussian())
+    val (full, _) = Streaming.sosfiltWithState(sos, x, new Array[Double](6))
+    val (h1, z1) = Streaming.sosfiltWithState(sos, x.take(20), new Array[Double](6))
+    val (h2, _) = Streaming.sosfiltWithState(sos, x.drop(20), z1)
+    val stitched = h1 ++ h2
+    val d = full.zip(stitched).map { case (a, b) => math.abs(a - b) }.max
+    assert(d == 0.0)
+    // and matches the batch kernel
+    val batch = Filt.sosfilt(sos, x)
+    assert(full.zip(batch).map { case (a, b) => math.abs(a - b) }.max < 1e-12)
+  }
+}
