@@ -201,6 +201,31 @@ object Bridge {
     new GenericInternalRow(Array[Any](hi, lo))
   }
 
+  // ---- vector kernels (SURVEY.md §2.2 ops 22-24) --------------------
+
+  /** Sequential dot product (index order — same order an oracle's
+    * list-indexed fold uses).
+    */
+  def dotp(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity in one pass (dot and both norms together). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+      i += 1
+    }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   // ---- multimodal byte kernels (SURVEY.md §2.2 op 29) ---------------
   // The decode step for real media needs codec libraries not present
   // in this environment; these kernels are the DETERMINISTIC STUBS the
@@ -276,6 +301,8 @@ object Bridge {
     "simhash" -> (Seq(ArrayType(StringType)) -> StructType(Seq(
       StructField("hi", LongType, nullable = false),
       StructField("lo", LongType, nullable = false)))),
+    "dotp" -> (Seq(arrD, arrD) -> DoubleType),
+    "cosine" -> (Seq(arrD, arrD) -> DoubleType),
     "byteHistogram" -> (Seq(BinaryType) -> ArrayType(LongType, containsNull = false)),
     "resizeStub" -> (Seq(BinaryType, IntegerType) -> BinaryType),
     "frameSample" -> (Seq(BinaryType, IntegerType, IntegerType)
@@ -307,6 +334,8 @@ object Bridge {
     case "localMaxima" => localMaxima(a(0).asInstanceOf[ArrayData])
     case "winnow" => winnow(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Long], a(4).asInstanceOf[Long])
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
+    case "dotp" => dotp(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "cosine" => cosine(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
     case "resizeStub" => resizeStub(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
     case "frameSample" => frameSample(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])

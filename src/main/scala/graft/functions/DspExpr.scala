@@ -149,6 +149,8 @@ object Functions {
                 base: Long = 31L, mod: Long = 1000000007L): Column =
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))
     def simhashC(words: Column): Column = call("simhash", words)
+    def dotpC(a: Column, b: Column): Column = call("dotp", a, b)
+    def cosineC(a: Column, b: Column): Column = call("cosine", a, b)
     def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
     def resizeStubC(bin: Column, outLen: Int): Column =
       call("resizeStub", bin, lit(outLen))
