@@ -105,8 +105,8 @@ object Pipeline {
        |  FROM h, range(64) b(b) GROUP BY 1, 2
        |)
        |SELECT doc_id,
-       |  SUM(CASE WHEN b < 32 AND acc >= 0 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS sim_hi,
-       |  SUM(CASE WHEN b >= 32 AND acc >= 0 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS sim_lo
+       |  CAST(SUM(CASE WHEN b < 32 AND acc >= 0 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS sim_hi,
+       |  CAST(SUM(CASE WHEN b >= 32 AND acc >= 0 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS sim_lo
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
