@@ -32,18 +32,29 @@ object Dedup {
       .drop("_h")
   }
 
-  /** Lowercased 3-word shingles of the text. */
-  def shingles(text: Column): Column = {
-    val ws = TextOps.words(text)
+  /** Lowercased 3-word shingles of a word-array column. `ws` must be a
+    * plain attribute (not an expression): Catalyst inlines expression
+    * arguments into every lambda element, so passing `split(...)` here
+    * would re-run the regex split per shingle per reference.
+    */
+  def shingles(ws: Column): Column =
     transform(sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
         element_at(ws, i + 3)))
-  }
 
-  /** (id, shingle) long frame (docs with <3 words drop out). */
+  /** (id, shingle) long frame (docs with <3 words drop out). The word
+    * split is materialized behind a hash exchange on the id: this (a)
+    * computes the regex split exactly once per doc (the exchange stops
+    * Catalyst's project-collapsing from inlining it into the shingle
+    * lambda), (b) spreads small single-file scans across the cluster,
+    * and (c) pre-partitions by id so the downstream minhash groupBy
+    * reuses the exchange instead of shuffling again.
+    */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.filter(size(TextOps.words(col(textCol))) >= 3)
-      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
+    df.select(col(idCol), TextOps.words(col(textCol)).as("_ws"))
+      .repartition(col(idCol))
+      .filter(size(col("_ws")) >= 3)
+      .select(col(idCol), explode(shingles(col("_ws"))).as("s"))
 
   /** MinHash signatures: k independent permutations approximated by
     * min(md5(seed || shingle)); one shuffle (groupBy id) computes all
