@@ -11,6 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session once (Hadoop FS init, codegen compiler,
+    // broadcast pools) so the alphabetically-first query doesn't absorb
+    // several seconds of one-time JVM/session startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("documents", "embeddings", "events", "lineitem").foreach { t =>
+      Tables.load(spark, s"$sfDir", t).count()
+    }
     // A failed query is reported as negative elapsed time so failures
     // are visible in the bench JSON (ADVICE r1), and flagged in "failed".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

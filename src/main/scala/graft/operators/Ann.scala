@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.fp6
 import graft.functions.TopKAgg
+import graft.functions.Functions.dsl.{cosineC, dotpC}
 
 /** Similarity search over an embedding column (SURVEY.md §2.2 ops
   * 22-24): brute-force exact top-k as the baseline and a
@@ -22,16 +23,25 @@ object Ann {
   /** Embedding (array<float>) → array<double>. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold dot product — deterministic order, matching
-    * an oracle that folds in index order.
+  /** Sequential left-fold dot product (slow HOF path — kept for SQL
+    * parity docs; the operators call the codegen'd [[dotpC]]/[[cosineC]]
+    * kernels, which fold in the same index order).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Corpus projected to (_cid, _cv double vector), materialized behind
+    * a hash exchange: the cast-to-double transform runs once per row
+    * (not once per downstream reference — Catalyst inlines projection
+    * expressions into every use site), and small single-file scans
+    * spread across the cluster.
+    */
+  private def vectors(df: DataFrame, idCol: String, vecCol: String,
+                      id: String, v: String): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
+    df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+      .repartition(col(id))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, score_fp) where score_fp is
@@ -39,11 +49,11 @@ object Ann {
     */
   def topkBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_cv"))
+    val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("_cid") =!= col("query_id"))
-      .withColumn("_score", fp6(cosine(col("_cv"), col("_qv"))))
+      .withColumn("_score", fp6(cosineC(col("_cv"), col("_qv"))))
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
       .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
@@ -68,7 +78,7 @@ object Ann {
   /** Bucket id from hyperplane signs: bit p set iff dot(v, h_p) >= 0. */
   def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (h, p) =>
-      when(dot(v, typedLit(h)) >= 0, lit(1 << p)).otherwise(lit(0))
+      when(dotpC(v, typedLit(h)) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** LSH ANN: bucket the corpus on nPlanes random hyperplanes, probe
@@ -78,7 +88,7 @@ object Ann {
   def topkLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
-    val c = corpus.select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_cv"))
+    val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
       .withColumn("_bucket", bucketOf(col("_cv"), planes))
     val masks = 0 +: (0 until nPlanes).map(1 << _)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
@@ -86,7 +96,7 @@ object Ann {
       .withColumn("_probe", explode(array(masks.map(m => col("_qb").bitwiseXOR(lit(m))): _*)))
     val scored = c.join(broadcast(q), col("_bucket") === col("_probe"))
       .filter(col("_cid") =!= col("query_id"))
-      .withColumn("_score", fp6(cosine(col("_cv"), col("_qv"))))
+      .withColumn("_score", fp6(cosineC(col("_cv"), col("_qv"))))
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
       .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
@@ -102,12 +112,12 @@ object Ann {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
-    val v = df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+    val v = vectors(df, idCol, vecCol, "_id", "_v")
       .withColumn("_bucket", bucketOf(col("_v"), planes))
     val a = v.select(col("_bucket"), col("_id").as("a"), col("_v").as("_va"))
     val b = v.select(col("_bucket"), col("_id").as("b"), col("_v").as("_vb"))
     a.join(b, "_bucket").filter(col("a") < col("b"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .withColumn("cos", cosineC(col("_va"), col("_vb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), fp6(col("cos")).as("cos_fp"))
   }

@@ -79,31 +79,49 @@ object Dedup {
   }
 
   /** LSH candidate pairs (a < b): docs sharing any band signature.
-    * The join shuffles on (band, sig) — identical docs collapse to one
-    * bucket; candidate verification happens within buckets.
+    * One shuffle on (band, sig) gathers each bucket's ids; pairs are
+    * emitted map-side within the bucket (no self-join — a self-join
+    * would rebuild the whole shingle→minhash pipeline for both sides
+    * and broadcast one of them). Identical docs collapse to one
+    * bucket, so bucket sizes are bounded by the duplicate-cluster
+    * size; at heavy skew a bucket-size cap + salting goes here.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, r: Int = 3): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol)
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
-    val a = bd.select(col("band"), col("sig"), col(idCol).as("a"))
-    val b = bd.select(col("band"), col("sig"), col(idCol).as("b"))
-    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val buckets = bd.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(element_at(col("ids"), i + 1).as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
 
   /** Exact n-gram (3-word shingle) Jaccard over LSH candidates,
     * keeping pairs with jac >= minJac.
+    */
+  /** Exact n-gram (3-word shingle) Jaccard over LSH candidates,
+    * keeping pairs with jac >= minJac. The candidate set is sparse by
+    * LSH construction, so both intersection joins broadcast the pair
+    * side — the (large) distinct-shingle frame is scanned once,
+    * map-side, with its distinct exchange reused by the size
+    * aggregation. If candidates ever outgrow broadcast range the
+    * joins degrade to shuffles via AQE, not to failure.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    minJac: Double = 0.8, k: Int = 12, r: Int = 3): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, k, r)
     val shd = shingleFrame(df, idCol, textCol).distinct()
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(shd.select(col(idCol).as("a"), col("s")), "a")
-      .join(shd.select(col(idCol).as("b"), col("s").as("s2")), "b")
-      .filter(col("s") === col("s2"))
+    val aSh = shd.select(col(idCol).as("a"), col("s"))
+      .join(broadcast(cand), "a")
+    val inter = shd.select(col(idCol).as("b"), col("s"))
+      .join(broadcast(aSh), Seq("b", "s"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("a"), col("sz").as("na")), "a")
@@ -115,11 +133,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only. */
-  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
     df.withColumn("_sh", simhashC(TextOps.words(col(textCol))))
       .withColumn("sim_hi", col("_sh.hi"))
       .withColumn("sim_lo", col("_sh.lo"))
       .drop("_sh")
+  }
 
   /** SimHash near-dup pairs with hamming distance <= maxHam. The
     * self-join here blocks on the high 16 bits first (near-dups almost

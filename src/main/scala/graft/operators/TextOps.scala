@@ -88,6 +88,8 @@ object TextOps {
     * dedup): one row per kept fingerprint.
     */
   def fingerprintFrame(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 8, w: Int = 4): DataFrame =
+                       k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
     df.select(col(idCol), explode(winnowC(normalize(col(textCol)), k, w)).as("fp"))
+  }
 }

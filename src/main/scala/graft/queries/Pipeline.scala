@@ -18,8 +18,10 @@ object Pipeline {
     load(s, dir, "documents")
   }
 
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.install(s)
     load(s, dir, "embeddings")
+  }
 
   // ---- dedup --------------------------------------------------------
 

@@ -21,6 +21,15 @@ object Profile {
       r
     }
 
+    val embs = graft.Tables.load(spark, dir, "embeddings")
+    time("emb scan")(embs.count())
+    val q = embs.filter(col("vec_id") < 10)
+    val bf = graft.operators.Ann.topkBruteForce(embs, q, "vec_id", "embedding", 5)
+    time("topkBruteForce plan")(bf.queryExecution.executedPlan)
+    time("topkBruteForce run")(bf.count())
+    time("topkBruteForce warm")(
+      graft.operators.Ann.topkBruteForce(embs, q, "vec_id", "embedding", 5).count())
+
     val docs = graft.Tables.load(spark, dir, "documents")
     time("warm scan")(docs.count())
     val sh = graft.operators.Dedup.shingleFrame(docs, "doc_id", "text")
@@ -33,8 +42,13 @@ object Profile {
     time("bands")(bd.count())
     val cand = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text")
     time("candidates e2e")(cand.count())
+    time("candidates warm")(cand.count())
+    time("mh+bands warm")(bd.count())
     time("ngramJaccard e2e")(
       graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 0.8).count())
+    time("ngramJaccard warm")(
+      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 0.8).count())
+    if (args.length > 1) cand.explain("formatted")
     spark.stop()
   }
 }
