@@ -414,6 +414,207 @@ object Sig {
       .orderBy("user_id", "pos")
 
   // ------------------------------------------------------------------
+  // Recursive-CTE oracles for the IIR family (sosfilt / sosfiltfilt /
+  // decimate-iir). The kernel (Filt.sosfilt) runs section-by-section
+  // over the array; the oracle steps sample-by-sample through the
+  // cascade — same dependency DAG, identical IEEE expression at every
+  // node, so the outputs are bit-identical. Normalized coefficients
+  // and sosfilt_zi values are embedded as full-precision literals
+  // (Double.toString round-trips exactly through CAST('..' AS DOUBLE)).
+  // ------------------------------------------------------------------
+
+  private def L(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** Per-iteration SQL for one DF2T cascade step. Returns
+    * (stateCols, stateUpdateExprs(x), finalYExpr(x)) where exprs
+    * reference `$f.z{s}{k}` for prior state and `xExpr` for the input
+    * sample.
+    */
+  private def cascadeStep(sos: Array[Double], f: String, xExpr: String)
+  : (Seq[String], Seq[String], String) = {
+    val ns = sos.length / 6
+    val cols = (0 until ns).flatMap(s => Seq(s"z${s}0", s"z${s}1"))
+    var x = s"($xExpr)"
+    val upd = Seq.newBuilder[String]
+    for (s <- 0 until ns) {
+      val o = s * 6; val a0 = sos(o + 3)
+      val b0 = sos(o) / a0; val b1 = sos(o + 1) / a0; val b2 = sos(o + 2) / a0
+      val a1 = sos(o + 4) / a0; val a2 = sos(o + 5) / a0
+      val y = s"(${L(b0)} * $x + $f.z${s}0)"
+      upd += s"(${L(b1)} * $x + $f.z${s}1 - ${L(a1)} * $y)"
+      upd += s"(${L(b2)} * $x - ${L(a2)} * $y)"
+      x = y
+    }
+    (cols, upd.result(), x)
+  }
+
+  /** sosfilt over the (user_id, j, value) frame `s`: zero initial
+    * state, one recursion step per sample.
+    */
+  private def sosfiltRecSql(sos: Array[Double], baseSql: String): String = {
+    val (cols, upd, y) = cascadeStep(sos, "f", "s.value")
+    val zeroes = cols.map(c => s"CAST(0 AS DOUBLE) AS $c").mkString(", ")
+    val updSel = upd.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
+    s"""${baseSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, u AS (
+       |  SELECT DISTINCT user_id FROM s
+       |), f AS (
+       |  SELECT user_id, CAST(-1 AS BIGINT) AS j, $zeroes, CAST(0 AS DOUBLE) AS y FROM u
+       |  UNION ALL
+       |  SELECT f.user_id, s.j,
+       |    $updSel,
+       |    $y AS y
+       |  FROM f JOIN s ON s.user_id = f.user_id AND s.j = f.j + 1
+       |)
+       |SELECT user_id, CAST(j AS INT) AS pos, ${fpSql("y", "1e6")} AS value_fp
+       |FROM f WHERE j >= 0 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** sosfiltfilt over `s`: odd edge-padding (edge samples), zi-seeded
+    * forward pass over the extended series, zi-seeded backward pass,
+    * trim. `post` customizes the final projection (decimate keeps
+    * every q-th sample).
+    */
+  private def sosfiltfiltRecSql(sos: Array[Double], baseSql: String,
+                                edge: Int, finalSelect: String): String = {
+    val zi = graft.dsp.Filt.sosfiltZi(sos)
+    val (cols, updF, yF) = cascadeStep(sos, "fw", "e.xe")
+    val (_, updB, yB) = cascadeStep(sos, "bw", "f2.y")
+    def ziInit(x0: String): String =
+      cols.zipWithIndex.map { case (c, i) => s"${L(zi(i))} * ($x0) AS $c" }.mkString(", ")
+    val updFSel = updF.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
+    val updBSel = updB.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
+    val e2 = 2 * edge - 1
+    s"""${baseSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d0 AS (
+       |  SELECT user_id, MAX(j) + 1 AS n,
+       |    ARG_MIN(value, j) AS x0,
+       |    ARG_MAX(value, j) AS xl,
+       |    MAX(CASE WHEN j = $edge THEN value END) AS xedge
+       |  FROM s GROUP BY user_id
+       |), grid AS (
+       |  SELECT user_id, n, x0, xl, unnest(generate_series(0, n + $e2)) AS i FROM d0
+       |), ext AS (
+       |  SELECT g.user_id, g.i,
+       |    CASE WHEN g.i < $edge THEN 2 * g.x0 - src.value
+       |         WHEN g.i < $edge + g.n THEN src.value
+       |         ELSE 2 * g.xl - src.value END AS xe
+       |  FROM grid g JOIN s src ON src.user_id = g.user_id AND src.j =
+       |    CASE WHEN g.i < $edge THEN $edge - g.i
+       |         WHEN g.i < $edge + g.n THEN g.i - $edge
+       |         ELSE 2 * g.n - 2 + $edge - g.i END
+       |), fw AS (
+       |  SELECT user_id, CAST(-1 AS BIGINT) AS i, ${ziInit("2 * x0 - xedge")}, CAST(0 AS DOUBLE) AS y
+       |  FROM d0
+       |  UNION ALL
+       |  SELECT fw.user_id, e.i,
+       |    $updFSel,
+       |    $yF AS y
+       |  FROM fw JOIN ext e ON e.user_id = fw.user_id AND e.i = fw.i + 1
+       |), fl AS (
+       |  SELECT fw.user_id, d0.n, fw.y AS yl
+       |  FROM fw JOIN d0 ON d0.user_id = fw.user_id AND fw.i = d0.n + $e2
+       |), bw AS (
+       |  SELECT user_id, n, CAST(-1 AS BIGINT) AS k, ${ziInit("yl")}, CAST(0 AS DOUBLE) AS y
+       |  FROM fl
+       |  UNION ALL
+       |  SELECT bw.user_id, bw.n, bw.k + 1,
+       |    $updBSel,
+       |    $yB AS y
+       |  FROM bw JOIN fw f2 ON f2.user_id = bw.user_id AND f2.i = bw.n + $e2 - (bw.k + 1)
+       |)
+       |$finalSelect""".stripMargin
+  }
+
+  /** butter(4, 0.3): 2 sections, ntaps=5, edge=15. */
+  private lazy val sigSosfiltSql: String =
+    sosfiltRecSql(Design.butterSos(4, 0.3), sSql)
+
+  private lazy val sigSosfiltfiltSql: String = {
+    val edge = 15 // 3 * (2*2 + 1), no zero coefficients in either column
+    sosfiltfiltRecSql(Design.butterSos(4, 0.3), sSql, edge,
+      s"""SELECT user_id, CAST(n + ${edge - 1} - k AS INT) AS pos,
+         |  ${fpSql("y", "1e6")} AS value_fp
+         |FROM bw WHERE k >= $edge AND k <= n + ${edge - 1}
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** decimate(q=4, iir): cheby1(8, 0.05 dB, 0.2), 4 sections, ntaps=9,
+    * edge=27, on the 64-frame; keep every 4th trimmed sample.
+    */
+  private lazy val sigDecimateIirSql: String = {
+    val edge = 27
+    sosfiltfiltRecSql(graft.dsp.Design.cheby1Sos(8, 0.05, 0.2), s64Sql, edge,
+      s"""SELECT user_id, CAST((n + ${edge - 1} - k) // 4 AS INT) AS pos,
+         |  ${fpSql("y", "1e6")} AS value_fp
+         |FROM bw WHERE k >= $edge AND k <= n + ${edge - 1}
+         |  AND (n + ${edge - 1} - k) % 4 = 0
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** peak_widths: SQL replay of Peaks.prominence + Peaks.width. Local
+    * maxima by strict three-point rule (TESTDATA has no exact-equal
+    * neighbours, so scipy's plateau rule degenerates to this), then
+    * per-peak prominence bases and interpolated crossings via
+    * join-aggregations over the series.
+    */
+  private lazy val sigPeakWidthsSql: String = {
+    val h = "(pk.hp - 0.5 * (pk.hp - GREATEST(m.lm, m.rm)))"
+    s"""$sSql, pk AS (
+       |  SELECT a.user_id, a.j AS p, a.value AS hp, a.n
+       |  FROM s a
+       |  JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
+       |  JOIN s r ON r.user_id = a.user_id AND r.j = a.j + 1
+       |  WHERE l.value < a.value AND r.value < a.value
+       |), st AS (
+       |  SELECT pk.user_id, pk.p, pk.hp, pk.n,
+       |    COALESCE(MAX(b.j) FILTER (WHERE b.j < pk.p AND b.value > pk.hp) + 1, 0) AS lo,
+       |    COALESCE(MIN(b.j) FILTER (WHERE b.j > pk.p AND b.value > pk.hp) - 1, pk.n - 1) AS hi
+       |  FROM pk JOIN s b ON b.user_id = pk.user_id
+       |  GROUP BY 1, 2, 3, 4
+       |), mn AS (
+       |  SELECT st.user_id, st.p, st.hp, st.lo, st.hi,
+       |    MIN(b.value) FILTER (WHERE b.j >= st.lo AND b.j <= st.p) AS lm,
+       |    MIN(b.value) FILTER (WHERE b.j >= st.p AND b.j <= st.hi) AS rm
+       |  FROM st JOIN s b ON b.user_id = st.user_id
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), bs AS (
+       |  SELECT m.user_id, m.p, m.hp, m.lm, m.rm,
+       |    MAX(b.j) FILTER (WHERE b.j >= m.lo AND b.j <= m.p AND b.value = m.lm) AS lbase,
+       |    MIN(b.j) FILTER (WHERE b.j >= m.p AND b.j <= m.hi AND b.value = m.rm) AS rbase
+       |  FROM mn m JOIN s b ON b.user_id = m.user_id
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), ip AS (
+       |  SELECT pk.user_id, pk.p, pk.hp, $h AS height, m.lbase, m.rbase,
+       |    MAX(b.j) FILTER (WHERE b.j >= m.lbase AND b.j <= pk.p AND b.value <= $h) AS i1,
+       |    MIN(b.j) FILTER (WHERE b.j >= pk.p AND b.j <= m.rbase AND b.value <= $h) AS r1
+       |  FROM bs m
+       |  JOIN pk ON pk.user_id = m.user_id AND pk.p = m.p
+       |  JOIN s b ON b.user_id = m.user_id
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |), res AS (
+       |  SELECT ip.user_id, ip.p, ip.height,
+       |    CAST(ip.i1 AS DOUBLE) +
+       |      CASE WHEN xi.value < ip.height
+       |           THEN (ip.height - xi.value) / (xip.value - xi.value) ELSE 0 END AS lip,
+       |    CAST(ip.r1 AS DOUBLE) -
+       |      CASE WHEN xr.value < ip.height
+       |           THEN (ip.height - xr.value) / (xrm.value - xr.value) ELSE 0 END AS rip
+       |  FROM ip
+       |  JOIN s xi ON xi.user_id = ip.user_id AND xi.j = ip.i1
+       |  LEFT JOIN s xip ON xip.user_id = ip.user_id AND xip.j = ip.i1 + 1
+       |  JOIN s xr ON xr.user_id = ip.user_id AND xr.j = ip.r1
+       |  LEFT JOIN s xrm ON xrm.user_id = ip.user_id AND xrm.j = ip.r1 - 1
+       |)
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) - 1 AS INT) AS pos,
+       |  CAST(p AS INT) AS peak,
+       |  ${fpSql("rip - lip", "1e6")} AS width_fp,
+       |  ${fpSql("height", "1e6")} AS wh_fp,
+       |  ${fpSql("lip", "1e6")} AS lip_fp,
+       |  ${fpSql("rip", "1e6")} AS rip_fp
+       |FROM res ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sig_rfft" -> (sigRfft _),
@@ -448,6 +649,10 @@ object Sig {
     "sig_convolve_same" -> sigConvolveSameSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
     "sig_decimate_fir" -> sigDecimateFirSql,
+    "sig_decimate_iir" -> sigDecimateIirSql,
     "sig_resample" -> sigResampleSql,
-    "sig_hilbert_envelope" -> sigHilbertEnvelopeSql)
+    "sig_hilbert_envelope" -> sigHilbertEnvelopeSql,
+    "sig_sosfilt" -> sigSosfiltSql,
+    "sig_sosfiltfilt" -> sigSosfiltfiltSql,
+    "sig_peak_widths" -> sigPeakWidthsSql)
 }
