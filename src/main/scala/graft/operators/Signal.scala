@@ -195,6 +195,83 @@ object Signal {
                   value: String, mode: String = "full"): DataFrame =
     convolve(in1, in2, keys, dim, value, mode, "fft")
 
+  /** Cross-correlation (scipy.signal.correlate): convolve with the
+    * reversed kernel. Same join/broadcast shape as [[convolve]].
+    */
+  def correlate(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
+                value: String, mode: String = "full", method: String = "auto"): DataFrame = {
+    val s1 = seriesify(in1, keys, dim, Seq(value))
+    val s2 = seriesify(in2, Nil, dim, Seq(value)).withColumnRenamed(value, "_b")
+    val joined = s1.crossJoin(broadcast(s2.select(col("_b"))))
+    val withOut = joined.withColumn("_out", correlateC(col(value), col("_b"), mode, method))
+    explodeSeries(withOut, keys, Seq("value" -> col("_out")))
+  }
+
+  /** Overlap-save chunked convolution (SURVEY.md §4): the scale path
+    * for series whose core dim does not fit one task — something the
+    * reference's dask layer cannot do at all (it forbids chunking the
+    * core dim, test_fft__dask_raises_main_axis). The series stays in
+    * long format; each task sees one chunk of `chunkSize` samples plus
+    * an (m-1)-sample halo replicated from the previous chunk, so the
+    * shuffle carries each row at most twice and no task ever holds the
+    * whole series. Interior sums accumulate in the same tap order as
+    * the direct kernel, so the output is bit-identical to
+    * [[convolve]] mode=full.
+    */
+  def convolveLong(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                   kernel: Array[Double], chunkSize: Int = 4096,
+                   method: String = "auto"): DataFrame = {
+    val m = kernel.length
+    require(m >= 1, "kernel must be non-empty")
+    require(chunkSize > m - 1, s"chunkSize $chunkSize must exceed kernel halo ${m - 1}")
+    val h = m - 1
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(dim).cast("double"), col(value).cast("double"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val c0 = expr(s"_j div $chunkSize")
+    val cmax = expr(s"(_n - 1) div $chunkSize")
+    val idx = df
+      .withColumn("_j", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_c", explode(
+        when(col("_j") % chunkSize >= chunkSize - h && c0 + 1 <= cmax,
+          array(c0, c0 + 1)).otherwise(array(c0))))
+    val grouped = idx
+      .groupBy((keys.map(col) :+ col("_c")): _*)
+      .agg(
+        expr(s"transform(array_sort(collect_list(named_struct('j', _j, 'v', $value))), s -> s.v)").as("_vals"),
+        min(col("_j")).as("_start"),
+        max(col("_n")).as("_gn"))
+      .withColumn("_out", convolveC(col("_vals"), typedLit(kernel), "full", method))
+    val exploded = grouped.select(
+      (keys.map(col) ++ Seq(col("_c"), col("_start"), col("_gn"),
+        posexplode(col("_out")).as(Seq("_r", "value")))): _*)
+      .withColumn("pos", col("_start") + col("_r"))
+      .filter(col("pos") >= col("_c") * chunkSize &&
+        (col("pos") < (col("_c") + 1) * chunkSize ||
+          col("_c") === expr(s"(_gn - 1) div $chunkSize")))
+    exploded.select((keys.map(col) :+ col("pos").cast("int").as("pos") :+ col("value")): _*)
+  }
+
+  // ---- b,a filtering (the decimate FIR/IIR building blocks) -----------
+
+  /** lfilter (DF2T direct form) per series. */
+  def lfilter(b: Array[Double], a: Array[Double], df: DataFrame, keys: Seq[String],
+              dim: String, value: String): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", lfilterC(typedLit(b), typedLit(a), col(value)))
+    explodeSeries(withOut, keys, Seq(dim -> col("coords"), "value" -> col("_out")))
+  }
+
+  /** filtfilt: zero-phase forward-backward lfilter per series. */
+  def filtfilt(b: Array[Double], a: Array[Double], df: DataFrame, keys: Seq[String],
+               dim: String, value: String): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", filtfiltC(typedLit(b), typedLit(a), col(value)))
+    explodeSeries(withOut, keys, Seq(dim -> col("coords"), "value" -> col("_out")))
+  }
+
   // ---- filtering (signal.py:403-461) ---------------------------------
 
   /** sosfilt: causal cascaded-biquad filter per series; coords pass

@@ -278,6 +278,35 @@ object Sig {
       .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  /** Overlap-save chunked convolution (chunk=32 → ~3 chunks/series at
+    * the oracle SF) must agree with the direct full-mode oracle
+    * bit-for-bit.
+    */
+  def sigConvolveLong(s: SparkSession, dir: String): DataFrame =
+    Signal.convolveLong(evReal(installed(s), dir), Seq("user_id"), "t", "value",
+      Array(0.25, 0.5, 0.25), chunkSize = 32)
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  /** Cross-correlation with an asymmetric kernel (a symmetric one
+    * would make correlate == convolve and test nothing).
+    */
+  def sigCorrelate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = Seq((0.0, 0.5), (1.0, 0.3), (2.0, 0.2)).toDF("t", "value")
+    Signal.correlate(evReal(s, dir), k, Seq("user_id"), "t", "value", "full")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigCorrelateSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j + (2 - h.i) AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, (VALUES (0, 0.5), (1, 0.3), (2, 0.2)) h(i, w)
+       |GROUP BY s.user_id, s.j + (2 - h.i)
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // rate changes
   // ------------------------------------------------------------------
@@ -400,6 +429,29 @@ object Sig {
       .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  /** butter(2, 0.4) is a single biquad, so lfilter's DF2T step is
+    * exactly the one-section cascade — the recursive oracle generator
+    * covers the (b, a) form too.
+    */
+  private lazy val ba24: (Array[Double], Array[Double]) = {
+    val sos = Design.butterSos(2, 0.4)
+    (Array(sos(0), sos(1), sos(2)), Array(sos(3), sos(4), sos(5)))
+  }
+
+  def sigLfilter(s: SparkSession, dir: String): DataFrame = {
+    val (b, a) = ba24
+    Signal.lfilter(b, a, evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  def sigFiltfilt(s: SparkSession, dir: String): DataFrame = {
+    val (b, a) = ba24
+    Signal.filtfilt(b, a, evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
   /** peak_widths at rel_height 0.5 over per-user local maxima —
     * iterative interpolation walk: rows-only + golden tests (PeaksSpec,
     * SignalSpec).
@@ -451,11 +503,19 @@ object Sig {
   /** sosfilt over the (user_id, j, value) frame `s`: zero initial
     * state, one recursion step per sample.
     */
+  /** DuckDB inlines (= re-executes) non-materialized CTEs referenced
+    * from a recursive step, turning N-iteration recursions into O(N²)
+    * replans — force materialization of everything the recursion scans.
+    */
+  private def recBase(baseSql: String): String =
+    baseSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace(" s AS (", " s AS MATERIALIZED (")
+
   private def sosfiltRecSql(sos: Array[Double], baseSql: String): String = {
     val (cols, upd, y) = cascadeStep(sos, "f", "s.value")
     val zeroes = cols.map(c => s"CAST(0 AS DOUBLE) AS $c").mkString(", ")
     val updSel = upd.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
-    s"""${baseSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, u AS (
+    s"""${recBase(baseSql)}, u AS (
        |  SELECT DISTINCT user_id FROM s
        |), f AS (
        |  SELECT user_id, CAST(-1 AS BIGINT) AS j, $zeroes, CAST(0 AS DOUBLE) AS y FROM u
@@ -484,7 +544,7 @@ object Sig {
     val updFSel = updF.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
     val updBSel = updB.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
     val e2 = 2 * edge - 1
-    s"""${baseSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d0 AS (
+    s"""${recBase(baseSql)}, d0 AS MATERIALIZED (
        |  SELECT user_id, MAX(j) + 1 AS n,
        |    ARG_MIN(value, j) AS x0,
        |    ARG_MAX(value, j) AS xl,
@@ -492,7 +552,7 @@ object Sig {
        |  FROM s GROUP BY user_id
        |), grid AS (
        |  SELECT user_id, n, x0, xl, unnest(generate_series(0, n + $e2)) AS i FROM d0
-       |), ext AS (
+       |), ext AS MATERIALIZED (
        |  SELECT g.user_id, g.i,
        |    CASE WHEN g.i < $edge THEN 2 * g.x0 - src.value
        |         WHEN g.i < $edge + g.n THEN src.value
@@ -509,9 +569,11 @@ object Sig {
        |    $updFSel,
        |    $yF AS y
        |  FROM fw JOIN ext e ON e.user_id = fw.user_id AND e.i = fw.i + 1
+       |), fwm AS MATERIALIZED (
+       |  SELECT * FROM fw
        |), fl AS (
        |  SELECT fw.user_id, d0.n, fw.y AS yl
-       |  FROM fw JOIN d0 ON d0.user_id = fw.user_id AND fw.i = d0.n + $e2
+       |  FROM fwm fw JOIN d0 ON d0.user_id = fw.user_id AND fw.i = d0.n + $e2
        |), bw AS (
        |  SELECT user_id, n, CAST(-1 AS BIGINT) AS k, ${ziInit("yl")}, CAST(0 AS DOUBLE) AS y
        |  FROM fl
@@ -519,7 +581,7 @@ object Sig {
        |  SELECT bw.user_id, bw.n, bw.k + 1,
        |    $updBSel,
        |    $yB AS y
-       |  FROM bw JOIN fw f2 ON f2.user_id = bw.user_id AND f2.i = bw.n + $e2 - (bw.k + 1)
+       |  FROM bw JOIN fwm f2 ON f2.user_id = bw.user_id AND f2.i = bw.n + $e2 - (bw.k + 1)
        |)
        |$finalSelect""".stripMargin
   }
@@ -527,6 +589,22 @@ object Sig {
   /** butter(4, 0.3): 2 sections, ntaps=5, edge=15. */
   private lazy val sigSosfiltSql: String =
     sosfiltRecSql(Design.butterSos(4, 0.3), sSql)
+
+  /** lfilter(butter(2, 0.4)) == single-section sosfilt. */
+  private lazy val sigLfilterSql: String =
+    sosfiltRecSql(Design.butterSos(2, 0.4), sSql)
+
+  /** filtfilt(butter(2, 0.4)): ntaps = max(|b|,|a|) = 3 → edge 9;
+    * identical padding/zi to the one-section sosfiltfilt.
+    */
+  private lazy val sigFiltfiltSql: String = {
+    val edge = 9
+    sosfiltfiltRecSql(Design.butterSos(2, 0.4), sSql, edge,
+      s"""SELECT user_id, CAST(n + ${edge - 1} - k AS INT) AS pos,
+         |  ${fpSql("y", "1e6")} AS value_fp
+         |FROM bw WHERE k >= $edge AND k <= n + ${edge - 1}
+         |ORDER BY 1, 2""".stripMargin)
+  }
 
   private lazy val sigSosfiltfiltSql: String = {
     val edge = 15 // 3 * (2*2 + 1), no zero coefficients in either column
@@ -627,7 +705,11 @@ object Sig {
     "sig_ifftshift" -> (sigIfftshift _),
     "sig_convolve_full" -> (sigConvolveFull _),
     "sig_convolve_same" -> (sigConvolveSame _),
+    "sig_convolve_long" -> (sigConvolveLong _),
+    "sig_correlate" -> (sigCorrelate _),
     "sig_fftconvolve" -> (sigFftconvolve _),
+    "sig_lfilter" -> (sigLfilter _),
+    "sig_filtfilt" -> (sigFiltfilt _),
     "sig_decimate_fir" -> (sigDecimateFir _),
     "sig_decimate_iir" -> (sigDecimateIir _),
     "sig_resample" -> (sigResample _),
@@ -647,7 +729,11 @@ object Sig {
     "sig_ifftshift" -> sigIfftshiftSql,
     "sig_convolve_full" -> sigConvolveFullSql,
     "sig_convolve_same" -> sigConvolveSameSql,
+    "sig_convolve_long" -> sigConvolveFullSql,
+    "sig_correlate" -> sigCorrelateSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
+    "sig_lfilter" -> sigLfilterSql,
+    "sig_filtfilt" -> sigFiltfiltSql,
     "sig_decimate_fir" -> sigDecimateFirSql,
     "sig_decimate_iir" -> sigDecimateIirSql,
     "sig_resample" -> sigResampleSql,

@@ -135,6 +135,40 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("convolveLong (overlap-save) is bit-identical to whole-series convolve") {
+    val kernel = Array(0.25, 0.5, 0.25)
+    for (chunk <- Seq(4, 8, 31)) {
+      val out = Signal.convolveLong(longDf, Seq("k"), "t", "x", kernel, chunkSize = chunk)
+      for (k <- Seq("a", "b", "c")) {
+        val want = Conv.convolve(series(k, "x"), kernel, "full", "direct")
+        val got = collectBy(out, k, "value")
+        assert(got.length == want.length, s"chunk=$chunk k=$k length")
+        assert(got.indices.forall(i => got(i) == want(i)), s"chunk=$chunk k=$k values")
+      }
+    }
+  }
+
+  test("correlate matches kernel (asymmetric taps)") {
+    val kdf = Seq((0.0, 0.5), (1.0, 0.3), (2.0, 0.2)).toDF("t", "x")
+    val out = Signal.correlate(longDf, kdf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      val want = Conv.correlate(series(k, "x"), Array(0.5, 0.3, 0.2))
+      assert(maxDiff(collectBy(out, k, "value"), want) < 1e-12)
+    }
+  }
+
+  test("lfilter/filtfilt match kernels and preserve coords") {
+    val sos = Design.butterSos(2, 0.4)
+    val b = Array(sos(0), sos(1), sos(2)); val a = Array(sos(3), sos(4), sos(5))
+    val out = Signal.lfilter(b, a, longDf, Seq("k"), "t", "x")
+    val outFF = Signal.filtfilt(b, a, longDf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      assert(maxDiff(collectBy(out, k, "value"), Filt.lfilter(b, a, x)) < 1e-12)
+      assert(maxDiff(collectBy(outFF, k, "value"), Filt.filtfilt(b, a, x)) < 1e-12)
+    }
+  }
+
   test("decimate emits every q-th coord and kernel values") {
     val out = Signal.decimate(longDf, Seq("k"), "t", "x", q = 2, ftype = "fir")
     val x = series("a", "x")
