@@ -75,6 +75,19 @@ object Bridge {
   def correlate(a: ArrayData, b: ArrayData, mode: UTF8String, method: UTF8String): ArrayData =
     out(Conv.correlate(d(a), d(b), mode.toString, method.toString))
 
+  /** 2-D FFT convolution over row-major flattened grids — the
+    * reference's multi-dim `fftconvolve(dims=[d1, d2])`
+    * (xarray_scipy/signal.py:51). Column counts are derived from the
+    * flattened lengths.
+    */
+  def fftconvolve2d(a: ArrayData, aRows: Int, b: ArrayData, bRows: Int,
+                    mode: UTF8String): InternalRow = {
+    val av = d(a); val bv = d(b)
+    val (res, outR, outC) = Conv.fftconvolve2d(
+      av, aRows, av.length / aRows, bv, bRows, bv.length / bRows, mode.toString)
+    new GenericInternalRow(Array[Any](out(res), outR, outC))
+  }
+
   // ---- filtering ----------------------------------------------------
 
   def sosfilt(sos: ArrayData, x: ArrayData): ArrayData =
@@ -286,6 +299,11 @@ object Bridge {
     "ifftshift" -> (Seq(arrD) -> arrD),
     "convolve" -> (Seq(arrD, arrD, StringType, StringType) -> arrD),
     "correlate" -> (Seq(arrD, arrD, StringType, StringType) -> arrD),
+    "fftconvolve2d" -> (Seq(arrD, IntegerType, arrD, IntegerType, StringType)
+      -> StructType(Seq(
+        StructField("vals", arrD, nullable = false),
+        StructField("rows", IntegerType, nullable = false),
+        StructField("cols", IntegerType, nullable = false)))),
     "sosfilt" -> (Seq(arrD, arrD) -> arrD),
     "sosfiltfilt" -> (Seq(arrD, arrD, StringType, IntegerType) -> arrD),
     "lfilter" -> (Seq(arrD, arrD, arrD) -> arrD),
@@ -322,6 +340,7 @@ object Bridge {
     case "ifftshift" => ifftshift(a(0).asInstanceOf[ArrayData])
     case "convolve" => convolve(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "correlate" => correlate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
+    case "fftconvolve2d" => fftconvolve2d(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Int], a(4).asInstanceOf[UTF8String])
     case "sosfilt" => sosfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "sosfiltfilt" => sosfiltfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[Int])
     case "lfilter" => lfilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])

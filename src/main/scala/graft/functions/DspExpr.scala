@@ -129,6 +129,9 @@ object Functions {
     def ifftshiftC(x: Column): Column = call("ifftshift", x)
     def convolveC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
       call("convolve", a, b, lit(mode), lit(method))
+    def fftconvolve2dC(a: Column, aRows: Column, b: Column, bRows: Column,
+                       mode: String = "full"): Column =
+      call("fftconvolve2d", a, aRows, b, bRows, lit(mode))
     def correlateC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
       call("correlate", a, b, lit(mode), lit(method))
     def sosfiltC(sos: Column, x: Column): Column = call("sosfilt", sos, x)

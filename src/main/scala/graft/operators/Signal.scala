@@ -195,6 +195,33 @@ object Signal {
                   value: String, mode: String = "full"): DataFrame =
     convolve(in1, in2, keys, dim, value, mode, "fft")
 
+  /** 2-D FFT convolution over two core dims — the reference's
+    * multi-dim `fftconvolve(dims=[d1, d2])` (signal.py:51). The group
+    * must form a complete (dim1 × dim2) grid; values are assembled
+    * row-major by sorting on (dim1, dim2). Output: keys, pos1, pos2,
+    * value. Same one-shuffle execution shape as the 1-D ops.
+    */
+  def fftconvolve2d(df: DataFrame, keys: Seq[String], dim1: String, dim2: String,
+                    value: String, kernel: Array[Double], kernelRows: Int,
+                    mode: String = "full"): DataFrame = {
+    val packed = struct(col(dim1).cast("double").as("c1"),
+      col(dim2).cast("double").as("c2"), col(value).cast("double").as("v"))
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("_arr"),
+        countDistinct(col(dim1)).cast("int").as("_n1"))
+    val withOut = grouped
+      .withColumn("_vals", expr("transform(_arr, s -> s.v)"))
+      .withColumn("_out", fftconvolve2dC(col("_vals"), col("_n1"),
+        typedLit(kernel), lit(kernelRows), mode))
+    val exploded = withOut.select(
+      (keys.map(col) ++ Seq(col("_out.cols").as("_oc"),
+        posexplode(col("_out.vals")).as(Seq("_p", "value")))): _*)
+    exploded
+      .withColumn("pos1", expr("_p div _oc").cast("int"))
+      .withColumn("pos2", (col("_p") % col("_oc")).cast("int"))
+      .select((keys.map(col) ++ Seq(col("pos1"), col("pos2"), col("value"))): _*)
+  }
+
   /** Cross-correlation (scipy.signal.correlate): convolve with the
     * reversed kernel. Same join/broadcast shape as [[convolve]].
     */

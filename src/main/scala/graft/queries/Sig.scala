@@ -288,6 +288,31 @@ object Sig {
       .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  /** 2-D fftconvolve on the 64-frame reshaped to an 8×8 grid
+    * (r = j div 8, c = j mod 8) with an asymmetric 2×2 kernel; the
+    * oracle is the direct 2-D sum.
+    */
+  def sigFftconvolve2d(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir)
+      .withColumn("r", expr("CAST(t AS INT) div 8"))
+      .withColumn("c", expr("CAST(t AS INT) % 8"))
+    Signal.fftconvolve2d(grid, Seq("user_id"), "r", "c", "value",
+      Array(1.0, 0.5, 0.25, 0.125), kernelRows = 2)
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigFftconvolve2dSql: String =
+    s"""$s64Sql
+       |SELECT s.user_id,
+       |  CAST(s.j // 8 + k.ki AS INT) AS pos1,
+       |  CAST(s.j % 8 + k.kj AS INT) AS pos2,
+       |  ${fpSql("SUM(s.value * k.w)", "1e6")} AS value_fp
+       |FROM s, (VALUES (0, 0, 1.0), (0, 1, 0.5), (1, 0, 0.25), (1, 1, 0.125)) k(ki, kj, w)
+       |GROUP BY s.user_id, s.j // 8 + k.ki, s.j % 8 + k.kj
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Cross-correlation with an asymmetric kernel (a symmetric one
     * would make correlate == convolve and test nothing).
     */
@@ -707,6 +732,7 @@ object Sig {
     "sig_convolve_same" -> (sigConvolveSame _),
     "sig_convolve_long" -> (sigConvolveLong _),
     "sig_correlate" -> (sigCorrelate _),
+    "sig_fftconvolve2d" -> (sigFftconvolve2d _),
     "sig_fftconvolve" -> (sigFftconvolve _),
     "sig_lfilter" -> (sigLfilter _),
     "sig_filtfilt" -> (sigFiltfilt _),
@@ -731,6 +757,7 @@ object Sig {
     "sig_convolve_same" -> sigConvolveSameSql,
     "sig_convolve_long" -> sigConvolveFullSql,
     "sig_correlate" -> sigCorrelateSql,
+    "sig_fftconvolve2d" -> sigFftconvolve2dSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
     "sig_lfilter" -> sigLfilterSql,
     "sig_filtfilt" -> sigFiltfiltSql,

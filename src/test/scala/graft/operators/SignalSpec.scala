@@ -148,6 +148,20 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("fftconvolve2d assembles row-major grids and matches the kernel") {
+    // 8x4 grid per key from series "a" (n=32): r = i div 4, c = i mod 4
+    val grid = longDf.filter($"k" === "a")
+      .withColumn("r", org.apache.spark.sql.functions.expr("CAST(t / 0.5 AS INT) div 4"))
+      .withColumn("c", org.apache.spark.sql.functions.expr("CAST(t / 0.5 AS INT) % 4"))
+    val kern = Array(1.0, 0.5, 0.25, 0.125)
+    val out = Signal.fftconvolve2d(grid, Seq("k"), "r", "c", "x", kern, kernelRows = 2)
+    val x = series("a", "x")
+    val (want, wr, wc) = Conv.fftconvolve2d(x, 8, 4, kern, 2, 2, "full")
+    val got = out.orderBy("pos1", "pos2").select("value").as[Double].collect()
+    assert(wr == 9 && wc == 5 && got.length == want.length)
+    assert(maxDiff(got, want) < 1e-9)
+  }
+
   test("correlate matches kernel (asymmetric taps)") {
     val kdf = Seq((0.0, 0.5), (1.0, 0.3), (2.0, 0.2)).toDF("t", "x")
     val out = Signal.correlate(longDf, kdf, Seq("k"), "t", "x")
