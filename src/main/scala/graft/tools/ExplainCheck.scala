@@ -1,8 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Ad-hoc plan inspector: `tools/run.sh graft.tools.ExplainCheck <op>` —
-  * prints the formatted physical plan for one Signal op so shuffle
-  * count, pushdown, and codegen spans can be reviewed (SURVEY.md §6).
+
+/** Plan inspector: `tools/run.sh graft.tools.ExplainCheck [query ...]` —
+  * prints the formatted physical plan for named SparkEntry queries (all
+  * relational + one per family by default) so shuffle count, pushdown,
+  * and codegen spans can be reviewed (SURVEY.md §6).
   */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
@@ -12,8 +14,15 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.Functions.install(spark)
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val out = graft.operators.Signal.rfft(ev, Seq("user_id"), "ts", "value")
-    out.explain("formatted")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "q2_join", "sig_rfft", "sig_sosfilt",
+        "dedup_minhash_lsh", "ann_topk_bruteforce")
+    val dir = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
   }
 }
