@@ -358,6 +358,49 @@ object Pipeline {
       |  COUNT(*) AS cnt
       |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Stub resize (stride subsample to 32 bytes), decoded back to a
+    * string so the oracle can rebuild it from codepoints (en docs are
+    * ASCII, same contract as mm_image_features).
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(
+      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"), 32)
+      .select(col("media_id").as("doc_id"),
+        decode(col("resized"), "UTF-8").as("resized_str"))
+      .orderBy("doc_id")
+
+  private val mmResizeSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en'
+      |), idx AS (
+      |  SELECT doc_id, text, n, LEAST(32, n) AS d,
+      |    unnest(generate_series(0, LEAST(32, n) - 1)) AS i
+      |  FROM en
+      |)
+      |SELECT doc_id,
+      |  STRING_AGG(substr(text, CAST(i * n // d AS INT) + 1, 1), '' ORDER BY i) AS resized_str
+      |FROM idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Stub frame sampling (16-byte frames, every 2nd), frames decoded
+    * to strings for the oracle.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"), 16, 2)
+      .select(col("media_id").as("doc_id"),
+        posexplode(col("frames")).as(Seq("pos", "frame")))
+      .select(col("doc_id"), col("pos"), decode(col("frame"), "UTF-8").as("frame_str"))
+      .orderBy("doc_id", "pos")
+
+  private val mmFramesSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en'
+      |), fr AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, n // 16 - 1)) AS f FROM en
+      |)
+      |SELECT doc_id, CAST(f // 2 AS INT) AS pos, substr(text, CAST(f * 16 AS INT) + 1, 16) AS frame_str
+      |FROM fr WHERE f % 2 = 0 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -373,7 +416,9 @@ object Pipeline {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
-    "mm_image_features" -> (mmImageFeatures _))
+    "mm_image_features" -> (mmImageFeatures _),
+    "mm_resize" -> (mmResize _),
+    "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -388,5 +433,7 @@ object Pipeline {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "mm_image_features" -> mmImageFeaturesSql)
+    "mm_image_features" -> mmImageFeaturesSql,
+    "mm_resize" -> mmResizeSql,
+    "mm_frames" -> mmFramesSql)
 }
