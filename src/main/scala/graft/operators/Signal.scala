@@ -30,8 +30,29 @@ object Signal {
     * deterministically ordered by coordinate regardless of shuffle
     * nondeterminism (array_sort on struct(coord, ...)).
     */
+  /** Columns that mark a frame as already seriesified. */
+  private val seriesCols = Seq("n", "delta", "cmin", "cmax", "coords")
+
+  /** Pre-grouped entry (SURVEY.md §4): input already holds one row per
+    * series with a sorted coordinate array and parallel value arrays —
+    * the natural layout for telemetry bucketed/stored by series key.
+    * Derives the series metadata map-side; every Signal op then skips
+    * its groupBy exchange entirely ([[seriesify]] passes such frames
+    * through untouched).
+    */
+  def fromGrouped(df: DataFrame, coordsCol: String): DataFrame =
+    df.withColumn("n", size(col(coordsCol)).cast("int"))
+      .withColumn("cmin", element_at(col(coordsCol), 1).cast("double"))
+      .withColumn("cmax", element_at(col(coordsCol), col("n")).cast("double"))
+      .withColumn("delta",
+        when(col("n") > 1, (col("cmax") - col("cmin")) / (col("n") - 1))
+          .otherwise(lit(1.0)))
+      .withColumn("coords", expr(s"transform($coordsCol, c -> CAST(c AS DOUBLE))"))
+
   def seriesify(df: DataFrame, keys: Seq[String], dim: String,
                 values: Seq[String]): DataFrame = {
+    if (seriesCols.forall(df.columns.contains) && values.forall(df.columns.contains))
+      return df // already seriesified (fromGrouped) — no shuffle
     val packed = struct(
       (col(dim).cast("double").as("c") +:
         values.zipWithIndex.map { case (v, i) => col(v).cast("double").as(s"v$i") }): _*)

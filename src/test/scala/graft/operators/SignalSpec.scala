@@ -225,6 +225,26 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("fromGrouped skips the shuffle and matches the long-frame path") {
+    // materialize the series-layout table (as a pre-bucketed store
+    // would hold it) so the plan under test starts from a local scan
+    val computed = Signal.seriesify(longDf, Seq("k"), "t", Seq("x"))
+      .select($"k", $"coords".as("cs"), $"x")
+    val grouped = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(computed.collect(): _*)),
+      computed.schema)
+    val viaGrouped = Signal.rfft(Signal.fromGrouped(grouped, "cs"), Seq("k"), "t", "x")
+    val viaLong = Signal.rfft(longDf, Seq("k"), "t", "x")
+    for (k <- Seq("a", "b")) {
+      assert(maxDiff(collectBy(viaGrouped, k, "re"), collectBy(viaLong, k, "re")) == 0.0)
+      assert(maxDiff(collectBy(viaGrouped, k, "frequency"),
+        collectBy(viaLong, k, "frequency")) == 0.0)
+    }
+    // the pre-grouped plan must contain no shuffle at all
+    val plan = viaGrouped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("sql surface: graft_* functions callable from spark.sql") {
     val r = spark.sql(
       "SELECT graft_rfft(array(1.0d, 2.0d, 3.0d, 4.0d), -1, 'backward') AS s").collect()(0)
