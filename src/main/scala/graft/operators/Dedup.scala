@@ -84,15 +84,19 @@ object Dedup {
     * would rebuild the whole shingle→minhash pipeline for both sides
     * and broadcast one of them). Identical docs collapse to one
     * bucket, so bucket sizes are bounded by the duplicate-cluster
-    * size; at heavy skew a bucket-size cap + salting goes here.
+    * size; `maxBucket` caps the quadratic pair emission for degenerate
+    * buckets (a bucket of identical boilerplate at corpus scale) — the
+    * capped buckets are already fully-connected duplicate clusters, so
+    * downstream exact-dedup handles them more cheaply than pairing.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 12, r: Int = 3): DataFrame = {
+                        k: Int = 12, r: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol)
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
     val buckets = bd.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ids")) - 2),
