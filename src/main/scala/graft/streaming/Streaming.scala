@@ -78,6 +78,20 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: normalize → content hash →
+    * dropDuplicatesWithinWatermark, so the state store holds one hash
+    * per distinct document inside the lateness window instead of the
+    * documents themselves. The batch twin is Dedup.exact.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_h", md5(encode(
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), "UTF-8")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   /** Streaming per-user sosfilt: cascaded-biquad state carried across
     * micro-batches in the state store (events assumed in order per key
     * within the stream, the usual telemetry contract). Reuses the

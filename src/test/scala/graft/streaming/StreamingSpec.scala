@@ -79,6 +79,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per normalized content hash") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    val q = Streaming.streamingDedup(df, "ts", "text")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      in.addData((ts(1), "Hello  World"), (ts(2), "hello world"), (ts(3), "other doc"))
+      q.processAllAvailable()
+      in.addData((ts(4), "HELLO WORLD"), (ts(5), "fresh one"))
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").select("text").as[String].collect().toSet
+      assert(texts.size == 3)
+      assert(texts.map(_.toLowerCase.replaceAll("\\s+", " ")) ==
+        Set("hello world", "other doc", "fresh one"))
+    } finally q.stop()
+  }
+
   test("sosfiltWithState composes: filter(a++b) == filter(a) then filter(b)") {
     val sos = Design.cheby1Sos(6, 0.5, 0.4)
     val rnd = new scala.util.Random(3)
