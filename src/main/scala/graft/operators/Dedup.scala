@@ -57,12 +57,18 @@ object Dedup {
       .select(col(idCol), explode(shingles(col("_ws"))).as("s"))
 
   /** MinHash signatures: k independent permutations approximated by
-    * min(md5(seed || shingle)); one shuffle (groupBy id) computes all
-    * k mins map-side-combined.
+    * min over the leading 60 bits of md5(seed || shingle) as BIGINT
+    * (same ordering as the lexicographic hex min — fixed-width hex is
+    * order-isomorphic to its numeric value — but long-typed, so the
+    * aggregate stays in codegen'd HashAggregate instead of falling
+    * back to SortAggregate on string buffers, and the shuffle carries
+    * 8-byte values). One shuffle (groupBy id) computes all k mins
+    * map-side-combined.
     */
   def minhash(sh: DataFrame, idCol: String, k: Int): DataFrame = {
     val aggs = (0 until k).map { i =>
-      min(md5(encode(concat(lit(s"$i|"), col("s")), "UTF-8"))).as(s"h$i")
+      min(conv(substring(md5(encode(concat(lit(s"$i|"), col("s")), "UTF-8")), 1, 15),
+        16, 10).cast("long")).as(s"h$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

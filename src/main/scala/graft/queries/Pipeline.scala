@@ -45,10 +45,11 @@ object Pipeline {
       |                         for i in generate_series(1, len(ws) - 2)]) AS s
       |  FROM w WHERE len(ws) >= 3
       |), mh AS (
-      |  SELECT doc_id, r.i, MIN(md5(CAST(r.i AS VARCHAR) || '|' || s)) AS h
+      |  SELECT doc_id, r.i,
+      |    MIN(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)) AS h
       |  FROM sh, range(12) r(i) GROUP BY 1, 2
       |), band AS (
-      |  SELECT doc_id, i // 3 AS band, STRING_AGG(h, '|' ORDER BY i) AS sig
+      |  SELECT doc_id, i // 3 AS band, STRING_AGG(CAST(h AS VARCHAR), '|' ORDER BY i) AS sig
       |  FROM mh GROUP BY 1, 2
       |), cand AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
