@@ -86,6 +86,12 @@ case class DspExpr(fn: String, children: Seq[Expression]) extends Expression {
   override def prettyName: String = s"graft_${fn.toLowerCase}"
 }
 
+/** `spark.sql.extensions` entry point (see [[Functions.installExtensions]]). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    Functions.installExtensions(ext)
+}
+
 /** Registers every bridge kernel as a SQL-callable function
   * `graft_<name>` and exposes typed Column wrappers. Usable both from
   * the DataFrame DSL (via [[dsl]]) and from `spark.sql`.
@@ -101,6 +107,21 @@ object Functions {
         s"graft_${n.toLowerCase}", exprs => DspExpr(n, exprs), "built-in")
     }
   }
+
+  /** Session-extensions installer: makes every graft function available
+    * in ALL sessions of a deployment without code changes —
+    * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+    * The same registration [[install]] performs per-session.
+    */
+  def installExtensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    names.foreach { n =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(s"graft_${n.toLowerCase}"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DspExpr].getCanonicalName, s"graft_${n.toLowerCase}"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DspExpr(n, exprs)))
+    }
 
   /** Column DSL over the registered functions; `install` must have run
     * on the owning session.

@@ -253,6 +253,16 @@ class SignalSpec extends SparkTestBase {
     assert(math.abs(re.head - 10.0) < 1e-12) // DC bin = sum
   }
 
+  test("GraftExtensions registers every kernel via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions()
+    new graft.functions.GraftExtensions().apply(ext) // must inject without error
+    // the per-session registry path registers the same set
+    assert(graft.functions.Functions.names.nonEmpty)
+    graft.functions.Functions.names.foreach { n =>
+      assert(spark.catalog.functionExists(s"graft_${n.toLowerCase}"), n)
+    }
+  }
+
   private def maxDiff(a: Array[Double], b: Array[Double]): Double = {
     require(a.length == b.length, s"length ${a.length} vs ${b.length}")
     if (a.isEmpty) 0.0 else a.indices.map(i => math.abs(a(i) - b(i))).max
