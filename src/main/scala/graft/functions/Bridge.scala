@@ -18,6 +18,7 @@ import graft.dsp.{Conv, Fft, Filt, Hilbert, Peaks, Resample}
 object Bridge {
 
   val arrD: ArrayType = ArrayType(DoubleType, containsNull = false)
+  val arrF: ArrayType = ArrayType(FloatType, containsNull = false)
   val arrI: ArrayType = ArrayType(IntegerType, containsNull = false)
 
   /** complex series as struct-of-arrays — mirrors the reference's
@@ -239,6 +240,46 @@ object Bridge {
     d / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  // Float-native variants: embeddings stay array<float> end-to-end (no
+  // per-row cast column, no materialization barrier, half the scan
+  // bytes at corpus scale); each element widens to double inside the
+  // loop — bit-identical to casting the array first.
+
+  /** dot(float corpus vector, double query/hyperplane vector). */
+  def dotpF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i).toDouble * y(i); i += 1 }
+    s
+  }
+
+  /** cosine(float corpus vector, double query vector). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toDoubleArray()
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble
+      d += xi * y(i); nx += xi * xi; ny += y(i) * y(i)
+      i += 1
+    }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** cosine(float, float) for corpus-internal pair scoring. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toFloatArray()
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      d += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   // ---- multimodal byte kernels (SURVEY.md §2.2 op 29) ---------------
   // The decode step for real media needs codec libraries not present
   // in this environment; these kernels are the DETERMINISTIC STUBS the
@@ -321,6 +362,9 @@ object Bridge {
       StructField("lo", LongType, nullable = false)))),
     "dotp" -> (Seq(arrD, arrD) -> DoubleType),
     "cosine" -> (Seq(arrD, arrD) -> DoubleType),
+    "dotpF" -> (Seq(arrF, arrD) -> DoubleType),
+    "cosineF" -> (Seq(arrF, arrD) -> DoubleType),
+    "cosineFF" -> (Seq(arrF, arrF) -> DoubleType),
     "byteHistogram" -> (Seq(BinaryType) -> ArrayType(LongType, containsNull = false)),
     "resizeStub" -> (Seq(BinaryType, IntegerType) -> BinaryType),
     "frameSample" -> (Seq(BinaryType, IntegerType, IntegerType)
@@ -355,6 +399,9 @@ object Bridge {
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
     case "dotp" => dotp(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosine" => cosine(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "dotpF" => dotpF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "cosineF" => cosineF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "cosineFF" => cosineFF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
     case "resizeStub" => resizeStub(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
     case "frameSample" => frameSample(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])

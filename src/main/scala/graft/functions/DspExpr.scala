@@ -175,6 +175,9 @@ object Functions {
     def simhashC(words: Column): Column = call("simhash", words)
     def dotpC(a: Column, b: Column): Column = call("dotp", a, b)
     def cosineC(a: Column, b: Column): Column = call("cosine", a, b)
+    def dotpFC(a: Column, b: Column): Column = call("dotpF", a, b)
+    def cosineFC(a: Column, b: Column): Column = call("cosineF", a, b)
+    def cosineFFC(a: Column, b: Column): Column = call("cosineFF", a, b)
     def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
     def resizeStubC(bin: Column, outLen: Int): Column =
       call("resizeStub", bin, lit(outLen))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.fp6
 import graft.functions.TopKAgg
-import graft.functions.Functions.dsl.{cosineC, dotpC}
+import graft.functions.Functions.dsl.{cosineFC, cosineFFC, dotpC, dotpFC}
 
 /** Similarity search over an embedding column (SURVEY.md §2.2 ops
   * 22-24): brute-force exact top-k as the baseline and a
@@ -30,22 +30,26 @@ object Ann {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Corpus projected to (_cid, _cv double vector), materialized behind
-    * a hash exchange: the cast-to-double transform runs once per row
-    * (not once per downstream reference — Catalyst inlines projection
-    * expressions into every use site), and small single-file scans
-    * spread across the cluster.
+  /** Corpus projected to (id, float vector) — the embedding column
+    * stays `array<float>` end-to-end: the float-native kernels
+    * (cosineF/dotpF) widen per element inside the loop, so there is no
+    * cast column to materialize, no corpus shuffle, and the scan moves
+    * half the bytes. (Widen-then-multiply is bit-identical to casting
+    * the array first, so the double-side oracle still matches.)
     */
   private def vectors(df: DataFrame, idCol: String, vecCol: String,
                       id: String, v: String): DataFrame = {
     graft.functions.Functions.install(df.sparkSession)
-    df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-      .repartition(col(id))
+    df.select(col(idCol).as(id), col(vecCol).as(v))
   }
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, score_fp) where score_fp is
     * the fp6 fixed-point cosine used for (deterministic) ranking.
+    * Scale shape: the corpus is never shuffled — queries broadcast,
+    * TopKAgg partial-aggregates each partition down to k candidates
+    * per query before the exchange, so the shuffle carries
+    * O(k × partitions) rows.
     */
   def topkBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
@@ -53,7 +57,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("_cid") =!= col("query_id"))
-      .withColumn("_score", fp6(cosineC(col("_cv"), col("_qv"))))
+      .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
       .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
@@ -81,6 +85,12 @@ object Ann {
       when(dotpC(v, typedLit(h)) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** [[bucketOf]] for a float vector column (identical bucket ids). */
+  def bucketOfF(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      when(dotpFC(v, typedLit(h)) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** LSH ANN: bucket the corpus on nPlanes random hyperplanes, probe
     * each query's bucket plus all hamming-1 neighbors, rerank probed
     * candidates by exact cosine. Output like [[topkBruteForce]].
@@ -89,14 +99,14 @@ object Ann {
               vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
-      .withColumn("_bucket", bucketOf(col("_cv"), planes))
+      .withColumn("_bucket", bucketOfF(col("_cv"), planes))
     val masks = 0 +: (0 until nPlanes).map(1 << _)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
       .withColumn("_qb", bucketOf(col("_qv"), planes))
       .withColumn("_probe", explode(array(masks.map(m => col("_qb").bitwiseXOR(lit(m))): _*)))
     val scored = c.join(broadcast(q), col("_bucket") === col("_probe"))
       .filter(col("_cid") =!= col("query_id"))
-      .withColumn("_score", fp6(cosineC(col("_cv"), col("_qv"))))
+      .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
       .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
@@ -113,11 +123,11 @@ object Ann {
                      minCos: Double, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     val v = vectors(df, idCol, vecCol, "_id", "_v")
-      .withColumn("_bucket", bucketOf(col("_v"), planes))
+      .withColumn("_bucket", bucketOfF(col("_v"), planes))
     val a = v.select(col("_bucket"), col("_id").as("a"), col("_v").as("_va"))
     val b = v.select(col("_bucket"), col("_id").as("b"), col("_v").as("_vb"))
     a.join(b, "_bucket").filter(col("a") < col("b"))
-      .withColumn("cos", cosineC(col("_va"), col("_vb")))
+      .withColumn("cos", cosineFFC(col("_va"), col("_vb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), fp6(col("cos")).as("cos_fp"))
   }
