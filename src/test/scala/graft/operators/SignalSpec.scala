@@ -162,6 +162,17 @@ class SignalSpec extends SparkTestBase {
     assert(maxDiff(got, want) < 1e-9)
   }
 
+  test("convolve with a per-key kernel joins on keys instead of broadcasting") {
+    // per-key kernels: series "a" gets (1, 2), series "b" gets (3, 4)
+    val kdf = Seq(("a", 0.0, 1.0), ("a", 1.0, 2.0), ("b", 0.0, 3.0), ("b", 1.0, 4.0))
+      .toDF("k", "t", "x")
+    val out = Signal.convolve(longDf.filter($"k" =!= "c"), kdf, Seq("k"), "t", "x")
+    for ((k, kern) <- Seq("a" -> Array(1.0, 2.0), "b" -> Array(3.0, 4.0))) {
+      val want = Conv.convolve(series(k, "x"), kern, "full", "auto")
+      assert(maxDiff(collectBy(out, k, "value"), want) < 1e-12, k)
+    }
+  }
+
   test("correlate matches kernel (asymmetric taps)") {
     val kdf = Seq((0.0, 0.5), (1.0, 0.3), (2.0, 0.2)).toDF("t", "x")
     val out = Signal.correlate(longDf, kdf, Seq("k"), "t", "x")
