@@ -278,6 +278,20 @@ object Sig {
       .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  def sigConvolveValid(s: SparkSession, dir: String): DataFrame =
+    Signal.convolve(evReal(s, dir), kernel3(s), Seq("user_id"), "t", "value", "valid")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigConvolveValidSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j + h.i - 2 AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $h3Sql
+       |WHERE s.j + h.i - 2 >= 0 AND s.j + h.i - 2 <= s.n - 3
+       |GROUP BY s.user_id, s.j + h.i - 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Overlap-save chunked convolution (chunk=32 → ~3 chunks/series at
     * the oracle SF) must agree with the direct full-mode oracle
     * bit-for-bit.
@@ -730,6 +744,7 @@ object Sig {
     "sig_ifftshift" -> (sigIfftshift _),
     "sig_convolve_full" -> (sigConvolveFull _),
     "sig_convolve_same" -> (sigConvolveSame _),
+    "sig_convolve_valid" -> (sigConvolveValid _),
     "sig_convolve_long" -> (sigConvolveLong _),
     "sig_correlate" -> (sigCorrelate _),
     "sig_fftconvolve2d" -> (sigFftconvolve2d _),
@@ -755,6 +770,7 @@ object Sig {
     "sig_ifftshift" -> sigIfftshiftSql,
     "sig_convolve_full" -> sigConvolveFullSql,
     "sig_convolve_same" -> sigConvolveSameSql,
+    "sig_convolve_valid" -> sigConvolveValidSql,
     "sig_convolve_long" -> sigConvolveFullSql,
     "sig_correlate" -> sigCorrelateSql,
     "sig_fftconvolve2d" -> sigFftconvolve2dSql,
