@@ -76,6 +76,30 @@ object TextOps {
       .drop("_ws")
   }
 
+  /** Gopher-style repetition signal: the fraction of duplicated
+    * word-3-gram occurrences per document (0 = all shingles distinct).
+    * Map-side only, no shuffle. The word split and shingle list are
+    * bound as lambda variables (single-element array + transform) so
+    * each is computed exactly once per row — plain column aliases
+    * would be re-inlined into every reference by CollapseProject.
+    */
+  def repetitionFrame(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_r", expr(
+      s"""element_at(transform(array(split(lower($textCol), '\\\\s+')), w ->
+         |  element_at(transform(array(
+         |      CASE WHEN size(w) >= 3 THEN
+         |        transform(sequence(0, size(w) - 3), i ->
+         |          concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
+         |      ELSE array() END
+         |    ), sh -> named_struct(
+         |      'n', size(sh),
+         |      'r', CASE WHEN size(sh) > 0
+         |           THEN 1.0 - CAST(size(array_distinct(sh)) AS DOUBLE) / size(sh)
+         |           ELSE 0.0 END)), 1)), 1)""".stripMargin))
+      .withColumn("n_shingles", col("_r.n"))
+      .withColumn("dup_ratio", col("_r.r"))
+      .drop("_r")
+
   /** Whitespace token count and a BPE-ish regex token count
     * (letter runs, single digits, single other non-space chars).
     */

@@ -305,6 +305,26 @@ object Pipeline {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionFrame(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_shingles"), fp6(col("dup_ratio")).as("dr_fp"))
+      .orderBy("doc_id")
+
+  private val textRepetitionSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3
+       |         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |               for i in generate_series(1, len(ws) - 2)]
+       |         ELSE [] END AS s
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(len(s) AS INT) AS n_shingles,
+       |  ${fpSql("CASE WHEN len(s) > 0 THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) ELSE 0.0 END", "1e6")} AS dr_fp
+       |FROM sh ORDER BY doc_id""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprintFrame(docs(s, dir), "text", "doc_id")
       .orderBy("doc_id", "fp")
@@ -417,6 +437,7 @@ object Pipeline {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _))
@@ -434,6 +455,7 @@ object Pipeline {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_repetition" -> textRepetitionSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql)
