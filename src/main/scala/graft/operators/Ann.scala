@@ -58,11 +58,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
-    scored.groupBy(col("query_id"))
-      .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
-      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
-      .select(col("query_id"), (col("_r") + 1).as("rank"),
-        col("_e.id").as("neighbor_id"), col("_e.score").as("score_fp"))
+    topkOutput(scored, k)
   }
 
   /** ±1 hyperplane matrix derived from md5 parity — reproducible by
@@ -107,11 +103,57 @@ object Ann {
     val scored = c.join(broadcast(q), col("_bucket") === col("_probe"))
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
+    topkOutput(scored, k)
+  }
+
+  /** Shared ranking tail: per-query bounded-heap partial top-k before
+    * the exchange, then explode to (query_id, rank, neighbor_id,
+    * score_fp).
+    */
+  private def topkOutput(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("_score"), col("_cid"), k).as("_tk"))
       .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
       .select(col("query_id"), (col("_r") + 1).as("rank"),
         col("_e.id").as("neighbor_id"), col("_e.score").as("score_fp"))
+
+  /** IVF-flat ANN: a coarse quantizer partitions the corpus into
+    * cells; queries probe the `nProbe` nearest cells and rerank by
+    * exact cosine. The quantizer here is deterministic — the
+    * `nCentroids` smallest-id vectors stand in for a k-means fit (the
+    * oracle replays it exactly); a production deployment swaps in
+    * trained centroids without touching the structure. Cell assignment
+    * is map-side (centroids travel as literals, like the LSH planes);
+    * at scale the cell id becomes a partition/bucketing column so
+    * probes prune partitions instead of scanning.
+    */
+  def topkIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    val cents: Array[(Int, Array[Double])] = corpus
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("int"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // max over (dot, -cid) structs = best dot, smallest cid on ties
+    def cellOf(v: Column, dot: (Column, Array[Double]) => Column): Column =
+      (-array_max(array(cents.map { case (cid, cv) =>
+        struct(dot(v, cv).as("d"), lit(-cid.toLong).as("ni"))
+      }: _*)).getField("ni")).cast("int")
+    val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
+      .withColumn("_cell", cellOf(col("_cv"), (v, cv) => dotpFC(v, typedLit(cv))))
+    val probeStructs = cents.map { case (cid, cv) =>
+      struct(dotpC(col("_qv"), typedLit(cv)).as("d"), lit(-cid.toLong).as("ni"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .withColumn("_parr", slice(sort_array(array(probeStructs: _*), asc = false), 1, nProbe))
+      .withColumn("_probe", explode(expr("transform(_parr, s -> CAST(-s.ni AS INT))")))
+    val scored = c.join(broadcast(q), col("_cell") === col("_probe"))
+      .filter(col("_cid") =!= col("query_id"))
+      .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
+    topkOutput(scored, k)
   }
 
   /** Embedding near-duplicate pairs: block on the hyperplane bucket

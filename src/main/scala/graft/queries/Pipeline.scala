@@ -232,6 +232,53 @@ object Pipeline {
        |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
        |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
 
+  def annTopkIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.topkIvf(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
+      k = 3, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+
+  /** IVF oracle: same deterministic quantizer (centroids = vec_id<16),
+    * cell assignment and probes by inner product with (d DESC, cid)
+    * tie-break, rerank probed cells by cosine.
+    */
+  private val annTopkIvfSql: String =
+    s"""$embBaseSql, cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM ee WHERE vec_id < 16
+       |), asg AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cv[i.i] AS DOUBLE)) AS d
+       |  FROM ee e, cent c, idx i GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+       |    FROM asg) WHERE rk = 1
+       |), qp AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+       |    FROM asg WHERE vec_id < 10) WHERE rk <= 4
+       |), candq AS (
+       |  SELECT DISTINCT qp.qid, ce.vec_id AS cid2
+       |  FROM qp JOIN cell ce ON ce.cid = qp.cid
+       |  WHERE ce.vec_id != qp.qid
+       |), dp AS (
+       |  SELECT cq.qid, cq.cid2,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM candq cq JOIN ee ea ON ea.vec_id = cq.qid JOIN ee eb ON eb.vec_id = cq.cid2, idx i
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid2,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid2
+       |), ranked AS (
+       |  SELECT qid, cid2, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid2) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid2 AS neighbor_id, score_fp
+       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
   // ---- text ---------------------------------------------------------
 
   def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -433,6 +480,7 @@ object Pipeline {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_topk_lsh" -> (annTopkLsh _),
+    "ann_topk_ivf" -> (annTopkIvf _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -451,6 +499,7 @@ object Pipeline {
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_topk_lsh" -> annTopkLshSql,
+    "ann_topk_ivf" -> annTopkIvfSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
