@@ -108,6 +108,28 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("IVF with full probing equals brute force; partial probing is a subset") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val bf = rows(Ann.topkBruteForce(df, q, "vec_id", "embedding", 4))
+    val full = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
+      nCentroids = 4, nProbe = 4))
+    assert(full == bf)
+    // probing fewer cells returns ranked results drawn from the probed subset
+    val part = Ann.topkIvf(df, q, "vec_id", "embedding", 4, nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val bfScores = bf.map(t => (t._1, t._3) -> t._4).toMap
+    assert(part.nonEmpty)
+    part.foreach { case (qid, nid, score) =>
+      // any (query, neighbor) also present in brute force must agree on score
+      bfScores.get((qid, nid)).foreach(s => assert(s == score))
+    }
+  }
+
   test("langid scores and quality are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog is in a house"),
       (2L, "der hund und die katze ist da")).toDF("doc_id", "text")
