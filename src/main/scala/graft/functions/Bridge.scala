@@ -94,6 +94,12 @@ object Bridge {
   def sosfilt(sos: ArrayData, x: ArrayData): ArrayData =
     out(Filt.sosfilt(d(sos), d(x)))
 
+  /** sosfilt with explicit initial conditions (flattened (n,2) zi),
+    * the reference's `zi` parameter (xarray_scipy/signal.py:406).
+    */
+  def sosfiltz(sos: ArrayData, x: ArrayData, zi: ArrayData): ArrayData =
+    out(Filt.sosfilt(d(sos), d(x), d(zi)))
+
   def sosfiltfilt(sos: ArrayData, x: ArrayData, padtype: UTF8String, padlen: Int): ArrayData =
     out(Filt.sosfiltfilt(d(sos), d(x), padtype.toString, padlen))
 
@@ -346,6 +352,7 @@ object Bridge {
         StructField("rows", IntegerType, nullable = false),
         StructField("cols", IntegerType, nullable = false)))),
     "sosfilt" -> (Seq(arrD, arrD) -> arrD),
+    "sosfiltz" -> (Seq(arrD, arrD, arrD) -> arrD),
     "sosfiltfilt" -> (Seq(arrD, arrD, StringType, IntegerType) -> arrD),
     "lfilter" -> (Seq(arrD, arrD, arrD) -> arrD),
     "filtfilt" -> (Seq(arrD, arrD, arrD) -> arrD),
@@ -386,6 +393,7 @@ object Bridge {
     case "correlate" => correlate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "fftconvolve2d" => fftconvolve2d(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Int], a(4).asInstanceOf[UTF8String])
     case "sosfilt" => sosfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "sosfiltz" => sosfiltz(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "sosfiltfilt" => sosfiltfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[Int])
     case "lfilter" => lfilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "filtfilt" => filtfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])

@@ -156,6 +156,7 @@ object Functions {
     def correlateC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
       call("correlate", a, b, lit(mode), lit(method))
     def sosfiltC(sos: Column, x: Column): Column = call("sosfilt", sos, x)
+    def sosfiltzC(sos: Column, x: Column, zi: Column): Column = call("sosfiltz", sos, x, zi)
     def sosfiltfiltC(sos: Column, x: Column, padtype: String = "odd", padlen: Int = -1): Column =
       call("sosfiltfilt", sos, x, lit(padtype), lit(padlen))
     def lfilterC(b: Column, a: Column, x: Column): Column = call("lfilter", b, a, x)

@@ -323,12 +323,17 @@ object Signal {
   // ---- filtering (signal.py:403-461) ---------------------------------
 
   /** sosfilt: causal cascaded-biquad filter per series; coords pass
-    * through unchanged.
+    * through unchanged. `zi` (flattened (nSections, 2) initial
+    * conditions, shared across series) mirrors the reference's zi
+    * parameter (signal.py:406).
     */
   def sosfilt(sos: Array[Double], df: DataFrame, keys: Seq[String], dim: String,
-              value: String): DataFrame = {
+              value: String, zi: Array[Double] = null): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
-    val withOut = sdf.withColumn("_out", sosfiltC(typedLit(sos), col(value)))
+    val k =
+      if (zi == null) sosfiltC(typedLit(sos), col(value))
+      else sosfiltzC(typedLit(sos), col(value), typedLit(zi))
+    val withOut = sdf.withColumn("_out", k)
     explodeSeries(withOut, keys, Seq(dim -> col("coords"), "value" -> col("_out")))
   }
 

@@ -194,6 +194,16 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("sosfilt with explicit zi matches the kernel's zi path") {
+    val sos = Design.butterSos(4, 0.3)
+    val zi = Filt.sosfiltZi(sos)
+    val out = Signal.sosfilt(sos, longDf, Seq("k"), "t", "x", zi = zi)
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x")
+      assert(maxDiff(collectBy(out, k, "value"), Filt.sosfilt(sos, x, zi)) == 0.0)
+    }
+  }
+
   test("decimate emits every q-th coord and kernel values") {
     val out = Signal.decimate(longDf, Seq("k"), "t", "x", q = 2, ftype = "fir")
     val x = series("a", "x")
