@@ -406,9 +406,27 @@ object Signal {
   def peakWidths(df: DataFrame, keys: Seq[String], dim: String, value: String,
                  relHeight: Double = 0.5): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
-    val withOut = sdf
-      .withColumn("_pk", localMaximaC(col(value)))
-      .withColumn("_pw", peakWidthsC(col(value), col("_pk"), relHeight))
+    widthsOf(sdf.withColumn("_pk", localMaximaC(col(value))), keys, value, relHeight)
+  }
+
+  /** peak_widths with caller-provided peak indices (the reference's
+    * exact signature, signal.py:331: `peaks` is a labelled array of
+    * sample indices per series). `peaks` is a long frame (keys,
+    * peakCol int); joined to the series on keys.
+    */
+  def peakWidthsAt(df: DataFrame, peaks: DataFrame, keys: Seq[String], dim: String,
+                   value: String, peakCol: String = "peak",
+                   relHeight: Double = 0.5): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val pk = peaks
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(peakCol).cast("int"))).as("_pk"))
+    widthsOf(sdf.join(pk, keys), keys, value, relHeight)
+  }
+
+  private def widthsOf(sdf: DataFrame, keys: Seq[String], value: String,
+                       relHeight: Double): DataFrame = {
+    val withOut = sdf.withColumn("_pw", peakWidthsC(col(value), col("_pk"), relHeight))
     explodeSeries(withOut, keys, Seq(
       "peak" -> col("_pk"),
       "width" -> col("_pw.widths"),

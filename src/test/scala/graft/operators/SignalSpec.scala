@@ -266,6 +266,17 @@ class SignalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("peakWidthsAt takes caller-provided peaks like the reference") {
+    val x = series("a", "x")
+    val chosen = graft.dsp.Peaks.localMaxima(x).take(3)
+    val pkDf = chosen.toSeq.map(p => ("a", p)).toDF("k", "peak")
+    val out = Signal.peakWidthsAt(longDf.filter($"k" === "a"), pkDf, Seq("k"), "t", "x")
+    val rows = out.orderBy("pos").select("peak", "width").collect()
+    assert(rows.map(_.getInt(0)).sameElements(chosen))
+    val widths = chosen.map(p => graft.dsp.Peaks.width(x, p).width)
+    assert(maxDiff(rows.map(_.getDouble(1)), widths) < 1e-12)
+  }
+
   test("sql surface: graft_* functions callable from spark.sql") {
     val r = spark.sql(
       "SELECT graft_rfft(array(1.0d, 2.0d, 3.0d, 4.0d), -1, 'backward') AS s").collect()(0)
