@@ -266,6 +266,24 @@ class SignalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("signal op over a bucketed-by-key table runs with zero exchanges") {
+    // SURVEY §4: telemetry stored bucketed by series key makes the
+    // operator's groupBy exchange redundant — Spark's bucketed scan
+    // reports hash partitioning on the key, so the aggregation is
+    // map-side and the whole op is shuffle-free.
+    longDf.write.mode("overwrite")
+      .bucketBy(4, "k").sortBy("k")
+      .saveAsTable("graft_bucketed_series")
+    try {
+      val out = Signal.rfft(spark.table("graft_bucketed_series"), Seq("k"), "t", "x")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      // and results still match the long-frame path
+      val viaLong = Signal.rfft(longDf, Seq("k"), "t", "x")
+      assert(maxDiff(collectBy(out, "a", "re"), collectBy(viaLong, "a", "re")) == 0.0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_series")
+  }
+
   test("peakWidthsAt takes caller-provided peaks like the reference") {
     val x = series("a", "x")
     val chosen = graft.dsp.Peaks.localMaxima(x).take(3)
