@@ -293,12 +293,15 @@ object Bridge {
   // deployment swaps the body, not the plumbing.
 
   /** Stub "feature extraction": histogram of high nibbles (16 bins). */
-  def byteHistogram(bin: Array[Byte]): ArrayData = {
+  def byteHistogramRaw(bin: Array[Byte]): Array[Long] = {
     val h = new Array[Long](16)
     var i = 0
     while (i < bin.length) { h(((bin(i) & 0xff) >>> 4)) += 1; i += 1 }
-    UnsafeArrayData.fromPrimitiveArray(h)
+    h
   }
+
+  def byteHistogram(bin: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(byteHistogramRaw(bin))
 
   /** Stub "resize": deterministic stride subsample to `outLen` bytes. */
   def resizeStub(bin: Array[Byte], outLen: Int): Array[Byte] = {

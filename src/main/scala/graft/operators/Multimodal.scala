@@ -34,6 +34,31 @@ object Multimodal {
   def imageFeatures(media: DataFrame): DataFrame =
     media.withColumn("features", byteHistogramC(col("content")))
 
+  /** Batched decode plumbing — the Scala analog of a pandas-UDF /
+    * mapInPandas decoder: the partition iterator is re-chunked into
+    * `batchSize` groups and the decoder runs once per batch, which is
+    * the shape a real codec/JNI/model decoder needs (per-batch
+    * initialization amortized; bounded memory per task). The default
+    * decoder is the deterministic histogram stub; a deployment passes
+    * its own `Seq[bytes] => Seq[features]`.
+    */
+  def imageFeaturesBatched(
+      media: DataFrame, batchSize: Int = 64,
+      decode: Seq[Array[Byte]] => Seq[Array[Long]] =
+        _.map(graft.functions.Bridge.byteHistogramRaw)): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("string"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decode(batch.map(_._2))
+          batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
   /** Stub resize: deterministic stride subsample to outLen bytes. */
   def resize(media: DataFrame, outLen: Int): DataFrame =
     media.withColumn("resized", resizeStubC(col("content"), outLen))

@@ -87,6 +87,20 @@ class PipelineSpec extends SparkTestBase {
     assert(f.getBinary(1)(0) == 30)
   }
 
+  test("batched media decode equals the per-row expression path") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "hello world"), (2L, "abc"), (3L, "xyz" * 40)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val perRow = Multimodal.imageFeatures(media)
+      .select($"media_id".cast("string"), $"features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    var batches = 0
+    val batched = Multimodal.imageFeaturesBatched(media, batchSize = 2,
+      decode = { bs => batches += bs.size; bs.map(graft.functions.Bridge.byteHistogramRaw) })
+    val got = batched.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == perRow)
+  }
+
   test("ANN brute force matches a local computation") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 50L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
