@@ -142,6 +142,40 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** Connected components over near-duplicate pairs: every doc that
+    * appears in a pair is labelled with the smallest id reachable
+    * through the pair graph — the canonical representative of its
+    * duplicate cluster ("keep one per cluster" then being a filter on
+    * id != cluster_id). Iterative min-label propagation, the standard
+    * distributed CC shape: each round is one shuffle (neighbor-min
+    * aggregation); rounds = graph diameter (near-dup clusters are
+    * shallow); lineage is truncated per round with an eager
+    * localCheckpoint so the plan stays linear.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("_nl"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_nl"), col("lbl"))).as("lbl"),
+          col("lbl").as("_old"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("lbl") =!= col("_old")).count()
+      labels = updated.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    labels.withColumnRenamed("id", "doc_id").withColumnRenamed("lbl", "cluster_id")
+  }
+
   /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only. */
   def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.Functions.install(df.sparkSession)

@@ -85,6 +85,24 @@ object Pipeline {
        |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.8
        |ORDER BY 1, 2""".stripMargin
 
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(Dedup.minhashCandidates(docs(s, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** Transitive closure of the LSH pair graph (recursive CTE with
+    * set-union termination), cluster id = min reachable id.
+    */
+  private val dedupClustersSql: String =
+    s"""${bandSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+       |), reach AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+       |)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY 1""".stripMargin
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFrame(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("sim_hi"), col("sim_lo"))
@@ -474,6 +492,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -493,6 +512,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

@@ -87,6 +87,14 @@ class PipelineSpec extends SparkTestBase {
     assert(f.getBinary(1)(0) == 30)
   }
 
+  test("dupClusters labels chains and cycles with the component minimum") {
+    // components: {1,2,3,9} (chain + cycle edge), {5,6}, singletons absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (9L, 1L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("batched media decode equals the per-row expression path") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "abc"), (3L, "xyz" * 40)).toDF("doc_id", "text"),
