@@ -53,6 +53,20 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("rfft with explicit n crops/pads and emits rfftfreq(n, delta/n) coords") {
+    // mirrors the reference's n-parameterized TestFFT scenarios
+    for (n <- Seq(27, 32, 40)) {
+      val out = Signal.rfft(longDf, Seq("k"), "t", "x", n = n)
+      val x = series("a", "x")
+      val want = Fft.rfft(x, n)
+      val got = collectBy(out, "a", "re")
+      assert(got.length == n / 2 + 1, s"n=$n length")
+      assert(maxDiff(got, want.re) < 1e-9, s"n=$n values")
+      val wantF = Fft.rfftfreq(n, 0.5 / n)
+      assert(maxDiff(collectBy(out, "a", "frequency"), wantF) < 1e-9, s"n=$n coords")
+    }
+  }
+
   test("fft/ifft roundtrip through two Spark ops") {
     val f = Signal.fft(longDf.withColumnRenamed("x", "re").withColumnRenamed("y", "im"),
       Seq("k"), "t", "re", "im", newdim = "f")
