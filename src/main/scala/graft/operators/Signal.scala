@@ -53,12 +53,18 @@ object Signal {
                 values: Seq[String]): DataFrame = {
     if (seriesCols.forall(df.columns.contains) && values.forall(df.columns.contains))
       return df // already seriesified (fromGrouped) — no shuffle
+    // Null handling mirrors numpy/scipy: a null sample becomes NaN and
+    // propagates through the kernel; a row with no coordinate cannot be
+    // placed on the (equispaced) axis and is dropped.
     val packed = struct(
       (col(dim).cast("double").as("c") +:
-        values.zipWithIndex.map { case (v, i) => col(v).cast("double").as(s"v$i") }): _*)
+        values.zipWithIndex.map { case (v, i) =>
+          coalesce(col(v).cast("double"), lit(Double.NaN)).as(s"v$i")
+        }): _*)
+    val clean = df.filter(col(dim).isNotNull)
     val grouped =
-      if (keys.isEmpty) df.groupBy()
-      else df.groupBy(keys.map(col): _*)
+      if (keys.isEmpty) clean.groupBy()
+      else clean.groupBy(keys.map(col): _*)
     var out = grouped
       .agg(
         array_sort(collect_list(packed)).as("_arr"),

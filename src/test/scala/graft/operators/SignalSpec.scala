@@ -208,6 +208,20 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("null sample becomes NaN (scipy semantics); null coordinate drops the row") {
+    val df = Seq(
+      (java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(1.0)),
+      (java.lang.Double.valueOf(1.0), null.asInstanceOf[java.lang.Double]),
+      (null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(7.0)),
+      (java.lang.Double.valueOf(2.0), java.lang.Double.valueOf(3.0))
+    ).toDF("t", "x").withColumn("k", org.apache.spark.sql.functions.lit("z"))
+    val out = Signal.sosfilt(Design.butterSos(2, 0.4), df, Seq("k"), "t", "x")
+      .orderBy("pos").select("value").as[Double].collect()
+    assert(out.length == 3)          // null-coord row dropped
+    assert(!out(0).isNaN)            // before the NaN sample: clean
+    assert(out(1).isNaN && out(2).isNaN) // NaN propagates through the IIR state
+  }
+
   test("sosfilt with explicit zi matches the kernel's zi path") {
     val sos = Design.butterSos(4, 0.3)
     val zi = Filt.sosfiltZi(sos)
