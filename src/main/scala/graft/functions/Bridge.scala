@@ -221,6 +221,29 @@ object Bridge {
     new GenericInternalRow(Array[Any](hi, lo))
   }
 
+  /** All (a, b) pairs with a < b from a sorted id array — the LSH
+    * bucket pair emission. One static call replaces a nested
+    * transform/slice/flatten HOF tree (same result, a fraction of the
+    * generated code).
+    */
+  def pairs(ids: ArrayData): ArrayData = {
+    val v = ids.toLongArray()
+    val n = v.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](v(i), v(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- vector kernels (SURVEY.md §2.2 ops 22-24) --------------------
 
   /** Sequential dot product (index order — same order an oracle's
@@ -372,6 +395,10 @@ object Bridge {
       StructField("lo", LongType, nullable = false)))),
     "dotp" -> (Seq(arrD, arrD) -> DoubleType),
     "cosine" -> (Seq(arrD, arrD) -> DoubleType),
+    "pairs" -> (Seq(ArrayType(LongType, containsNull = false)) ->
+      ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))), containsNull = false)),
     "dotpF" -> (Seq(arrF, arrD) -> DoubleType),
     "cosineF" -> (Seq(arrF, arrD) -> DoubleType),
     "cosineFF" -> (Seq(arrF, arrF) -> DoubleType),
@@ -410,6 +437,7 @@ object Bridge {
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
     case "dotp" => dotp(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosine" => cosine(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "pairs" => pairs(a(0).asInstanceOf[ArrayData])
     case "dotpF" => dotpF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosineF" => cosineF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosineFF" => cosineFF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])

@@ -176,6 +176,7 @@ object Functions {
     def simhashC(words: Column): Column = call("simhash", words)
     def dotpC(a: Column, b: Column): Column = call("dotp", a, b)
     def cosineC(a: Column, b: Column): Column = call("cosine", a, b)
+    def pairsC(ids: Column): Column = call("pairs", ids)
     def dotpFC(a: Column, b: Column): Column = call("dotpF", a, b)
     def cosineFC(a: Column, b: Column): Column = call("cosineF", a, b)
     def cosineFFC(a: Column, b: Column): Column = call("cosineFF", a, b)

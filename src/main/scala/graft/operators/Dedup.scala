@@ -101,13 +101,10 @@ object Dedup {
     val sh = shingleFrame(df, idCol, textCol)
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
     val buckets = bd.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
-        i => transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(element_at(col("ids"), i + 1).as("a"), b.as("b")))))).as("p"))
+      .select(explode(pairsC(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
