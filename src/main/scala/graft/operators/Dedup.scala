@@ -150,10 +150,17 @@ object Dedup {
     * localCheckpoint so the plan stays linear.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the edge list once — every iteration joins it, and
+    // without the checkpoint each round would re-run the whole
+    // candidate-generation pipeline upstream of `pairs`
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    // seed with the direct-neighborhood minimum (one aggregation) —
+    // equivalent to running the first propagation round for free
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
+      .withColumnRenamed("a", "id")
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
