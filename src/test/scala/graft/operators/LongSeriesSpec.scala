@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+import graft.dsp.{Conv, Design, Fft, Filt}
+
+/** Scale-shape sanity on longer series (4096 samples × 8 series):
+  * the group→kernel→explode path must stay correct and the chunked
+  * convolution must stay bit-identical when a series spans many
+  * chunks.
+  */
+class LongSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val n = 4096
+  private val nSeries = 8
+
+  private def x(k: Int, i: Int): Double =
+    math.sin(i * 0.01 * (k + 1)) + 0.3 * math.cos(i * 0.07) + 0.001 * i
+
+  private lazy val longDf: DataFrame = {
+    val rows = for (k <- 0 until nSeries; i <- 0 until n)
+      yield (k, i.toDouble, x(k, i))
+    new scala.util.Random(7).shuffle(rows).toDF("k", "t", "v").repartition(16)
+  }
+
+  private def series(k: Int): Array[Double] = Array.tabulate(n)(i => x(k, i))
+
+  private def byK(df: DataFrame, k: Int, c: String): Array[Double] =
+    df.filter($"k" === k).orderBy("pos").select(c).as[Double].collect()
+
+  test("rfft on 4096-sample series matches the kernel (pow-2 path)") {
+    val out = Signal.rfft(longDf, Seq("k"), "t", "v").cache()
+    for (k <- Seq(0, 5)) {
+      val want = Fft.rfft(series(k))
+      val re = byK(out, k, "re")
+      assert(re.length == n / 2 + 1)
+      assert(re.indices.forall(i => math.abs(re(i) - want.re(i)) < 1e-9))
+    }
+  }
+
+  test("convolveLong across 8 chunks is bit-identical to direct convolve") {
+    val kernel = Array.tabulate(9)(i => 0.1 * (i + 1))
+    val out = Signal.convolveLong(longDf, Seq("k"), "t", "v", kernel,
+      chunkSize = 512, method = "direct")
+    for (k <- Seq(1, 7)) {
+      val want = Conv.convolve(series(k), kernel, "full", "direct")
+      val got = byK(out, k, "value")
+      assert(got.length == n + 8)
+      assert(got.indices.forall(i => got(i) == want(i)), s"k=$k")
+    }
+  }
+
+  test("sosfiltfilt on 4096-sample series matches the kernel") {
+    val sos = Design.cheby1Sos(8, 0.05, 0.2)
+    val out = Signal.sosfiltfilt(sos, longDf, Seq("k"), "t", "v")
+    val want = Filt.sosfiltfilt(sos, series(3))
+    val got = byK(out, 3, "value")
+    assert(got.length == n)
+    assert(got.indices.forall(i => math.abs(got(i) - want(i)) < 1e-9))
+  }
+}
