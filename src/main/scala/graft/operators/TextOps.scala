@@ -108,6 +108,24 @@ object TextOps {
       .withColumn("bpe_tokens",
         regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")))
 
+  /** Deterministic train/val/test assignment from a stable content
+    * hash of the id: bucket = first 15 hex digits of md5(id) mod 10000
+    * (permille-level granularity). Reproducible across runs, engines
+    * and cluster sizes — no RNG, no sampling drift; map-side only.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                valPermille: Int = 50, testPermille: Int = 50): DataFrame = {
+    require(valPermille + testPermille < 1000, "val+test must leave room for train")
+    val bucket = (conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 15),
+      16, 10).cast("long") % 10000)
+    df.withColumn("_bucket", bucket)
+      .withColumn("split",
+        when(col("_bucket") < valPermille * 10, lit("val"))
+          .when(col("_bucket") < (valPermille + testPermille) * 10, lit("test"))
+          .otherwise(lit("train")))
+      .drop("_bucket")
+  }
+
   /** Winnowing fingerprints (k-codepoint rolling hash, window-min,
     * dedup): one row per kept fingerprint.
     */

@@ -390,6 +390,23 @@ object Pipeline {
        |  ${fpSql("CASE WHEN len(s) > 0 THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) ELSE 0.0 END", "1e6")} AS dr_fp
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  def textSplit(s: SparkSession, dir: String): DataFrame =
+    TextOps.hashSplit(docs(s, dir), "doc_id")
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  private val textSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN bk < 500 THEN 'val'
+      |       WHEN bk < 1000 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprintFrame(docs(s, dir), "text", "doc_id")
       .orderBy("doc_id", "fp")
@@ -505,6 +522,7 @@ object Pipeline {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_split" -> (textSplit _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _))
@@ -525,6 +543,7 @@ object Pipeline {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
+    "text_split" -> textSplitSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql)
