@@ -123,6 +123,47 @@ object Streaming {
       }
   }
 
+  final case class SpectrumBin(user_id: Long, window_end_ms: Long, bin: Int,
+                               re: Double, im: Double)
+
+  /** Streaming STFT: per-user sliding-window rfft (window `w` samples,
+    * hop `h`). The state store holds at most w-1 samples per key; each
+    * completed window emits w/2+1 spectrum rows stamped with the
+    * window-closing event time. Events are assumed in order per key
+    * within the stream (same telemetry contract as
+    * [[streamingSosfilt]]); spectra match the batch `Signal.rfft` on
+    * the same window exactly.
+    */
+  def streamingStft(events: Dataset[Event], w: Int, h: Int): Dataset[SpectrumBin] = {
+    require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
+    import events.sparkSession.implicits._
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Double)], SpectrumBin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[List[(Long, Double)]]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var buf = state.getOption.getOrElse(Nil).reverse // stored newest-first
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpectrumBin]
+          sorted.foreach { e =>
+            buf = buf :+ (e.ts.getTime, e.value)
+            if (buf.length == w) {
+              val spec = graft.dsp.Fft.rfft(buf.map(_._2).toArray)
+              val end = buf.last._1
+              var b = 0
+              while (b < spec.length) {
+                out += SpectrumBin(user, end, b, spec.re(b), spec.im(b))
+                b += 1
+              }
+              buf = buf.drop(h)
+            }
+          }
+          state.update(buf.reverse.toList)
+          out.iterator
+      }
+  }
+
   /** sosfilt that also returns the final filter state (DF2T z per
     * section) for carry-over across micro-batches.
     */

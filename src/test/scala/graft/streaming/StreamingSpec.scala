@@ -97,6 +97,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming STFT windows match batch rfft across micro-batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val xs = Array.tabulate(40)(i => math.sin(i * 0.4) + 0.5 * math.cos(i * 0.9))
+    val in = MemoryStream[Event]
+    val q = Streaming.streamingStft(in.toDS(), w = 16, h = 8)
+      .writeStream.format("memory").queryName("stft").outputMode("append").start()
+    try {
+      in.addData((0 until 10).map(i => Event(3, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      in.addData((10 until 40).map(i => Event(3, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      val rows = spark.table("stft").as[Streaming.SpectrumBin].collect()
+      // windows end at samples 15, 23, 31, 39 (w=16, hop 8)
+      val ends = rows.map(_.window_end_ms).distinct.sorted
+      assert(ends.sameElements(Array(15L, 23L, 31L, 39L).map(_ * 60000)))
+      for ((endMin, start) <- Seq(15 -> 0, 23 -> 8, 31 -> 16, 39 -> 24)) {
+        val want = graft.dsp.Fft.rfft(xs.slice(start, start + 16))
+        val got = rows.filter(_.window_end_ms == endMin * 60000L).sortBy(_.bin)
+        assert(got.length == 9)
+        assert(got.zipWithIndex.forall { case (r, b) =>
+          r.re == want.re(b) && r.im == want.im(b)
+        }, s"window ending $endMin")
+      }
+    } finally q.stop()
+  }
+
   test("sosfiltWithState composes: filter(a++b) == filter(a) then filter(b)") {
     val sos = Design.cheby1Sos(6, 0.5, 0.4)
     val rnd = new scala.util.Random(3)
