@@ -137,6 +137,8 @@ object Ann {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroid vectors found: corpus has no $idCol < $nCentroids")
     // max over (dot, -cid) structs = best dot, smallest cid on ties
     def cellOf(v: Column, dot: (Column, Array[Double]) => Column): Column =
       (-array_max(array(cents.map { case (cid, cv) =>
