@@ -88,8 +88,10 @@ case class DspExpr(fn: String, children: Seq[Expression]) extends Expression {
 
 /** `spark.sql.extensions` entry point (see [[Functions.installExtensions]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     Functions.installExtensions(ext)
+    ext.injectOptimizerRule(_ => FuseSosfilt)
+  }
 }
 
 /** Registers every bridge kernel as a SQL-callable function
@@ -106,6 +108,9 @@ object Functions {
       registry.createOrReplaceTempFunction(
         s"graft_${n.toLowerCase}", exprs => DspExpr(n, exprs), "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(FuseSosfilt))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseSosfilt
   }
 
   /** Session-extensions installer: makes every graft function available

@@ -331,6 +331,22 @@ class SignalSpec extends SparkTestBase {
     assert(math.abs(re.head - 10.0) < 1e-12) // DC bin = sum
   }
 
+  test("FuseSosfilt collapses chained literal cascades into one call, bit-identical") {
+    import graft.functions.Functions.dsl.sosfiltC
+    import org.apache.spark.sql.functions.typedLit
+    val sosA = Design.butterSos(2, 0.4)
+    val sosB = Design.butterSos(4, 0.25)
+    val arr = typedLit(series("a", "x"))
+    val chained = spark.range(1).select(
+      sosfiltC(typedLit(sosA), sosfiltC(typedLit(sosB), arr)).as("y"))
+    val plan = chained.queryExecution.optimizedPlan.toString
+    assert(plan.split("graft_sosfilt", -1).length - 1 == 1,
+      s"expected one fused sosfilt call in:\n$plan")
+    val got = chained.collect()(0).getSeq[Double](0).toArray
+    val want = Filt.sosfilt(sosA, Filt.sosfilt(sosB, series("a", "x")))
+    assert(got.indices.forall(i => got(i) == want(i)))
+  }
+
   test("GraftExtensions registers every kernel via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions()
     new graft.functions.GraftExtensions().apply(ext) // must inject without error
