@@ -141,12 +141,12 @@ object Ann {
       s"no centroid vectors found: corpus has no $idCol < $nCentroids")
     // max over (dot, -cid) structs = best dot, smallest cid on ties
     def cellOf(v: Column, dot: (Column, Array[Double]) => Column): Column =
-      (-array_max(array(cents.map { case (cid, cv) =>
+      (-array_max(array(cents.toSeq.map { case (cid, cv) =>
         struct(dot(v, cv).as("d"), lit(-cid.toLong).as("ni"))
       }: _*)).getField("ni")).cast("int")
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
       .withColumn("_cell", cellOf(col("_cv"), (v, cv) => dotpFC(v, typedLit(cv))))
-    val probeStructs = cents.map { case (cid, cv) =>
+    val probeStructs = cents.toSeq.map { case (cid, cv) =>
       struct(dotpC(col("_qv"), typedLit(cv)).as("d"), lit(-cid.toLong).as("ni"))
     }
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
