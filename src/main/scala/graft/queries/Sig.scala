@@ -667,20 +667,31 @@ object Sig {
          |ORDER BY 1, 2""".stripMargin)
   }
 
-  /** peak_widths: SQL replay of Peaks.prominence + Peaks.width. Local
-    * maxima by strict three-point rule (TESTDATA has no exact-equal
-    * neighbours, so scipy's plateau rule degenerates to this), then
-    * per-peak prominence bases and interpolated crossings via
-    * join-aggregations over the series.
+  /** peak_widths: SQL replay of Peaks.localMaxima + prominence +
+    * width. Local maxima use the kernel's full plateau rule: a rise at
+    * i starts a run of equal values ending at jend (the first k ≥ i
+    * with x[k+1] != x[i]); it is a peak iff the run ends falling, at
+    * index (i + jend) / 2. Then per-peak prominence bases and
+    * interpolated crossings via join-aggregations over the series.
     */
   private lazy val sigPeakWidthsSql: String = {
     val h = "(pk.hp - 0.5 * (pk.hp - GREATEST(m.lm, m.rm)))"
-    s"""$sSql, pk AS (
-       |  SELECT a.user_id, a.j AS p, a.value AS hp, a.n
-       |  FROM s a
-       |  JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
-       |  JOIN s r ON r.user_id = a.user_id AND r.j = a.j + 1
-       |  WHERE l.value < a.value AND r.value < a.value
+    s"""$sSql, nx AS (
+       |  SELECT cur.user_id, cur.j, cur.value, nxt.value AS vnext
+       |  FROM s cur JOIN s nxt ON nxt.user_id = cur.user_id AND nxt.j = cur.j + 1
+       |), pk0 AS (
+       |  SELECT a.user_id, a.j AS i, a.value AS v, a.n
+       |  FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
+       |  WHERE l.value < a.value AND a.j <= a.n - 2
+       |), pe AS (
+       |  SELECT p.user_id, p.i, p.v, p.n,
+       |    MIN(nx.j) FILTER (WHERE nx.vnext != p.v) AS jend
+       |  FROM pk0 p JOIN nx ON nx.user_id = p.user_id AND nx.j >= p.i
+       |  GROUP BY 1, 2, 3, 4
+       |), pk AS (
+       |  SELECT pe.user_id, (pe.i + pe.jend) // 2 AS p, pe.v AS hp, pe.n
+       |  FROM pe JOIN nx e ON e.user_id = pe.user_id AND e.j = pe.jend
+       |  WHERE pe.jend IS NOT NULL AND e.vnext < pe.v
        |), st AS (
        |  SELECT pk.user_id, pk.p, pk.hp, pk.n,
        |    COALESCE(MAX(b.j) FILTER (WHERE b.j < pk.p AND b.value > pk.hp) + 1, 0) AS lo,
