@@ -83,7 +83,7 @@ object Sig {
     Signal.rfft(evReal(s, dir), Seq("user_id"), "t", "value", newdim = "freq")
       .select(col("user_id"), col("pos"),
         fp(col("freq"), 1e9).as("freq_fp"),
-        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
       .orderBy("user_id", "pos")
 
   private val sigRfftSql: String =
@@ -93,8 +93,8 @@ object Sig {
        |)
        |SELECT a.user_id, CAST(a.j AS INT) AS pos,
        |  ${fpSql("a.j * (1.0/(d.n * (d.delta/d.n)))", "1e9")} AS freq_fp,
-       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/a.n))", "1e6")} AS re_fp,
-       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n))", "1e6")} AS im_fp
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/a.n))", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n))", "1e4")} AS im_fp
        |FROM s a JOIN s b ON a.user_id = b.user_id JOIN d ON d.user_id = a.user_id
        |WHERE a.j <= a.n // 2
        |GROUP BY a.user_id, a.j, a.n, d.n, d.delta
@@ -108,7 +108,7 @@ object Sig {
       Seq("user_id"), "t", "re", "im", newdim = "freq")
       .select(col("user_id"), col("pos"),
         fp(col("freq"), 1e9).as("freq_fp"),
-        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
       .orderBy("user_id", "pos")
 
   private val sigFftSql: String =
@@ -118,8 +118,8 @@ object Sig {
        |)
        |SELECT a.user_id, CAST(a.j AS INT) AS pos,
        |  ${fpSql("(CASE WHEN a.j < (a.n - 1) // 2 + 1 THEN a.j ELSE a.j - a.n END) * (1.0/(d.n * (d.delta/d.n)))", "1e9")} AS freq_fp,
-       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/a.n))", "1e6")} AS re_fp,
-       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n))", "1e6")} AS im_fp
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/a.n))", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/a.n))", "1e4")} AS im_fp
        |FROM s a JOIN s b ON a.user_id = b.user_id JOIN d ON d.user_id = a.user_id
        |GROUP BY a.user_id, a.j, a.n, d.n, d.delta
        |ORDER BY 1, 2""".stripMargin
@@ -166,7 +166,7 @@ object Sig {
         col("value").as("re"), lit(0.0).as("im")),
       Seq("user_id"), "t")
       .select(col("user_id"), col("pos"),
-        fp6(col("frequency")).as("freq_fp"), fp6(col("value")).as("value_fp"))
+        fp6(col("frequency")).as("freq_fp"), fp4(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
   private val sigHfftSql: String =
@@ -177,7 +177,7 @@ object Sig {
        |)
        |SELECT g.user_id, CAST(g.k AS INT) AS pos,
        |  ${fpSql("(CASE WHEN g.k < (126 - 1) // 2 + 1 THEN g.k ELSE g.k - 126 END) * (1.0/(126 * (d.delta/126)))", "1e6")} AS freq_fp,
-       |  ${fpSql("SUM(CASE WHEN s.j = 0 THEN s.value WHEN s.j = 63 THEN (CASE WHEN g.k % 2 = 0 THEN s.value ELSE -s.value END) ELSE 2 * s.value * COS(2*PI()*s.j*g.k/126) END)", "1e6")} AS value_fp
+       |  ${fpSql("SUM(CASE WHEN s.j = 0 THEN s.value WHEN s.j = 63 THEN (CASE WHEN g.k % 2 = 0 THEN s.value ELSE -s.value END) ELSE 2 * s.value * COS(2*PI()*s.j*g.k/126) END)", "1e4")} AS value_fp
        |FROM grid g JOIN s ON s.user_id = g.user_id JOIN d ON d.user_id = g.user_id
        |GROUP BY g.user_id, g.k, d.delta
        |ORDER BY 1, 2""".stripMargin
@@ -192,15 +192,15 @@ object Sig {
     Signal.ihfft(ev64(s, dir), Seq("user_id"), "t", "value")
       .select(col("user_id"), col("pos"),
         fp6(col("frequency")).as("freq_fp"),
-        fp(col("re"), 6.4e6).as("re_fp"), fp(col("im"), 6.4e6).as("im_fp"))
+        fp(col("re"), 6.4e4).as("re_fp"), fp(col("im"), 6.4e4).as("im_fp"))
       .orderBy("user_id", "pos")
 
   private val sigIhfftSql: String =
     s"""$s64Sql
        |SELECT a.user_id, CAST(a.j AS INT) AS pos,
        |  ${fpSql("CAST(a.j AS DOUBLE)", "1e6")} AS freq_fp,
-       |  ${fpSql("SUM(b.value * COS(2*PI()*a.j*b.j/64)) / 64", "6.4e6")} AS re_fp,
-       |  ${fpSql("SUM(b.value * SIN(2*PI()*a.j*b.j/64)) / 64", "6.4e6")} AS im_fp
+       |  ${fpSql("SUM(b.value * COS(2*PI()*a.j*b.j/64)) / 64", "6.4e4")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(2*PI()*a.j*b.j/64)) / 64", "6.4e4")} AS im_fp
        |FROM s a JOIN s b ON a.user_id = b.user_id
        |WHERE a.j <= 32
        |GROUP BY a.user_id, a.j
@@ -391,7 +391,7 @@ object Sig {
     */
   def sigResample(s: SparkSession, dir: String): DataFrame =
     Signal.resample(ev64(s, dir), Seq("user_id"), "t", "value", num = 48)
-      .select(col("user_id"), col("pos"), fp(col("value"), 6.4e6).as("value_fp"))
+      .select(col("user_id"), col("pos"), fp(col("value"), 6.4e4).as("value_fp"))
       .orderBy("user_id", "pos")
 
   private val sigResampleSql: String =
@@ -412,7 +412,7 @@ object Sig {
        |SELECT g.user_id, CAST(g.tt AS INT) AS pos,
        |  ${fpSql("(SUM(CASE WHEN y.k = 0 THEN y.re " +
          "WHEN y.k = 24 THEN (CASE WHEN g.tt % 2 = 0 THEN y.re ELSE -y.re END) " +
-         "ELSE 2*(y.re*COS(2*PI()*y.k*g.tt/48) - y.im*SIN(2*PI()*y.k*g.tt/48)) END) / 48) * (48.0/64.0)", "6.4e6")} AS value_fp
+         "ELSE 2*(y.re*COS(2*PI()*y.k*g.tt/48) - y.im*SIN(2*PI()*y.k*g.tt/48)) END) / 48) * (48.0/64.0)", "6.4e4")} AS value_fp
        |FROM grid g JOIN Y y ON y.user_id = g.user_id
        |GROUP BY g.user_id, g.tt
        |ORDER BY 1, 2""".stripMargin
