@@ -229,7 +229,12 @@ object Bridge {
   def pairs(ids: ArrayData): ArrayData = {
     val v = ids.toLongArray()
     val n = v.length
-    val out = new Array[Any](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2 // Long: n*(n-1) overflows Int at n>46341
+    require(nPairs <= 16777216L,
+      s"pairs: bucket of $n ids would emit $nPairs pairs; cap bucket sizes " +
+        "upstream (minhashCandidates maxBucket) — a bucket this large is a " +
+        "fully-connected duplicate cluster better handled by exact dedup")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -102,7 +102,17 @@ object Functions {
 
   val names: Seq[String] = Bridge.signatures.keys.toSeq.sorted
 
+  /** Sessions already installed into — install is called from every
+    * query builder, so re-registration must be a silent no-op (the
+    * registry logs a "replacing existing function" warning per
+    * function per call otherwise, flooding bench output).
+    */
+  private val installed =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def install(spark: SparkSession): Unit = {
+    if (!installed.add(spark)) return
     val registry = spark.sessionState.functionRegistry
     names.foreach { n =>
       registry.createOrReplaceTempFunction(

@@ -158,21 +158,41 @@ object Ann {
     topkOutput(scored, k)
   }
 
-  /** Embedding near-duplicate pairs: block on the hyperplane bucket
-    * (hamming-0) and keep same-bucket pairs with cosine >= minCos.
+  /** Embedding near-duplicate pairs: banded random-hyperplane blocking
+    * (the minhash band design transplanted to cosine space) —
+    * `nTables` independent tables of `nPlanes` hyperplanes each; a
+    * pair is a candidate iff it lands in the same bucket of ANY table,
+    * then same-bucket pairs are verified by exact cosine >= minCos.
     * Approximate by construction — the oracle replays the identical
     * blocking.
+    *
+    * Occupancy math (SURVEY §4): per table, expected bucket size is
+    * n / 2^nPlanes, so in-bucket pairing costs ~ nTables · n² / 2^nPlanes
+    * comparisons in expectation — pick nPlanes ≈ log2(n / c) to hold
+    * expected bucket size at a constant c (e.g. n = 10^10 docs,
+    * c = 1024 ⇒ nPlanes ≈ 23), and raise nTables for recall: a pair
+    * at angle θ survives one table with (1 − θ/π)^nPlanes and any of
+    * T tables with 1 − (1 − p)^T. All tables share ONE shuffle — each
+    * vector explodes to (table, bucket) keys, exactly like the
+    * simhash/minhash band paths.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double, nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
+                     minCos: Double, nPlanes: Int = 8,
+                     nTables: Int = 4): DataFrame = {
+    val planes = hyperplanes(nTables * nPlanes, 64)
+    val tableBuckets = array((0 until nTables).map { t =>
+      val slice = planes.slice(t * nPlanes, (t + 1) * nPlanes)
+      struct(lit(t).as("t"), bucketOfF(col("_v"), slice).as("k"))
+    }: _*)
     val v = vectors(df, idCol, vecCol, "_id", "_v")
-      .withColumn("_bucket", bucketOfF(col("_v"), planes))
-    val a = v.select(col("_bucket"), col("_id").as("a"), col("_v").as("_va"))
-    val b = v.select(col("_bucket"), col("_id").as("b"), col("_v").as("_vb"))
-    a.join(b, "_bucket").filter(col("a") < col("b"))
+      .select(col("_id"), col("_v"), explode(tableBuckets).as("tb"))
+      .select(col("_id"), col("_v"), col("tb.t").as("_t"), col("tb.k").as("_k"))
+    val a = v.select(col("_t"), col("_k"), col("_id").as("a"), col("_v").as("_va"))
+    val b = v.select(col("_t"), col("_k"), col("_id").as("b"), col("_v").as("_vb"))
+    a.join(b, Seq("_t", "_k")).filter(col("a") < col("b"))
       .withColumn("cos", cosineFFC(col("_va"), col("_vb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), fp6(col("cos")).as("cos_fp"))
+      .distinct()
   }
 }

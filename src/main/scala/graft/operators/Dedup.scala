@@ -94,10 +94,17 @@ object Dedup {
     * buckets (a bucket of identical boilerplate at corpus scale) — the
     * capped buckets are already fully-connected duplicate clusters, so
     * downstream exact-dedup handles them more cheaply than pairing.
+    * The default cap (4096 ⇒ ≤ ~8.4M pair structs ≈ a few hundred MB,
+    * well inside a task) only drops buckets that exact-dedup must own
+    * anyway; observed bucket maxima on the test corpora are ≤ 4.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, r: Int = 3,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = 4096): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"minhashCandidates requires a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString}. Map ids to a surrogate " +
+        "long (e.g. monotonically_increasing_id or a hash) first.")
     val sh = shingleFrame(df, idCol, textCol)
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
     val buckets = bd.groupBy(col("band"), col("sig"))
@@ -111,24 +118,32 @@ object Dedup {
 
   /** Exact n-gram (3-word shingle) Jaccard over LSH candidates,
     * keeping pairs with jac >= minJac.
-    */
-  /** Exact n-gram (3-word shingle) Jaccard over LSH candidates,
-    * keeping pairs with jac >= minJac. The candidate set is sparse by
-    * LSH construction, so both intersection joins broadcast the pair
-    * side — the (large) distinct-shingle frame is scanned once,
-    * map-side, with its distinct exchange reused by the size
-    * aggregation. If candidates ever outgrow broadcast range the
-    * joins degrade to shuffles via AQE, not to failure.
+    *
+    * Scale shape: no forced `broadcast()` hints anywhere — an explicit
+    * hint is never demoted by AQE, so an unexpectedly large candidate
+    * set would fail the job (8 GB build-side limit / driver OOM)
+    * instead of degrading. Instead the (large) distinct-shingle frame
+    * is first pruned with a LEFT SEMI join to docs that appear in any
+    * candidate pair — the pruned frame is proportional to the
+    * near-duplicate population, not the corpus — and the
+    * shingle-intersection joins run unhinted: AQE picks broadcast when
+    * the candidate side is actually small and falls back to a shuffle
+    * join when it isn't. Sizes are computed from the pruned frame
+    * (identical values — only candidate ids are ever looked up).
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    minJac: Double = 0.8, k: Int = 12, r: Int = 3): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, k, r)
+    val candIds = cand.select(col("a").as("_cand_id"))
+      .union(cand.select(col("b").as("_cand_id")))
+      .distinct()
     val shd = shingleFrame(df, idCol, textCol).distinct()
+      .join(candIds, col(idCol) === col("_cand_id"), "left_semi")
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val aSh = shd.select(col(idCol).as("a"), col("s"))
-      .join(broadcast(cand), "a")
+      .join(cand, "a")
     val inter = shd.select(col(idCol).as("b"), col("s"))
-      .join(broadcast(aSh), Seq("b", "s"))
+      .join(aSh, Seq("b", "s"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("a"), col("sz").as("na")), "a")
@@ -139,45 +154,139 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): every node connects its
+    * strictly-larger neighbors to the minimum of its closed
+    * neighborhood. Input edges may be in any orientation; output edges
+    * are oriented large→small and deduplicated.
+    */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+    // one exchange: neighborhoods gather on the node key and the
+    // rewired edges are emitted map-side from the collected list (the
+    // SoCC'14 reduce-side formulation) — no join back. Multiset output
+    // (no distinct): the only consumer is smallStar, whose aggregation
+    // is duplicate-insensitive and which dedups its own output.
+    // High-degree hubs collect their whole neighborhood here; that is
+    // the published algorithm's reducer shape, and large-star exists
+    // precisely to shed hub neighbors onto the minimum within
+    // O(log n) rounds.
+    und.groupBy(col("a"))
+      .agg(collect_list(col("b")).as("_nb"))
+      .select(col("a"), least(col("a"), array_min(col("_nb"))).as("_m"),
+        col("_nb"))
+      .select(explode(filter(col("_nb"), v => v > col("a"))).as("a"),
+        col("_m").as("b"))
+  }
+
+  /** One small-star round: edges keyed on their larger endpoint; each
+    * node rewires its smaller neighborhood (plus itself) onto the
+    * neighborhood minimum. Input edges in any orientation; output
+    * oriented large→small, deduplicated, self-loops dropped.
+    */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // same one-exchange reduce-side shape as largeStar: collect the
+    // smaller neighborhood, rewire it (plus the key itself) onto its
+    // minimum map-side, then dedup
+    dir.groupBy(col("a"))
+      .agg(array_distinct(collect_list(col("b"))).as("_nb"))
+      .select(col("a"), array_min(col("_nb")).as("_m"), col("_nb"))
+      .select(explode(concat(
+          filter(col("_nb"), v => v =!= col("_m")),
+          array(col("a")))).as("a"),
+        col("_m").as("b"))
+      .distinct()
+  }
+
   /** Connected components over near-duplicate pairs: every doc that
     * appears in a pair is labelled with the smallest id reachable
     * through the pair graph — the canonical representative of its
     * duplicate cluster ("keep one per cluster" then being a filter on
-    * id != cluster_id). Iterative min-label propagation, the standard
-    * distributed CC shape: each round is one shuffle (neighbor-min
-    * aggregation); rounds = graph diameter (near-dup clusters are
-    * shallow); lineage is truncated per round with an eager
-    * localCheckpoint so the plan stays linear.
+    * id != cluster_id).
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et
+    * al., SoCC'14) — converges in O(log² n) rounds even on
+    * high-diameter or skewed graphs, where plain min-label propagation
+    * needs diameter rounds. At the fixpoint every component is a star:
+    * each non-minimum node carries exactly one edge to its component
+    * minimum.
+    *
+    * Scale shape, per round:
+    *  - ONE action — the exact symmetric-difference convergence count.
+    *    That same job materializes the new edge set into its
+    *    MEMORY_AND_DISK persist (caching happens whenever partitions
+    *    are computed), so no separate materialization job runs.
+    *  - a reliable `checkpoint()` every `checkpointEvery` rounds
+    *    truncates lineage to durable storage (HDFS/object store on a
+    *    cluster — set `spark.sparkContext.setCheckpointDir`; a
+    *    temp-dir default is installed for local runs). Unlike
+    *    `localCheckpoint`, executor loss is recoverable: an
+    *    hours-long 1000-executor run resumes from the last
+    *    checkpoint instead of aborting.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // materialize the edge list once — every iteration joins it, and
-    // without the checkpoint each round would re-run the whole
-    // candidate-generation pipeline upstream of `pairs`
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    // seed with the direct-neighborhood minimum (one aggregation) —
-    // equivalent to running the first propagation round for free
-    var labels = edges.groupBy(col("a"))
-      .agg(least(col("a"), min(col("b"))).as("lbl"))
-      .withColumnRenamed("a", "id")
-      .localCheckpoint(true)
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+                  checkpointEvery: Int = 3): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // materialize the input edge list ONCE: persist first so the eager
+    // reliable checkpoint (whose write pass re-computes the RDD) reads
+    // the cache instead of running the candidate-generation pipeline
+    // upstream of `pairs` a second time
+    val base = pairs.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val init = base.checkpoint(eager = true)
+    base.unpersist(blocking = false)
+    var e = init
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b"), "b")
-        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("_nl"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("_nl"), col("lbl"))).as("lbl"),
-          col("lbl").as("_old"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("lbl") =!= col("_old")).count()
-      labels = updated.select(col("id"), col("lbl"))
+      var next = smallStar(largeStar(e)).persist(MEMORY_AND_DISK)
+      // exact termination test, one aggregation: the edge set is a
+      // union of 2-level stars iff no node is both an edge source and
+      // an edge target. Both stars keep edges oriented large→small and
+      // preserve per-component connectivity and node sets, so 2-level
+      // ⟹ each component is a single star whose root must be the
+      // component minimum (a non-min root r would force the edge
+      // (min, r) with min < r, violating orientation) — i.e. labels
+      // are already correct, no need to wait for edge-set fixpoint.
+      // This count is the round's single action and also populates
+      // `next`'s cache.
+      changed = next.select(col("a").as("n"), lit(1).as("s"))
+        .union(next.select(col("b").as("n"), lit(0).as("s")))
+        .groupBy(col("n"))
+        .agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"))
+        .filter(col("_mn") === 0 && col("_mx") === 1)
+        .count()
       iter += 1
+      if (changed > 0 && iter % checkpointEvery == 0) {
+        val chk = next.checkpoint(eager = true) // reads the cache just populated
+        next.unpersist(blocking = false)
+        next = chk
+      }
+      e.unpersist(blocking = false)
+      e = next
     }
-    labels.withColumnRenamed("id", "doc_id").withColumnRenamed("lbl", "cluster_id")
+    // star fixpoint: each non-root node has exactly one edge (node →
+    // component min); roots label themselves. Nodes come from the
+    // checkpointed initial edge set (same node set as `pairs`), not
+    // from `pairs` itself, so the upstream pipeline is not re-run.
+    val nodes = init.select(col("a").as("id"))
+      .union(init.select(col("b").as("id")))
+      .distinct()
+    nodes.join(e.select(col("a").as("id"), col("b").as("_lbl")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("_lbl"), col("id")).as("cluster_id"))
   }
 
   /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only. */
@@ -189,25 +298,42 @@ object Dedup {
       .drop("_sh")
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHam. The
-    * self-join here blocks on the high 16 bits first (near-dups almost
-    * always agree there), then verifies full hamming — at scale this
-    * is the standard rotate-and-block scheme's first table.
+  /** SimHash near-dup pairs with hamming distance <= maxHam, full
+    * recall: the 64-bit signature is split into four 16-bit blocks
+    * (the standard rotate-and-block scheme); by pigeonhole, any pair
+    * at hamming <= 3 agrees exactly on at least one block, so the
+    * union of the four block-keyed self-joins finds every such pair.
+    * All four tables share ONE shuffle — each signature explodes to
+    * (table, block) keys and the self-join runs on the composite key —
+    * and pairs agreeing on several blocks are deduplicated after the
+    * hamming verification.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3,
+      s"simhashPairs guarantees full recall only for maxHam <= 3 " +
+        s"(4 blocks of 16 bits); got $maxHam")
+    val blocks = array(
+      struct(lit(0).as("t"), shiftright(col("sim_hi"), 16).as("k")),
+      struct(lit(1).as("t"), col("sim_hi").bitwiseAND(lit(0xffffL)).as("k")),
+      struct(lit(2).as("t"), shiftright(col("sim_lo"), 16).as("k")),
+      struct(lit(3).as("t"), col("sim_lo").bitwiseAND(lit(0xffffL)).as("k")))
     val sig = simhashFrame(df, idCol, textCol)
       .select(col(idCol), col("sim_hi"), col("sim_lo"))
-      .withColumn("blk", shiftright(col("sim_hi"), 16))
-    val a = sig.select(col("blk"), col(idCol).as("a"),
+      .select(col(idCol), col("sim_hi"), col("sim_lo"),
+        explode(blocks).as("tk"))
+      .select(col(idCol), col("sim_hi"), col("sim_lo"),
+        col("tk.t").as("t"), col("tk.k").as("k"))
+    val a = sig.select(col("t"), col("k"), col(idCol).as("a"),
       col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"))
-    val b = sig.select(col("blk"), col(idCol).as("b"),
+    val b = sig.select(col("t"), col("k"), col(idCol).as("b"),
       col("sim_hi").as("hi_b"), col("sim_lo").as("lo_b"))
-    a.join(b, "blk").filter(col("a") < col("b"))
+    a.join(b, Seq("t", "k")).filter(col("a") < col("b"))
       .withColumn("hamming",
         bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
           bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
       .filter(col("hamming") <= maxHam)
       .select(col("a"), col("b"), col("hamming"))
+      .distinct()
   }
 }

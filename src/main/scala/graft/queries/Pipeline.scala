@@ -135,13 +135,22 @@ object Pipeline {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHam = 3)
       .orderBy("a", "b")
 
+  /** 4-block rotate-and-scheme union (pigeonhole-complete at ham<=3),
+    * mirroring Dedup.simhashPairs: 16-bit blocks keyed (table, block),
+    * full-hamming verify, pair dedup.
+    */
   private val dedupSimhashPairsSql: String = {
     val inner = dedupSimhashSql.replace(" ORDER BY doc_id", "")
-    s"""WITH sig AS ($inner)
-       |SELECT x.doc_id AS a, y.doc_id AS b,
+    s"""WITH sig AS ($inner), k AS (
+       |  SELECT doc_id, sim_hi, sim_lo, r.t,
+       |    CASE r.t WHEN 0 THEN sim_hi // 65536 WHEN 1 THEN sim_hi % 65536
+       |             WHEN 2 THEN sim_lo // 65536 ELSE sim_lo % 65536 END AS blk
+       |  FROM sig, range(4) r(t)
+       |)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        |  CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming
-       |FROM sig x JOIN sig y
-       |  ON x.sim_hi // 65536 = y.sim_hi // 65536 AND x.doc_id < y.doc_id
+       |FROM k x JOIN k y
+       |  ON x.t = y.t AND x.blk = y.blk AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 3
        |ORDER BY 1, 2""".stripMargin
   }
@@ -175,10 +184,35 @@ object Pipeline {
     Ann.embeddingPairs(embs(s, dir), "vec_id", "embedding", minCos = 0.35)
       .orderBy("a", "b")
 
+  /** Banded multi-table blocking twin of Ann.embeddingPairs (4 tables
+    * × 8 planes): global plane index p in [0,32), table p//8, bit
+    * p%8; candidates share any (table, bucket); exact-cosine verify.
+    */
   private val dedupEmbeddingSql: String =
-    s"""$embBaseSql, cand AS (
-       |  SELECT x.vec_id AS a, y.vec_id AS b
-       |  FROM buck x JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), idx AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), pl AS (
+       |  SELECT p.p, i.i,
+       |    CASE WHEN substr(md5(p.p || ',' || (i.i - 1)), 1, 1)
+       |         IN ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END AS h
+       |  FROM range(32) p(p), idx i
+       |), dots AS (
+       |  SELECT e.vec_id, p.p, SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.h) AS d
+       |  FROM ee e, pl p GROUP BY 1, 2
+       |), buck AS (
+       |  SELECT vec_id, p // 8 AS t,
+       |    CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % 8)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |), nrm AS (
+       |  SELECT e.vec_id,
+       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ee e, idx i GROUP BY 1
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buck x JOIN buck y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
        |), dp AS (
        |  SELECT c.a, c.b,
        |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
