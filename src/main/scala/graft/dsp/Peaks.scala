@@ -12,23 +12,31 @@ object Peaks {
   final case class Prominence(prominence: Double, leftBase: Int, rightBase: Int)
   final case class Width(width: Double, widthHeight: Double, leftIp: Double, rightIp: Double)
 
-  /** scipy.signal.peak_prominences (wlen unset): walk outward from the
-    * peak to the first higher sample (or the signal edge); the base on
-    * each side is the lowest point in that stretch.
+  /** scipy.signal.peak_prominences: walk outward from the peak to the
+    * first higher sample (or the signal edge); the base on each side
+    * is the lowest point in that stretch. `wlen >= 2` limits the
+    * evaluated area to peak ± wlen/2 (scipy's window rule: i_min =
+    * max(peak - wlen//2, 0), i_max = min(peak + wlen//2, n-1)).
     */
-  def prominence(x: Array[Double], peak: Int): Prominence = {
+  def prominence(x: Array[Double], peak: Int, wlen: Int = -1): Prominence = {
     val n = x.length
     require(peak >= 0 && peak < n, s"peak index $peak out of range")
+    var iMin = 0
+    var iMax = n - 1
+    if (wlen >= 2) {
+      iMin = math.max(peak - wlen / 2, iMin)
+      iMax = math.min(peak + wlen / 2, iMax)
+    }
     val hp = x(peak)
     var leftMin = hp; var leftBase = peak
     var i = peak
-    while (i >= 0 && x(i) <= hp) {
+    while (i >= iMin && x(i) <= hp) {
       if (x(i) < leftMin) { leftMin = x(i); leftBase = i }
       i -= 1
     }
     var rightMin = hp; var rightBase = peak
     i = peak
-    while (i < n && x(i) <= hp) {
+    while (i <= iMax && x(i) <= hp) {
       if (x(i) < rightMin) { rightMin = x(i); rightBase = i }
       i += 1
     }
@@ -37,11 +45,13 @@ object Peaks {
 
   /** scipy.signal.peak_widths for one peak at `rel_height` of its
     * prominence (default 0.5 = FWHM when prominence spans the full
-    * peak height).
+    * peak height). `wlen` is forwarded to the prominence search;
+    * `promData` (scipy's `prominence_data` kwarg) skips it entirely.
     */
-  def width(x: Array[Double], peak: Int, relHeight: Double = 0.5): Width = {
+  def width(x: Array[Double], peak: Int, relHeight: Double = 0.5,
+            wlen: Int = -1, promData: Prominence = null): Width = {
     require(relHeight >= 0, s"rel_height must be >= 0: $relHeight")
-    val p = prominence(x, peak)
+    val p = if (promData != null) promData else prominence(x, peak, wlen)
     val height = x(peak) - p.prominence * relHeight
     // left intersection
     var i = peak

@@ -6,24 +6,71 @@ package graft.dsp
   */
 object Resample {
 
-  /** scipy.signal.resample(x, num, domain): real input path.
-    * domain "time": x is a time series → rfft first.
-    * domain "freq": x is already a (real-input, packed rfft) spectrum is
-    * not representable as real array — the reference's `domain` kwarg is
-    * forwarded to scipy where "freq" expects the spectrum; we support
-    * "time" (the default and the only mode the reference tests).
+  /** Periodic (fftbins=true) window of length n, matching
+    * scipy.signal.get_window's default mode for the named windows.
     */
-  def resample(x: Array[Double], num: Int): Array[Double] = {
+  def periodicWindow(name: String, n: Int): Array[Double] = {
+    val w = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val t = 2.0 * math.Pi * k / n
+      w(k) = name match {
+        case "boxcar" | "rectangular" => 1.0
+        case "hann" | "hanning" => 0.5 - 0.5 * math.cos(t)
+        case "hamming" => 0.54 - 0.46 * math.cos(t)
+        case "blackman" => 0.42 - 0.5 * math.cos(t) + 0.08 * math.cos(2 * t)
+        case "bartlett" => 1.0 - math.abs(2.0 * k / n - 1.0)
+        case other => throw new IllegalArgumentException(
+          s"unknown window '$other' (supported: boxcar, hann, hamming, blackman, bartlett)")
+      }
+      k += 1
+    }
+    w
+  }
+
+  /** scipy.signal.resample(x, num, window, domain): real input path.
+    * domain "time": x is a time series → rfft first.
+    * domain "freq": x is interpreted as a real-valued packed rfft
+    * spectrum (scipy's real-input freq path: `X = x`, imaginary parts
+    * zero) — Nx is then the bin count, exactly like scipy.
+    * window: a named window ("" = none), built periodic
+    * (get_window fftbins=True), ifftshifted, folded onto itself for
+    * real input (scipy's W_real), and applied to the spectrum before
+    * the truncate/pad copy.
+    */
+  def resample(x: Array[Double], num: Int, window: String = "",
+               domain: String = "time"): Array[Double] = {
     val nx = x.length
     require(num > 0, "num must be positive")
-    val xf = Fft.rfft(x) // nx//2+1 bins
+    require(domain == "time" || domain == "freq",
+      s"domain must be 'time' or 'freq': $domain")
+    // spectrum bins
+    var xRe: Array[Double] = null
+    var xIm: Array[Double] = null
+    if (domain == "time") {
+      val xf = Fft.rfft(x)
+      xRe = xf.re; xIm = xf.im
+    } else {
+      xRe = x.clone(); xIm = new Array[Double](nx)
+    }
+    val bins = xRe.length
+    if (window.nonEmpty) {
+      val w = Fft.ifftshift(periodicWindow(window, nx))
+      // real-input fold: W_real[i] = (W[i] + W[Nx-i]) / 2 for i >= 1
+      var i = 0
+      while (i < bins) {
+        val wr = if (i == 0) w(0) else 0.5 * (w(i) + w(nx - i))
+        xRe(i) *= wr; xIm(i) *= wr
+        i += 1
+      }
+    }
     val nyOut = num / 2 + 1
     val yRe = new Array[Double](nyOut)
     val yIm = new Array[Double](nyOut)
     val nMin = math.min(num, nx)
     val nyq = nMin / 2 + 1
     var i = 0
-    while (i < math.min(nyq, nyOut)) { yRe(i) = xf.re(i); yIm(i) = xf.im(i); i += 1 }
+    while (i < math.min(nyq, nyOut)) { yRe(i) = xRe(i); yIm(i) = xIm(i); i += 1 }
     if (nMin % 2 == 0) {
       if (num < nx) {
         // downsampling: fold the (dropped) negative Nyquist energy in

@@ -115,14 +115,16 @@ object Bridge {
 
   def envelope(x: ArrayData, n: Int): ArrayData = out(Hilbert.envelope(d(x), n))
 
-  def resample(x: ArrayData, num: Int): ArrayData = out(Resample.resample(d(x), num))
+  def resample(x: ArrayData, num: Int, window: UTF8String, domain: UTF8String): ArrayData =
+    out(Resample.resample(d(x), num, window.toString, domain.toString))
 
   def decimate(x: ArrayData, q: Int, n: Int, ftype: UTF8String, zeroPhase: Boolean): ArrayData =
     out(Resample.decimate(d(x), q, n, ftype.toString, zeroPhase))
 
   // ---- peaks --------------------------------------------------------
 
-  def peakWidths(x: ArrayData, peaks: ArrayData, relHeight: Double): InternalRow = {
+  def peakWidths(x: ArrayData, peaks: ArrayData, relHeight: Double,
+                 wlen: Int): InternalRow = {
     val xs = d(x)
     val ps = peaks.toIntArray()
     val n = ps.length
@@ -130,7 +132,31 @@ object Bridge {
     val l = new Array[Double](n); val r = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val res = Peaks.width(xs, ps(i), relHeight)
+      val res = Peaks.width(xs, ps(i), relHeight, wlen)
+      w(i) = res.width; h(i) = res.widthHeight; l(i) = res.leftIp; r(i) = res.rightIp
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](out(w), out(h), out(l), out(r)))
+  }
+
+  /** peak_widths with caller-provided prominence_data (scipy's
+    * (prominences, left_bases, right_bases) triple, parallel to
+    * `peaks`) — the prominence search is skipped entirely.
+    */
+  def peakWidthsP(x: ArrayData, peaks: ArrayData, relHeight: Double,
+                  prom: ArrayData, lbase: ArrayData, rbase: ArrayData): InternalRow = {
+    val xs = d(x)
+    val ps = peaks.toIntArray()
+    val pr = d(prom); val lb = lbase.toIntArray(); val rb = rbase.toIntArray()
+    require(pr.length == ps.length && lb.length == ps.length && rb.length == ps.length,
+      s"prominence_data arrays (${pr.length}/${lb.length}/${rb.length}) must parallel peaks (${ps.length})")
+    val n = ps.length
+    val w = new Array[Double](n); val h = new Array[Double](n)
+    val l = new Array[Double](n); val r = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val res = Peaks.width(xs, ps(i), relHeight,
+        promData = Peaks.Prominence(pr(i), lb(i), rb(i)))
       w(i) = res.width; h(i) = res.widthHeight; l(i) = res.leftIp; r(i) = res.rightIp
       i += 1
     }
@@ -389,9 +415,10 @@ object Bridge {
     "filtfilt" -> (Seq(arrD, arrD, arrD) -> arrD),
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
-    "resample" -> (Seq(arrD, IntegerType) -> arrD),
+    "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
     "decimate" -> (Seq(arrD, IntegerType, IntegerType, StringType, BooleanType) -> arrD),
-    "peakWidths" -> (Seq(arrD, arrI, DoubleType) -> peakWidthsT),
+    "peakWidths" -> (Seq(arrD, arrI, DoubleType, IntegerType) -> peakWidthsT),
+    "peakWidthsP" -> (Seq(arrD, arrI, DoubleType, arrD, arrI, arrI) -> peakWidthsT),
     "localMaxima" -> (Seq(arrD) -> arrI),
     "winnow" -> (Seq(StringType, IntegerType, IntegerType, LongType, LongType)
       -> ArrayType(LongType, containsNull = false)),
@@ -434,9 +461,10 @@ object Bridge {
     case "filtfilt" => filtfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
-    case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
+    case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "decimate" => decimate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Boolean])
-    case "peakWidths" => peakWidths(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double])
+    case "peakWidths" => peakWidths(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int])
+    case "peakWidthsP" => peakWidthsP(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[ArrayData])
     case "localMaxima" => localMaxima(a(0).asInstanceOf[ArrayData])
     case "winnow" => winnow(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Long], a(4).asInstanceOf[Long])
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])

@@ -178,12 +178,18 @@ object Functions {
     def filtfiltC(b: Column, a: Column, x: Column): Column = call("filtfilt", b, a, x)
     def hilbertC(x: Column, n: Int = -1): Column = call("hilbert", x, lit(n))
     def envelopeC(x: Column, n: Int = -1): Column = call("envelope", x, lit(n))
-    def resampleC(x: Column, num: Column): Column = call("resample", x, num)
+    def resampleC(x: Column, num: Column, window: String = "",
+                  domain: String = "time"): Column =
+      call("resample", x, num, lit(window), lit(domain))
     def decimateC(x: Column, q: Int, n: Int = -1, ftype: String = "iir",
                   zeroPhase: Boolean = true): Column =
       call("decimate", x, lit(q), lit(n), lit(ftype), lit(zeroPhase))
-    def peakWidthsC(x: Column, peaks: Column, relHeight: Double = 0.5): Column =
-      call("peakWidths", x, peaks, lit(relHeight))
+    def peakWidthsC(x: Column, peaks: Column, relHeight: Double = 0.5,
+                    wlen: Int = -1): Column =
+      call("peakWidths", x, peaks, lit(relHeight), lit(wlen))
+    def peakWidthsPC(x: Column, peaks: Column, relHeight: Column,
+                     prom: Column, lbase: Column, rbase: Column): Column =
+      call("peakWidthsP", x, peaks, relHeight, prom, lbase, rbase)
     def localMaximaC(x: Column): Column = call("localMaxima", x)
     def winnowC(text: Column, k: Int = 8, w: Int = 4,
                 base: Long = 31L, mod: Long = 1000000007L): Column =

@@ -33,25 +33,43 @@ object Signal {
   /** Columns that mark a frame as already seriesified. */
   private val seriesCols = Seq("n", "delta", "cmin", "cmax", "coords")
 
+  /** Explicit already-seriesified marker carried as column metadata on
+    * `n` — a coincidental column-name collision on a long-format frame
+    * can no longer silently skip grouping.
+    */
+  private val seriesMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean("graft.series", true).build()
+
+  private def isSeriesified(df: DataFrame): Boolean =
+    df.columns.contains("n") &&
+      df.schema("n").metadata.contains("graft.series") &&
+      seriesCols.forall(df.columns.contains)
+
   /** Pre-grouped entry (SURVEY.md §4): input already holds one row per
     * series with a sorted coordinate array and parallel value arrays —
     * the natural layout for telemetry bucketed/stored by series key.
     * Derives the series metadata map-side; every Signal op then skips
     * its groupBy exchange entirely ([[seriesify]] passes such frames
-    * through untouched).
+    * through untouched). Empty coordinate arrays yield n=0 with
+    * cmin/cmax 0 (instead of a null element_at crash).
     */
   def fromGrouped(df: DataFrame, coordsCol: String): DataFrame =
     df.withColumn("n", size(col(coordsCol)).cast("int"))
-      .withColumn("cmin", element_at(col(coordsCol), 1).cast("double"))
-      .withColumn("cmax", element_at(col(coordsCol), col("n")).cast("double"))
+      .withColumn("cmin",
+        when(col("n") > 0, element_at(col(coordsCol), 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("cmax",
+        when(col("n") > 0, element_at(col(coordsCol), col("n")).cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("delta",
         when(col("n") > 1, (col("cmax") - col("cmin")) / (col("n") - 1))
           .otherwise(lit(1.0)))
       .withColumn("coords", expr(s"transform($coordsCol, c -> CAST(c AS DOUBLE))"))
+      .withMetadata("n", seriesMeta)
 
   def seriesify(df: DataFrame, keys: Seq[String], dim: String,
                 values: Seq[String]): DataFrame = {
-    if (seriesCols.forall(df.columns.contains) && values.forall(df.columns.contains))
+    if (isSeriesified(df) && values.forall(df.columns.contains))
       return df // already seriesified (fromGrouped) — no shuffle
     // Null handling mirrors numpy/scipy: a null sample becomes NaN and
     // propagates through the kernel; a row with no coordinate cannot be
@@ -78,7 +96,7 @@ object Signal {
     values.zipWithIndex.foreach { case (v, i) =>
       out = out.withColumn(v, expr(s"transform(_arr, s -> s.v$i)"))
     }
-    out.drop("_arr")
+    out.drop("_arr").withMetadata("n", seriesMeta)
   }
 
   /** Inverse of [[seriesify]]: explode parallel array columns back to
@@ -235,9 +253,17 @@ object Signal {
       col(dim2).cast("double").as("c2"), col(value).cast("double").as("v"))
     val grouped = df.groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(packed)).as("_arr"),
-        countDistinct(col(dim1)).cast("int").as("_n1"))
+        countDistinct(col(dim1)).cast("int").as("_n1"),
+        countDistinct(col(dim2)).cast("int").as("_n2"))
+    // reject ragged/incomplete (dim1 × dim2) grids instead of silently
+    // mis-shaping the row-major reshape; assert_true is chained into
+    // the value expression so Catalyst cannot prune it
+    val gridOk = assert_true(col("_n1") * col("_n2") === size(col("_arr")),
+      concat(lit(s"fftconvolve2d: group is not a complete $dim1 x $dim2 grid: "),
+        col("_n1").cast("string"), lit(" x "), col("_n2").cast("string"),
+        lit(" != "), size(col("_arr")).cast("string")))
     val withOut = grouped
-      .withColumn("_vals", expr("transform(_arr, s -> s.v)"))
+      .withColumn("_vals", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
       .withColumn("_out", fftconvolve2dC(col("_vals"), col("_n1"),
         typedLit(kernel), lit(kernelRows), mode))
     val exploded = withOut.select(
@@ -250,13 +276,20 @@ object Signal {
   }
 
   /** Cross-correlation (scipy.signal.correlate): convolve with the
-    * reversed kernel. Same join/broadcast shape as [[convolve]].
+    * reversed kernel. Same join/broadcast shape as [[convolve]]: a
+    * per-key second input joins on the keys; an unkeyed in2 is a
+    * single kernel series broadcast to every group (previously a
+    * keyed in2 was silently collapsed into one mixed series).
     */
   def correlate(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
                 value: String, mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(value))
-    val s2 = seriesify(in2, Nil, dim, Seq(value)).withColumnRenamed(value, "_b")
-    val joined = s1.crossJoin(broadcast(s2.select(col("_b"))))
+    val in2Keyed = keys.nonEmpty && in2.columns.toSet.intersect(keys.toSet).size == keys.size
+    val s2 = seriesify(in2, if (in2Keyed) keys else Nil, dim, Seq(value))
+      .withColumnRenamed(value, "_b")
+    val joined =
+      if (in2Keyed) s1.join(s2.select((keys.map(col) :+ col("_b")): _*), keys)
+      else s1.crossJoin(broadcast(s2.select(col("_b"))))
     val withOut = joined.withColumn("_out", correlateC(col(value), col("_b"), mode, method))
     explodeSeries(withOut, keys, Seq("value" -> col("_out")))
   }
@@ -279,15 +312,26 @@ object Signal {
     require(m >= 1, "kernel must be non-empty")
     require(chunkSize > m - 1, s"chunkSize $chunkSize must exceed kernel halo ${m - 1}")
     val h = m - 1
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(dim).cast("double"), col(value).cast("double"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    // Sample index from the (equispaced, per the operator contract)
+    // coordinate: _j = round((t - cmin) / delta) off one small per-key
+    // aggregate — no per-series sort, no whole-partition count window
+    // (the previous row_number/count plan buffered and sorted every
+    // series twice before chunking).
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(min(col(dim).cast("double")).as("_cmin"),
+        max(col(dim).cast("double")).as("_cmax"),
+        count(lit(1)).as("_n"))
+    val withStats =
+      if (keys.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(stats, keys)
     val c0 = expr(s"_j div $chunkSize")
     val cmax = expr(s"(_n - 1) div $chunkSize")
-    val idx = df
-      .withColumn("_j", row_number().over(wOrd).cast("long") - 1)
-      .withColumn("_n", count(lit(1)).over(wAll))
+    val idx = withStats
+      .withColumn("_delta",
+        when(col("_n") > 1, (col("_cmax") - col("_cmin")) / (col("_n") - 1))
+          .otherwise(lit(1.0)))
+      .withColumn("_j",
+        round((col(dim).cast("double") - col("_cmin")) / col("_delta")).cast("long"))
       .withColumn("_c", explode(
         when(col("_j") % chunkSize >= chunkSize - h && c0 + 1 <= cmax,
           array(c0, c0 + 1)).otherwise(array(c0))))
@@ -368,14 +412,20 @@ object Signal {
     explodeSeries(withOut, keys, Seq(dim -> col("_dc"), "value" -> col("_out")))
   }
 
-  /** resample to `num` samples via Fourier method. Output: keys, pos,
+  /** resample to `num` samples via Fourier method, with the
+    * reference's full signature (signal.py:374-382): `window` names a
+    * periodic DFT-domain window ("" = none; hann/hamming/blackman/
+    * bartlett/boxcar) applied to the spectrum before truncation/
+    * padding, and `domain` is "time" (default) or "freq" (the value
+    * column is a real-valued packed rfft spectrum). Output: keys, pos,
     * <dim> (uniform re-spaced coords over the original span), value.
     */
   def resample(df: DataFrame, keys: Seq[String], dim: String, value: String,
-               num: Int): DataFrame = {
+               num: Int, window: String = "",
+               domain: String = "time"): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
     val withOut = sdf
-      .withColumn("_out", resampleC(col(value), lit(num)))
+      .withColumn("_out", resampleC(col(value), lit(num), window, domain))
       .withColumn("_nc", expr(
         s"transform(sequence(0, $num - 1), i -> cmin + i * (delta * n) / $num)"))
     explodeSeries(withOut, keys, Seq(dim -> col("_nc"), "value" -> col("_out")))
@@ -410,34 +460,63 @@ object Signal {
     * like scipy.
     */
   def peakWidths(df: DataFrame, keys: Seq[String], dim: String, value: String,
-                 relHeight: Double = 0.5): DataFrame = {
+                 relHeight: Double = 0.5, wlen: Int = -1): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
-    widthsOf(sdf.withColumn("_pk", localMaximaC(col(value))), keys, value, relHeight)
+    widthsOf(sdf.withColumn("_pk", localMaximaC(col(value))), keys, value,
+      relHeight, wlen)
   }
 
   /** peak_widths with caller-provided peak indices (the reference's
     * exact signature, signal.py:331: `peaks` is a labelled array of
     * sample indices per series). `peaks` is a long frame (keys,
-    * peakCol int); joined to the series on keys.
+    * peakCol int); joined to the series on keys. scipy's passthrough
+    * kwargs are honoured: `wlen` bounds the prominence search window,
+    * and `prominenceData` — a long frame (keys, peakCol, promCols
+    * prominence/left_base/right_base) parallel to `peaks` — skips the
+    * prominence computation entirely (scipy's `prominence_data`).
     */
   def peakWidthsAt(df: DataFrame, peaks: DataFrame, keys: Seq[String], dim: String,
                    value: String, peakCol: String = "peak",
-                   relHeight: Double = 0.5): DataFrame = {
+                   relHeight: Double = 0.5, wlen: Int = -1,
+                   prominenceData: DataFrame = null): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
-    val pk = peaks
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(col(peakCol).cast("int"))).as("_pk"))
-    widthsOf(sdf.join(pk, keys), keys, value, relHeight)
+    if (prominenceData == null) {
+      val pk = peaks
+        .groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(col(peakCol).cast("int"))).as("_pk"))
+      widthsOf(sdf.join(pk, keys), keys, value, relHeight, wlen)
+    } else {
+      // sort peaks and prominence triples together on the peak index
+      // so the arrays stay parallel after collect_list
+      val packed = struct(col(peakCol).cast("int").as("p"),
+        col("prominence").cast("double").as("pr"),
+        col("left_base").cast("int").as("lb"),
+        col("right_base").cast("int").as("rb"))
+      val pk = prominenceData
+        .groupBy(keys.map(col): _*)
+        .agg(array_sort(collect_list(packed)).as("_pp"))
+        .withColumn("_pk", expr("transform(_pp, s -> s.p)"))
+        .withColumn("_prom", expr("transform(_pp, s -> s.pr)"))
+        .withColumn("_lb", expr("transform(_pp, s -> s.lb)"))
+        .withColumn("_rb", expr("transform(_pp, s -> s.rb)"))
+        .drop("_pp")
+      val withOut = sdf.join(pk, keys).withColumn("_pw",
+        peakWidthsPC(col(value), col("_pk"), lit(relHeight),
+          col("_prom"), col("_lb"), col("_rb")))
+      explodeWidths(withOut, keys)
+    }
   }
 
   private def widthsOf(sdf: DataFrame, keys: Seq[String], value: String,
-                       relHeight: Double): DataFrame = {
-    val withOut = sdf.withColumn("_pw", peakWidthsC(col(value), col("_pk"), relHeight))
+                       relHeight: Double, wlen: Int = -1): DataFrame =
+    explodeWidths(sdf.withColumn("_pw",
+      peakWidthsC(col(value), col("_pk"), relHeight, wlen)), keys)
+
+  private def explodeWidths(withOut: DataFrame, keys: Seq[String]): DataFrame =
     explodeSeries(withOut, keys, Seq(
       "peak" -> col("_pk"),
       "width" -> col("_pw.widths"),
       "width_height" -> col("_pw.width_heights"),
       "left_ip" -> col("_pw.left_ips"),
       "right_ip" -> col("_pw.right_ips")))
-  }
 }

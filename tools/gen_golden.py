@@ -208,10 +208,37 @@ def hilbert_np(x, N=None):
     return np.fft.ifft(Xf * h)
 
 
-def resample_np(x, num):
-    """Published Fourier resampling algorithm (real input), numpy.fft."""
+def periodic_window_np(name, n):
+    """get_window(..., fftbins=True) equivalents, closed-form."""
+    k = np.arange(n)
+    t = 2 * np.pi * k / n
+    if name == "boxcar":
+        return np.ones(n)
+    if name == "hann":
+        return 0.5 - 0.5 * np.cos(t)
+    if name == "hamming":
+        return 0.54 - 0.46 * np.cos(t)
+    if name == "blackman":
+        return 0.42 - 0.5 * np.cos(t) + 0.08 * np.cos(2 * t)
+    if name == "bartlett":
+        return 1.0 - np.abs(2.0 * k / n - 1.0)
+    raise ValueError(name)
+
+
+def resample_np(x, num, window=None, domain="time"):
+    """Published Fourier resampling algorithm (real input), numpy.fft,
+    with the spectrum-window and freq-domain-input options."""
     nx = len(x)
-    X = np.fft.rfft(x)
+    if domain == "time":
+        X = np.fft.rfft(x)
+    else:  # freq: x is a real-valued packed rfft spectrum
+        X = np.asarray(x, dtype=complex)
+    if window is not None:
+        W = np.fft.ifftshift(periodic_window_np(window, nx))
+        W_real = W.copy()
+        W_real[1:] += W_real[-1:0:-1]
+        W_real[1:] *= 0.5
+        X = X * W_real[:len(X)]
     Y = np.zeros(num // 2 + 1, dtype=complex)
     N = min(num, nx)
     nyq = N // 2 + 1
@@ -258,6 +285,14 @@ with open(os.path.join(OUT, "spectral.txt"), "w") as f:
         emit(f, f"hilbertN_{n}_im", hN.imag)
         for num in (n // 2, n // 3, 2 * n, n):
             emit(f, f"resample_{n}_{num}", resample_np(x, num))
+        for win in ("hann", "hamming", "blackman", "bartlett"):
+            emit(f, f"resample_w_{win}_{n}", resample_np(x, n // 2, window=win))
+            emit(f, f"resample_wu_{win}_{n}", resample_np(x, 2 * n, window=win))
+        # freq-domain input: a real half-spectrum of nb bins
+        xs = rng.standard_normal(n // 2 + 1)
+        emit(f, f"rsfreq_x_{n}", xs)
+        emit(f, f"resample_fr_{n}", resample_np(xs, n, domain="freq"))
+        emit(f, f"resample_frw_{n}", resample_np(xs, n, window="hann", domain="freq"))
     # decimate, FIR path: firwin(20q+1, 1/q) + filtfilt + [::q]
     x = rng.standard_normal(256)
     emit(f, "dx_256", x)
