@@ -253,20 +253,27 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       var next = smallStar(largeStar(e)).persist(MEMORY_AND_DISK)
       // exact termination test, one aggregation: the edge set is a
-      // union of 2-level stars iff no node is both an edge source and
-      // an edge target. Both stars keep edges oriented large→small and
-      // preserve per-component connectivity and node sets, so 2-level
-      // ⟹ each component is a single star whose root must be the
-      // component minimum (a non-min root r would force the edge
-      // (min, r) with min < r, violating orientation) — i.e. labels
-      // are already correct, no need to wait for edge-set fixpoint.
-      // This count is the round's single action and also populates
-      // `next`'s cache.
-      changed = next.select(col("a").as("n"), lit(1).as("s"))
-        .union(next.select(col("b").as("n"), lit(0).as("s")))
+      // union of single-root stars iff (1) no node is both an edge
+      // source and an edge target AND (2) no source points at two
+      // distinct targets. Condition (1) alone is NOT sufficient: e.g.
+      // edges {(3,1),(3,2),(4,1),(5,2)} have disjoint source/target
+      // sets yet node 3 carries two labels and one component is split
+      // across roots 1 and 2 — connectivity flows through the shared
+      // SOURCE, so another star round is still needed. With both
+      // conditions every node has exactly one outgoing edge to a pure
+      // root; orientation (large→small, both stars guarantee it) then
+      // forces each root to be its component minimum — labels are
+      // correct without waiting for the edge-set fixpoint. This count
+      // is the round's single action and also populates `next`'s
+      // cache.
+      changed = next
+        .select(col("a").as("n"), lit(1).as("s"), col("b").as("t"))
+        .union(next.select(col("b").as("n"), lit(0).as("s"),
+          lit(null).cast(next.schema("b").dataType).as("t")))
         .groupBy(col("n"))
-        .agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"))
-        .filter(col("_mn") === 0 && col("_mx") === 1)
+        .agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"),
+          countDistinct(col("t")).as("_nt"))
+        .filter((col("_mn") === 0 && col("_mx") === 1) || col("_nt") > 1)
         .count()
       iter += 1
       if (changed > 0 && iter % checkpointEvery == 0) {
@@ -281,12 +288,21 @@ object Dedup {
     // component min); roots label themselves. Nodes come from the
     // checkpointed initial edge set (same node set as `pairs`), not
     // from `pairs` itself, so the upstream pipeline is not re-run.
+    if (changed > 0)
+      System.err.println(s"[graft] dupClusters: star fixpoint NOT reached " +
+        s"after $maxIters rounds ($changed unconverged nodes); emitting " +
+        "min-label-per-node — clusters may be over-split")
     val nodes = init.select(col("a").as("id"))
       .union(init.select(col("b").as("id")))
       .distinct()
+    // groupBy(id) reuses the join's hash partitioning (no extra
+    // exchange); at the fixpoint it is an identity fold, and on
+    // maxIters exhaustion it collapses conflicting labels to one row
+    // per node instead of emitting duplicate doc_ids.
     nodes.join(e.select(col("a").as("id"), col("b").as("_lbl")), Seq("id"), "left")
-      .select(col("id").as("doc_id"),
-        coalesce(col("_lbl"), col("id")).as("cluster_id"))
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("_lbl"), col("id"))).as("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
   /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only. */

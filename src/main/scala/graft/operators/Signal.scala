@@ -312,26 +312,28 @@ object Signal {
     require(m >= 1, "kernel must be non-empty")
     require(chunkSize > m - 1, s"chunkSize $chunkSize must exceed kernel halo ${m - 1}")
     val h = m - 1
-    // Sample index from the (equispaced, per the operator contract)
-    // coordinate: _j = round((t - cmin) / delta) off one small per-key
-    // aggregate — no per-series sort, no whole-partition count window
-    // (the previous row_number/count plan buffered and sorted every
-    // series twice before chunking).
-    val stats = df.groupBy(keys.map(col): _*)
-      .agg(min(col(dim).cast("double")).as("_cmin"),
-        max(col(dim).cast("double")).as("_cmax"),
-        count(lit(1)).as("_n"))
+    // Sample index from a per-key RANK (row_number over the coordinate
+    // order), not coordinate arithmetic: real-world coordinates are
+    // jittered/non-equispaced (event timestamps), so
+    // round((t-cmin)/delta) silently collapses distinct samples onto
+    // one index and corrupts chunk contents. row_number is a
+    // running-frame window — WindowExec streams it after the
+    // per-partition sort, no whole-partition buffer — and the series
+    // length _n comes from a small groupBy aggregate joined back (NOT a
+    // whole-partition count(*) window, which would buffer every
+    // series). Net: one hash exchange on the keys reused by both the
+    // join and the window, plus the chunk groupBy.
+    val stats = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
     val withStats =
       if (keys.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(stats, keys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(dim).cast("double"))
     val c0 = expr(s"_j div $chunkSize")
     val cmax = expr(s"(_n - 1) div $chunkSize")
     val idx = withStats
-      .withColumn("_delta",
-        when(col("_n") > 1, (col("_cmax") - col("_cmin")) / (col("_n") - 1))
-          .otherwise(lit(1.0)))
-      .withColumn("_j",
-        round((col(dim).cast("double") - col("_cmin")) / col("_delta")).cast("long"))
+      .withColumn("_j", (row_number().over(w) - lit(1)).cast("long"))
       .withColumn("_c", explode(
         when(col("_j") % chunkSize >= chunkSize - h && c0 + 1 <= cmax,
           array(c0, c0 + 1)).otherwise(array(c0))))

@@ -51,6 +51,28 @@ class LongSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("convolveLong with jittered (non-equispaced) coordinates still ranks correctly") {
+    // Round-4 regression guard: real event timestamps are NOT
+    // equispaced, so any coordinate-arithmetic index
+    // (round((t-cmin)/delta)) collapses distinct samples. Jitter keeps
+    // the order but destroys equispacing; the result must stay
+    // bit-identical to the direct convolve in rank order.
+    val kernel = Array(0.25, 0.5, 0.25)
+    val jittered = {
+      val rows = for (k <- 0 until nSeries; i <- 0 until n)
+        yield (k, i.toDouble + 0.45 * math.sin(i * 1.7 + k), x(k, i))
+      new scala.util.Random(11).shuffle(rows).toDF("k", "t", "v").repartition(16)
+    }
+    val out = Signal.convolveLong(jittered, Seq("k"), "t", "v", kernel,
+      chunkSize = 512, method = "direct")
+    for (k <- Seq(0, 6)) {
+      val want = Conv.convolve(series(k), kernel, "full", "direct")
+      val got = byK(out, k, "value")
+      assert(got.length == n + 2, s"k=$k length ${got.length}")
+      assert(got.indices.forall(i => got(i) == want(i)), s"k=$k")
+    }
+  }
+
   test("sosfiltfilt on 4096-sample series matches the kernel") {
     val sos = Design.cheby1Sos(8, 0.05, 0.2)
     val out = Signal.sosfiltfilt(sos, longDf, Seq("k"), "t", "v")

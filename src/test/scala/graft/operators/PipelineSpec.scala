@@ -95,6 +95,40 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dupClusters does not converge early on split 2-level states") {
+    // Advisor counterexample: pairs {(3,1),(4,3),(5,2),(5,4)} reach a
+    // state after one star round where no node is both edge source and
+    // target, yet node 3 points at two distinct roots (1 and 2) and
+    // the single component {1..5} would be split. The convergence test
+    // must also demand one distinct target per source.
+    val pairs = Seq((3L, 1L), (4L, 3L), (5L, 2L), (5L, 4L)).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 5, s"one row per node, got $got")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L), s"$got")
+  }
+
+  test("dupClusters matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nNodes = 40
+      val edges = Seq.fill(30)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = touched.map(n => n -> find(n.toInt).toLong).toMap
+      val got = Dedup.dupClusters(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("batched media decode equals the per-row expression path") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "abc"), (3L, "xyz" * 40)).toDF("doc_id", "text"),
