@@ -105,6 +105,13 @@ object Dedup {
       s"minhashCandidates requires a numeric id column; '$idCol' is " +
         s"${df.schema(idCol).dataType.simpleString}. Map ids to a surrogate " +
         "long (e.g. monotonically_increasing_id or a hash) first.")
+    // pairsC's kernel emits at most 16,777,216 pair structs per bucket
+    // (n*(n-1)/2 <= 2^24 ⇔ n <= 5793); reject a cap that would pass
+    // the bucket filter only to crash inside the kernel at runtime.
+    require(maxBucket <= 5793,
+      s"maxBucket $maxBucket exceeds the per-bucket pair-emission limit " +
+        "(5793 ids ⇒ ~16.8M pairs); buckets that large are fully-connected " +
+        "duplicate clusters better handled by exact dedup")
     val sh = shingleFrame(df, idCol, textCol)
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
     val buckets = bd.groupBy(col("band"), col("sig"))
@@ -133,12 +140,27 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    minJac: Double = 0.8, k: Int = 12, r: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // `cand` (the whole minhash pipeline) is consumed three times below
+    // (candIds twice via the union, then the aSh join) and `shd` three
+    // times (sizes, aSh, inter): persist both so the corpus-scale work
+    // runs once — both are proportional to the near-duplicate
+    // population, not the corpus, so the cache is small. The FULL
+    // shingle frame is deliberately NOT cached: it is corpus-sized
+    // (several × the text column), and its two remaining computations
+    // are column-pruned parquet scans — cheaper at 100 TB than
+    // materializing a corpus-sized cache to executor disks. Blocks are
+    // reused even within a single job, and spill/LRU eviction bounds
+    // the footprint; callers running many ops in one session can
+    // `spark.catalog.clearCache()` between pipelines.
     val cand = minhashCandidates(df, idCol, textCol, k, r)
+      .persist(MEMORY_AND_DISK)
     val candIds = cand.select(col("a").as("_cand_id"))
       .union(cand.select(col("b").as("_cand_id")))
       .distinct()
     val shd = shingleFrame(df, idCol, textCol).distinct()
       .join(candIds, col(idCol) === col("_cand_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val aSh = shd.select(col(idCol).as("a"), col("s"))
       .join(cand, "a")
@@ -314,30 +336,61 @@ object Dedup {
       .drop("_sh")
   }
 
+  /** The 6-block split of a (hi32, lo32) signature: 11+11+10 bits of
+    * hi, 11+11+10 bits of lo. Shared by the engine and (via the same
+    * arithmetic) the DuckDB oracle.
+    */
+  private def simhashBlocks(hi: Column, lo: Column): IndexedSeq[Column] =
+    IndexedSeq(
+      shiftright(hi, 21),
+      shiftright(hi, 10).bitwiseAND(lit(0x7ffL)),
+      hi.bitwiseAND(lit(0x3ffL)),
+      shiftright(lo, 21),
+      shiftright(lo, 10).bitwiseAND(lit(0x7ffL)),
+      lo.bitwiseAND(lit(0x3ffL)))
+
+  /** The C(6,3)=20 block triples, lexicographic; table id = position.
+    * Public so the oracle SQL generator replays the identical list.
+    */
+  val simhashCombos: IndexedSeq[(Int, Int, Int)] =
+    for { i <- 0 until 6; j <- i + 1 until 6; l <- j + 1 until 6 }
+      yield (i, j, l)
+
   /** SimHash near-dup pairs with hamming distance <= maxHam, full
-    * recall: the 64-bit signature is split into four 16-bit blocks
-    * (the standard rotate-and-block scheme); by pigeonhole, any pair
-    * at hamming <= 3 agrees exactly on at least one block, so the
-    * union of the four block-keyed self-joins finds every such pair.
-    * All four tables share ONE shuffle — each signature explodes to
-    * (table, block) keys and the self-join runs on the composite key —
-    * and pairs agreeing on several blocks are deduplicated after the
-    * hamming verification.
+    * recall via Manku-style composite block keys (Manku, Jain & Das
+    * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07): the
+    * 64-bit signature splits into SIX blocks (11+11+10 bits per half)
+    * and each doc is keyed on every combination of THREE blocks —
+    * C(6,3) = 20 tables with ~32-bit composite keys. By pigeonhole,
+    * hamming <= 3 dirties at most 3 blocks, so at least 3 blocks are
+    * clean and some triple of clean blocks matches exactly in one
+    * table.
+    *
+    * Why not 4×16-bit blocks (the naive rotate-and-block scheme): key
+    * cardinality 2^16 per table means ~15k-doc buckets at 10^9 docs
+    * and a quadratic in-bucket self-join (~10^13 comparisons). With
+    * ~32-bit composite keys the expected bucket size at 10^9 docs is
+    * ~0.25 docs — in-bucket work vanishes; the price is 20 exploded
+    * rows per doc instead of 4 (5× shuffle volume, linear and
+    * map-side). All 20 tables still share ONE shuffle — each
+    * signature explodes to (table, key) rows and the self-join runs
+    * on the composite key — and pairs agreeing in several tables are
+    * deduplicated after the hamming verification.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHam: Int = 3): DataFrame = {
     require(maxHam <= 3,
       s"simhashPairs guarantees full recall only for maxHam <= 3 " +
-        s"(4 blocks of 16 bits); got $maxHam")
-    val blocks = array(
-      struct(lit(0).as("t"), shiftright(col("sim_hi"), 16).as("k")),
-      struct(lit(1).as("t"), col("sim_hi").bitwiseAND(lit(0xffffL)).as("k")),
-      struct(lit(2).as("t"), shiftright(col("sim_lo"), 16).as("k")),
-      struct(lit(3).as("t"), col("sim_lo").bitwiseAND(lit(0xffffL)).as("k")))
+        s"(6 blocks keyed in triples); got $maxHam")
+    val blk = simhashBlocks(col("sim_hi"), col("sim_lo"))
+    val keys: Seq[Column] = simhashCombos.zipWithIndex.map { case ((i, j, l), t) =>
+      struct(lit(t).as("t"),
+        (shiftleft(blk(i), 22) + shiftleft(blk(j), 11) + blk(l)).as("k"))
+    }
     val sig = simhashFrame(df, idCol, textCol)
       .select(col(idCol), col("sim_hi"), col("sim_lo"))
       .select(col(idCol), col("sim_hi"), col("sim_lo"),
-        explode(blocks).as("tk"))
+        explode(array(keys: _*)).as("tk"))
       .select(col(idCol), col("sim_hi"), col("sim_lo"),
         col("tk.t").as("t"), col("tk.k").as("k"))
     val a = sig.select(col("t"), col("k"), col(idCol).as("a"),

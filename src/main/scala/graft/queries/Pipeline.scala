@@ -36,7 +36,12 @@ object Pipeline {
       |  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Shared shingle/minhash/band CTEs (k=12, r=3 → 4 bands). */
+  /** Shared shingle/minhash/band CTEs (k=12, r=3 → 4 bands). The
+    * `bsz`/`cand` tail replays Dedup.minhashCandidates' maxBucket=4096
+    * cap, so the oracle drops exactly the buckets the engine drops —
+    * the "oracle replays identical blocking" invariant holds even when
+    * the cap binds (it never does on the test corpora, max bucket 4).
+    */
   private val bandSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
@@ -51,10 +56,13 @@ object Pipeline {
       |), band AS (
       |  SELECT doc_id, i // 3 AS band, STRING_AGG(CAST(h AS VARCHAR), '|' ORDER BY i) AS sig
       |  FROM mh GROUP BY 1, 2
+      |), bsz AS (
+      |  SELECT band, sig, COUNT(*) AS n FROM band GROUP BY 1, 2
       |), cand AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM band x JOIN band y ON x.band = y.band AND x.sig = y.sig
-      |  WHERE x.doc_id < y.doc_id
+      |  JOIN bsz z ON z.band = x.band AND z.sig = x.sig
+      |  WHERE x.doc_id < y.doc_id AND z.n <= 4096
       |)""".stripMargin
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -135,17 +143,27 @@ object Pipeline {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHam = 3)
       .orderBy("a", "b")
 
-  /** 4-block rotate-and-scheme union (pigeonhole-complete at ham<=3),
-    * mirroring Dedup.simhashPairs: 16-bit blocks keyed (table, block),
-    * full-hamming verify, pair dedup.
+  /** Manku composite-key blocking twin of Dedup.simhashPairs: 6 blocks
+    * (11+11+10 bits per 32-bit half), every C(6,3)=20 triple keyed as
+    * bi<<22 | bj<<11 | bl, full-hamming verify, pair dedup. The CASE
+    * over table ids is generated from the SAME combination list the
+    * engine uses (Dedup.simhashCombos), so the blocking replays
+    * bit-for-bit.
     */
   private val dedupSimhashPairsSql: String = {
     val inner = dedupSimhashSql.replace(" ORDER BY doc_id", "")
+    // b0..b5 as DuckDB arithmetic on the nonnegative BIGINT halves
+    val blk = IndexedSeq(
+      "(sim_hi // 2097152)", "((sim_hi // 1024) % 2048)", "(sim_hi % 1024)",
+      "(sim_lo // 2097152)", "((sim_lo // 1024) % 2048)", "(sim_lo % 1024)")
+    val cases = graft.operators.Dedup.simhashCombos.zipWithIndex
+      .map { case ((i, j, l), t) =>
+        s"WHEN $t THEN ${blk(i)} * 4194304 + ${blk(j)} * 2048 + ${blk(l)}"
+      }.mkString(" ")
     s"""WITH sig AS ($inner), k AS (
        |  SELECT doc_id, sim_hi, sim_lo, r.t,
-       |    CASE r.t WHEN 0 THEN sim_hi // 65536 WHEN 1 THEN sim_hi % 65536
-       |             WHEN 2 THEN sim_lo // 65536 ELSE sim_lo % 65536 END AS blk
-       |  FROM sig, range(4) r(t)
+       |    CASE r.t $cases END AS blk
+       |  FROM sig, range(20) r(t)
        |)
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        |  CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming

@@ -417,6 +417,43 @@ object Sig {
        |GROUP BY g.user_id, g.tt
        |ORDER BY 1, 2""".stripMargin
 
+  /** Fourier resample 64 → 48 with a hann spectral window
+    * (signal.py:375-382). For a periodic hann of even length n the
+    * ifftshift + real-input fold collapses to W[k] = 0.5 +
+    * 0.5·cos(2πk/n) — multiplicative on each retained bin, so the
+    * oracle is [[sigResampleSql]] with that factor applied in X
+    * (before the Nyquist doubling, exactly like the engine applies
+    * the window before the truncate/pad copy).
+    */
+  def sigResampleWin(s: SparkSession, dir: String): DataFrame =
+    Signal.resample(ev64(s, dir), Seq("user_id"), "t", "value", num = 48,
+        window = "hann")
+      .select(col("user_id"), col("pos"), fp(col("value"), 6.4e4).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigResampleWinSql: String =
+    s"""$s64Sql, X AS (
+       |  SELECT a.user_id, a.j AS k,
+       |    (0.5 + 0.5*COS(2*PI()*a.j/64)) * SUM(b.value * COS(-2*PI()*a.j*b.j/64)) AS re,
+       |    (0.5 + 0.5*COS(2*PI()*a.j/64)) * SUM(b.value * SIN(-2*PI()*a.j*b.j/64)) AS im
+       |  FROM s a JOIN s b ON a.user_id = b.user_id
+       |  WHERE a.j <= 24 GROUP BY 1, 2
+       |), Y AS (
+       |  SELECT user_id, k,
+       |    CASE WHEN k = 24 THEN 2*re ELSE re END AS re,
+       |    CASE WHEN k = 24 THEN 2*im ELSE im END AS im
+       |  FROM X
+       |), grid AS (
+       |  SELECT user_id, tt FROM (SELECT DISTINCT user_id FROM s), range(48) r(tt)
+       |)
+       |SELECT g.user_id, CAST(g.tt AS INT) AS pos,
+       |  ${fpSql("(SUM(CASE WHEN y.k = 0 THEN y.re " +
+         "WHEN y.k = 24 THEN (CASE WHEN g.tt % 2 = 0 THEN y.re ELSE -y.re END) " +
+         "ELSE 2*(y.re*COS(2*PI()*y.k*g.tt/48) - y.im*SIN(2*PI()*y.k*g.tt/48)) END) / 48) * (48.0/64.0)", "6.4e4")} AS value_fp
+       |FROM grid g JOIN Y y ON y.user_id = g.user_id
+       |GROUP BY g.user_id, g.tt
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // hilbert / filters / peaks
   // ------------------------------------------------------------------
@@ -765,6 +802,7 @@ object Sig {
     "sig_decimate_fir" -> (sigDecimateFir _),
     "sig_decimate_iir" -> (sigDecimateIir _),
     "sig_resample" -> (sigResample _),
+    "sig_resample_win" -> (sigResampleWin _),
     "sig_hilbert_envelope" -> (sigHilbertEnvelope _),
     "sig_sosfilt" -> (sigSosfilt _),
     "sig_sosfiltfilt" -> (sigSosfiltfilt _),
@@ -791,6 +829,7 @@ object Sig {
     "sig_decimate_fir" -> sigDecimateFirSql,
     "sig_decimate_iir" -> sigDecimateIirSql,
     "sig_resample" -> sigResampleSql,
+    "sig_resample_win" -> sigResampleWinSql,
     "sig_hilbert_envelope" -> sigHilbertEnvelopeSql,
     "sig_sosfilt" -> sigSosfiltSql,
     "sig_sosfiltfilt" -> sigSosfiltfiltSql,

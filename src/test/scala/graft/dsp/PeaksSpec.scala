@@ -37,6 +37,30 @@ class PeaksSpec extends AnyFunSuite {
     assert(Golden.maxAbsDiff(ps.map(_.rightBase.toDouble), g("rbases")) < 1e-10)
   }
 
+  test("wlen-restricted prominence + prominence_data widths vs python") {
+    val x = g("px")
+    val peaks = g("ppeaks").map(_.toInt)
+    for (wlen <- Seq(11, 25)) {
+      val ps = peaks.map(p => Peaks.prominence(x, p, wlen))
+      assert(Golden.maxAbsDiff(ps.map(_.prominence), g(s"proms_wlen$wlen")) < 1e-10)
+      assert(Golden.maxAbsDiff(ps.map(_.leftBase.toDouble), g(s"lbases_wlen$wlen")) < 1e-10)
+      assert(Golden.maxAbsDiff(ps.map(_.rightBase.toDouble), g(s"rbases_wlen$wlen")) < 1e-10)
+      // widths via caller-supplied prominence_data (scipy kwarg)
+      val ws = peaks.zip(ps).map { case (p, pd) => Peaks.width(x, p, 0.5, promData = pd) }
+      assert(Golden.maxAbsDiff(ws.map(_.width), g(s"widths_wlen$wlen")) < 1e-10)
+      assert(Golden.maxAbsDiff(ws.map(_.widthHeight), g(s"wheights_wlen$wlen")) < 1e-10)
+      assert(Golden.maxAbsDiff(ws.map(_.leftIp), g(s"lips_wlen$wlen")) < 1e-10)
+      assert(Golden.maxAbsDiff(ws.map(_.rightIp), g(s"rips_wlen$wlen")) < 1e-10)
+      // width(wlen=) must equal width(promData=) computed with that wlen
+      val ws2 = peaks.map(p => Peaks.width(x, p, 0.5, wlen = wlen))
+      assert(ws.zip(ws2).forall { case (a, b) => a == b })
+    }
+    // wlen wide enough to cover the signal reduces to the unrestricted path
+    val unres = peaks.map(p => Peaks.prominence(x, p))
+    val wide = peaks.map(p => Peaks.prominence(x, p, wlen = 1000))
+    assert(unres.zip(wide).forall { case (a, b) => a == b })
+  }
+
   test("localMaxima handles plateaus and edges") {
     assert(Peaks.localMaxima(Array(0, 2, 2, 2, 0).map(_.toDouble)).toSeq == Seq(2))
     assert(Peaks.localMaxima(Array(3, 1, 2, 1, 3).map(_.toDouble)).toSeq == Seq(2))

@@ -28,6 +28,19 @@ class SpectralSpec extends AnyFunSuite {
       for (num <- Seq(n / 2, n / 3, 2 * n, n))
         check(s"resample_${n}_$num", Resample.resample(x, num))
     }
+
+    test(s"resample n=$n with spectral window vs numpy") {
+      for (win <- Seq("hann", "hamming", "blackman", "bartlett")) {
+        check(s"resample_w_${win}_$n", Resample.resample(x, n / 2, window = win))
+        check(s"resample_wu_${win}_$n", Resample.resample(x, 2 * n, window = win))
+      }
+    }
+
+    test(s"resample n=$n domain=freq (packed real spectrum input) vs numpy") {
+      val xs = g(s"rsfreq_x_$n")
+      check(s"resample_fr_$n", Resample.resample(xs, n, domain = "freq"))
+      check(s"resample_frw_$n", Resample.resample(xs, n, window = "hann", domain = "freq"))
+    }
   }
 
   test("hilbert real part preserves input; envelope of a sinusoid is flat") {

@@ -196,6 +196,50 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("correlate with a keyed in2 joins per key instead of broadcasting") {
+    // per-key second inputs: "a" correlates against (0.5, 0.3), "b"
+    // against (0.1, 0.9) — the round-4 keyed path that previously
+    // collapsed both into one mixed series
+    val kdf = Seq(("a", 0.0, 0.5), ("a", 1.0, 0.3), ("b", 0.0, 0.1), ("b", 1.0, 0.9))
+      .toDF("k", "t", "x")
+    val out = Signal.correlate(longDf.filter($"k" =!= "c"), kdf, Seq("k"), "t", "x")
+    for ((k, in2) <- Seq("a" -> Array(0.5, 0.3), "b" -> Array(0.1, 0.9))) {
+      val want = Conv.correlate(series(k, "x"), in2)
+      assert(maxDiff(collectBy(out, k, "value"), want) < 1e-12, k)
+    }
+  }
+
+  test("fftconvolve2d rejects ragged grids") {
+    // drop one cell from the 8x4 grid: countDistinct(c) per row no
+    // longer matches the rectangle → the grid assert must fire
+    val grid = longDf.filter($"k" === "a")
+      .withColumn("r", org.apache.spark.sql.functions.expr("CAST(t / 0.5 AS INT) div 4"))
+      .withColumn("c", org.apache.spark.sql.functions.expr("CAST(t / 0.5 AS INT) % 4"))
+      .filter(!($"r" === 3 && $"c" === 2))
+    val kern = Array(1.0, 0.5, 0.25, 0.125)
+    val ex = intercept[Exception] {
+      Signal.fftconvolve2d(grid, Seq("k"), "r", "c", "x", kern, kernelRows = 2)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") + Option(ex.getCause)
+      .flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.toLowerCase.contains("grid") || msg.toLowerCase.contains("ragged"),
+      s"unexpected error: $msg")
+  }
+
+  test("fromGrouped with an empty coords array yields n=0, no crash") {
+    val grouped = Seq(
+      ("a", Seq(0.0, 1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      ("empty", Seq.empty[Double], Seq.empty[Double])
+    ).toDF("k", "cs", "x")
+    val sdf = Signal.fromGrouped(grouped, "cs")
+    val rows = sdf.select("k", "n", "cmin", "cmax", "delta").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows("a") == ((3, 0.0, 2.0, 1.0)))
+    assert(rows("empty") == ((0, 0.0, 0.0, 1.0)))
+  }
+
   test("lfilter/filtfilt match kernels and preserve coords") {
     val sos = Design.butterSos(2, 0.4)
     val b = Array(sos(0), sos(1), sos(2)); val a = Array(sos(3), sos(4), sos(5))
