@@ -663,7 +663,7 @@ object Sig {
   }
 
   /** butter(4, 0.3): 2 sections, ntaps=5, edge=15. */
-  private lazy val sigSosfiltSql: String =
+  private[queries] lazy val sigSosfiltSql: String =
     sosfiltRecSql(Design.butterSos(4, 0.3), sSql)
 
   /** lfilter(butter(2, 0.4)) == single-section sosfilt. */

@@ -18,7 +18,7 @@ object Streaming {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, sum_value: Double)
-  final case class FilteredPoint(user_id: Long, ts_ms: Long, value: Double)
+  final case class FilteredPoint(user_id: Long, pos: Long, ts_ms: Long, value: Double)
   /** Open-session buffer held in the state store. */
   final case class S(start: Long, last: Long, n: Int, sum: Double)
 
@@ -95,7 +95,12 @@ object Streaming {
   /** Streaming per-user sosfilt: cascaded-biquad state carried across
     * micro-batches in the state store (events assumed in order per key
     * within the stream, the usual telemetry contract). Reuses the
-    * batch kernel's DF2T recurrence via its zi parameter.
+    * batch kernel's DF2T recurrence via its zi parameter. The state
+    * array carries one extra slot: the running sample count, emitted
+    * as `pos` so the output joins/compares against the batch operator
+    * by rank even when millisecond timestamps collide (ts_ms is
+    * lossy — Timestamp.getTime truncates to ms; the per-batch sort
+    * uses the FULL timestamp, nanos included).
     */
   def streamingSosfilt(events: Dataset[Event], sos: Array[Double]): Dataset[FilteredPoint] = {
     import events.sparkSession.implicits._
@@ -106,18 +111,22 @@ object Streaming {
       .flatMapGroupsWithState[Array[Double], FilteredPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Array[Double]]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0)
           if (sorted.isEmpty) Iterator.empty
           else {
-            val zi = state.getOption.getOrElse(new Array[Double](nState))
+            val st = state.getOption.getOrElse(new Array[Double](nState + 1))
+            val zi = java.util.Arrays.copyOf(st, nState)
+            val base = st(nState).toLong // exact for counts < 2^53
             val x = sorted.map(_.value).toArray
             // run the cascade with carried state, then recover the new
             // state by replaying each section's tail (sosfilt mutates a
             // copy; we recompute the final zi with a stateful pass)
             val (y, zo) = sosfiltWithState(sos, x, zi)
-            state.update(zo)
-            sorted.iterator.zip(y.iterator).map { case (e, v) =>
-              FilteredPoint(user, e.ts.getTime, v)
+            val next = java.util.Arrays.copyOf(zo, nState + 1)
+            next(nState) = (base + x.length).toDouble
+            state.update(next)
+            sorted.iterator.zip(y.iterator).zipWithIndex.map { case ((e, v), i) =>
+              FilteredPoint(user, base + i, e.ts.getTime, v)
             }
           }
       }

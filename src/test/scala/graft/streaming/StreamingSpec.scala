@@ -70,8 +70,12 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       in.addData((30 until 40).map(i => Event(7, ts(i), "c", xs(i))))
       q.processAllAvailable()
-      val got = spark.table("filt").as[FilteredPoint].collect()
-        .sortBy(_.ts_ms).map(_.value)
+      val pts = spark.table("filt").as[FilteredPoint].collect().sortBy(_.pos)
+      // pos is the carried per-key sample count: contiguous 0..39
+      // across the three micro-batches, matching the ts order
+      assert(pts.map(_.pos).toSeq == (0L until 40L))
+      assert(pts.sortBy(_.ts_ms).map(_.value).toSeq == pts.map(_.value).toSeq)
+      val got = pts.map(_.value)
       val want = Filt.sosfilt(sos, xs)
       assert(got.length == 40)
       val d = got.zip(want).map { case (a, b) => math.abs(a - b) }.max
