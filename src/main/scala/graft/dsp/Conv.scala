@@ -179,4 +179,124 @@ object Conv {
     }
     (out, outR, outC)
   }
+
+  /** N-dimensional FFT convolution on row-major flattened arrays —
+    * the reference's arbitrary `dims` list (xarray_scipy/signal.py:51-106)
+    * beyond the dedicated 1-D/2-D paths. Each axis is padded to the
+    * next power of two of the full output extent; the transform is
+    * applied axis-by-axis over strided lines (the separable DFT), the
+    * spectra multiply pointwise, and the inverse uses the conjugate
+    * trick. Returns (row-major values, output shape) for `mode`
+    * full / same / valid ('valid' requires in1 >= in2 per axis).
+    */
+  def fftconvolveNd(a: Array[Double], aShape: Array[Int],
+                    b: Array[Double], bShape: Array[Int],
+                    mode: String = "full"): (Array[Double], Array[Int]) = {
+    val nd = aShape.length
+    require(bShape.length == nd, s"shape ranks differ: $nd vs ${bShape.length}")
+    require(aShape.product == a.length, "in1 shape does not match its length")
+    require(bShape.product == b.length, "in2 shape does not match its length")
+    val full = Array.tabulate(nd)(i => aShape(i) + bShape(i) - 1)
+    val m = full.map(Fft.nextPow2)
+    val total = m.product
+    val stride = new Array[Int](nd)
+    stride(nd - 1) = 1
+    var k = nd - 2
+    while (k >= 0) { stride(k) = stride(k + 1) * m(k + 1); k -= 1 }
+
+    // copy a row-major source block into the zero-padded m-shaped buffer
+    def pack(x: Array[Double], shape: Array[Int]): (Array[Double], Array[Double]) = {
+      val re = new Array[Double](total); val im = new Array[Double](total)
+      val idx = new Array[Int](nd)
+      var s = 0
+      while (s < x.length) {
+        var dst = 0; var j = 0
+        while (j < nd) { dst += idx(j) * stride(j); j += 1 }
+        re(dst) = x(s)
+        // odometer increment over `shape`
+        var c = nd - 1
+        var carry = true
+        while (carry && c >= 0) {
+          idx(c) += 1
+          if (idx(c) == shape(c)) { idx(c) = 0; c -= 1 } else carry = false
+        }
+        s += 1
+      }
+      (re, im)
+    }
+
+    // in-place FFT of every length-m(axis) line along `axis`
+    def fftAxis(re: Array[Double], im: Array[Double], axis: Int): Unit = {
+      val len = m(axis); val st = stride(axis)
+      val outer = total / len
+      val lineRe = new Array[Double](len); val lineIm = new Array[Double](len)
+      var o = 0
+      while (o < outer) {
+        // decompose o over the non-axis dims to find the line's base offset
+        var rem = o; var base = 0; var j = nd - 1
+        while (j >= 0) {
+          if (j != axis) { base += (rem % m(j)) * stride(j); rem /= m(j) }
+          j -= 1
+        }
+        var t = 0
+        while (t < len) { lineRe(t) = re(base + t * st); lineIm(t) = im(base + t * st); t += 1 }
+        val f = Fft.fft(lineRe, lineIm, len)
+        t = 0
+        while (t < len) { re(base + t * st) = f.re(t); im(base + t * st) = f.im(t); t += 1 }
+        o += 1
+      }
+    }
+
+    val (are, aim) = pack(a, aShape)
+    val (bre, bim) = pack(b, bShape)
+    var ax = 0
+    while (ax < nd) { fftAxis(are, aim, ax); fftAxis(bre, bim, ax); ax += 1 }
+    var i = 0
+    while (i < total) {
+      val tr = are(i) * bre(i) - aim(i) * bim(i)
+      aim(i) = are(i) * bim(i) + aim(i) * bre(i)
+      are(i) = tr
+      i += 1
+    }
+    // inverse N-D via the conjugate trick: ifft(X) = conj(fft(conj(X)))/N;
+    // only the real part is read below, so the trailing conj is dropped.
+    i = 0
+    while (i < total) { aim(i) = -aim(i); i += 1 }
+    ax = 0
+    while (ax < nd) { fftAxis(are, aim, ax); ax += 1 }
+    val scale = 1.0 / total
+
+    val outShape = mode match {
+      case "full" => full
+      case "same" => aShape.clone()
+      case "valid" =>
+        require((0 until nd).forall(j => aShape(j) >= bShape(j)),
+          "valid mode requires in1 >= in2 along every dim")
+        Array.tabulate(nd)(j => aShape(j) - bShape(j) + 1)
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+    val off = mode match {
+      case "full"  => new Array[Int](nd)
+      case "same"  => Array.tabulate(nd)(j => (bShape(j) - 1) / 2)
+      case "valid" => Array.tabulate(nd)(j => bShape(j) - 1)
+      case _       => new Array[Int](nd)
+    }
+    val outN = outShape.product
+    val out = new Array[Double](outN)
+    val idx = new Array[Int](nd)
+    var s = 0
+    while (s < outN) {
+      var src = 0; var j = 0
+      while (j < nd) { src += (idx(j) + off(j)) * stride(j); j += 1 }
+      out(s) = are(src) * scale
+      var c = nd - 1
+      var carry = true
+      while (carry && c >= 0) {
+        idx(c) += 1
+        if (idx(c) == outShape(c)) { idx(c) = 0; c -= 1 } else carry = false
+      }
+      s += 1
+    }
+    (out, outShape)
+  }
 }

@@ -89,6 +89,19 @@ object Bridge {
     new GenericInternalRow(Array[Any](out(res), outR, outC))
   }
 
+  /** N-D FFT convolution over row-major flattened arrays with explicit
+    * shape vectors — the reference's arbitrary `dims` list
+    * (xarray_scipy/signal.py:51-106) for rank >= 3.
+    */
+  def fftconvolveNd(a: ArrayData, aShape: ArrayData, b: ArrayData,
+                    bShape: ArrayData, mode: UTF8String): InternalRow = {
+    val (res, shape) = Conv.fftconvolveNd(
+      d(a), aShape.toIntArray(), d(b), bShape.toIntArray(), mode.toString)
+    new GenericInternalRow(Array[Any](out(res),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        shape.map(_.asInstanceOf[Any]))))
+  }
+
   // ---- filtering ----------------------------------------------------
 
   def sosfilt(sos: ArrayData, x: ArrayData): ArrayData =
@@ -408,6 +421,10 @@ object Bridge {
         StructField("vals", arrD, nullable = false),
         StructField("rows", IntegerType, nullable = false),
         StructField("cols", IntegerType, nullable = false)))),
+    "fftconvolveNd" -> (Seq(arrD, arrI, arrD, arrI, StringType)
+      -> StructType(Seq(
+        StructField("vals", arrD, nullable = false),
+        StructField("shape", arrI, nullable = false)))),
     "sosfilt" -> (Seq(arrD, arrD) -> arrD),
     "sosfiltz" -> (Seq(arrD, arrD, arrD) -> arrD),
     "sosfiltfilt" -> (Seq(arrD, arrD, StringType, IntegerType) -> arrD),
@@ -454,6 +471,7 @@ object Bridge {
     case "convolve" => convolve(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "correlate" => correlate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "fftconvolve2d" => fftconvolve2d(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Int], a(4).asInstanceOf[UTF8String])
+    case "fftconvolveNd" => fftconvolveNd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[UTF8String])
     case "sosfilt" => sosfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "sosfiltz" => sosfiltz(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "sosfiltfilt" => sosfiltfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[Int])

@@ -168,6 +168,9 @@ object Functions {
     def fftconvolve2dC(a: Column, aRows: Column, b: Column, bRows: Column,
                        mode: String = "full"): Column =
       call("fftconvolve2d", a, aRows, b, bRows, lit(mode))
+    def fftconvolveNdC(a: Column, aShape: Column, b: Column, bShape: Column,
+                       mode: String = "full"): Column =
+      call("fftconvolveNd", a, aShape, b, bShape, lit(mode))
     def correlateC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
       call("correlate", a, b, lit(mode), lit(method))
     def sosfiltC(sos: Column, x: Column): Column = call("sosfilt", sos, x)

@@ -275,6 +275,58 @@ object Signal {
       .select((keys.map(col) ++ Seq(col("pos1"), col("pos2"), col("value"))): _*)
   }
 
+  /** N-D FFT convolution over three or more core dims — the
+    * reference's arbitrary `dims` list (signal.py:51-106) beyond the
+    * dedicated 1-D ([[fftconvolve]]) and 2-D ([[fftconvolve2d]])
+    * paths. The group must form a complete hyper-rectangular grid over
+    * `dims`; values are assembled row-major by sorting on the dim
+    * tuple. Output: keys, pos1..posN, value. Same one-shuffle
+    * execution shape as the other signal ops: a single groupBy
+    * exchange, the whole transform in one codegen'd expression, and a
+    * posexplode back to the long frame.
+    */
+  def fftconvolveNd(df: DataFrame, keys: Seq[String], dims: Seq[String],
+                    value: String, kernel: Array[Double], kernelShape: Array[Int],
+                    mode: String = "full"): DataFrame = {
+    val nd = dims.length
+    require(nd >= 1, "need at least one dim")
+    require(kernelShape.length == nd && kernelShape.product == kernel.length,
+      s"kernel shape ${kernelShape.mkString("x")} does not match " +
+        s"kernel length ${kernel.length}")
+    val packed = struct(
+      dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } :+
+        col(value).cast("double").as("v"): _*)
+    val shapeAggs = dims.zipWithIndex.map { case (d, i) =>
+      countDistinct(col(d)).cast("int").as(s"_n${i + 1}")
+    }
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("_arr"), shapeAggs: _*)
+    val shapeArr = array((1 to nd).map(i => col(s"_n$i")): _*)
+    val sizeProd = (1 to nd).map(i => col(s"_n$i")).reduce(_ * _)
+    // reject ragged/incomplete grids instead of silently mis-shaping
+    // the row-major reshape (same contract as fftconvolve2d)
+    val gridOk = assert_true(sizeProd === size(col("_arr")),
+      concat(lit(s"fftconvolveNd: group is not a complete ${dims.mkString(" x ")} grid: "),
+        concat_ws(" x ", (1 to nd).map(i => col(s"_n$i").cast("string")): _*),
+        lit(" != "), size(col("_arr")).cast("string")))
+    val withOut = grouped
+      .withColumn("_vals", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
+      .withColumn("_out", fftconvolveNdC(col("_vals"), shapeArr,
+        typedLit(kernel), typedLit(kernelShape), mode))
+    val exploded = withOut.select(
+      (keys.map(col) ++ Seq(col("_out.shape").as("_osh"),
+        posexplode(col("_out.vals")).as(Seq("_p", "value")))): _*)
+    // pos_i = (flat div prod(shape[i+1..])) % shape[i], row-major
+    def shEl(i: Int) = s"CAST(element_at(_osh, ${i + 1}) AS BIGINT)"
+    val posCols = (0 until nd).map { i =>
+      val tailProd = if (i == nd - 1) "CAST(1 AS BIGINT)"
+        else ((i + 1) until nd).map(shEl).mkString("(", " * ", ")")
+      expr(s"CAST((CAST(_p AS BIGINT) div $tailProd) % ${shEl(i)} AS INT)")
+        .as(s"pos${i + 1}")
+    }
+    exploded.select((keys.map(col) ++ posCols :+ col("value")): _*)
+  }
+
   /** Cross-correlation (scipy.signal.correlate): convolve with the
     * reversed kernel. Same join/broadcast shape as [[convolve]]: a
     * per-key second input joins on the keys; an unkeyed in2 is a

@@ -327,6 +327,44 @@ object Sig {
        |GROUP BY s.user_id, s.j // 8 + k.ki, s.j % 8 + k.kj
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** 3-D fftconvolve on the 64-frame reshaped to a 4×4×4 cube
+    * (d1 = j div 16, d2 = (j div 4) mod 4, d3 = j mod 4) with an
+    * asymmetric 2×2×2 kernel (powers of ½, so every tap contributes a
+    * distinct weight); the oracle is the direct 3-D sum.
+    */
+  def sigFftconvolve3d(s: SparkSession, dir: String): DataFrame = {
+    val cube = ev64(s, dir)
+      .withColumn("d1", expr("CAST(t AS INT) div 16"))
+      .withColumn("d2", expr("(CAST(t AS INT) div 4) % 4"))
+      .withColumn("d3", expr("CAST(t AS INT) % 4"))
+    Signal.fftconvolveNd(cube, Seq("user_id"), Seq("d1", "d2", "d3"), "value",
+      Array(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125),
+      Array(2, 2, 2))
+      // scale 1.28e4, not a power of 10: events.value is an exact
+      // 2-decimal grid and the kernel taps are 1/2^k (k<=7), so every
+      // output is a rational with denominator 100*128 = 12800 — at a
+      // power-of-10 scale those land EXACTLY on .5 rounding boundaries
+      // and the engine's FFT noise (~1e-12) flips buckets vs the
+      // oracle's direct sum. At scale 12800 every exact output maps to
+      // an integer, where floor(n + 0.5 ± ε) is stable on both engines.
+      .select(col("user_id"), col("pos1"), col("pos2"), col("pos3"),
+        fp(col("value"), 1.28e4).as("value_fp"))
+      .orderBy("user_id", "pos1", "pos2", "pos3")
+  }
+
+  private val sigFftconvolve3dSql: String =
+    s"""$s64Sql
+       |SELECT s.user_id,
+       |  CAST(s.j // 16 + k.ki AS INT) AS pos1,
+       |  CAST((s.j // 4) % 4 + k.kj AS INT) AS pos2,
+       |  CAST(s.j % 4 + k.kl AS INT) AS pos3,
+       |  ${fpSql("SUM(s.value * k.w)", "1.28e4")} AS value_fp
+       |FROM s, (VALUES (0,0,0, 1.0), (0,0,1, 0.5), (0,1,0, 0.25), (0,1,1, 0.125),
+       |                (1,0,0, 0.0625), (1,0,1, 0.03125), (1,1,0, 0.015625),
+       |                (1,1,1, 0.0078125)) k(ki, kj, kl, w)
+       |GROUP BY s.user_id, s.j // 16 + k.ki, (s.j // 4) % 4 + k.kj, s.j % 4 + k.kl
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** Cross-correlation with an asymmetric kernel (a symmetric one
     * would make correlate == convolve and test nothing).
     */
@@ -796,6 +834,7 @@ object Sig {
     "sig_convolve_long" -> (sigConvolveLong _),
     "sig_correlate" -> (sigCorrelate _),
     "sig_fftconvolve2d" -> (sigFftconvolve2d _),
+    "sig_fftconvolve3d" -> (sigFftconvolve3d _),
     "sig_fftconvolve" -> (sigFftconvolve _),
     "sig_lfilter" -> (sigLfilter _),
     "sig_filtfilt" -> (sigFiltfilt _),
@@ -823,6 +862,7 @@ object Sig {
     "sig_convolve_long" -> sigConvolveFullSql,
     "sig_correlate" -> sigCorrelateSql,
     "sig_fftconvolve2d" -> sigFftconvolve2dSql,
+    "sig_fftconvolve3d" -> sigFftconvolve3dSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
     "sig_lfilter" -> sigLfilterSql,
     "sig_filtfilt" -> sigFiltfiltSql,

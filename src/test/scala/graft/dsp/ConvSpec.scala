@@ -42,6 +42,57 @@ class ConvSpec extends AnyFunSuite {
     check("conv2d_same", same)
   }
 
+  test("fftconvolveNd reduces to the 1-D and 2-D paths") {
+    val a = g("a_20_5"); val b = g("b_20_5")
+    for (mode <- Seq("full", "same", "valid")) {
+      val (nd1, sh1) = Conv.fftconvolveNd(a, Array(20), b, Array(5), mode)
+      val want1 = Conv.convolve(a, b, mode)
+      assert(sh1.toSeq == Seq(want1.length))
+      assert(Golden.maxAbsDiff(nd1, want1) < tol, s"1d $mode")
+    }
+    val a2 = g("a2d"); val b2 = g("b2d")
+    for (mode <- Seq("full", "same")) {
+      val (nd2, sh2) = Conv.fftconvolveNd(a2, Array(6, 5), b2, Array(3, 4), mode)
+      val (want2, wr, wc) = Conv.fftconvolve2d(a2, 6, 5, b2, 3, 4, mode)
+      assert(sh2.toSeq == Seq(wr, wc))
+      assert(Golden.maxAbsDiff(nd2, want2) < tol, s"2d $mode")
+    }
+  }
+
+  test("fftconvolveNd 3-D matches the direct triple-loop convolution") {
+    val rnd = new scala.util.Random(7)
+    val aSh = Array(4, 3, 5); val bSh = Array(2, 3, 2)
+    val a = Array.fill(aSh.product)(rnd.nextGaussian())
+    val b = Array.fill(bSh.product)(rnd.nextGaussian())
+    // direct full convolution: out[i,j,k] = sum a[p,q,r] b[i-p,j-q,k-r]
+    val fSh = Array(aSh(0) + bSh(0) - 1, aSh(1) + bSh(1) - 1, aSh(2) + bSh(2) - 1)
+    val full = new Array[Double](fSh.product)
+    for (p <- 0 until aSh(0); q <- 0 until aSh(1); r <- 0 until aSh(2);
+         u <- 0 until bSh(0); v <- 0 until bSh(1); w <- 0 until bSh(2)) {
+      val i = p + u; val j = q + v; val k = r + w
+      full((i * fSh(1) + j) * fSh(2) + k) +=
+        a((p * aSh(1) + q) * aSh(2) + r) * b((u * bSh(1) + v) * bSh(2) + w)
+    }
+    val (gotF, shF) = Conv.fftconvolveNd(a, aSh, b, bSh, "full")
+    assert(shF.toSeq == fSh.toSeq)
+    assert(Golden.maxAbsDiff(gotF, full) < 1e-10)
+    // same: centered window of full
+    val (gotS, shS) = Conv.fftconvolveNd(a, aSh, b, bSh, "same")
+    assert(shS.toSeq == aSh.toSeq)
+    val off = bSh.map(n => (n - 1) / 2)
+    for (i <- 0 until aSh(0); j <- 0 until aSh(1); k <- 0 until aSh(2)) {
+      val want = full(((i + off(0)) * fSh(1) + (j + off(1))) * fSh(2) + (k + off(2)))
+      assert(math.abs(gotS((i * aSh(1) + j) * aSh(2) + k) - want) < 1e-10)
+    }
+    // valid: offset bShape-1
+    val (gotV, shV) = Conv.fftconvolveNd(a, aSh, b, bSh, "valid")
+    assert(shV.toSeq == Seq(3, 1, 4))
+    for (i <- 0 until 3; j <- 0 until 1; k <- 0 until 4) {
+      val want = full(((i + bSh(0) - 1) * fSh(1) + (j + bSh(1) - 1)) * fSh(2) + (k + bSh(2) - 1))
+      assert(math.abs(gotV((i * 1 + j) * 4 + k) - want) < 1e-10)
+    }
+  }
+
   test("auto method matches direct for random sizes") {
     val rnd = new scala.util.Random(3)
     for ((n1, n2) <- Seq((1, 1), (1, 9), (200, 300), (1000, 40))) {

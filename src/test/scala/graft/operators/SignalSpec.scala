@@ -209,6 +209,30 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("fftconvolveNd over 3 dims matches the kernel on a shuffled cube") {
+    // 2x3x4 cube per key, row-major value = kernel-visible order
+    val aSh = Array(2, 3, 4)
+    def cell(k: Int, i: Int, j: Int, l: Int): Double =
+      math.sin(0.7 * ((i * 3 + j) * 4 + l) + k)
+    val rows = for (k <- 0 until 2; i <- 0 until 2; j <- 0 until 3; l <- 0 until 4)
+      yield (k, i, j, l, cell(k, i, j, l))
+    val df = new scala.util.Random(13).shuffle(rows)
+      .toDF("k", "d1", "d2", "d3", "v")
+    val kern = Array(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125)
+    val out = Signal.fftconvolveNd(df, Seq("k"), Seq("d1", "d2", "d3"), "v",
+      kern, Array(2, 2, 2))
+    for (k <- 0 until 2) {
+      val flat = (for (i <- 0 until 2; j <- 0 until 3; l <- 0 until 4)
+        yield cell(k, i, j, l)).toArray
+      val (want, wSh) = Conv.fftconvolveNd(flat, aSh, kern, Array(2, 2, 2), "full")
+      val got = out.filter($"k" === k).orderBy("pos1", "pos2", "pos3")
+        .select("value").as[Double].collect()
+      assert(wSh.toSeq == Seq(3, 4, 5))
+      assert(got.length == want.length)
+      assert(got.zip(want).map { case (a, b) => math.abs(a - b) }.max < 1e-12)
+    }
+  }
+
   test("fftconvolve2d rejects ragged grids") {
     // drop one cell from the 8x4 grid: countDistinct(c) per row no
     // longer matches the rectangle → the grid assert must fire
