@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.fp6
+import graft.Tables.{fp2, fp6, fpSql}
 import graft.dsp.Design
 import graft.streaming.Streaming
 
@@ -44,9 +44,10 @@ object Stream {
     * sample frame at sf<=0.1); production streams write a real sink
     * (kafka/parquet) with the same plan.
     */
-  private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String): DataFrame = {
+  private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,
+                        mode: String = "append"): DataFrame = {
     val q = ds.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     ds.sparkSession.table(name)
   }
@@ -65,11 +66,36 @@ object Stream {
         fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_sosfilt" -> (streamSosfilt _))
+  /** Watermarked 5-minute tumbling-window counts per event_type over
+    * the events stream, run in `complete` mode so the final (otherwise
+    * watermark-held) windows emit when the bounded stream drains.
+    * Spark aligns tumbling windows to the unix epoch, so the oracle is
+    * a plain epoch-seconds div/mul bucket aggregation.
+    */
+  def streamWindowedCounts(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.windowedCounts(eventStream(s, dir).toDF(), "5 minutes", "10 minutes"),
+      "stream_wc_sink", mode = "complete")
+      // timestamp → long = epoch seconds (exact: starts are 300 s
+      // aligned); sum of 2-decimal values is exact on the 0.01 grid,
+      // so fp2 buckets are boundary-safe
+      .select(col("w_start").cast("long").as("w_start_s"), col("event_type"),
+        col("n"), fp2(col("sum_value")).as("sum_fp"))
+      .orderBy("w_start_s", "event_type")
 
-  /** The streaming query replays the batch sosfilt semantics, so the
-    * oracle IS the batch oracle. */
+  private val streamWindowedCountsSql: String =
+    s"""SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
+       |  COUNT(*) AS n, ${fpSql("SUM(value)", "100")} AS sum_fp
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sosfilt" -> (streamSosfilt _),
+    "stream_windowed_counts" -> (streamWindowedCounts _))
+
+  /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
+    * IS the batch oracle. */
   val oracleSql: Map[String, String] = Map(
-    "stream_sosfilt" -> Sig.sigSosfiltSql)
+    "stream_sosfilt" -> Sig.sigSosfiltSql,
+    "stream_windowed_counts" -> streamWindowedCountsSql)
 }

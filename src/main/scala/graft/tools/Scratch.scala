@@ -10,7 +10,10 @@ object Scratch {
     val dir = "/root/testdata/sf0.01"
     val name = if (args.nonEmpty) args(0) else "sig_convolve_long"
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    println(s"ROWS ${df.count()}")
-    df.show(10, truncate = false)
+    if (args.length > 1 && args(1) == "explain") df.explain("formatted")
+    else {
+      println(s"ROWS ${df.count()}")
+      df.show(10, truncate = false)
+    }
   }
 }
