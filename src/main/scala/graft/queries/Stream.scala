@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.Tables.{fp2, fp6, fpSql}
 import graft.dsp.Design
 import graft.streaming.Streaming
@@ -89,13 +90,100 @@ object Stream {
        |FROM events
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Gap-based sessionization (4-hour gap) via flatMapGroupsWithState
+    * with an event-time timeout. On a bounded stream two session
+    * populations emit: (a) sessions closed in-batch by a later event
+    * more than `gap` after them, and (b) final open sessions whose
+    * timeout (last + gap) fell strictly below the final watermark
+    * (max event time - 10 min). Both rules are replayed exactly in the
+    * oracle — the last session of the most recent users correctly
+    * stays in state and is NOT emitted, matching production append
+    * semantics.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.sessionize(eventStream(s, dir), gapMs = 14400000L),
+      "stream_sess_sink")
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), fp2(col("sum_value")).as("sum_fp"))
+      .orderBy("user_id", "start_ms")
+
+  private val streamSessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 1000 AS t_ms, value FROM events
+       |), marked AS (
+       |  SELECT user_id, t_ms, value,
+       |    CASE WHEN t_ms - LAG(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms)
+       |           > 14400000 THEN 1
+       |         WHEN LAG(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms)
+       |           IS NULL THEN 1 ELSE 0 END AS new_s
+       |  FROM e
+       |), grp AS (
+       |  SELECT user_id, t_ms, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_ms
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked
+       |), sess AS (
+       |  SELECT user_id, MIN(t_ms) AS start_ms, MAX(t_ms) AS end_ms,
+       |    CAST(COUNT(*) AS INT) AS n_events, SUM(value) AS sum_value
+       |  FROM grp GROUP BY user_id, sid
+       |)
+       |SELECT user_id, start_ms, end_ms, n_events,
+       |  ${fpSql("sum_value", "100")} AS sum_fp
+       |FROM sess
+       |WHERE end_ms + 14400000 < (SELECT MAX(t_ms) FROM e) - 600000
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Streaming STFT (window 16, hop 8): per-user sliding-window rfft
+    * stamped with the window-closing event time. A window emits when
+    * the buffer fills, so with n samples the starts are 0, 8, 16, ...
+    * while start+16 <= n; the oracle replays that rule and computes
+    * each window's 9 rfft bins as a direct DFT sum (fp4, the DFT
+    * oracles' association-noise-safe scale).
+    */
+  def streamStft(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.streamingStft(eventStream(s, dir), w = 16, h = 8),
+      "stream_stft_sink")
+      .select(col("user_id"), col("window_end_ms"), col("bin"),
+        Tables.fp4(col("re")).as("re_fp"), Tables.fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "window_end_ms", "bin")
+
+  private val streamStftSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 1000 AS t_ms, value FROM events
+       |), s AS (
+       |  SELECT user_id, t_ms, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_ms) - 1 AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM e
+       |), win AS (
+       |  SELECT user_id, rn AS st, t_ms FROM s
+       |  WHERE rn % 8 = 0 AND rn + 16 <= n
+       |)
+       |SELECT w.user_id,
+       |  anchor.t_ms AS window_end_ms,
+       |  CAST(k.b AS INT) AS bin,
+       |  ${fpSql("SUM(x.value * COS(-2*PI()*k.b*(x.rn - w.st)/16))", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(x.value * SIN(-2*PI()*k.b*(x.rn - w.st)/16))", "1e4")} AS im_fp
+       |FROM win w
+       |JOIN s anchor ON anchor.user_id = w.user_id AND anchor.rn = w.st + 15
+       |JOIN s x ON x.user_id = w.user_id AND x.rn >= w.st AND x.rn < w.st + 16
+       |CROSS JOIN range(9) k(b)
+       |GROUP BY w.user_id, anchor.t_ms, k.b
+       |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
-    "stream_windowed_counts" -> (streamWindowedCounts _))
+    "stream_windowed_counts" -> (streamWindowedCounts _),
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_stft" -> (streamStft _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
     * IS the batch oracle. */
   val oracleSql: Map[String, String] = Map(
     "stream_sosfilt" -> Sig.sigSosfiltSql,
-    "stream_windowed_counts" -> streamWindowedCountsSql)
+    "stream_windowed_counts" -> streamWindowedCountsSql,
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_stft" -> streamStftSql)
 }
