@@ -251,10 +251,16 @@ object Signal {
                     mode: String = "full"): DataFrame = {
     val packed = struct(col(dim1).cast("double").as("c1"),
       col(dim2).cast("double").as("c2"), col(value).cast("double").as("v"))
+    // per-dim cardinalities come from the collected array, NOT
+    // countDistinct aggregates: multiple count-distincts force an
+    // Expand (input rows × nDims+1) plus a second exchange +
+    // SortAggregate pair, while array_distinct over the already
+    // collected cells is a map-side O(cells) pass on the single
+    // ObjectHashAggregate this operator already pays for.
     val grouped = df.groupBy(keys.map(col): _*)
-      .agg(array_sort(collect_list(packed)).as("_arr"),
-        countDistinct(col(dim1)).cast("int").as("_n1"),
-        countDistinct(col(dim2)).cast("int").as("_n2"))
+      .agg(array_sort(collect_list(packed)).as("_arr"))
+      .withColumn("_n1", expr("size(array_distinct(transform(_arr, s -> s.c1)))"))
+      .withColumn("_n2", expr("size(array_distinct(transform(_arr, s -> s.c2)))"))
     // reject ragged/incomplete (dim1 × dim2) grids instead of silently
     // mis-shaping the row-major reshape; assert_true is chained into
     // the value expression so Catalyst cannot prune it
@@ -296,11 +302,15 @@ object Signal {
     val packed = struct(
       dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } :+
         col(value).cast("double").as("v"): _*)
-    val shapeAggs = dims.zipWithIndex.map { case (d, i) =>
-      countDistinct(col(d)).cast("int").as(s"_n${i + 1}")
+    // shape from the collected array (array_distinct per dim), not
+    // countDistinct aggregates — see fftconvolve2d: N count-distincts
+    // would Expand the input N+1× and add a second exchange
+    val grouped = (1 to nd).foldLeft(
+      df.groupBy(keys.map(col): _*)
+        .agg(array_sort(collect_list(packed)).as("_arr"))) { (g, i) =>
+      g.withColumn(s"_n$i",
+        expr(s"size(array_distinct(transform(_arr, s -> s.c$i)))"))
     }
-    val grouped = df.groupBy(keys.map(col): _*)
-      .agg(array_sort(collect_list(packed)).as("_arr"), shapeAggs: _*)
     val shapeArr = array((1 to nd).map(i => col(s"_n$i")): _*)
     val sizeProd = (1 to nd).map(i => col(s"_n$i")).reduce(_ * _)
     // reject ragged/incomplete grids instead of silently mis-shaping
