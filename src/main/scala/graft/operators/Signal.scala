@@ -389,9 +389,13 @@ object Signal {
     val withStats =
       if (keys.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(stats, keys)
+    // (coord, value) order, not coord alone: seriesify sorts
+    // struct(c, v) lexicographically, so on duplicate coordinates the
+    // chunked path must rank identically or its chunk contents diverge
+    // from the direct convolve (and the oracle's ORDER BY t, value)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(dim).cast("double"))
+      .orderBy(col(dim).cast("double"), col(value))
     val c0 = expr(s"_j div $chunkSize")
     val cmax = expr(s"(_n - 1) div $chunkSize")
     val idx = withStats

@@ -92,13 +92,16 @@ object Stream {
 
   /** Gap-based sessionization (4-hour gap) via flatMapGroupsWithState
     * with an event-time timeout. On a bounded stream two session
-    * populations emit: (a) sessions closed in-batch by a later event
-    * more than `gap` after them, and (b) final open sessions whose
-    * timeout (last + gap) fell strictly below the final watermark
-    * (max event time - 10 min). Both rules are replayed exactly in the
-    * oracle — the last session of the most recent users correctly
-    * stays in state and is NOT emitted, matching production append
-    * semantics.
+    * populations emit: (a) every NON-final session of a user — closed
+    * in-batch by that user's next event, unconditionally, watermark
+    * irrelevant; and (b) the final (open) session iff its timeout
+    * (last + gap) fell strictly below the final watermark (max event
+    * time - 10 min). The oracle replays both rules separately — the
+    * watermark filter applies ONLY to each user's last session (a
+    * blanket filter would wrongly drop in-batch closes near the
+    * stream's end); the last session of the most recent users
+    * correctly stays in state and is NOT emitted, matching production
+    * append semantics.
     */
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     runToSink(
@@ -124,14 +127,17 @@ object Stream {
        |      ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM marked
        |), sess AS (
-       |  SELECT user_id, MIN(t_ms) AS start_ms, MAX(t_ms) AS end_ms,
+       |  SELECT user_id, sid, MIN(t_ms) AS start_ms, MAX(t_ms) AS end_ms,
        |    CAST(COUNT(*) AS INT) AS n_events, SUM(value) AS sum_value
        |  FROM grp GROUP BY user_id, sid
+       |), fin AS (
+       |  SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY user_id
        |)
-       |SELECT user_id, start_ms, end_ms, n_events,
-       |  ${fpSql("sum_value", "100")} AS sum_fp
-       |FROM sess
-       |WHERE end_ms + 14400000 < (SELECT MAX(t_ms) FROM e) - 600000
+       |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events,
+       |  ${fpSql("s.sum_value", "100")} AS sum_fp
+       |FROM sess s JOIN fin f ON f.user_id = s.user_id
+       |WHERE s.sid < f.last_sid
+       |   OR s.end_ms + 14400000 < (SELECT MAX(t_ms) FROM e) - 600000
        |ORDER BY 1, 2""".stripMargin
 
   /** Streaming STFT (window 16, hop 8): per-user sliding-window rfft
@@ -151,10 +157,12 @@ object Stream {
 
   private val streamStftSql: String =
     s"""WITH e AS (
-       |  SELECT user_id, epoch_us(ts) // 1000 AS t_ms, value FROM events
+       |  SELECT user_id, epoch_us(ts) AS t_us, epoch_us(ts) // 1000 AS t_ms,
+       |    value
+       |  FROM events
        |), s AS (
        |  SELECT user_id, t_ms, value,
-       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_ms) - 1 AS rn,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, value) - 1 AS rn,
        |    COUNT(*) OVER (PARTITION BY user_id) AS n
        |  FROM e
        |), win AS (

@@ -111,7 +111,12 @@ object Streaming {
       .flatMapGroupsWithState[Array[Double], FilteredPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Array[Double]]) =>
-          val sorted = rows.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0)
+          // (ts, value) order: the batch oracle ranks ROW_NUMBER(...
+          // ORDER BY t, value), so exact-timestamp ties must break the
+          // same way or the order-sensitive IIR recurrence diverges
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.value < b.value)
+          }
           if (sorted.isEmpty) Iterator.empty
           else {
             val st = state.getOption.getOrElse(new Array[Double](nState + 1))
@@ -152,7 +157,12 @@ object Streaming {
       .flatMapGroupsWithState[List[(Long, Double)], SpectrumBin](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[List[(Long, Double)]]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // full-precision (ts, value) order — getTime truncates to ms
+          // and in-window position sets the DFT weight, so a sub-ms
+          // swap would change every bin (same contract as sosfilt)
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.value < b.value)
+          }
           var buf = state.getOption.getOrElse(Nil).reverse // stored newest-first
           val out = scala.collection.mutable.ArrayBuffer.empty[SpectrumBin]
           sorted.foreach { e =>

@@ -73,6 +73,30 @@ class LongSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("convolveLong with duplicate coordinates ranks by (coord, value) like seriesify") {
+    // every 16th coordinate is duplicated (two samples share t); the
+    // direct path sorts struct(c, v) lexicographically, so the chunked
+    // path's rank window must tie-break on value the same way or the
+    // chunk contents diverge nondeterministically
+    val kernel = Array(0.5, 0.3, 0.2)
+    val dup = {
+      val rows = for (k <- 0 until 2; i <- 0 until 1024)
+        yield (k, (i - (i % 16) / 15).toDouble, x(k, i))
+      new scala.util.Random(17).shuffle(rows).toDF("k", "t", "v").repartition(16)
+    }
+    val kdf = kernel.zipWithIndex.map { case (w, i) => (i.toDouble, w) }
+      .toSeq.toDF("t", "v")
+    val direct = Signal.convolve(dup, kdf, Seq("k"), "t", "v")
+    val chunked = Signal.convolveLong(dup, Seq("k"), "t", "v", kernel,
+      chunkSize = 128, method = "direct")
+    for (k <- 0 until 2) {
+      val want = byK(direct, k, "value")
+      val got = byK(chunked, k, "value")
+      assert(got.length == want.length, s"k=$k")
+      assert(got.indices.forall(i => got(i) == want(i)), s"k=$k")
+    }
+  }
+
   test("sosfiltfilt on 4096-sample series matches the kernel") {
     val sos = Design.cheby1Sos(8, 0.05, 0.2)
     val out = Signal.sosfiltfilt(sos, longDf, Seq("k"), "t", "v")

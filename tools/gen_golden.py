@@ -311,26 +311,33 @@ with open(os.path.join(OUT, "spectral.txt"), "w") as f:
         emit(f, f"decimate_fir_nzp_{q}", yl[::q])
 
 # ------------------------------------------------------------- peaks
-def prominence_np(x, peak):
+def prominence_np(x, peak, wlen=None):
+    # scipy window rule: wlen clips the evaluated stretch to
+    # peak +- wlen//2; wlen=None scans to the signal edges
     n = len(x)
+    imin = max(peak - wlen // 2, 0) if wlen is not None else 0
+    imax = min(peak + wlen // 2, n - 1) if wlen is not None else n - 1
     hp = x[peak]
     left_min, left_base = hp, peak
     i = peak
-    while i >= 0 and x[i] <= hp:
+    while i >= imin and x[i] <= hp:
         if x[i] < left_min:
             left_min, left_base = x[i], i
         i -= 1
     right_min, right_base = hp, peak
     i = peak
-    while i < n and x[i] <= hp:
+    while i <= imax and x[i] <= hp:
         if x[i] < right_min:
             right_min, right_base = x[i], i
         i += 1
     return hp - max(left_min, right_min), left_base, right_base
 
 
-def width_np(x, peak, rel_height=0.5):
-    prom, lb, rb = prominence_np(x, peak)
+def width_np(x, peak, rel_height=0.5, prom_data=None):
+    # prom_data mirrors the scipy kwarg: a caller-supplied
+    # (prominence, left_base, right_base) triple, e.g. from a
+    # wlen-restricted prominence scan
+    prom, lb, rb = prom_data if prom_data is not None else prominence_np(x, peak)
     height = x[peak] - prom * rel_height
     i = peak
     while lb < i and height < x[i]:
@@ -366,51 +373,15 @@ with open(os.path.join(OUT, "peaks.txt"), "w") as f:
     emit(f, "lbases", [prominence_np(x, p)[1] for p in peaks])
     emit(f, "rbases", [prominence_np(x, p)[2] for p in peaks])
 
-    # wlen-restricted prominences (scipy window rule: the evaluated
-    # stretch is clipped to peak +- wlen//2) and the widths computed
-    # from that prominence_data — the round-4 feature surface.
-    def prominence_wlen_np(x, peak, wlen):
-        n = len(x)
-        imin = max(peak - wlen // 2, 0)
-        imax = min(peak + wlen // 2, n - 1)
-        hp = x[peak]
-        left_min, left_base = hp, peak
-        i = peak
-        while i >= imin and x[i] <= hp:
-            if x[i] < left_min:
-                left_min, left_base = x[i], i
-            i -= 1
-        right_min, right_base = hp, peak
-        i = peak
-        while i <= imax and x[i] <= hp:
-            if x[i] < right_min:
-                right_min, right_base = x[i], i
-            i += 1
-        return hp - max(left_min, right_min), left_base, right_base
-
-    def width_from_prom_np(x, peak, rel_height, prom_data):
-        prom, lb, rb = prom_data
-        height = x[peak] - prom * rel_height
-        i = peak
-        while lb < i and height < x[i]:
-            i -= 1
-        left_ip = float(i)
-        if x[i] < height:
-            left_ip += (height - x[i]) / (x[i + 1] - x[i])
-        i = peak
-        while i < rb and height < x[i]:
-            i += 1
-        right_ip = float(i)
-        if x[i] < height:
-            right_ip -= (height - x[i]) / (x[i - 1] - x[i])
-        return right_ip - left_ip, height, left_ip, right_ip
-
+    # wlen-restricted prominences and the widths computed from that
+    # prominence_data — the round-4 feature surface, produced by the
+    # SAME scan as the unrestricted vectors (wlen/prom_data params)
     for wlen in (11, 25):
-        pw = [prominence_wlen_np(x, p, wlen) for p in peaks]
+        pw = [prominence_np(x, p, wlen=wlen) for p in peaks]
         emit(f, f"proms_wlen{wlen}", [p[0] for p in pw])
         emit(f, f"lbases_wlen{wlen}", [p[1] for p in pw])
         emit(f, f"rbases_wlen{wlen}", [p[2] for p in pw])
-        rows = [width_from_prom_np(x, p, 0.5, pd) for p, pd in zip(peaks, pw)]
+        rows = [width_np(x, p, 0.5, prom_data=pd) for p, pd in zip(peaks, pw)]
         emit(f, f"widths_wlen{wlen}", [r[0] for r in rows])
         emit(f, f"wheights_wlen{wlen}", [r[1] for r in rows])
         emit(f, f"lips_wlen{wlen}", [r[2] for r in rows])
