@@ -370,6 +370,38 @@ object Bridge {
   def byteHistogram(bin: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(byteHistogramRaw(bin))
 
+  /** PCM16-LE audio frame features: decode bytes to centered signed
+    * samples (b0 | b1<<8, minus 16384 so ASCII-band payloads swing
+    * both signs), then per complete `frameLen`-sample frame emit
+    * (frame, energy = Σ s², zcr = count of strict sign flips between
+    * adjacent in-frame samples). Unlike the image kernels this decode
+    * is REAL (PCM needs no codec library); energy is integral so the
+    * oracle compares exactly, no fixed-point.
+    */
+  def pcmFrames(bin: Array[Byte], frameLen: Int): ArrayData = {
+    val nSamples = bin.length / 2
+    val nFrames = if (frameLen > 0) nSamples / frameLen else 0
+    val out = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var energy = 0L
+      var zcr = 0
+      var prev = 0L
+      var j = 0
+      while (j < frameLen) {
+        val i = f * frameLen + j
+        val s = ((bin(2 * i) & 0xff) | ((bin(2 * i + 1) & 0xff) << 8)) - 16384L
+        energy += s * s
+        if (j > 0 && prev * s < 0) zcr += 1
+        prev = s
+        j += 1
+      }
+      out(f) = new GenericInternalRow(Array[Any](f, energy, zcr))
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Stub "resize": deterministic stride subsample to `outLen` bytes. */
   def resizeStub(bin: Array[Byte], outLen: Int): Array[Byte] = {
     if (bin.isEmpty || outLen <= 0) return Array.emptyByteArray
@@ -452,6 +484,10 @@ object Bridge {
     "cosineF" -> (Seq(arrF, arrD) -> DoubleType),
     "cosineFF" -> (Seq(arrF, arrF) -> DoubleType),
     "byteHistogram" -> (Seq(BinaryType) -> ArrayType(LongType, containsNull = false)),
+    "pcmFrames" -> (Seq(BinaryType, IntegerType) -> ArrayType(StructType(Seq(
+      StructField("frame", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("zcr", IntegerType, nullable = false))), containsNull = false)),
     "resizeStub" -> (Seq(BinaryType, IntegerType) -> BinaryType),
     "frameSample" -> (Seq(BinaryType, IntegerType, IntegerType)
       -> ArrayType(BinaryType, containsNull = false)))
@@ -493,6 +529,7 @@ object Bridge {
     case "cosineF" => cosineF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosineFF" => cosineFF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
+    case "pcmFrames" => pcmFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
     case "resizeStub" => resizeStub(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
     case "frameSample" => frameSample(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")

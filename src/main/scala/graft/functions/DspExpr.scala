@@ -205,6 +205,8 @@ object Functions {
     def cosineFC(a: Column, b: Column): Column = call("cosineF", a, b)
     def cosineFFC(a: Column, b: Column): Column = call("cosineFF", a, b)
     def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
+    def pcmFramesC(bin: Column, frameLen: Int): Column =
+      call("pcmFrames", bin, lit(frameLen))
     def resizeStubC(bin: Column, outLen: Int): Column =
       call("resizeStub", bin, lit(outLen))
     def frameSampleC(bin: Column, frameLen: Int, stride: Int): Column =

@@ -59,6 +59,18 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
+  /** Audio frame features over a PCM16-LE binary column: per complete
+    * `frameLen`-sample frame, (frame, energy, zero-crossing rate).
+    * The decode (bytes → centered signed samples) is REAL — PCM needs
+    * no codec library — so this path exercises the full
+    * decode→feature pipeline the image stubs can only shape.
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 32): DataFrame =
+    media
+      .select(col("media_id"), explode(pcmFramesC(col("content"), frameLen)).as("f"))
+      .select(col("media_id"), col("f.frame").as("frame"),
+        col("f.energy").as("energy"), col("f.zcr").as("zcr"))
+
   /** Stub resize: deterministic stride subsample to outLen bytes. */
   def resize(media: DataFrame, outLen: Int): DataFrame =
     media.withColumn("resized", resizeStubC(col("content"), outLen))

@@ -513,6 +513,40 @@ object Pipeline {
       |  COUNT(*) AS cnt
       |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** PCM16 audio frame features over the binary content column — the
+    * one multimodal path whose decode is REAL (bytes → samples needs
+    * no codec): per 32-sample frame, energy (Σ s², integral → exact
+    * compare, no fixed-point) and zero-crossing count. The oracle
+    * rebuilds the little-endian samples from codepoints (en docs are
+    * ASCII, same contract as mm_image_features).
+    */
+  def mmAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameFeatures(
+      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"),
+      frameLen = 32)
+      .select(col("media_id").as("doc_id"), col("frame"), col("energy"), col("zcr"))
+      .orderBy("doc_id", "frame")
+
+  private val mmAudioSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text, (length(text) // 2 // 32) * 32 AS nkeep
+      |  FROM documents WHERE lang = 'en'
+      |), smp AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, nkeep - 1)) AS i FROM en
+      |), sv AS (
+      |  SELECT doc_id, i, i // 32 AS frame,
+      |    unicode(substr(text, 2*i + 1, 1)) + 256 * unicode(substr(text, 2*i + 2, 1)) - 16384 AS s
+      |  FROM smp
+      |), lagged AS (
+      |  SELECT doc_id, frame, s,
+      |    LAG(s) OVER (PARTITION BY doc_id, frame ORDER BY i) AS ps
+      |  FROM sv
+      |)
+      |SELECT doc_id, CAST(frame AS INT) AS frame,
+      |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+      |  CAST(COUNT(*) FILTER (WHERE ps IS NOT NULL AND ps * s < 0) AS INT) AS zcr
+      |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Stub resize (stride subsample to 32 bytes), decoded back to a
     * string so the oracle can rebuild it from codepoints (en docs are
     * ASCII, same contract as mm_image_features).
@@ -576,6 +610,7 @@ object Pipeline {
     "text_repetition" -> (textRepetition _),
     "text_split" -> (textSplit _),
     "mm_image_features" -> (mmImageFeatures _),
+    "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _))
 
@@ -597,6 +632,7 @@ object Pipeline {
     "text_repetition" -> textRepetitionSql,
     "text_split" -> textSplitSql,
     "mm_image_features" -> mmImageFeaturesSql,
+    "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql)
 }

@@ -87,6 +87,23 @@ class PipelineSpec extends SparkTestBase {
     assert(f.getBinary(1)(0) == 30)
   }
 
+  test("pcmFrames decodes PCM16-LE and counts energy + zero crossings") {
+    import graft.functions.Bridge
+    // 4 samples, frameLen 2 → 2 frames; values chosen so centered
+    // samples are (+1, -1, +2, +2): le16(16385)=0x01,0x40 → +1;
+    // le16(16383)=0xff,0x3f → -1; le16(16386) → +2
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val bytes = (le16(16385) ++ le16(16383) ++ le16(16386) ++ le16(16386)).toArray
+    val frames = Bridge.pcmFrames(bytes, 2)
+    assert(frames.numElements() == 2)
+    val f0 = frames.getStruct(0, 3); val f1 = frames.getStruct(1, 3)
+    assert(f0.getInt(0) == 0 && f0.getLong(1) == 2L && f0.getInt(2) == 1) // +1,-1: flip
+    assert(f1.getInt(0) == 1 && f1.getLong(1) == 8L && f1.getInt(2) == 0) // +2,+2
+    // trailing partial frame (and odd byte) dropped
+    assert(Bridge.pcmFrames(bytes :+ 0x41.toByte, 2).numElements() == 2)
+    assert(Bridge.pcmFrames(Array.emptyByteArray, 2).numElements() == 0)
+  }
+
   test("dupClusters labels chains and cycles with the component minimum") {
     // components: {1,2,3,9} (chain + cycle edge), {5,6}, singletons absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (9L, 1L), (5L, 6L)).toDF("a", "b")
