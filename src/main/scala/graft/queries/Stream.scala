@@ -181,11 +181,42 @@ object Stream {
        |GROUP BY w.user_id, anchor.t_ms, k.b
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Streaming exact dedup over a documents stream. WHICH duplicate
+    * survives dropDuplicatesWithinWatermark is arbitrary (first
+    * arrival), so the query emits each survivor's normalized content
+    * hash instead of the row — every member of a duplicate bucket
+    * shares that hash, so the result SET (one hash per distinct
+    * normalized document) is deterministic and oracle-able even
+    * though the surviving doc_id is not.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val docsStream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // documents carry no event time; a constant stamp keeps every
+      // row inside one watermark window (bounded-stream replay of the
+      // batch semantics — production streams pass their real ts)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    runToSink(
+      graft.streaming.Streaming.streamingDedup(docsStream, "ts", "text"),
+      "stream_dedup_sink")
+      .select(md5(encode(graft.operators.TextOps.normalize(col("text")), "UTF-8"))
+        .as("content_hash"))
+      .orderBy("content_hash")
+  }
+
+  private val streamDedupSql: String =
+    """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |  AS content_hash
+      |FROM documents ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_stft" -> (streamStft _))
+    "stream_stft" -> (streamStft _),
+    "stream_dedup" -> (streamDedup _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
     * IS the batch oracle. */
@@ -193,5 +224,6 @@ object Stream {
     "stream_sosfilt" -> Sig.sigSosfiltSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_stft" -> streamStftSql)
+    "stream_stft" -> streamStftSql,
+    "stream_dedup" -> streamDedupSql)
 }
