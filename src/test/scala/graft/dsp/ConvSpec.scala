@@ -93,6 +93,55 @@ class ConvSpec extends AnyFunSuite {
     }
   }
 
+  test("fftconvolveNd random shapes up to rank 4 match direct N-D convolution") {
+    val rnd = new scala.util.Random(23)
+    def directFull(a: Array[Double], aSh: Array[Int],
+                   b: Array[Double], bSh: Array[Int]): (Array[Double], Array[Int]) = {
+      val nd = aSh.length
+      val fSh = Array.tabulate(nd)(i => aSh(i) + bSh(i) - 1)
+      val out = new Array[Double](fSh.product)
+      def flat(idx: Array[Int], sh: Array[Int]): Int =
+        idx.zip(sh).foldLeft(0) { case (acc, (i, n)) => acc * n + i }
+      def loop(sh: Array[Int])(f: Array[Int] => Unit): Unit = {
+        val idx = new Array[Int](sh.length)
+        val total = sh.product
+        var c = 0
+        while (c < total) {
+          f(idx)
+          var d = sh.length - 1
+          var carry = true
+          while (carry && d >= 0) {
+            idx(d) += 1
+            if (idx(d) == sh(d)) { idx(d) = 0; d -= 1 } else carry = false
+          }
+          c += 1
+        }
+      }
+      loop(aSh) { ai =>
+        val av = a(flat(ai, aSh))
+        loop(bSh) { bi =>
+          val oi = ai.zip(bi).map { case (x, y) => x + y }
+          out(flat(oi, fSh)) += av * b(flat(bi, bSh))
+        }
+      }
+      (out, fSh)
+    }
+    for (nd <- 1 to 4; _ <- 0 until 2) {
+      val aSh = Array.fill(nd)(1 + rnd.nextInt(5))
+      val bSh = Array.tabulate(nd)(i => 1 + rnd.nextInt(aSh(i)))
+      val a = Array.fill(aSh.product)(rnd.nextGaussian())
+      val b = Array.fill(bSh.product)(rnd.nextGaussian())
+      val (want, wSh) = directFull(a, aSh, b, bSh)
+      val (got, gSh) = Conv.fftconvolveNd(a, aSh, b, bSh, "full")
+      assert(gSh.toSeq == wSh.toSeq, s"nd=$nd ${aSh.toSeq} ${bSh.toSeq}")
+      assert(Golden.maxAbsDiff(got, want) < 1e-9, s"nd=$nd ${aSh.toSeq} ${bSh.toSeq}")
+      // valid also exercised (bSh <= aSh per axis by construction)
+      val (gotV, vSh) = Conv.fftconvolveNd(a, aSh, b, bSh, "valid")
+      assert(vSh.toSeq == aSh.zip(bSh).map { case (x, y) => x - y + 1 }.toSeq)
+      assert(gotV.length == vSh.product)
+    }
+  }
+
   test("auto method matches direct for random sizes") {
     val rnd = new scala.util.Random(3)
     for ((n1, n2) <- Seq((1, 1), (1, 9), (200, 300), (1000, 40))) {

@@ -59,6 +59,21 @@ class PipelineSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 10L, 0), (11L, 10L, 1), (12L, 12L, 0)))
   }
 
+  test("minhash LSH maxBucket cap drops degenerate buckets and rejects unsafe caps") {
+    // 6 identical docs collapse to one bucket per band; with
+    // maxBucket=4 every bucket exceeds the cap, so candidate emission
+    // yields nothing — the fully-connected cluster is exact-dedup's
+    // job (the documented contract), not a crash or a partial pairing
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dup = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(dup, "doc_id", "text", maxBucket = 4).count() == 0)
+    // cap above the pair kernel's emission limit fails at plan time
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(dup, "doc_id", "text", maxBucket = 10000)
+    }
+    assert(ex.getMessage.contains("maxBucket"))
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     val words = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = ((1 to 59).map(i => s"w$i") :+ "changed").mkString(" ")
