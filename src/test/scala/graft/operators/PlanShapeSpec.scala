@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Shuffle-count regression guard: the scale story of every operator
+  * is its exchange count (SURVEY §4 — "one shuffle per signal op",
+  * etc.). These tests pin the number of hash exchanges in the
+  * physical plan so a future edit cannot silently add a shuffle the
+  * way round 4's countDistinct change added an Expand + exchange.
+  * Counts are read from the pre-execution plan (AQE's initial plan) —
+  * deterministic for a fixed Spark version and input shape.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hashExchanges(df: DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private lazy val series =
+    (for (k <- 0 until 3; i <- 0 until 64) yield (k, i.toDouble, math.sin(i + k)))
+      .toDF("k", "t", "v")
+
+  private lazy val docs =
+    (1L to 20L).map(i => (i, (1 to 50).map(j => s"w${i % 4}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  test("signal ops make exactly one hash shuffle") {
+    assert(hashExchanges(Signal.rfft(series, Seq("k"), "t", "v")) == 1)
+    assert(hashExchanges(Signal.sosfilt(graft.dsp.Design.butterSos(2, 0.4),
+      series, Seq("k"), "t", "v")) == 1)
+    val grid = series
+      .withColumn("d1", expr("CAST(t AS INT) div 8"))
+      .withColumn("d2", expr("CAST(t AS INT) % 8"))
+    assert(hashExchanges(Signal.fftconvolveNd(grid, Seq("k"), Seq("d1", "d2"),
+      "v", Array(1.0, 0.5), Array(1, 2))) == 1)
+  }
+
+  test("convolveLong pays two hash shuffles (length agg + chunk pipeline)") {
+    // one exchange for the per-key length aggregate (broadcast-joined
+    // back), one for the window/chunk pipeline; the chunk groupBy
+    // reuses the window's partitioning
+    assert(hashExchanges(Signal.convolveLong(series, Seq("k"), "t", "v",
+      Array(0.5, 0.5), chunkSize = 32)) == 2)
+  }
+
+  test("dedup shuffle budget: exact=1, simhash pairs=1, minhash candidates=3") {
+    assert(hashExchanges(Dedup.exact(docs, "doc_id", "text")) == 1)
+    // one shared shuffle for all 20 Manku block tables
+    assert(hashExchanges(Dedup.simhashPairs(docs, "doc_id", "text")) == 1)
+    // repartition(id) (shingle materialization, reused by the minhash
+    // groupBy) + band-bucket groupBy + final pair distinct
+    assert(hashExchanges(Dedup.minhashCandidates(docs, "doc_id", "text")) == 3)
+  }
+}
