@@ -157,8 +157,16 @@ object Conv {
     val (outR, outC) = mode match {
       case "full" => (fullR, fullC)
       case "same" => (aRows, aCols)
-      case "valid" => (math.max(aRows, bRows) - math.min(aRows, bRows) + 1,
-                       math.max(aCols, bCols) - math.min(aCols, bCols) + 1)
+      case "valid" =>
+        // scipy raises unless one input dominates every axis; computing
+        // per-axis max-min extents for mixed shapes (5x2 vs 2x5) would
+        // return a region that corresponds to no valid overlap
+        require((aRows >= bRows && aCols >= bCols) ||
+          (bRows >= aRows && bCols >= aCols),
+          s"valid mode requires one input >= the other on every dim; " +
+            s"got ${aRows}x$aCols vs ${bRows}x$bCols")
+        (math.max(aRows, bRows) - math.min(aRows, bRows) + 1,
+          math.max(aCols, bCols) - math.min(aCols, bCols) + 1)
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }
     val (offR, offC) = mode match {

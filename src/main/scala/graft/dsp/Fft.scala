@@ -183,6 +183,12 @@ object Fft {
   def irfft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): Array[Double] = {
     val m = xre.length
     val nn = if (n <= 0) (m - 1) * 2 else n
+    // numpy raises "Invalid number of FFT data points" here; without
+    // this check m=1 silently returns an empty series and m=0 throws
+    // NegativeArraySizeException deep in the buffer allocation
+    require(nn >= 1,
+      s"irfft: invalid output length $nn (input has $m bins; " +
+        "default n = (m-1)*2 needs m >= 2)")
     // Rebuild the full hermitian spectrum at length nn, then complex ifft.
     val nb = nn / 2 + 1 // bins actually used from input
     val fre = new Array[Double](nn); val fim = new Array[Double](nn)

@@ -22,7 +22,13 @@ object Filt {
     var i = 0
     while (i < n) { bn(i) /= a0; an(i) /= a0; i += 1 }
     val z = new Array[Double](n - 1)
-    if (zi != null) System.arraycopy(zi, 0, z, 0, math.min(zi.length, n - 1))
+    if (zi != null) {
+      // scipy raises ValueError on a wrong-shaped zi; silently
+      // truncating/zero-padding would corrupt the transient
+      require(zi.length == n - 1,
+        s"lfilter: zi has ${zi.length} values, filter order needs ${n - 1}")
+      System.arraycopy(zi, 0, z, 0, n - 1)
+    }
     val y = new Array[Double](x.length)
     var t = 0
     while (t < x.length) {
@@ -123,7 +129,13 @@ object Filt {
   def sosfilt(sos: Array[Double], x: Array[Double], zi: Array[Double] = null): Array[Double] = {
     val ns = nSections(sos)
     val z = new Array[Double](ns * 2)
-    if (zi != null) System.arraycopy(zi, 0, z, 0, math.min(zi.length, ns * 2))
+    if (zi != null) {
+      // scipy raises 'Invalid zi shape'; a short zi would silently
+      // start later sections from zero state
+      require(zi.length == ns * 2,
+        s"sosfilt: zi has ${zi.length} values, $ns sections need ${ns * 2}")
+      System.arraycopy(zi, 0, z, 0, ns * 2)
+    }
     val y = x.clone()
     var s = 0
     while (s < ns) {

@@ -84,6 +84,12 @@ object Bridge {
   def fftconvolve2d(a: ArrayData, aRows: Int, b: ArrayData, bRows: Int,
                     mode: UTF8String): InternalRow = {
     val av = d(a); val bv = d(b)
+    // reject non-rectangular flattened grids instead of silently
+    // truncating the remainder into a wrong (rows x len/rows) shape
+    require(aRows > 0 && av.length % aRows == 0,
+      s"fftconvolve2d: ${av.length} values do not form $aRows complete rows")
+    require(bRows > 0 && bv.length % bRows == 0,
+      s"fftconvolve2d: ${bv.length} kernel values do not form $bRows complete rows")
     val (res, outR, outC) = Conv.fftconvolve2d(
       av, aRows, av.length / aRows, bv, bRows, bv.length / bRows, mode.toString)
     new GenericInternalRow(Array[Any](out(res), outR, outC))
@@ -190,6 +196,12 @@ object Bridge {
     * quadratically.
     */
   def winnow(s: UTF8String, k: Int, w: Int, base: Long, mod: Long): ArrayData = {
+    // h < mod and codepoints < 0x110000, so h*base + cp stays in a
+    // signed 64-bit long only while (mod-1)*base + 0x10FFFF < 2^63;
+    // beyond that the rolling hash silently wraps negative
+    require(mod > 0 && base > 0 && (mod - 1) <= (Long.MaxValue - 0x10FFFF) / base,
+      s"winnow: mod $mod with base $base overflows the 64-bit rolling hash; " +
+        s"use mod <= ${(Long.MaxValue - 0x10FFFF) / base}")
     val str = s.toString
     // codepoints
     val cps = new Array[Int](str.length)
@@ -370,15 +382,19 @@ object Bridge {
   def byteHistogram(bin: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(byteHistogramRaw(bin))
 
-  /** PCM16-LE audio frame features: decode bytes to centered signed
-    * samples (b0 | b1<<8, minus 16384 so ASCII-band payloads swing
-    * both signs), then per complete `frameLen`-sample frame emit
-    * (frame, energy = Σ s², zcr = count of strict sign flips between
-    * adjacent in-frame samples). Unlike the image kernels this decode
-    * is REAL (PCM needs no codec library); energy is integral so the
-    * oracle compares exactly, no fixed-point.
+  /** PCM16-LE audio frame features: true two's-complement decode
+    * ((b1<<8 | b0).toShort), minus a caller-supplied DC offset
+    * (`center`, a standard pre-processing step; pass 0 for none),
+    * then per complete `frameLen`-sample frame emit (frame, energy =
+    * Σ s², zcr = count of strict sign flips between adjacent in-frame
+    * samples). Unlike the image kernels this decode is REAL (PCM
+    * needs no codec library); energy is integral so the oracle
+    * compares exactly, no fixed-point. Note full-scale negatives
+    * decode correctly (0x8000 → -32768); unipolar payloads (e.g.
+    * ASCII test bytes, always positive) need center > 0 for the ZCR
+    * to measure anything.
     */
-  def pcmFrames(bin: Array[Byte], frameLen: Int): ArrayData = {
+  def pcmFrames(bin: Array[Byte], frameLen: Int, center: Int): ArrayData = {
     val nSamples = bin.length / 2
     val nFrames = if (frameLen > 0) nSamples / frameLen else 0
     val out = new Array[Any](nFrames)
@@ -390,7 +406,8 @@ object Bridge {
       var j = 0
       while (j < frameLen) {
         val i = f * frameLen + j
-        val s = ((bin(2 * i) & 0xff) | ((bin(2 * i + 1) & 0xff) << 8)) - 16384L
+        val s = (((bin(2 * i + 1) & 0xff) << 8) | (bin(2 * i) & 0xff))
+          .toShort.toLong - center
         energy += s * s
         if (j > 0 && prev * s < 0) zcr += 1
         prev = s
@@ -484,7 +501,7 @@ object Bridge {
     "cosineF" -> (Seq(arrF, arrD) -> DoubleType),
     "cosineFF" -> (Seq(arrF, arrF) -> DoubleType),
     "byteHistogram" -> (Seq(BinaryType) -> ArrayType(LongType, containsNull = false)),
-    "pcmFrames" -> (Seq(BinaryType, IntegerType) -> ArrayType(StructType(Seq(
+    "pcmFrames" -> (Seq(BinaryType, IntegerType, IntegerType) -> ArrayType(StructType(Seq(
       StructField("frame", IntegerType, nullable = false),
       StructField("energy", LongType, nullable = false),
       StructField("zcr", IntegerType, nullable = false))), containsNull = false)),
@@ -529,7 +546,7 @@ object Bridge {
     case "cosineF" => cosineF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosineFF" => cosineFF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
-    case "pcmFrames" => pcmFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
+    case "pcmFrames" => pcmFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "resizeStub" => resizeStub(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
     case "frameSample" => frameSample(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")

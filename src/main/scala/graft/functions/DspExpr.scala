@@ -108,8 +108,11 @@ object Functions {
     * function per call otherwise, flooding bench output).
     */
   private val installed =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        // weak keys: don't pin every session ever installed (a driver
+        // creating per-request newSession()s would leak them all)
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def install(spark: SparkSession): Unit = {
     if (!installed.add(spark)) return
@@ -205,8 +208,8 @@ object Functions {
     def cosineFC(a: Column, b: Column): Column = call("cosineF", a, b)
     def cosineFFC(a: Column, b: Column): Column = call("cosineFF", a, b)
     def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
-    def pcmFramesC(bin: Column, frameLen: Int): Column =
-      call("pcmFrames", bin, lit(frameLen))
+    def pcmFramesC(bin: Column, frameLen: Int, center: Int = 0): Column =
+      call("pcmFrames", bin, lit(frameLen), lit(center))
     def resizeStubC(bin: Column, outLen: Int): Column =
       call("resizeStub", bin, lit(outLen))
     def frameSampleC(bin: Column, frameLen: Int, stride: Int): Column =

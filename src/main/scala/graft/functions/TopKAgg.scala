@@ -29,6 +29,21 @@ case class TopKAgg(
 
   require(k > 0, "k must be positive")
 
+  // fail at analysis time with the column named, not with an executor
+  // ClassCastException mid-job on s.asInstanceOf[Long]
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = Seq("score" -> score, "id" -> id).collectFirst {
+      case (name, e) if e.dataType != LongType => (name, e.dataType)
+    }
+    bad match {
+      case Some((name, t)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topK $name must be LongType (fixed-point encode doubles first), got $t")
+      case None =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   private val ord = new Ordering[(Long, Long)] {
     // "best" = highest score, then lowest id; TreeSet keeps ascending,
     // so head is the weakest entry (evicted first).

@@ -61,13 +61,16 @@ object Multimodal {
 
   /** Audio frame features over a PCM16-LE binary column: per complete
     * `frameLen`-sample frame, (frame, energy, zero-crossing rate).
-    * The decode (bytes → centered signed samples) is REAL — PCM needs
-    * no codec library — so this path exercises the full
-    * decode→feature pipeline the image stubs can only shape.
+    * The decode (bytes → two's-complement samples, minus an optional
+    * DC offset `center`) is REAL — PCM needs no codec library — so
+    * this path exercises the full decode→feature pipeline the image
+    * stubs can only shape.
     */
-  def audioFrameFeatures(media: DataFrame, frameLen: Int = 32): DataFrame =
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 32,
+                         center: Int = 0): DataFrame =
     media
-      .select(col("media_id"), explode(pcmFramesC(col("content"), frameLen)).as("f"))
+      .select(col("media_id"),
+        explode(pcmFramesC(col("content"), frameLen, center)).as("f"))
       .select(col("media_id"), col("f.frame").as("frame"),
         col("f.energy").as("energy"), col("f.zcr").as("zcr"))
 

@@ -521,9 +521,12 @@ object Pipeline {
     * ASCII, same contract as mm_image_features).
     */
   def mmAudio(s: SparkSession, dir: String): DataFrame =
+    // center=16384 removes the DC offset of the unipolar ASCII
+    // payload (every decoded sample is positive) so the ZCR measures
+    // sign structure; real audio would pass center=0
     Multimodal.audioFrameFeatures(
       Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"),
-      frameLen = 32)
+      frameLen = 32, center = 16384)
       .select(col("media_id").as("doc_id"), col("frame"), col("energy"), col("zcr"))
       .orderBy("doc_id", "frame")
 

@@ -109,14 +109,19 @@ class PipelineSpec extends SparkTestBase {
     // le16(16383)=0xff,0x3f → -1; le16(16386) → +2
     def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     val bytes = (le16(16385) ++ le16(16383) ++ le16(16386) ++ le16(16386)).toArray
-    val frames = Bridge.pcmFrames(bytes, 2)
+    val frames = Bridge.pcmFrames(bytes, 2, 16384)
     assert(frames.numElements() == 2)
     val f0 = frames.getStruct(0, 3); val f1 = frames.getStruct(1, 3)
     assert(f0.getInt(0) == 0 && f0.getLong(1) == 2L && f0.getInt(2) == 1) // +1,-1: flip
     assert(f1.getInt(0) == 1 && f1.getLong(1) == 8L && f1.getInt(2) == 0) // +2,+2
     // trailing partial frame (and odd byte) dropped
-    assert(Bridge.pcmFrames(bytes :+ 0x41.toByte, 2).numElements() == 2)
-    assert(Bridge.pcmFrames(Array.emptyByteArray, 2).numElements() == 0)
+    assert(Bridge.pcmFrames(bytes :+ 0x41.toByte, 2, 16384).numElements() == 2)
+    assert(Bridge.pcmFrames(Array.emptyByteArray, 2, 0).numElements() == 0)
+    // true two's-complement: 0x8000 = -32768, 0x7fff = 32767 (center 0)
+    val fullScale = (le16(0x8000) ++ le16(0x7fff)).toArray
+    val fs = Bridge.pcmFrames(fullScale, 2, 0).getStruct(0, 3)
+    assert(fs.getLong(1) == 32768L * 32768L + 32767L * 32767L)
+    assert(fs.getInt(2) == 1) // -32768 -> +32767 crosses zero
   }
 
   test("dupClusters labels chains and cycles with the component minimum") {
