@@ -86,39 +86,45 @@ object Conv {
                     mode: String = "full"): (Array[Double], Int, Int) = {
     val fullR = aRows + bRows - 1; val fullC = aCols + bCols - 1
     val mR = Fft.nextPow2(fullR); val mC = Fft.nextPow2(fullC)
-    // pack into mR x mC, FFT rows then cols, multiply, inverse.
-    def fft2(x: Array[Double], rows: Int, cols: Int): (Array[Double], Array[Double]) = {
+    // ONE in-place row/column transform shared by the forward and
+    // inverse passes (rawFft handles the unnormalized inverse, so no
+    // conjugate trick and no per-line clones — two reusable line
+    // buffers per pass instead of three allocations per line)
+    def fft2InPlace(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+      val rowRe = new Array[Double](mC); val rowIm = new Array[Double](mC)
+      var r = 0
+      while (r < mR) {
+        System.arraycopy(re, r * mC, rowRe, 0, mC)
+        System.arraycopy(im, r * mC, rowIm, 0, mC)
+        Fft.transformInPlace(rowRe, rowIm, inverse)
+        System.arraycopy(rowRe, 0, re, r * mC, mC)
+        System.arraycopy(rowIm, 0, im, r * mC, mC)
+        r += 1
+      }
+      val colRe = new Array[Double](mR); val colIm = new Array[Double](mR)
+      var c = 0
+      while (c < mC) {
+        var rr = 0
+        while (rr < mR) { colRe(rr) = re(rr * mC + c); colIm(rr) = im(rr * mC + c); rr += 1 }
+        Fft.transformInPlace(colRe, colIm, inverse)
+        rr = 0
+        while (rr < mR) { re(rr * mC + c) = colRe(rr); im(rr * mC + c) = colIm(rr); rr += 1 }
+        c += 1
+      }
+    }
+    def pack(x: Array[Double], rows: Int, cols: Int): (Array[Double], Array[Double]) = {
       val re = new Array[Double](mR * mC); val im = new Array[Double](mR * mC)
       var r = 0
       while (r < rows) {
         System.arraycopy(x, r * cols, re, r * mC, cols)
         r += 1
       }
-      // rows
-      r = 0
-      while (r < mR) {
-        val rowRe = java.util.Arrays.copyOfRange(re, r * mC, (r + 1) * mC)
-        val rowIm = java.util.Arrays.copyOfRange(im, r * mC, (r + 1) * mC)
-        val f = Fft.fft(rowRe, rowIm, mC)
-        System.arraycopy(f.re, 0, re, r * mC, mC)
-        System.arraycopy(f.im, 0, im, r * mC, mC)
-        r += 1
-      }
-      // cols
-      var c = 0
-      val colRe = new Array[Double](mR); val colIm = new Array[Double](mR)
-      while (c < mC) {
-        var rr = 0
-        while (rr < mR) { colRe(rr) = re(rr * mC + c); colIm(rr) = im(rr * mC + c); rr += 1 }
-        val f = Fft.fft(colRe, colIm, mR)
-        rr = 0
-        while (rr < mR) { re(rr * mC + c) = f.re(rr); im(rr * mC + c) = f.im(rr); rr += 1 }
-        c += 1
-      }
       (re, im)
     }
-    val (are, aim) = fft2(a, aRows, aCols)
-    val (bre, bim) = fft2(b, bRows, bCols)
+    val (are, aim) = pack(a, aRows, aCols)
+    val (bre, bim) = pack(b, bRows, bCols)
+    fft2InPlace(are, aim, inverse = false)
+    fft2InPlace(bre, bim, inverse = false)
     var i = 0
     while (i < mR * mC) {
       val tr = are(i) * bre(i) - aim(i) * bim(i)
@@ -126,33 +132,8 @@ object Conv {
       are(i) = tr
       i += 1
     }
-    // inverse 2-D: conj trick — ifft2 = conj(fft2(conj(x))) / (mR*mC)
-    i = 0
-    while (i < mR * mC) { aim(i) = -aim(i); i += 1 }
-    val (cre, cim) = {
-      // reuse fft2 on the full mR x mC buffer: repack via rows=mR, cols=mC
-      val re = are; val im = aim
-      var r = 0
-      while (r < mR) {
-        val rowRe = java.util.Arrays.copyOfRange(re, r * mC, (r + 1) * mC)
-        val rowIm = java.util.Arrays.copyOfRange(im, r * mC, (r + 1) * mC)
-        val f = Fft.fft(rowRe, rowIm, mC)
-        System.arraycopy(f.re, 0, re, r * mC, mC)
-        System.arraycopy(f.im, 0, im, r * mC, mC)
-        r += 1
-      }
-      var c = 0
-      val colRe = new Array[Double](mR); val colIm = new Array[Double](mR)
-      while (c < mC) {
-        var rr = 0
-        while (rr < mR) { colRe(rr) = re(rr * mC + c); colIm(rr) = im(rr * mC + c); rr += 1 }
-        val f = Fft.fft(colRe, colIm, mR)
-        rr = 0
-        while (rr < mR) { re(rr * mC + c) = f.re(rr); im(rr * mC + c) = f.im(rr); rr += 1 }
-        c += 1
-      }
-      (re, im)
-    }
+    fft2InPlace(are, aim, inverse = true)
+    val cre = are
     val scale = 1.0 / (mR * mC)
     val (outR, outC) = mode match {
       case "full" => (fullR, fullC)
@@ -233,8 +214,11 @@ object Conv {
       (re, im)
     }
 
-    // in-place FFT of every length-m(axis) line along `axis`
-    def fftAxis(re: Array[Double], im: Array[Double], axis: Int): Unit = {
+    // in-place transform of every length-m(axis) line along `axis`;
+    // the two line buffers are reused across all lines (Fft
+    // .transformInPlace does not clone — see its scaladoc)
+    def fftAxis(re: Array[Double], im: Array[Double], axis: Int,
+                inverse: Boolean): Unit = {
       val len = m(axis); val st = stride(axis)
       val outer = total / len
       val lineRe = new Array[Double](len); val lineIm = new Array[Double](len)
@@ -248,9 +232,9 @@ object Conv {
         }
         var t = 0
         while (t < len) { lineRe(t) = re(base + t * st); lineIm(t) = im(base + t * st); t += 1 }
-        val f = Fft.fft(lineRe, lineIm, len)
+        Fft.transformInPlace(lineRe, lineIm, inverse)
         t = 0
-        while (t < len) { re(base + t * st) = f.re(t); im(base + t * st) = f.im(t); t += 1 }
+        while (t < len) { re(base + t * st) = lineRe(t); im(base + t * st) = lineIm(t); t += 1 }
         o += 1
       }
     }
@@ -258,7 +242,11 @@ object Conv {
     val (are, aim) = pack(a, aShape)
     val (bre, bim) = pack(b, bShape)
     var ax = 0
-    while (ax < nd) { fftAxis(are, aim, ax); fftAxis(bre, bim, ax); ax += 1 }
+    while (ax < nd) {
+      fftAxis(are, aim, ax, inverse = false)
+      fftAxis(bre, bim, ax, inverse = false)
+      ax += 1
+    }
     var i = 0
     while (i < total) {
       val tr = are(i) * bre(i) - aim(i) * bim(i)
@@ -266,12 +254,9 @@ object Conv {
       are(i) = tr
       i += 1
     }
-    // inverse N-D via the conjugate trick: ifft(X) = conj(fft(conj(X)))/N;
-    // only the real part is read below, so the trailing conj is dropped.
-    i = 0
-    while (i < total) { aim(i) = -aim(i); i += 1 }
+    // unnormalized inverse per axis; one 1/total scale at extraction
     ax = 0
-    while (ax < nd) { fftAxis(are, aim, ax); ax += 1 }
+    while (ax < nd) { fftAxis(are, aim, ax, inverse = true); ax += 1 }
     val scale = 1.0 / total
 
     val outShape = mode match {

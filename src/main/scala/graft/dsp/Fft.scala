@@ -128,6 +128,18 @@ object Fft {
   private def rawFft(re: Array[Double], im: Array[Double], inverse: Boolean): Unit =
     if (isPow2(re.length)) fftPow2(re, im, inverse) else fftBluestein(re, im, inverse)
 
+  /** In-place unnormalized transform of one line — the hot-loop entry
+    * for the multi-dim convolutions, which transform thousands of
+    * lines per group and must not pay [[fft]]'s defensive clones and
+    * result-struct allocation per line. Caller owns normalization
+    * (inverse is unnormalized: divide by the total padded size once).
+    */
+  private[dsp] def transformInPlace(re: Array[Double], im: Array[Double],
+                                    inverse: Boolean): Unit = {
+    require(re.length == im.length, "re/im length mismatch")
+    rawFft(re, im, inverse)
+  }
+
   private def cropOrPad(x: Array[Double], n: Int): Array[Double] =
     if (x.length == n) x.clone()
     else {
