@@ -307,6 +307,11 @@ object Bridge {
     */
   def dotp(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    // loud length check: iterating x while indexing y would otherwise
+    // AIOOBE (x longer) or silently truncate (x shorter) — e.g. a
+    // 128-dim embedding against 64-wide LSH planes
+    require(x.length == y.length,
+      s"dotp: length mismatch ${x.length} vs ${y.length}")
     var s = 0.0
     var i = 0
     while (i < x.length) { s += x(i) * y(i); i += 1 }
@@ -333,6 +338,8 @@ object Bridge {
   /** dot(float corpus vector, double query/hyperplane vector). */
   def dotpF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray(); val y = b.toDoubleArray()
+    require(x.length == y.length,
+      s"dotpF: length mismatch ${x.length} vs ${y.length}")
     var s = 0.0
     var i = 0
     while (i < x.length) { s += x(i).toDouble * y(i); i += 1 }

@@ -92,8 +92,12 @@ object Ann {
     * candidates by exact cosine. Output like [[topkBruteForce]].
     */
   def topkLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
+              vecCol: String, k: Int, nPlanes: Int = 8,
+              dim: Int = 64): DataFrame = {
+    // dim must match the embedding width: narrower planes would index
+    // past the plane array (AIOOBE) and wider ones would bucket on a
+    // truncated prefix — the kernel checks, but fail loudly here too
+    val planes = hyperplanes(nPlanes, dim)
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
       .withColumn("_bucket", bucketOfF(col("_cv"), planes))
     val masks = 0 +: (0 until nPlanes).map(1 << _)
@@ -178,8 +182,8 @@ object Ann {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double, nPlanes: Int = 8,
-                     nTables: Int = 4): DataFrame = {
-    val planes = hyperplanes(nTables * nPlanes, 64)
+                     nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nTables * nPlanes, dim)
     val tableBuckets = array((0 until nTables).map { t =>
       val slice = planes.slice(t * nPlanes, (t + 1) * nPlanes)
       struct(lit(t).as("t"), bucketOfF(col("_v"), slice).as("k"))

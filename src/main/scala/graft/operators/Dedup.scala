@@ -75,6 +75,9 @@ object Dedup {
 
   /** Band signatures: k hashes in bands of r → (id, band, sig). */
   def bands(mh: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
+    // a non-dividing r would silently compute k hashes but band only
+    // the first (k/r)*r of them — paid-for recall thrown away
+    require(k % r == 0, s"band width r=$r must divide k=$k minhashes")
     val nBands = k / r
     val sigs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),

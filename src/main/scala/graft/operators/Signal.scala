@@ -217,6 +217,35 @@ object Signal {
 
   // ---- convolution (signal.py:34-106) --------------------------------
 
+  /** Join shape shared by [[convolve]] and [[correlate]]: an in2
+    * carrying ALL the key columns joins per key; otherwise in2 must be
+    * ONE kernel series, broadcast to every group. The unkeyed path
+    * asserts that shape — one seriesified row with distinct
+    * coordinates — because an in2 keyed by OTHER columns would
+    * otherwise silently interleave several kernels into one sorted
+    * mixture (a legitimate single kernel never has duplicate
+    * coordinates; interleaved ones collide).
+    */
+  private def joinSecondSeries(s1: DataFrame, in2: DataFrame, keys: Seq[String],
+                               dim: String, value: String): DataFrame = {
+    val in2Keyed = keys.nonEmpty &&
+      in2.columns.toSet.intersect(keys.toSet).size == keys.size
+    val s2 = seriesify(in2, if (in2Keyed) keys else Nil, dim, Seq(value))
+      .withColumnRenamed(value, "_b")
+    if (in2Keyed) s1.join(s2.select((keys.map(col) :+ col("_b")): _*), keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val oneRow = s2.withColumn("_nrows", count(lit(1)).over(w))
+      val guard = assert_true(
+        col("_nrows") === 1 &&
+          size(array_distinct(col("coords"))) === size(col("coords")),
+        lit("convolve/correlate: in2 is not ONE kernel series (multiple " +
+          "rows or duplicate coordinates); a per-key second input must " +
+          "carry the same key columns as in1"))
+      s1.crossJoin(broadcast(oneRow.select(when(guard.isNull, col("_b")).as("_b"))))
+    }
+  }
+
   /** convolve/fftconvolve two long frames along `dim` per key group.
     * If `in2` has no keys it is a single kernel series: broadcast to
     * every group of in1 (the common smoothing-kernel case — no shuffle
@@ -225,13 +254,7 @@ object Signal {
   def convolve(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
                value: String, mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(value))
-    val s2 = seriesify(in2, if (keys.nonEmpty && in2.columns.toSet.intersect(keys.toSet).size == keys.size) keys else Nil,
-      dim, Seq(value)).withColumnRenamed(value, "_b")
-    val joined =
-      if (s2.columns.toSet.intersect(keys.toSet).size == keys.size && keys.nonEmpty)
-        s1.join(s2.select((keys.map(col) :+ col("_b")): _*), keys)
-      else
-        s1.crossJoin(broadcast(s2.select(col("_b"))))
+    val joined = joinSecondSeries(s1, in2, keys, dim, value)
     val withOut = joined.withColumn("_out", convolveC(col(value), col("_b"), mode, method))
     explodeSeries(withOut, keys, Seq("value" -> col("_out")))
   }
@@ -263,11 +286,19 @@ object Signal {
       .withColumn("_n2", expr("size(array_distinct(transform(_arr, s -> s.c2)))"))
     // reject ragged/incomplete (dim1 × dim2) grids instead of silently
     // mis-shaping the row-major reshape; assert_true is chained into
-    // the value expression so Catalyst cannot prune it
-    val gridOk = assert_true(col("_n1") * col("_n2") === size(col("_arr")),
+    // the value expression so Catalyst cannot prune it. The cell-
+    // uniqueness conjunct matters: a duplicated cell plus a missing one
+    // keeps n1*n2 == size (dup (0,0), missing (1,1) still counts 2x2=4)
+    // while the reshape silently shifts every later value.
+    val cellsDistinct =
+      size(expr("array_distinct(transform(_arr, s -> struct(s.c1, s.c2)))")) ===
+        size(col("_arr"))
+    val gridOk = assert_true(
+      col("_n1") * col("_n2") === size(col("_arr")) && cellsDistinct,
       concat(lit(s"fftconvolve2d: group is not a complete $dim1 x $dim2 grid: "),
         col("_n1").cast("string"), lit(" x "), col("_n2").cast("string"),
-        lit(" != "), size(col("_arr")).cast("string")))
+        lit(" != "), size(col("_arr")).cast("string"),
+        lit(" (or duplicate cells)")))
     val withOut = grouped
       .withColumn("_vals", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
       .withColumn("_out", fftconvolve2dC(col("_vals"), col("_n1"),
@@ -314,8 +345,13 @@ object Signal {
     val shapeArr = array((1 to nd).map(i => col(s"_n$i")): _*)
     val sizeProd = (1 to nd).map(i => col(s"_n$i")).reduce(_ * _)
     // reject ragged/incomplete grids instead of silently mis-shaping
-    // the row-major reshape (same contract as fftconvolve2d)
-    val gridOk = assert_true(sizeProd === size(col("_arr")),
+    // the row-major reshape (same contract as fftconvolve2d, incl. the
+    // cell-uniqueness conjunct — dup+missing cells keep the product)
+    val cellStruct = (1 to nd).map(i => s"s.c$i").mkString("struct(", ", ", ")")
+    val cellsDistinct =
+      size(expr(s"array_distinct(transform(_arr, s -> $cellStruct))")) ===
+        size(col("_arr"))
+    val gridOk = assert_true(sizeProd === size(col("_arr")) && cellsDistinct,
       concat(lit(s"fftconvolveNd: group is not a complete ${dims.mkString(" x ")} grid: "),
         concat_ws(" x ", (1 to nd).map(i => col(s"_n$i").cast("string")): _*),
         lit(" != "), size(col("_arr")).cast("string")))
@@ -346,12 +382,7 @@ object Signal {
   def correlate(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
                 value: String, mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(value))
-    val in2Keyed = keys.nonEmpty && in2.columns.toSet.intersect(keys.toSet).size == keys.size
-    val s2 = seriesify(in2, if (in2Keyed) keys else Nil, dim, Seq(value))
-      .withColumnRenamed(value, "_b")
-    val joined =
-      if (in2Keyed) s1.join(s2.select((keys.map(col) :+ col("_b")): _*), keys)
-      else s1.crossJoin(broadcast(s2.select(col("_b"))))
+    val joined = joinSecondSeries(s1, in2, keys, dim, value)
     val withOut = joined.withColumn("_out", correlateC(col(value), col("_b"), mode, method))
     explodeSeries(withOut, keys, Seq("value" -> col("_out")))
   }
@@ -385,10 +416,16 @@ object Signal {
     // whole-partition count(*) window, which would buffer every
     // series). Net: one hash exchange on the keys reused by both the
     // join and the window, plus the chunk groupBy.
-    val stats = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    // mirror seriesify's null contract (bit-identical parity with the
+    // direct path): null coordinates cannot be placed on the axis and
+    // are dropped; null samples become NaN and flow through the kernel
+    val clean = df
+      .filter(col(dim).isNotNull)
+      .withColumn(value, coalesce(col(value).cast("double"), lit(Double.NaN)))
+    val stats = clean.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
     val withStats =
-      if (keys.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(stats, keys)
+      if (keys.isEmpty) clean.crossJoin(broadcast(stats))
+      else clean.join(stats, keys)
     // (coord, value) order, not coord alone: seriesify sorts
     // struct(c, v) lexicographically, so on duplicate coordinates the
     // chunked path must rank identically or its chunk contents diverge

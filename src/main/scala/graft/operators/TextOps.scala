@@ -12,8 +12,16 @@ import graft.functions.Functions.dsl._
   */
 object TextOps {
 
-  /** Lowercased whitespace tokens. */
-  def words(text: Column): Column = split(lower(text), "\\s+")
+  /** Lowercased whitespace tokens, empty tokens dropped: split() on
+    * text with leading/trailing whitespace yields spurious empty
+    * tokens that would inflate word counts and corrupt the first/last
+    * shingle (two docs differing only in surrounding whitespace would
+    * near-dup-hash differently even though exact dedup calls them
+    * identical). A filter, not trim(): Spark's trim strips only the
+    * space character, not \n or \t.
+    */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
 
   /** Whitespace-collapsed lowercase normalization (dedup canonical form). */
   def normalize(text: Column): Column =
@@ -44,12 +52,16 @@ object TextOps {
     val scores = langStopwords.map { case (l, _) => col(s"s_$l") }
     val m = greatest(scores: _*)
     // CASE chain in alphabetical order: first language hitting the max
-    // wins (same tie rule as the SQL oracle's CASE).
+    // wins (same tie rule as the SQL oracle's CASE). The m === 0 guard
+    // makes 'und' reachable: greatest() always equals SOME score, so
+    // without it a zero-stopword document would be labeled with the
+    // alphabetically first language instead of undetermined.
     val pred = langStopwords.tail.foldLeft(
       when(col(s"s_${langStopwords.head._1}") === m, lit(langStopwords.head._1))) {
       case (c, (l, _)) => c.when(col(s"s_$l") === m, lit(l))
     }.otherwise(lit("und"))
-    out.withColumn("pred_lang", pred).drop("_ws")
+    out.withColumn("pred_lang", when(m === 0, lit("und")).otherwise(pred))
+      .drop("_ws")
   }
 
   /** Quality features + composite score in [0,1]:

@@ -44,7 +44,7 @@ object Pipeline {
     */
   private val bandSql: String =
     """WITH w AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |                         for i in generate_series(1, len(ws) - 2)]) AS s
@@ -125,7 +125,7 @@ object Pipeline {
       " END)"
     val div = "(CASE b.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
     s"""WITH w AS (
-       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS wd FROM documents
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS wd FROM documents
        |), h AS (
        |  SELECT doc_id, wd, md5(wd) AS hx, COUNT(*) AS tf FROM w GROUP BY 1, 2, 3
        |), bits AS (
@@ -368,7 +368,7 @@ object Pipeline {
     }.mkString(" ")
     val greatestArgs = TextOps.langStopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
     s"""WITH w AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
        |), sc AS (
        |  SELECT doc_id,
        |  $scoreExprs
@@ -377,7 +377,7 @@ object Pipeline {
        |  SELECT *, GREATEST($greatestArgs) AS m FROM sc
        |)
        |SELECT doc_id, ${TextOps.langStopwords.map(p => "s_" + p._1).mkString(", ")},
-       |  CASE $caseChain ELSE 'und' END AS pred_lang
+       |  CASE WHEN m = 0 THEN 'und' ELSE CASE $caseChain ELSE 'und' END END AS pred_lang
        |FROM mm ORDER BY doc_id""".stripMargin
   }
 
@@ -393,7 +393,7 @@ object Pipeline {
   private val textQualitySql: String = {
     val enList = TextOps.langStopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
     s"""WITH w AS (
-       |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
        |), f AS (
        |  SELECT doc_id,
        |    len(ws) AS n_words,
@@ -418,7 +418,7 @@ object Pipeline {
 
   private val textTokensSql: String =
     """SELECT doc_id,
-      |  CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS ws_tokens,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS INT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -429,7 +429,7 @@ object Pipeline {
 
   private val textRepetitionSql: String =
     s"""WITH w AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
        |), sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(ws) >= 3

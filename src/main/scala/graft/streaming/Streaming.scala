@@ -61,7 +61,13 @@ object Streaming {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(S(s.start, t, s.n + 1, s.sum + e.value))
+                  // min/max, not blind overwrite: a late-but-in-
+                  // watermark event from an earlier batch can precede
+                  // the open session's bounds; overwriting `last`
+                  // backwards would wrongly split the session at the
+                  // next on-time event (and leave start > some events)
+                  cur = Some(S(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(user, s.start, s.last, s.n, s.sum)
                   cur = Some(S(t, t, 1, e.value))
@@ -86,8 +92,11 @@ object Streaming {
   def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
                      watermark: String = "10 minutes"): DataFrame =
     docs
+      // the canonical batch hash (Dedup.exact's normalize→md5), not a
+      // re-implementation — a drift in normalization would silently
+      // diverge the streaming dedup set from its batch twin
       .withColumn("_h", md5(encode(
-        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), "UTF-8")))
+        graft.operators.TextOps.normalize(col(textCol)), "UTF-8")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")

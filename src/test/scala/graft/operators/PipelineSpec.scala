@@ -225,12 +225,27 @@ class PipelineSpec extends SparkTestBase {
 
   test("langid scores and quality are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog is in a house"),
-      (2L, "der hund und die katze ist da")).toDF("doc_id", "text")
+      (2L, "der hund und die katze ist da"),
+      (3L, "xyzzy 42 12345 qwerty")).toDF("doc_id", "text")
     val lid = TextOps.langidFrame(df, "text").select("doc_id", "pred_lang")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(lid(1L) == "en" && lid(2L) == "de")
+    // zero stopword hits in every language => undetermined, NOT the
+    // alphabetically first language
+    assert(lid(3L) == "und")
     val q = TextOps.qualityFrame(df, "text").select("doc_id", "quality")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(q.values.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("words() ignores leading/trailing whitespace (no empty tokens)") {
+    val df = Seq((1L, "hello world foo"), (2L, "\n\n  hello world foo \t"))
+      .toDF("doc_id", "text")
+    // identical shingle sets => minhash candidates treat them as dups
+    val sh = Dedup.shingleFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) == Set("hello world foo"))
   }
 }

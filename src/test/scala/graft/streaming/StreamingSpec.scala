@@ -55,6 +55,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionization absorbs a late in-watermark event without rewinding the session") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionize(in.toDS(), gapMs = 5 * 60000)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      // open session: minutes 1 and 4 (watermark delay is 10 min)
+      in.addData(Event(1, ts(1), "c", 1.0), Event(1, ts(4), "c", 2.0))
+      q.processAllAvailable()
+      // LATE but within watermark: minute 2 — merges into the open
+      // session; a blind last=t overwrite would rewind last to 2min
+      // and wrongly split at the next on-time event
+      in.addData(Event(1, ts(2), "c", 4.0))
+      q.processAllAvailable()
+      // minute 8: within gap of the true last (4min) — must MERGE
+      in.addData(Event(1, ts(8), "c", 8.0))
+      q.processAllAvailable()
+      // close everything via a far-future watermark nudge
+      in.addData(Event(2, ts(60), "c", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(61), "c", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").as[Session].collect().toSet
+      assert(sessions.contains(Session(1, 60000, 8 * 60000, 4, 15.0)),
+        s"got $sessions")
+    } finally q.stop()
+  }
+
   test("streaming sosfilt equals batch sosfilt across micro-batches") {
     implicit val sc = spark.sqlContext
     val sos = Design.butterSos(4, 0.25)
