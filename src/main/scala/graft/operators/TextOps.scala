@@ -71,20 +71,26 @@ object TextOps {
     */
   def qualityFrame(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    // empty-doc guards: a zero divisor would yield NaN here but NULL
+    // in the SQL oracle — both sides define the ratios as 0 instead
     df.withColumn("_ws", words(t))
       .withColumn("n_words", size(col("_ws")))
       .withColumn("n_chars_q", length(t))
-      .withColumn("distinct_ratio",
+      .withColumn("distinct_ratio", when(col("n_words") > 0,
         size(array_distinct(col("_ws"))).cast("double") / col("n_words"))
-      .withColumn("stop_ratio",
+        .otherwise(lit(0.0)))
+      .withColumn("stop_ratio", when(col("n_words") > 0,
         langScore(col("_ws"), "en").cast("double") / col("n_words"))
+        .otherwise(lit(0.0)))
       .withColumn("punct_count", regexp_count(lower(t), lit("[^a-z0-9\\s]")))
       .withColumn("quality",
         lit(0.25) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
           lit(0.25) * col("distinct_ratio") +
           lit(0.25) * least(lit(1.0), col("stop_ratio") * 4.0) +
           lit(0.25) * (lit(1.0) - least(lit(1.0),
-            col("punct_count").cast("double") / col("n_chars_q") * 5.0)))
+            when(col("n_chars_q") > 0,
+              col("punct_count").cast("double") / col("n_chars_q") * 5.0)
+              .otherwise(lit(0.0)))))
       .drop("_ws")
   }
 
@@ -97,7 +103,10 @@ object TextOps {
     */
   def repetitionFrame(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("_r", expr(
-      s"""element_at(transform(array(split(lower($textCol), '\\\\s+')), w ->
+      // same empty-token filter as words() — without it a doc with
+      // boundary whitespace counts phantom tokens/shingles and
+      // diverges from the oracle's filtered split
+      s"""element_at(transform(array(filter(split(lower($textCol), '\\\\s+'), x -> x != '')), w ->
          |  element_at(transform(array(
          |      CASE WHEN size(w) >= 3 THEN
          |        transform(sequence(0, size(w) - 3), i ->

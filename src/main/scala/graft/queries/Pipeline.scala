@@ -398,8 +398,10 @@ object Pipeline {
        |  SELECT doc_id,
        |    len(ws) AS n_words,
        |    length(text) AS n_chars_q,
-       |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
-       |    CAST(len(list_filter(ws, x -> x IN ($enList))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) ELSE 0.0 END AS distinct_ratio,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST(len(list_filter(ws, x -> x IN ($enList))) AS DOUBLE) / len(ws) ELSE 0.0 END AS stop_ratio,
        |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct_count
        |  FROM w
        |)
@@ -407,7 +409,7 @@ object Pipeline {
        |  ${fpSql("distinct_ratio", "1e6")} AS dr_fp,
        |  ${fpSql("stop_ratio", "1e6")} AS sr_fp,
        |  CAST(punct_count AS INT) AS punct_count,
-       |  ${fpSql("0.25 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0) + 0.25 * distinct_ratio + 0.25 * LEAST(1.0, stop_ratio * 4.0) + 0.25 * (1.0 - LEAST(1.0, CAST(punct_count AS DOUBLE) / n_chars_q * 5.0))", "1e6")} AS q_fp
+       |  ${fpSql("0.25 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0) + 0.25 * distinct_ratio + 0.25 * LEAST(1.0, stop_ratio * 4.0) + 0.25 * (1.0 - LEAST(1.0, CASE WHEN n_chars_q > 0 THEN CAST(punct_count AS DOUBLE) / n_chars_q * 5.0 ELSE 0.0 END))", "1e6")} AS q_fp
        |FROM f ORDER BY doc_id""".stripMargin
   }
 

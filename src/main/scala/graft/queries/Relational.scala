@@ -15,7 +15,11 @@ object Relational {
     * shipdate filter and 6-column projection push to the parquet scan.
     */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
-    val cutoff = lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00"))
+    // parsed in the SESSION timezone (pinned to UTC by the runners),
+    // matching DuckDB's naive TIMESTAMP literal — Timestamp.valueOf
+    // would bind to the JVM default TZ and flip boundary rows on a
+    // non-UTC host
+    val cutoff = to_timestamp(lit("1998-09-02 00:00:00"))
     load(s, dir, "lineitem")
       .filter(col("l_shipdate") <= cutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -88,7 +88,7 @@ object Sig {
 
   private val sigRfftSql: String =
     s"""$sSql, d AS (
-       |  SELECT user_id, (MAX(t) - MIN(t))/(COUNT(*) - 1) AS delta, COUNT(*) AS n
+       |  SELECT user_id, CASE WHEN COUNT(*) > 1 THEN (MAX(t) - MIN(t))/(COUNT(*) - 1) ELSE 1.0 END AS delta, COUNT(*) AS n
        |  FROM s GROUP BY 1
        |)
        |SELECT a.user_id, CAST(a.j AS INT) AS pos,
@@ -113,7 +113,7 @@ object Sig {
 
   private val sigFftSql: String =
     s"""$sSql, d AS (
-       |  SELECT user_id, (MAX(t) - MIN(t))/(COUNT(*) - 1) AS delta, COUNT(*) AS n
+       |  SELECT user_id, CASE WHEN COUNT(*) > 1 THEN (MAX(t) - MIN(t))/(COUNT(*) - 1) ELSE 1.0 END AS delta, COUNT(*) AS n
        |  FROM s GROUP BY 1
        |)
        |SELECT a.user_id, CAST(a.j AS INT) AS pos,
@@ -171,7 +171,7 @@ object Sig {
 
   private val sigHfftSql: String =
     s"""$s64Sql, d AS (
-       |  SELECT user_id, (MAX(t) - MIN(t))/(COUNT(*) - 1) AS delta FROM s GROUP BY 1
+       |  SELECT user_id, CASE WHEN COUNT(*) > 1 THEN (MAX(t) - MIN(t))/(COUNT(*) - 1) ELSE 1.0 END AS delta FROM s GROUP BY 1
        |), grid AS (
        |  SELECT user_id, k FROM (SELECT DISTINCT user_id FROM s), range(126) r(k)
        |)
