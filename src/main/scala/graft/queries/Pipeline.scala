@@ -173,30 +173,54 @@ object Pipeline {
        |ORDER BY 1, 2""".stripMargin
   }
 
-  /** Shared embedding CTEs: md5-parity hyperplanes (8 × 64), per-vector
-    * bucket, norms.
+  /** Shared embedding CTEs, parameterized on plane count and bucket
+    * derivation so the single-table ANN variant (8 planes, one bucket
+    * per vector) and the banded near-dup variant (32 planes, (table,
+    * bucket) pairs) use ONE definition of the md5-parity hyperplanes,
+    * dot products, and norms — a fix to those must not need applying
+    * twice.
     */
-  private val embBaseSql: String =
-    """WITH ee AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |), idx AS (
-      |  SELECT unnest(generate_series(1, 64)) AS i
-      |), pl AS (
-      |  SELECT p.p, i.i,
-      |    CASE WHEN substr(md5(p.p || ',' || (i.i - 1)), 1, 1)
-      |         IN ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END AS h
-      |  FROM range(8) p(p), idx i
-      |), dots AS (
-      |  SELECT e.vec_id, p.p, SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.h) AS d
-      |  FROM ee e, pl p GROUP BY 1, 2
-      |), buck AS (
-      |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM dots GROUP BY 1
-      |), nrm AS (
-      |  SELECT e.vec_id,
-      |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
-      |  FROM ee e, idx i GROUP BY 1
-      |)""".stripMargin
+  private def embBaseSqlFor(nPlanes: Int, buckSelect: String): String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), idx AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), pl AS (
+       |  SELECT p.p, i.i,
+       |    CASE WHEN substr(md5(p.p || ',' || (i.i - 1)), 1, 1)
+       |         IN ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END AS h
+       |  FROM range($nPlanes) p(p), idx i
+       |), dots AS (
+       |  SELECT e.vec_id, p.p, SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.h) AS d
+       |  FROM ee e, pl p GROUP BY 1, 2
+       |), buck AS (
+       |  $buckSelect
+       |), nrm AS (
+       |  SELECT e.vec_id,
+       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ee e, idx i GROUP BY 1
+       |)""".stripMargin
+
+  /** 8-plane single-bucket base for the ANN oracles. */
+  private val embBaseSql: String = embBaseSqlFor(8,
+    """SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1""".stripMargin)
+
+  /** Shared ANN rerank tail: cosine-score the (qid, cid) pairs of a
+    * preceding `dp` CTE, rank per query (score DESC, id), keep top k.
+    */
+  private def annRerankTailSql(k: Int): String =
+    s""", scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
+       |FROM ranked WHERE rk <= $k ORDER BY 1, 2""".stripMargin
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.embeddingPairs(embs(s, dir), "vec_id", "embedding", minCos = 0.35)
@@ -207,27 +231,10 @@ object Pipeline {
     * p%8; candidates share any (table, bucket); exact-cosine verify.
     */
   private val dedupEmbeddingSql: String =
-    s"""WITH ee AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), idx AS (
-       |  SELECT unnest(generate_series(1, 64)) AS i
-       |), pl AS (
-       |  SELECT p.p, i.i,
-       |    CASE WHEN substr(md5(p.p || ',' || (i.i - 1)), 1, 1)
-       |         IN ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END AS h
-       |  FROM range(32) p(p), idx i
-       |), dots AS (
-       |  SELECT e.vec_id, p.p, SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.h) AS d
-       |  FROM ee e, pl p GROUP BY 1, 2
-       |), buck AS (
-       |  SELECT vec_id, p // 8 AS t,
-       |    CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % 8)) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM dots GROUP BY 1, 2
-       |), nrm AS (
-       |  SELECT e.vec_id,
-       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
-       |  FROM ee e, idx i GROUP BY 1
-       |), cand AS (
+    s"""${embBaseSqlFor(32,
+      """SELECT vec_id, p // 8 AS t,
+        |    CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % 8)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1, 2""".stripMargin)}, cand AS (
        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM buck x JOIN buck y
        |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -260,17 +267,7 @@ object Pipeline {
        |  FROM q JOIN ee ea ON ea.vec_id = q.qid, ee c, idx i
        |  WHERE c.vec_id != q.qid
        |  GROUP BY 1, 2
-       |), scored AS (
-       |  SELECT dp.qid, dp.cid,
-       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
-       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
-       |), ranked AS (
-       |  SELECT qid, cid, score_fp,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
-       |  FROM scored
-       |)
-       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
-       |FROM ranked WHERE rk <= 5 ORDER BY 1, 2""".stripMargin
+       |)${annRerankTailSql(5)}""".stripMargin
 
   def annTopkLsh(s: SparkSession, dir: String): DataFrame =
     Ann.topkLsh(embs(s, dir), annQueries(s, dir), "vec_id", "embedding", k = 3)
@@ -290,17 +287,7 @@ object Pipeline {
        |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
        |  FROM candq cq JOIN ee ea ON ea.vec_id = cq.qid JOIN ee eb ON eb.vec_id = cq.cid, idx i
        |  GROUP BY 1, 2
-       |), scored AS (
-       |  SELECT dp.qid, dp.cid,
-       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
-       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
-       |), ranked AS (
-       |  SELECT qid, cid, score_fp,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
-       |  FROM scored
-       |)
-       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
-       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+       |)${annRerankTailSql(3)}""".stripMargin
 
   def annTopkIvf(s: SparkSession, dir: String): DataFrame =
     Ann.topkIvf(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
@@ -333,21 +320,11 @@ object Pipeline {
        |  FROM qp JOIN cell ce ON ce.cid = qp.cid
        |  WHERE ce.vec_id != qp.qid
        |), dp AS (
-       |  SELECT cq.qid, cq.cid2,
+       |  SELECT cq.qid, cq.cid2 AS cid,
        |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
        |  FROM candq cq JOIN ee ea ON ea.vec_id = cq.qid JOIN ee eb ON eb.vec_id = cq.cid2, idx i
        |  GROUP BY 1, 2
-       |), scored AS (
-       |  SELECT dp.qid, dp.cid2,
-       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
-       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid2
-       |), ranked AS (
-       |  SELECT qid, cid2, score_fp,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid2) AS rk
-       |  FROM scored
-       |)
-       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid2 AS neighbor_id, score_fp
-       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+       |)${annRerankTailSql(3)}""".stripMargin
 
   // ---- text ---------------------------------------------------------
 
