@@ -263,6 +263,80 @@ object Signal {
                   value: String, mode: String = "full"): DataFrame =
     convolve(in1, in2, keys, dim, value, mode, "fft")
 
+  /** Collect each key group into a complete hyper-rectangular grid
+    * over `dims`: keys ++ (`_vals<sfx>` row-major array<double>,
+    * `_n1<sfx>`.. `_nN<sfx>` per-dim cardinalities). Shared by the
+    * literal-kernel and two-frame fftconvolve paths.
+    *
+    * Per-dim cardinalities come from the collected array, NOT
+    * countDistinct aggregates: multiple count-distincts force an
+    * Expand (input rows × nDims+1) plus a second exchange +
+    * SortAggregate pair, while array_distinct over the already
+    * collected cells is a map-side O(cells) pass on the single
+    * ObjectHashAggregate this operator already pays for.
+    *
+    * Ragged/incomplete grids are rejected instead of silently
+    * mis-shaping the row-major reshape; assert_true is chained into
+    * the value expression so Catalyst cannot prune it. The cell-
+    * uniqueness conjunct matters: a duplicated cell plus a missing one
+    * keeps prod(n_i) == size (dup (0,0), missing (1,1) still counts
+    * 2x2=4) while the reshape silently shifts every later value.
+    */
+  private def gridify(df: DataFrame, keys: Seq[String], dims: Seq[String],
+                      value: String, op: String, sfx: String = ""): DataFrame = {
+    val nd = dims.length
+    val packed = struct(
+      dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } :+
+        col(value).cast("double").as("v"): _*)
+    val grouped = (1 to nd).foldLeft(
+      df.groupBy(keys.map(col): _*)
+        .agg(array_sort(collect_list(packed)).as("_arr"))) { (g, i) =>
+      g.withColumn(s"_n$i$sfx",
+        expr(s"size(array_distinct(transform(_arr, s -> s.c$i)))"))
+    }
+    val sizeProd = (1 to nd).map(i => col(s"_n$i$sfx")).reduce(_ * _)
+    val cellStruct = (1 to nd).map(i => s"s.c$i").mkString("struct(", ", ", ")")
+    val cellsDistinct =
+      size(expr(s"array_distinct(transform(_arr, s -> $cellStruct))")) ===
+        size(col("_arr"))
+    val gridOk = assert_true(sizeProd === size(col("_arr")) && cellsDistinct,
+      concat(lit(s"$op: group is not a complete ${dims.mkString(" x ")} grid: "),
+        concat_ws(" x ", (1 to nd).map(i => col(s"_n$i$sfx").cast("string")): _*),
+        lit(" != "), size(col("_arr")).cast("string"),
+        lit(" (or duplicate cells)")))
+    grouped
+      .withColumn(s"_vals$sfx", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
+      .drop("_arr")
+  }
+
+  /** Two-frame join shape for the grid ops, mirroring
+    * [[joinSecondSeries]]: an in2 carrying ALL the key columns is
+    * gridified per key and joined; otherwise it must be ONE kernel
+    * grid, gridified globally (a single row by construction — an in2
+    * secretly keyed by other columns collides on grid cells and fails
+    * gridify's uniqueness assert) and broadcast to every group.
+    */
+  private def joinSecondGrid(g1: DataFrame, in2: DataFrame, keys: Seq[String],
+                             dims: Seq[String], value: String, op: String): DataFrame = {
+    val in2Keyed = keys.nonEmpty &&
+      in2.columns.toSet.intersect(keys.toSet).size == keys.size
+    val g2 = gridify(in2, if (in2Keyed) keys else Nil, dims, value, op, sfx = "_b")
+    val bCols = (1 to dims.length).map(i => col(s"_n${i}_b")) :+ col("_vals_b")
+    if (in2Keyed) g1.join(g2.select((keys.map(col) ++ bCols): _*), keys)
+    else g1.crossJoin(broadcast(g2.select(bCols: _*)))
+  }
+
+  /** posexplode a 2-D `_out` struct(cols, vals) back to long format. */
+  private def explodeGrid2d(withOut: DataFrame, keys: Seq[String]): DataFrame = {
+    val exploded = withOut.select(
+      (keys.map(col) ++ Seq(col("_out.cols").as("_oc"),
+        posexplode(col("_out.vals")).as(Seq("_p", "value")))): _*)
+    exploded
+      .withColumn("pos1", expr("_p div _oc").cast("int"))
+      .withColumn("pos2", (col("_p") % col("_oc")).cast("int"))
+      .select((keys.map(col) ++ Seq(col("pos1"), col("pos2"), col("value"))): _*)
+  }
+
   /** 2-D FFT convolution over two core dims — the reference's
     * multi-dim `fftconvolve(dims=[d1, d2])` (signal.py:51). The group
     * must form a complete (dim1 × dim2) grid; values are assembled
@@ -272,44 +346,27 @@ object Signal {
   def fftconvolve2d(df: DataFrame, keys: Seq[String], dim1: String, dim2: String,
                     value: String, kernel: Array[Double], kernelRows: Int,
                     mode: String = "full"): DataFrame = {
-    val packed = struct(col(dim1).cast("double").as("c1"),
-      col(dim2).cast("double").as("c2"), col(value).cast("double").as("v"))
-    // per-dim cardinalities come from the collected array, NOT
-    // countDistinct aggregates: multiple count-distincts force an
-    // Expand (input rows × nDims+1) plus a second exchange +
-    // SortAggregate pair, while array_distinct over the already
-    // collected cells is a map-side O(cells) pass on the single
-    // ObjectHashAggregate this operator already pays for.
-    val grouped = df.groupBy(keys.map(col): _*)
-      .agg(array_sort(collect_list(packed)).as("_arr"))
-      .withColumn("_n1", expr("size(array_distinct(transform(_arr, s -> s.c1)))"))
-      .withColumn("_n2", expr("size(array_distinct(transform(_arr, s -> s.c2)))"))
-    // reject ragged/incomplete (dim1 × dim2) grids instead of silently
-    // mis-shaping the row-major reshape; assert_true is chained into
-    // the value expression so Catalyst cannot prune it. The cell-
-    // uniqueness conjunct matters: a duplicated cell plus a missing one
-    // keeps n1*n2 == size (dup (0,0), missing (1,1) still counts 2x2=4)
-    // while the reshape silently shifts every later value.
-    val cellsDistinct =
-      size(expr("array_distinct(transform(_arr, s -> struct(s.c1, s.c2)))")) ===
-        size(col("_arr"))
-    val gridOk = assert_true(
-      col("_n1") * col("_n2") === size(col("_arr")) && cellsDistinct,
-      concat(lit(s"fftconvolve2d: group is not a complete $dim1 x $dim2 grid: "),
-        col("_n1").cast("string"), lit(" x "), col("_n2").cast("string"),
-        lit(" != "), size(col("_arr")).cast("string"),
-        lit(" (or duplicate cells)")))
-    val withOut = grouped
-      .withColumn("_vals", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
+    val withOut = gridify(df, keys, Seq(dim1, dim2), value, "fftconvolve2d")
       .withColumn("_out", fftconvolve2dC(col("_vals"), col("_n1"),
         typedLit(kernel), lit(kernelRows), mode))
-    val exploded = withOut.select(
-      (keys.map(col) ++ Seq(col("_out.cols").as("_oc"),
-        posexplode(col("_out.vals")).as(Seq("_p", "value")))): _*)
-    exploded
-      .withColumn("pos1", expr("_p div _oc").cast("int"))
-      .withColumn("pos2", (col("_p") % col("_oc")).cast("int"))
-      .select((keys.map(col) ++ Seq(col("pos1"), col("pos2"), col("value"))): _*)
+    explodeGrid2d(withOut, keys)
+  }
+
+  /** Two-frame 2-D FFT convolution — the reference's full
+    * `fftconvolve(in1, in2, dims=[d1, d2])` signature (signal.py:41-48)
+    * where BOTH operands are labelled arrays. An in2 carrying the key
+    * columns convolves per group against its own grid; an unkeyed in2
+    * is a single kernel grid broadcast to every group. Grid contract
+    * and output shape match the literal-kernel overload.
+    */
+  def fftconvolve2d(in1: DataFrame, in2: DataFrame, keys: Seq[String],
+                    dim1: String, dim2: String, value: String,
+                    mode: String): DataFrame = {
+    val g1 = gridify(in1, keys, Seq(dim1, dim2), value, "fftconvolve2d")
+    val joined = joinSecondGrid(g1, in2, keys, Seq(dim1, dim2), value, "fftconvolve2d")
+    val withOut = joined.withColumn("_out", fftconvolve2dC(col("_vals"), col("_n1"),
+      col("_vals_b"), col("_n1_b"), mode))
+    explodeGrid2d(withOut, keys)
   }
 
   /** N-D FFT convolution over three or more core dims — the
@@ -330,39 +387,37 @@ object Signal {
     require(kernelShape.length == nd && kernelShape.product == kernel.length,
       s"kernel shape ${kernelShape.mkString("x")} does not match " +
         s"kernel length ${kernel.length}")
-    val packed = struct(
-      dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } :+
-        col(value).cast("double").as("v"): _*)
-    // shape from the collected array (array_distinct per dim), not
-    // countDistinct aggregates — see fftconvolve2d: N count-distincts
-    // would Expand the input N+1× and add a second exchange
-    val grouped = (1 to nd).foldLeft(
-      df.groupBy(keys.map(col): _*)
-        .agg(array_sort(collect_list(packed)).as("_arr"))) { (g, i) =>
-      g.withColumn(s"_n$i",
-        expr(s"size(array_distinct(transform(_arr, s -> s.c$i)))"))
-    }
+    val grouped = gridify(df, keys, dims, value, "fftconvolveNd")
     val shapeArr = array((1 to nd).map(i => col(s"_n$i")): _*)
-    val sizeProd = (1 to nd).map(i => col(s"_n$i")).reduce(_ * _)
-    // reject ragged/incomplete grids instead of silently mis-shaping
-    // the row-major reshape (same contract as fftconvolve2d, incl. the
-    // cell-uniqueness conjunct — dup+missing cells keep the product)
-    val cellStruct = (1 to nd).map(i => s"s.c$i").mkString("struct(", ", ", ")")
-    val cellsDistinct =
-      size(expr(s"array_distinct(transform(_arr, s -> $cellStruct))")) ===
-        size(col("_arr"))
-    val gridOk = assert_true(sizeProd === size(col("_arr")) && cellsDistinct,
-      concat(lit(s"fftconvolveNd: group is not a complete ${dims.mkString(" x ")} grid: "),
-        concat_ws(" x ", (1 to nd).map(i => col(s"_n$i").cast("string")): _*),
-        lit(" != "), size(col("_arr")).cast("string")))
-    val withOut = grouped
-      .withColumn("_vals", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
-      .withColumn("_out", fftconvolveNdC(col("_vals"), shapeArr,
-        typedLit(kernel), typedLit(kernelShape), mode))
+    val withOut = grouped.withColumn("_out", fftconvolveNdC(col("_vals"), shapeArr,
+      typedLit(kernel), typedLit(kernelShape), mode))
+    explodeGridNd(withOut, keys, nd)
+  }
+
+  /** Two-frame N-D FFT convolution — the reference's full
+    * `fftconvolve(in1, in2, dims)` signature (signal.py:41-48,71-104)
+    * for three or more core dims. Join contract as [[joinSecondGrid]].
+    */
+  def fftconvolveNd(in1: DataFrame, in2: DataFrame, keys: Seq[String],
+                    dims: Seq[String], value: String, mode: String): DataFrame = {
+    val nd = dims.length
+    require(nd >= 1, "need at least one dim")
+    val g1 = gridify(in1, keys, dims, value, "fftconvolveNd")
+    val joined = joinSecondGrid(g1, in2, keys, dims, value, "fftconvolveNd")
+    val shape1 = array((1 to nd).map(i => col(s"_n$i")): _*)
+    val shape2 = array((1 to nd).map(i => col(s"_n${i}_b")): _*)
+    val withOut = joined.withColumn("_out", fftconvolveNdC(col("_vals"), shape1,
+      col("_vals_b"), shape2, mode))
+    explodeGridNd(withOut, keys, nd)
+  }
+
+  /** posexplode an N-D `_out` struct(shape, vals) back to long format:
+    * pos_i = (flat div prod(shape[i+1..])) % shape[i], row-major.
+    */
+  private def explodeGridNd(withOut: DataFrame, keys: Seq[String], nd: Int): DataFrame = {
     val exploded = withOut.select(
       (keys.map(col) ++ Seq(col("_out.shape").as("_osh"),
         posexplode(col("_out.vals")).as(Seq("_p", "value")))): _*)
-    // pos_i = (flat div prod(shape[i+1..])) % shape[i], row-major
     def shEl(i: Int) = s"CAST(element_at(_osh, ${i + 1}) AS BIGINT)"
     val posCols = (0 until nd).map { i =>
       val tailProd = if (i == nd - 1) "CAST(1 AS BIGINT)"

@@ -110,15 +110,38 @@ object Streaming {
     * by rank even when millisecond timestamps collide (ts_ms is
     * lossy — Timestamp.getTime truncates to ms; the per-batch sort
     * uses the FULL timestamp, nanos included).
+    *
+    * `idleTimeoutMs` bounds the state store on streams with unbounded
+    * key churn: a key idle for that much EVENT time — watermark passes
+    * its last event + timeout — has its filter state evicted. An
+    * event-time timeout (not processing-time) keeps eviction
+    * deterministic and replay-safe, and avoids the engine's
+    * processing-time no-data-batch spin (`shouldRunAnotherBatch` is
+    * unconditionally true under ProcessingTimeTimeout, so a drained
+    * bounded stream re-triggers forever). Enabling it installs
+    * `withWatermark(ts, watermark)` on the input. Eviction policy: the
+    * zi vector is discarded — a returning key restarts cold (zero
+    * initial conditions, `pos` restarting at 0), indistinguishable
+    * from a brand-new key. That is the standard contract for an IIR
+    * over telemetry (a gap longer than the timeout means the filter's
+    * ring-down is stale anyway); callers needing warm restarts must
+    * persist zi externally. Default `None` keeps the grow-forever
+    * behavior for bounded/replay streams where total key cardinality
+    * is known small.
     */
-  def streamingSosfilt(events: Dataset[Event], sos: Array[Double]): Dataset[FilteredPoint] = {
+  def streamingSosfilt(events: Dataset[Event], sos: Array[Double],
+                       idleTimeoutMs: Option[Long] = None,
+                       watermark: String = "10 minutes"): Dataset[FilteredPoint] = {
     import events.sparkSession.implicits._
     val nState = (sos.length / 6) * 2
+    val tconf = if (idleTimeoutMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+                else GroupStateTimeout.NoTimeout()
+    val src = idleTimeoutMs.fold(events)(_ => events.withWatermark("ts", watermark))
 
-    events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Double], FilteredPoint](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), tconf) {
         (user: Long, rows: Iterator[Event], state: GroupState[Array[Double]]) =>
           // (ts, value) order: the batch oracle ranks ROW_NUMBER(...
           // ORDER BY t, value), so exact-timestamp ties must break the
@@ -126,7 +149,10 @@ object Streaming {
           val sorted = rows.toSeq.sortWith { (a, b) =>
             val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.value < b.value)
           }
-          if (sorted.isEmpty) Iterator.empty
+          if (state.hasTimedOut) { // idle past idleTimeout: evict zi
+            state.remove()
+            Iterator.empty
+          } else if (sorted.isEmpty) Iterator.empty
           else {
             val st = state.getOption.getOrElse(new Array[Double](nState + 1))
             val zi = java.util.Arrays.copyOf(st, nState)
@@ -139,6 +165,14 @@ object Streaming {
             val next = java.util.Arrays.copyOf(zo, nState + 1)
             next(nState) = (base + x.length).toDouble
             state.update(next)
+            idleTimeoutMs.foreach { ttl =>
+              // evict when the watermark passes last-seen + ttl; clamp
+              // above the current watermark (a timeout timestamp at or
+              // below it is rejected by the API)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime + ttl,
+                  state.getCurrentWatermarkMs() + 1))
+            }
             sorted.iterator.zip(y.iterator).zipWithIndex.map { case ((e, v), i) =>
               FilteredPoint(user, base + i, e.ts.getTime, v)
             }
@@ -156,39 +190,87 @@ object Streaming {
     * within the stream (same telemetry contract as
     * [[streamingSosfilt]]); spectra match the batch `Signal.rfft` on
     * the same window exactly.
+    *
+    * Per-batch buffering is a `mutable.ArrayDeque` ring buffer —
+    * amortized O(1) per appended sample plus the unavoidable O(w)
+    * window copy per completed spectrum — so audio-scale windows
+    * (w = 4096) cost the same per sample as w = 16 (the previous
+    * `List :+` append was O(w) per SAMPLE, quadratic per window).
+    *
+    * `idleTimeoutMs` bounds the state store under key churn — an
+    * EVENT-TIME timeout with the same contract and rationale as
+    * [[streamingSosfilt]]. Eviction policy for the ≤ w-1 buffered
+    * samples of an evicted key is caller-chosen: `flushOnEvict = true`
+    * zero-pads the partial buffer to `w` and emits one final spectrum
+    * stamped with the last buffered sample's time (scipy.signal.stft's
+    * boundary-padding convention, so a drained key still accounts for
+    * its tail); `false` (default) discards it — the right choice when
+    * partial windows would pollute downstream averages.
     */
-  def streamingStft(events: Dataset[Event], w: Int, h: Int): Dataset[SpectrumBin] = {
+  def streamingStft(events: Dataset[Event], w: Int, h: Int,
+                    idleTimeoutMs: Option[Long] = None,
+                    flushOnEvict: Boolean = false,
+                    watermark: String = "10 minutes"): Dataset[SpectrumBin] = {
     require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
     import events.sparkSession.implicits._
+    val tconf = if (idleTimeoutMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+                else GroupStateTimeout.NoTimeout()
+    val src = idleTimeoutMs.fold(events)(_ => events.withWatermark("ts", watermark))
 
-    events
+    def emitSpectrum(user: Long, end: Long, x: Array[Double],
+                     out: scala.collection.mutable.ArrayBuffer[SpectrumBin]): Unit = {
+      val spec = graft.dsp.Fft.rfft(x)
+      var b = 0
+      while (b < spec.re.length) {
+        out += SpectrumBin(user, end, b, spec.re(b), spec.im(b))
+        b += 1
+      }
+    }
+
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[(Long, Double)], SpectrumBin](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), tconf) {
         (user: Long, rows: Iterator[Event], state: GroupState[List[(Long, Double)]]) =>
-          // full-precision (ts, value) order — getTime truncates to ms
-          // and in-window position sets the DFT weight, so a sub-ms
-          // swap would change every bin (same contract as sosfilt)
-          val sorted = rows.toSeq.sortWith { (a, b) =>
-            val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.value < b.value)
-          }
-          var buf = state.getOption.getOrElse(Nil).reverse // stored newest-first
-          val out = scala.collection.mutable.ArrayBuffer.empty[SpectrumBin]
-          sorted.foreach { e =>
-            buf = buf :+ (e.ts.getTime, e.value)
-            if (buf.length == w) {
-              val spec = graft.dsp.Fft.rfft(buf.map(_._2).toArray)
-              val end = buf.last._1
-              var b = 0
-              while (b < spec.length) {
-                out += SpectrumBin(user, end, b, spec.re(b), spec.im(b))
-                b += 1
-              }
-              buf = buf.drop(h)
+          if (state.hasTimedOut) { // idle past idleTimeout: evict buffer
+            val pending = state.getOption.getOrElse(Nil)
+            state.remove()
+            if (flushOnEvict && pending.nonEmpty) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[SpectrumBin]
+              val x = new Array[Double](w) // zero-padded tail window
+              var i = 0
+              pending.foreach { p => x(i) = p._2; i += 1 }
+              emitSpectrum(user, pending.last._1, x, out)
+              out.iterator
+            } else Iterator.empty
+          } else {
+            // full-precision (ts, value) order — getTime truncates to ms
+            // and in-window position sets the DFT weight, so a sub-ms
+            // swap would change every bin (same contract as sosfilt)
+            val sorted = rows.toSeq.sortWith { (a, b) =>
+              val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.value < b.value)
             }
+            val buf = scala.collection.mutable.ArrayDeque
+              .from(state.getOption.getOrElse(Nil)) // stored oldest-first
+            val out = scala.collection.mutable.ArrayBuffer.empty[SpectrumBin]
+            sorted.foreach { e =>
+              buf.append((e.ts.getTime, e.value))
+              if (buf.length == w) {
+                val x = new Array[Double](w)
+                var i = 0
+                while (i < w) { x(i) = buf(i)._2; i += 1 }
+                emitSpectrum(user, buf(w - 1)._1, x, out)
+                buf.dropInPlace(h)
+              }
+            }
+            state.update(buf.toList)
+            if (sorted.nonEmpty) idleTimeoutMs.foreach { ttl =>
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime + ttl,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update(buf.reverse.toList)
-          out.iterator
       }
   }
 

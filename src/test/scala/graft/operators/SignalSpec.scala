@@ -233,6 +233,71 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("two-frame fftconvolve2d with a keyed in2 convolves each group against its own grid") {
+    // in1: 8x4 grid per key from series x; in2: per-key 2x2 grids with
+    // key-dependent taps — the reference's fftconvolve(in1, in2, dims)
+    // where both operands are labelled arrays
+    val grid = longDf.filter($"k" =!= "c")
+      .withColumn("i", org.apache.spark.sql.functions.expr("CAST((t - CASE WHEN k = 'b' THEN 100 ELSE 0 END) / 0.5 AS INT)"))
+      .filter($"i" < 24)
+      .withColumn("r", org.apache.spark.sql.functions.expr("i div 4"))
+      .withColumn("c", org.apache.spark.sql.functions.expr("i % 4"))
+    val kerns = Map("a" -> Array(1.0, 0.5, 0.25, 0.125), "b" -> Array(0.3, -0.7, 2.0, 0.9))
+    val kdf = (for ((k, ks) <- kerns.toSeq; i <- 0 until 2; j <- 0 until 2)
+      yield (k, i, j, ks(i * 2 + j))).toDF("k", "r", "c", "x")
+    val out = Signal.fftconvolve2d(grid, kdf, Seq("k"), "r", "c", "x", "full")
+    for (k <- Seq("a", "b")) {
+      val x = series(k, "x").take(24)
+      val (want, wr, wc) = Conv.fftconvolve2d(x, 6, 4, kerns(k), 2, 2, "full")
+      val got = out.filter($"k" === k).orderBy("pos1", "pos2")
+        .select("value").as[Double].collect()
+      assert(wr == 7 && wc == 5 && got.length == want.length, k)
+      assert(maxDiff(got, want) < 1e-9, k)
+    }
+  }
+
+  test("two-frame fftconvolve2d with an unkeyed in2 broadcasts one kernel grid") {
+    val grid = longDf.filter($"k" === "a")
+      .withColumn("r", org.apache.spark.sql.functions.expr("CAST(t / 0.5 AS INT) div 4"))
+      .withColumn("c", org.apache.spark.sql.functions.expr("CAST(t / 0.5 AS INT) % 4"))
+    val kern = Array(1.0, 0.5, 0.25, 0.125)
+    val kdf = (for (i <- 0 until 2; j <- 0 until 2)
+      yield (i, j, kern(i * 2 + j))).toDF("r", "c", "x")
+    val twoFrame = Signal.fftconvolve2d(grid, kdf, Seq("k"), "r", "c", "x", "full")
+      .orderBy("pos1", "pos2").select("value").as[Double].collect()
+    val literal = Signal.fftconvolve2d(grid, Seq("k"), "r", "c", "x", kern, kernelRows = 2)
+      .orderBy("pos1", "pos2").select("value").as[Double].collect()
+    assert(twoFrame.length == literal.length)
+    assert(maxDiff(twoFrame, literal) == 0.0)
+  }
+
+  test("two-frame fftconvolveNd matches the kernel with keyed 3-D operands") {
+    val aSh = Array(2, 3, 4)
+    def cell(k: Int, i: Int, j: Int, l: Int): Double =
+      math.sin(0.7 * ((i * 3 + j) * 4 + l) + k)
+    val rows = for (k <- 0 until 2; i <- 0 until 2; j <- 0 until 3; l <- 0 until 4)
+      yield (k, i, j, l, cell(k, i, j, l))
+    val df = new scala.util.Random(13).shuffle(rows)
+      .toDF("k", "d1", "d2", "d3", "v")
+    // per-key 2x2x2 second operand: key 0 gets powers of 1/2, key 1 a
+    // sign-alternating variant
+    def kcell(k: Int, p: Int): Double = if (k == 0) math.pow(0.5, p) else (if (p % 2 == 0) 1.0 else -1.0) * (p + 1)
+    val kdf = (for (k <- 0 until 2; p <- 0 until 8)
+      yield (k, p / 4, (p / 2) % 2, p % 2, kcell(k, p))).toDF("k", "d1", "d2", "d3", "v")
+    val out = Signal.fftconvolveNd(df, kdf, Seq("k"), Seq("d1", "d2", "d3"), "v", "full")
+    for (k <- 0 until 2) {
+      val flat = (for (i <- 0 until 2; j <- 0 until 3; l <- 0 until 4)
+        yield cell(k, i, j, l)).toArray
+      val kern = (0 until 8).map(kcell(k, _)).toArray
+      val (want, wSh) = Conv.fftconvolveNd(flat, aSh, kern, Array(2, 2, 2), "full")
+      val got = out.filter($"k" === k).orderBy("pos1", "pos2", "pos3")
+        .select("value").as[Double].collect()
+      assert(wSh.toSeq == Seq(3, 4, 5))
+      assert(got.length == want.length, s"k=$k")
+      assert(got.zip(want).map { case (a, b) => math.abs(a - b) }.max < 1e-9, s"k=$k")
+    }
+  }
+
   test("fftconvolve2d rejects ragged grids") {
     // drop one cell from the 8x4 grid: countDistinct(c) per row no
     // longer matches the rectangle → the grid assert must fire

@@ -155,6 +155,103 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sosfilt idle-key state is evicted after idleTimeout; active key survives") {
+    implicit val sc = spark.sqlContext
+    val sos = Design.butterSos(2, 0.3)
+    val xs = Array.tabulate(10)(i => math.sin(i * 0.7))
+    val in = MemoryStream[Event]
+    val q = Streaming.streamingSosfilt(in.toDS(), sos, idleTimeout = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("filt_ttl").outputMode("append").start()
+    try {
+      // batch 1: both keys get samples 0..4
+      in.addData((0 until 5).flatMap(i =>
+        Seq(Event(1, ts(i), "c", xs(i)), Event(2, ts(i), "c", xs(i)))))
+      q.processAllAvailable()
+      Thread.sleep(2000) // let both keys' processing-time timeout expire
+      // batch 2: only key 2 is active — key 1 times out and is evicted;
+      // key 2's state survives because data arrived for it this batch
+      in.addData((5 until 10).map(i => Event(2, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      // batch 3: key 1 returns — a cold restart (pos from 0, zi zeroed)
+      in.addData((5 until 10).map(i => Event(1, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      val pts = spark.table("filt_ttl").as[FilteredPoint].collect()
+      val k2 = pts.filter(_.user_id == 2).sortBy(_.ts_ms)
+      assert(k2.map(_.pos).toSeq == (0L until 10L), "active key keeps carried state")
+      val want2 = Filt.sosfilt(sos, xs)
+      assert(k2.map(_.value).zip(want2).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+      val k1 = pts.filter(_.user_id == 1).sortBy(_.ts_ms)
+      // first 5 match the batch filter; the returning 5 restart COLD:
+      // pos 0..4 again and values equal filtering the tail from zi=0
+      assert(k1.map(_.pos).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 0L, 1L, 2L, 3L, 4L),
+        s"evicted key must restart at pos 0; got ${k1.map(_.pos).toSeq}")
+      val wantCold = Filt.sosfilt(sos, xs.drop(5))
+      assert(k1.drop(5).map(_.value).zip(wantCold).forall {
+        case (a, b) => math.abs(a - b) < 1e-12
+      }, "returning key must filter from zero initial conditions")
+    } finally q.stop()
+  }
+
+  test("STFT eviction drops the partial buffer by default, flushes zero-padded when asked") {
+    implicit val sc = spark.sqlContext
+    for (flush <- Seq(false, true)) {
+      val in = MemoryStream[Event]
+      val name = s"stft_ttl_$flush"
+      val q = Streaming.streamingStft(in.toDS(), w = 8, h = 4,
+          idleTimeout = Some("500 milliseconds"), flushOnEvict = flush)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // key 1 buffers 5 of 8 samples — no complete window
+        val xs = Array.tabulate(5)(i => math.cos(i * 0.5))
+        in.addData((0 until 5).map(i => Event(1, ts(i), "c", xs(i))))
+        q.processAllAvailable()
+        Thread.sleep(2000)
+        in.addData(Event(2, ts(100), "c", 0.0)) // trigger a batch; key 1 times out
+        q.processAllAvailable()
+        val rows = spark.table(name).as[Streaming.SpectrumBin].collect()
+          .filter(_.user_id == 1)
+        if (!flush) assert(rows.isEmpty, "default policy discards the partial buffer")
+        else {
+          // one spectrum: the 5 samples zero-padded to w=8, stamped with
+          // the last buffered sample's time
+          assert(rows.length == 5, s"got ${rows.length} bins")
+          assert(rows.forall(_.window_end_ms == ts(4).getTime))
+          val want = graft.dsp.Fft.rfft(xs ++ Array(0.0, 0.0, 0.0))
+          val got = rows.sortBy(_.bin)
+          assert(got.zipWithIndex.forall { case (r, b) =>
+            r.re == want.re(b) && r.im == want.im(b)
+          })
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("STFT ring buffer handles audio-scale windows (w=2048) across batches") {
+    implicit val sc = spark.sqlContext
+    val n = 8192; val w = 2048; val h = 1024
+    val xs = Array.tabulate(n)(i => math.sin(i * 0.01) + 0.3 * math.cos(i * 0.37))
+    val in = MemoryStream[Event]
+    val q = Streaming.streamingStft(in.toDS(), w = w, h = h)
+      .writeStream.format("memory").queryName("stft_big").outputMode("append").start()
+    try {
+      in.addData((0 until 3000).map(i => Event(5, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      in.addData((3000 until n).map(i => Event(5, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      val rows = spark.table("stft_big").as[Streaming.SpectrumBin].collect()
+      val nWin = (n - w) / h + 1 // 7 windows
+      assert(rows.length == nWin * (w / 2 + 1), s"got ${rows.length} rows")
+      // spot-check the 3rd window (starts at sample 2*h) bit-for-bit
+      val start = 2 * h
+      val want = graft.dsp.Fft.rfft(xs.slice(start, start + w))
+      val got = rows.filter(_.window_end_ms == ts(start + w - 1).getTime).sortBy(_.bin)
+      assert(got.length == w / 2 + 1)
+      assert(got.zipWithIndex.forall { case (r, b) =>
+        r.re == want.re(b) && r.im == want.im(b)
+      })
+    } finally q.stop()
+  }
+
   test("sosfiltWithState composes: filter(a++b) == filter(a) then filter(b)") {
     val sos = Design.cheby1Sos(6, 0.5, 0.4)
     val rnd = new scala.util.Random(3)
