@@ -160,20 +160,31 @@ class StreamingSpec extends SparkTestBase {
     val sos = Design.butterSos(2, 0.3)
     val xs = Array.tabulate(10)(i => math.sin(i * 0.7))
     val in = MemoryStream[Event]
-    val q = Streaming.streamingSosfilt(in.toDS(), sos, idleTimeout = Some("500 milliseconds"))
+    // event-time timeout: 500 ms TTL, zero watermark delay so the
+    // watermark tracks max event time exactly
+    val q = Streaming.streamingSosfilt(in.toDS(), sos,
+        idleTimeoutMs = Some(500L), watermark = "0 seconds")
       .writeStream.format("memory").queryName("filt_ttl").outputMode("append").start()
     try {
-      // batch 1: both keys get samples 0..4
+      // batch 1: both keys get samples at minutes 1..5 (off zero — an
+      // event at the initial watermark, epoch 0, is dropped as late)
       in.addData((0 until 5).flatMap(i =>
-        Seq(Event(1, ts(i), "c", xs(i)), Event(2, ts(i), "c", xs(i)))))
+        Seq(Event(1, ts(i + 1), "c", xs(i)), Event(2, ts(i + 1), "c", xs(i)))))
       q.processAllAvailable()
-      Thread.sleep(2000) // let both keys' processing-time timeout expire
-      // batch 2: only key 2 is active — key 1 times out and is evicted;
-      // key 2's state survives because data arrived for it this batch
-      in.addData((5 until 10).map(i => Event(2, ts(i), "c", xs(i))))
+      // batch 2: only key 2 is active (minutes 6..10). Watermark during
+      // this batch is ts(5) — key 1's timeout (ts(5)+500ms) has NOT
+      // passed yet, so its state survives; key 2 carries state forward.
+      in.addData((5 until 10).map(i => Event(2, ts(i + 1), "c", xs(i))))
       q.processAllAvailable()
-      // batch 3: key 1 returns — a cold restart (pos from 0, zi zeroed)
-      in.addData((5 until 10).map(i => Event(1, ts(i), "c", xs(i))))
+      // batch 3: a third key nudges the watermark to ts(10) > ts(5)+500ms
+      // — key 1 (no data, timeout passed) is evicted here; key 2's
+      // timeout (ts(10)+500ms) has not passed, its state survives.
+      in.addData(Event(3, ts(11), "c", 0.0))
+      q.processAllAvailable()
+      // batch 4: key 1 returns with FRESH timestamps (its old ones are
+      // sub-watermark and would be dropped as late) — a cold restart:
+      // pos from 0, zi zeroed.
+      in.addData((0 until 5).map(j => Event(1, ts(12 + j), "c", xs(5 + j))))
       q.processAllAvailable()
       val pts = spark.table("filt_ttl").as[FilteredPoint].collect()
       val k2 = pts.filter(_.user_id == 2).sortBy(_.ts_ms)
@@ -198,15 +209,20 @@ class StreamingSpec extends SparkTestBase {
       val in = MemoryStream[Event]
       val name = s"stft_ttl_$flush"
       val q = Streaming.streamingStft(in.toDS(), w = 8, h = 4,
-          idleTimeout = Some("500 milliseconds"), flushOnEvict = flush)
+          idleTimeoutMs = Some(500L), flushOnEvict = flush, watermark = "0 seconds")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        // key 1 buffers 5 of 8 samples — no complete window
+        // key 1 buffers 5 of 8 samples (minutes 1..5, off the epoch-0
+        // initial watermark) — no complete window
         val xs = Array.tabulate(5)(i => math.cos(i * 0.5))
-        in.addData((0 until 5).map(i => Event(1, ts(i), "c", xs(i))))
+        in.addData((0 until 5).map(i => Event(1, ts(i + 1), "c", xs(i))))
         q.processAllAvailable()
-        Thread.sleep(2000)
-        in.addData(Event(2, ts(100), "c", 0.0)) // trigger a batch; key 1 times out
+        // two watermark nudges: the first advances the watermark to
+        // ts(5); the second batch runs WITH watermark ts(100) which is
+        // past key 1's timeout (ts(5)+500ms) — key 1 is evicted there
+        in.addData(Event(2, ts(100), "c", 0.0))
+        q.processAllAvailable()
+        in.addData(Event(2, ts(101), "c", 0.0))
         q.processAllAvailable()
         val rows = spark.table(name).as[Streaming.SpectrumBin].collect()
           .filter(_.user_id == 1)
@@ -215,7 +231,7 @@ class StreamingSpec extends SparkTestBase {
           // one spectrum: the 5 samples zero-padded to w=8, stamped with
           // the last buffered sample's time
           assert(rows.length == 5, s"got ${rows.length} bins")
-          assert(rows.forall(_.window_end_ms == ts(4).getTime))
+          assert(rows.forall(_.window_end_ms == ts(5).getTime))
           val want = graft.dsp.Fft.rfft(xs ++ Array(0.0, 0.0, 0.0))
           val got = rows.sortBy(_.bin)
           assert(got.zipWithIndex.forall { case (r, b) =>
