@@ -327,6 +327,44 @@ object Sig {
        |GROUP BY s.user_id, s.j // 8 + k.ki, s.j % 8 + k.kj
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Two-frame KEYED 2-D fftconvolve — the reference's
+    * `fftconvolve(in1, in2, dims=[d1, d2])` with BOTH operands
+    * labelled arrays (signal.py:41-48): in1 is the 8×8 grid; in2 is a
+    * per-user 2×2 grid built from that user's first four samples
+    * (j < 4 → (j div 2, j mod 2)). Exercises the keyed
+    * joinSecondGrid path end-to-end; the oracle is the direct
+    * per-user 2-D sum. Products are data×data of 2-decimal values —
+    * EXACTLY 4-decimal results — so fixed-point encodes at 1e4: the
+    * scaled true value is an integer, `+0.5` lands mid-interval, and
+    * both engines' ulp-level summation noise is orders below the 5e-5
+    * margin. (1e3 puts every 4th-decimal-5 value ON the .5 boundary,
+    * where ulp noise flips floor — SURVEY.md §5 rule 1.)
+    */
+  def sigFftconvolve2dKeyed(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir)
+      .withColumn("r", expr("CAST(t AS INT) div 8"))
+      .withColumn("c", expr("CAST(t AS INT) % 8"))
+    val kern = ev64(s, dir).filter(col("t") < 4)
+      .select(col("user_id"),
+        expr("CAST(t AS INT) div 2").as("r"),
+        expr("CAST(t AS INT) % 2").as("c"),
+        col("value"))
+    Signal.fftconvolve2d(grid, kern, Seq("user_id"), "r", "c", "value", "full")
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigFftconvolve2dKeyedSql: String =
+    s"""$s64Sql
+       |SELECT a.user_id,
+       |  CAST(a.j // 8 + b.j // 2 AS INT) AS pos1,
+       |  CAST(a.j % 8 + b.j % 2 AS INT) AS pos2,
+       |  ${fpSql("SUM(a.value * b.value)", "1e4")} AS value_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id AND b.j < 4
+       |GROUP BY a.user_id, a.j // 8 + b.j // 2, a.j % 8 + b.j % 2
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** 3-D fftconvolve on the 64-frame reshaped to a 4×4×4 cube
     * (d1 = j div 16, d2 = (j div 4) mod 4, d3 = j mod 4) with an
     * asymmetric 2×2×2 kernel (powers of ½, so every tap contributes a
@@ -834,6 +872,7 @@ object Sig {
     "sig_convolve_long" -> (sigConvolveLong _),
     "sig_correlate" -> (sigCorrelate _),
     "sig_fftconvolve2d" -> (sigFftconvolve2d _),
+    "sig_fftconvolve2d_keyed" -> (sigFftconvolve2dKeyed _),
     "sig_fftconvolve3d" -> (sigFftconvolve3d _),
     "sig_fftconvolve" -> (sigFftconvolve _),
     "sig_lfilter" -> (sigLfilter _),
@@ -862,6 +901,7 @@ object Sig {
     "sig_convolve_long" -> sigConvolveFullSql,
     "sig_correlate" -> sigCorrelateSql,
     "sig_fftconvolve2d" -> sigFftconvolve2dSql,
+    "sig_fftconvolve2d_keyed" -> sigFftconvolve2dKeyedSql,
     "sig_fftconvolve3d" -> sigFftconvolve3dSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
     "sig_lfilter" -> sigLfilterSql,
