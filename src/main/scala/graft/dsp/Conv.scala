@@ -78,6 +78,93 @@ object Conv {
     convolve(a, br, mode, method)
   }
 
+  // ---- complex 1-D --------------------------------------------------
+  // scipy.signal.convolve/correlate accept complex input (the
+  // reference wraps them directly, xarray_scipy/signal.py:34-38);
+  // series use the repo-wide (re, im) parallel-array convention.
+
+  private def trimC(fullRe: Array[Double], fullIm: Array[Double],
+                    n1: Int, n2: Int, mode: String): Fft.C =
+    Fft.C(trim(fullRe, n1, n2, mode), trim(fullIm, n1, n2, mode))
+
+  def convolveComplexDirect(aRe: Array[Double], aIm: Array[Double],
+                            bRe: Array[Double], bIm: Array[Double],
+                            mode: String = "full"): Fft.C = {
+    val n1 = aRe.length; val n2 = bRe.length
+    require(aIm.length == n1 && bIm.length == n2,
+      s"re/im lengths differ: ($n1, ${aIm.length}) / ($n2, ${bIm.length})")
+    val fr = new Array[Double](n1 + n2 - 1)
+    val fi = new Array[Double](n1 + n2 - 1)
+    var i = 0
+    while (i < n1) {
+      val ar = aRe(i); val ai = aIm(i)
+      if (ar != 0.0 || ai != 0.0) {
+        var j = 0
+        while (j < n2) {
+          val br = bRe(j); val bi = bIm(j)
+          fr(i + j) += ar * br - ai * bi
+          fi(i + j) += ar * bi + ai * br
+          j += 1
+        }
+      }
+      i += 1
+    }
+    trimC(fr, fi, n1, n2, mode)
+  }
+
+  def fftconvolveComplex(aRe: Array[Double], aIm: Array[Double],
+                         bRe: Array[Double], bIm: Array[Double],
+                         mode: String = "full"): Fft.C = {
+    val n1 = aRe.length; val n2 = bRe.length
+    require(aIm.length == n1 && bIm.length == n2,
+      s"re/im lengths differ: ($n1, ${aIm.length}) / ($n2, ${bIm.length})")
+    val nfull = n1 + n2 - 1
+    val m = Fft.nextPow2(nfull)
+    val fa = Fft.fft(aRe, aIm, m)
+    val fb = Fft.fft(bRe, bIm, m)
+    var i = 0
+    while (i < m) {
+      val tr = fa.re(i) * fb.re(i) - fa.im(i) * fb.im(i)
+      fa.im(i) = fa.re(i) * fb.im(i) + fa.im(i) * fb.re(i)
+      fa.re(i) = tr
+      i += 1
+    }
+    val inv = Fft.ifft(fa.re, fa.im, m)
+    trimC(java.util.Arrays.copyOf(inv.re, nfull),
+      java.util.Arrays.copyOf(inv.im, nfull), n1, n2, mode)
+  }
+
+  /** Complex convolve, method="auto" with the same direct/FFT cutover
+    * as the real path (the complex direct loop is ~4x the flops but
+    * so is the complex FFT's, so the crossover point is unchanged).
+    */
+  def convolveComplex(aRe: Array[Double], aIm: Array[Double],
+                      bRe: Array[Double], bIm: Array[Double],
+                      mode: String = "full", method: String = "auto"): Fft.C =
+    method match {
+      case "direct" => convolveComplexDirect(aRe, aIm, bRe, bIm, mode)
+      case "fft"    => fftconvolveComplex(aRe, aIm, bRe, bIm, mode)
+      case "auto" =>
+        if (math.min(aRe.length, bRe.length).toLong *
+            math.max(aRe.length, bRe.length) <= 8192L)
+          convolveComplexDirect(aRe, aIm, bRe, bIm, mode)
+        else fftconvolveComplex(aRe, aIm, bRe, bIm, mode)
+      case other => throw new IllegalArgumentException(s"unknown method: $other")
+    }
+
+  /** Complex cross-correlation: scipy conjugates in2 —
+    * correlate(a, b) = convolve(a, conj(reverse(b))).
+    */
+  def correlateComplex(aRe: Array[Double], aIm: Array[Double],
+                       bRe: Array[Double], bIm: Array[Double],
+                       mode: String = "full", method: String = "auto"): Fft.C = {
+    val br = bRe.reverse
+    val bi = new Array[Double](bIm.length)
+    var j = 0
+    while (j < bIm.length) { bi(j) = -bIm(bIm.length - 1 - j); j += 1 }
+    convolveComplex(aRe, aIm, br, bi, mode, method)
+  }
+
   /** 2-D FFT convolution on row-major flattened arrays; covers the
     * reference's multi-dim `fftconvolve(dims=[d1,d2])` (signal.py:51).
     */

@@ -76,6 +76,20 @@ object Bridge {
   def correlate(a: ArrayData, b: ArrayData, mode: UTF8String, method: UTF8String): ArrayData =
     out(Conv.correlate(d(a), d(b), mode.toString, method.toString))
 
+  /** Complex convolve/correlate — scipy accepts complex input and
+    * correlate conjugates in2 (xarray_scipy/signal.py:34-38); series
+    * use the repo-wide (re, im) parallel-array convention.
+    */
+  def convolveCx(aRe: ArrayData, aIm: ArrayData, bRe: ArrayData, bIm: ArrayData,
+                 mode: UTF8String, method: UTF8String): InternalRow =
+    c(Conv.convolveComplex(d(aRe), d(aIm), d(bRe), d(bIm),
+      mode.toString, method.toString))
+
+  def correlateCx(aRe: ArrayData, aIm: ArrayData, bRe: ArrayData, bIm: ArrayData,
+                  mode: UTF8String, method: UTF8String): InternalRow =
+    c(Conv.correlateComplex(d(aRe), d(aIm), d(bRe), d(bIm),
+      mode.toString, method.toString))
+
   /** 2-D FFT convolution over row-major flattened grids — the
     * reference's multi-dim `fftconvolve(dims=[d1, d2])`
     * (xarray_scipy/signal.py:51). Column counts are derived from the
@@ -472,6 +486,8 @@ object Bridge {
     "ifftshift" -> (Seq(arrD) -> arrD),
     "convolve" -> (Seq(arrD, arrD, StringType, StringType) -> arrD),
     "correlate" -> (Seq(arrD, arrD, StringType, StringType) -> arrD),
+    "convolveCx" -> (Seq(arrD, arrD, arrD, arrD, StringType, StringType) -> complexT),
+    "correlateCx" -> (Seq(arrD, arrD, arrD, arrD, StringType, StringType) -> complexT),
     "fftconvolve2d" -> (Seq(arrD, IntegerType, arrD, IntegerType, StringType)
       -> StructType(Seq(
         StructField("vals", arrD, nullable = false),
@@ -530,6 +546,8 @@ object Bridge {
     case "ifftshift" => ifftshift(a(0).asInstanceOf[ArrayData])
     case "convolve" => convolve(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "correlate" => correlate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
+    case "convolveCx" => convolveCx(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[UTF8String], a(5).asInstanceOf[UTF8String])
+    case "correlateCx" => correlateCx(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[UTF8String], a(5).asInstanceOf[UTF8String])
     case "fftconvolve2d" => fftconvolve2d(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Int], a(4).asInstanceOf[UTF8String])
     case "fftconvolveNd" => fftconvolveNd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[UTF8String])
     case "sosfilt" => sosfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])

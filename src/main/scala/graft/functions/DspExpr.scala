@@ -176,6 +176,12 @@ object Functions {
       call("fftconvolveNd", a, aShape, b, bShape, lit(mode))
     def correlateC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
       call("correlate", a, b, lit(mode), lit(method))
+    def convolveCxC(aRe: Column, aIm: Column, bRe: Column, bIm: Column,
+                    mode: String = "full", method: String = "auto"): Column =
+      call("convolveCx", aRe, aIm, bRe, bIm, lit(mode), lit(method))
+    def correlateCxC(aRe: Column, aIm: Column, bRe: Column, bIm: Column,
+                     mode: String = "full", method: String = "auto"): Column =
+      call("correlateCx", aRe, aIm, bRe, bIm, lit(mode), lit(method))
     def sosfiltC(sos: Column, x: Column): Column = call("sosfilt", sos, x)
     def sosfiltzC(sos: Column, x: Column, zi: Column): Column = call("sosfiltz", sos, x, zi)
     def sosfiltfiltC(sos: Column, x: Column, padtype: String = "odd", padlen: Int = -1): Column =

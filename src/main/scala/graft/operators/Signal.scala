@@ -442,6 +442,65 @@ object Signal {
     explodeSeries(withOut, keys, Seq("value" -> col("_out")))
   }
 
+  /** Complex-series twin of [[joinSecondSeries]]: carries BOTH (re,
+    * im) arrays of in2 across the same keyed-join / asserted-single-
+    * kernel broadcast contract.
+    */
+  private def joinSecondSeriesCx(s1: DataFrame, in2: DataFrame, keys: Seq[String],
+                                 dim: String, re: String, im: String): DataFrame = {
+    val in2Keyed = keys.nonEmpty &&
+      in2.columns.toSet.intersect(keys.toSet).size == keys.size
+    val s2 = seriesify(in2, if (in2Keyed) keys else Nil, dim, Seq(re, im))
+      .withColumnRenamed(re, "_bre").withColumnRenamed(im, "_bim")
+    if (in2Keyed)
+      s1.join(s2.select((keys.map(col) ++ Seq(col("_bre"), col("_bim"))): _*), keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val oneRow = s2.withColumn("_nrows", count(lit(1)).over(w))
+      val guard = assert_true(
+        col("_nrows") === 1 &&
+          size(array_distinct(col("coords"))) === size(col("coords")),
+        lit("convolve/correlate: in2 is not ONE kernel series (multiple " +
+          "rows or duplicate coordinates); a per-key second input must " +
+          "carry the same key columns as in1"))
+      s1.crossJoin(broadcast(oneRow.select(
+        when(guard.isNull, col("_bre")).as("_bre"),
+        when(guard.isNull, col("_bim")).as("_bim"))))
+    }
+  }
+
+  /** Complex convolve — scipy's convolve accepts complex input
+    * (signal.py:34-38); series are (re, im) column pairs like the FFT
+    * family. Same join/broadcast/execution shape as [[convolve]].
+    * Output: keys, pos, re, im.
+    */
+  def convolveComplex(in1: DataFrame, in2: DataFrame, keys: Seq[String],
+                      dim: String, re: String = "re", im: String = "im",
+                      mode: String = "full", method: String = "auto"): DataFrame = {
+    val s1 = seriesify(in1, keys, dim, Seq(re, im))
+    val joined = joinSecondSeriesCx(s1, in2, keys, dim, re, im)
+    val withOut = joined.withColumn("_out",
+      convolveCxC(col(re), col(im), col("_bre"), col("_bim"), mode, method))
+    explodeSeries(withOut, keys,
+      Seq("re" -> col("_out.re"), "im" -> col("_out.im")))
+  }
+
+  /** Complex cross-correlation — scipy conjugates in2:
+    * correlate(a, b) = convolve(a, conj(reverse(b))) (signal.py:34-38,
+    * the IQ/radar-style use the real path cannot express). Output:
+    * keys, pos, re, im.
+    */
+  def correlateComplex(in1: DataFrame, in2: DataFrame, keys: Seq[String],
+                       dim: String, re: String = "re", im: String = "im",
+                       mode: String = "full", method: String = "auto"): DataFrame = {
+    val s1 = seriesify(in1, keys, dim, Seq(re, im))
+    val joined = joinSecondSeriesCx(s1, in2, keys, dim, re, im)
+    val withOut = joined.withColumn("_out",
+      correlateCxC(col(re), col(im), col("_bre"), col("_bim"), mode, method))
+    explodeSeries(withOut, keys,
+      Seq("re" -> col("_out.re"), "im" -> col("_out.im")))
+  }
+
   /** Overlap-save chunked convolution (SURVEY.md §4): the scale path
     * for series whose core dim does not fit one task — something the
     * reference's dask layer cannot do at all (it forbids chunking the

@@ -292,6 +292,78 @@ object Sig {
        |GROUP BY s.user_id, s.j + h.i - 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Complex long frame: re = value, im = event_id % 97 — an
+    * imaginary part genuinely independent of re (a scalar multiple
+    * would make the complex product degenerate to a scaled real one,
+    * hiding sign/swap bugs in one quadrant of the multiply).
+    */
+  private def evCx(s: SparkSession, dir: String): DataFrame =
+    load(installed(s), dir, "events")
+      .select(col("user_id"),
+        (expr("ts div 1000").cast("double") / lit(1e6)).as("t"),
+        col("value").as("re"),
+        (col("event_id") % 97).cast("double").as("im"))
+
+  private val sCxSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value AS re,
+      |         CAST(event_id % 97 AS DOUBLE) AS im
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, re) - 1 AS j,
+      |         re, im
+      |  FROM raw
+      |)""".stripMargin
+
+  /** Complex convolve (scipy accepts complex input, signal.py:34-38)
+    * against a broadcast 3-tap complex kernel; the oracle expands the
+    * complex multiply into its four real products. re is 2-dp data,
+    * im is integral, weights are 1-dp → every product is an exact
+    * 3-decimal, integral at the 1e6 encoding.
+    */
+  def sigConvolveComplex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = Seq((0.0, 0.5, -0.2), (1.0, 0.3, 0.1), (2.0, 0.2, 0.4))
+      .toDF("t", "re", "im")
+    Signal.convolveComplex(evCx(s, dir), k, Seq("user_id"), "t", "re", "im", "full")
+      .select(col("user_id"), col("pos"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigConvolveComplexSql: String =
+    s"""$sCxSql
+       |SELECT s.user_id, CAST(s.j + h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.re * h.wr - s.im * h.wi)", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(s.re * h.wi + s.im * h.wr)", "1e6")} AS im_fp
+       |FROM s, (VALUES (0, 0.5, -0.2), (1, 0.3, 0.1), (2, 0.2, 0.4)) h(i, wr, wi)
+       |GROUP BY s.user_id, s.j + h.i
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Complex correlate — scipy CONJUGATES in2: out = Σ a·conj(b), at
+    * lag pos = j + (m-1-i). The oracle carries the conjugation as the
+    * sign flips on the wi terms.
+    */
+  def sigCorrelateComplex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = Seq((0.0, 0.5, -0.2), (1.0, 0.3, 0.1), (2.0, 0.2, 0.4))
+      .toDF("t", "re", "im")
+    Signal.correlateComplex(evCx(s, dir), k, Seq("user_id"), "t", "re", "im", "full")
+      .select(col("user_id"), col("pos"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigCorrelateComplexSql: String =
+    s"""$sCxSql
+       |SELECT s.user_id, CAST(s.j + (2 - h.i) AS INT) AS pos,
+       |  ${fpSql("SUM(s.re * h.wr + s.im * h.wi)", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(s.im * h.wr - s.re * h.wi)", "1e6")} AS im_fp
+       |FROM s, (VALUES (0, 0.5, -0.2), (1, 0.3, 0.1), (2, 0.2, 0.4)) h(i, wr, wi)
+       |GROUP BY s.user_id, s.j + (2 - h.i)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Overlap-save chunked convolution (chunk=32 → ~3 chunks/series at
     * the oracle SF) must agree with the direct full-mode oracle
     * bit-for-bit.
@@ -871,6 +943,8 @@ object Sig {
     "sig_convolve_valid" -> (sigConvolveValid _),
     "sig_convolve_long" -> (sigConvolveLong _),
     "sig_correlate" -> (sigCorrelate _),
+    "sig_convolve_complex" -> (sigConvolveComplex _),
+    "sig_correlate_complex" -> (sigCorrelateComplex _),
     "sig_fftconvolve2d" -> (sigFftconvolve2d _),
     "sig_fftconvolve2d_keyed" -> (sigFftconvolve2dKeyed _),
     "sig_fftconvolve3d" -> (sigFftconvolve3d _),
@@ -900,6 +974,8 @@ object Sig {
     "sig_convolve_valid" -> sigConvolveValidSql,
     "sig_convolve_long" -> sigConvolveFullSql,
     "sig_correlate" -> sigCorrelateSql,
+    "sig_convolve_complex" -> sigConvolveComplexSql,
+    "sig_correlate_complex" -> sigCorrelateComplexSql,
     "sig_fftconvolve2d" -> sigFftconvolve2dSql,
     "sig_fftconvolve2d_keyed" -> sigFftconvolve2dKeyedSql,
     "sig_fftconvolve3d" -> sigFftconvolve3dSql,

@@ -154,4 +154,35 @@ class ConvSpec extends AnyFunSuite {
       }
     }
   }
+
+  for ((n1, n2) <- Seq((20, 5), (16, 16), (7, 31))) {
+    val ar = g(s"cxa_re_${n1}_$n2"); val ai = g(s"cxa_im_${n1}_$n2")
+    val br = g(s"cxb_re_${n1}_$n2"); val bi = g(s"cxb_im_${n1}_$n2")
+
+    test(s"complex convolve modes ($n1,$n2) vs numpy, direct and fft") {
+      for (method <- Seq("direct", "fft"); mode <- Seq("full", "same", "valid")) {
+        val got = Conv.convolveComplex(ar, ai, br, bi, mode, method)
+        check(s"cxconv_${mode}_${n1}_${n2}_re", got.re)
+        check(s"cxconv_${mode}_${n1}_${n2}_im", got.im)
+      }
+    }
+
+    test(s"complex correlate ($n1,$n2) conjugates in2 like scipy") {
+      for (method <- Seq("direct", "fft")) {
+        val got = Conv.correlateComplex(ar, ai, br, bi, "full", method)
+        check(s"cxcorr_full_${n1}_${n2}_re", got.re)
+        check(s"cxcorr_full_${n1}_${n2}_im", got.im)
+      }
+    }
+  }
+
+  test("complex convolve with zero imag parts equals the real path") {
+    val a = g("a_20_5"); val b = g("b_20_5")
+    val z1 = new Array[Double](a.length); val z2 = new Array[Double](b.length)
+    for (mode <- Seq("full", "same", "valid")) {
+      val got = Conv.convolveComplex(a, z1, b, z2, mode)
+      assert(Golden.maxAbsDiff(got.re, Conv.convolve(a, b, mode)) < tol)
+      assert(got.im.forall(math.abs(_) < tol))
+    }
+  }
 }

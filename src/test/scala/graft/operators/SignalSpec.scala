@@ -209,6 +209,41 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("complex convolve/correlate match kernels with a broadcast complex kernel") {
+    val kdf = Seq((0.0, 0.5, -0.2), (1.0, 0.3, 0.1), (2.0, 0.2, 0.4))
+      .toDF("t", "re", "im")
+    val cx = longDf.select($"k", $"t", $"x".as("re"), $"y".as("im"))
+    val conv = Signal.convolveComplex(cx, kdf, Seq("k"), "t", "re", "im", "full")
+    val corr = Signal.correlateComplex(cx, kdf, Seq("k"), "t", "re", "im", "full")
+    val br = Array(0.5, 0.3, 0.2); val bi = Array(-0.2, 0.1, 0.4)
+    for (k <- Seq("a", "b")) {
+      val xr = series(k, "x"); val xi = series(k, "y")
+      val wantC = Conv.convolveComplex(xr, xi, br, bi, "full")
+      assert(maxDiff(collectBy(conv, k, "re"), wantC.re) < 1e-12, s"conv re $k")
+      assert(maxDiff(collectBy(conv, k, "im"), wantC.im) < 1e-12, s"conv im $k")
+      val wantR = Conv.correlateComplex(xr, xi, br, bi, "full")
+      assert(maxDiff(collectBy(corr, k, "re"), wantR.re) < 1e-12, s"corr re $k")
+      assert(maxDiff(collectBy(corr, k, "im"), wantR.im) < 1e-12, s"corr im $k")
+    }
+  }
+
+  test("complex convolve with a keyed in2 joins per key") {
+    val cx = longDf.filter($"k" =!= "c")
+      .select($"k", $"t", $"x".as("re"), $"y".as("im"))
+    val kdf = Seq(("a", 0.0, 0.5, -0.2), ("a", 1.0, 0.3, 0.1),
+        ("b", 0.0, 0.1, 0.9), ("b", 1.0, 0.7, -0.3))
+      .toDF("k", "t", "re", "im")
+    val out = Signal.convolveComplex(cx, kdf, Seq("k"), "t", "re", "im", "full")
+    val kernels = Map(
+      "a" -> (Array(0.5, 0.3), Array(-0.2, 0.1)),
+      "b" -> (Array(0.1, 0.7), Array(0.9, -0.3)))
+    for ((k, (br, bi)) <- kernels) {
+      val want = Conv.convolveComplex(series(k, "x"), series(k, "y"), br, bi, "full")
+      assert(maxDiff(collectBy(out, k, "re"), want.re) < 1e-12, s"re $k")
+      assert(maxDiff(collectBy(out, k, "im"), want.im) < 1e-12, s"im $k")
+    }
+  }
+
   test("fftconvolveNd over 3 dims matches the kernel on a shuffled cube") {
     // 2x3x4 cube per key, row-major value = kernel-visible order
     val aSh = Array(2, 3, 4)

@@ -97,6 +97,31 @@ with open(os.path.join(OUT, "conv.txt"), "w") as f:
         v = min(n1, n2) - 1
         emit(f, f"conv_valid_{n1}_{n2}", full[v: v + max(n1, n2) - min(n1, n2) + 1])
         emit(f, f"corr_full_{n1}_{n2}", np.convolve(a, b[::-1]))
+    # complex convolve/correlate (scipy conventions; np.convolve handles
+    # complex, and scipy's correlate(a, b) == convolve(a, conj(b[::-1]))).
+    # Dedicated rng: appending draws to the shared stream would shift
+    # every golden generated after this section.
+    crng = np.random.default_rng(7)
+    for (n1, n2) in ((20, 5), (16, 16), (7, 31)):
+        ar = crng.standard_normal(n1); ai = crng.standard_normal(n1)
+        br = crng.standard_normal(n2); bi = crng.standard_normal(n2)
+        a = ar + 1j * ai
+        b = br + 1j * bi
+        emit(f, f"cxa_re_{n1}_{n2}", ar); emit(f, f"cxa_im_{n1}_{n2}", ai)
+        emit(f, f"cxb_re_{n1}_{n2}", br); emit(f, f"cxb_im_{n1}_{n2}", bi)
+        full = np.convolve(a, b)
+        emit(f, f"cxconv_full_{n1}_{n2}_re", full.real)
+        emit(f, f"cxconv_full_{n1}_{n2}_im", full.imag)
+        s = (n2 - 1) // 2
+        emit(f, f"cxconv_same_{n1}_{n2}_re", full[s: s + n1].real)
+        emit(f, f"cxconv_same_{n1}_{n2}_im", full[s: s + n1].imag)
+        v = min(n1, n2) - 1
+        nv = max(n1, n2) - min(n1, n2) + 1
+        emit(f, f"cxconv_valid_{n1}_{n2}_re", full[v: v + nv].real)
+        emit(f, f"cxconv_valid_{n1}_{n2}_im", full[v: v + nv].imag)
+        corr = np.convolve(a, np.conj(b[::-1]))
+        emit(f, f"cxcorr_full_{n1}_{n2}_re", corr.real)
+        emit(f, f"cxcorr_full_{n1}_{n2}_im", corr.imag)
     # 2-D case (small, direct quadratic reference)
     A = rng.standard_normal((6, 5))
     B = rng.standard_normal((3, 4))
