@@ -100,6 +100,34 @@ object Sig {
        |GROUP BY a.user_id, a.j, a.n, d.n, d.delta
        |ORDER BY 1, 2""".stripMargin
 
+  /** rfft with norm="ortho" end-to-end — the DFT sum scaled by 1/√n
+    * (reference signal.py:168,184 exposes the norm parameter; the
+    * kernels implement all three norms but every other oracle runs
+    * backward, leaving ortho kernel-tested only). Runs on the 64-frame
+    * so √n = 8 exactly, encoded at scale 800: v×800 = (DFT sum)×100,
+    * which is exactly integral at the DC/Nyquist bins whose sums are
+    * exact 2-decimals — on real-length frames those bins land ON the
+    * .5 floor boundary whenever n is a perfect square (sum/√n is an
+    * exact decimal) and engine ulp noise flips the encoding (1-4 flaky
+    * rows observed at scales 1e2/1e4).
+    */
+  def sigRfftOrtho(s: SparkSession, dir: String): DataFrame =
+    Signal.rfft(ev64(s, dir), Seq("user_id"), "t", "value",
+        newdim = "freq", norm = "ortho")
+      .select(col("user_id"), col("pos"),
+        fp(col("re"), 800d).as("re_fp"), fp(col("im"), 800d).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigRfftOrthoSql: String =
+    s"""$s64Sql
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/64)) / 8", "800")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/64)) / 8", "800")} AS im_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |WHERE a.j <= 32
+       |GROUP BY a.user_id, a.j
+       |ORDER BY 1, 2""".stripMargin
+
   /** fft (complex input, im=0) per user: all n bins. */
   def sigFft(s: SparkSession, dir: String): DataFrame =
     Signal.fft(
@@ -932,6 +960,7 @@ object Sig {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sig_rfft" -> (sigRfft _),
     "sig_fft" -> (sigFft _),
+    "sig_rfft_ortho" -> (sigRfftOrtho _),
     "sig_ifft_roundtrip" -> (sigIfftRoundtrip _),
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
     "sig_hfft" -> (sigHfft _),
@@ -963,6 +992,7 @@ object Sig {
   val oracleSql: Map[String, String] = Map(
     "sig_rfft" -> sigRfftSql,
     "sig_fft" -> sigFftSql,
+    "sig_rfft_ortho" -> sigRfftOrthoSql,
     "sig_ifft_roundtrip" -> sigIfftRoundtripSql,
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
     "sig_hfft" -> sigHfftSql,
