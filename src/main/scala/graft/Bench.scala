@@ -18,6 +18,10 @@ object Bench {
     Seq("documents", "embeddings", "events", "lineitem").foreach { t =>
       Tables.load(spark, s"$sfDir", t).count()
     }
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     // A failed query is reported as negative elapsed time so failures
     // are visible in the bench JSON (ADVICE r1), and flagged in "failed".
     // Evaluation is a noop-sink write, NOT count(): under count(1)
@@ -25,7 +29,13 @@ object Bench {
     // the final sort, so map-side queries would time little more than
     // the parquet scan. The noop sink materializes every output column
     // (what a real pipeline pays) and discards rows executor-side.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Each query runs TWICE and reports the min: a one-shot cold run is
+    // contention-fragile — a busy host inflates arbitrary queries 5-10x
+    // (BENCH_r05 showed 7-12x on queries that re-measure at parity), and
+    // min-of-2 restores a trustworthy round-over-round signal. The
+    // loadavg markers date-stamp any residual contention.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -36,14 +46,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) dt else -dt)
+      if (ok) dt else -dt
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r1 = once(name, fn)
+      val best = if (r1 < 0) r1 else math.min(r1, once(name, fn))
+      (name, best)
+    }
+    val loadEnd = loadAvg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
