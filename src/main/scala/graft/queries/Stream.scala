@@ -39,18 +39,33 @@ object Stream {
       .as[Streaming.Event]
   }
 
-  /** Run a streaming Dataset to completion into a named in-memory sink
-    * and return the sink contents. The memory sink is driver-local —
-    * fine for the verification harness (the sink holds the filtered
-    * sample frame at sf<=0.1); production streams write a real sink
-    * (kafka/parquet) with the same plan.
+  /** Run a streaming Dataset to completion into a temp PARQUET sink
+    * and read the files back — the same executor-side file sink a
+    * production deployment writes, so nothing in the verification
+    * path collects rows to the driver. Append-mode queries use the
+    * parquet file sink directly; `complete` mode (which the file sink
+    * cannot express) goes through foreachBatch overwriting the same
+    * path, the standard micro-batch-sink pattern for full-result
+    * refresh.
     */
   private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,
                         mode: String = "append"): DataFrame = {
-    val q = ds.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
+    val spark = ds.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name-").toFile
+    tmp.deleteOnExit()
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    val chk = new java.io.File(tmp, "chk").getAbsolutePath
+    val writer = ds.toDF().writeStream.option("checkpointLocation", chk)
+    val q =
+      if (mode == "append")
+        writer.format("parquet").outputMode(mode).option("path", out).start()
+      else
+        writer.outputMode(mode).foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+        }.start()
     try q.processAllAvailable() finally q.stop()
-    ds.sparkSession.table(name)
+    spark.read.parquet(out)
   }
 
   /** Streaming sosfilt(butter(4, 0.3)) over the events stream —
