@@ -123,26 +123,33 @@ object Ann {
 
   /** IVF-flat ANN: a coarse quantizer partitions the corpus into
     * cells; queries probe the `nProbe` nearest cells and rerank by
-    * exact cosine. The quantizer here is deterministic — the
-    * `nCentroids` smallest-id vectors stand in for a k-means fit (the
-    * oracle replays it exactly); a production deployment swaps in
-    * trained centroids without touching the structure. Cell assignment
-    * is map-side (centroids travel as literals, like the LSH planes);
-    * at scale the cell id becomes a partition/bucketing column so
-    * probes prune partitions instead of scanning.
+    * exact cosine. The default quantizer is deterministic — the
+    * `nCentroids` smallest-id corpus vectors stand in for a k-means
+    * fit (the oracle replays it exactly). A production deployment
+    * passes `centroids`: a DataFrame of (idCol: cell id, vecCol:
+    * centroid vector) rows from an offline k-means fit; the structure
+    * is identical, only the collected literal table changes. Cell
+    * assignment is map-side (centroids travel as literals, like the
+    * LSH planes; the collect is bounded by the centroid count, a few
+    * thousand rows at most); at scale the cell id becomes a
+    * partition/bucketing column so probes prune partitions instead of
+    * scanning.
     */
   def topkIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
     graft.functions.Functions.install(corpus.sparkSession)
-    val cents: Array[(Int, Array[Double])] = corpus
-      .filter(col(idCol) < nCentroids)
+    val centSrc = centroids.getOrElse(corpus.filter(col(idCol) < nCentroids))
+    val cents: Array[(Int, Array[Double])] = centSrc
       .select(col(idCol).cast("int"), asDouble(col(vecCol)))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty,
-      s"no centroid vectors found: corpus has no $idCol < $nCentroids")
+      if (centroids.isDefined) "centroids DataFrame is empty"
+      else s"no centroid vectors found: corpus has no $idCol < $nCentroids")
+    require(cents.map(_._1).distinct.length == cents.length,
+      "duplicate centroid ids")
     // max over (dot, -cid) structs = best dot, smallest cid on ties
     def cellOf(v: Column, dot: (Column, Array[Double]) => Column): Column =
       (-array_max(array(cents.toSeq.map { case (cid, cv) =>

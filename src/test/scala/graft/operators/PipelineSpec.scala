@@ -223,6 +223,36 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("IVF with caller-supplied centroids matches the stand-in quantizer") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // passing the stand-in's own centroid vectors explicitly must give
+    // the identical result — proves the parameter drives the quantizer
+    val sameCents = df.filter($"vec_id" < 4)
+    val standIn = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
+      nCentroids = 4, nProbe = 2))
+    val explicit = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
+      nProbe = 2, centroids = Some(sameCents)))
+    assert(explicit == standIn)
+    // a DIFFERENT (trained-elsewhere) centroid set still produces a
+    // structurally valid ranked result with brute-force-exact scores
+    val trained = vecs.filter(v => v._1 % 10 == 5)
+      .map { case (i, v) => (i / 10, v) }.toDF("vec_id", "embedding")
+    val out = Ann.topkIvf(df, q, "vec_id", "embedding", 4,
+      nProbe = 4, centroids = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val bfScores = rows(Ann.topkBruteForce(df, q, "vec_id", "embedding", 4))
+      .map(t => (t._1, t._3) -> t._4).toMap
+    out.foreach { case (qid, nid, score) =>
+      bfScores.get((qid, nid)).foreach(s => assert(s == score))
+    }
+  }
+
   test("langid scores and quality are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog is in a house"),
       (2L, "der hund und die katze ist da"),
