@@ -39,6 +39,21 @@ class PlanShapeSpec extends SparkTestBase {
       "v", Array(1.0, 0.5), Array(1, 2))) == 1)
   }
 
+  test("complex convolve keeps the one-shuffle signal-op shape") {
+    val cx = series.select($"k", $"t", $"v".as("re"), ($"v" * 0.5 + 1.0).as("im"))
+    val kdf = Seq((0.0, 0.5, -0.2), (1.0, 0.3, 0.1)).toDF("t", "re", "im")
+    // broadcast kernel: the in1 groupBy is the only hash exchange (the
+    // single-row kernel side aggregates into a broadcast, not a hash
+    // repartition of in1's lineage)
+    assert(hashExchanges(
+      Signal.convolveComplex(cx, kdf, Seq("k"), "t", "re", "im")) == 1)
+    // keyed in2: one groupBy per side, joined on the shared keys
+    val kdf2 = series.select($"k", $"t", ($"v" * 0.5).as("re"), ($"v" * 0.1).as("im"))
+      .filter($"t" < 2)
+    assert(hashExchanges(
+      Signal.correlateComplex(cx, kdf2, Seq("k"), "t", "re", "im")) <= 2)
+  }
+
   test("convolveLong pays two hash shuffles (length agg + chunk pipeline)") {
     // one exchange for the per-key length aggregate (broadcast-joined
     // back), one for the window/chunk pipeline; the chunk groupBy
