@@ -485,6 +485,16 @@ object Signal {
       Seq("re" -> col("_out.re"), "im" -> col("_out.im")))
   }
 
+  /** Complex fftconvolve — the reference's `fftconvolve` wraps
+    * `scipy.signal.fftconvolve`, which accepts complex input
+    * (signal.py:41-48); forced-FFT path of [[convolveComplex]], the
+    * same relationship [[fftconvolve]] has to [[convolve]].
+    */
+  def fftconvolveComplex(in1: DataFrame, in2: DataFrame, keys: Seq[String],
+                         dim: String, re: String = "re", im: String = "im",
+                         mode: String = "full"): DataFrame =
+    convolveComplex(in1, in2, keys, dim, re, im, mode, "fft")
+
   /** Complex cross-correlation — scipy conjugates in2:
     * correlate(a, b) = convolve(a, conj(reverse(b))) (signal.py:34-38,
     * the IQ/radar-style use the real path cannot express). Output:

@@ -225,6 +225,13 @@ class SignalSpec extends SparkTestBase {
       assert(maxDiff(collectBy(corr, k, "re"), wantR.re) < 1e-12, s"corr re $k")
       assert(maxDiff(collectBy(corr, k, "im"), wantR.im) < 1e-12, s"corr im $k")
     }
+    // fftconvolveComplex = forced-FFT path of the same operator
+    val convFft = Signal.fftconvolveComplex(cx, kdf, Seq("k"), "t", "re", "im")
+    for (k <- Seq("a", "b")) {
+      val want = Conv.convolveComplex(series(k, "x"), series(k, "y"), br, bi, "full")
+      assert(maxDiff(collectBy(convFft, k, "re"), want.re) < 1e-8, s"fft re $k")
+      assert(maxDiff(collectBy(convFft, k, "im"), want.im) < 1e-8, s"fft im $k")
+    }
   }
 
   test("complex convolve with a keyed in2 joins per key") {
