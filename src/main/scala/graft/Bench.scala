@@ -50,7 +50,14 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r1 = once(name, fn)
-      val best = if (r1 < 0) r1 else math.min(r1, once(name, fn))
+      val best =
+        if (r1 < 0) r1
+        else {
+          // a failed RETRY must not discard the clean first measurement
+          // (a flake on run 2 is exactly the noise min-of-2 absorbs)
+          val r2 = once(name, fn)
+          if (r2 < 0) r1 else math.min(r1, r2)
+        }
       (name, best)
     }
     val loadEnd = loadAvg

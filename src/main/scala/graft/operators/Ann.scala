@@ -139,6 +139,10 @@ object Ann {
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
     graft.functions.Functions.install(corpus.sparkSession)
+    require(centroids.isEmpty || nCentroids == 16,
+      "nCentroids only parameterizes the stand-in quantizer; with a " +
+        "caller-supplied centroids DataFrame the cell count is its row " +
+        "count — don't pass both")
     val centSrc = centroids.getOrElse(corpus.filter(col(idCol) < nCentroids))
     val cents: Array[(Int, Array[Double])] = centSrc
       .select(col(idCol).cast("int"), asDouble(col(vecCol)))

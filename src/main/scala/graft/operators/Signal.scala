@@ -217,22 +217,27 @@ object Signal {
 
   // ---- convolution (signal.py:34-106) --------------------------------
 
-  /** Join shape shared by [[convolve]] and [[correlate]]: an in2
-    * carrying ALL the key columns joins per key; otherwise in2 must be
-    * ONE kernel series, broadcast to every group. The unkeyed path
-    * asserts that shape — one seriesified row with distinct
-    * coordinates — because an in2 keyed by OTHER columns would
-    * otherwise silently interleave several kernels into one sorted
-    * mixture (a legitimate single kernel never has duplicate
-    * coordinates; interleaved ones collide).
+  /** Join shape shared by [[convolve]], [[correlate]], and their
+    * complex twins: an in2 carrying ALL the key columns joins per key;
+    * otherwise in2 must be ONE kernel series, broadcast to every
+    * group. The unkeyed path asserts that shape — one seriesified row
+    * with distinct coordinates — because an in2 keyed by OTHER columns
+    * would otherwise silently interleave several kernels into one
+    * sorted mixture (a legitimate single kernel never has duplicate
+    * coordinates; interleaved ones collide). `values` arrays come back
+    * renamed `_b0`, `_b1`, ... in declaration order.
     */
   private def joinSecondSeries(s1: DataFrame, in2: DataFrame, keys: Seq[String],
-                               dim: String, value: String): DataFrame = {
+                               dim: String, values: Seq[String]): DataFrame = {
     val in2Keyed = keys.nonEmpty &&
       in2.columns.toSet.intersect(keys.toSet).size == keys.size
-    val s2 = seriesify(in2, if (in2Keyed) keys else Nil, dim, Seq(value))
-      .withColumnRenamed(value, "_b")
-    if (in2Keyed) s1.join(s2.select((keys.map(col) :+ col("_b")): _*), keys)
+    val renamed = values.indices.map(i => s"_b$i")
+    val s2 = values.zip(renamed).foldLeft(
+      seriesify(in2, if (in2Keyed) keys else Nil, dim, values)) {
+      case (df, (v, b)) => df.withColumnRenamed(v, b)
+    }
+    if (in2Keyed)
+      s1.join(s2.select((keys.map(col) ++ renamed.map(col)): _*), keys)
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
       val oneRow = s2.withColumn("_nrows", count(lit(1)).over(w))
@@ -242,7 +247,8 @@ object Signal {
         lit("convolve/correlate: in2 is not ONE kernel series (multiple " +
           "rows or duplicate coordinates); a per-key second input must " +
           "carry the same key columns as in1"))
-      s1.crossJoin(broadcast(oneRow.select(when(guard.isNull, col("_b")).as("_b"))))
+      s1.crossJoin(broadcast(oneRow.select(
+        renamed.map(b => when(guard.isNull, col(b)).as(b)): _*)))
     }
   }
 
@@ -254,8 +260,8 @@ object Signal {
   def convolve(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
                value: String, mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(value))
-    val joined = joinSecondSeries(s1, in2, keys, dim, value)
-    val withOut = joined.withColumn("_out", convolveC(col(value), col("_b"), mode, method))
+    val joined = joinSecondSeries(s1, in2, keys, dim, Seq(value))
+    val withOut = joined.withColumn("_out", convolveC(col(value), col("_b0"), mode, method))
     explodeSeries(withOut, keys, Seq("value" -> col("_out")))
   }
 
@@ -437,36 +443,9 @@ object Signal {
   def correlate(in1: DataFrame, in2: DataFrame, keys: Seq[String], dim: String,
                 value: String, mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(value))
-    val joined = joinSecondSeries(s1, in2, keys, dim, value)
-    val withOut = joined.withColumn("_out", correlateC(col(value), col("_b"), mode, method))
+    val joined = joinSecondSeries(s1, in2, keys, dim, Seq(value))
+    val withOut = joined.withColumn("_out", correlateC(col(value), col("_b0"), mode, method))
     explodeSeries(withOut, keys, Seq("value" -> col("_out")))
-  }
-
-  /** Complex-series twin of [[joinSecondSeries]]: carries BOTH (re,
-    * im) arrays of in2 across the same keyed-join / asserted-single-
-    * kernel broadcast contract.
-    */
-  private def joinSecondSeriesCx(s1: DataFrame, in2: DataFrame, keys: Seq[String],
-                                 dim: String, re: String, im: String): DataFrame = {
-    val in2Keyed = keys.nonEmpty &&
-      in2.columns.toSet.intersect(keys.toSet).size == keys.size
-    val s2 = seriesify(in2, if (in2Keyed) keys else Nil, dim, Seq(re, im))
-      .withColumnRenamed(re, "_bre").withColumnRenamed(im, "_bim")
-    if (in2Keyed)
-      s1.join(s2.select((keys.map(col) ++ Seq(col("_bre"), col("_bim"))): _*), keys)
-    else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      val oneRow = s2.withColumn("_nrows", count(lit(1)).over(w))
-      val guard = assert_true(
-        col("_nrows") === 1 &&
-          size(array_distinct(col("coords"))) === size(col("coords")),
-        lit("convolve/correlate: in2 is not ONE kernel series (multiple " +
-          "rows or duplicate coordinates); a per-key second input must " +
-          "carry the same key columns as in1"))
-      s1.crossJoin(broadcast(oneRow.select(
-        when(guard.isNull, col("_bre")).as("_bre"),
-        when(guard.isNull, col("_bim")).as("_bim"))))
-    }
   }
 
   /** Complex convolve — scipy's convolve accepts complex input
@@ -478,9 +457,9 @@ object Signal {
                       dim: String, re: String = "re", im: String = "im",
                       mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(re, im))
-    val joined = joinSecondSeriesCx(s1, in2, keys, dim, re, im)
+    val joined = joinSecondSeries(s1, in2, keys, dim, Seq(re, im))
     val withOut = joined.withColumn("_out",
-      convolveCxC(col(re), col(im), col("_bre"), col("_bim"), mode, method))
+      convolveCxC(col(re), col(im), col("_b0"), col("_b1"), mode, method))
     explodeSeries(withOut, keys,
       Seq("re" -> col("_out.re"), "im" -> col("_out.im")))
   }
@@ -504,9 +483,9 @@ object Signal {
                        dim: String, re: String = "re", im: String = "im",
                        mode: String = "full", method: String = "auto"): DataFrame = {
     val s1 = seriesify(in1, keys, dim, Seq(re, im))
-    val joined = joinSecondSeriesCx(s1, in2, keys, dim, re, im)
+    val joined = joinSecondSeries(s1, in2, keys, dim, Seq(re, im))
     val withOut = joined.withColumn("_out",
-      correlateCxC(col(re), col(im), col("_bre"), col("_bim"), mode, method))
+      correlateCxC(col(re), col(im), col("_b0"), col("_b1"), mode, method))
     explodeSeries(withOut, keys,
       Seq("re" -> col("_out.re"), "im" -> col("_out.im")))
   }

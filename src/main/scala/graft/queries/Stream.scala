@@ -52,7 +52,15 @@ object Stream {
                         mode: String = "append"): DataFrame = {
     val spark = ds.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name-").toFile
-    tmp.deleteOnExit()
+    // deleteOnExit only removes EMPTY dirs; the sink/checkpoint trees
+    // need a recursive cleanup, deferred to JVM exit because the
+    // returned DataFrame lazily reads the files until then
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp)
+    }))
     val out = new java.io.File(tmp, "out").getAbsolutePath
     val chk = new java.io.File(tmp, "chk").getAbsolutePath
     val writer = ds.toDF().writeStream.option("checkpointLocation", chk)
@@ -65,7 +73,13 @@ object Stream {
             batch.write.mode("overwrite").parquet(out)
         }.start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(out)
+    // explicit schema: a stream that emitted zero rows leaves no (or
+    // schemaless) parquet behind, where the old memory sink still
+    // returned an empty schema-bearing table
+    if (!new java.io.File(out).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ds.toDF().schema)
+    else spark.read.schema(ds.toDF().schema).parquet(out)
   }
 
   /** Streaming sosfilt(butter(4, 0.3)) over the events stream —

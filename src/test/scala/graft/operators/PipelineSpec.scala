@@ -239,17 +239,24 @@ class PipelineSpec extends SparkTestBase {
       nProbe = 2, centroids = Some(sameCents)))
     assert(explicit == standIn)
     // a DIFFERENT (trained-elsewhere) centroid set still produces a
-    // structurally valid ranked result with brute-force-exact scores
+    // structurally valid ranked result whose every score is the exact
+    // cosine (computed directly — a top-k-map lookup would silently
+    // skip neighbors outside the brute-force top-4 and check nothing)
     val trained = vecs.filter(v => v._1 % 10 == 5)
       .map { case (i, v) => (i / 10, v) }.toDF("vec_id", "embedding")
     val out = Ann.topkIvf(df, q, "vec_id", "embedding", 4,
       nProbe = 4, centroids = Some(trained))
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(out.nonEmpty)
-    val bfScores = rows(Ann.topkBruteForce(df, q, "vec_id", "embedding", 4))
-      .map(t => (t._1, t._3) -> t._4).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val vecMap = vecs.toMap
     out.foreach { case (qid, nid, score) =>
-      bfScores.get((qid, nid)).foreach(s => assert(s == score))
+      val want = math.floor(cos(vecMap(qid), vecMap(nid)) * 1e6 + 0.5).toLong
+      assert(score == want, s"($qid, $nid)")
     }
   }
 
