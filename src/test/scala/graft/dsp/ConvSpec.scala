@@ -185,4 +185,28 @@ class ConvSpec extends AnyFunSuite {
       assert(got.im.forall(math.abs(_) < tol))
     }
   }
+
+  test("complex kernel algebra: delta identity, commutativity, correlate duality") {
+    val rnd = new scala.util.Random(11)
+    def vec(n: Int) = Array.fill(n)(rnd.nextGaussian())
+    for (trial <- 0 until 5) {
+      val n1 = 2 + rnd.nextInt(40); val n2 = 2 + rnd.nextInt(40)
+      val ar = vec(n1); val ai = vec(n1); val br = vec(n2); val bi = vec(n2)
+      // (1 + 0i) delta kernel is the identity
+      val id = Conv.convolveComplex(ar, ai, Array(1.0), Array(0.0), "full")
+      assert(Golden.maxAbsDiff(id.re, ar) < tol && Golden.maxAbsDiff(id.im, ai) < tol)
+      // full-mode convolution commutes
+      val ab = Conv.convolveComplex(ar, ai, br, bi, "full")
+      val ba = Conv.convolveComplex(br, bi, ar, ai, "full")
+      assert(Golden.maxAbsDiff(ab.re, ba.re) < 1e-8, s"trial $trial re")
+      assert(Golden.maxAbsDiff(ab.im, ba.im) < 1e-8, s"trial $trial im")
+      // correlate(a, b) = conj(reverse(correlate(b, a))) (scipy identity)
+      val cab = Conv.correlateComplex(ar, ai, br, bi, "full")
+      val cba = Conv.correlateComplex(br, bi, ar, ai, "full")
+      val revConjRe = cba.re.reverse
+      val revConjIm = cba.im.reverse.map(-_)
+      assert(Golden.maxAbsDiff(cab.re, revConjRe) < 1e-8, s"trial $trial corr re")
+      assert(Golden.maxAbsDiff(cab.im, revConjIm) < 1e-8, s"trial $trial corr im")
+    }
+  }
 }
