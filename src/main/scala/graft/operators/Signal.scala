@@ -291,11 +291,17 @@ object Signal {
   private def gridify(df: DataFrame, keys: Seq[String], dims: Seq[String],
                       value: String, op: String, sfx: String = ""): DataFrame = {
     val nd = dims.length
+    // Null handling mirrors [[seriesify]]: a null sample becomes NaN
+    // and propagates through the kernel; a row missing any grid
+    // coordinate cannot be placed and is dropped (it would otherwise
+    // become a null struct field that silently sorts first and
+    // corrupts the row-major reshape).
     val packed = struct(
       dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } :+
-        col(value).cast("double").as("v"): _*)
+        coalesce(col(value).cast("double"), lit(Double.NaN)).as("v"): _*)
+    val clean = df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
     val grouped = (1 to nd).foldLeft(
-      df.groupBy(keys.map(col): _*)
+      clean.groupBy(keys.map(col): _*)
         .agg(array_sort(collect_list(packed)).as("_arr"))) { (g, i) =>
       g.withColumn(s"_n$i$sfx",
         expr(s"size(array_distinct(transform(_arr, s -> s.c$i)))"))

@@ -340,6 +340,30 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("gridify null semantics match seriesify: null value -> NaN, null coord -> dropped") {
+    val base = for (r <- 0 until 4; c <- 0 until 4) yield ("g", r, c, (r * 4 + c).toDouble)
+    // null VALUE at one cell: grid stays complete, value becomes NaN
+    val withNullV = base.map { case (k, r, c, v) =>
+      (k, r, c, if (r == 1 && c == 2) null.asInstanceOf[java.lang.Double]
+                else java.lang.Double.valueOf(v))
+    }.toDF("k", "r", "c", "x")
+    val outV = Signal.fftconvolve2d(withNullV, Seq("k"), "r", "c", "x",
+      Array(1.0), kernelRows = 1).collect()
+    assert(outV.length == 16)
+    assert(outV.count(r => r.getDouble(3).isNaN) >= 1, "NaN must propagate")
+    // null COORD on one row: the row is dropped; the now-incomplete
+    // 4x4-minus-one grid is rejected by the completeness assert
+    val withNullC = base.map { case (k, r, c, v) =>
+      (k, if (r == 2 && c == 2) null.asInstanceOf[java.lang.Integer]
+          else java.lang.Integer.valueOf(r), c, v)
+    }.toDF("k", "r", "c", "x")
+    val e = intercept[Exception] {
+      Signal.fftconvolve2d(withNullC, Seq("k"), "r", "c", "x",
+        Array(1.0), kernelRows = 1).collect()
+    }
+    assert(e.getMessage.contains("not a complete"), e.getMessage)
+  }
+
   test("fftconvolve2d rejects ragged grids") {
     // drop one cell from the 8x4 grid: countDistinct(c) per row no
     // longer matches the rectangle → the grid assert must fire
