@@ -28,6 +28,10 @@ object Conv {
 
   def convolveDirect(a: Array[Double], b: Array[Double], mode: String = "full"): Array[Double] = {
     val n1 = a.length; val n2 = b.length
+    // scipy raises on empty input; without this, both-empty hits
+    // new Array(-1) (NegativeArraySizeException) and one-empty
+    // silently returns zeros
+    require(n1 > 0 && n2 > 0, s"convolve: empty input ($n1, $n2 samples)")
     val full = new Array[Double](n1 + n2 - 1)
     var i = 0
     while (i < n1) {
@@ -43,6 +47,7 @@ object Conv {
 
   def fftconvolve(a: Array[Double], b: Array[Double], mode: String = "full"): Array[Double] = {
     val n1 = a.length; val n2 = b.length
+    require(n1 > 0 && n2 > 0, s"convolve: empty input ($n1, $n2 samples)")
     val nfull = n1 + n2 - 1
     val m = Fft.nextPow2(nfull)
     val fa = Fft.fft(a, null, m)
@@ -91,6 +96,7 @@ object Conv {
                             bRe: Array[Double], bIm: Array[Double],
                             mode: String = "full"): Fft.C = {
     val n1 = aRe.length; val n2 = bRe.length
+    require(n1 > 0 && n2 > 0, s"convolve: empty input ($n1, $n2 samples)")
     require(aIm.length == n1 && bIm.length == n2,
       s"re/im lengths differ: ($n1, ${aIm.length}) / ($n2, ${bIm.length})")
     val fr = new Array[Double](n1 + n2 - 1)
@@ -116,6 +122,7 @@ object Conv {
                          bRe: Array[Double], bIm: Array[Double],
                          mode: String = "full"): Fft.C = {
     val n1 = aRe.length; val n2 = bRe.length
+    require(n1 > 0 && n2 > 0, s"convolve: empty input ($n1, $n2 samples)")
     require(aIm.length == n1 && bIm.length == n2,
       s"re/im lengths differ: ($n1, ${aIm.length}) / ($n2, ${bIm.length})")
     val nfull = n1 + n2 - 1
@@ -272,6 +279,13 @@ object Conv {
     require(bShape.length == nd, s"shape ranks differ: $nd vs ${bShape.length}")
     require(aShape.product == a.length, "in1 shape does not match its length")
     require(bShape.product == b.length, "in2 shape does not match its length")
+    // scipy's 'valid' accepts either operand dominant (it swaps —
+    // convolution commutes); mirror that and the 2-D path instead of
+    // rejecting the in2-dominant case. 'same' is NOT commutative
+    // (output is centered on in1), so only swap for valid.
+    if (mode == "valid" && (0 until nd).forall(j => bShape(j) >= aShape(j)) &&
+        (0 until nd).exists(j => bShape(j) > aShape(j)))
+      return fftconvolveNd(b, bShape, a, aShape, mode)
     val full = Array.tabulate(nd)(i => aShape(i) + bShape(i) - 1)
     val m = full.map(Fft.nextPow2)
     val total = m.product
@@ -351,7 +365,7 @@ object Conv {
       case "same" => aShape.clone()
       case "valid" =>
         require((0 until nd).forall(j => aShape(j) >= bShape(j)),
-          "valid mode requires in1 >= in2 along every dim")
+          "valid mode requires one input >= the other along every dim")
         Array.tabulate(nd)(j => aShape(j) - bShape(j) + 1)
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }

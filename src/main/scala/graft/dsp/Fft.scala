@@ -165,6 +165,11 @@ object Fft {
 
   /** numpy.fft.fft(a, n, norm) for complex input. */
   def fft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): C = {
+    // numpy raises a shape error on mismatched re/im; silently
+    // cropOrPad-ing a short im to re's length would zero the missing
+    // imaginary samples and return a plausible but wrong spectrum
+    require(xim == null || xim.length == xre.length,
+      s"fft: re/im lengths differ (${xre.length} vs ${xim.length})")
     val nn = if (n <= 0) xre.length else n
     val re = cropOrPad(xre, nn)
     val im = cropOrPad(if (xim == null) new Array[Double](xre.length) else xim, nn)
@@ -174,6 +179,8 @@ object Fft {
 
   /** numpy.fft.ifft(a, n, norm). */
   def ifft(xre: Array[Double], xim: Array[Double], n: Int = -1, norm: String = "backward"): C = {
+    require(xim == null || xim.length == xre.length,
+      s"ifft: re/im lengths differ (${xre.length} vs ${xim.length})")
     val nn = if (n <= 0) xre.length else n
     val re = cropOrPad(xre, nn)
     val im = cropOrPad(if (xim == null) new Array[Double](xre.length) else xim, nn)

@@ -104,10 +104,8 @@ object Filt {
     while (r < m) {
       var c = 0
       while (c < m) {
-        val comp = if (r == 0) -a(c + 1) else if (c == r - 1) 1.0 else 0.0 // companion(a)(r)(c)
         val compT = if (c == 0) -a(r + 1) else if (r == c - 1) 1.0 else 0.0 // companion.T(r)(c)
         iMinusA(r)(c) = (if (r == c) 1.0 else 0.0) - compT
-        val _ = comp
         c += 1
       }
       r += 1

@@ -183,6 +183,11 @@ object Bridge {
     val pr = d(prom); val lb = lbase.toIntArray(); val rb = rbase.toIntArray()
     require(pr.length == ps.length && lb.length == ps.length && rb.length == ps.length,
       s"prominence_data arrays (${pr.length}/${lb.length}/${rb.length}) must parallel peaks (${ps.length})")
+    // the promData path bypasses Peaks.prominence, the only other place
+    // that range-checks peak indices — validate here so a bad index
+    // fails loudly instead of AIOOBE inside the width walk
+    ps.foreach(peak => require(peak >= 0 && peak < xs.length,
+      s"peakWidthsP: peak $peak outside signal of length ${xs.length}"))
     val n = ps.length
     val w = new Array[Double](n); val h = new Array[Double](n)
     val l = new Array[Double](n); val r = new Array[Double](n)
@@ -216,6 +221,7 @@ object Bridge {
     require(mod > 0 && base > 0 && (mod - 1) <= (Long.MaxValue - 0x10FFFF) / base,
       s"winnow: mod $mod with base $base overflows the 64-bit rolling hash; " +
         s"use mod <= ${(Long.MaxValue - 0x10FFFF) / base}")
+    require(k >= 1 && w >= 1, s"winnow: need k >= 1 and w >= 1, got k=$k w=$w")
     val str = s.toString
     // codepoints
     val cps = new Array[Int](str.length)
@@ -335,6 +341,8 @@ object Bridge {
   /** Cosine similarity in one pass (dot and both norms together). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    require(x.length == y.length,
+      s"cosine: length mismatch ${x.length} vs ${y.length}")
     var d = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < x.length) {
@@ -363,6 +371,8 @@ object Bridge {
   /** cosine(float corpus vector, double query vector). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray(); val y = b.toDoubleArray()
+    require(x.length == y.length,
+      s"cosineF: length mismatch ${x.length} vs ${y.length}")
     var d = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < x.length) {
@@ -376,6 +386,8 @@ object Bridge {
   /** cosine(float, float) for corpus-internal pair scoring. */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray(); val y = b.toFloatArray()
+    require(x.length == y.length,
+      s"cosineFF: length mismatch ${x.length} vs ${y.length}")
     var d = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < x.length) {

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   *
   * Scores are expected fixed-point (LongType) so ranking is
   * deterministic across engines (ties broken by id).
+  *
+  * SET semantics, deliberately: an identical (score, id) pair added
+  * twice counts once. That is the contract a ranked NEIGHBOR list
+  * needs — multi-table LSH / multi-probe IVF legitimately emit the
+  * same candidate several times, and a top-k that listed one neighbor
+  * twice would be wrong. Callers needing multiset top-k over
+  * non-unique ids must disambiguate the id first.
   */
 case class TopKAgg(
     score: Expression,

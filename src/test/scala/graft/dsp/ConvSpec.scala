@@ -186,6 +186,35 @@ class ConvSpec extends AnyFunSuite {
     }
   }
 
+  test("empty inputs are rejected loudly, not NegativeArraySizeException/zeros") {
+    val v = Array(1.0, 2.0)
+    val e0 = Array.empty[Double]
+    for (m <- Seq("direct", "fft", "auto")) {
+      intercept[IllegalArgumentException](Conv.convolve(e0, v, "full", m))
+      intercept[IllegalArgumentException](Conv.convolve(v, e0, "full", m))
+      intercept[IllegalArgumentException](Conv.convolve(e0, e0, "full", m))
+      intercept[IllegalArgumentException](
+        Conv.convolveComplex(e0, e0, v, v, "full", m))
+    }
+  }
+
+  test("fftconvolveNd valid accepts the in2-dominant case like scipy") {
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(0.5, -1.0, 0.25, 2.0, 1.5, -0.5, 1.0)
+    // 1-D: the dedicated path already swap-handles n2 > n1
+    val want = Conv.convolve(a, b, "valid")
+    val (got, sh) = Conv.fftconvolveNd(a, Array(3), b, Array(7), "valid")
+    assert(sh.toSeq == Seq(want.length))
+    assert(Golden.maxAbsDiff(got, want) < tol)
+    // swapped operands agree (commutativity of valid with swap)
+    val (got2, sh2) = Conv.fftconvolveNd(b, Array(7), a, Array(3), "valid")
+    assert(sh2.toSeq == sh.toSeq && Golden.maxAbsDiff(got2, got) < tol)
+    // mixed dominance still rejected
+    intercept[IllegalArgumentException](
+      Conv.fftconvolveNd(Array.fill(6)(1.0), Array(2, 3),
+        Array.fill(6)(1.0), Array(3, 2), "valid"))
+  }
+
   test("complex kernel algebra: delta identity, commutativity, correlate duality") {
     val rnd = new scala.util.Random(11)
     def vec(n: Int) = Array.fill(n)(rnd.nextGaussian())
