@@ -155,4 +155,114 @@ object TextOps {
     graft.functions.Functions.install(df.sparkSession)
     df.select(col(idCol), explode(winnowC(normalize(col(textCol)), k, w)).as("fp"))
   }
+
+  /** Salted deterministic hash bucket in [0, 10000): the sampling
+    * twin of hashSplit's bucket. The salt decorrelates independent
+    * decisions made from the same id — sampling with the split's
+    * bucket would preferentially eat the val/test permille ranges.
+    */
+  private def saltedBucket(idCol: String, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long") % 10000
+
+  /** Deterministic per-stratum rate sampling — the corpus-reweighting
+    * primitive of a training-data mix (e.g. keep 20% of "en", all of
+    * "de"): a row survives iff its salted hash bucket falls below
+    * rate×10000. Map-side only — no shuffle, no RNG: reproducible
+    * across runs, engines and cluster sizes, and stable under corpus
+    * growth (a kept doc stays kept when more data arrives, unlike
+    * rand()-based sampling, so incremental pipeline re-runs don't
+    * churn the training set). Strata values absent from `rates` get
+    * `defaultRate`. Rate granularity is 1/10000 (permyriad).
+    */
+  def sampleByRates(df: DataFrame, idCol: String, strataCol: String,
+                    rates: Seq[(String, Double)],
+                    defaultRate: Double = 1.0): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0),
+      "sampling rates must be in [0, 1]")
+    val thr = rates.foldRight(lit(math.round(defaultRate * 10000).toInt): Column) {
+      case ((sv, r), els) =>
+        when(col(strataCol) === sv, lit(math.round(r * 10000).toInt)).otherwise(els)
+    }
+    df.filter(saltedBucket(idCol, "smp|") < thr)
+  }
+
+  /** Deterministic per-stratum quota sample: the `n` rows with the
+    * smallest salted hashes in each stratum, ranked 1..n (hash order,
+    * ties by id) — "exactly 200 eval docs per language" without RNG.
+    *
+    * Implemented with the bounded-heap [[graft.functions.TopKAgg]]
+    * over the NEGATED hash (its heap keeps largest): every map task
+    * reduces its partition to ≤ n candidates per stratum BEFORE the
+    * exchange, so the shuffle carries O(n × partitions × strata) rows
+    * and the corpus never moves. The row_number() plan this replaces
+    * would hash-partition whole strata and sort them — one straggler
+    * task per mega-stratum ("en" is half the web) at 100 TB.
+    *
+    * `idCol` must be integral (the heap entry is (long, long)); the
+    * rank order matches SQL `ROW_NUMBER() OVER (PARTITION BY stratum
+    * ORDER BY hash, id)` exactly.
+    */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String, n: Int): DataFrame = {
+    require(n > 0, "quota must be positive")
+    val negh = -conv(substring(md5(concat(lit("quota|"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    df.select(col(strataCol).as("stratum"), negh.as("_negh"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy("stratum")
+      .agg(graft.functions.TopKAgg.topK(col("_negh"), col("_id"), n).as("_top"))
+      .select(col("stratum"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col("stratum"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.id").as(idCol))
+  }
+
+  /** Cross-document repeated n-gram coverage — the boilerplate /
+    * benchmark-contamination signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): a 3-word shingle is
+    * "common" when it occurs in ≥ `minDocs` DISTINCT documents; per
+    * document report total shingle occurrences, occurrences of common
+    * shingles, and the covered fraction (docs with <3 words report
+    * zeros). Decontamination against an eval set is this op with
+    * `minDocs=1` and the shingle universe swapped for the benchmark's.
+    *
+    * Scale shape: document frequency comes from two hash aggregations
+    * (groupBy(id, s) then groupBy(s)) — both partial-aggregatable, so
+    * a universal boilerplate shingle ("click here to …" in 10⁹ docs)
+    * is map-side combined instead of flooding one partition, which is
+    * why this is NOT a count() window over s (windows have no partial
+    * agg — the mega-shingle partition would straggle at 100 TB). The
+    * common-shingle set joins back as a LEFT "is-common" flag and
+    * unhinted: AQE broadcasts it when it is actually small
+    * (boilerplate usually is) and falls back to a shuffle join when
+    * it isn't; total and common occurrences then come out of ONE
+    * per-doc aggregate, not two branches. The per-(doc, shingle)
+    * occurrence frame is consumed twice (doc-frequency and the flag
+    * join) and persisted — it is bounded by the corpus token count,
+    * spills to disk, and is far cheaper than recomputing the regex
+    * split + explode.
+    */
+  def commonNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+                          minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(minDocs >= 1, "minDocs must be >= 1")
+    val occ = Dedup.shingleFrame(df, idCol, textCol)
+      .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("cnt"))
+      .persist(MEMORY_AND_DISK)
+    // one row per (doc, shingle) above → count(*) = document frequency
+    val common = occ.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("s"), lit(1).as("_common"))
+    val perDoc = occ.join(common, Seq("s"), "left")
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_sh"),
+        sum(when(col("_common").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_common"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("coverage", when(col("n_sh") > 0,
+        col("n_common").cast("double") / col("n_sh")).otherwise(lit(0.0)))
+  }
 }

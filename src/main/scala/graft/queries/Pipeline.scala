@@ -438,6 +438,82 @@ object Pipeline {
       |       ELSE 'train' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Deterministic corpus reweighting: downsample en to 20%, zh to
+    * 50%, keep everything else — the mixture knob of a training-data
+    * pipeline, zero-shuffle (TextOps.sampleByRates).
+    */
+  def textSample(s: SparkSession, dir: String): DataFrame =
+    TextOps.sampleByRates(docs(s, dir), "doc_id", "lang",
+      Seq("en" -> 0.2, "zh" -> 0.5))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val textSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang FROM b
+      |WHERE bk < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 10000 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic per-language quota (20 docs each, hash-ranked) via
+    * the bounded-heap TopKAgg — shuffle carries ≤ n×partitions rows
+    * per stratum, never the stratum (TextOps.quotaSample).
+    */
+  def textQuota(s: SparkSession, dir: String): DataFrame =
+    TextOps.quotaSample(docs(s, dir), "doc_id", "lang", n = 20)
+      .orderBy("stratum", "rank")
+
+  private val textQuotaSql: String =
+    """WITH h AS (
+      |  SELECT lang AS stratum, doc_id,
+      |    CAST(('0x' || substr(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents
+      |), r AS (
+      |  SELECT stratum, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hv, doc_id) AS rk
+      |  FROM h
+      |)
+      |SELECT stratum, CAST(rk AS INT) AS rank, doc_id
+      |FROM r WHERE rk <= 20 ORDER BY 1, 2""".stripMargin
+
+  /** Cross-doc repeated-3-gram coverage (boilerplate/contamination
+    * signal): shingles occurring in ≥2 distinct docs are "common";
+    * per doc, total/common occurrence counts + covered fraction.
+    */
+  def textCommonNgrams(s: SparkSession, dir: String): DataFrame =
+    TextOps.commonNgramCoverage(docs(s, dir), "doc_id", "text", minDocs = 2)
+      .select(col("doc_id"), col("n_sh"), col("n_common"),
+        fp6(col("coverage")).as("cov_fp"))
+      .orderBy("doc_id")
+
+  private val textCommonNgramsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                         for i in generate_series(1, len(ws) - 2)]) AS s
+       |  FROM w WHERE len(ws) >= 3
+       |), occ AS (
+       |  SELECT doc_id, s, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+       |), com AS (
+       |  SELECT s FROM occ GROUP BY s HAVING COUNT(*) >= 2
+       |), agg AS (
+       |  SELECT o.doc_id,
+       |    CAST(SUM(o.cnt) AS BIGINT) AS n_sh,
+       |    CAST(SUM(CASE WHEN c.s IS NOT NULL THEN o.cnt ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM occ o LEFT JOIN com c ON c.s = o.s
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_sh, 0) AS n_sh,
+       |  COALESCE(a.n_common, 0) AS n_common,
+       |  ${fpSql("CASE WHEN COALESCE(a.n_sh, 0) > 0 THEN CAST(a.n_common AS DOUBLE) / a.n_sh ELSE 0.0 END", "1e6")} AS cov_fp
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY 1""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprintFrame(docs(s, dir), "text", "doc_id")
       .orderBy("doc_id", "fp")
@@ -591,6 +667,9 @@ object Pipeline {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_split" -> (textSplit _),
+    "text_sample" -> (textSample _),
+    "text_quota" -> (textQuota _),
+    "text_common_ngrams" -> (textCommonNgrams _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -613,6 +692,9 @@ object Pipeline {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_split" -> textSplitSql,
+    "text_sample" -> textSampleSql,
+    "text_quota" -> textQuotaSql,
+    "text_common_ngrams" -> textCommonNgramsSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

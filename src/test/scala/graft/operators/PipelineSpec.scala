@@ -285,4 +285,71 @@ class PipelineSpec extends SparkTestBase {
     assert(byDoc(1L) == byDoc(2L))
     assert(byDoc(1L) == Set("hello world foo"))
   }
+
+  private def sampleCorpus = (1 to 400)
+    .map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+    .toDF("doc_id", "stratum")
+
+  test("sampleByRates: deterministic, stratum-scoped, and nested by rate") {
+    val df = sampleCorpus
+    def kept(rates: Seq[(String, Double)]): Set[Long] =
+      TextOps.sampleByRates(df, "doc_id", "stratum", rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(Seq("a" -> 1.0, "b" -> 1.0)).size == 400)
+    assert(kept(Seq("a" -> 0.0)) == (1 to 400).filter(_ % 2 == 1).map(_.toLong).toSet)
+    // hash-threshold sampling is NESTED: raising a rate only adds docs
+    // (the property that keeps incrementally re-run pipelines stable)
+    val k3 = kept(Seq("a" -> 0.3)); val k6 = kept(Seq("a" -> 0.6))
+    assert(k3.subsetOf(k6))
+    assert(k3.size < k6.size && k6.size < 400)
+    // rates only touch their own stratum
+    assert(k3.count(_ % 2 == 1) == 200)
+    // deterministic across runs
+    assert(kept(Seq("a" -> 0.3)) == k3)
+  }
+
+  test("quotaSample matches row_number-over-hash reference, multi-partition") {
+    val df = sampleCorpus.repartition(7) // force partial-agg merges
+    val got = TextOps.quotaSample(df, "doc_id", "stratum", n = 15)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // reference ranking: same salted hash computed via Spark SQL,
+    // sorted (hash, id) in plain Scala
+    val hv = sampleCorpus.selectExpr("stratum", "doc_id",
+      "cast(conv(substring(md5(concat('quota|', cast(doc_id as string))), 1, 15), 16, 10) as long) as h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = hv.groupBy(_._1).toSeq.flatMap { case (st, rows) =>
+      rows.sortBy(t => (t._3, t._2)).take(15).zipWithIndex
+        .map { case ((_, id, _), i) => (st, i + 1, id) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    // quota larger than the stratum returns the whole stratum, ranked
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "stratum")
+    val all = TextOps.quotaSample(tiny, "doc_id", "stratum", n = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(all.map(_._2).toSet == Set(1L, 2L) && all.map(_._1).toSeq == Seq(1, 2))
+  }
+
+  test("commonNgramCoverage: shared shingles counted by occurrence, short docs zero") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),      // shingles: abg, bgd
+      (2L, "alpha beta gamma epsilon"),    // shingles: abg, bge
+      (3L, "one two three one two three one two"), // repeated shingles, none shared
+      (4L, "too short")                    // <3 words -> zeros
+    ).toDF("doc_id", "text")
+    val out = TextOps.commonNgramCoverage(df, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))  // "alpha beta gamma" shared with doc 2
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    // doc 3's shingles repeat WITHIN the doc (6 occurrences) but appear
+    // in one distinct doc only -> not common at minDocs=2
+    assert(out(3L) == ((6L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // minDocs=1 marks everything common (the decontamination degenerate)
+    val all1 = TextOps.commonNgramCoverage(df, "doc_id", "text", minDocs = 1)
+      .filter(col("n_sh") > 0)
+      .collect().map(r => r.getDouble(3))
+    assert(all1.forall(_ == 1.0))
+  }
 }

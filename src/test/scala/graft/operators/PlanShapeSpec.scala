@@ -62,6 +62,22 @@ class PlanShapeSpec extends SparkTestBase {
       Array(0.5, 0.5), chunkSize = 32)) == 2)
   }
 
+  test("sampling/coverage shuffle budget: rates=0, quota=1, common-ngrams=4") {
+    val strat = docs.withColumn("lang", expr("CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END"))
+    // pure map-side filter: the whole point of hash-threshold sampling
+    assert(hashExchanges(
+      TextOps.sampleByRates(strat, "doc_id", "lang", Seq("a" -> 0.5))) == 0)
+    // one partial-aggregated groupBy(stratum); corpus never shuffles
+    assert(hashExchanges(
+      TextOps.quotaSample(strat, "doc_id", "lang", 3)) == 1)
+    // shingle repartition(id) (reused by the groupBy(id,s) occurrence
+    // agg), groupBy(s) for doc-frequency, the flag join's probe-side
+    // exchange on s, and the single per-doc aggregate — the doc-spine
+    // left join reuses the aggregate's hash(id) partitioning
+    assert(hashExchanges(
+      TextOps.commonNgramCoverage(docs, "doc_id", "text")) == 4)
+  }
+
   test("dedup shuffle budget: exact=1, simhash pairs=1, minhash candidates=3") {
     assert(hashExchanges(Dedup.exact(docs, "doc_id", "text")) == 1)
     // one shared shuffle for all 20 Manku block tables
