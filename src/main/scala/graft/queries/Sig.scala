@@ -234,6 +234,101 @@ object Sig {
        |GROUP BY a.user_id, a.j
        |ORDER BY 1, 2""".stripMargin
 
+  /** fft with an explicit n=56 (reference parameterizes every FFT test
+    * over n, tests/test_signal.py:358-373): per-user series are 49-86
+    * samples at the oracle SF, so ONE n exercises BOTH paths — users
+    * with more than 56 events are cropped, users with fewer are
+    * zero-padded. The output coordinate follows the n-override rule
+    * fftfreq(n, delta/n) with delta still computed from the FULL input
+    * series (seriesify runs before the kernel sees n).
+    */
+  def sigFftN(s: SparkSession, dir: String): DataFrame =
+    Signal.fft(
+      evReal(s, dir).select(col("user_id"), col("t"),
+        col("value").as("re"), lit(0.0).as("im")),
+      Seq("user_id"), "t", "re", "im", newdim = "freq", n = 56)
+      .select(col("user_id"), col("pos"),
+        fp(col("freq"), 1e9).as("freq_fp"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  /** Direct n-point DFT over the first min(n, 56) samples (zero padding
+    * adds nothing to the sum); freq mirrors the engine's exact
+    * fftfreq(56, delta/56) expression shape. mid = (56-1)//2+1 = 28.
+    */
+  private val sigFftNSql: String =
+    s"""$sSql, d AS (
+       |  SELECT user_id, CASE WHEN COUNT(*) > 1 THEN (MAX(t) - MIN(t))/(COUNT(*) - 1) ELSE 1.0 END AS delta
+       |  FROM s GROUP BY 1
+       |), grid AS (
+       |  SELECT user_id, k FROM (SELECT DISTINCT user_id FROM s), range(56) r(k)
+       |)
+       |SELECT g.user_id, CAST(g.k AS INT) AS pos,
+       |  ${fpSql("(CASE WHEN g.k < 28 THEN g.k ELSE g.k - 56 END) * (1.0/(56 * (d.delta/56)))", "1e9")} AS freq_fp,
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*g.k*b.j/56))", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*g.k*b.j/56))", "1e4")} AS im_fp
+       |FROM grid g JOIN s b ON b.user_id = g.user_id AND b.j < 56
+       |JOIN d ON d.user_id = g.user_id
+       |GROUP BY g.user_id, g.k, d.delta
+       |ORDER BY 1, 2""".stripMargin
+
+  /** irfft with explicit n on the 64-frame rfft (33 bins): n=48 CROPS
+    * the spectrum (bins 0..24, bin 24 becomes the real Nyquist) and
+    * n=96 ZERO-PADS it (bins 33..48 empty) — the two halves of the
+    * reference's n-parameterized irfft tests
+    * (tests/test_signal.py:448-467) in one query, tagged by `nfft`.
+    * Output coord pins the n-override rule fftfreq(n, delta/n) with
+    * the spectrum's pos spacing delta=1 → integer frequencies.
+    * Scale 4.8e4: resonant outputs are exact I/4800 (n=48) or I/9600
+    * (n=96) rationals — 48000 maps both to integers (10·I / 5·I), off
+    * the .5 floor boundary that a power-of-10 scale would hit.
+    */
+  def sigIrfftN(s: SparkSession, dir: String): DataFrame = {
+    val f = Signal.rfft(ev64(s, dir), Seq("user_id"), "t", "value", newdim = "freq")
+    def leg(nn: Int): DataFrame =
+      Signal.irfft(f, Seq("user_id"), "pos", newdim = "co", n = nn)
+        .select(col("user_id"), lit(nn).as("nfft"), col("pos"),
+          fp6(col("co")).as("co_fp"), fp(col("value"), 4.8e4).as("value_fp"))
+    leg(48).union(leg(96)).orderBy("user_id", "nfft", "pos")
+  }
+
+  private val sigIrfftNSql: String =
+    s"""$s64Sql, X AS (
+       |  SELECT a.user_id, a.j AS k,
+       |    SUM(b.value * COS(-2*PI()*a.j*b.j/64)) AS re,
+       |    SUM(b.value * SIN(-2*PI()*a.j*b.j/64)) AS im
+       |  FROM s a JOIN s b ON a.user_id = b.user_id
+       |  WHERE a.j <= 32 GROUP BY 1, 2
+       |), u AS (
+       |  SELECT DISTINCT user_id FROM s
+       |), y48 AS (
+       |  SELECT g.user_id, g.tt,
+       |    SUM(CASE WHEN x.k = 0 THEN x.re
+       |             WHEN x.k = 24 THEN (CASE WHEN g.tt % 2 = 0 THEN x.re ELSE -x.re END)
+       |             WHEN x.k < 24 THEN 2*(x.re*COS(2*PI()*x.k*g.tt/48) - x.im*SIN(2*PI()*x.k*g.tt/48))
+       |             ELSE 0 END) / 48 AS v
+       |  FROM (SELECT user_id, tt FROM u, range(48) r(tt)) g
+       |  JOIN X x ON x.user_id = g.user_id
+       |  GROUP BY 1, 2
+       |), y96 AS (
+       |  SELECT g.user_id, g.tt,
+       |    SUM(CASE WHEN x.k = 0 THEN x.re
+       |             ELSE 2*(x.re*COS(2*PI()*x.k*g.tt/96) - x.im*SIN(2*PI()*x.k*g.tt/96)) END) / 96 AS v
+       |  FROM (SELECT user_id, tt FROM u, range(96) r(tt)) g
+       |  JOIN X x ON x.user_id = g.user_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT user_id, 48 AS nfft, CAST(tt AS INT) AS pos,
+       |  ${fpSql("CAST(CASE WHEN tt < 24 THEN tt ELSE tt - 48 END AS DOUBLE) * (1.0/(48 * (1.0/48)))", "1e6")} AS co_fp,
+       |  ${fpSql("v", "4.8e4")} AS value_fp
+       |FROM y48
+       |UNION ALL
+       |SELECT user_id, 96 AS nfft, CAST(tt AS INT) AS pos,
+       |  ${fpSql("CAST(CASE WHEN tt < 48 THEN tt ELSE tt - 96 END AS DOUBLE) * (1.0/(96 * (1.0/96)))", "1e6")} AS co_fp,
+       |  ${fpSql("v", "4.8e4")} AS value_fp
+       |FROM y96
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** fftshift rotates values and coords together; pos is the
     * post-shift position: p = (j + n/2) mod n.
     */
@@ -391,6 +486,83 @@ object Sig {
        |FROM s, (VALUES (0, 0.5, -0.2), (1, 0.3, 0.1), (2, 0.2, 0.4)) h(i, wr, wi)
        |GROUP BY s.user_id, s.j + (2 - h.i)
        |ORDER BY 1, 2""".stripMargin
+
+  /** sCxSql + per-user length n (the same/valid mode windows need it). */
+  private val sCxnSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value AS re,
+      |         CAST(event_id % 97 AS DOUBLE) AS im
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, re) - 1 AS j,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |         re, im
+      |  FROM raw
+      |)""".stripMargin
+
+  /** Complex convolve/correlate in modes same AND valid — the trim
+    * arithmetic for two-sided complex kernels (same start (m-1)//2,
+    * valid start m-1, correlate lag reversal j+(m-1-i)) was previously
+    * golden-only; this pins all four combinations end-to-end in one
+    * query, tagged (op, mode). Catalyst's ReuseExchange dedupes the
+    * four identical seriesify subtrees, so the plan pays one events
+    * shuffle, not four.
+    */
+  def sigComplexModes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = Seq((0.0, 0.5, -0.2), (1.0, 0.3, 0.1), (2.0, 0.2, 0.4))
+      .toDF("t", "re", "im")
+    def leg(op: String, mode: String): DataFrame = {
+      val f =
+        if (op == "conv")
+          Signal.convolveComplex(evCx(s, dir), k, Seq("user_id"), "t", "re", "im", mode)
+        else
+          Signal.correlateComplex(evCx(s, dir), k, Seq("user_id"), "t", "re", "im", mode)
+      f.select(col("user_id"), lit(op).as("op"), lit(mode).as("mode"),
+        col("pos"), fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+    }
+    leg("conv", "same").union(leg("conv", "valid"))
+      .union(leg("corr", "same")).union(leg("corr", "valid"))
+      .orderBy("user_id", "op", "mode", "pos")
+  }
+
+  /** The four windowed direct sums. m=3: conv same pos = j+i-1 in
+    * [0, n); conv valid pos = j+i-2 in [0, n-3]; corr flips the kernel
+    * (lag j+(2-i)) and conjugates (sign flips on wi), same windows.
+    */
+  private val sigComplexModesSql: String = {
+    val hh = "(VALUES (0, 0.5, -0.2), (1, 0.3, 0.1), (2, 0.2, 0.4)) h(i, wr, wi)"
+    s"""$sCxnSql
+       |SELECT s.user_id, 'conv' AS op, 'same' AS mode, CAST(s.j + h.i - 1 AS INT) AS pos,
+       |  ${fpSql("SUM(s.re * h.wr - s.im * h.wi)", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(s.re * h.wi + s.im * h.wr)", "1e6")} AS im_fp
+       |FROM s, $hh
+       |WHERE s.j + h.i - 1 >= 0 AND s.j + h.i - 1 < s.n
+       |GROUP BY s.user_id, s.j + h.i - 1
+       |UNION ALL
+       |SELECT s.user_id, 'conv' AS op, 'valid' AS mode, CAST(s.j + h.i - 2 AS INT) AS pos,
+       |  ${fpSql("SUM(s.re * h.wr - s.im * h.wi)", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(s.re * h.wi + s.im * h.wr)", "1e6")} AS im_fp
+       |FROM s, $hh
+       |WHERE s.j + h.i - 2 >= 0 AND s.j + h.i - 2 <= s.n - 3
+       |GROUP BY s.user_id, s.j + h.i - 2
+       |UNION ALL
+       |SELECT s.user_id, 'corr' AS op, 'same' AS mode, CAST(s.j + 1 - h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.re * h.wr + s.im * h.wi)", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(s.im * h.wr - s.re * h.wi)", "1e6")} AS im_fp
+       |FROM s, $hh
+       |WHERE s.j + 1 - h.i >= 0 AND s.j + 1 - h.i < s.n
+       |GROUP BY s.user_id, s.j + 1 - h.i
+       |UNION ALL
+       |SELECT s.user_id, 'corr' AS op, 'valid' AS mode, CAST(s.j - h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.re * h.wr + s.im * h.wi)", "1e6")} AS re_fp,
+       |  ${fpSql("SUM(s.im * h.wr - s.re * h.wi)", "1e6")} AS im_fp
+       |FROM s, $hh
+       |WHERE s.j - h.i >= 0 AND s.j - h.i <= s.n - 3
+       |GROUP BY s.user_id, s.j - h.i
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
 
   /** Overlap-save chunked convolution (chunk=32 → ~3 chunks/series at
     * the oracle SF) must agree with the direct full-mode oracle
@@ -665,6 +837,47 @@ object Sig {
        |)
        |SELECT user_id, CAST(tt AS INT) AS pos,
        |  ${fpSql("SQRT(are*are + aim*aim)", "1e4")} AS env_fp
+       |FROM A ORDER BY 1, 2""".stripMargin
+
+  /** hilbert(N=48) on the 64-frame (tests/test_signal.py:570-576): the
+    * series is CROPPED to 48 samples before the transform, and the
+    * output coordinate becomes the N-point linear interpolation of the
+    * original span — c_i = cmin + i·(cmax−cmin)/N = i·63/48 = 21i/16,
+    * an exact binary fraction, so fp6 on the coord is exact on both
+    * engines. re/im at scale 4.8e4: resonant outputs are exact I/4800
+    * or I/9600 rationals (2-decimal data, /48 synthesis, ±1/2 cosines)
+    * → integers at 48000, off the .5 floor boundary.
+    */
+  def sigHilbertN(s: SparkSession, dir: String): DataFrame =
+    Signal.hilbert(ev64(s, dir), Seq("user_id"), "t", "value", n = 48)
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp(col("re"), 4.8e4).as("re_fp"), fp(col("im"), 4.8e4).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  /** Double DFT over the cropped 48 samples with the analytic-signal
+    * step weights (w0 = w24 = 1, else 2, upper half zero).
+    */
+  private val sigHilbertNSql: String =
+    s"""$s64Sql, X AS (
+       |  SELECT a.user_id, a.j AS k,
+       |    SUM(b.value * COS(-2*PI()*a.j*b.j/48)) AS re,
+       |    SUM(b.value * SIN(-2*PI()*a.j*b.j/48)) AS im
+       |  FROM s a JOIN s b ON a.user_id = b.user_id AND b.j < 48
+       |  WHERE a.j <= 24 GROUP BY 1, 2
+       |), A AS (
+       |  SELECT g.user_id, g.j AS tt,
+       |    SUM((CASE WHEN x.k = 0 OR x.k = 24 THEN 1.0 ELSE 2.0 END)
+       |        * (x.re*COS(2*PI()*x.k*g.j/48) - x.im*SIN(2*PI()*x.k*g.j/48))) / 48 AS are,
+       |    SUM((CASE WHEN x.k = 0 OR x.k = 24 THEN 1.0 ELSE 2.0 END)
+       |        * (x.re*SIN(2*PI()*x.k*g.j/48) + x.im*COS(2*PI()*x.k*g.j/48))) / 48 AS aim
+       |  FROM s g JOIN X x ON x.user_id = g.user_id
+       |  WHERE g.j < 48
+       |  GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(tt AS INT) AS pos,
+       |  ${fpSql("CAST(tt AS DOUBLE) * (63.0 - 0.0) / 48", "1e6")} AS t_fp,
+       |  ${fpSql("are", "4.8e4")} AS re_fp,
+       |  ${fpSql("aim", "4.8e4")} AS im_fp
        |FROM A ORDER BY 1, 2""".stripMargin
 
   /** sosfilt with butter(4, 0.3) — recursive: rows-only + golden/e2e
@@ -960,6 +1173,10 @@ object Sig {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sig_rfft" -> (sigRfft _),
     "sig_fft" -> (sigFft _),
+    "sig_fft_n" -> (sigFftN _),
+    "sig_irfft_n" -> (sigIrfftN _),
+    "sig_hilbert_n" -> (sigHilbertN _),
+    "sig_complex_modes" -> (sigComplexModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
     "sig_ifft_roundtrip" -> (sigIfftRoundtrip _),
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
@@ -992,6 +1209,10 @@ object Sig {
   val oracleSql: Map[String, String] = Map(
     "sig_rfft" -> sigRfftSql,
     "sig_fft" -> sigFftSql,
+    "sig_fft_n" -> sigFftNSql,
+    "sig_irfft_n" -> sigIrfftNSql,
+    "sig_hilbert_n" -> sigHilbertNSql,
+    "sig_complex_modes" -> sigComplexModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,
     "sig_ifft_roundtrip" -> sigIfftRoundtripSql,
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
