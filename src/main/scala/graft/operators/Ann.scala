@@ -136,14 +136,18 @@ object Ann {
     * scanning.
     */
   def topkIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int = 16,
+              vecCol: String, k: Int, nCentroids: Option[Int] = None,
               nProbe: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
     graft.functions.Functions.install(corpus.sparkSession)
-    require(centroids.isEmpty || nCentroids == 16,
+    // Option, not a default-value sentinel: an explicitly-passed
+    // nCentroids alongside a centroids DataFrame is always rejected
+    // (ADVICE r7 — the old `== 16` guard let an explicit 16 through)
+    require(centroids.isEmpty || nCentroids.isEmpty,
       "nCentroids only parameterizes the stand-in quantizer; with a " +
         "caller-supplied centroids DataFrame the cell count is its row " +
         "count — don't pass both")
-    val centSrc = centroids.getOrElse(corpus.filter(col(idCol) < nCentroids))
+    val centSrc = centroids.getOrElse(
+      corpus.filter(col(idCol) < nCentroids.getOrElse(16)))
     val cents: Array[(Int, Array[Double])] = centSrc
       .select(col(idCol).cast("int"), asDouble(col(vecCol)))
       .collect()
@@ -154,13 +158,9 @@ object Ann {
       else s"no centroid vectors found: corpus has no $idCol < $nCentroids")
     require(cents.map(_._1).distinct.length == cents.length,
       "duplicate centroid ids")
-    // max over (dot, -cid) structs = best dot, smallest cid on ties
-    def cellOf(v: Column, dot: (Column, Array[Double]) => Column): Column =
-      (-array_max(array(cents.toSeq.map { case (cid, cv) =>
-        struct(dot(v, cv).as("d"), lit(-cid.toLong).as("ni"))
-      }: _*)).getField("ni")).cast("int")
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
-      .withColumn("_cell", cellOf(col("_cv"), (v, cv) => dotpFC(v, typedLit(cv))))
+      .withColumn("_cell",
+        cellExpr(cents.toSeq, (cid, cv) => dotpFC(col("_cv"), typedLit(cv))))
     val probeStructs = cents.toSeq.map { case (cid, cv) =>
       struct(dotpC(col("_qv"), typedLit(cv)).as("d"), lit(-cid.toLong).as("ni"))
     }
@@ -171,6 +171,119 @@ object Ann {
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
     topkOutput(scored, k)
+  }
+
+  /** argmax-dot cell id against a literal centroid table: max over
+    * struct(dot, -cid) = best dot, smallest cid on ties. `dot` closes
+    * over the vector column and builds the product for one centroid.
+    */
+  private def cellExpr(cents: Seq[(Int, Array[Double])],
+                       dot: (Int, Array[Double]) => Column): Column =
+    (-array_max(array(cents.map { case (cid, cv) =>
+      struct(dot(cid, cv).as("d"), lit(-cid.toLong).as("ni"))
+    }: _*)).getField("ni")).cast("int")
+
+  /** Spherical k-means coarse-quantizer fit (Lloyd iterations) for the
+    * IVF path — turns [[topkIvf]]'s stand-in quantizer into a trained
+    * one: feed the returned (cell id, centroid) frame through its
+    * `centroids` parameter.
+    *
+    * Deterministic and engine-replayable by construction:
+    *   - init = the `k` smallest-id corpus vectors, unit-normalized,
+    *     cell ids 0..k-1 in id order;
+    *   - assign = argmax dot(v, centroid), smallest cell on ties (the
+    *     same rule [[topkIvf]] applies at query time — with unit-norm
+    *     centroids argmax-dot IS argmin-Euclidean, so the fit metric
+    *     and the query metric agree);
+    *   - re-center = component mean, then re-normalize to unit norm
+    *     (spherical k-means); empty cells keep their previous centroid;
+    *   - every centroid component is QUANTIZED to the 1e-6 grid
+    *     (floor(x·1e6 + 0.5)/1e6) after init and after each re-center.
+    *     The quantization is what makes the fit reproducible: the
+    *     re-center means are full-corpus float sums whose value depends
+    *     on partition/summation order (Spark partial aggregation vs an
+    *     oracle engine's scan order), and collapsing them to a coarse
+    *     shared grid absorbs that ulp-level noise before it can flip a
+    *     borderline next-iteration assignment.
+    *
+    * Scale shape (one shuffle per Lloyd iteration): assignment is a
+    * map-side expression against broadcast centroid literals; the
+    * re-center is ONE hash aggregate with `dim` sum columns + count —
+    * partial aggregation reduces each partition to ≤ k rows before the
+    * exchange, so the shuffle carries O(k × partitions × dim) values,
+    * never the corpus. The only collect is the k-row centroid table per
+    * iteration (bounded, same contract as [[topkIvf]]'s literal
+    * centroids). At 100 TB the fit runs on a sample (pass a sampled
+    * corpus in) and the resulting cell id becomes a bucketing/partition
+    * column — see the partition-pruning test in PlanShapeSpec.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 2): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    require(k >= 1, "k must be positive")
+    require(iters >= 0, "iters must be nonnegative")
+    def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def normQuant(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val nr = math.sqrt(s)
+      v.map(x => quant(if (nr > 0) x / nr else 0.0))
+    }
+    val initRows = corpus
+      .select(col(idCol).cast("long").as("_id"), asDouble(col(vecCol)).as("_v"))
+      .orderBy(col("_id")).limit(k).collect()
+    require(initRows.length == k, s"corpus has fewer than $k vectors")
+    val dim = initRows.head.getSeq[Double](1).length
+    var cents: Array[Array[Double]] =
+      initRows.map(r => normQuant(r.getSeq[Double](1).toArray))
+    val vecs = vectors(corpus, idCol, vecCol, "_cid", "_cv")
+    for (_ <- 0 until iters) {
+      val centSeq = cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
+      val aggCols = (0 until dim).map(i =>
+        sum(element_at(col("_cv"), i + 1).cast("double")).as(s"_s$i")) :+
+        count(lit(1)).as("_cnt")
+      val rows = vecs
+        .withColumn("_cell",
+          cellExpr(centSeq, (_, cv) => dotpFC(col("_cv"), typedLit(cv))))
+        .groupBy(col("_cell"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val next = cents.clone() // empty cells keep their previous centroid
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val cnt = r.getLong(dim + 1).toDouble
+        next(cell) = normQuant(Array.tabulate(dim)(i => r.getDouble(i + 1) / cnt))
+      }
+      cents = next
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
+      .toDF(idCol, vecCol)
+  }
+
+  /** Map-side cell assignment against a trained centroid table — the
+    * write-time half of the 100 TB IVF story: partition (or bucket)
+    * the corpus by the returned cell column, and probe-side scans
+    * prune to the nProbe probed cells instead of reading the corpus
+    * (PlanShapeSpec pins the pruned-scan plan). Uses the identical
+    * argmax-dot / smallest-cell-tie rule as [[topkIvf]], so a stored
+    * layout and a query-time assignment never disagree.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                  vecCol: String, cellCol: String = "cell"): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    val cents = centroids
+      .select(col(idCol).cast("int"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroids DataFrame is empty")
+    // asDouble + the double kernel folds in the same index order as the
+    // float-native path (widen-then-multiply), so assignments match
+    // topkIvf's bit-for-bit on float corpora and also accept double ones
+    corpus.withColumn(cellCol,
+      cellExpr(cents.toSeq, (_, cv) => dotpC(asDouble(col(vecCol)), typedLit(cv))))
   }
 
   /** Embedding near-duplicate pairs: banded random-hyperplane blocking

@@ -291,7 +291,7 @@ object Pipeline {
 
   def annTopkIvf(s: SparkSession, dir: String): DataFrame =
     Ann.topkIvf(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
-      k = 3, nCentroids = 16, nProbe = 4)
+      k = 3, nCentroids = Some(16), nProbe = 4)
       .orderBy("query_id", "rank")
 
   /** IVF oracle: same deterministic quantizer (centroids = vec_id<16),
@@ -315,6 +315,91 @@ object Pipeline {
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
        |    FROM asg WHERE vec_id < 10) WHERE rk <= 4
+       |), candq AS (
+       |  SELECT DISTINCT qp.qid, ce.vec_id AS cid2
+       |  FROM qp JOIN cell ce ON ce.cid = qp.cid
+       |  WHERE ce.vec_id != qp.qid
+       |), dp AS (
+       |  SELECT cq.qid, cq.cid2 AS cid,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM candq cq JOIN ee ea ON ea.vec_id = cq.qid JOIN ee eb ON eb.vec_id = cq.cid2, idx i
+       |  GROUP BY 1, 2
+       |)${annRerankTailSql(3)}""".stripMargin
+
+  /** IVF with a TRAINED quantizer: 2 Lloyd iterations of spherical
+    * k-means (k=16, smallest-id init, 1e-6-grid quantized centroids —
+    * see Ann.kmeansFit) feeding topkIvf's centroids parameter.
+    */
+  def annTopkIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val cents = Ann.kmeansFit(embs(s, dir), "vec_id", "embedding", k = 16, iters = 2)
+    Ann.topkIvf(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
+      k = 3, nProbe = 4, centroids = Some(cents))
+      .orderBy("query_id", "rank")
+  }
+
+  /** One unrolled Lloyd iteration over component-form centroids
+    * `cp` → `cn`: dots vs every centroid, argmax cell (tie → smallest
+    * cell), per-(cell, component) sums + count, normalized quantized
+    * mean, empty cells keep the previous centroid. Mirrors
+    * Ann.kmeansFit bit-for-bit (the 1e-6 grid absorbs sum-order ulps).
+    */
+  private def kmeansIterSql(cp: String, cn: String, t: Int): String =
+    s""", d$t AS (
+       |  SELECT e.vec_id, c.cell,
+       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
+       |  FROM ee e JOIN $cp c ON TRUE GROUP BY 1, 2
+       |), a$t AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM d$t) WHERE rk = 1
+       |), s$t AS (
+       |  SELECT a.cell, i.i, SUM(CAST(e.embedding[i.i] AS DOUBLE)) AS sm,
+       |    COUNT(*) AS cnt
+       |  FROM a$t a JOIN ee e ON e.vec_id = a.vec_id, idx i
+       |  GROUP BY 1, 2
+       |), m$t AS (
+       |  SELECT cell, i, sm / cnt AS m FROM s$t
+       |), n$t AS (
+       |  SELECT cell, SQRT(SUM(m * m)) AS nr FROM m$t GROUP BY 1
+       |), $cn AS (
+       |  SELECT c.cell, c.i,
+       |    COALESCE(FLOOR(m.m / n.nr * 1e6 + 0.5) / 1e6, c.cv) AS cv
+       |  FROM $cp c
+       |  LEFT JOIN m$t m ON m.cell = c.cell AND m.i = c.i
+       |  LEFT JOIN n$t n ON n.cell = c.cell
+       |)""".stripMargin
+
+  /** Trained-IVF oracle: replay the deterministic fit (init → 2 Lloyd
+    * iterations) in component form, then the same probe/rerank shape
+    * as [[annTopkIvfSql]] against the fitted centroids.
+    */
+  private val annTopkIvfTrainedSql: String =
+    s"""$embBaseSql, ini AS (
+       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM ee ORDER BY vec_id LIMIT 16
+       |), inorm AS (
+       |  SELECT n.cell,
+       |    SQRT(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(n.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ini n, idx i GROUP BY 1
+       |), c0 AS (
+       |  SELECT n.cell, i.i,
+       |    FLOOR(CAST(n.embedding[i.i] AS DOUBLE) / o.nr * 1e6 + 0.5) / 1e6 AS cv
+       |  FROM ini n JOIN inorm o ON o.cell = n.cell, idx i
+       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, fd AS (
+       |  SELECT e.vec_id, c.cell,
+       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
+       |  FROM ee e JOIN c2 c ON TRUE GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT vec_id, cell AS cid FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM fd) WHERE rk = 1
+       |), qp AS (
+       |  SELECT vec_id AS qid, cell AS cid FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM fd WHERE vec_id < 10) WHERE rk <= 4
        |), candq AS (
        |  SELECT DISTINCT qp.qid, ce.vec_id AS cid2
        |  FROM qp JOIN cell ce ON ce.cid = qp.cid
@@ -661,6 +746,7 @@ object Pipeline {
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
+    "ann_topk_ivf_trained" -> (annTopkIvfTrained _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -686,6 +772,7 @@ object Pipeline {
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
+    "ann_topk_ivf_trained" -> annTopkIvfTrainedSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

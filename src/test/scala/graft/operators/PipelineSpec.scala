@@ -210,10 +210,10 @@ class PipelineSpec extends SparkTestBase {
       d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     val bf = rows(Ann.topkBruteForce(df, q, "vec_id", "embedding", 4))
     val full = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
-      nCentroids = 4, nProbe = 4))
+      nCentroids = Some(4), nProbe = 4))
     assert(full == bf)
     // probing fewer cells returns ranked results drawn from the probed subset
-    val part = Ann.topkIvf(df, q, "vec_id", "embedding", 4, nCentroids = 4, nProbe = 2)
+    val part = Ann.topkIvf(df, q, "vec_id", "embedding", 4, nCentroids = Some(4), nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     val bfScores = bf.map(t => (t._1, t._3) -> t._4).toMap
     assert(part.nonEmpty)
@@ -221,6 +221,55 @@ class PipelineSpec extends SparkTestBase {
       // any (query, neighbor) also present in brute force must agree on score
       bfScores.get((qid, nid)).foreach(s => assert(s == score))
     }
+  }
+
+  test("kmeansFit: deterministic quantized unit centroids that separate planted clusters") {
+    // three tight direction-clusters in 8-d: members of cluster c point
+    // near axis c with small deterministic jitter
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 10f else 0f) + ((i * 8 + d) % 7).toFloat * 0.1f)
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val fit1 = Ann.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val fit2 = Ann.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    assert(fit1.map(_._1).toSeq == Seq(0, 1, 2))
+    // run-to-run determinism (the 1e-6 grid absorbs partial-agg order)
+    assert(fit1.zip(fit2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    fit1.foreach { case (_, cv) =>
+      // every component sits on the 1e-6 grid
+      cv.foreach(x => assert(x == math.floor(x * 1e6 + 0.5) / 1e6))
+      // unit norm up to quantization error (64 components × 5e-7)
+      assert(math.abs(math.sqrt(cv.map(x => x * x).sum) - 1.0) < 1e-4)
+    }
+    // after 2 iterations each centroid is dominated by one distinct axis
+    val axes = fit1.map { case (_, cv) => cv.indexOf(cv.max) }.toSet
+    assert(axes == Set(0, 1, 2))
+    // the fitted centroids drive assignment: members co-locate by cluster
+    val cells = Ann.assignCells(df, Ann.kmeansFit(df, "vec_id", "embedding", 3, 2),
+      "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0) % 3, r.getInt(2))).toSeq
+    assert(cells.groupBy(_._1).values.forall(g => g.map(_._2).distinct.size == 1))
+    assert(cells.map(_._2).distinct.size == 3)
+  }
+
+  test("kmeansFit: empty cells keep their previous centroid") {
+    // two identical far-out vectors + duplicates of one direction: with
+    // k=3 and smallest-id init, at least one init cell captures nothing
+    val vecs = Seq(
+      (0L, Array.fill(4)(1f)), (1L, Array.fill(4)(1f)), (2L, Array.fill(4)(1f)),
+      (3L, Array.fill(4)(1f)), (4L, Array.fill(4)(1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // all vectors identical → cells 1 and 2 capture nothing after the
+    // smallest-cell tie-break sends everything to cell 0
+    val fit = Ann.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val unit = Array.fill(4)(math.floor(0.5 * 1e6 + 0.5) / 1e6)
+    fit.foreach { case (_, cv) => assert(cv.sameElements(unit)) }
   }
 
   test("IVF with caller-supplied centroids matches the stand-in quantizer") {
@@ -234,7 +283,7 @@ class PipelineSpec extends SparkTestBase {
     // the identical result — proves the parameter drives the quantizer
     val sameCents = df.filter($"vec_id" < 4)
     val standIn = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
-      nCentroids = 4, nProbe = 2))
+      nCentroids = Some(4), nProbe = 2))
     val explicit = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
       nProbe = 2, centroids = Some(sameCents)))
     assert(explicit == standIn)

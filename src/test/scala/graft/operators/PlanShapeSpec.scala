@@ -78,6 +78,33 @@ class PlanShapeSpec extends SparkTestBase {
       TextOps.commonNgramCoverage(docs, "doc_id", "text")) == 4)
   }
 
+  test("IVF cell layout: probe-side parquet scan prunes cell partitions") {
+    // the 100 TB ANN story: corpus written partitioned by the trained
+    // cell id; a probe reading nProbe cells must touch only those
+    // partition directories, not the corpus
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (if (d == (i % 4).toInt) 10f else 0f) +
+        ((i * 8 + d) % 7).toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cells").toString
+    Ann.assignCells(vecs, cents, "vec_id", "embedding")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("cell").isin(0, 2))
+    val scans = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the cell predicate becomes a partition filter (pruned at planning,
+    // not a data filter applied after reading everything)
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("cell")))
+    probed.collect() // execute this plan so the scan metrics populate
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    val readFiles = scans.head.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"pruned scan read $readFiles of $totalFiles files")
+  }
+
   test("dedup shuffle budget: exact=1, simhash pairs=1, minhash candidates=3") {
     assert(hashExchanges(Dedup.exact(docs, "doc_id", "text")) == 1)
     // one shared shuffle for all 20 Manku block tables
