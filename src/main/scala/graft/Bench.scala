@@ -48,25 +48,31 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (ok) dt else -dt
     }
+    // Contention self-defense (VERDICT r7): a loaded host at start gets
+    // a THIRD run per query, and the per-run times ship in the artifact
+    // ("runs_detail") so a reviewer can read the spread off the JSON
+    // instead of burning a re-run to disprove phantom regressions.
+    val nRuns = if (loadStart > 2.5) 3 else 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val r1 = once(name, fn)
-      val best =
-        if (r1 < 0) r1
-        else {
-          // a failed RETRY must not discard the clean first measurement
-          // (a flake on run 2 is exactly the noise min-of-2 absorbs)
-          val r2 = once(name, fn)
-          if (r2 < 0) r1 else math.min(r1, r2)
-        }
-      (name, best)
+      // every run is attempted even when an earlier one failed: a
+      // transient first-run failure is the mirror image of the run-2
+      // contention noise min-of-N absorbs (ADVICE r7) — the query only
+      // reports failed when ALL runs fail
+      val runs = (0 until nRuns).map(_ => once(name, fn))
+      val oks = runs.filter(_ >= 0)
+      val best = if (oks.nonEmpty) oks.min else runs.max // all failed: least-negative
+      (name, best, runs)
     }
     val loadEnd = loadAvg
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, _, rs) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"runs_detail":$detail,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

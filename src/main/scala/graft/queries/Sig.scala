@@ -100,6 +100,32 @@ object Sig {
        |GROUP BY a.user_id, a.j, a.n, d.n, d.delta
        |ORDER BY 1, 2""".stripMargin
 
+  /** rfft over the PRE-GROUPED series layout — the telemetry-at-rest
+    * fast path (SURVEY §4): one row per series with sorted coord/value
+    * arrays, read straight from parquet and entered via
+    * [[Signal.fromGrouped]], so the signal op pays ZERO hash exchanges
+    * (SignalSpec pins the plan; this query is the bench evidence). The
+    * grouped variant is materialized once per sf under /tmp (checked
+    * via the _SUCCESS marker) by the same seriesify the long-frame
+    * path uses, so the output — and therefore the oracle — is
+    * identical to sig_rfft.
+    */
+  def sigRfftPregrouped(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"/tmp/graft_grouped/$tag/events_series"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Signal.seriesify(evReal(s, dir), Seq("user_id"), "t", Seq("value"))
+        .select(col("user_id"), col("coords"), col("value"))
+        .write.mode("overwrite").parquet(path)
+    }
+    Signal.rfft(Signal.fromGrouped(s.read.parquet(path), "coords"),
+        Seq("user_id"), "t", "value", newdim = "freq")
+      .select(col("user_id"), col("pos"),
+        fp(col("freq"), 1e9).as("freq_fp"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+  }
+
   /** rfft with norm="ortho" end-to-end — the DFT sum scaled by 1/√n
     * (reference signal.py:168,184 exposes the norm parameter; the
     * kernels implement all three norms but every other oracle runs
@@ -573,6 +599,32 @@ object Sig {
       Array(0.25, 0.5, 0.25), chunkSize = 32)
       .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
+
+  /** Overlap-save with FORCED-FFT chunks — true overlap-save, the
+    * O(n log m) path for long kernels (each 39-sample haloed chunk
+    * convolves via FFT instead of the direct sum). The oracle is the
+    * direct full-mode sum; parity is held by the fixed-point grid, not
+    * bit-identity: kernel taps are 1/2^k (k=1..8) over 2-decimal data,
+    * so every true output is an exact multiple of 1/25600 — scale
+    * 2.56e4 encodes them as integers, and the FFT's ~1e-12 noise can
+    * never move an integer across the .5 floor boundary (same
+    * power-of-two-taps trick as sig_fftconvolve3d).
+    */
+  def sigConvolveLongFft(s: SparkSession, dir: String): DataFrame =
+    Signal.convolveLong(evReal(installed(s), dir), Seq("user_id"), "t", "value",
+      Array(0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625),
+      chunkSize = 32, method = "fft")
+      .select(col("user_id"), col("pos"), fp(col("value"), 2.56e4).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigConvolveLongFftSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j + h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "2.56e4")} AS value_fp
+       |FROM s, (VALUES (0, 0.5), (1, 0.25), (2, 0.125), (3, 0.0625), (4, 0.03125),
+       |                (5, 0.015625), (6, 0.0078125), (7, 0.00390625)) h(i, w)
+       |GROUP BY s.user_id, s.j + h.i
+       |ORDER BY 1, 2""".stripMargin
 
   /** 2-D fftconvolve on the 64-frame reshaped to an 8×8 grid
     * (r = j div 8, c = j mod 8) with an asymmetric 2×2 kernel; the
@@ -1172,6 +1224,7 @@ object Sig {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sig_rfft" -> (sigRfft _),
+    "sig_rfft_pregrouped" -> (sigRfftPregrouped _),
     "sig_fft" -> (sigFft _),
     "sig_fft_n" -> (sigFftN _),
     "sig_irfft_n" -> (sigIrfftN _),
@@ -1188,6 +1241,7 @@ object Sig {
     "sig_convolve_same" -> (sigConvolveSame _),
     "sig_convolve_valid" -> (sigConvolveValid _),
     "sig_convolve_long" -> (sigConvolveLong _),
+    "sig_convolve_long_fft" -> (sigConvolveLongFft _),
     "sig_correlate" -> (sigCorrelate _),
     "sig_convolve_complex" -> (sigConvolveComplex _),
     "sig_correlate_complex" -> (sigCorrelateComplex _),
@@ -1208,6 +1262,7 @@ object Sig {
 
   val oracleSql: Map[String, String] = Map(
     "sig_rfft" -> sigRfftSql,
+    "sig_rfft_pregrouped" -> sigRfftSql,
     "sig_fft" -> sigFftSql,
     "sig_fft_n" -> sigFftNSql,
     "sig_irfft_n" -> sigIrfftNSql,
@@ -1224,6 +1279,7 @@ object Sig {
     "sig_convolve_same" -> sigConvolveSameSql,
     "sig_convolve_valid" -> sigConvolveValidSql,
     "sig_convolve_long" -> sigConvolveFullSql,
+    "sig_convolve_long_fft" -> sigConvolveLongFftSql,
     "sig_correlate" -> sigCorrelateSql,
     "sig_convolve_complex" -> sigConvolveComplexSql,
     "sig_correlate_complex" -> sigCorrelateComplexSql,
