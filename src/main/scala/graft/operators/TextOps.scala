@@ -205,6 +205,16 @@ object TextOps {
     */
   def quotaSample(df: DataFrame, idCol: String, strataCol: String, n: Int): DataFrame = {
     require(n > 0, "quota must be positive")
+    // fail fast on a non-integral id column: a string id would cast to
+    // null long, TopKAgg would skip it, and the sample would come back
+    // partial or empty with no error (ADVICE r7)
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"quotaSample: idCol '$idCol' must be integral (got $idType) — " +
+        "the bounded-heap entry carries it as a long")
     val negh = -conv(substring(md5(concat(lit("quota|"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("long")
     df.select(col(strataCol).as("stratum"), negh.as("_negh"),
@@ -241,6 +251,17 @@ object TextOps {
     * spills to disk, and is far cheaper than recomputing the regex
     * split + explode.
     */
+  /** The previous invocation's cached occurrence frame, per session:
+    * the returned DataFrame reads `occ` lazily, so it cannot be
+    * unpersisted inside the call — instead the NEXT invocation evicts
+    * it, bounding the session to one cached occ frame instead of one
+    * per call (ADVICE r7). A caller that re-collects an OLD result
+    * after a newer call recomputes the shingles (correct, just
+    * uncached).
+    */
+  private val lastOcc =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]
+
   def commonNgramCoverage(df: DataFrame, idCol: String, textCol: String,
                           minDocs: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -248,6 +269,7 @@ object TextOps {
     val occ = Dedup.shingleFrame(df, idCol, textCol)
       .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("cnt"))
       .persist(MEMORY_AND_DISK)
+    Option(lastOcc.put(df.sparkSession, occ)).foreach(_.unpersist(false))
     // one row per (doc, shingle) above → count(*) = document frequency
     val common = occ.groupBy(col("s")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs)

@@ -48,19 +48,29 @@ object Stream {
     * path, the standard micro-batch-sink pattern for full-result
     * refresh.
     */
-  private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,
-                        mode: String = "append"): DataFrame = {
-    val spark = ds.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name-").toFile
-    // deleteOnExit only removes EMPTY dirs; the sink/checkpoint trees
-    // need a recursive cleanup, deferred to JVM exit because the
-    // returned DataFrame lazily reads the files until then
+  /** Temp sink/checkpoint trees awaiting recursive cleanup at JVM exit
+    * (deferred that long because the returned DataFrame lazily reads
+    * the sink files; deleteOnExit only removes empty dirs). ONE shared
+    * hook drains the queue — a hook per call accumulated unboundedly
+    * across a long-lived harness process (ADVICE r7).
+    */
+  private val pendingTmp =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  private lazy val cleanupHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
-      rm(tmp)
+      var f = pendingTmp.poll()
+      while (f != null) { rm(f); f = pendingTmp.poll() }
     }))
+
+  private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,
+                        mode: String = "append"): DataFrame = {
+    val spark = ds.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name-").toFile
+    cleanupHookInstalled
+    pendingTmp.add(tmp)
     val out = new java.io.File(tmp, "out").getAbsolutePath
     val chk = new java.io.File(tmp, "chk").getAbsolutePath
     val writer = ds.toDF().writeStream.option("checkpointLocation", chk)
@@ -210,6 +220,83 @@ object Stream {
        |GROUP BY w.user_id, anchor.t_ms, k.b
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Streaming STFT with the event-time idle TTL LIVE and keys going
+    * idle mid-stream: 6-hour timeout, flushOnEvict = true. On the
+    * bounded stream the single data batch processes every event and
+    * advances the watermark to max(ts) − 10 min; the engine's no-data
+    * batch then fires the timeout for every user whose last event +
+    * TTL lies strictly below that watermark (per-user idle gaps span
+    * 0–59 h, so a 6 h TTL evicts roughly half the keys). Each evicted
+    * key's ≤ w−1 buffered samples flush as ONE zero-padded spectrum
+    * stamped with the last buffered sample's time. Output = the
+    * regular sliding windows (identical to stream_stft) plus the flush
+    * rows; the oracle replays both populations, including the leftover
+    * length rule l = 8 + (n mod 8) for n ≥ 16. The discard policy
+    * (flushOnEvict = false) needs no separate oracle: on a bounded
+    * stream it only drops state that would never emit, so its output
+    * IS stream_stft's — StreamingSpec pins that equivalence at the
+    * operator level.
+    *
+    * Extra sort keys on the fp columns: when n ≡ 0 (mod 8) the flush
+    * window ends at the same (user, end_ms, bin) as the last full
+    * window, so the value columns are needed for a total row order.
+    */
+  def streamStftTtl(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.streamingStft(eventStream(s, dir), w = 16, h = 8,
+        idleTimeoutMs = Some(21600000L), flushOnEvict = true),
+      "stream_stft_ttl_sink")
+      .select(col("user_id"), col("window_end_ms"), col("bin"),
+        Tables.fp4(col("re")).as("re_fp"), Tables.fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "window_end_ms", "bin", "re_fp", "im_fp")
+
+  private val streamStftTtlSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, epoch_us(ts) // 1000 AS t_ms,
+       |    value
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, t_ms, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, value) - 1 AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM e
+       |), win AS (
+       |  SELECT user_id, rn AS st, t_ms FROM s
+       |  WHERE rn % 8 = 0 AND rn + 16 <= n
+       |), m AS (
+       |  SELECT MAX(t_ms) AS mx FROM e
+       |), ev AS (
+       |  -- evicted keys: timeout (last + 6 h) strictly below the final
+       |  -- watermark (max - 10 min); leftover buffer length after the
+       |  -- emitted windows is 8 + (n mod 8) for n >= 16
+       |  SELECT user_id, MAX(t_ms) AS last_ms, COUNT(*) AS n,
+       |    CASE WHEN COUNT(*) < 16 THEN COUNT(*)
+       |         ELSE 8 + (COUNT(*) % 8) END AS l
+       |  FROM e, m GROUP BY user_id, m.mx
+       |  HAVING MAX(t_ms) + 21600000 < m.mx - 600000
+       |)
+       |SELECT * FROM (
+       |  SELECT w.user_id,
+       |    anchor.t_ms AS window_end_ms,
+       |    CAST(k.b AS INT) AS bin,
+       |    ${fpSql("SUM(x.value * COS(-2*PI()*k.b*(x.rn - w.st)/16))", "1e4")} AS re_fp,
+       |    ${fpSql("SUM(x.value * SIN(-2*PI()*k.b*(x.rn - w.st)/16))", "1e4")} AS im_fp
+       |  FROM win w
+       |  JOIN s anchor ON anchor.user_id = w.user_id AND anchor.rn = w.st + 15
+       |  JOIN s x ON x.user_id = w.user_id AND x.rn >= w.st AND x.rn < w.st + 16
+       |  CROSS JOIN range(9) k(b)
+       |  GROUP BY w.user_id, anchor.t_ms, k.b
+       |  UNION ALL
+       |  SELECT u.user_id, u.last_ms AS window_end_ms, CAST(k.b AS INT) AS bin,
+       |    ${fpSql("SUM(x.value * COS(-2*PI()*k.b*(x.rn - (u.n - u.l))/16))", "1e4")} AS re_fp,
+       |    ${fpSql("SUM(x.value * SIN(-2*PI()*k.b*(x.rn - (u.n - u.l))/16))", "1e4")} AS im_fp
+       |  FROM ev u
+       |  JOIN s x ON x.user_id = u.user_id AND x.rn >= u.n - u.l
+       |  CROSS JOIN range(9) k(b)
+       |  GROUP BY u.user_id, u.last_ms, u.n, u.l, k.b
+       |)
+       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Streaming exact dedup over a documents stream. WHICH duplicate
     * survives dropDuplicatesWithinWatermark is arbitrary (first
     * arrival), so the query emits each survivor's normalized content
@@ -245,6 +332,7 @@ object Stream {
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_stft" -> (streamStft _),
+    "stream_stft_ttl" -> (streamStftTtl _),
     "stream_dedup" -> (streamDedup _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
@@ -254,5 +342,6 @@ object Stream {
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_stft" -> streamStftSql,
+    "stream_stft_ttl" -> streamStftTtlSql,
     "stream_dedup" -> streamDedupSql)
 }
