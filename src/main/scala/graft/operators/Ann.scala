@@ -236,7 +236,10 @@ object Ann {
     val dim = initRows.head.getSeq[Double](1).length
     var cents: Array[Array[Double]] =
       initRows.map(r => normQuant(r.getSeq[Double](1).toArray))
+    // the fit scans the corpus once per iteration — cache it for the
+    // fit's duration (unpersisted below) instead of re-reading parquet
     val vecs = vectors(corpus, idCol, vecCol, "_cid", "_cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
       val centSeq = cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
       val aggCols = (0 until dim).map(i =>
@@ -256,6 +259,7 @@ object Ann {
       }
       cents = next
     }
+    vecs.unpersist(false)
     val spark = corpus.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq

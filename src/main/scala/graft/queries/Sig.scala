@@ -854,6 +854,66 @@ object Sig {
        |GROUP BY g.user_id, g.tt
        |ORDER BY 1, 2""".stripMargin
 
+  /** resample(num=48, domain="freq") on the 64-frame: the values are
+    * interpreted as a real-valued packed rfft spectrum
+    * (signal.py:375-382's freq path), so the kernel skips the forward
+    * transform — bins 0..24 are kept, the new Nyquist bin doubles
+    * (downsampling fold), and the synthesis is one inverse transform
+    * scaled by num/nx. Exact outputs are I/6400 rationals (2-decimal
+    * "spectrum" / 48 · 48/64), integral at scale 6.4e4.
+    */
+  def sigResampleFreq(s: SparkSession, dir: String): DataFrame =
+    Signal.resample(ev64(s, dir), Seq("user_id"), "t", "value", num = 48,
+        domain = "freq")
+      .select(col("user_id"), col("pos"), fp(col("value"), 6.4e4).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigResampleFreqSql: String =
+    s"""$s64Sql, grid AS (
+       |  SELECT user_id, tt FROM (SELECT DISTINCT user_id FROM s), range(48) r(tt)
+       |)
+       |SELECT g.user_id, CAST(g.tt AS INT) AS pos,
+       |  ${fpSql("(SUM(CASE WHEN s.j = 0 THEN s.value " +
+         "WHEN s.j = 24 THEN 2 * (CASE WHEN g.tt % 2 = 0 THEN s.value ELSE -s.value END) " +
+         "WHEN s.j < 24 THEN 2 * s.value * COS(2*PI()*s.j*g.tt/48) " +
+         "ELSE 0 END) / 48) * (48.0/64.0)", "6.4e4")} AS value_fp
+       |FROM grid g JOIN s ON s.user_id = g.user_id
+       |GROUP BY g.user_id, g.tt
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Two-frame KEYED 1-D convolve — in2 carries the key columns, so
+    * each user's series convolves against that user's OWN kernel (the
+    * first four samples of its 64-frame), exercising the
+    * joinSecondSeries keyed path end-to-end (the 2-D twin is
+    * sig_fftconvolve2d_keyed; the 1-D keyed join previously had only
+    * spec coverage). Products are data×data 2-decimals — exact
+    * 4-decimals, integral at fp4.
+    */
+  def sigConvolveKeyed(s: SparkSession, dir: String): DataFrame = {
+    val kern = ev64(s, dir).filter(col("t") < 4)
+    Signal.convolve(evReal(s, dir), kern, Seq("user_id"), "t", "value", "full")
+      .select(col("user_id"), col("pos"), fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigConvolveKeyedSql: String =
+    s"""WITH raw AS (
+       |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value FROM events
+       |), ser AS (
+       |  SELECT user_id,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, value) - 1 AS j,
+       |         COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+       |         value
+       |  FROM raw
+       |), kern AS (
+       |  SELECT user_id, j AS i, value AS w FROM ser WHERE cnt >= 64 AND j < 4
+       |)
+       |SELECT a.user_id, CAST(a.j + k.i AS INT) AS pos,
+       |  ${fpSql("SUM(a.value * k.w)", "1e4")} AS value_fp
+       |FROM ser a JOIN kern k ON k.user_id = a.user_id
+       |GROUP BY a.user_id, a.j + k.i
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // hilbert / filters / peaks
   // ------------------------------------------------------------------
@@ -1255,6 +1315,8 @@ object Sig {
     "sig_decimate_iir" -> (sigDecimateIir _),
     "sig_resample" -> (sigResample _),
     "sig_resample_win" -> (sigResampleWin _),
+    "sig_resample_freq" -> (sigResampleFreq _),
+    "sig_convolve_keyed" -> (sigConvolveKeyed _),
     "sig_hilbert_envelope" -> (sigHilbertEnvelope _),
     "sig_sosfilt" -> (sigSosfilt _),
     "sig_sosfiltfilt" -> (sigSosfiltfilt _),
@@ -1293,6 +1355,8 @@ object Sig {
     "sig_decimate_iir" -> sigDecimateIirSql,
     "sig_resample" -> sigResampleSql,
     "sig_resample_win" -> sigResampleWinSql,
+    "sig_resample_freq" -> sigResampleFreqSql,
+    "sig_convolve_keyed" -> sigConvolveKeyedSql,
     "sig_hilbert_envelope" -> sigHilbertEnvelopeSql,
     "sig_sosfilt" -> sigSosfiltSql,
     "sig_sosfiltfilt" -> sigSosfiltfiltSql,

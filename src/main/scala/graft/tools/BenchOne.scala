@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Time one SparkEntry query N times in a single warmed JVM:
+  * `tools/run.sh graft.tools.BenchOne <query> [sfDir] [runs]` — the
+  * per-run breakdown Bench prints for everything, on demand for one
+  * query (e.g. to confirm cache-reuse behavior across repeat runs).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"$name: ${times.map(t => f"$t%.2f").mkString(", ")}")
+    spark.stop()
+  }
+}
