@@ -680,6 +680,18 @@ object Signal {
       relHeight, wlen)
   }
 
+  /** find_peaks-style interior local maxima per series (plateaus
+    * report their midpoint, like the kernel) — produces exactly the
+    * `peaks` long frame the reference-exact [[peakWidthsAt]] signature
+    * consumes. Output: keys, pos (ordinal), peak (sample index).
+    */
+  def findPeaks(df: DataFrame, keys: Seq[String], dim: String,
+                value: String): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    explodeSeries(sdf.withColumn("_pk", localMaximaC(col(value))), keys,
+      Seq("peak" -> col("_pk")))
+  }
+
   /** peak_widths with caller-provided peak indices (the reference's
     * exact signature, signal.py:331: `peaks` is a labelled array of
     * sample indices per series). `peaks` is a long frame (keys,

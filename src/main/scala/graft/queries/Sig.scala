@@ -590,6 +590,58 @@ object Sig {
        |ORDER BY 1, 2, 3, 4""".stripMargin
   }
 
+  /** EVEN-length kernel in modes same and valid, convolve AND
+    * correlate: the trim arithmetic is asymmetric for even kernels
+    * (same starts at (m-1)//2 = 1 of 4, leaving the window OFF-center;
+    * correlate's lag reversal shifts by m-1 = 3) and every other mode
+    * query uses odd kernels where those expressions degenerate
+    * symmetrically. m=4: conv same pos = j+i-1 in [0, n); conv valid
+    * pos = j+i-3 in [0, n-4]; corr lag j+(3-i), same windows.
+    */
+  def sigEvenModes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = Seq((0.0, 0.4), (1.0, 0.3), (2.0, 0.2), (3.0, 0.1)).toDF("t", "value")
+    def leg(op: String, mode: String): DataFrame = {
+      val f =
+        if (op == "conv") Signal.convolve(evReal(s, dir), k, Seq("user_id"), "t", "value", mode)
+        else Signal.correlate(evReal(s, dir), k, Seq("user_id"), "t", "value", mode)
+      f.select(col("user_id"), lit(op).as("op"), lit(mode).as("mode"),
+        col("pos"), fp6(col("value")).as("value_fp"))
+    }
+    leg("conv", "same").union(leg("conv", "valid"))
+      .union(leg("corr", "same")).union(leg("corr", "valid"))
+      .orderBy("user_id", "op", "mode", "pos")
+  }
+
+  private val sigEvenModesSql: String = {
+    val hh = "(VALUES (0, 0.4), (1, 0.3), (2, 0.2), (3, 0.1)) h(i, w)"
+    s"""$sSql
+       |SELECT s.user_id, 'conv' AS op, 'same' AS mode, CAST(s.j + h.i - 1 AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $hh
+       |WHERE s.j + h.i - 1 >= 0 AND s.j + h.i - 1 < s.n
+       |GROUP BY s.user_id, s.j + h.i - 1
+       |UNION ALL
+       |SELECT s.user_id, 'conv' AS op, 'valid' AS mode, CAST(s.j + h.i - 3 AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $hh
+       |WHERE s.j + h.i - 3 >= 0 AND s.j + h.i - 3 <= s.n - 4
+       |GROUP BY s.user_id, s.j + h.i - 3
+       |UNION ALL
+       |SELECT s.user_id, 'corr' AS op, 'same' AS mode, CAST(s.j + 2 - h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $hh
+       |WHERE s.j + 2 - h.i >= 0 AND s.j + 2 - h.i < s.n
+       |GROUP BY s.user_id, s.j + 2 - h.i
+       |UNION ALL
+       |SELECT s.user_id, 'corr' AS op, 'valid' AS mode, CAST(s.j - h.i AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * h.w)", "1e6")} AS value_fp
+       |FROM s, $hh
+       |WHERE s.j - h.i >= 0 AND s.j - h.i <= s.n - 4
+       |GROUP BY s.user_id, s.j - h.i
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** Overlap-save chunked convolution (chunk=32 → ~3 chunks/series at
     * the oracle SF) must agree with the direct full-mode oracle
     * bit-for-bit.
@@ -1042,6 +1094,129 @@ object Sig {
         fp6(col("right_ip")).as("rip_fp"))
       .orderBy("user_id", "pos")
 
+  /** peak_widths with CALLER-PROVIDED peaks — the reference's exact
+    * signature (signal.py:331: `peaks` is a labelled array per series)
+    * — in both passthrough flavors: `src='auto'` computes prominence
+    * with the `wlen=16` window restriction (scipy's wlen rule i_min =
+    * p - wlen//2), `src='given'` supplies `prominence_data` directly
+    * (constant prominence 2.0, bases clamped to p±4) so the kernel's
+    * prominence search is SKIPPED and the widths derive from the
+    * supplied bases. Peaks are the series' own local maxima via
+    * [[Signal.findPeaks]], which the oracle re-detects with the same
+    * plateau rule as sig_peak_widths.
+    */
+  def sigPeakWidthsAt(s: SparkSession, dir: String): DataFrame = {
+    val base = evReal(s, dir)
+    val peaks = Signal.findPeaks(base, Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("peak"))
+    val n = base.groupBy("user_id").agg(count(lit(1)).as("_n"))
+    val pd = peaks.join(n, "user_id")
+      .select(col("user_id"), col("peak"), lit(2.0).as("prominence"),
+        greatest(col("peak") - 4, lit(0)).as("left_base"),
+        least(col("peak") + 4, col("_n") - 1).as("right_base"))
+    def tag(df: DataFrame, src: String): DataFrame =
+      df.select(col("user_id"), lit(src).as("src"), col("pos"), col("peak"),
+        fp6(col("width")).as("width_fp"), fp6(col("width_height")).as("wh_fp"),
+        fp6(col("left_ip")).as("lip_fp"), fp6(col("right_ip")).as("rip_fp"))
+    val auto = tag(Signal.peakWidthsAt(base, peaks, Seq("user_id"), "t", "value",
+      wlen = 16), "auto")
+    val given = tag(Signal.peakWidthsAt(base, peaks, Seq("user_id"), "t", "value",
+      prominenceData = pd), "given")
+    auto.union(given).orderBy("user_id", "src", "pos")
+  }
+
+  /** Both legs replay over the sig_peak_widths local-maxima CTEs: the
+    * auto leg windows the prominence base search to [p-8, p+8] before
+    * the first-higher-sample rule; the given leg takes height =
+    * hp - 2.0·0.5 and clamped ±4 bases directly, COALESCE-ing the
+    * crossing search to the base when no sample in range drops below
+    * the height (the kernel walk stops at the base without
+    * interpolating there).
+    */
+  private lazy val sigPeakWidthsAtSql: String = {
+    val hA = "(pk.hp - 0.5 * (pk.hp - GREATEST(m.lm, m.rm)))"
+    s"""$sSql, nx AS (
+       |  SELECT cur.user_id, cur.j, cur.value, nxt.value AS vnext
+       |  FROM s cur JOIN s nxt ON nxt.user_id = cur.user_id AND nxt.j = cur.j + 1
+       |), pk0 AS (
+       |  SELECT a.user_id, a.j AS i, a.value AS v, a.n
+       |  FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
+       |  WHERE l.value < a.value AND a.j <= a.n - 2
+       |), pe AS (
+       |  SELECT p.user_id, p.i, p.v, p.n,
+       |    MIN(nx.j) FILTER (WHERE nx.vnext != p.v) AS jend
+       |  FROM pk0 p JOIN nx ON nx.user_id = p.user_id AND nx.j >= p.i
+       |  GROUP BY 1, 2, 3, 4
+       |), pk AS (
+       |  SELECT pe.user_id, (pe.i + pe.jend) // 2 AS p, pe.v AS hp, pe.n
+       |  FROM pe JOIN nx e ON e.user_id = pe.user_id AND e.j = pe.jend
+       |  WHERE pe.jend IS NOT NULL AND e.vnext < pe.v
+       |), stA AS (
+       |  SELECT pk.user_id, pk.p, pk.hp, pk.n,
+       |    COALESCE(MAX(b.j) FILTER (WHERE b.j < pk.p AND b.j >= pk.p - 8 AND b.value > pk.hp) + 1,
+       |             GREATEST(pk.p - 8, 0)) AS lo,
+       |    COALESCE(MIN(b.j) FILTER (WHERE b.j > pk.p AND b.j <= pk.p + 8 AND b.value > pk.hp) - 1,
+       |             LEAST(pk.p + 8, pk.n - 1)) AS hi
+       |  FROM pk JOIN s b ON b.user_id = pk.user_id
+       |  GROUP BY 1, 2, 3, 4
+       |), mnA AS (
+       |  SELECT st.user_id, st.p, st.hp, st.lo, st.hi,
+       |    MIN(b.value) FILTER (WHERE b.j >= st.lo AND b.j <= st.p) AS lm,
+       |    MIN(b.value) FILTER (WHERE b.j >= st.p AND b.j <= st.hi) AS rm
+       |  FROM stA st JOIN s b ON b.user_id = st.user_id
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), bsA AS (
+       |  SELECT m.user_id, m.p, m.hp, m.lm, m.rm,
+       |    MAX(b.j) FILTER (WHERE b.j >= m.lo AND b.j <= m.p AND b.value = m.lm) AS lbase,
+       |    MIN(b.j) FILTER (WHERE b.j >= m.p AND b.j <= m.hi AND b.value = m.rm) AS rbase
+       |  FROM mnA m JOIN s b ON b.user_id = m.user_id
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), ipA AS (
+       |  SELECT pk.user_id, pk.p, $hA AS height, m.lbase, m.rbase,
+       |    MAX(b.j) FILTER (WHERE b.j >= m.lbase AND b.j <= pk.p AND b.value <= $hA) AS i1,
+       |    MIN(b.j) FILTER (WHERE b.j >= pk.p AND b.j <= m.rbase AND b.value <= $hA) AS r1
+       |  FROM bsA m
+       |  JOIN pk ON pk.user_id = m.user_id AND pk.p = m.p
+       |  JOIN s b ON b.user_id = m.user_id
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), pdG AS (
+       |  SELECT pk.user_id, pk.p, pk.hp - 2.0 * 0.5 AS height,
+       |    GREATEST(pk.p - 4, 0) AS lbase, LEAST(pk.p + 4, pk.n - 1) AS rbase
+       |  FROM pk
+       |), ipG AS (
+       |  SELECT d.user_id, d.p, d.height, d.lbase, d.rbase,
+       |    COALESCE(MAX(b.j) FILTER (WHERE b.j >= d.lbase AND b.j <= d.p AND b.value <= d.height), d.lbase) AS i1,
+       |    COALESCE(MIN(b.j) FILTER (WHERE b.j >= d.p AND b.j <= d.rbase AND b.value <= d.height), d.rbase) AS r1
+       |  FROM pdG d JOIN s b ON b.user_id = d.user_id
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), legs AS (
+       |  SELECT 'auto' AS src, user_id, p, height, i1, r1 FROM ipA
+       |  UNION ALL
+       |  SELECT 'given' AS src, user_id, p, height, i1, r1 FROM ipG
+       |), res AS (
+       |  SELECT lg.src, lg.user_id, lg.p, lg.height,
+       |    CAST(lg.i1 AS DOUBLE) +
+       |      CASE WHEN xi.value < lg.height
+       |           THEN (lg.height - xi.value) / (xip.value - xi.value) ELSE 0 END AS lip,
+       |    CAST(lg.r1 AS DOUBLE) -
+       |      CASE WHEN xr.value < lg.height
+       |           THEN (lg.height - xr.value) / (xrm.value - xr.value) ELSE 0 END AS rip
+       |  FROM legs lg
+       |  JOIN s xi ON xi.user_id = lg.user_id AND xi.j = lg.i1
+       |  LEFT JOIN s xip ON xip.user_id = lg.user_id AND xip.j = lg.i1 + 1
+       |  JOIN s xr ON xr.user_id = lg.user_id AND xr.j = lg.r1
+       |  LEFT JOIN s xrm ON xrm.user_id = lg.user_id AND xrm.j = lg.r1 - 1
+       |)
+       |SELECT user_id, src,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, src ORDER BY p) - 1 AS INT) AS pos,
+       |  CAST(p AS INT) AS peak,
+       |  ${fpSql("rip - lip", "1e6")} AS width_fp,
+       |  ${fpSql("height", "1e6")} AS wh_fp,
+       |  ${fpSql("lip", "1e6")} AS lip_fp,
+       |  ${fpSql("rip", "1e6")} AS rip_fp
+       |FROM res ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Recursive-CTE oracles for the IIR family (sosfilt / sosfiltfilt /
   // decimate-iir). The kernel (Filt.sosfilt) runs section-by-section
@@ -1290,6 +1465,7 @@ object Sig {
     "sig_irfft_n" -> (sigIrfftN _),
     "sig_hilbert_n" -> (sigHilbertN _),
     "sig_complex_modes" -> (sigComplexModes _),
+    "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
     "sig_ifft_roundtrip" -> (sigIfftRoundtrip _),
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
@@ -1320,7 +1496,8 @@ object Sig {
     "sig_hilbert_envelope" -> (sigHilbertEnvelope _),
     "sig_sosfilt" -> (sigSosfilt _),
     "sig_sosfiltfilt" -> (sigSosfiltfilt _),
-    "sig_peak_widths" -> (sigPeakWidths _))
+    "sig_peak_widths" -> (sigPeakWidths _),
+    "sig_peak_widths_at" -> (sigPeakWidthsAt _))
 
   val oracleSql: Map[String, String] = Map(
     "sig_rfft" -> sigRfftSql,
@@ -1330,6 +1507,7 @@ object Sig {
     "sig_irfft_n" -> sigIrfftNSql,
     "sig_hilbert_n" -> sigHilbertNSql,
     "sig_complex_modes" -> sigComplexModesSql,
+    "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,
     "sig_ifft_roundtrip" -> sigIfftRoundtripSql,
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
@@ -1360,5 +1538,6 @@ object Sig {
     "sig_hilbert_envelope" -> sigHilbertEnvelopeSql,
     "sig_sosfilt" -> sigSosfiltSql,
     "sig_sosfiltfilt" -> sigSosfiltfiltSql,
-    "sig_peak_widths" -> sigPeakWidthsSql)
+    "sig_peak_widths" -> sigPeakWidthsSql,
+    "sig_peak_widths_at" -> sigPeakWidthsAtSql)
 }

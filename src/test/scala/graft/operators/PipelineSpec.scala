@@ -257,6 +257,19 @@ class PipelineSpec extends SparkTestBase {
     assert(cells.map(_._2).distinct.size == 3)
   }
 
+  test("trained IVF probing every cell equals brute force") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val cents = Ann.kmeansFit(df, "vec_id", "embedding", k = 4, iters = 2)
+    val trained = rows(Ann.topkIvf(df, q, "vec_id", "embedding", 4,
+      nProbe = 4, centroids = Some(cents)))
+    assert(trained == rows(Ann.topkBruteForce(df, q, "vec_id", "embedding", 4)))
+  }
+
   test("kmeansFit: empty cells keep their previous centroid") {
     // two identical far-out vectors + duplicates of one direction: with
     // k=3 and smallest-id init, at least one init cell captures nothing
