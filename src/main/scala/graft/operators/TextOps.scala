@@ -226,6 +226,55 @@ object TextOps {
         col("_e.id").as(idCol))
   }
 
+  /** Sequence packing (concat-and-chunk): lay documents end-to-end in
+    * deterministic id order and cut fixed `ctxLen`-token training
+    * sequences; emits one row per (doc, bin) the document overlaps,
+    * with the in-bin offset and token count — the index a packed-batch
+    * writer needs to assemble sequences (and to attribute each
+    * training token back to its source doc). Zero-token documents
+    * occupy no span and emit nothing.
+    *
+    * Scale shape — the global running offset is a PREFIX SUM, computed
+    * without any single-partition window: (1) per-bucket token sums
+    * (`id div bucketSpan`, one partial-aggregated shuffle over
+    * O(nDocs/bucketSpan) groups), (2) a driver-side scan over the
+    * bounded, sorted bucket sums (same bounded-collect contract as the
+    * ANN centroid table — size it with `bucketSpan`), broadcast-joined
+    * back, (3) a bucket-local window cumsum that runs one parallel
+    * task per bucket. All arithmetic is integral, so the oracle (a
+    * plain global cumsum window) matches exactly.
+    */
+  def packChunks(df: DataFrame, idCol: String, nTokCol: String, ctxLen: Int,
+                 bucketSpan: Long = 4096L): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    require(bucketSpan > 0, "bucketSpan must be positive")
+    val spark = df.sparkSession
+    val withB = df
+      .select(col(idCol), col(nTokCol).cast("long").as("_n"))
+      .withColumn("_b", expr(s"CAST($idCol AS BIGINT) div $bucketSpan"))
+    val sums = withB.groupBy("_b").agg(sum(col("_n")).as("_bs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (b, s) => val row = (b, acc); acc += s; row }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_b", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_b").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val spans = withB.join(broadcast(offDf), "_b")
+      .withColumn("_cum", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .withColumn("_start", col("_off") + col("_cum"))
+      .filter(col("_n") > 0)
+      .withColumn("_bin",
+        explode(expr(s"sequence(_start div $ctxLen, (_start + _n - 1) div $ctxLen)")))
+    spans.select(col(idCol),
+      col("_bin").cast("int").as("bin"),
+      (greatest(col("_bin") * ctxLen, col("_start")) - col("_bin") * ctxLen)
+        .cast("int").as("off_in_bin"),
+      (least((col("_bin") + 1) * ctxLen, col("_start") + col("_n")) -
+        greatest(col("_bin") * ctxLen, col("_start"))).cast("int").as("n_toks"))
+  }
+
   /** Cross-document repeated n-gram coverage — the boilerplate /
     * benchmark-contamination signal of Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better"): a 3-word shingle is

@@ -599,6 +599,36 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Sequence packing: whitespace-token counts laid end-to-end in
+    * doc_id order, cut into 512-token training sequences; one row per
+    * (doc, bin) span. bucketSpan=64 exercises the multi-bucket
+    * distributed prefix sum (8+ buckets at the oracle SF).
+    */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    TextOps.packChunks(TextOps.tokensFrame(docs(s, dir), "text"),
+      "doc_id", "ws_tokens", ctxLen = 512, bucketSpan = 64)
+      .orderBy("doc_id", "bin")
+
+  private val textPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      |  FROM t
+      |), b AS (
+      |  SELECT doc_id, n, st,
+      |    unnest(generate_series(st // 512, (st + n - 1) // 512)) AS bin
+      |  FROM c WHERE n > 0
+      |)
+      |SELECT doc_id, CAST(bin AS INT) AS bin,
+      |  CAST(GREATEST(bin * 512, st) - bin * 512 AS INT) AS off_in_bin,
+      |  CAST(LEAST((bin + 1) * 512, st + n) - GREATEST(bin * 512, st) AS INT) AS n_toks
+      |FROM b ORDER BY 1, 2""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprintFrame(docs(s, dir), "text", "doc_id")
       .orderBy("doc_id", "fp")
@@ -756,6 +786,7 @@ object Pipeline {
     "text_sample" -> (textSample _),
     "text_quota" -> (textQuota _),
     "text_common_ngrams" -> (textCommonNgrams _),
+    "text_pack" -> (textPack _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -782,6 +813,7 @@ object Pipeline {
     "text_sample" -> textSampleSql,
     "text_quota" -> textQuotaSql,
     "text_common_ngrams" -> textCommonNgramsSql,
+    "text_pack" -> textPackSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

@@ -392,6 +392,24 @@ class PipelineSpec extends SparkTestBase {
     assert(all.map(_._2).toSet == Set(1L, 2L) && all.map(_._1).toSeq == Seq(1, 2))
   }
 
+  test("packChunks: full interior bins, zero-token docs skipped, bucketSpan-invariant") {
+    val docs = Seq((1L, 100L), (2L, 0L), (3L, 700L), (4L, 300L), (5L, 64L))
+      .toDF("id", "n")
+    def run(span: Long) =
+      TextOps.packChunks(docs, "id", "n", ctxLen = 256, bucketSpan = span)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val packed = run(2)
+    assert(packed.map(_._4.toLong).sum == 1164, "every token lands in exactly one bin")
+    assert(!packed.exists(_._1 == 2L), "zero-token doc occupies no span")
+    val byBin = packed.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val last = byBin.keys.max
+    byBin.foreach { case (b, n) => if (b != last) assert(n == 256, s"bin $b not full") }
+    assert(byBin(last) == 1164 - 4 * 256)
+    // the distributed prefix sum is bucketSpan-invariant
+    assert(run(1000L) == packed)
+  }
+
   test("commonNgramCoverage: shared shingles counted by occurrence, short docs zero") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),      // shingles: abg, bgd
