@@ -1234,7 +1234,7 @@ object Sig {
     * reference `$f.z{s}{k}` for prior state and `xExpr` for the input
     * sample.
     */
-  private def cascadeStep(sos: Array[Double], f: String, xExpr: String)
+  private[queries] def cascadeStep(sos: Array[Double], f: String, xExpr: String)
   : (Seq[String], Seq[String], String) = {
     val ns = sos.length / 6
     val cols = (0 until ns).flatMap(s => Seq(s"z${s}0", s"z${s}1"))

@@ -39,6 +39,57 @@ object Stream {
       .as[Streaming.Event]
   }
 
+  /** events.parquet re-materialized as `nFiles` time-ordered slices
+    * with strictly increasing mtimes (one file per future micro-batch)
+    * under /tmp, built once per (sf, nFiles) behind a _READY marker,
+    * then streamed with `maxFilesPerTrigger=1` — a REAL multi-batch
+    * replay: the watermark advances between batches exactly as in
+    * production, so cross-batch carried state and event-time timeouts
+    * become oracle-able. The slice rule (global (ts, user_id) order,
+    * chunks of ceil(n/nFiles)) is integral and SQL-replayable, and the
+    * global order means each key's events still arrive time-ordered
+    * across batches (the operators' telemetry contract).
+    */
+  private def slicedEventStream(s: SparkSession, dir: String, nFiles: Int) = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(s"/tmp/graft_stream/$tag/$nFiles")
+    val ready = new java.io.File(root, "_READY")
+    if (!ready.exists()) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val n = ev.count()
+      val chunk = math.ceil(n.toDouble / nFiles).toLong
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("user_id"))
+      val idx = ev.withColumn("_rn", row_number().over(w).cast("long") - 1)
+        .withColumn("_c", expr(s"_rn div $chunk"))
+      root.mkdirs()
+      for (c <- 0 until nFiles) {
+        val tmpDir = new java.io.File(root, s"_tmp$c")
+        idx.filter(col("_c") === c).drop("_rn", "_c")
+          .coalesce(1).write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
+        val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(root, f"ev_$c%03d.parquet")
+        java.nio.file.Files.move(part.toPath, tgt.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // distinct ascending mtimes pin the FileStreamSource batch order
+        tgt.setLastModified(1700000000000L + c * 60000L)
+        tmpDir.listFiles().foreach(_.delete()); tmpDir.delete(): Unit
+      }
+      ready.createNewFile()
+    }
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "ev_*.parquet")
+      .parquet(root.getAbsolutePath)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      .as[Streaming.Event]
+  }
+
   /** Run a streaming Dataset to completion into a temp PARQUET sink
     * and read the files back — the same executor-side file sink a
     * production deployment writes, so nothing in the verification
@@ -105,6 +156,109 @@ object Stream {
       .select(col("user_id"), col("pos").cast("int").as("pos"),
         fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
+
+  /** Streaming sosfilt over the 12-slice stream — TWELVE micro-batches
+    * with the biquad state carried across every boundary (the
+    * single-file `stream_sosfilt` oracle exercises one batch; the spec
+    * covers 3). No TTL, so batching is invisible by construction and
+    * the oracle IS the batch recursive-CTE oracle — passing proves the
+    * carried (zi, pos) state reproduces batch semantics through 12
+    * real watermark-advancing batch boundaries.
+    */
+  def streamSosfiltBatches(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.streamingSosfilt(slicedEventStream(s, dir, 12), Design.butterSos(4, 0.3)),
+      "stream_sosfilt_batches_sink")
+      .select(col("user_id"), col("pos").cast("int").as("pos"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  /** Streaming sosfilt with the event-time idle TTL LIVE across the
+    * 12-slice stream: a key idle long enough that some later batch
+    * runs with watermark past its timeout (last + 2 h, clamped above
+    * the then-current watermark) is EVICTED, and its next events
+    * restart COLD — zi zeroed, pos back to 0 (4 cold restarts at
+    * sf0.01, ~38 at sf0.1). The oracle replays the whole mechanism in
+    * SQL: slice → batch assignment, per-batch watermark, the strict
+    * `wm > timeout` eviction rule with the clamp, run segmentation as
+    * a cumulative eviction count, and a zero-state recursive DF2T
+    * cascade per (user, run). ts_ms in the output gives a total row
+    * order (pos repeats per user across runs).
+    */
+  def streamSosfiltTtl(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.streamingSosfilt(slicedEventStream(s, dir, 12), Design.butterSos(4, 0.3),
+        idleTimeoutMs = Some(7200000L)),
+      "stream_sosfilt_ttl_sink")
+      .select(col("user_id"), col("ts_ms"), col("pos").cast("int").as("pos"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "ts_ms", "pos", "value_fp")
+
+  /** Per-(user, run) zero-state recursive cascade; runs segmented by
+    * the replayed eviction rule.
+    */
+  private lazy val streamSosfiltTtlSql: String = {
+    val sos = Design.butterSos(4, 0.3)
+    val (cols, upd, y) = Sig.cascadeStep(sos, "f", "s.value")
+    val zeroes = cols.map(c => s"CAST(0 AS DOUBLE) AS $c").mkString(", ")
+    val updSel = upd.zip(cols).map { case (e, c) => s"$e AS $c" }.mkString(",\n    ")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, epoch_us(ts) // 1000 AS t_ms, value
+       |  FROM events
+       |), g AS MATERIALIZED (
+       |  SELECT user_id, t_us, t_ms, value,
+       |    (ROW_NUMBER() OVER (ORDER BY t_us, user_id) - 1)
+       |      // CAST(CEIL(CAST(COUNT(*) OVER () AS DOUBLE) / 12) AS BIGINT) AS batch
+       |  FROM raw
+       |), wmb AS MATERIALIZED (
+       |  -- watermark AFTER batch k: max event time seen so far - 10 min
+       |  SELECT batch, MAX(mx) OVER (ORDER BY batch) - 600000 AS wm
+       |  FROM (SELECT batch, MAX(t_ms) AS mx FROM g GROUP BY 1)
+       |), ub AS (
+       |  SELECT user_id, batch, MAX(t_ms) AS last_ms FROM g GROUP BY 1, 2
+       |), seq AS (
+       |  SELECT user_id, batch, last_ms,
+       |    LAG(batch) OVER (PARTITION BY user_id ORDER BY batch) AS pb,
+       |    LAG(last_ms) OVER (PARTITION BY user_id ORDER BY batch) AS pt
+       |  FROM ub
+       |), evb AS (
+       |  -- evicted before this appearance iff some strictly-intermediate
+       |  -- batch ran with watermark past the previous timeout; batch k
+       |  -- runs with wm(k-1), so the strongest check is wm(batch-2)
+       |  SELECT s.user_id, s.batch,
+       |    CASE WHEN s.pb IS NOT NULL AND s.batch - s.pb >= 2
+       |      AND (SELECT wm FROM wmb WHERE batch = s.batch - 2)
+       |          > GREATEST(s.pt + 7200000,
+       |                     COALESCE((SELECT wm FROM wmb WHERE batch = s.pb - 1), 0) + 1)
+       |    THEN 1 ELSE 0 END AS evicted
+       |  FROM seq s
+       |), runs AS (
+       |  SELECT user_id, batch,
+       |    SUM(evicted) OVER (PARTITION BY user_id ORDER BY batch
+       |      ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM evb
+       |), s AS MATERIALIZED (
+       |  SELECT g.user_id, r.run,
+       |    ROW_NUMBER() OVER (PARTITION BY g.user_id, r.run
+       |      ORDER BY g.t_us, g.value) - 1 AS j,
+       |    g.t_ms, g.value
+       |  FROM g JOIN runs r ON r.user_id = g.user_id AND r.batch = g.batch
+       |), u AS (
+       |  SELECT DISTINCT user_id, run FROM s
+       |), f AS (
+       |  SELECT user_id, run, CAST(-1 AS BIGINT) AS j, $zeroes,
+       |    CAST(0 AS DOUBLE) AS y, CAST(0 AS BIGINT) AS t_ms
+       |  FROM u
+       |  UNION ALL
+       |  SELECT f.user_id, f.run, s.j,
+       |    $updSel,
+       |    $y AS y, s.t_ms
+       |  FROM f JOIN s ON s.user_id = f.user_id AND s.run = f.run AND s.j = f.j + 1
+       |)
+       |SELECT user_id, CAST(t_ms AS BIGINT) AS ts_ms, CAST(j AS INT) AS pos,
+       |  ${fpSql("y", "1e6")} AS value_fp
+       |FROM f WHERE j >= 0 ORDER BY 1, 2, 3, 4""".stripMargin
+  }
 
   /** Watermarked 5-minute tumbling-window counts per event_type over
     * the events stream, run in `complete` mode so the final (otherwise
@@ -329,6 +483,8 @@ object Stream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
+    "stream_sosfilt_batches" -> (streamSosfiltBatches _),
+    "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_stft" -> (streamStft _),
@@ -339,6 +495,8 @@ object Stream {
     * IS the batch oracle. */
   val oracleSql: Map[String, String] = Map(
     "stream_sosfilt" -> Sig.sigSosfiltSql,
+    "stream_sosfilt_batches" -> Sig.sigSosfiltSql,
+    "stream_sosfilt_ttl" -> streamSosfiltTtlSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_stft" -> streamStftSql,
