@@ -35,4 +35,20 @@ object Tables {
   /** SQL-side twin of [[fp]] for oracle queries. */
   def fpSql(e: String, scale: String): String =
     s"CAST(FLOOR(($e) * $scale + 0.5) AS BIGINT)"
+
+  /** Cheap content fingerprint of a table path (file or directory):
+    * sorted names + sizes + mtimes. Keys the /tmp materialization
+    * caches (pre-grouped series, sliced streams) so a REGENERATED
+    * source dataset can never be served a stale materialization built
+    * from the old data.
+    */
+  def pathFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+      else Seq(f)
+    val h = walk(new java.io.File(path)).sortBy(_.getPath)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode
+    (h & 0x7fffffff).toHexString
+  }
 }

@@ -155,7 +155,7 @@ object Ann {
       .sortBy(_._1)
     require(cents.nonEmpty,
       if (centroids.isDefined) "centroids DataFrame is empty"
-      else s"no centroid vectors found: corpus has no $idCol < $nCentroids")
+      else s"no centroid vectors found: corpus has no $idCol < ${nCentroids.getOrElse(16)}")
     require(cents.map(_._1).distinct.length == cents.length,
       "duplicate centroid ids")
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
@@ -237,29 +237,31 @@ object Ann {
     var cents: Array[Array[Double]] =
       initRows.map(r => normQuant(r.getSeq[Double](1).toArray))
     // the fit scans the corpus once per iteration — cache it for the
-    // fit's duration (unpersisted below) instead of re-reading parquet
+    // fit's duration (released in the finally even when an iteration
+    // throws, so a failed fit cannot pin the corpus in the cache)
     val vecs = vectors(corpus, idCol, vecCol, "_cid", "_cv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 0 until iters) {
-      val centSeq = cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
-      val aggCols = (0 until dim).map(i =>
-        sum(element_at(col("_cv"), i + 1).cast("double")).as(s"_s$i")) :+
-        count(lit(1)).as("_cnt")
-      val rows = vecs
-        .withColumn("_cell",
-          cellExpr(centSeq, (_, cv) => dotpFC(col("_cv"), typedLit(cv))))
-        .groupBy(col("_cell"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-      val next = cents.clone() // empty cells keep their previous centroid
-      rows.foreach { r =>
-        val cell = r.getInt(0)
-        val cnt = r.getLong(dim + 1).toDouble
-        next(cell) = normQuant(Array.tabulate(dim)(i => r.getDouble(i + 1) / cnt))
+    if (iters > 0) vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val centSeq = cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
+        val aggCols = (0 until dim).map(i =>
+          sum(element_at(col("_cv"), i + 1).cast("double")).as(s"_s$i")) :+
+          count(lit(1)).as("_cnt")
+        val rows = vecs
+          .withColumn("_cell",
+            cellExpr(centSeq, (_, cv) => dotpFC(col("_cv"), typedLit(cv))))
+          .groupBy(col("_cell"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = cents.clone() // empty cells keep their previous centroid
+        rows.foreach { r =>
+          val cell = r.getInt(0)
+          val cnt = r.getLong(dim + 1).toDouble
+          next(cell) = normQuant(Array.tabulate(dim)(i => r.getDouble(i + 1) / cnt))
+        }
+        cents = next
       }
-      cents = next
-    }
-    vecs.unpersist(false)
+    } finally if (iters > 0) vecs.unpersist(false)
     val spark = corpus.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq

@@ -248,6 +248,16 @@ object TextOps {
                  bucketSpan: Long = 4096L): DataFrame = {
     require(ctxLen > 0, "ctxLen must be positive")
     require(bucketSpan > 0, "bucketSpan must be positive")
+    // integral ids only (same contract and rationale as quotaSample): a
+    // numeric-string id would bucket numerically but cumsum-order
+    // lexicographically — silently wrong offsets
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"packChunks: idCol '$idCol' must be integral (got $idType) — " +
+        "the global packing order is numeric id order")
     val spark = df.sparkSession
     val withB = df
       .select(col(idCol), col(nTokCol).cast("long").as("_n"))
@@ -267,8 +277,12 @@ object TextOps {
       .filter(col("_n") > 0)
       .withColumn("_bin",
         explode(expr(s"sequence(_start div $ctxLen, (_start + _n - 1) div $ctxLen)")))
+    // bin stays BIGINT: at the design scale (tens of trillions of
+    // tokens / ctxLen 512) the global bin index overflows an INT, and
+    // a non-ANSI cast would wrap silently; the in-bin columns are
+    // < ctxLen and safely INT
     spans.select(col(idCol),
-      col("_bin").cast("int").as("bin"),
+      col("_bin").as("bin"),
       (greatest(col("_bin") * ctxLen, col("_start")) - col("_bin") * ctxLen)
         .cast("int").as("off_in_bin"),
       (least((col("_bin") + 1) * ctxLen, col("_start") + col("_n")) -
@@ -314,7 +328,7 @@ object TextOps {
     * recomputes the shingles (correct, just uncached).
     */
   private val lastOcc =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]
 
   def commonNgramCoverage(df: DataFrame, idCol: String, textCol: String,
                           minDocs: Int = 2): DataFrame = {
@@ -322,15 +336,19 @@ object TextOps {
     require(minDocs >= 1, "minDocs must be >= 1")
     val fresh = Dedup.shingleFrame(df, idCol, textCol)
       .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("cnt"))
-    val prev = Option(lastOcc.get(df.sparkSession))
-    val occ = prev match {
-      case Some(p)
-        if p.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed) => p
-      case _ =>
-        fresh.persist(MEMORY_AND_DISK)
-        lastOcc.put(df.sparkSession, fresh)
-        prev.foreach(_.unpersist(false))
-        fresh
+    // weak keys drop stopped sessions' entries; the synchronized block
+    // closes the check-then-act race (two concurrent calls could both
+    // persist and orphan one entry)
+    val occ = lastOcc.synchronized {
+      Option(lastOcc.get(df.sparkSession)) match {
+        case Some(p)
+          if p.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed) => p
+        case prev =>
+          fresh.persist(MEMORY_AND_DISK)
+          lastOcc.put(df.sparkSession, fresh)
+          prev.foreach(_.unpersist(false))
+          fresh
+      }
     }
     // one row per (doc, shingle) above → count(*) = document frequency
     val common = occ.groupBy(col("s")).agg(count(lit(1)).as("_df"))

@@ -624,7 +624,7 @@ object Pipeline {
       |    unnest(generate_series(st // 512, (st + n - 1) // 512)) AS bin
       |  FROM c WHERE n > 0
       |)
-      |SELECT doc_id, CAST(bin AS INT) AS bin,
+      |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
       |  CAST(GREATEST(bin * 512, st) - bin * 512 AS INT) AS off_in_bin,
       |  CAST(LEAST((bin + 1) * 512, st + n) - GREATEST(bin * 512, st) AS INT) AS n_toks
       |FROM b ORDER BY 1, 2""".stripMargin

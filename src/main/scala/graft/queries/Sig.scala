@@ -112,7 +112,8 @@ object Sig {
     */
   def sigRfftPregrouped(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft_grouped/$tag/events_series"
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/events.parquet")
+    val path = s"/tmp/graft_grouped/$tag-$fpTag/events_series"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       Signal.seriesify(evReal(s, dir), Seq("user_id"), "t", Seq("value"))
         .select(col("user_id"), col("coords"), col("value"))

@@ -54,16 +54,23 @@ object Stream {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = new java.io.File(s"/tmp/graft_stream/$tag/$nFiles")
+    val fpTag = Tables.pathFingerprint(s"$dir/events.parquet")
+    val root = new java.io.File(s"/tmp/graft_stream/$tag-$fpTag/$nFiles")
     val ready = new java.io.File(root, "_READY")
     if (!ready.exists()) {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val n = ev.count()
       val chunk = math.ceil(n.toDouble / nFiles).toLong
+      // slice at the µs precision the stream and every oracle rank on
+      // ((ts div 1000, user_id, value) — the raw nanos would order
+      // µs-tied rows differently than the oracle's replayed boundary),
+      // with the value tie-break making any residual ambiguity
+      // observationally equivalent
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("user_id"))
+        .orderBy(expr("ts div 1000"), col("user_id"), col("value"))
       val idx = ev.withColumn("_rn", row_number().over(w).cast("long") - 1)
         .withColumn("_c", expr(s"_rn div $chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       root.mkdirs()
       for (c <- 0 until nFiles) {
         val tmpDir = new java.io.File(root, s"_tmp$c")
@@ -77,6 +84,7 @@ object Stream {
         tgt.setLastModified(1700000000000L + c * 60000L)
         tmpDir.listFiles().foreach(_.delete()); tmpDir.delete(): Unit
       }
+      idx.unpersist(false)
       ready.createNewFile()
     }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -207,7 +215,7 @@ object Stream {
        |  FROM events
        |), g AS MATERIALIZED (
        |  SELECT user_id, t_us, t_ms, value,
-       |    (ROW_NUMBER() OVER (ORDER BY t_us, user_id) - 1)
+       |    (ROW_NUMBER() OVER (ORDER BY t_us, user_id, value) - 1)
        |      // CAST(CEIL(CAST(COUNT(*) OVER () AS DOUBLE) / 12) AS BIGINT) AS batch
        |  FROM raw
        |), wmb AS MATERIALIZED (

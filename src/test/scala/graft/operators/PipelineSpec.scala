@@ -397,7 +397,7 @@ class PipelineSpec extends SparkTestBase {
       .toDF("id", "n")
     def run(span: Long) =
       TextOps.packChunks(docs, "id", "n", ctxLen = 256, bucketSpan = span)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
         .sortBy(x => (x._1, x._2)).toSeq
     val packed = run(2)
     assert(packed.map(_._4.toLong).sum == 1164, "every token lands in exactly one bin")
