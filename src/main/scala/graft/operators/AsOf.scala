@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, attach the payload
+  * of the LATEST right row with `right.time <= left.time` in the same
+  * key group (`strict = true` uses `<`): the telemetry/state-snapshot
+  * join Spark has no native operator for.
+  *
+  * Spark-first shape: NOT a range join (O(n·m) candidate explosion
+  * under a theta-join) and NOT a per-key collect. The two sides union
+  * with a side tag, and ONE window pass — hash exchange on the keys +
+  * per-partition sort, the same cost envelope as any keyed signal op —
+  * carries the last right payload forward onto every left row
+  * (`last(_, ignoreNulls)` over rows unbounded-preceding..current).
+  * At equal times the tag orders the right row first, giving the `<=`
+  * semantics (flipped for strict); payload travels as ONE struct so
+  * multi-column payloads can never mix rows even when some payload
+  * fields are null.
+  *
+  * Left rows with no matching right row keep a null payload (left-join
+  * semantics). Right rows with duplicate (keys, time) are ordered by
+  * the payload struct for cross-engine determinism — callers wanting a
+  * specific winner should dedupe first.
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, payload: Seq[String],
+               strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains), "payload must exist in right")
+    val tagR = if (strict) 1 else 0
+    val tagL = 1 - tagR
+    val rT = right.select(
+      (keys.map(col) :+ col(timeCol).cast("double").as("_t") :+
+        lit(tagR).as("_tag") :+ struct(payload.map(col): _*).as("_pl")): _*)
+    // carry the whole left row as a struct so arbitrary left schemas
+    // survive the union without column gymnastics
+    val lT = left.select(
+      (keys.map(col) :+ col(timeCol).cast("double").as("_t") :+
+        lit(tagL).as("_tag") :+ struct(leftCols.map(col): _*).as("_lrow")): _*)
+    val u = rT.withColumn("_lrow", lit(null).cast(lT.schema("_lrow").dataType))
+      .unionByName(lT.withColumn("_pl", lit(null).cast(rT.schema("_pl").dataType)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_tag"), col("_pl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = u.withColumn("_last", last(col("_pl"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === tagL)
+    out.select(
+      leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+        payload.map(p => col(s"_last.$p").as(p)): _*)
+  }
+}

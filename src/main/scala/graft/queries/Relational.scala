@@ -67,10 +67,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join: every event picks up the latest "snapshot" (the
+    * user's most recent event_id % 10 == 0 event at-or-before its
+    * time) — the point-in-time state join implemented as one union +
+    * window pass ([[graft.operators.AsOf]]), checked against DuckDB's
+    * NATIVE ASOF LEFT JOIN. Events before a user's first snapshot keep
+    * a null payload on both engines.
+    */
+  def q4Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"),
+        (expr("ts div 1000").cast("double") / lit(1e6)).as("t"),
+        col("value"), col("event_id"))
+    val left = ev.select(col("user_id"), col("t"), col("value"))
+    val snaps = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("t"), col("value").as("snap"),
+        col("event_id").as("snap_id"))
+    graft.operators.AsOf.asofJoin(left, snaps, Seq("user_id"), "t",
+        Seq("snap", "snap_id"))
+      .select(col("user_id"), fp6(col("t")).as("t_fp"),
+        fp6(col("value")).as("value_fp"),
+        fp6(col("snap")).as("snap_fp"), col("snap_id"))
+      .orderBy("user_id", "t_fp", "value_fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
-    "q3_window" -> (q3Window _))
+    "q3_window" -> (q3Window _),
+    "q4_asof" -> (q4Asof _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -94,5 +119,21 @@ object Relational {
          |  ${fpSql("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", "100")} AS running_sum
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         |ORDER BY event_id""".stripMargin)
+         |ORDER BY event_id""".stripMargin,
+    "q4_asof" ->
+      s"""WITH raw AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value, event_id
+         |  FROM events
+         |), l AS (
+         |  SELECT user_id, t, value FROM raw
+         |), r AS (
+         |  SELECT user_id, t, value AS snap, event_id AS snap_id
+         |  FROM raw WHERE event_id % 10 = 0
+         |)
+         |SELECT l.user_id, ${fpSql("l.t", "1e6")} AS t_fp,
+         |  ${fpSql("l.value", "1e6")} AS value_fp,
+         |  ${fpSql("r.snap", "1e6")} AS snap_fp, r.snap_id
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.t >= r.t
+         |ORDER BY 1, 2, 3""".stripMargin)
 }

@@ -392,6 +392,31 @@ class PipelineSpec extends SparkTestBase {
     assert(all.map(_._2).toSet == Set(1L, 2L) && all.map(_._1).toSeq == Seq(1, 2))
   }
 
+  test("asofJoin: latest at-or-before match, strict <, atomic payload, null before first") {
+    val left = Seq((1L, 1.0, "a"), (1L, 5.0, "b"), (1L, 10.0, "c"), (2L, 3.0, "d"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 5.0, "s5", 50L), (1L, 8.0, "s8", 80L))
+      .toDF("k", "t", "snap", "sid")
+    def rows(strict: Boolean) =
+      AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap", "sid"), strict)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // <=: the t=5 left row SEES the t=5 snapshot; payload columns come
+    // from the same right row (snap and sid always pair up)
+    assert(rows(strict = false) == Seq(
+      (1L, 1.0, "a", None, -1L),
+      (1L, 5.0, "b", Some("s5"), 50L),
+      (1L, 10.0, "c", Some("s8"), 80L),
+      (2L, 3.0, "d", None, -1L)))
+    // strict <: the t=5 left row no longer sees the t=5 snapshot
+    assert(rows(strict = true) == Seq(
+      (1L, 1.0, "a", None, -1L),
+      (1L, 5.0, "b", None, -1L),
+      (1L, 10.0, "c", Some("s8"), 80L),
+      (2L, 3.0, "d", None, -1L)))
+  }
+
   test("packChunks: full interior bins, zero-token docs skipped, bucketSpan-invariant") {
     val docs = Seq((1L, 100L), (2L, 0L), (3L, 700L), (4L, 300L), (5L, 64L))
       .toDF("id", "n")
