@@ -165,28 +165,16 @@ object Stream {
         fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
-  /** Streaming sosfilt over the 12-slice stream — TWELVE micro-batches
-    * with the biquad state carried across every boundary (the
-    * single-file `stream_sosfilt` oracle exercises one batch; the spec
-    * covers 3). No TTL, so batching is invisible by construction and
-    * the oracle IS the batch recursive-CTE oracle — passing proves the
-    * carried (zi, pos) state reproduces batch semantics through 12
-    * real watermark-advancing batch boundaries.
-    */
-  def streamSosfiltBatches(s: SparkSession, dir: String): DataFrame =
-    runToSink(
-      Streaming.streamingSosfilt(slicedEventStream(s, dir, 12), Design.butterSos(4, 0.3)),
-      "stream_sosfilt_batches_sink")
-      .select(col("user_id"), col("pos").cast("int").as("pos"),
-        fp6(col("value")).as("value_fp"))
-      .orderBy("user_id", "pos")
-
   /** Streaming sosfilt with the event-time idle TTL LIVE across the
     * 12-slice stream: a key idle long enough that some later batch
     * runs with watermark past its timeout (last + 2 h, clamped above
     * the then-current watermark) is EVICTED, and its next events
     * restart COLD — zi zeroed, pos back to 0 (4 cold restarts at
-    * sf0.01, ~38 at sf0.1). The oracle replays the whole mechanism in
+    * sf0.01, ~38 at sf0.1). This also subsumes the pure multi-batch
+    * carry-over check: never-evicted keys (the majority) thread their
+    * (zi, pos) state through all twelve watermark-advancing batch
+    * boundaries and must still match the per-run recursive oracle
+    * sample-for-sample. The oracle replays the whole mechanism in
     * SQL: slice → batch assignment, per-batch watermark, the strict
     * `wm > timeout` eviction rule with the clamp, run segmentation as
     * a cumulative eviction count, and a zero-state recursive DF2T
@@ -491,7 +479,6 @@ object Stream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
-    "stream_sosfilt_batches" -> (streamSosfiltBatches _),
     "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
@@ -503,7 +490,6 @@ object Stream {
     * IS the batch oracle. */
   val oracleSql: Map[String, String] = Map(
     "stream_sosfilt" -> Sig.sigSosfiltSql,
-    "stream_sosfilt_batches" -> Sig.sigSosfiltSql,
     "stream_sosfilt_ttl" -> streamSosfiltTtlSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
