@@ -83,12 +83,17 @@ object Relational {
     val snaps = ev.filter(col("event_id") % 10 === 0)
       .select(col("user_id"), col("t"), col("value").as("snap"),
         col("event_id").as("snap_id"))
-    graft.operators.AsOf.asofJoin(left, snaps, Seq("user_id"), "t",
-        Seq("snap", "snap_id"))
-      .select(col("user_id"), fp6(col("t")).as("t_fp"),
-        fp6(col("value")).as("value_fp"),
-        fp6(col("snap")).as("snap_fp"), col("snap_id"))
-      .orderBy("user_id", "t_fp", "value_fp")
+    // both comparison flavors: `le` (<=, a snapshot row matches itself)
+    // and strict `lt` (it doesn't) — the tie tag is exactly where an
+    // off-by-one would hide
+    def leg(strict: Boolean): DataFrame =
+      graft.operators.AsOf.asofJoin(left, snaps, Seq("user_id"), "t",
+          Seq("snap", "snap_id"), strict)
+        .select(col("user_id"), lit(if (strict) "lt" else "le").as("cmp"),
+          fp6(col("t")).as("t_fp"), fp6(col("value")).as("value_fp"),
+          fp6(col("snap")).as("snap_fp"), col("snap_id"))
+    leg(strict = false).union(leg(strict = true))
+      .orderBy("user_id", "cmp", "t_fp", "value_fp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,10 +135,18 @@ object Relational {
          |  SELECT user_id, t, value AS snap, event_id AS snap_id
          |  FROM raw WHERE event_id % 10 = 0
          |)
-         |SELECT l.user_id, ${fpSql("l.t", "1e6")} AS t_fp,
-         |  ${fpSql("l.value", "1e6")} AS value_fp,
-         |  ${fpSql("r.snap", "1e6")} AS snap_fp, r.snap_id
-         |FROM l ASOF LEFT JOIN r
-         |  ON l.user_id = r.user_id AND l.t >= r.t
-         |ORDER BY 1, 2, 3""".stripMargin)
+         |SELECT * FROM (
+         |  SELECT l.user_id, 'le' AS cmp, ${fpSql("l.t", "1e6")} AS t_fp,
+         |    ${fpSql("l.value", "1e6")} AS value_fp,
+         |    ${fpSql("r.snap", "1e6")} AS snap_fp, r.snap_id
+         |  FROM l ASOF LEFT JOIN r
+         |    ON l.user_id = r.user_id AND l.t >= r.t
+         |  UNION ALL
+         |  SELECT l.user_id, 'lt' AS cmp, ${fpSql("l.t", "1e6")} AS t_fp,
+         |    ${fpSql("l.value", "1e6")} AS value_fp,
+         |    ${fpSql("r.snap", "1e6")} AS snap_fp, r.snap_id
+         |  FROM l ASOF LEFT JOIN r
+         |    ON l.user_id = r.user_id AND l.t > r.t
+         |)
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
 }

@@ -105,6 +105,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"pruned scan read $readFiles of $totalFiles files")
   }
 
+  test("asofJoin is one hash shuffle; packChunks three (sums, bucket window, span join)") {
+    val left = (0L until 40L).map(i => (i % 4, i.toDouble, i * 0.5)).toDF("k", "t", "lv")
+    val right = (0L until 8L).map(i => (i % 4, i.toDouble * 3, i * 1.0)).toDF("k", "t", "snap")
+    // tagged union + one window pass: a single exchange on the keys —
+    // the whole point vs a range join
+    assert(hashExchanges(AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap"))) == 1)
+    val toks = (1L to 30L).map(i => (i, i % 7)).toDF("id", "n")
+    // bucket-sum agg + the bucket-partitioned cumsum window + the
+    // broadcast-offset join's probe side; crucially NOT a global
+    // single-partition window
+    val pc = TextOps.packChunks(toks, "id", "n", ctxLen = 16, bucketSpan = 8)
+    assert(hashExchanges(pc) <= 3)
+    assert(!pc.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
   test("dedup shuffle budget: exact=1, simhash pairs=1, minhash candidates=3") {
     assert(hashExchanges(Dedup.exact(docs, "doc_id", "text")) == 1)
     // one shared shuffle for all 20 Manku block tables
