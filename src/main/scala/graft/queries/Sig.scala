@@ -155,6 +155,29 @@ object Sig {
        |GROUP BY a.user_id, a.j
        |ORDER BY 1, 2""".stripMargin
 
+  /** rfft with norm="forward" end-to-end — completes the norm trio in
+    * CORRECTNESS (backward is every default query, ortho is
+    * sig_rfft_ortho): the DFT sum scaled by 1/n. On the 64-frame the
+    * exact bins are I/100/64 = I/6400 rationals — integral at 6.4e4,
+    * same boundary-safety argument as sig_ihfft.
+    */
+  def sigRfftFwd(s: SparkSession, dir: String): DataFrame =
+    Signal.rfft(ev64(s, dir), Seq("user_id"), "t", "value",
+        newdim = "freq", norm = "forward")
+      .select(col("user_id"), col("pos"),
+        fp(col("re"), 6.4e4).as("re_fp"), fp(col("im"), 6.4e4).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigRfftFwdSql: String =
+    s"""$s64Sql
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*a.j*b.j/64)) / 64", "6.4e4")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*a.j*b.j/64)) / 64", "6.4e4")} AS im_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |WHERE a.j <= 32
+       |GROUP BY a.user_id, a.j
+       |ORDER BY 1, 2""".stripMargin
+
   /** fft (complex input, im=0) per user: all n bins. */
   def sigFft(s: SparkSession, dir: String): DataFrame =
     Signal.fft(
@@ -532,9 +555,11 @@ object Sig {
     * arithmetic for two-sided complex kernels (same start (m-1)//2,
     * valid start m-1, correlate lag reversal j+(m-1-i)) was previously
     * golden-only; this pins all four combinations end-to-end in one
-    * query, tagged (op, mode). Catalyst's ReuseExchange dedupes the
-    * four identical seriesify subtrees, so the plan pays one events
-    * shuffle, not four.
+    * query, tagged (op, mode). The four legs plan as independent
+    * subtrees (DataFrame union has no common-subexpression
+    * elimination); AQE's runtime shuffle-stage cache can reuse the
+    * identical seriesify exchanges, and the whole query stays a small
+    * bench row either way.
     */
   def sigComplexModes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -827,6 +852,37 @@ object Sig {
        |SELECT user_id, CAST((fi - 20) // 2 AS INT) AS pos, ${fpSql("v", "1e6")} AS value_fp
        |FROM conv
        |WHERE fi >= 20 AND (fi - 20) % 2 = 0 AND (fi - 20) // 2 < 32
+       |ORDER BY 1, 2""".stripMargin
+
+  /** decimate(q=2, fir, zero_phase=FALSE) — the causal path
+    * (signal.py:116's zero_phase parameter): a single forward
+    * lfilter(b, [1]) pass, i.e. the truncated FIR convolution
+    * y[i] = Σ_{k<=i} b_k·x[i−k], then every q-th INDEX — no group-delay
+    * compensation, so the output is shifted by the 20-sample delay the
+    * zero-phase variant removes. Previously golden-only.
+    */
+  def sigDecimateFirCausal(s: SparkSession, dir: String): DataFrame =
+    Signal.decimate(ev64(s, dir), Seq("user_id"), "t", "value", q = 2,
+        ftype = "fir", zeroPhase = false)
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigDecimateFirCausalSql: String =
+    s"""$s64Sql, tap AS (
+       |  SELECT i,
+       |    0.5 * (CASE WHEN i = 20 THEN 1.0
+       |           ELSE SIN(PI()*(0.5*(i-20)))/(PI()*(0.5*(i-20))) END)
+       |        * (0.54 - 0.46*COS(2*PI()*i/40)) AS hw
+       |  FROM range(41) r(i)
+       |), tapn AS (
+       |  SELECT i, hw / (SELECT SUM(hw) FROM tap) AS w FROM tap
+       |), conv AS (
+       |  SELECT s.user_id, s.j + t.i AS fi, SUM(s.value * t.w) AS v
+       |  FROM s, tapn t GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(fi // 2 AS INT) AS pos, ${fpSql("v", "1e6")} AS value_fp
+       |FROM conv
+       |WHERE fi < 64 AND fi % 2 = 0
        |ORDER BY 1, 2""".stripMargin
 
   /** decimate(q=4, iir cheby1(8, 0.05 dB), zero-phase) — recursive,
@@ -1468,6 +1524,8 @@ object Sig {
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
+    "sig_rfft_fwd" -> (sigRfftFwd _),
+    "sig_decimate_fir_causal" -> (sigDecimateFirCausal _),
     "sig_ifft_roundtrip" -> (sigIfftRoundtrip _),
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
     "sig_hfft" -> (sigHfft _),
@@ -1510,6 +1568,8 @@ object Sig {
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,
+    "sig_rfft_fwd" -> sigRfftFwdSql,
+    "sig_decimate_fir_causal" -> sigDecimateFirCausalSql,
     "sig_ifft_roundtrip" -> sigIfftRoundtripSql,
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
     "sig_hfft" -> sigHfftSql,

@@ -417,6 +417,63 @@ class PipelineSpec extends SparkTestBase {
       (2L, 3.0, "d", None, -1L)))
   }
 
+  test("asofJoin matches a brute-force reference on random frames (ties, gaps, dup times)") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      // small discrete time domain forces equal-time ties; some keys
+      // appear only on one side
+      val left = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(12).toDouble, i.toLong))
+        .toDF("k", "t", "lid")
+      // unique (k, t) on the right (the documented dedupe contract)
+      val rightRows = Seq.tabulate(30)(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(12).toDouble, i.toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val right = rightRows.toDF("k", "t", "snap")
+      for (strict <- Seq(false, true)) {
+        val got = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap"), strict)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+        val want = left.collect().map { lr =>
+          val (k, t, lid) = (lr.getLong(0), lr.getDouble(1), lr.getLong(2))
+          val cand = rightRows.filter(r =>
+            r._1 == k && (if (strict) r._2 < t else r._2 <= t))
+          val snap = if (cand.isEmpty) -1L else cand.maxBy(_._2)._3
+          (k, t, lid, snap)
+        }.toSeq.sorted
+        assert(got == want, s"trial $trial strict=$strict")
+      }
+    }
+  }
+
+  test("packChunks matches a sequential reference on random token counts") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val toks = Seq.tabulate(50)(i => (i.toLong * 3 + 1, rnd.nextInt(40).toLong))
+      val ctx = 16 + rnd.nextInt(50)
+      val got = TextOps.packChunks(toks.toDF("id", "n"), "id", "n", ctx,
+          bucketSpan = 1 + rnd.nextInt(30))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSeq.sorted
+      // sequential reference: lay tokens end to end in id order
+      var off = 0L
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+      toks.sortBy(_._1).foreach { case (id, n) =>
+        if (n > 0) {
+          var b = off / ctx
+          while (b * ctx < off + n) {
+            val s = math.max(b * ctx, off); val e = math.min((b + 1) * ctx, off + n)
+            want += ((id, b, (s - b * ctx).toInt, (e - s).toInt))
+            b += 1
+          }
+        }
+        off += n
+      }
+      assert(got == want.toSeq.sorted, s"trial $trial ctx=$ctx")
+    }
+  }
+
   test("packChunks: full interior bins, zero-token docs skipped, bucketSpan-invariant") {
     val docs = Seq((1L, 100L), (2L, 0L), (3L, 700L), (4L, 300L), (5L, 64L))
       .toDF("id", "n")
