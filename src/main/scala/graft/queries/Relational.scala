@@ -96,11 +96,35 @@ object Relational {
       .orderBy("user_id", "cmp", "t_fp", "value_fp")
   }
 
+  /** Interval-containment join: every event inside the 30-minute
+    * window opened by the user's marker events (event_id % 20 == 0) —
+    * bucketized equi-join ([[graft.operators.RangeJoin]], bucket =
+    * interval length so ≤ 2 buckets per interval), checked against the
+    * plain inequality join DuckDB evaluates exactly. Multi-match rows
+    * (an event inside two overlapping windows) appear once per window.
+    */
+  def q5Interval(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"),
+        (expr("ts div 1000").cast("double") / lit(1e6)).as("t"),
+        col("value"), col("event_id"))
+    val left = ev.select(col("user_id"), col("t"), col("event_id"))
+    val wins = ev.filter(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("t").as("w_start"),
+        (col("t") + lit(1800.0)).as("w_end"), col("event_id").as("win_id"))
+    graft.operators.RangeJoin.intervalJoin(left, wins, Seq("user_id"),
+        "t", "w_start", "w_end", bucketWidth = 1800.0)
+      .select(col("user_id"), fp6(col("t")).as("t_fp"), col("event_id"),
+        col("win_id"), fp6(col("w_start")).as("ws_fp"))
+      .orderBy("user_id", "t_fp", "event_id", "win_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
-    "q4_asof" -> (q4Asof _))
+    "q4_asof" -> (q4Asof _),
+    "q5_interval" -> (q5Interval _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -148,5 +172,18 @@ object Relational {
          |  FROM l ASOF LEFT JOIN r
          |    ON l.user_id = r.user_id AND l.t > r.t
          |)
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q5_interval" ->
+      s"""WITH raw AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, event_id
+         |  FROM events
+         |), w AS (
+         |  SELECT user_id, t AS ws, t + 1800.0 AS we, event_id AS win_id
+         |  FROM raw WHERE event_id % 20 = 0
+         |)
+         |SELECT l.user_id, ${fpSql("l.t", "1e6")} AS t_fp, l.event_id,
+         |  w.win_id, ${fpSql("w.ws", "1e6")} AS ws_fp
+         |FROM raw l JOIN w
+         |  ON l.user_id = w.user_id AND l.t >= w.ws AND l.t <= w.we
          |ORDER BY 1, 2, 3, 4""".stripMargin)
 }

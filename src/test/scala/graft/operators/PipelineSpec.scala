@@ -447,6 +447,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("intervalJoin matches brute force on random intervals (overlaps, edges, degenerate)") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 3) {
+      val left = Seq.tabulate(60)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toDouble, i.toLong))
+        .toDF("k", "t", "lid")
+      val intervals = Seq.tabulate(25) { i =>
+        val s = rnd.nextInt(40).toDouble
+        // ~1 in 5 degenerate (end < start): must be dropped, not mis-bucketed
+        val e = s + rnd.nextInt(10) - 2.0
+        (rnd.nextInt(4).toLong, s, e, i.toLong)
+      }
+      val right = intervals.toDF("k", "s", "e", "rid")
+      for (w <- Seq(1.0, 3.0, 7.0, 100.0)) {
+        val got = RangeJoin.intervalJoin(left, right, Seq("k"), "t", "s", "e", w)
+          .select("k", "t", "lid", "rid")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+          .toSeq.sorted
+        val want = (for {
+          (lk, t, lid) <- left.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+          (rk, s, e, rid) <- intervals
+          if lk == rk && s <= e && t >= s && t <= e
+        } yield (lk, t, lid, rid)).toSeq.sorted
+        assert(got == want, s"trial $trial width=$w")
+      }
+    }
+  }
+
   test("packChunks matches a sequential reference on random token counts") {
     val rnd = new scala.util.Random(31)
     for (trial <- 0 until 3) {

@@ -120,6 +120,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!pc.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("intervalJoin is an equi-join, never a nested loop") {
+    val left = (0L until 30L).map(i => (i % 3, i.toDouble, i)).toDF("k", "t", "lid")
+    val right = (0L until 6L).map(i => (i % 3, i * 4.0, i * 4.0 + 5.0, i)).toDF("k", "s", "e", "rid")
+    val plan = RangeJoin.intervalJoin(left, right, Seq("k"), "t", "s", "e", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), "containment must not plan as a nested loop")
+    assert(plan.contains("Join"), "bucketized containment is a real equi-join")
+  }
+
   test("dedup shuffle budget: exact=1, simhash pairs=1, minhash candidates=3") {
     assert(hashExchanges(Dedup.exact(docs, "doc_id", "text")) == 1)
     // one shared shuffle for all 20 Manku block tables
