@@ -222,6 +222,33 @@ object Sig {
        |  ${fpSql("value", "1e6")} AS re_fp, CAST(0 AS BIGINT) AS im_fp
        |FROM s ORDER BY 1, 2""".stripMargin
 
+  /** fft→ifft roundtrips under norm=ortho AND norm=forward — the
+    * INVERSE-side scaling of the non-default norms (1/√n twice; 1/n
+    * then 1) was kernel-golden-tested but had no CORRECTNESS row; a
+    * matched-norm roundtrip must reproduce the input exactly, so the
+    * oracle is the identity. Tagged by norm in one query.
+    */
+  def sigFftNormRoundtrips(s: SparkSession, dir: String): DataFrame = {
+    def leg(norm: String): DataFrame = {
+      val f = Signal.fft(
+        evReal(s, dir).select(col("user_id"), col("t"),
+          col("value").as("re"), lit(0.0).as("im")),
+        Seq("user_id"), "t", "re", "im", newdim = "freq", norm = norm)
+      Signal.ifft(f, Seq("user_id"), "pos", newdim = "t2", norm = norm)
+        .select(col("user_id"), lit(norm).as("norm"), col("pos"),
+          fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+    }
+    leg("ortho").union(leg("forward")).orderBy("user_id", "norm", "pos")
+  }
+
+  private val sigFftNormRoundtripsSql: String =
+    s"""$sSql, l AS (
+       |  SELECT 'ortho' AS norm UNION ALL SELECT 'forward'
+       |)
+       |SELECT user_id, l.norm, CAST(j AS INT) AS pos,
+       |  ${fpSql("value", "1e6")} AS re_fp, CAST(0 AS BIGINT) AS im_fp
+       |FROM s, l ORDER BY 1, 2, 3""".stripMargin
+
   /** irfft(rfft(x)) on the 64-frame: recovers x (even length). */
   def sigIrfftRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val f = Signal.rfft(ev64(s, dir), Seq("user_id"), "t", "value", newdim = "freq")
@@ -1527,6 +1554,7 @@ object Sig {
     "sig_rfft_fwd" -> (sigRfftFwd _),
     "sig_decimate_fir_causal" -> (sigDecimateFirCausal _),
     "sig_ifft_roundtrip" -> (sigIfftRoundtrip _),
+    "sig_fft_norm_roundtrips" -> (sigFftNormRoundtrips _),
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
     "sig_hfft" -> (sigHfft _),
     "sig_ihfft" -> (sigIhfft _),
@@ -1571,6 +1599,7 @@ object Sig {
     "sig_rfft_fwd" -> sigRfftFwdSql,
     "sig_decimate_fir_causal" -> sigDecimateFirCausalSql,
     "sig_ifft_roundtrip" -> sigIfftRoundtripSql,
+    "sig_fft_norm_roundtrips" -> sigFftNormRoundtripsSql,
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
     "sig_hfft" -> sigHfftSql,
     "sig_ihfft" -> sigIhfftSql,

@@ -16,8 +16,9 @@ object ExplainCheck {
     graft.functions.Functions.install(spark)
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q2_join", "sig_rfft", "sig_sosfilt",
-        "dedup_minhash_lsh", "ann_topk_bruteforce")
+      else Seq("q1_agg", "q2_join", "q4_asof", "q5_interval",
+        "sig_rfft", "sig_rfft_pregrouped", "sig_sosfilt",
+        "dedup_minhash_lsh", "ann_topk_bruteforce", "text_pack")
     val dir = "/root/testdata/sf0.001"
     names.foreach { n =>
       println(s"\n========== $n ==========")
