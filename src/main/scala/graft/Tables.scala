@@ -36,19 +36,41 @@ object Tables {
   def fpSql(e: String, scale: String): String =
     s"CAST(FLOOR(($e) * $scale + 0.5) AS BIGINT)"
 
-  /** Cheap content fingerprint of a table path (file or directory):
-    * sorted names + sizes + mtimes. Keys the /tmp materialization
-    * caches (pre-grouped series, sliced streams) so a REGENERATED
-    * source dataset can never be served a stale materialization built
-    * from the old data.
+  /** Content fingerprint of a table path (file or directory): md5 over
+    * the sorted (relative subpath, size, mtime) listing — 64 bits kept,
+    * so collisions across regenerations are negligible (a 32-bit
+    * String.hashCode would make them merely unlikely). Keys the /tmp
+    * materialization caches (pre-grouped series, sliced streams) so a
+    * regenerated source dataset is not served a stale materialization.
+    * Fails fast on a missing path instead of fingerprinting nothing.
     */
   def pathFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    require(root.exists, s"pathFingerprint: $path does not exist")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
       else Seq(f)
-    val h = walk(new java.io.File(path)).sortBy(_.getPath)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode
-    (h & 0x7fffffff).toHexString
+    val listing = walk(root).sortBy(_.getPath)
+      .map(f => s"${root.toPath.relativize(f.toPath)}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Remove sibling materialization dirs of `current` that share its
+    * `tag-` prefix but carry a different (stale) fingerprint — keeps
+    * /tmp bounded to one copy per source instead of one per
+    * regeneration.
+    */
+  def pruneStaleSiblings(current: java.io.File, tag: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    Option(current.getParentFile).flatMap(p => Option(p.listFiles)).foreach {
+      _.filter(f => f.isDirectory && f.getName.startsWith(s"$tag-") &&
+          f.getName != current.getName)
+        .foreach(rm)
+    }
   }
 }

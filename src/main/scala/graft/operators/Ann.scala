@@ -146,8 +146,8 @@ object Ann {
       "nCentroids only parameterizes the stand-in quantizer; with a " +
         "caller-supplied centroids DataFrame the cell count is its row " +
         "count — don't pass both")
-    val centSrc = centroids.getOrElse(
-      corpus.filter(col(idCol) < nCentroids.getOrElse(16)))
+    val standInK = nCentroids.getOrElse(16)
+    val centSrc = centroids.getOrElse(corpus.filter(col(idCol) < standInK))
     val cents: Array[(Int, Array[Double])] = centSrc
       .select(col(idCol).cast("int"), asDouble(col(vecCol)))
       .collect()
@@ -155,7 +155,7 @@ object Ann {
       .sortBy(_._1)
     require(cents.nonEmpty,
       if (centroids.isDefined) "centroids DataFrame is empty"
-      else s"no centroid vectors found: corpus has no $idCol < ${nCentroids.getOrElse(16)}")
+      else s"no centroid vectors found: corpus has no $idCol < $standInK")
     require(cents.map(_._1).distinct.length == cents.length,
       "duplicate centroid ids")
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")

@@ -34,6 +34,11 @@ object AsOf {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains), "payload must exist in right")
+    // a payload name colliding with a left column would emit duplicate
+    // output columns (ambiguous on any downstream by-name reference)
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload columns ${payload.filter(leftCols.contains).mkString(", ")} " +
+        "collide with left columns — rename one side")
     val tagR = if (strict) 1 else 0
     val tagL = 1 - tagR
     val rT = right.select(

@@ -29,6 +29,10 @@ object RangeJoin {
                    bucketWidth: Double): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one key column")
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // shared non-key names would emit duplicate (ambiguous) columns
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key columns ${shared.mkString(", ")} exist on both sides — rename one side")
     val lb = left.withColumn("_bk",
       floor(col(tCol).cast("double") / bucketWidth).cast("long"))
     val rb = right

@@ -259,8 +259,16 @@ object TextOps {
       s"packChunks: idCol '$idCol' must be integral (got $idType) — " +
         "the global packing order is numeric id order")
     val spark = df.sparkSession
+    // null/negative token counts fail loudly (chained into _n so the
+    // guard cannot be pruned): a null would NPE opaquely in the bucket
+    // collect, a negative would silently shift every later document's
+    // offset — the same input class RangeJoin drops up front
+    val nTokGuard = assert_true(
+      col(nTokCol).isNotNull && col(nTokCol) >= 0,
+      lit(s"packChunks: $nTokCol must be a nonnegative, non-null token count"))
     val withB = df
-      .select(col(idCol), col(nTokCol).cast("long").as("_n"))
+      .select(col(idCol),
+        when(nTokGuard.isNull, col(nTokCol).cast("long")).as("_n"))
       .withColumn("_b", expr(s"CAST($idCol AS BIGINT) div $bucketSpan"))
     val sums = withB.groupBy("_b").agg(sum(col("_n")).as("_bs"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -327,8 +335,15 @@ object TextOps {
     * re-collects an old result after the cache moved to a new corpus
     * recomputes the shingles (correct, just uncached).
     */
-  private val lastOcc =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]
+  /** WeakReference VALUES, not just weak keys: the cached DataFrame
+    * strongly references its SparkSession, so a plain WeakHashMap
+    * entry would pin its own key forever and never collect. If the
+    * reference clears early the only cost is a redundant persist call
+    * on the next invocation (Spark's CacheManager no-ops on an
+    * already-cached plan), never a correctness change.
+    */
+  private val lastOcc = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, java.lang.ref.WeakReference[DataFrame]]
 
   def commonNgramCoverage(df: DataFrame, idCol: String, textCol: String,
                           minDocs: Int = 2): DataFrame = {
@@ -340,12 +355,13 @@ object TextOps {
     // closes the check-then-act race (two concurrent calls could both
     // persist and orphan one entry)
     val occ = lastOcc.synchronized {
-      Option(lastOcc.get(df.sparkSession)) match {
+      val prev = Option(lastOcc.get(df.sparkSession)).flatMap(r => Option(r.get))
+      prev match {
         case Some(p)
           if p.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed) => p
-        case prev =>
+        case _ =>
           fresh.persist(MEMORY_AND_DISK)
-          lastOcc.put(df.sparkSession, fresh)
+          lastOcc.put(df.sparkSession, new java.lang.ref.WeakReference(fresh))
           prev.foreach(_.unpersist(false))
           fresh
       }

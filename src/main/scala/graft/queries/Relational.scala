@@ -80,6 +80,10 @@ object Relational {
         (expr("ts div 1000").cast("double") / lit(1e6)).as("t"),
         col("value"), col("event_id"))
     val left = ev.select(col("user_id"), col("t"), col("value"))
+    // AsOf's dedupe contract ((user, t) unique on the right) holds by
+    // data: (user_id, ts) is unique in TESTDATA, so the %10 subset
+    // cannot carry duplicate timestamps per user — DuckDB's ASOF and
+    // the window pass therefore agree on every tie
     val snaps = ev.filter(col("event_id") % 10 === 0)
       .select(col("user_id"), col("t"), col("value").as("snap"),
         col("event_id").as("snap_id"))

@@ -113,7 +113,9 @@ object Sig {
   def sigRfftPregrouped(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/events.parquet")
-    val path = s"/tmp/graft_grouped/$tag-$fpTag/events_series"
+    val base = new java.io.File(s"/tmp/graft_grouped/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    val path = s"$base/events_series"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       Signal.seriesify(evReal(s, dir), Seq("user_id"), "t", Seq("value"))
         .select(col("user_id"), col("coords"), col("value"))

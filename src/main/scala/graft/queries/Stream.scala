@@ -55,7 +55,9 @@ object Stream {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = Tables.pathFingerprint(s"$dir/events.parquet")
-    val root = new java.io.File(s"/tmp/graft_stream/$tag-$fpTag/$nFiles")
+    val base = new java.io.File(s"/tmp/graft_stream/$tag-$fpTag")
+    Tables.pruneStaleSiblings(base, tag)
+    val root = new java.io.File(base, nFiles.toString)
     val ready = new java.io.File(root, "_READY")
     if (!ready.exists()) {
       val ev = s.read.parquet(s"$dir/events.parquet")
