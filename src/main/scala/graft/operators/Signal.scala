@@ -665,6 +665,31 @@ object Signal {
       "envelope" -> expr("transform(arrays_zip(_out.re, _out.im), s -> sqrt(s.re * s.re + s.im * s.im))")))
   }
 
+  /** Batch STFT / spectrogram: sliding-window rfft (window `w`
+    * samples, hop `h`) per series — the batch twin of
+    * [[graft.streaming.Streaming.streamingStft]] with identical window
+    * placement (starts 0, h, 2h, … while start + w ≤ n). One seriesify
+    * shuffle; the windows explode MAP-SIDE from the per-series array
+    * (slice + posexplode) and each window's spectrum is one kernel
+    * call — no second exchange, no per-window grouping. Output: keys,
+    * win (window ordinal), start (sample index), coord (of the
+    * window-closing sample), bin, re, im.
+    */
+  def stft(df: DataFrame, keys: Seq[String], dim: String, value: String,
+           w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val windows = sdf
+      .filter(col("n") >= w)
+      .withColumn("_starts", expr(s"sequence(0, n - $w, $h)"))
+      .select((keys.map(col) :+ col("coords") :+ col(value).as("_v") :+
+        posexplode(col("_starts")).as(Seq("win", "start"))): _*)
+      .withColumn("_spec", rfftC(expr(s"slice(_v, start + 1, $w)"), -1, "backward"))
+      .withColumn("coord", expr(s"element_at(coords, start + $w)"))
+    explodeSeries(windows, keys ++ Seq("win", "start", "coord"),
+      Seq("re" -> col("_spec.re"), "im" -> col("_spec.im")), posName = "bin")
+  }
+
   // ---- peaks (signal.py:330-371) --------------------------------------
 
   /** peak_widths at rel_height of prominence. Peaks default to the

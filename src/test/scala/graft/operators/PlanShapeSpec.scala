@@ -37,6 +37,8 @@ class PlanShapeSpec extends SparkTestBase {
       .withColumn("d2", expr("CAST(t AS INT) % 8"))
     assert(hashExchanges(Signal.fftconvolveNd(grid, Seq("k"), Seq("d1", "d2"),
       "v", Array(1.0, 0.5), Array(1, 2))) == 1)
+    // batch STFT: windows explode map-side from the one grouped pass
+    assert(hashExchanges(Signal.stft(series, Seq("k"), "t", "v", 16, 8)) == 1)
   }
 
   test("complex convolve keeps the one-shuffle signal-op shape") {
