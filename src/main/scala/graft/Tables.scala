@@ -64,13 +64,51 @@ object Tables {
     * regeneration.
     */
   def pruneStaleSiblings(current: java.io.File, tag: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
     Option(current.getParentFile).flatMap(p => Option(p.listFiles)).foreach {
-      _.filter(f => f.isDirectory && f.getName.startsWith(s"$tag-") &&
-          f.getName != current.getName)
-        .foreach(rm)
+      siblings =>
+        siblings.filter(f => f.isDirectory && f.getName.startsWith(s"$tag-") &&
+            f.getName != current.getName)
+          .foreach(rmTree)
+        // orphaned build scratch from a crashed JVM (see materializeOnce)
+        // — old enough that no live builder can still be writing it
+        siblings.filter(f => f.isDirectory && f.getName.startsWith("_build-") &&
+            f.lastModified < System.currentTimeMillis - 6 * 3600 * 1000L)
+          .foreach(rmTree)
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
+  /** Build-once /tmp materialization, safe across concurrent JVMs
+    * (bench + verify racing over a regenerated dataset): the readable
+    * state is "`target` exists and contains `marker`", and that state
+    * only ever appears via an ATOMIC rename of a fully-built
+    * process-unique scratch dir — check-then-write on the target
+    * itself would let one process read a half-written dir whose
+    * marker survives a concurrent `mode("overwrite")`. `build`
+    * receives the scratch dir; the marker is created there AFTER
+    * `build` returns, then the whole dir renames into place. A
+    * concurrent builder that wins the rename makes ours fail
+    * (rename(2) onto a non-empty dir), and we just discard the
+    * scratch — both processes then read the winner's copy.
+    */
+  def materializeOnce(target: java.io.File, marker: String)
+                     (build: java.io.File => Unit): Unit = {
+    if (new java.io.File(target, marker).exists()) return
+    val parent = target.getParentFile
+    parent.mkdirs()
+    val scratch = new java.io.File(parent,
+      s"_build-${target.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
+    try {
+      build(scratch)
+      new java.io.File(scratch, marker).createNewFile()
+      try java.nio.file.Files.move(scratch.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent builder won the rename — use its copy
+        case _: java.nio.file.FileSystemException => rmTree(scratch)
+      }
+    } finally if (scratch.exists()) rmTree(scratch)
   }
 }

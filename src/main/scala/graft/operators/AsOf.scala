@@ -41,13 +41,23 @@ object AsOf {
         "collide with left columns — rename one side")
     val tagR = if (strict) 1 else 0
     val tagL = 1 - tagR
+    // ordering type for the union'd time: integral stays LONG — a
+    // double cast would merge nanosecond epochs above 2^53 and
+    // silently change which right row is "latest" (ADVICE r8);
+    // fractional/timestamp types order as double as before
+    import org.apache.spark.sql.types._
+    val integral = Seq(left, right).forall(_.schema(timeCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    val tType = if (integral) "long" else "double"
     val rT = right.select(
-      (keys.map(col) :+ col(timeCol).cast("double").as("_t") :+
+      (keys.map(col) :+ col(timeCol).cast(tType).as("_t") :+
         lit(tagR).as("_tag") :+ struct(payload.map(col): _*).as("_pl")): _*)
     // carry the whole left row as a struct so arbitrary left schemas
     // survive the union without column gymnastics
     val lT = left.select(
-      (keys.map(col) :+ col(timeCol).cast("double").as("_t") :+
+      (keys.map(col) :+ col(timeCol).cast(tType).as("_t") :+
         lit(tagL).as("_tag") :+ struct(leftCols.map(col): _*).as("_lrow")): _*)
     val u = rT.withColumn("_lrow", lit(null).cast(lT.schema("_lrow").dataType))
       .unionByName(lT.withColumn("_pl", lit(null).cast(rT.schema("_pl").dataType)))

@@ -337,13 +337,21 @@ object TextOps {
     */
   /** WeakReference VALUES, not just weak keys: the cached DataFrame
     * strongly references its SparkSession, so a plain WeakHashMap
-    * entry would pin its own key forever and never collect. If the
-    * reference clears early the only cost is a redundant persist call
-    * on the next invocation (Spark's CacheManager no-ops on an
-    * already-cached plan), never a correctness change.
+    * entry would pin its own key forever and never collect. The entry
+    * carries TWO weak refs: the DataFrame (for cheap reuse) and its
+    * analyzed plan. The plan ref is the unpersist handle that survives
+    * the DataFrame's collection — Spark's CacheManager holds the
+    * cached plan STRONGLY for as long as the entry is cached, so the
+    * plan weak-ref clears exactly when there is nothing left to
+    * uncache, and a GC'd DataFrame can no longer orphan a live cache
+    * entry until session stop (ADVICE r8).
     */
+  private final case class OccEntry(
+    df: java.lang.ref.WeakReference[DataFrame],
+    plan: java.lang.ref.WeakReference[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
   private val lastOcc = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession, java.lang.ref.WeakReference[DataFrame]]
+    org.apache.spark.sql.SparkSession, OccEntry]
 
   def commonNgramCoverage(df: DataFrame, idCol: String, textCol: String,
                           minDocs: Int = 2): DataFrame = {
@@ -355,14 +363,29 @@ object TextOps {
     // closes the check-then-act race (two concurrent calls could both
     // persist and orphan one entry)
     val occ = lastOcc.synchronized {
-      val prev = Option(lastOcc.get(df.sparkSession)).flatMap(r => Option(r.get))
-      prev match {
-        case Some(p)
-          if p.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed) => p
+      val entry = Option(lastOcc.get(df.sparkSession))
+      val prevPlan = entry.flatMap(e => Option(e.plan.get))
+      prevPlan match {
+        case Some(p) if p.sameResult(fresh.queryExecution.analyzed) =>
+          // same corpus: reuse the live DataFrame, or just return
+          // `fresh` — the CacheManager resolves it to the cached
+          // InMemoryRelation by plan equality either way
+          entry.flatMap(e => Option(e.df.get)).getOrElse(fresh)
         case _ =>
           fresh.persist(MEMORY_AND_DISK)
-          lastOcc.put(df.sparkSession, new java.lang.ref.WeakReference(fresh))
-          prev.foreach(_.unpersist(false))
+          lastOcc.put(df.sparkSession, OccEntry(
+            new java.lang.ref.WeakReference(fresh),
+            new java.lang.ref.WeakReference(fresh.queryExecution.analyzed)))
+          // uncache the previous corpus via the plan handle, which is
+          // alive iff the cache entry is — a GC'd DataFrame no longer
+          // leaks its cached data
+          prevPlan.foreach { p =>
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+              .sharedState.cacheManager
+              .uncacheQuery(df.sparkSession
+                .asInstanceOf[org.apache.spark.sql.classic.SparkSession], p,
+                cascade = false, blocking = false)
+          }
           fresh
       }
     }

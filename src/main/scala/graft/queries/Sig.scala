@@ -116,10 +116,13 @@ object Sig {
     val base = new java.io.File(s"/tmp/graft_grouped/$tag-$fpTag")
     graft.Tables.pruneStaleSiblings(base, tag)
     val path = s"$base/events_series"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    // atomic scratch-dir build: concurrent bench/verify JVMs can race
+    // here, and Spark's own _SUCCESS can't be trusted across a
+    // concurrent overwrite (ADVICE r8)
+    graft.Tables.materializeOnce(new java.io.File(path), "_SUCCESS") { scratch =>
       Signal.seriesify(evReal(s, dir), Seq("user_id"), "t", Seq("value"))
         .select(col("user_id"), col("coords"), col("value"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(scratch.getAbsolutePath)
     }
     Signal.rfft(Signal.fromGrouped(s.read.parquet(path), "coords"),
         Seq("user_id"), "t", "value", newdim = "freq")

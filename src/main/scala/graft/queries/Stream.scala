@@ -58,8 +58,10 @@ object Stream {
     val base = new java.io.File(s"/tmp/graft_stream/$tag-$fpTag")
     Tables.pruneStaleSiblings(base, tag)
     val root = new java.io.File(base, nFiles.toString)
-    val ready = new java.io.File(root, "_READY")
-    if (!ready.exists()) {
+    // atomic scratch-dir build (ADVICE r8): the _READY marker becomes
+    // visible only via the rename of a fully-sliced dir, so concurrent
+    // bench/verify JVMs can never stream a half-written slice set
+    Tables.materializeOnce(root, "_READY") { scratch =>
       val ev = s.read.parquet(s"$dir/events.parquet")
       val n = ev.count()
       val chunk = math.ceil(n.toDouble / nFiles).toLong
@@ -73,13 +75,13 @@ object Stream {
       val idx = ev.withColumn("_rn", row_number().over(w).cast("long") - 1)
         .withColumn("_c", expr(s"_rn div $chunk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      root.mkdirs()
+      scratch.mkdirs()
       for (c <- 0 until nFiles) {
-        val tmpDir = new java.io.File(root, s"_tmp$c")
+        val tmpDir = new java.io.File(scratch, s"_tmp$c")
         idx.filter(col("_c") === c).drop("_rn", "_c")
           .coalesce(1).write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
         val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
-        val tgt = new java.io.File(root, f"ev_$c%03d.parquet")
+        val tgt = new java.io.File(scratch, f"ev_$c%03d.parquet")
         java.nio.file.Files.move(part.toPath, tgt.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // distinct ascending mtimes pin the FileStreamSource batch order
@@ -87,7 +89,6 @@ object Stream {
         tmpDir.listFiles().foreach(_.delete()); tmpDir.delete(): Unit
       }
       idx.unpersist(false)
-      ready.createNewFile()
     }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream.schema(schema)

@@ -8,7 +8,17 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: BenchOne <query> [sfDir] [runs]\n" +
+        s"queries: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val name = args(0)
+    if (!graft.SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
