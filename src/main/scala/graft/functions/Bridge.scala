@@ -398,13 +398,13 @@ object Bridge {
     d / (math.sqrt(nx) * math.sqrt(ny))
   }
 
-  // ---- multimodal byte kernels (SURVEY.md §2.2 op 29) ---------------
-  // The decode step for real media needs codec libraries not present
-  // in this environment; these kernels are the DETERMINISTIC STUBS the
-  // plumbing (schema, batching, partitioning) is exercised with. A real
-  // deployment swaps the body, not the plumbing.
+  // ---- multimodal kernels (SURVEY.md §2.2 op 29) --------------------
+  // Image decode/resize/demux are REAL (JDK ImageIO + a spec-direct
+  // BMP writer, see graft.dsp.Image); PCM16 audio decode is real; the
+  // byte histogram is a generic binary-column featurizer (format
+  // agnostic, e.g. for magic-byte/entropy-style triage).
 
-  /** Stub "feature extraction": histogram of high nibbles (16 bins). */
+  /** Generic binary feature: histogram of high nibbles (16 bins). */
   def byteHistogramRaw(bin: Array[Byte]): Array[Long] = {
     val h = new Array[Long](16)
     var i = 0
@@ -452,32 +452,54 @@ object Bridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Stub "resize": deterministic stride subsample to `outLen` bytes. */
-  def resizeStub(bin: Array[Byte], outLen: Int): Array[Byte] = {
-    if (bin.isEmpty || outLen <= 0) return Array.emptyByteArray
-    val out = new Array[Byte](math.min(outLen, bin.length))
-    var i = 0
-    while (i < out.length) {
-      out(i) = bin((i.toLong * bin.length / out.length).toInt)
-      i += 1
-    }
-    out
+  /** Deterministic synthetic image source (pixel formula → real BMP
+    * bytes): the oracle-replayable stand-in for an image table this
+    * sandbox doesn't ship. See [[graft.dsp.Image.synthGray]].
+    */
+  def synthBmp(text: UTF8String, w: Int, h: Int, off: Int): Array[Byte] =
+    graft.dsp.Image.encodeBmp24(graft.dsp.Image.synthGray(text.toString, w, h, off))
+
+  /** Same pixels through the JDK's PNG ENCODER — the decode side then
+    * exercises a real compressed-format round trip (zlib inflate).
+    */
+  def synthPng(text: UTF8String, w: Int, h: Int, off: Int): Array[Byte] =
+    graft.dsp.Image.encodePng(graft.dsp.Image.synthGray(text.toString, w, h, off))
+
+  /** REAL image feature extraction: ImageIO decode + per-block gray
+    * sums over a gw×gh grid. Returns (w, h, sums) so callers also see
+    * the decoded geometry.
+    */
+  def imageBlockSums(bin: Array[Byte], gw: Int, gh: Int): InternalRow = {
+    val (w, h, sums) = graft.dsp.Image.blockSums(bin, gw, gh)
+    new GenericInternalRow(Array[Any](w, h, UnsafeArrayData.fromPrimitiveArray(sums)))
   }
 
-  /** Stub "frame sampling": split into fixed-size frames, keep every
-    * `stride`-th. Returns array<binary>.
+  /** REAL resize: ImageIO decode + nearest-neighbor resample (explicit
+    * floor index mapping — oracle-replayable). Row-major gray values.
     */
-  def frameSample(bin: Array[Byte], frameLen: Int, stride: Int): ArrayData = {
-    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
-    val nFrames = bin.length / frameLen
-    val kept = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var f = 0
-    while (f < nFrames) {
-      if (f % stride == 0)
-        kept += java.util.Arrays.copyOfRange(bin, f * frameLen, (f + 1) * frameLen)
-      f += 1
+  def imageResizeNN(bin: Array[Byte], ow: Int, oh: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.dsp.Image.resizeNN(bin, ow, oh))
+
+  /** REAL smooth resize: ImageIO decode + Graphics2D bilinear,
+    * re-encoded as PNG (production path; invariant-tested, not
+    * oracle-replayed — Java2D sub-pixel phase is implementation-defined).
+    */
+  def imageResizeBilinear(bin: Array[Byte], ow: Int, oh: Int): Array[Byte] =
+    graft.dsp.Image.encodePng(graft.dsp.Image.resizeBilinear(bin, ow, oh))
+
+  /** REAL frame extraction: demux a concatenated-BMP stream by its
+    * file-size fields, ImageIO-decode each frame, reduce to
+    * (w, h, gray pixel sum). Returns array<struct<w,h,psum>>.
+    */
+  def imageFrames(bin: Array[Byte]): ArrayData = {
+    val fs = graft.dsp.Image.frames(bin)
+    val out = new Array[Any](fs.length)
+    var i = 0
+    while (i < fs.length) {
+      out(i) = new GenericInternalRow(Array[Any](fs(i)._1, fs(i)._2, fs(i)._3))
+      i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   // ---- signatures for DspExpr --------------------------------------
@@ -540,9 +562,18 @@ object Bridge {
       StructField("frame", IntegerType, nullable = false),
       StructField("energy", LongType, nullable = false),
       StructField("zcr", IntegerType, nullable = false))), containsNull = false)),
-    "resizeStub" -> (Seq(BinaryType, IntegerType) -> BinaryType),
-    "frameSample" -> (Seq(BinaryType, IntegerType, IntegerType)
-      -> ArrayType(BinaryType, containsNull = false)))
+    "synthBmp" -> (Seq(StringType, IntegerType, IntegerType, IntegerType) -> BinaryType),
+    "synthPng" -> (Seq(StringType, IntegerType, IntegerType, IntegerType) -> BinaryType),
+    "imageBlockSums" -> (Seq(BinaryType, IntegerType, IntegerType) -> StructType(Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("sums", ArrayType(LongType, containsNull = false), nullable = false)))),
+    "imageResizeNN" -> (Seq(BinaryType, IntegerType, IntegerType) -> arrI),
+    "imageResizeBilinear" -> (Seq(BinaryType, IntegerType, IntegerType) -> BinaryType),
+    "imageFrames" -> (Seq(BinaryType) -> ArrayType(StructType(Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("psum", LongType, nullable = false))), containsNull = false)))
 
   /** Interpreted-path dispatch (mirrors the static calls codegen makes). */
   def dispatch(fn: String, a: Array[Any]): Any = fn match {
@@ -584,8 +615,12 @@ object Bridge {
     case "cosineFF" => cosineFF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
     case "pcmFrames" => pcmFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
-    case "resizeStub" => resizeStub(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int])
-    case "frameSample" => frameSample(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
+    case "synthBmp" => synthBmp(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
+    case "synthPng" => synthPng(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
+    case "imageBlockSums" => imageBlockSums(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
+    case "imageResizeNN" => imageResizeNN(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
+    case "imageResizeBilinear" => imageResizeBilinear(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
+    case "imageFrames" => imageFrames(a(0).asInstanceOf[Array[Byte]])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")
   }
 }

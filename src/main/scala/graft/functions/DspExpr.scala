@@ -216,9 +216,16 @@ object Functions {
     def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
     def pcmFramesC(bin: Column, frameLen: Int, center: Int = 0): Column =
       call("pcmFrames", bin, lit(frameLen), lit(center))
-    def resizeStubC(bin: Column, outLen: Int): Column =
-      call("resizeStub", bin, lit(outLen))
-    def frameSampleC(bin: Column, frameLen: Int, stride: Int): Column =
-      call("frameSample", bin, lit(frameLen), lit(stride))
+    def synthBmpC(text: Column, w: Int, h: Int, off: Int = 0): Column =
+      call("synthBmp", text, lit(w), lit(h), lit(off))
+    def synthPngC(text: Column, w: Int, h: Int, off: Int = 0): Column =
+      call("synthPng", text, lit(w), lit(h), lit(off))
+    def imageBlockSumsC(bin: Column, gw: Int, gh: Int): Column =
+      call("imageBlockSums", bin, lit(gw), lit(gh))
+    def imageResizeNNC(bin: Column, ow: Int, oh: Int): Column =
+      call("imageResizeNN", bin, lit(ow), lit(oh))
+    def imageResizeBilinearC(bin: Column, ow: Int, oh: Int): Column =
+      call("imageResizeBilinear", bin, lit(ow), lit(oh))
+    def imageFramesC(bin: Column): Column = call("imageFrames", bin)
   }
 }

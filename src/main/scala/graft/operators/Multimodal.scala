@@ -5,16 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Functions.dsl._
 
-/** Multimodal column plumbing (SURVEY.md §2.2 op 29): media as opaque
-  * binary columns with typed metadata; decode / feature-extract /
-  * resize / frame-sample run as Catalyst expressions over the bytes.
+/** Multimodal columns (SURVEY.md §2.2 op 29): media as opaque binary
+  * columns with typed metadata; decode / feature-extract / resize /
+  * frame-demux run as Catalyst expressions over the bytes.
   *
-  * The decode kernels are DETERMINISTIC STUBS (this environment has no
-  * codec libraries): byteHistogram stands in for feature extraction,
-  * resizeStub for resampling, frameSample for video frame selection.
-  * The Spark-side plumbing — binary schema, metadata struct, map-side
-  * batching/partitioning — is real and what the tests/oracle verify;
-  * a deployment swaps the kernel body only.
+  * The image kernels are REAL: `javax.imageio` decode (the PNG/BMP/
+  * GIF/JPEG readers ship with the JDK — no external codec), raster
+  * block features, nearest-neighbor + Graphics2D-bilinear resize, and
+  * concatenated-BMP demux by container parsing (see
+  * [[graft.dsp.Image]]). Audio decode (PCM16) is likewise real. The
+  * only synthetic piece is the test-data SOURCE: the sandbox has no
+  * image table, so [[asImageMedia]] renders documents into real
+  * BMP/PNG bytes with an oracle-replayable pixel formula.
   */
 object Multimodal {
 
@@ -30,22 +32,51 @@ object Multimodal {
         octet_length(encode(col(textCol), "UTF-8")).as("n_bytes"),
         lit("text/plain").as("mime")).as("meta"))
 
-  /** Stub feature extraction: 16-bin high-nibble byte histogram. */
-  def imageFeatures(media: DataFrame): DataFrame =
-    media.withColumn("features", byteHistogramC(col("content")))
+  /** Render a text frame into real image media: `content` holds BMP
+    * (our spec-direct writer) or PNG (the JDK encoder) bytes of a
+    * w×h gray image whose pixel (x,y) is the codepoint of
+    * text[(off + y·w + x) mod len]. Empty texts are dropped (no
+    * pixels to render). The deterministic formula is what makes the
+    * decode kernels DuckDB-verifiable end-to-end.
+    */
+  def asImageMedia(df: DataFrame, idCol: String, textCol: String,
+                   w: Int, h: Int, format: String = "bmp",
+                   off: Int = 0): DataFrame = {
+    val synth = format match {
+      case "bmp" => synthBmpC(col(textCol), w, h, off)
+      case "png" => synthPngC(col(textCol), w, h, off)
+      case other => throw new IllegalArgumentException(
+        s"asImageMedia: unsupported format '$other' (bmp|png)")
+    }
+    df.filter(length(col(textCol)) > 0).select(
+      col(idCol).as("media_id"),
+      synth.as("content"),
+      struct(lit(w).as("width"), lit(h).as("height"),
+        lit(s"image/$format").as("mime")).as("meta"))
+  }
+
+  /** REAL feature extraction: ImageIO decode + per-block gray sums
+    * over a gw×gh grid; decoded geometry rides along as (w, h).
+    */
+  def imageFeatures(media: DataFrame, gw: Int = 4, gh: Int = 4): DataFrame =
+    media.withColumn("_f", imageBlockSumsC(col("content"), gw, gh))
+      .withColumn("width", col("_f.w"))
+      .withColumn("height", col("_f.h"))
+      .withColumn("features", col("_f.sums"))
+      .drop("_f")
 
   /** Batched decode plumbing — the Scala analog of a pandas-UDF /
     * mapInPandas decoder: the partition iterator is re-chunked into
     * `batchSize` groups and the decoder runs once per batch, which is
     * the shape a real codec/JNI/model decoder needs (per-batch
     * initialization amortized; bounded memory per task). The default
-    * decoder is the deterministic histogram stub; a deployment passes
+    * decoder is the REAL ImageIO block-sum kernel; a deployment passes
     * its own `Seq[bytes] => Seq[features]`.
     */
   def imageFeaturesBatched(
       media: DataFrame, batchSize: Int = 64,
       decode: Seq[Array[Byte]] => Seq[Array[Long]] =
-        _.map(graft.functions.Bridge.byteHistogramRaw)): DataFrame = {
+        _.map(b => graft.dsp.Image.blockSums(b, 4, 4)._3)): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("string"), col("content"))
@@ -74,11 +105,25 @@ object Multimodal {
       .select(col("media_id"), col("f.frame").as("frame"),
         col("f.energy").as("energy"), col("f.zcr").as("zcr"))
 
-  /** Stub resize: deterministic stride subsample to outLen bytes. */
-  def resize(media: DataFrame, outLen: Int): DataFrame =
-    media.withColumn("resized", resizeStubC(col("content"), outLen))
+  /** REAL resize: ImageIO decode + nearest-neighbor resample to
+    * ow×oh (explicit floor index mapping, oracle-replayable);
+    * `resized` is the row-major gray values.
+    */
+  def resize(media: DataFrame, ow: Int, oh: Int): DataFrame =
+    media.withColumn("resized", imageResizeNNC(col("content"), ow, oh))
 
-  /** Stub video frame sampling: fixed-size frames, every stride-th. */
-  def sampleFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame =
-    media.withColumn("frames", frameSampleC(col("content"), frameLen, stride))
+  /** REAL smooth resize: ImageIO decode + Graphics2D bilinear,
+    * re-encoded PNG (the production thumbnailing path; invariant-
+    * tested rather than oracle-replayed — Java2D's sub-pixel phase is
+    * implementation-defined).
+    */
+  def resizeBilinear(media: DataFrame, ow: Int, oh: Int): DataFrame =
+    media.withColumn("resized_png", imageResizeBilinearC(col("content"), ow, oh))
+
+  /** REAL frame extraction: demux a concatenated-BMP video column by
+    * container parsing (each frame's BMP file-size field), decode
+    * every frame, reduce to (w, h, gray pixel sum) structs.
+    */
+  def sampleFrames(media: DataFrame): DataFrame =
+    media.withColumn("frames", imageFramesC(col("content")))
 }

@@ -662,26 +662,34 @@ object Pipeline {
 
   // ---- multimodal ---------------------------------------------------
 
-  /** Byte-histogram "features" of the binary content column (ASCII
-    * subset so the oracle can reproduce bytes from codepoints).
+  /** REAL image decode + feature extraction: each en document renders
+    * to a 16×16 gray BMP (pixel (x,y) = codepoint of
+    * text[(y·16+x) mod n], our spec-direct writer), `javax.imageio`
+    * decodes it back, and the kernel sums gray values per 4×4 block.
+    * The oracle never sees bytes — it replays the pixel formula — so
+    * a green hash proves writer, JDK decoder, and feature kernel
+    * agree on the BMP spec end-to-end (row order, padding, BGR
+    * layout). Sums are integral: exact compare, no fixed-point.
     */
   def mmImageFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.imageFeatures(
-      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"))
-      .select(col("media_id").as("doc_id"),
-        posexplode(col("features")).as(Seq("bin", "cnt")))
-      .filter(col("cnt") > 0)
-      .orderBy("doc_id", "bin")
+      Multimodal.asImageMedia(docs(s, dir).filter(col("lang") === "en"),
+        "doc_id", "text", w = 16, h = 16, format = "bmp"), gw = 4, gh = 4)
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("blk", "bsum")))
+      .orderBy("doc_id", "blk")
 
   private val mmImageFeaturesSql: String =
     """WITH en AS (
-      |  SELECT doc_id, text FROM documents WHERE lang = 'en'
-      |), ch AS (
-      |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM en
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE lang = 'en' AND length(text) > 0
+      |), px AS (
+      |  SELECT doc_id, text, n, unnest(generate_series(0, 255)) AS p FROM en
       |)
-      |SELECT doc_id, CAST(unicode(substr(text, i, 1)) // 16 AS INT) AS bin,
-      |  COUNT(*) AS cnt
-      |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |  CAST((p // 16 // 4) * 4 + (p % 16 // 4) AS INT) AS blk,
+      |  CAST(SUM(unicode(substr(text, (p % n) + 1, 1))) AS BIGINT) AS bsum
+      |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 4""".stripMargin
 
   /** PCM16 audio frame features over the binary content column — the
     * one multimodal path whose decode is REAL (bytes → samples needs
@@ -720,48 +728,68 @@ object Pipeline {
       |  CAST(COUNT(*) FILTER (WHERE ps IS NOT NULL AND ps * s < 0) AS INT) AS zcr
       |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Stub resize (stride subsample to 32 bytes), decoded back to a
-    * string so the oracle can rebuild it from codepoints (en docs are
-    * ASCII, same contract as mm_image_features).
+  /** REAL PNG round-trip + resize: the 16×16 gray image goes through
+    * the JDK's PNG ENCODER (real zlib deflate), `javax.imageio` PNG
+    * decode (inflate + filter reversal), then nearest-neighbor
+    * resample to 7×5 (non-divisor dims exercise the floor mapping:
+    * out(x,y) = in(x·16/7, y·16/5)). The oracle replays the pixel
+    * formula through the index mapping — lossless gray PNG means the
+    * values must survive bit-exactly.
     */
   def mmResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(
-      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"), 32)
+      Multimodal.asImageMedia(docs(s, dir).filter(col("lang") === "en"),
+        "doc_id", "text", w = 16, h = 16, format = "png"), ow = 7, oh = 5)
       .select(col("media_id").as("doc_id"),
-        decode(col("resized"), "UTF-8").as("resized_str"))
-      .orderBy("doc_id")
+        posexplode(col("resized")).as(Seq("pos", "v")))
+      .orderBy("doc_id", "pos")
 
   private val mmResizeSql: String =
     """WITH en AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en'
-      |), idx AS (
-      |  SELECT doc_id, text, n, LEAST(32, n) AS d,
-      |    unnest(generate_series(0, LEAST(32, n) - 1)) AS i
-      |  FROM en
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE lang = 'en' AND length(text) > 0
+      |), o AS (
+      |  SELECT doc_id, text, n, unnest(generate_series(0, 34)) AS pos FROM en
       |)
-      |SELECT doc_id,
-      |  STRING_AGG(substr(text, CAST(i * n // d AS INT) + 1, 1), '' ORDER BY i) AS resized_str
-      |FROM idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, CAST(pos AS INT) AS pos,
+      |  CAST(unicode(substr(text,
+      |    ((((pos // 7) * 16 // 5) * 16 + (pos % 7) * 16 // 7) % n) + 1, 1)) AS INT) AS v
+      |FROM o ORDER BY 1, 2""".stripMargin
 
-  /** Stub frame sampling (16-byte frames, every 2nd), frames decoded
-    * to strings for the oracle.
+  /** REAL video frame extraction: the "video" column is three real
+    * 8×8 BMPs concatenated (frame f's pixel (x,y) = codepoint of
+    * text[(f·64 + y·8 + x) mod n]); the kernel demuxes by parsing
+    * each frame's BMP file-size field, ImageIO-decodes every frame,
+    * and reduces it to (w, h, gray pixel sum). The oracle replays the
+    * per-frame codepoint sums — integral, exact compare.
     */
-  def mmFrames(s: SparkSession, dir: String): DataFrame =
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Functions.dsl._
+    val en = docs(s, dir)
+      .filter(col("lang") === "en" && length(col("text")) > 0)
     Multimodal.sampleFrames(
-      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"), "doc_id", "text"), 16, 2)
+      en.select(col("doc_id").as("media_id"),
+        concat(synthBmpC(col("text"), 8, 8, 0),
+          synthBmpC(col("text"), 8, 8, 64),
+          synthBmpC(col("text"), 8, 8, 128)).as("content")))
       .select(col("media_id").as("doc_id"),
-        posexplode(col("frames")).as(Seq("pos", "frame")))
-      .select(col("doc_id"), col("pos"), decode(col("frame"), "UTF-8").as("frame_str"))
-      .orderBy("doc_id", "pos")
+        posexplode(col("frames")).as(Seq("frame", "f")))
+      .select(col("doc_id"), col("frame"),
+        col("f.w").as("w"), col("f.h").as("h"), col("f.psum").as("psum"))
+      .orderBy("doc_id", "frame")
+  }
 
   private val mmFramesSql: String =
     """WITH en AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en'
-      |), fr AS (
-      |  SELECT doc_id, text, unnest(generate_series(0, n // 16 - 1)) AS f FROM en
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE lang = 'en' AND length(text) > 0
+      |), q AS (
+      |  SELECT doc_id, text, n, unnest(generate_series(0, 191)) AS q FROM en
       |)
-      |SELECT doc_id, CAST(f // 2 AS INT) AS pos, substr(text, CAST(f * 16 AS INT) + 1, 16) AS frame_str
-      |FROM fr WHERE f % 2 = 0 ORDER BY 1, 2""".stripMargin
+      |SELECT doc_id, CAST(q // 64 AS INT) AS frame,
+      |  CAST(8 AS INT) AS w, CAST(8 AS INT) AS h,
+      |  CAST(SUM(unicode(substr(text, (q % n) + 1, 1))) AS BIGINT) AS psum
+      |FROM q GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
 

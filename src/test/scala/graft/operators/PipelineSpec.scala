@@ -88,18 +88,45 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(jac((1L, 2L)) - 57.0 / 59.0) < 1e-12) // 58 shingles, 57 shared
   }
 
-  test("multimodal stubs: histogram counts bytes, resize/frames deterministic") {
-    import graft.functions.Bridge
-    val bytes = "aAzZ09".getBytes("UTF-8")
-    val h = Bridge.byteHistogram(bytes).toLongArray()
-    assert(h.sum == 6)
-    // 'a'→6, 'A'→4, 'z'→7, 'Z'→5, '0'/'9'→3
-    assert(h(3) == 2 && h(4) == 1 && h(5) == 1 && h(6) == 1 && h(7) == 1)
-    val r = Bridge.resizeStub((0 until 100).map(_.toByte).toArray, 10)
-    assert(r.length == 10 && r(0) == 0 && r(9) == 90)
-    val f = Bridge.frameSample((0 until 100).map(_.toByte).toArray, 10, 3)
-    assert(f.numElements() == 4) // frames 0,3,6,9
-    assert(f.getBinary(1)(0) == 30)
+  test("image kernels: BMP/PNG round-trip is bit-exact, demux + resize real") {
+    import graft.dsp.Image
+    val text = "The quick brown fox jumps over the lazy dog 0123456789"
+    val img = Image.synthGray(text, 16, 16, 0)
+    // both encoders decode back to the same raster the formula built
+    for (bytes <- Seq(Image.encodeBmp24(img), Image.encodePng(img))) {
+      val dec = Image.decode(bytes)
+      assert(dec.getWidth == 16 && dec.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(Image.resizeNN(bytes, 16, 16)(y * 16 + x) ==
+          text.charAt((y * 16 + x) % text.length).toInt)
+    }
+    // block sums equal the formula's per-block codepoint sums
+    val (w, h, sums) = Image.blockSums(Image.encodeBmp24(img), 4, 4)
+    assert(w == 16 && h == 16 && sums.length == 16)
+    val want = Array.tabulate(16) { blk =>
+      val (by, bx) = (blk / 4, blk % 4)
+      (for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+        yield text.charAt((y * 16 + x) % text.length).toLong).sum
+    }
+    assert(sums.toSeq == want.toSeq)
+    // demux: three concatenated BMPs come back as three decoded frames
+    val vid = Image.encodeBmp24(Image.synthGray(text, 8, 8, 0)) ++
+      Image.encodeBmp24(Image.synthGray(text, 8, 8, 64)) ++
+      Image.encodeBmp24(Image.synthGray(text, 8, 8, 128))
+    val fr = Image.frames(vid)
+    assert(fr.length == 3 && fr.forall(f => f._1 == 8 && f._2 == 8))
+    assert(fr(1)._3 ==
+      (0 until 64).map(p => text.charAt((64 + p) % text.length).toLong).sum)
+    // malformed stream fails fast instead of silently truncating
+    assertThrows[IllegalArgumentException](Image.frames(vid.dropRight(3)))
+    // bilinear resize invariants: dims, range, constant fixed point
+    val const = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) const.getRaster.setSample(x, y, 0, 77)
+    val bi = Image.resizeBilinear(Image.encodePng(const), 7, 5)
+    assert(bi.getWidth == 7 && bi.getHeight == 5)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(bi.getRaster.getSample(x, y, 0) == 77)
   }
 
   test("pcmFrames decodes PCM16-LE and counts energy + zero crossings") {
@@ -167,15 +194,14 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("batched media decode equals the per-row expression path") {
-    val media = Multimodal.asMedia(
+    val media = Multimodal.asImageMedia(
       Seq((1L, "hello world"), (2L, "abc"), (3L, "xyz" * 40)).toDF("doc_id", "text"),
-      "doc_id", "text")
+      "doc_id", "text", w = 16, h = 16, format = "bmp")
     val perRow = Multimodal.imageFeatures(media)
       .select($"media_id".cast("string"), $"features").collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    var batches = 0
-    val batched = Multimodal.imageFeaturesBatched(media, batchSize = 2,
-      decode = { bs => batches += bs.size; bs.map(graft.functions.Bridge.byteHistogramRaw) })
+    // default decoder = the same REAL ImageIO block-sum kernel
+    val batched = Multimodal.imageFeaturesBatched(media, batchSize = 2)
     val got = batched.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(got == perRow)
   }
