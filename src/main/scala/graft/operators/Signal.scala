@@ -666,25 +666,33 @@ object Signal {
   }
 
   /** Batch STFT / spectrogram: sliding-window rfft (window `w`
-    * samples, hop `h`) per series — the batch twin of
+    * samples, hop `h`, tapered by the named `window` — hann by
+    * default, matching scipy.signal.stft/spectrogram; "boxcar" for
+    * raw frames) per series — the batch twin of
     * [[graft.streaming.Streaming.streamingStft]] with identical window
     * placement (starts 0, h, 2h, … while start + w ≤ n). One seriesify
     * shuffle; the windows explode MAP-SIDE from the per-series array
-    * (slice + posexplode) and each window's spectrum is one kernel
-    * call — no second exchange, no per-window grouping. Output: keys,
-    * win (window ordinal), start (sample index), coord (of the
+    * (slice + posexplode), the taper applies as a codegen'd `zip_with`
+    * against a literal weight array, and each window's spectrum is one
+    * kernel call — no second exchange, no per-window grouping. Output:
+    * keys, win (window ordinal), start (sample index), coord (of the
     * window-closing sample), bin, re, im.
     */
   def stft(df: DataFrame, keys: Seq[String], dim: String, value: String,
-           w: Int, h: Int): DataFrame = {
+           w: Int, h: Int, window: String = "hann"): DataFrame = {
     require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
+    val wts = graft.dsp.Resample.periodicWindow(window, w) // also validates name
+    val slice = expr(s"slice(_v, start + 1, $w)")
+    val tapered =
+      if (window == "boxcar" || window == "rectangular") slice
+      else zip_with(slice, typedLit(wts), (x, wt) => x * wt)
     val sdf = seriesify(df, keys, dim, Seq(value))
     val windows = sdf
       .filter(col("n") >= w)
       .withColumn("_starts", expr(s"sequence(0, n - $w, $h)"))
       .select((keys.map(col) :+ col("coords") :+ col(value).as("_v") :+
         posexplode(col("_starts")).as(Seq("win", "start"))): _*)
-      .withColumn("_spec", rfftC(expr(s"slice(_v, start + 1, $w)"), -1, "backward"))
+      .withColumn("_spec", rfftC(tapered, -1, "backward"))
       .withColumn("coord", expr(s"element_at(coords, start + $w)"))
     explodeSeries(windows, keys ++ Seq("win", "start", "coord"),
       Seq("re" -> col("_spec.re"), "im" -> col("_spec.im")), posName = "bin")

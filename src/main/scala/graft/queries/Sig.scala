@@ -863,7 +863,8 @@ object Sig {
     * start index, the window-closing coordinate, and all 9 bins.
     */
   def sigStft(s: SparkSession, dir: String): DataFrame =
-    Signal.stft(evReal(s, dir), Seq("user_id"), "t", "value", w = 16, h = 8)
+    Signal.stft(evReal(s, dir), Seq("user_id"), "t", "value", w = 16, h = 8,
+        window = "boxcar")
       .select(col("user_id"), col("win"), col("start"),
         fp6(col("coord")).as("coord_fp"), col("bin"),
         fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
@@ -878,6 +879,36 @@ object Sig {
        |  CAST(k.b AS INT) AS bin,
        |  ${fpSql("SUM(x.value * COS(-2*PI()*k.b*(x.j - w.st)/16))", "1e4")} AS re_fp,
        |  ${fpSql("SUM(x.value * SIN(-2*PI()*k.b*(x.j - w.st)/16))", "1e4")} AS im_fp
+       |FROM win w
+       |JOIN s anchor ON anchor.user_id = w.user_id AND anchor.j = w.st + 15
+       |JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |CROSS JOIN range(9) k(b)
+       |GROUP BY w.user_id, w.st, anchor.t, k.b
+       |ORDER BY 1, 3, 5""".stripMargin
+
+  /** Batch STFT with the DEFAULT hann taper (scipy.signal.stft's
+    * convention, VERDICT r8 #3): each 16-sample window is multiplied
+    * by the periodic hann weights 0.5 − 0.5·cos(2πi/16) before the
+    * rfft. The oracle replays the same weight formula inside the DFT
+    * sum; both engines evaluate the identical IEEE expression, so fp4
+    * absorbs the cross-libm ulp noise exactly as in sig_stft.
+    */
+  def sigStftHann(s: SparkSession, dir: String): DataFrame =
+    Signal.stft(evReal(s, dir), Seq("user_id"), "t", "value", w = 16, h = 8)
+      .select(col("user_id"), col("win"), col("start"),
+        fp6(col("coord")).as("coord_fp"), col("bin"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "start", "bin")
+
+  private val sigStftHannSql: String =
+    s"""$sSql, win AS (
+       |  SELECT user_id, j AS st FROM s WHERE j % 8 = 0 AND j + 16 <= n
+       |)
+       |SELECT w.user_id, CAST(w.st // 8 AS INT) AS win, CAST(w.st AS INT) AS start,
+       |  ${fpSql("anchor.t", "1e6")} AS coord_fp,
+       |  CAST(k.b AS INT) AS bin,
+       |  ${fpSql("SUM(x.value * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16)) * COS(-2*PI()*k.b*(x.j - w.st)/16))", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(x.value * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16)) * SIN(-2*PI()*k.b*(x.j - w.st)/16))", "1e4")} AS im_fp
        |FROM win w
        |JOIN s anchor ON anchor.user_id = w.user_id AND anchor.j = w.st + 15
        |JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
@@ -1583,6 +1614,7 @@ object Sig {
     "sig_irfft_n" -> (sigIrfftN _),
     "sig_hilbert_n" -> (sigHilbertN _),
     "sig_stft" -> (sigStft _),
+    "sig_stft_hann" -> (sigStftHann _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1629,6 +1661,7 @@ object Sig {
     "sig_irfft_n" -> sigIrfftNSql,
     "sig_hilbert_n" -> sigHilbertNSql,
     "sig_stft" -> sigStftSql,
+    "sig_stft_hann" -> sigStftHannSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

@@ -341,7 +341,7 @@ object Stream {
     */
   def streamStft(s: SparkSession, dir: String): DataFrame =
     runToSink(
-      Streaming.streamingStft(eventStream(s, dir), w = 16, h = 8),
+      Streaming.streamingStft(eventStream(s, dir), w = 16, h = 8, window = "boxcar"),
       "stream_stft_sink")
       .select(col("user_id"), col("window_end_ms"), col("bin"),
         Tables.fp4(col("re")).as("re_fp"), Tables.fp4(col("im")).as("im_fp"))
@@ -397,7 +397,7 @@ object Stream {
   def streamStftTtl(s: SparkSession, dir: String): DataFrame =
     runToSink(
       Streaming.streamingStft(eventStream(s, dir), w = 16, h = 8,
-        idleTimeoutMs = Some(21600000L), flushOnEvict = true),
+        window = "boxcar", idleTimeoutMs = Some(21600000L), flushOnEvict = true),
       "stream_stft_ttl_sink")
       .select(col("user_id"), col("window_end_ms"), col("bin"),
         Tables.fp4(col("re")).as("re_fp"), Tables.fp4(col("im")).as("im_fp"))

@@ -208,17 +208,28 @@ object Streaming {
     * partial windows would pollute downstream averages.
     */
   def streamingStft(events: Dataset[Event], w: Int, h: Int,
+                    window: String = "hann",
                     idleTimeoutMs: Option[Long] = None,
                     flushOnEvict: Boolean = false,
                     watermark: String = "10 minutes"): Dataset[SpectrumBin] = {
     require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
     import events.sparkSession.implicits._
+    // taper weights (hann default, scipy.signal.stft's convention —
+    // identical to the batch twin so their spectra agree bin-for-bin);
+    // computed once here and closure-captured by every task
+    val wts =
+      if (window == "boxcar" || window == "rectangular") null
+      else graft.dsp.Resample.periodicWindow(window, w)
     val tconf = if (idleTimeoutMs.isDefined) GroupStateTimeout.EventTimeTimeout()
                 else GroupStateTimeout.NoTimeout()
     val src = idleTimeoutMs.fold(events)(_ => events.withWatermark("ts", watermark))
 
     def emitSpectrum(user: Long, end: Long, x: Array[Double],
                      out: scala.collection.mutable.ArrayBuffer[SpectrumBin]): Unit = {
+      if (wts != null) {
+        var i = 0
+        while (i < w) { x(i) *= wts(i); i += 1 }
+      }
       val spec = graft.dsp.Fft.rfft(x)
       var b = 0
       while (b < spec.re.length) {

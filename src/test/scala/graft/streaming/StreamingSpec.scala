@@ -133,7 +133,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val sc = spark.sqlContext
     val xs = Array.tabulate(40)(i => math.sin(i * 0.4) + 0.5 * math.cos(i * 0.9))
     val in = MemoryStream[Event]
-    val q = Streaming.streamingStft(in.toDS(), w = 16, h = 8)
+    val q = Streaming.streamingStft(in.toDS(), w = 16, h = 8, window = "boxcar")
       .writeStream.format("memory").queryName("stft").outputMode("append").start()
     try {
       in.addData((0 until 10).map(i => Event(3, ts(i), "c", xs(i))))
@@ -146,6 +146,29 @@ class StreamingSpec extends SparkTestBase {
       assert(ends.sameElements(Array(15L, 23L, 31L, 39L).map(_ * 60000)))
       for ((endMin, start) <- Seq(15 -> 0, 23 -> 8, 31 -> 16, 39 -> 24)) {
         val want = graft.dsp.Fft.rfft(xs.slice(start, start + 16))
+        val got = rows.filter(_.window_end_ms == endMin * 60000L).sortBy(_.bin)
+        assert(got.length == 9)
+        assert(got.zipWithIndex.forall { case (r, b) =>
+          r.re == want.re(b) && r.im == want.im(b)
+        }, s"window ending $endMin")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming STFT hann taper matches batch weights bit-exactly") {
+    implicit val sc = spark.sqlContext
+    val xs = Array.tabulate(24)(i => math.sin(i * 0.4) + 0.5 * math.cos(i * 0.9))
+    val wts = graft.dsp.Resample.periodicWindow("hann", 16)
+    val in = MemoryStream[Event]
+    val q = Streaming.streamingStft(in.toDS(), w = 16, h = 8) // hann default
+      .writeStream.format("memory").queryName("stft_hann").outputMode("append").start()
+    try {
+      in.addData((0 until 24).map(i => Event(4, ts(i), "c", xs(i))))
+      q.processAllAvailable()
+      val rows = spark.table("stft_hann").as[Streaming.SpectrumBin].collect()
+      for ((endMin, start) <- Seq(15 -> 0, 23 -> 8)) {
+        val want = graft.dsp.Fft.rfft(
+          Array.tabulate(16)(i => xs(start + i) * wts(i)))
         val got = rows.filter(_.window_end_ms == endMin * 60000L).sortBy(_.bin)
         assert(got.length == 9)
         assert(got.zipWithIndex.forall { case (r, b) =>
@@ -209,7 +232,7 @@ class StreamingSpec extends SparkTestBase {
       val in = MemoryStream[Event]
       val name = s"stft_ttl_$flush"
       val q = Streaming.streamingStft(in.toDS(), w = 8, h = 4,
-          idleTimeoutMs = Some(500L), flushOnEvict = flush, watermark = "0 seconds")
+          window = "boxcar", idleTimeoutMs = Some(500L), flushOnEvict = flush, watermark = "0 seconds")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         // key 1 buffers 5 of 8 samples (minutes 1..5, off the epoch-0
@@ -247,7 +270,7 @@ class StreamingSpec extends SparkTestBase {
     val n = 8192; val w = 2048; val h = 1024
     val xs = Array.tabulate(n)(i => math.sin(i * 0.01) + 0.3 * math.cos(i * 0.37))
     val in = MemoryStream[Event]
-    val q = Streaming.streamingStft(in.toDS(), w = w, h = h)
+    val q = Streaming.streamingStft(in.toDS(), w = w, h = h, window = "boxcar")
       .writeStream.format("memory").queryName("stft_big").outputMode("append").start()
     try {
       in.addData((0 until 3000).map(i => Event(5, ts(i), "c", xs(i))))
