@@ -315,4 +315,40 @@ object Fft {
     System.arraycopy(x, 0, out, n - s, s)
     out
   }
+
+  /** numpy.fft.fftshift/ifftshift over EVERY axis of a row-major
+    * N-D array (the reference's `dims` tuple, signal.py:245-268,
+    * applies the shift to each listed core dim): per dim,
+    * out[k] = in[(k + s) mod n] with s = ceil(n/2) forward and
+    * floor(n/2) inverse — the same roll the 1-D kernels implement,
+    * composed across dims.
+    */
+  def fftshiftNd(x: Array[Double], shape: Array[Int],
+                 inverse: Boolean): Array[Double] = {
+    require(shape.forall(_ > 0) && shape.product == x.length,
+      s"fftshiftNd: shape ${shape.mkString("x")} != length ${x.length}")
+    val nd = shape.length
+    val sh = Array.tabulate(nd) { i =>
+      if (inverse) shape(i) / 2 else shape(i) - shape(i) / 2
+    }
+    val out = new Array[Double](x.length)
+    var k = 0
+    while (k < x.length) {
+      // decompose k row-major, roll each digit, recompose
+      var rem = k
+      var src = 0
+      var i = nd - 1
+      var stride = 1
+      while (i >= 0) {
+        val ki = rem % shape(i)
+        rem /= shape(i)
+        src += ((ki + sh(i)) % shape(i)) * stride
+        stride *= shape(i)
+        i -= 1
+      }
+      out(k) = x(src)
+      k += 1
+    }
+    out
+  }
 }

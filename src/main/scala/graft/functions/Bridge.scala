@@ -68,6 +68,9 @@ object Bridge {
 
   def ifftshift(x: ArrayData): ArrayData = out(Fft.ifftshift(d(x)))
 
+  def fftshiftNd(x: ArrayData, shape: ArrayData, inverse: Boolean): ArrayData =
+    out(Fft.fftshiftNd(d(x), shape.toIntArray(), inverse))
+
   // ---- convolution --------------------------------------------------
 
   def convolve(a: ArrayData, b: ArrayData, mode: UTF8String, method: UTF8String): ArrayData =
@@ -518,6 +521,7 @@ object Bridge {
     "rfftfreq" -> (Seq(IntegerType, DoubleType) -> arrD),
     "fftshift" -> (Seq(arrD) -> arrD),
     "ifftshift" -> (Seq(arrD) -> arrD),
+    "fftshiftNd" -> (Seq(arrD, arrI, BooleanType) -> arrD),
     "convolve" -> (Seq(arrD, arrD, StringType, StringType) -> arrD),
     "correlate" -> (Seq(arrD, arrD, StringType, StringType) -> arrD),
     "convolveCx" -> (Seq(arrD, arrD, arrD, arrD, StringType, StringType) -> complexT),
@@ -587,6 +591,7 @@ object Bridge {
     case "rfftfreq" => rfftfreq(a(0).asInstanceOf[Int], a(1).asInstanceOf[Double])
     case "fftshift" => fftshift(a(0).asInstanceOf[ArrayData])
     case "ifftshift" => ifftshift(a(0).asInstanceOf[ArrayData])
+    case "fftshiftNd" => fftshiftNd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Boolean])
     case "convolve" => convolve(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "correlate" => correlate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "convolveCx" => convolveCx(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[UTF8String], a(5).asInstanceOf[UTF8String])

@@ -166,6 +166,8 @@ object Functions {
     def rfftfreqC(n: Column, delta: Column): Column = call("rfftfreq", n, delta)
     def fftshiftC(x: Column): Column = call("fftshift", x)
     def ifftshiftC(x: Column): Column = call("ifftshift", x)
+    def fftshiftNdC(x: Column, shape: Column, inverse: Boolean): Column =
+      call("fftshiftNd", x, shape, lit(inverse))
     def convolveC(a: Column, b: Column, mode: String = "full", method: String = "auto"): Column =
       call("convolve", a, b, lit(mode), lit(method))
     def fftconvolve2dC(a: Column, aRows: Column, b: Column, bRows: Column,

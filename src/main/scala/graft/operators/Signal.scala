@@ -215,6 +215,57 @@ object Signal {
   def ifftshift(df: DataFrame, keys: Seq[String], dim: String, value: String): DataFrame =
     fftshift(df, keys, dim, value, inverse = true)
 
+  /** Multi-dim fftshift/ifftshift — the reference's `dims` TUPLE
+    * signature (signal.py:245-268: the shift applies over every
+    * listed core dim, and each dim's coordinates roll with it). The
+    * group must form a complete hyper-rectangular grid over `dims`
+    * (same contract, same single-shuffle gridify as the fftconvolve
+    * grid family); values roll in one N-D kernel call and each dim's
+    * coord axis rolls with the 1-D kernel. Output: keys, pos1..posN
+    * (post-shift positions), the shifted dim coordinates, value.
+    */
+  def fftshiftNd(df: DataFrame, keys: Seq[String], dims: Seq[String],
+                 value: String, inverse: Boolean = false): DataFrame = {
+    val nd = dims.length
+    require(nd >= 1, "need at least one dim")
+    val g = gridify(df, keys, dims, value, "fftshift", keepCoords = true)
+    val shapeArr = array((1 to nd).map(i => col(s"_n$i")): _*)
+    val shift1: Column => Column = if (inverse) ifftshiftC else fftshiftC
+    val shifted = (1 to nd).foldLeft(
+      g.withColumn("_sv", fftshiftNdC(col("_vals"), shapeArr, inverse))) {
+      (d, i) => d.withColumn(s"_sc$i", shift1(col(s"_c$i")))
+    }
+    val exploded = shifted.select(
+      (keys.map(col) ++ (1 to nd).flatMap(i => Seq(col(s"_n$i"), col(s"_sc$i"))) :+
+        posexplode(col("_sv")).as(Seq("_p", "value"))): _*)
+    val withPos = (1 to nd).foldLeft(exploded) { (d, i) =>
+      val later = ((i + 1 to nd).map(j => s"_n$j") :+ "1").mkString(" * ")
+      d.withColumn(s"pos$i", expr(s"int((_p div ($later)) % _n$i)"))
+        .withColumn(dims(i - 1), expr(s"element_at(_sc$i, pos$i + 1)"))
+    }
+    withPos.select(
+      (keys.map(col) ++ (1 to nd).map(i => col(s"pos$i")) ++
+        dims.map(col) :+ col("value")): _*)
+  }
+
+  /** Complex fftshift/ifftshift — one call shifts a (re, im) spectrum
+    * with shared coordinate handling (the reference shifts complex
+    * arrays natively since numpy is type-generic; two independent
+    * single-column calls would invite mismatched coord rolls).
+    */
+  def fftshiftComplex(df: DataFrame, keys: Seq[String], dim: String,
+                      re: String, im: String,
+                      inverse: Boolean = false): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(re, im))
+    val shift: Column => Column = if (inverse) ifftshiftC else fftshiftC
+    val withOut = sdf
+      .withColumn("_sre", shift(col(re)))
+      .withColumn("_sim", shift(col(im)))
+      .withColumn("_sc", shift(col("coords")))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("_sc"), "re" -> col("_sre"), "im" -> col("_sim")))
+  }
+
   // ---- convolution (signal.py:34-106) --------------------------------
 
   /** Join shape shared by [[convolve]], [[correlate]], and their
@@ -289,7 +340,8 @@ object Signal {
     * 2x2=4) while the reshape silently shifts every later value.
     */
   private def gridify(df: DataFrame, keys: Seq[String], dims: Seq[String],
-                      value: String, op: String, sfx: String = ""): DataFrame = {
+                      value: String, op: String, sfx: String = "",
+                      keepCoords: Boolean = false): DataFrame = {
     val nd = dims.length
     // Null handling mirrors [[seriesify]]: a null sample becomes NaN
     // and propagates through the kernel; a row missing any grid
@@ -316,9 +368,17 @@ object Signal {
         concat_ws(" x ", (1 to nd).map(i => col(s"_n$i$sfx").cast("string")): _*),
         lit(" != "), size(col("_arr")).cast("string"),
         lit(" (or duplicate cells)")))
-    grouped
+    val withVals = grouped
       .withColumn(s"_vals$sfx", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
-      .drop("_arr")
+    // sorted distinct coordinate values per dim — the axes a
+    // coordinate-shifting op (fftshift) rotates alongside the values
+    val withCoords =
+      if (!keepCoords) withVals
+      else (1 to nd).foldLeft(withVals) { (g, i) =>
+        g.withColumn(s"_c$i$sfx",
+          expr(s"array_sort(array_distinct(transform(_arr, s -> s.c$i)))"))
+      }
+    withCoords.drop("_arr")
   }
 
   /** Two-frame join shape for the grid ops, mirroring

@@ -439,6 +439,56 @@ object Sig {
        |  ${fpSql("t", "1e6")} AS t_fp, ${fpSql("value", "1e6")} AS value_fp
        |FROM s ORDER BY 1, 2""".stripMargin
 
+  /** 2-D fftshift over a 9×7 grid (first 63 of the 64-frame; ODD dims
+    * so the forward roll ceil(n/2) differs from the inverse floor —
+    * an even grid would mask a direction bug). The reference signature
+    * is the `dims` tuple (signal.py:245-268); values roll in one N-D
+    * kernel call, each dim's coordinate axis rolls alongside. pos1/
+    * pos2 are the post-shift positions p_i = (r_i + n_i/2) mod n_i
+    * with original (coord, value) triples travelling together.
+    */
+  def sigFftshift2d(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir).filter(col("t") < 63)
+      .withColumn("r", expr("CAST(t AS INT) div 7").cast("double"))
+      .withColumn("c", expr("CAST(t AS INT) % 7").cast("double"))
+    Signal.fftshiftNd(grid, Seq("user_id"), Seq("r", "c"), "value")
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp6(col("r")).as("r_fp"), fp6(col("c")).as("c_fp"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigFftshift2dSql: String =
+    s"""$s64Sql
+       |SELECT user_id,
+       |  CAST((j // 7 + 4) % 9 AS INT) AS pos1,
+       |  CAST((j % 7 + 3) % 7 AS INT) AS pos2,
+       |  ${fpSql("CAST(j // 7 AS DOUBLE)", "1e6")} AS r_fp,
+       |  ${fpSql("CAST(j % 7 AS DOUBLE)", "1e6")} AS c_fp,
+       |  ${fpSql("value", "1e6")} AS value_fp
+       |FROM s WHERE j < 63 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Complex fftshift — the (re, im) overload with shared coordinate
+    * handling (numpy shifts complex arrays natively; see
+    * Signal.fftshiftComplex). Same rotation rule as sig_fftshift on
+    * both components at once.
+    */
+  def sigFftshiftComplex(s: SparkSession, dir: String): DataFrame =
+    Signal.fftshiftComplex(
+      evReal(s, dir).select(col("user_id"), col("t"),
+        col("value").as("re"), (col("value") * lit(-0.5)).as("im")),
+      Seq("user_id"), "t", "re", "im")
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigFftshiftComplexSql: String =
+    s"""$sSql
+       |SELECT user_id, CAST((j + n // 2) % n AS INT) AS pos,
+       |  ${fpSql("t", "1e6")} AS t_fp, ${fpSql("value", "1e6")} AS re_fp,
+       |  ${fpSql("value * -0.5", "1e6")} AS im_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // convolution
   // ------------------------------------------------------------------
@@ -1626,6 +1676,8 @@ object Sig {
     "sig_hfft" -> (sigHfft _),
     "sig_ihfft" -> (sigIhfft _),
     "sig_fftshift" -> (sigFftshift _),
+    "sig_fftshift2d" -> (sigFftshift2d _),
+    "sig_fftshift_complex" -> (sigFftshiftComplex _),
     "sig_ifftshift" -> (sigIfftshift _),
     "sig_convolve_full" -> (sigConvolveFull _),
     "sig_convolve_same" -> (sigConvolveSame _),
@@ -1673,6 +1725,8 @@ object Sig {
     "sig_hfft" -> sigHfftSql,
     "sig_ihfft" -> sigIhfftSql,
     "sig_fftshift" -> sigFftshiftSql,
+    "sig_fftshift2d" -> sigFftshift2dSql,
+    "sig_fftshift_complex" -> sigFftshiftComplexSql,
     "sig_ifftshift" -> sigIfftshiftSql,
     "sig_convolve_full" -> sigConvolveFullSql,
     "sig_convolve_same" -> sigConvolveSameSql,

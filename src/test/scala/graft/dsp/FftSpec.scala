@@ -86,6 +86,28 @@ class FftSpec extends AnyFunSuite {
     }
   }
 
+  test("fftshiftNd matches per-axis 1-D shifts and inverts, odd and even dims") {
+    for ((n1, n2) <- Seq((3, 4), (5, 7), (4, 4))) {
+      val x = Array.tabulate(n1 * n2)(_.toDouble * 1.5 - 3)
+      val shape = Array(n1, n2)
+      val f = Fft.fftshiftNd(x, shape, inverse = false)
+      // composing the 1-D kernel over rows then columns gives the same
+      val rows = Array.tabulate(n1)(r => x.slice(r * n2, (r + 1) * n2))
+      val rowShifted = rows.map(Fft.fftshift)
+      val want = Array.tabulate(n1 * n2) { k =>
+        // column shift: output row k1 takes input row (k1 + ceil(n1/2)) mod n1
+        rowShifted(((k / n2) + (n1 - n1 / 2)) % n1)(k % n2)
+      }
+      assert(f.toSeq == want.toSeq, s"${n1}x$n2")
+      assert(Fft.fftshiftNd(f, shape, inverse = true).toSeq == x.toSeq)
+      // 1-D degenerate case equals the 1-D kernels exactly
+      assert(Fft.fftshiftNd(x, Array(n1 * n2), inverse = false).toSeq ==
+        Fft.fftshift(x).toSeq)
+      assert(Fft.fftshiftNd(x, Array(n1 * n2), inverse = true).toSeq ==
+        Fft.ifftshift(x).toSeq)
+    }
+  }
+
   test("fft roundtrip identity at non-golden sizes") {
     val rnd = new scala.util.Random(7)
     for (n <- Seq(1, 2, 3, 5, 12, 100, 257)) {
