@@ -114,12 +114,20 @@ class PlanShapeSpec extends SparkTestBase {
     // the whole point vs a range join
     assert(hashExchanges(AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap"))) == 1)
     val toks = (1L to 30L).map(i => (i, i % 7)).toDF("id", "n")
-    // bucket-sum agg + the bucket-partitioned cumsum window + the
-    // broadcast-offset join's probe side; crucially NOT a global
-    // single-partition window
-    val pc = TextOps.packChunks(toks, "id", "n", ctxLen = 16, bucketSpan = 8)
-    assert(hashExchanges(pc) <= 3)
-    assert(!pc.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    // two-level distributed prefix sum (VERDICT r8 #5): bucket +
+    // superbucket aggs, superbucket-/bucket-partitioned cumsum
+    // windows, offset joins — and EXACTLY ONE single-partition
+    // exchange, the superbucket cumsum whose input is
+    // nDocs/(bucketSpan*superFan) rows (the bounded sequential point
+    // of any parallel prefix sum). No driver collect anywhere: the
+    // whole offset computation is plan nodes.
+    val pc = TextOps.packChunks(toks, "id", "n", ctxLen = 16,
+      bucketSpan = 2, superFan = 2) // 15 buckets, 8 superbuckets
+    assert(hashExchanges(pc) <= 5)
+    val planStr = pc.queryExecution.executedPlan.toString
+    val singles = "SinglePartition".r.findAllIn(planStr).length
+    assert(singles == 1,
+      s"expected exactly one single-partition exchange (superbucket cumsum), got $singles")
   }
 
   test("intervalJoin is an equi-join, never a nested loop") {
