@@ -39,11 +39,25 @@ object Resample {
     * the truncate/pad copy.
     */
   def resample(x: Array[Double], num: Int, window: String = "",
-               domain: String = "time"): Array[Double] = {
+               domain: String = "time"): Array[Double] =
+    resampleW(x, num,
+      if (window.isEmpty) null
+      else Fft.ifftshift(periodicWindow(window, x.length)), domain)
+
+  /** resample with the window as an explicit Fourier-order VECTOR —
+    * scipy's `window: array_like` branch ("assumed to be the window to
+    * be applied directly in the Fourier domain, dc and low-frequency
+    * first", so no ifftshift here; the named-window overload does the
+    * shift before delegating). `w` must have length Nx; null = none.
+    */
+  def resampleW(x: Array[Double], num: Int, w: Array[Double],
+                domain: String = "time"): Array[Double] = {
     val nx = x.length
     require(num > 0, "num must be positive")
     require(domain == "time" || domain == "freq",
       s"domain must be 'time' or 'freq': $domain")
+    require(w == null || w.length == nx,
+      s"window vector length ${if (w == null) -1 else w.length} != input length $nx")
     // spectrum bins
     var xRe: Array[Double] = null
     var xIm: Array[Double] = null
@@ -54,8 +68,7 @@ object Resample {
       xRe = x.clone(); xIm = new Array[Double](nx)
     }
     val bins = xRe.length
-    if (window.nonEmpty) {
-      val w = Fft.ifftshift(periodicWindow(window, nx))
+    if (w != null) {
       // real-input fold: W_real[i] = (W[i] + W[Nx-i]) / 2 for i >= 1
       var i = 0
       while (i < bins) {

@@ -154,6 +154,12 @@ object Bridge {
   def resample(x: ArrayData, num: Int, window: UTF8String, domain: UTF8String): ArrayData =
     out(Resample.resample(d(x), num, window.toString, domain.toString))
 
+  /** resample with an explicit Fourier-order window vector (scipy's
+    * array_like window branch).
+    */
+  def resampleW(x: ArrayData, num: Int, w: ArrayData, domain: UTF8String): ArrayData =
+    out(Resample.resampleW(d(x), num, d(w), domain.toString))
+
   def decimate(x: ArrayData, q: Int, n: Int, ftype: UTF8String, zeroPhase: Boolean): ArrayData =
     out(Resample.decimate(d(x), q, n, ftype.toString, zeroPhase))
 
@@ -543,6 +549,7 @@ object Bridge {
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
+    "resampleW" -> (Seq(arrD, IntegerType, arrD, StringType) -> arrD),
     "decimate" -> (Seq(arrD, IntegerType, IntegerType, StringType, BooleanType) -> arrD),
     "peakWidths" -> (Seq(arrD, arrI, DoubleType, IntegerType) -> peakWidthsT),
     "peakWidthsP" -> (Seq(arrD, arrI, DoubleType, arrD, arrI, arrI) -> peakWidthsT),
@@ -606,6 +613,7 @@ object Bridge {
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
+    case "resampleW" => resampleW(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[UTF8String])
     case "decimate" => decimate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Boolean])
     case "peakWidths" => peakWidths(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int])
     case "peakWidthsP" => peakWidthsP(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[ArrayData])

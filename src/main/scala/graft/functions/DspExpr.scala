@@ -195,6 +195,9 @@ object Functions {
     def resampleC(x: Column, num: Column, window: String = "",
                   domain: String = "time"): Column =
       call("resample", x, num, lit(window), lit(domain))
+    def resampleWC(x: Column, num: Column, w: Column,
+                   domain: String = "time"): Column =
+      call("resampleW", x, num, w, lit(domain))
     def decimateC(x: Column, q: Int, n: Int = -1, ftype: String = "iir",
                   zeroPhase: Boolean = true): Column =
       call("decimate", x, lit(q), lit(n), lit(ftype), lit(zeroPhase))

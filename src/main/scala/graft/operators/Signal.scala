@@ -696,10 +696,27 @@ object Signal {
     */
   def resample(df: DataFrame, keys: Seq[String], dim: String, value: String,
                num: Int, window: String = "",
-               domain: String = "time"): DataFrame = {
+               domain: String = "time"): DataFrame =
+    resampleOn(df, keys, dim, value, num,
+      v => resampleC(v, lit(num), window, domain))
+
+  /** resample with the window as an explicit Fourier-order VECTOR —
+    * scipy's `window: array_like` branch (applied directly in the DFT
+    * domain, dc-first, no ifftshift). Same output contract as the
+    * named-window overload.
+    */
+  def resample(df: DataFrame, keys: Seq[String], dim: String, value: String,
+               num: Int, windowVec: Array[Double],
+               domain: String): DataFrame =
+    resampleOn(df, keys, dim, value, num,
+      v => resampleWC(v, lit(num), typedLit(windowVec), domain))
+
+  private def resampleOn(df: DataFrame, keys: Seq[String], dim: String,
+                         value: String, num: Int,
+                         kernel: Column => Column): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
     val withOut = sdf
-      .withColumn("_out", resampleC(col(value), lit(num), window, domain))
+      .withColumn("_out", kernel(col(value)))
       .withColumn("_nc", expr(
         s"transform(sequence(0, $num - 1), i -> cmin + i * (delta * n) / $num)"))
     explodeSeries(withOut, keys, Seq(dim -> col("_nc"), "value" -> col("_out")))

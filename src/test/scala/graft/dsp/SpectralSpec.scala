@@ -41,6 +41,24 @@ class SpectralSpec extends AnyFunSuite {
       check(s"resample_fr_$n", Resample.resample(xs, n, domain = "freq"))
       check(s"resample_frw_$n", Resample.resample(xs, n, window = "hann", domain = "freq"))
     }
+
+    test(s"resample n=$n with an explicit window VECTOR (scipy array branch)") {
+      // golden: an asymmetric Fourier-order vector applied dc-first
+      val wv = g(s"rswin_vec_$n")
+      check(s"resample_vec_$n", Resample.resampleW(x, n / 2, wv))
+      check(s"resample_vecu_$n", Resample.resampleW(x, 2 * n, wv))
+      // passing ifftshift(named window) through the vector branch must
+      // reproduce the named branch bit-exactly (same code path after
+      // the shift)
+      for (win <- Seq("hann", "hamming")) {
+        val shifted = Fft.ifftshift(Resample.periodicWindow(win, n))
+        assert(Resample.resampleW(x, n / 2, shifted).toSeq ==
+          Resample.resample(x, n / 2, window = win).toSeq)
+      }
+      // wrong-length vectors fail fast
+      assertThrows[IllegalArgumentException](
+        Resample.resampleW(x, n / 2, new Array[Double](n + 1)))
+    }
   }
 
   test("hilbert real part preserves input; envelope of a sinusoid is flat") {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Measured recall@k of the approximate ANN paths against brute force
+  * (VERDICT r8 #6): the oracles prove LSH/IVF return exactly what
+  * their blocking scheme promises; this spec pins how much of the TRUE
+  * top-k that blocking retains on the real embeddings table, so a
+  * future change that silently degrades retrieval quality (bad
+  * centroid fit, broken probe set) fails loudly. Floors sit just
+  * below the measured values (see SURVEY §4).
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val k = 10
+
+  private lazy val corpus = {
+    graft.functions.Functions.install(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  }
+  private lazy val queries = corpus.filter(col("vec_id") < 20)
+
+  /** query_id -> true top-k neighbor set. */
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+  private def recallVs(approx: Map[Long, Set[Long]],
+                       truth: Map[Long, Set[Long]]): Double = {
+    val per = truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  test(s"IVF (trained) and LSH recall@$k vs brute force stay above their floors") {
+    val truth = neighborSets(
+      Ann.topkBruteForce(corpus, queries, "vec_id", "embedding", k))
+    assert(truth.size == 20 && truth.forall(_._2.size == k))
+
+    val cents = Ann.kmeansFit(corpus, "vec_id", "embedding", k = 16, iters = 2)
+    val ivf = neighborSets(Ann.topkIvf(corpus, queries, "vec_id", "embedding",
+      k, nProbe = 4, centroids = Some(cents)))
+    val ivfRecall = recallVs(ivf, truth)
+
+    val lsh = neighborSets(
+      Ann.topkLsh(corpus, queries, "vec_id", "embedding", k))
+    val lshRecall = recallVs(lsh, truth)
+    val lsh4 = neighborSets(
+      Ann.topkLsh(corpus, queries, "vec_id", "embedding", k, nPlanes = 4))
+    val lsh4Recall = recallVs(lsh4, truth)
+
+    info(f"recall@$k: ivf_trained=$ivfRecall%.3f (nProbe=4/16) " +
+      f"lsh8=$lshRecall%.3f lsh4=$lsh4Recall%.3f (hamming-1 probes)")
+    assert(ivfRecall >= 0.75, f"trained-IVF recall@$k degraded: $ivfRecall%.3f")
+    assert(lshRecall >= 0.08, f"LSH(8 planes) recall@$k degraded: $lshRecall%.3f")
+    assert(lsh4Recall >= lshRecall,
+      "coarser buckets (fewer planes) must not lose recall")
+    // more probes must not lose neighbors: nProbe=8 dominates nProbe=4
+    val ivf8 = neighborSets(Ann.topkIvf(corpus, queries, "vec_id", "embedding",
+      k, nProbe = 8, centroids = Some(cents)))
+    val ivf8Recall = recallVs(ivf8, truth)
+    info(f"recall@$k: ivf_trained nProbe=8 -> $ivf8Recall%.3f")
+    assert(ivf8Recall >= ivfRecall - 1e-9, "raising nProbe lowered recall")
+  }
+}

@@ -259,7 +259,12 @@ def resample_np(x, num, window=None, domain="time"):
     else:  # freq: x is a real-valued packed rfft spectrum
         X = np.asarray(x, dtype=complex)
     if window is not None:
-        W = np.fft.ifftshift(periodic_window_np(window, nx))
+        # array windows apply directly in Fourier order (dc-first, no
+        # ifftshift) — scipy's array_like branch
+        if isinstance(window, np.ndarray):
+            W = window.astype(float)
+        else:
+            W = np.fft.ifftshift(periodic_window_np(window, nx))
         W_real = W.copy()
         W_real[1:] += W_real[-1:0:-1]
         W_real[1:] *= 0.5
@@ -318,6 +323,13 @@ with open(os.path.join(OUT, "spectral.txt"), "w") as f:
         emit(f, f"rsfreq_x_{n}", xs)
         emit(f, f"resample_fr_{n}", resample_np(xs, n, domain="freq"))
         emit(f, f"resample_frw_{n}", resample_np(xs, n, window="hann", domain="freq"))
+        # explicit Fourier-order vector window (deterministic formula,
+        # NOT rng — keeps the rng stream byte-identical for the other
+        # goldens)
+        wv = 0.2 + 0.8 * np.abs(np.sin(3 * np.pi * np.arange(n) / n))
+        emit(f, f"rswin_vec_{n}", wv)
+        emit(f, f"resample_vec_{n}", resample_np(x, n // 2, window=wv))
+        emit(f, f"resample_vecu_{n}", resample_np(x, 2 * n, window=wv))
     # decimate, FIR path: firwin(20q+1, 1/q) + filtfilt + [::q]
     x = rng.standard_normal(256)
     emit(f, "dx_256", x)
