@@ -130,6 +130,22 @@ object Stream {
   private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,
                         mode: String = "append"): DataFrame = {
     val spark = ds.sparkSession
+    // state-store provider is env-selectable so the SAME oracle gate
+    // runs under the production RocksDB store (VERDICT r8 #7):
+    // SPARK_GRAFT_STATE_STORE=rocksdb — at 100 TB the default
+    // HDFS-backed in-memory store is the streaming bottleneck; RocksDB
+    // keeps state off-heap and incremental-checkpointed.
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach { p =>
+      val cls = p.toLowerCase match {
+        case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider"
+        case "hdfs" | "memory" => "org.apache.spark.sql.execution.streaming." +
+          "state.HDFSBackedStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_STORE: unknown provider '$other' (rocksdb|hdfs)")
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)

@@ -178,6 +178,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store reproduces the in-memory provider bit-for-bit") {
+    // the production store at 100 TB (off-heap state, incremental
+    // checkpoints) must carry zi/TTL state across batches exactly like
+    // the default HDFS-backed store: same TTL-eviction scenario, both
+    // providers, identical rows
+    implicit val sc = spark.sqlContext
+    val sos = Design.butterSos(2, 0.3)
+    val xs = Array.tabulate(10)(i => math.sin(i * 0.7))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    def run(provider: String, name: String): Seq[FilteredPoint] = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        s"org.apache.spark.sql.execution.streaming.state.$provider")
+      try {
+        val in = MemoryStream[Event]
+        val q = Streaming.streamingSosfilt(in.toDS(), sos,
+            idleTimeoutMs = Some(500L), watermark = "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          in.addData((0 until 5).flatMap(i =>
+            Seq(Event(1, ts(i + 1), "c", xs(i)), Event(2, ts(i + 1), "c", xs(i)))))
+          q.processAllAvailable()
+          in.addData((5 until 10).map(i => Event(2, ts(i + 1), "c", xs(i))))
+          q.processAllAvailable()
+          in.addData(Event(3, ts(11), "c", 0.0)) // advance wm: evict key 1
+          q.processAllAvailable()
+          in.addData((0 until 5).map(j => Event(1, ts(12 + j), "c", xs(5 + j))))
+          q.processAllAvailable()
+          spark.table(name).as[FilteredPoint].collect().toSeq
+            .sortBy(p => (p.user_id, p.ts_ms))
+        } finally q.stop()
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val rocks = run("RocksDBStateStoreProvider", "filt_rocks")
+    val hdfs = run("HDFSBackedStateStoreProvider", "filt_hdfs")
+    assert(rocks.nonEmpty && rocks == hdfs,
+      "providers diverged on carried state / TTL eviction")
+    // the eviction semantics held under RocksDB: key 1 restarted cold
+    assert(rocks.filter(_.user_id == 1).map(_.pos) ==
+      Seq(0L, 1L, 2L, 3L, 4L, 0L, 1L, 2L, 3L, 4L))
+  }
+
   test("sosfilt idle-key state is evicted after idleTimeout; active key survives") {
     implicit val sc = spark.sqlContext
     val sos = Design.butterSos(2, 0.3)
