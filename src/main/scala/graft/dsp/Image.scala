@@ -27,6 +27,12 @@ import java.awt.image.BufferedImage
   */
 object Image {
 
+  // ImageIO defaults to DISK-backed stream caches: every encode/decode
+  // creates (and fsyncs) a temp file, which turned the per-row kernels
+  // super-linear under load (measured 10x per-doc cost at the 10x
+  // corpus). Media rows here are small; cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** W×H gray image with pixel (x,y) = codepoint of
     * text[(off + y*w + x) mod len] — the deterministic synthetic
     * image source the oracles replay in SQL (ASCII text ⇒ codepoint

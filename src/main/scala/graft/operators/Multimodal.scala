@@ -48,11 +48,17 @@ object Multimodal {
       case other => throw new IllegalArgumentException(
         s"asImageMedia: unsupported format '$other' (bmp|png)")
     }
-    df.filter(length(col(textCol)) > 0).select(
-      col(idCol).as("media_id"),
-      synth.as("content"),
-      struct(lit(w).as("width"), lit(h).as("height"),
-        lit(s"image/$format").as("mime")).as("meta"))
+    // spread the CPU-bound render (and the decode kernels consuming it
+    // in the same stage) across the cluster: the input rows are tiny
+    // text, so this repartition is cheap, while a single-file source
+    // would otherwise pin every ImageIO call to one scan task
+    df.filter(length(col(textCol)) > 0)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("media_id"),
+        synth.as("content"),
+        struct(lit(w).as("width"), lit(h).as("height"),
+          lit(s"image/$format").as("mime")).as("meta"))
   }
 
   /** REAL feature extraction: ImageIO decode + per-block gray sums

@@ -767,6 +767,9 @@ object Pipeline {
     import graft.functions.Functions.dsl._
     val en = docs(s, dir)
       .filter(col("lang") === "en" && length(col("text")) > 0)
+      // same CPU-spread as asImageMedia: render+demux parallelize
+      // regardless of source file layout
+      .repartition(s.sparkContext.defaultParallelism)
     Multimodal.sampleFrames(
       en.select(col("doc_id").as("media_id"),
         concat(synthBmpC(col("text"), 8, 8, 0),
