@@ -9,19 +9,30 @@ class SourcesSpec extends SparkTestBase {
 
   test("media source reads binary files with typed metadata and feeds Multimodal") {
     val dir = Files.createTempDirectory("graft_media")
-    Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3, 0x11, 0x7f))
+    // real PNG via the JDK encoder: 8x8 gray, pixel (x,y) = 'a'+x
+    // (text length == row width, so every row repeats the same bytes)
+    val pngBytes = graft.dsp.Image.encodePng(
+      graft.dsp.Image.synthGray("abcdefgh", 8, 8, 0))
+    Files.write(dir.resolve("a.png"), pngBytes)
     Files.write(dir.resolve("b.wav"), Array.tabulate[Byte](32)(_.toByte))
     try {
       val media = Sources.media(spark, dir.toString).cache()
       val rows = media.collect().map(r =>
         (r.getString(0).split('/').last, r.getAs[Array[Byte]]("content").length,
           r.getStruct(2).getAs[String]("mime"))).toSet
-      assert(rows == Set(("a.png", 5, "image/png"), ("b.wav", 32, "audio/wav")))
+      assert(rows == Set(("a.png", pngBytes.length, "image/png"),
+        ("b.wav", 32, "audio/wav")))
 
-      val feats = Multimodal.imageFeatures(media)
-        .filter(org.apache.spark.sql.functions.col("media_id").endsWith("a.png"))
-        .select("features").collect()(0).getSeq[Long](0)
-      assert(feats.sum == 5 && feats(0) == 3 && feats(1) == 1 && feats(7) == 1)
+      val img = Multimodal.imageFeatures(
+          media.filter(org.apache.spark.sql.functions.col("meta.mime") === "image/png"))
+        .select("width", "height", "features").collect()(0)
+      assert(img.getInt(0) == 8 && img.getInt(1) == 8)
+      val feats = img.getSeq[Long](2)
+      // 4x4 grid over 8x8: each block is 2x2 pixels; columns 2bx, 2bx+1
+      assert(feats.length == 16)
+      for (by <- 0 until 4; bx <- 0 until 4)
+        assert(feats(by * 4 + bx) == 2L * (('a' + 2 * bx) + ('a' + 2 * bx + 1)))
+      assert(feats.sum == 8L * "abcdefgh".map(_.toInt).sum)
 
       val png = Sources.media(spark, dir.toString, Some("*.png")).count()
       assert(png == 1)
