@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.dsp.{Conv, Fft, Filt, Hilbert, Peaks, Resample}
+import graft.dsp.{Conv, Fft, Filt, Hilbert, Peaks, Resample, Spectral}
 
 /** Static kernel entry points on Catalyst runtime types (ArrayData
   * in/out, UTF8String params). Every method here is called directly
@@ -148,6 +148,13 @@ object Bridge {
   // ---- spectral / rate ----------------------------------------------
 
   def hilbert(x: ArrayData, n: Int): InternalRow = c(Hilbert.hilbert(d(x), n))
+
+  def detrend(x: ArrayData, typ: UTF8String): ArrayData =
+    out(Spectral.detrend(d(x), typ.toString))
+
+  def welch(x: ArrayData, nperseg: Int, hop: Int, wts: ArrayData,
+            fs: Double, demean: Boolean): ArrayData =
+    out(Spectral.welch(d(x), nperseg, hop, d(wts), fs, demean))
 
   def envelope(x: ArrayData, n: Int): ArrayData = out(Hilbert.envelope(d(x), n))
 
@@ -547,6 +554,8 @@ object Bridge {
     "lfilter" -> (Seq(arrD, arrD, arrD) -> arrD),
     "filtfilt" -> (Seq(arrD, arrD, arrD) -> arrD),
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
+    "detrend" -> (Seq(arrD, StringType) -> arrD),
+    "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
     "resampleW" -> (Seq(arrD, IntegerType, arrD, StringType) -> arrD),
@@ -611,6 +620,8 @@ object Bridge {
     case "lfilter" => lfilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "filtfilt" => filtfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
+    case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
+    case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "resampleW" => resampleW(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[UTF8String])

@@ -191,6 +191,11 @@ object Functions {
     def lfilterC(b: Column, a: Column, x: Column): Column = call("lfilter", b, a, x)
     def filtfiltC(b: Column, a: Column, x: Column): Column = call("filtfilt", b, a, x)
     def hilbertC(x: Column, n: Int = -1): Column = call("hilbert", x, lit(n))
+    def detrendC(x: Column, typ: String = "linear"): Column =
+      call("detrend", x, lit(typ))
+    def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,
+               fs: Column, demean: Boolean = true): Column =
+      call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean))
     def envelopeC(x: Column, n: Int = -1): Column = call("envelope", x, lit(n))
     def resampleC(x: Column, num: Column, window: String = "",
                   domain: String = "time"): Column =

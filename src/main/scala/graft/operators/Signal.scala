@@ -775,6 +775,61 @@ object Signal {
       Seq("re" -> col("_spec.re"), "im" -> col("_spec.im")), posName = "bin")
   }
 
+  /** scipy.signal.detrend lifted onto series: remove the mean
+    * ("constant") or the least-squares line over the sample index
+    * ("linear", the scipy default) per series. Coordinates pass
+    * through unchanged. One seriesify shuffle, one kernel call.
+    */
+  def detrend(df: DataFrame, keys: Seq[String], dim: String, value: String,
+              typ: String = "linear"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", detrendC(col(value), typ))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("coords"), "value" -> col("_out")))
+  }
+
+  /** scipy.signal.welch lifted onto series: averaged-periodogram PSD
+    * (onesided, density scaling) with `nperseg`-sample segments every
+    * `nperseg - noverlap` samples (scipy's default noverlap =
+    * nperseg // 2), per-segment constant detrend, named-window taper
+    * (hann default, same [[graft.dsp.Resample.periodicWindow]] family
+    * as [[stft]]). fs derives from the series spacing (1/delta), so
+    * the output frequency axis is rfftfreq(nperseg, delta) exactly
+    * like the FFT family. The whole estimate — every segment, taper,
+    * rfft, and the average — is ONE kernel call per series on the
+    * seriesified array: one shuffle total, no per-segment explode, no
+    * second exchange (the segment loop is sequential reuse of one
+    * scratch buffer, not materialized frames). Output: keys, pos
+    * (bin), <newdim>, psd.
+    */
+  def welch(df: DataFrame, keys: Seq[String], dim: String, value: String,
+            nperseg: Int, noverlap: Int = -1, window: String = "hann",
+            detrend: String = "constant", fs: Double = -1.0,
+            newdim: String = "frequency"): DataFrame = {
+    val hop = nperseg - (if (noverlap >= 0) noverlap else nperseg / 2)
+    require(hop > 0 && hop <= nperseg,
+      s"welch: need 0 <= noverlap < nperseg, got noverlap=$noverlap nperseg=$nperseg")
+    val demean = detrend match {
+      case "constant" => true
+      case "none" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"welch: unsupported detrend '$other' (constant|none)")
+    }
+    val wts = graft.dsp.Resample.periodicWindow(window, nperseg)
+    // fs > 0: scipy's explicit sampling-rate argument; fs <= 0 (the
+    // default): derive per series from the coordinate spacing, the
+    // xarray convention every other op here follows
+    val fsCol = if (fs > 0) lit(fs) else lit(1.0) / col("delta")
+    val dCol = if (fs > 0) lit(1.0 / fs) else col("delta")
+    val sdf = seriesify(df, keys, dim, Seq(value)).filter(col("n") >= nperseg)
+    val withOut = sdf
+      .withColumn("_psd", welchC(col(value), nperseg, hop, typedLit(wts),
+        fsCol, demean))
+      .withColumn("_freq", rfftfreqC(lit(nperseg), dCol))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "psd" -> col("_psd")))
+  }
+
   // ---- peaks (signal.py:330-371) --------------------------------------
 
   /** peak_widths at rel_height of prominence. Peaks default to the

@@ -966,6 +966,83 @@ object Sig {
        |GROUP BY w.user_id, w.st, anchor.t, k.b
        |ORDER BY 1, 3, 5""".stripMargin
 
+  /** scipy.signal.detrend(type="linear") per user: remove the
+    * per-series least-squares line over the sample index. The oracle
+    * recomputes the closed-form slope/intercept with SQL aggregates —
+    * a structurally different float association from the kernel's
+    * sequential sums, so residuals encode at the 1e4 grid (SURVEY §5
+    * rule 1).
+    */
+  def sigDetrend(s: SparkSession, dir: String): DataFrame =
+    Signal.detrend(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigDetrendSql: String =
+    s"""$sSql, st AS (
+       |  SELECT user_id, COUNT(*) AS n, AVG(value) AS vbar,
+       |    (COUNT(*) - 1) / 2.0 AS jbar
+       |  FROM s GROUP BY 1
+       |), sl AS (
+       |  SELECT s.user_id,
+       |    SUM((s.j - st.jbar) * (s.value - st.vbar))
+       |      / SUM((s.j - st.jbar) * (s.j - st.jbar)) AS b
+       |  FROM s JOIN st ON st.user_id = s.user_id GROUP BY 1
+       |)
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("s.t", "1e6")} AS t_fp,
+       |  ${fpSql("s.value - (st.vbar + sl.b * (s.j - st.jbar))", "1e4")} AS value_fp
+       |FROM s JOIN st ON st.user_id = s.user_id JOIN sl ON sl.user_id = s.user_id
+       |ORDER BY 1, 2""".stripMargin
+
+  /** scipy.signal.welch per user (nperseg=16, noverlap=8, hann,
+    * detrend="constant", fs=2.0 — scipy's explicit-fs path so the
+    * frequency axis b·fs/16 = b/8 is exact binary): averaged
+    * periodogram, onesided density scaling with DC and Nyquist not
+    * doubled. The whole estimate is ONE kernel call per series after
+    * the seriesify shuffle. The oracle replays segmentation (same
+    * window placement as sig_stft), per-segment AVG removal, the
+    * hann-tapered naive DFT, the |X|² mean, and the 1/(fs·Σw²)
+    * scaling; everything float reassociates, hence the 1e4 grid.
+    */
+  def sigWelch(s: SparkSession, dir: String): DataFrame =
+    Signal.welch(evReal(s, dir), Seq("user_id"), "t", "value",
+        nperseg = 16, fs = 2.0)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("psd")).as("psd_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigWelchSql: String =
+    s"""$sSql, win AS (
+       |  SELECT user_id, j AS st FROM s WHERE j % 8 = 0 AND j + 16 <= n
+       |), nseg AS (
+       |  SELECT user_id, COUNT(*) AS ns FROM win GROUP BY 1
+       |), sm AS (
+       |  SELECT w.user_id, w.st, AVG(x.value) AS m
+       |  FROM win w JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  GROUP BY 1, 2
+       |), spec AS (
+       |  SELECT w.user_id, w.st, k.b,
+       |    SUM((x.value - sm.m) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * COS(-2*PI()*k.b*(x.j - w.st)/16)) AS re,
+       |    SUM((x.value - sm.m) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * SIN(-2*PI()*k.b*(x.j - w.st)/16)) AS im
+       |  FROM win w
+       |  JOIN sm ON sm.user_id = w.user_id AND sm.st = w.st
+       |  JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  CROSS JOIN range(9) k(b)
+       |  GROUP BY 1, 2, 3
+       |), w2 AS (
+       |  SELECT SUM(POWER(0.5 - 0.5*COS(2*PI()*i/16), 2)) AS v FROM range(16) r(i)
+       |)
+       |SELECT sp.user_id, CAST(sp.b AS INT) AS pos,
+       |  ${fpSql("sp.b * (1.0/(16 * 0.5))", "1e6")} AS freq_fp,
+       |  ${fpSql("SUM(sp.re*sp.re + sp.im*sp.im) / (2.0 * (SELECT v FROM w2) * ANY_VALUE(ns.ns)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS psd_fp
+       |FROM spec sp JOIN nseg ns ON ns.user_id = sp.user_id
+       |GROUP BY sp.user_id, sp.b
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // rate changes
   // ------------------------------------------------------------------
@@ -1665,6 +1742,8 @@ object Sig {
     "sig_hilbert_n" -> (sigHilbertN _),
     "sig_stft" -> (sigStft _),
     "sig_stft_hann" -> (sigStftHann _),
+    "sig_detrend" -> (sigDetrend _),
+    "sig_welch" -> (sigWelch _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1714,6 +1793,8 @@ object Sig {
     "sig_hilbert_n" -> sigHilbertNSql,
     "sig_stft" -> sigStftSql,
     "sig_stft_hann" -> sigStftHannSql,
+    "sig_detrend" -> sigDetrendSql,
+    "sig_welch" -> sigWelchSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

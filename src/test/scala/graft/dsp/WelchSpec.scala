@@ -1,0 +1,62 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WelchSpec extends AnyFunSuite {
+  private val g = Golden.load("welch.txt")
+
+  private def check(name: String, got: Array[Double], t: Double = 1e-10): Unit = {
+    val want = g.getOrElse(name, fail(s"no golden $name"))
+    val d = Golden.maxAbsDiff(got, want)
+    assert(d < t, s"$name maxAbsDiff=$d")
+  }
+
+  for (n <- Seq(200, 127)) {
+    lazy val x = g(s"wx_$n")
+
+    test(s"detrend constant/linear n=$n vs numpy polyfit") {
+      check(s"detrend_const_$n", Spectral.detrend(x, "constant"))
+      check(s"detrend_lin_$n", Spectral.detrend(x, "linear"))
+    }
+
+    test(s"welch n=$n vs numpy averaged periodogram") {
+      for ((np_, hop) <- Seq((32, 16), (25, 10))) {
+        val hann = Resample.periodicWindow("hann", np_)
+        check(s"welch_hann_${n}_${np_}_$hop",
+          Spectral.welch(x, np_, hop, hann, fs = 2.0))
+        check(s"welch_box_${n}_${np_}_$hop",
+          Spectral.welch(x, np_, hop, Array.fill(np_)(1.0), fs = 2.0,
+            demean = false))
+      }
+    }
+  }
+
+  test("detrend edge cases: empty, single sample, unknown type") {
+    assert(Spectral.detrend(Array.empty[Double]).isEmpty)
+    assert(Spectral.detrend(Array(3.5), "linear").toSeq == Seq(0.0))
+    assert(Spectral.detrend(Array(3.5), "constant").toSeq == Seq(0.0))
+    assertThrows[IllegalArgumentException](Spectral.detrend(Array(1.0), "cubic"))
+  }
+
+  test("welch input validation fails fast") {
+    val x = Array.fill(64)(1.0)
+    val w = Array.fill(16)(1.0)
+    assertThrows[IllegalArgumentException](Spectral.welch(x, 16, 0, w, 1.0))
+    assertThrows[IllegalArgumentException](Spectral.welch(x, 16, 17, w, 1.0))
+    assertThrows[IllegalArgumentException](Spectral.welch(x, 16, 8, Array.fill(15)(1.0), 1.0))
+    assertThrows[IllegalArgumentException](Spectral.welch(x, 16, 8, w, 0.0))
+    assertThrows[IllegalArgumentException](Spectral.welch(Array.fill(8)(1.0), 16, 8, w, 1.0))
+  }
+
+  test("welch of a bin-aligned tone concentrates power in its bin (Parseval sanity)") {
+    // sin(2*pi*4*t/32) with nperseg=32, boxcar, no demean: all power in
+    // bin 4. Density scaling: psd[4] = 2 * |n/2 * 1|^2 / (fs * n) with
+    // amplitude 1 -> 2*(16^2)/(2*32) = 8.
+    val x = Array.tabulate(128)(t => math.sin(2 * math.Pi * 4 * t / 32))
+    val psd = Spectral.welch(x, 32, 16, Array.fill(32)(1.0), fs = 2.0,
+      demean = false)
+    assert(math.abs(psd(4) - 8.0) < 1e-9, s"tone bin psd=${psd(4)}")
+    for (b <- psd.indices if b != 4)
+      assert(math.abs(psd(b)) < 1e-9, s"leak at bin $b: ${psd(b)}")
+  }
+}

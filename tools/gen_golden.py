@@ -423,3 +423,48 @@ with open(os.path.join(OUT, "peaks.txt"), "w") as f:
         emit(f, f"wheights_wlen{wlen}", [r[1] for r in rows])
         emit(f, f"lips_wlen{wlen}", [r[2] for r in rows])
         emit(f, f"rips_wlen{wlen}", [r[3] for r in rows])
+
+
+# -------------------------------------------------------------- welch
+# Averaged-periodogram reference, written directly from the published
+# Welch definition (independent of the Scala kernel's buffer-reuse
+# structure): segment, constant-detrend, taper, rfft, |X|^2 mean,
+# density scaling with one-sided doubling.
+def welch_np(x, nperseg, hop, wts, fs, demean=True):
+    n = len(x)
+    nb = nperseg // 2 + 1
+    acc = np.zeros(nb)
+    nseg = 0
+    st = 0
+    while st + nperseg <= n:
+        seg = np.asarray(x[st:st + nperseg], dtype=np.float64)
+        if demean:
+            seg = seg - seg.mean()
+        F = np.fft.rfft(seg * wts)
+        acc += np.abs(F) ** 2
+        nseg += 1
+        st += hop
+    acc /= fs * np.sum(wts ** 2) * nseg
+    if nperseg % 2 == 0:
+        acc[1:-1] *= 2
+    else:
+        acc[1:] *= 2
+    return acc
+
+
+with open(os.path.join(OUT, "welch.txt"), "w") as f:
+    for n in (200, 127):
+        # a slope on top of noise so linear vs constant detrend differ
+        x = rng.standard_normal(n) + 0.003 * np.arange(n)
+        emit(f, f"wx_{n}", x)
+        emit(f, f"detrend_const_{n}", x - x.mean())
+        t = np.arange(n)
+        coef = np.polyfit(t, x, 1)  # lstsq path, unlike the kernel's closed form
+        emit(f, f"detrend_lin_{n}", x - np.polyval(coef, t))
+        for nperseg, hop in ((32, 16), (25, 10)):
+            wts = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nperseg) / nperseg)
+            emit(f, f"welch_hann_{n}_{nperseg}_{hop}",
+                 welch_np(x, nperseg, hop, wts, fs=2.0))
+            emit(f, f"welch_box_{n}_{nperseg}_{hop}",
+                 welch_np(x, nperseg, hop, np.ones(nperseg), fs=2.0,
+                          demean=False))
