@@ -51,6 +51,97 @@ object Spectral {
     out
   }
 
+  /** scipy.signal.csd (onesided, density scaling): cross power
+    * spectral density Pxy via Welch's method — per segment, conj(X)·Y
+    * of the demeaned+tapered rffts, averaged across segments, scaled
+    * by 1/(fs·Σw²) with non-DC/non-Nyquist bins doubled (the same
+    * scaling [[welch]] applies; scipy's _spectral_helper is shared by
+    * both, csd(x, x) == welch(x) exactly). Segment placement is
+    * identical to [[welch]]/STFT. Returns (re, im) arrays of
+    * nperseg/2+1 bins.
+    */
+  def csd(x: Array[Double], y: Array[Double], nperseg: Int, hop: Int,
+          wts: Array[Double], fs: Double, demean: Boolean = true): Fft.C = {
+    require(x.length == y.length,
+      s"csd: series lengths differ (${x.length} vs ${y.length})")
+    require(nperseg > 0 && hop > 0 && hop <= nperseg,
+      s"csd: need 0 < hop <= nperseg, got hop=$hop nperseg=$nperseg")
+    require(wts.length == nperseg,
+      s"csd: window length ${wts.length} != nperseg $nperseg")
+    require(fs > 0, s"csd: fs must be positive, got $fs")
+    val n = x.length
+    require(n >= nperseg, s"csd: series length $n < nperseg $nperseg")
+    val nb = nperseg / 2 + 1
+    val accRe = new Array[Double](nb)
+    val accIm = new Array[Double](nb)
+    val segX = new Array[Double](nperseg)
+    val segY = new Array[Double](nperseg)
+    var w2 = 0.0
+    var i = 0
+    while (i < nperseg) { w2 += wts(i) * wts(i); i += 1 }
+    var nSeg = 0
+    var st = 0
+    while (st + nperseg <= n) {
+      var mx = 0.0
+      var my = 0.0
+      if (demean) {
+        i = 0
+        while (i < nperseg) { mx += x(st + i); my += y(st + i); i += 1 }
+        mx /= nperseg
+        my /= nperseg
+      }
+      i = 0
+      while (i < nperseg) {
+        segX(i) = (x(st + i) - mx) * wts(i)
+        segY(i) = (y(st + i) - my) * wts(i)
+        i += 1
+      }
+      val fx = Fft.rfft(segX)
+      val fy = Fft.rfft(segY)
+      var b = 0
+      while (b < nb) {
+        // conj(X) * Y
+        accRe(b) += fx.re(b) * fy.re(b) + fx.im(b) * fy.im(b)
+        accIm(b) += fx.re(b) * fy.im(b) - fx.im(b) * fy.re(b)
+        b += 1
+      }
+      nSeg += 1
+      st += hop
+    }
+    val scale = 1.0 / (fs * w2 * nSeg)
+    var b = 0
+    while (b < nb) {
+      val dbl = if (b == 0 || (nperseg % 2 == 0 && b == nb - 1)) 1.0 else 2.0
+      accRe(b) = accRe(b) * scale * dbl
+      accIm(b) = accIm(b) * scale * dbl
+      b += 1
+    }
+    Fft.C(accRe, accIm)
+  }
+
+  /** scipy.signal.coherence: magnitude-squared coherence
+    * Cxy = |Pxy|² / (Pxx·Pyy) from the three Welch estimates over the
+    * SAME segmentation. All scaling factors (fs, Σw², nSeg, onesided
+    * doubling) cancel algebraically, but we compute the three spectra
+    * through the same scaled [[welch]]/[[csd]] code paths anyway so the
+    * float streams match scipy's (which also divides scaled spectra).
+    */
+  def coherence(x: Array[Double], y: Array[Double], nperseg: Int, hop: Int,
+                wts: Array[Double], fs: Double,
+                demean: Boolean = true): Array[Double] = {
+    val pxx = welch(x, nperseg, hop, wts, fs, demean)
+    val pyy = welch(y, nperseg, hop, wts, fs, demean)
+    val pxy = csd(x, y, nperseg, hop, wts, fs, demean)
+    val nb = pxx.length
+    val out = new Array[Double](nb)
+    var b = 0
+    while (b < nb) {
+      out(b) = (pxy.re(b) * pxy.re(b) + pxy.im(b) * pxy.im(b)) / (pxx(b) * pyy(b))
+      b += 1
+    }
+    out
+  }
+
   /** scipy.signal.welch (onesided, density scaling, average="mean"):
     * `nperseg`-sample segments every `hop` samples (scipy's
     * noverlap = nperseg - hop; its default noverlap = nperseg//2),

@@ -156,6 +156,14 @@ object Bridge {
             fs: Double, demean: Boolean): ArrayData =
     out(Spectral.welch(d(x), nperseg, hop, d(wts), fs, demean))
 
+  def csd(x: ArrayData, y: ArrayData, nperseg: Int, hop: Int, wts: ArrayData,
+          fs: Double, demean: Boolean): InternalRow =
+    c(Spectral.csd(d(x), d(y), nperseg, hop, d(wts), fs, demean))
+
+  def coherence(x: ArrayData, y: ArrayData, nperseg: Int, hop: Int,
+                wts: ArrayData, fs: Double, demean: Boolean): ArrayData =
+    out(Spectral.coherence(d(x), d(y), nperseg, hop, d(wts), fs, demean))
+
   def envelope(x: ArrayData, n: Int): ArrayData = out(Hilbert.envelope(d(x), n))
 
   def resample(x: ArrayData, num: Int, window: UTF8String, domain: UTF8String): ArrayData =
@@ -556,6 +564,8 @@ object Bridge {
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
+    "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
+    "coherence" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
     "resampleW" -> (Seq(arrD, IntegerType, arrD, StringType) -> arrD),
@@ -622,6 +632,8 @@ object Bridge {
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
+    case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
+    case "coherence" => coherence(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "resampleW" => resampleW(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[UTF8String])

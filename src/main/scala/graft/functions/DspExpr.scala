@@ -196,6 +196,12 @@ object Functions {
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,
                fs: Column, demean: Boolean = true): Column =
       call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean))
+    def csdC(x: Column, y: Column, nperseg: Int, hop: Int, wts: Column,
+             fs: Column, demean: Boolean = true): Column =
+      call("csd", x, y, lit(nperseg), lit(hop), wts, fs, lit(demean))
+    def coherenceC(x: Column, y: Column, nperseg: Int, hop: Int, wts: Column,
+                   fs: Column, demean: Boolean = true): Column =
+      call("coherence", x, y, lit(nperseg), lit(hop), wts, fs, lit(demean))
     def envelopeC(x: Column, n: Int = -1): Column = call("envelope", x, lit(n))
     def resampleC(x: Column, num: Column, window: String = "",
                   domain: String = "time"): Column =

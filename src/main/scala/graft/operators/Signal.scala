@@ -830,6 +830,58 @@ object Signal {
       newdim -> col("_freq"), "psd" -> col("_psd")))
   }
 
+  private def welchHop(nperseg: Int, noverlap: Int): Int = {
+    val hop = nperseg - (if (noverlap >= 0) noverlap else nperseg / 2)
+    require(hop > 0 && hop <= nperseg,
+      s"need 0 <= noverlap < nperseg, got noverlap=$noverlap nperseg=$nperseg")
+    hop
+  }
+
+  /** scipy.signal.csd lifted onto series: cross power spectral density
+    * Pxy of two value columns of the SAME frame (already aligned on
+    * `dim` — both samples live on one row, so the alignment is the
+    * frame's, not a join's). Same segmentation/scaling as [[welch]];
+    * csd(x, x) == welch(x). One seriesify shuffle packs BOTH columns
+    * in the same pass (multi-value seriesify), then one kernel call.
+    * Output: keys, pos (bin), <newdim>, re, im.
+    */
+  def csd(df: DataFrame, keys: Seq[String], dim: String, x: String, y: String,
+          nperseg: Int, noverlap: Int = -1, window: String = "hann",
+          fs: Double = -1.0, newdim: String = "frequency"): DataFrame = {
+    val hop = welchHop(nperseg, noverlap)
+    val wts = graft.dsp.Resample.periodicWindow(window, nperseg)
+    val fsCol = if (fs > 0) lit(fs) else lit(1.0) / col("delta")
+    val dCol = if (fs > 0) lit(1.0 / fs) else col("delta")
+    val sdf = seriesify(df, keys, dim, Seq(x, y)).filter(col("n") >= nperseg)
+    val withOut = sdf
+      .withColumn("_sp", csdC(col(x), col(y), nperseg, hop, typedLit(wts), fsCol))
+      .withColumn("_freq", rfftfreqC(lit(nperseg), dCol))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "re" -> col("_sp.re"), "im" -> col("_sp.im")))
+  }
+
+  /** scipy.signal.coherence lifted onto series: magnitude-squared
+    * coherence Cxy = |Pxy|²/(Pxx·Pyy) of two value columns over the
+    * shared Welch segmentation. One shuffle, one kernel call computing
+    * all three spectra from the packed arrays. Output: keys, pos,
+    * <newdim>, coh.
+    */
+  def coherence(df: DataFrame, keys: Seq[String], dim: String, x: String,
+                y: String, nperseg: Int, noverlap: Int = -1,
+                window: String = "hann", fs: Double = -1.0,
+                newdim: String = "frequency"): DataFrame = {
+    val hop = welchHop(nperseg, noverlap)
+    val wts = graft.dsp.Resample.periodicWindow(window, nperseg)
+    val fsCol = if (fs > 0) lit(fs) else lit(1.0) / col("delta")
+    val dCol = if (fs > 0) lit(1.0 / fs) else col("delta")
+    val sdf = seriesify(df, keys, dim, Seq(x, y)).filter(col("n") >= nperseg)
+    val withOut = sdf
+      .withColumn("_coh", coherenceC(col(x), col(y), nperseg, hop, typedLit(wts), fsCol))
+      .withColumn("_freq", rfftfreqC(lit(nperseg), dCol))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "coh" -> col("_coh")))
+  }
+
   // ---- peaks (signal.py:330-371) --------------------------------------
 
   /** peak_widths at rel_height of prominence. Peaks default to the

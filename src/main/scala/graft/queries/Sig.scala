@@ -1043,6 +1043,90 @@ object Sig {
        |GROUP BY sp.user_id, sp.b
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.csd per user between value and its lag-1 (zero
+    * seeded) — the cross-spectrum of a unit delay has a known phase
+    * ramp, so re AND im are both exercised. Same Welch segmentation
+    * as [[sigWelch]]; the oracle replays it with the four per-segment
+    * DFT sums and the conj(X)·Y cross products. fp4 per SURVEY §5.
+    */
+  def sigCsd(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "value")
+    val df = evReal(s, dir).withColumn("y", lag("value", 1, 0.0).over(w))
+    Signal.csd(df, Seq("user_id"), "t", "value", "y", nperseg = 16, fs = 2.0)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  /** Shared CTE chain for the cross-spectral oracles: lag channel,
+    * window starts, per-segment means of both channels, and the four
+    * hann-tapered DFT sums per (user, segment, bin).
+    */
+  private val csdBaseSql: String =
+    s"""$sSql, s2 AS (
+       |  SELECT user_id, j, n, value,
+       |    LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY j) AS y
+       |  FROM s
+       |), win AS (
+       |  SELECT user_id, j AS st FROM s2 WHERE j % 8 = 0 AND j + 16 <= n
+       |), nseg AS (
+       |  SELECT user_id, COUNT(*) AS ns FROM win GROUP BY 1
+       |), sm AS (
+       |  SELECT w.user_id, w.st, AVG(x.value) AS mx, AVG(x.y) AS my
+       |  FROM win w JOIN s2 x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  GROUP BY 1, 2
+       |), spec AS (
+       |  SELECT w.user_id, w.st, k.b,
+       |    SUM((x.value - sm.mx) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * COS(-2*PI()*k.b*(x.j - w.st)/16)) AS rex,
+       |    SUM((x.value - sm.mx) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * SIN(-2*PI()*k.b*(x.j - w.st)/16)) AS imx,
+       |    SUM((x.y - sm.my) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * COS(-2*PI()*k.b*(x.j - w.st)/16)) AS rey,
+       |    SUM((x.y - sm.my) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * SIN(-2*PI()*k.b*(x.j - w.st)/16)) AS imy
+       |  FROM win w
+       |  JOIN sm ON sm.user_id = w.user_id AND sm.st = w.st
+       |  JOIN s2 x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  CROSS JOIN range(9) k(b)
+       |  GROUP BY 1, 2, 3
+       |), w2 AS (
+       |  SELECT SUM(POWER(0.5 - 0.5*COS(2*PI()*i/16), 2)) AS v FROM range(16) r(i)
+       |)""".stripMargin
+
+  private val sigCsdSql: String =
+    s"""$csdBaseSql
+       |SELECT sp.user_id, CAST(sp.b AS INT) AS pos,
+       |  ${fpSql("sp.b * (1.0/(16 * 0.5))", "1e6")} AS freq_fp,
+       |  ${fpSql("SUM(sp.rex*sp.rey + sp.imx*sp.imy) / (2.0 * (SELECT v FROM w2) * ANY_VALUE(ns.ns)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(sp.rex*sp.imy - sp.imx*sp.rey) / (2.0 * (SELECT v FROM w2) * ANY_VALUE(ns.ns)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS im_fp
+       |FROM spec sp JOIN nseg ns ON ns.user_id = sp.user_id
+       |GROUP BY sp.user_id, sp.b
+       |ORDER BY 1, 2""".stripMargin
+
+  /** scipy.signal.coherence per user between value and its lag-1.
+    * Cxy = |Pxy|²/(Pxx·Pyy); every scale factor (fs·Σw²·nSeg, the
+    * onesided doubling) cancels, so the oracle divides the raw
+    * segment-averaged cross products directly.
+    */
+  def sigCoherence(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "value")
+    val df = evReal(s, dir).withColumn("y", lag("value", 1, 0.0).over(w))
+    Signal.coherence(df, Seq("user_id"), "t", "value", "y", nperseg = 16, fs = 2.0)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("coh")).as("coh_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigCoherenceSql: String =
+    s"""$csdBaseSql
+       |SELECT sp.user_id, CAST(sp.b AS INT) AS pos,
+       |  ${fpSql("sp.b * (1.0/(16 * 0.5))", "1e6")} AS freq_fp,
+       |  ${fpSql("(POWER(SUM(sp.rex*sp.rey + sp.imx*sp.imy), 2) + POWER(SUM(sp.rex*sp.imy - sp.imx*sp.rey), 2)) / (SUM(sp.rex*sp.rex + sp.imx*sp.imx) * SUM(sp.rey*sp.rey + sp.imy*sp.imy))", "1e4")} AS coh_fp
+       |FROM spec sp
+       |GROUP BY sp.user_id, sp.b
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // rate changes
   // ------------------------------------------------------------------
@@ -1744,6 +1828,8 @@ object Sig {
     "sig_stft_hann" -> (sigStftHann _),
     "sig_detrend" -> (sigDetrend _),
     "sig_welch" -> (sigWelch _),
+    "sig_csd" -> (sigCsd _),
+    "sig_coherence" -> (sigCoherence _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1795,6 +1881,8 @@ object Sig {
     "sig_stft_hann" -> sigStftHannSql,
     "sig_detrend" -> sigDetrendSql,
     "sig_welch" -> sigWelchSql,
+    "sig_csd" -> sigCsdSql,
+    "sig_coherence" -> sigCoherenceSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

@@ -13,6 +13,7 @@ class WelchSpec extends AnyFunSuite {
 
   for (n <- Seq(200, 127)) {
     lazy val x = g(s"wx_$n")
+    lazy val y = g(s"wy_$n")
 
     test(s"detrend constant/linear n=$n vs numpy polyfit") {
       check(s"detrend_const_$n", Spectral.detrend(x, "constant"))
@@ -29,6 +30,38 @@ class WelchSpec extends AnyFunSuite {
             demean = false))
       }
     }
+  }
+
+  for (n <- Seq(200, 127)) {
+    lazy val x = g(s"wx_$n")
+    lazy val y = g(s"wy_$n")
+
+    test(s"csd + coherence n=$n vs numpy cross-spectra") {
+      for ((np_, hop) <- Seq((32, 16), (25, 10))) {
+        val hann = Resample.periodicWindow("hann", np_)
+        val p = Spectral.csd(x, y, np_, hop, hann, fs = 2.0)
+        check(s"csd_hann_${n}_${np_}_${hop}_re", p.re)
+        check(s"csd_hann_${n}_${np_}_${hop}_im", p.im)
+        check(s"coh_hann_${n}_${np_}_$hop",
+          Spectral.coherence(x, y, np_, hop, hann, fs = 2.0))
+      }
+    }
+
+    test(s"csd(x, x) == welch(x) exactly, n=$n") {
+      val hann = Resample.periodicWindow("hann", 32)
+      val p = Spectral.csd(x, x, 32, 16, hann, fs = 2.0)
+      val w = Spectral.welch(x, 32, 16, hann, fs = 2.0)
+      assert(p.re.sameElements(w), "csd(x,x).re != welch(x)")
+      assert(p.im.forall(_ == 0.0), "csd(x,x).im != 0")
+    }
+  }
+
+  test("coherence of y = c*x (same segment means) is 1 at every bin") {
+    val x = g("wx_200")
+    val y = x.map(_ * 3.0)
+    val hann = Resample.periodicWindow("hann", 32)
+    val c = Spectral.coherence(x, y, 32, 16, hann, fs = 2.0)
+    c.foreach(v => assert(math.abs(v - 1.0) < 1e-12, s"coh=$v"))
   }
 
   test("detrend edge cases: empty, single sample, unknown type") {

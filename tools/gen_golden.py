@@ -452,6 +452,30 @@ def welch_np(x, nperseg, hop, wts, fs, demean=True):
     return acc
 
 
+# Cross-spectral reference, same published definition: conj(X)*Y per
+# segment, averaged, welch scaling. coherence from the three estimates.
+def csd_np(x, y, nperseg, hop, wts, fs, demean=True):
+    n = len(x)
+    acc = np.zeros(nperseg // 2 + 1, dtype=np.complex128)
+    nseg = 0
+    st = 0
+    while st + nperseg <= n:
+        sx = np.asarray(x[st:st + nperseg], dtype=np.float64)
+        sy = np.asarray(y[st:st + nperseg], dtype=np.float64)
+        if demean:
+            sx = sx - sx.mean()
+            sy = sy - sy.mean()
+        acc += np.conj(np.fft.rfft(sx * wts)) * np.fft.rfft(sy * wts)
+        nseg += 1
+        st += hop
+    acc /= fs * np.sum(wts ** 2) * nseg
+    if nperseg % 2 == 0:
+        acc[1:-1] *= 2
+    else:
+        acc[1:] *= 2
+    return acc
+
+
 with open(os.path.join(OUT, "welch.txt"), "w") as f:
     for n in (200, 127):
         # a slope on top of noise so linear vs constant detrend differ
@@ -468,3 +492,18 @@ with open(os.path.join(OUT, "welch.txt"), "w") as f:
             emit(f, f"welch_box_{n}_{nperseg}_{hop}",
                  welch_np(x, nperseg, hop, np.ones(nperseg), fs=2.0,
                           demean=False))
+        # second channel: filtered+lagged mix of x plus fresh noise, so
+        # the cross-spectrum has nontrivial phase and coherence < 1
+        y = np.zeros(n)
+        y[1:] = 0.7 * x[:-1]
+        y += 0.3 * rng.standard_normal(n)
+        emit(f, f"wy_{n}", y)
+        for nperseg, hop in ((32, 16), (25, 10)):
+            wts = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nperseg) / nperseg)
+            P = csd_np(x, y, nperseg, hop, wts, fs=2.0)
+            emit(f, f"csd_hann_{n}_{nperseg}_{hop}_re", P.real)
+            emit(f, f"csd_hann_{n}_{nperseg}_{hop}_im", P.imag)
+            pxx = welch_np(x, nperseg, hop, wts, fs=2.0)
+            pyy = welch_np(y, nperseg, hop, wts, fs=2.0)
+            emit(f, f"coh_hann_{n}_{nperseg}_{hop}",
+                 np.abs(P) ** 2 / (pxx * pyy))
