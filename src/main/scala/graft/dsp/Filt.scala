@@ -253,4 +253,79 @@ object Filt {
     val y = reverse(bwd)
     if (edge > 0) java.util.Arrays.copyOfRange(y, edge, y.length - edge) else y
   }
+
+  /** scipy.signal.medfilt (1-D): sliding median with odd kernel size,
+    * zero-padded edges (scipy pads with zeros, not reflection). Output
+    * length == input length. O(n·k log k) — k is a small constant
+    * (scipy default 3); a heap-based O(n log k) variant isn't worth
+    * the code until k grows past ~100.
+    */
+  def medfilt(x: Array[Double], kernelSize: Int = 3): Array[Double] = {
+    require(kernelSize > 0 && kernelSize % 2 == 1,
+      s"medfilt: kernel size must be positive odd, got $kernelSize")
+    val n = x.length
+    val ho = kernelSize / 2
+    val out = new Array[Double](n)
+    val buf = new Array[Double](kernelSize)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < kernelSize) {
+        val src = i - ho + j
+        buf(j) = if (src < 0 || src >= n) 0.0 else x(src)
+        j += 1
+      }
+      java.util.Arrays.sort(buf)
+      out(i) = buf(ho)
+      i += 1
+    }
+    out
+  }
+
+  /** scipy.signal.wiener (1-D): adaptive local-statistics filter.
+    * Local mean/variance over a zero-padded `size` window (size odd,
+    * scipy default 3); `noise` defaults to the mean of the local
+    * variances (scipy's estimate). Where lVar < noise the output is
+    * the local mean; elsewhere lMean + (x - lMean)·(1 - noise/lVar).
+    */
+  def wiener(x: Array[Double], size: Int = 3, noise: Double = -1.0): Array[Double] = {
+    require(size > 0 && size % 2 == 1,
+      s"wiener: window size must be positive odd, got $size")
+    val n = x.length
+    if (n == 0) return new Array[Double](0)
+    val ho = size / 2
+    val lMean = new Array[Double](n)
+    val lVar = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var s2 = 0.0
+      var j = i - ho
+      while (j <= i + ho) {
+        val v = if (j < 0 || j >= n) 0.0 else x(j)
+        s += v
+        s2 += v * v
+        j += 1
+      }
+      val m = s / size
+      lMean(i) = m
+      lVar(i) = s2 / size - m * m
+      i += 1
+    }
+    val nz = if (noise >= 0) noise else {
+      var s = 0.0
+      i = 0
+      while (i < n) { s += lVar(i); i += 1 }
+      s / n
+    }
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (lVar(i) < nz) lMean(i)
+        else lMean(i) + (x(i) - lMean(i)) * (1.0 - nz / lVar(i))
+      i += 1
+    }
+    out
+  }
 }

@@ -149,6 +149,12 @@ object Bridge {
 
   def hilbert(x: ArrayData, n: Int): InternalRow = c(Hilbert.hilbert(d(x), n))
 
+  def medfilt(x: ArrayData, kernelSize: Int): ArrayData =
+    out(Filt.medfilt(d(x), kernelSize))
+
+  def wiener(x: ArrayData, size: Int, noise: Double): ArrayData =
+    out(Filt.wiener(d(x), size, noise))
+
   def detrend(x: ArrayData, typ: UTF8String): ArrayData =
     out(Spectral.detrend(d(x), typ.toString))
 
@@ -563,6 +569,8 @@ object Bridge {
     "filtfilt" -> (Seq(arrD, arrD, arrD) -> arrD),
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "detrend" -> (Seq(arrD, StringType) -> arrD),
+    "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
+    "wiener" -> (Seq(arrD, IntegerType, DoubleType) -> arrD),
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
     "coherence" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
@@ -631,6 +639,8 @@ object Bridge {
     case "filtfilt" => filtfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
+    case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
+    case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "coherence" => coherence(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])

@@ -193,6 +193,10 @@ object Functions {
     def hilbertC(x: Column, n: Int = -1): Column = call("hilbert", x, lit(n))
     def detrendC(x: Column, typ: String = "linear"): Column =
       call("detrend", x, lit(typ))
+    def medfiltC(x: Column, kernelSize: Int = 3): Column =
+      call("medfilt", x, lit(kernelSize))
+    def wienerC(x: Column, size: Int = 3, noise: Double = -1.0): Column =
+      call("wiener", x, lit(size), lit(noise))
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,
                fs: Column, demean: Boolean = true): Column =
       call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean))

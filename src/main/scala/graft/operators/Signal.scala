@@ -788,6 +788,31 @@ object Signal {
       dim -> col("coords"), "value" -> col("_out")))
   }
 
+  /** scipy.signal.medfilt lifted onto series: sliding median with odd
+    * kernel size, zero-padded edges, per series. One seriesify
+    * shuffle, one kernel call.
+    */
+  def medfilt(df: DataFrame, keys: Seq[String], dim: String, value: String,
+              kernelSize: Int = 3): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", medfiltC(col(value), kernelSize))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("coords"), "value" -> col("_out")))
+  }
+
+  /** scipy.signal.wiener lifted onto series: adaptive local-statistics
+    * filter (local mean/variance over a zero-padded odd window, noise
+    * estimated as the mean local variance unless given). One seriesify
+    * shuffle, one kernel call.
+    */
+  def wiener(df: DataFrame, keys: Seq[String], dim: String, value: String,
+             size: Int = 3, noise: Double = -1.0): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", wienerC(col(value), size, noise))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("coords"), "value" -> col("_out")))
+  }
+
   /** scipy.signal.welch lifted onto series: averaged-periodogram PSD
     * (onesided, density scaling) with `nperseg`-sample segments every
     * `nperseg - noverlap` samples (scipy's default noverlap =

@@ -1043,6 +1043,63 @@ object Sig {
        |GROUP BY sp.user_id, sp.b
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.medfilt(kernel_size=5) per user: sliding median,
+    * zero-padded edges. The oracle rebuilds each window by an offset
+    * join (LEFT JOIN nulls become the zero padding) and takes DuckDB's
+    * MEDIAN — with an odd window the median SELECTS an input value
+    * (no interpolation arithmetic), so both engines emit bit-identical
+    * doubles and the fp grid only normalizes representation.
+    */
+  def sigMedfilt(s: SparkSession, dir: String): DataFrame =
+    Signal.medfilt(evReal(s, dir), Seq("user_id"), "t", "value", kernelSize = 5)
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigMedfiltSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("s.t", "1e6")} AS t_fp,
+       |  ${fpSql("MEDIAN(COALESCE(x.value, 0.0))", "1e6")} AS value_fp
+       |FROM s CROSS JOIN range(-2, 3) o(o)
+       |LEFT JOIN s x ON x.user_id = s.user_id AND x.j = s.j + o.o
+       |GROUP BY s.user_id, s.j, s.t
+       |ORDER BY 1, 2""".stripMargin
+
+  /** scipy.signal.wiener(size=5) per user: adaptive local-statistics
+    * filter, noise floor estimated as the per-series mean local
+    * variance. The oracle rebuilds lMean/lVar from the same offset
+    * join and replays the lVar < noise branch; float association
+    * differs everywhere (sequential kernel sums vs SQL aggregates), so
+    * values encode at the 1e4 grid. The branch compare itself is
+    * strict on floats — same accepted hazard as the TTL oracles, and
+    * the continuous inputs keep |lVar - noise| far from the epsilon.
+    */
+  def sigWiener(s: SparkSession, dir: String): DataFrame =
+    Signal.wiener(evReal(s, dir), Seq("user_id"), "t", "value", size = 5)
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigWienerSql: String =
+    s"""$sSql, lm AS (
+       |  SELECT s.user_id, s.j, s.t, s.value,
+       |    SUM(COALESCE(x.value, 0.0)) / 5.0 AS m,
+       |    SUM(COALESCE(x.value, 0.0) * COALESCE(x.value, 0.0)) / 5.0 AS s2
+       |  FROM s CROSS JOIN range(-2, 3) o(o)
+       |  LEFT JOIN s x ON x.user_id = s.user_id AND x.j = s.j + o.o
+       |  GROUP BY 1, 2, 3, 4
+       |), lv AS (
+       |  SELECT *, s2 - m*m AS var FROM lm
+       |), nz AS (
+       |  SELECT user_id, AVG(var) AS noise FROM lv GROUP BY 1
+       |)
+       |SELECT lv.user_id, CAST(lv.j AS INT) AS pos,
+       |  ${fpSql("lv.t", "1e6")} AS t_fp,
+       |  ${fpSql("CASE WHEN lv.var < nz.noise THEN lv.m ELSE lv.m + (lv.value - lv.m) * (1.0 - nz.noise / lv.var) END", "1e4")} AS value_fp
+       |FROM lv JOIN nz ON nz.user_id = lv.user_id
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.csd per user between value and its lag-1 (zero
     * seeded) — the cross-spectrum of a unit delay has a known phase
     * ramp, so re AND im are both exercised. Same Welch segmentation
@@ -1830,6 +1887,8 @@ object Sig {
     "sig_welch" -> (sigWelch _),
     "sig_csd" -> (sigCsd _),
     "sig_coherence" -> (sigCoherence _),
+    "sig_medfilt" -> (sigMedfilt _),
+    "sig_wiener" -> (sigWiener _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1883,6 +1942,8 @@ object Sig {
     "sig_welch" -> sigWelchSql,
     "sig_csd" -> sigCsdSql,
     "sig_coherence" -> sigCoherenceSql,
+    "sig_medfilt" -> sigMedfiltSql,
+    "sig_wiener" -> sigWienerSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

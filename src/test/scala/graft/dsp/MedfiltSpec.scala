@@ -1,0 +1,49 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MedfiltSpec extends AnyFunSuite {
+  private val g = Golden.load("medfilt.txt")
+
+  private def check(name: String, got: Array[Double], t: Double = 1e-12): Unit = {
+    val want = g.getOrElse(name, fail(s"no golden $name"))
+    val d = Golden.maxAbsDiff(got, want)
+    assert(d < t, s"$name maxAbsDiff=$d")
+  }
+
+  for (n <- Seq(100, 37)) {
+    lazy val x = g(s"mx_$n")
+
+    test(s"medfilt n=$n vs numpy sliding median") {
+      for (k <- Seq(3, 5, 9))
+        check(s"medfilt_${n}_$k", Filt.medfilt(x, k))
+    }
+
+    test(s"wiener n=$n vs numpy local-statistics reference") {
+      for (size <- Seq(3, 7)) {
+        check(s"wiener_${n}_$size", Filt.wiener(x, size))
+        check(s"wiener_${n}_${size}_n01", Filt.wiener(x, size, noise = 0.1))
+      }
+    }
+  }
+
+  test("medfilt selects the exact middle element (no averaging)") {
+    // k=3 over [5, 1, 3]: windows [0,5,1]->1, [5,1,3]->3, [1,3,0]->1
+    assert(Filt.medfilt(Array(5.0, 1.0, 3.0), 3).toSeq == Seq(1.0, 3.0, 1.0))
+  }
+
+  test("medfilt/wiener input validation fails fast") {
+    assertThrows[IllegalArgumentException](Filt.medfilt(Array(1.0), 4))
+    assertThrows[IllegalArgumentException](Filt.medfilt(Array(1.0), -1))
+    assertThrows[IllegalArgumentException](Filt.wiener(Array(1.0), 2))
+    assert(Filt.wiener(Array.empty[Double]).isEmpty)
+    assert(Filt.medfilt(Array.empty[Double]).isEmpty)
+  }
+
+  test("wiener with huge noise floor degenerates to the local mean") {
+    val x = Array(1.0, 2.0, 3.0, 4.0)
+    val got = Filt.wiener(x, 3, noise = 1e9)
+    val lm = Array((0.0 + 1 + 2) / 3, (1.0 + 2 + 3) / 3, (2.0 + 3 + 4) / 3, (3.0 + 4 + 0) / 3)
+    got.zip(lm).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+}

@@ -44,6 +44,8 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(Signal.detrend(series, Seq("k"), "t", "v")) == 1)
     assert(hashExchanges(Signal.welch(series, Seq("k"), "t", "v",
       nperseg = 16, fs = 2.0)) == 1)
+    assert(hashExchanges(Signal.medfilt(series, Seq("k"), "t", "v", 5)) == 1)
+    assert(hashExchanges(Signal.wiener(series, Seq("k"), "t", "v", 5)) == 1)
     // csd/coherence: BOTH channels pack in the one seriesify pass —
     // adding a second value column must not add a join or a shuffle
     val series2 = series.withColumn("v2", col("v") * 2)

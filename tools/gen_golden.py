@@ -507,3 +507,36 @@ with open(os.path.join(OUT, "welch.txt"), "w") as f:
             pyy = welch_np(y, nperseg, hop, wts, fs=2.0)
             emit(f, f"coh_hann_{n}_{nperseg}_{hop}",
                  np.abs(P) ** 2 / (pxx * pyy))
+
+
+# ---------------------------------------------------------- medfilt/wiener
+# References written from the published definitions with numpy array
+# ops (convolve/median), unlike the kernels' index loops.
+def medfilt_np(x, k):
+    ho = k // 2
+    xp = np.concatenate([np.zeros(ho), x, np.zeros(ho)])
+    return np.array([np.median(xp[i:i + k]) for i in range(len(x))])
+
+
+def wiener_np(x, size, noise=None):
+    ho = size // 2
+    xp = np.concatenate([np.zeros(ho), x, np.zeros(ho)])
+    ones = np.ones(size)
+    lmean = np.convolve(xp, ones, "valid") / size
+    lvar = np.convolve(xp ** 2, ones, "valid") / size - lmean ** 2
+    if noise is None:
+        noise = lvar.mean()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res = lmean + (x - lmean) * (1.0 - noise / lvar)
+    return np.where(lvar < noise, lmean, res)
+
+
+with open(os.path.join(OUT, "medfilt.txt"), "w") as f:
+    for n in (100, 37):
+        x = np.round(rng.standard_normal(n) * 8) / 4  # ties exercise the sort
+        emit(f, f"mx_{n}", x)
+        for k in (3, 5, 9):
+            emit(f, f"medfilt_{n}_{k}", medfilt_np(x, k))
+        for size in (3, 7):
+            emit(f, f"wiener_{n}_{size}", wiener_np(x, size))
+            emit(f, f"wiener_{n}_{size}_n01", wiener_np(x, size, noise=0.1))
