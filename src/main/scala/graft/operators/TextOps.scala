@@ -426,4 +426,116 @@ object TextOps {
       .withColumn("coverage", when(col("n_sh") > 0,
         col("n_common").cast("double") / col("n_sh")).otherwise(lit(0.0)))
   }
+
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** PII patterns restricted to the regex subset with identical
+    * semantics in java.util.regex and RE2 (DuckDB): no lookaround, no
+    * backreferences, no capture groups, ASCII \b. Email before IP
+    * before phone: the sequential scrub means a pattern never matches
+    * inside an earlier category's replacement token, and the counts
+    * are taken at the corresponding stage so every character is
+    * attributed to exactly one category.
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Scrub emails, IPv4 addresses, and NANP-style phone numbers,
+    * appending per-category match counts. Pure map-side builtin
+    * regexp expressions (codegen'd, zero shuffle) — at 100 TB this is
+    * scan-bound, exactly like the other per-doc text ops. Output:
+    * input columns + text_scrubbed, n_email, n_ip, n_phone.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, piiEmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, piiIpRe, "<IP>")
+    val t3 = regexp_replace(t2, piiPhoneRe, "<PHONE>")
+    df.withColumn("text_scrubbed", t3)
+      .withColumn("n_email", size(regexp_extract_all(t0, lit(piiEmailRe), lit(0))))
+      .withColumn("n_ip", size(regexp_extract_all(t1, lit(piiIpRe), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(t2, lit(piiPhoneRe), lit(0))))
+  }
+
+  // ---- Gopher quality rules -------------------------------------------
+
+  /** Gopher-style document filter rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 subset — the rules expressible without
+    * a tokenizer): word count in [minWords, maxWords], mean word
+    * length in [3, 10], symbol-to-word ratio ('#' or '...') ≤ 0.1,
+    * ≥ 80% of words contain an alphabetic character, ≥ 2 stopwords
+    * from a fixed English set. Per-rule booleans + the conjunction,
+    * all map-side builtin expressions (no shuffle).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = words(col(textCol))
+    val t = col(textCol)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val out = df
+      .withColumn("n_words", size(ws))
+      .withColumn("mean_word_len",
+        when(size(ws) > 0,
+          aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+          .otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(size(ws) > 0, (nHash + nEllipsis).cast("double") / size(ws))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(size(ws) > 0,
+          size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / size(ws))
+          .otherwise(lit(0.0)))
+      .withColumn("n_stop", size(filter(ws,
+        w => w.isin(gopherStopwords.map(_.asInstanceOf[Any]): _*))))
+    out
+      .withColumn("r_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_word_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("r_words") && col("r_word_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+  }
+
+  // ---- benchmark contamination ----------------------------------------
+
+  /** Decontamination check against an eval/benchmark set (Lee et al.
+    * 2022 §5; Brown et al. 2020 appendix C): a training doc is
+    * contaminated when it shares a 3-word shingle with any benchmark
+    * doc. Per doc: total shingle occurrences, occurrences hitting the
+    * benchmark shingle universe, and the flag.
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of
+    * docs, not billions — so its DISTINCT shingle set is small; the
+    * join is left UNHINTED and AQE broadcasts it at runtime (a
+    * `broadcast()` hint would OOM the driver if someone passes a huge
+    * "benchmark"). The corpus side is the same two partial-
+    * aggregatable hash aggs as [[commonNgramCoverage]] — no windows,
+    * no skew-prone shuffle on raw shingles.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String,
+                    benchTextCol: String): DataFrame = {
+    val occ = Dedup.shingleFrame(df, idCol, textCol)
+      .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("cnt"))
+    val bsh = Dedup.shingleFrame(bench, benchIdCol, benchTextCol)
+      .select(col("s")).distinct().withColumn("_hit", lit(1))
+    val perDoc = occ.join(bsh, Seq("s"), "left")
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_sh"),
+        sum(when(col("_hit").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_contam"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .withColumn("contaminated", col("n_contam") > 0)
+  }
 }

@@ -599,6 +599,151 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** PII scrubbing over documents with deterministic PII injected from
+    * doc_id (the corpus is synthetic word salad with no organic PII):
+    * every 3rd doc gains an email, every 5th a phone, every 7th an
+    * IPv4, built by identical string arithmetic on both sides. The
+    * oracle replays the sequential email→IP→phone scrub with RE2
+    * regexes textually identical to the Java ones (the patterns live
+    * in the dialect-portable subset — see TextOps.piiEmailRe).
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).withColumn("text_in", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" mail user"), col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          (expr("doc_id div 3") % 256).cast("string"), lit(".7")))
+        .otherwise(lit(""))))
+    TextOps.piiScrub(injected, "text_in")
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("text_scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  private val textPiiSql: String = {
+    val e = TextOps.piiEmailRe
+    val ip = TextOps.piiIpRe
+    val ph = TextOps.piiPhoneRe
+    s"""WITH inj AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 3) % 256 AS VARCHAR) || '.7' ELSE '' END AS t
+       |  FROM documents
+       |), s1 AS (
+       |  SELECT doc_id, t, regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1 FROM inj
+       |), s2 AS (
+       |  SELECT *, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$e', 0)) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(t1, '$ip', 0)) AS INT) AS n_ip,
+       |  CAST(len(regexp_extract_all(t2, '$ph', 0)) AS INT) AS n_phone,
+       |  regexp_replace(t2, '$ph', '<PHONE>', 'g') AS text_scrubbed
+       |FROM s2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher filter rules over documents, with symbol noise injected
+    * into every 11th doc so the symbol-ratio rule fires both ways.
+    * All ratios are single int/int divisions — bit-identical across
+    * engines — so the rule booleans compare exactly.
+    */
+  def textGopher(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).withColumn("text_in", concat(col("text"),
+      when(col("doc_id") % 11 === 0, lit(" ## fake ### ... list ..."))
+        .otherwise(lit(""))))
+    TextOps.gopherRules(injected, "text_in")
+      .select(col("doc_id"), col("n_words"), fp6(col("mean_word_len")).as("mwl_fp"),
+        fp6(col("symbol_ratio")).as("sym_fp"), fp6(col("alpha_frac")).as("af_fp"),
+        col("n_stop"), col("r_words"), col("r_word_len"), col("r_symbol"),
+        col("r_alpha"), col("r_stop"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val textGopherSql: String = {
+    val stopList = TextOps.gopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH inj AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' ## fake ### ... list ...' ELSE '' END AS t
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, t, list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws FROM inj
+       |), f AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+       |      ELSE 0.0 END AS mwl,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST((length(t) - length(replace(t, '#', ''))) +
+       |                (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE) / len(ws)
+       |      ELSE 0.0 END AS sym,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+       |      ELSE 0.0 END AS af,
+       |    len(list_filter(ws, x -> x IN ($stopList))) AS n_stop
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       |  ${fpSql("mwl", "1e6")} AS mwl_fp,
+       |  ${fpSql("sym", "1e6")} AS sym_fp,
+       |  ${fpSql("af", "1e6")} AS af_fp,
+       |  CAST(n_stop AS INT) AS n_stop,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+       |  (mwl >= 3.0 AND mwl <= 10.0) AS r_word_len,
+       |  (sym <= 0.1) AS r_symbol,
+       |  (af >= 0.8) AS r_alpha,
+       |  (n_stop >= 2) AS r_stop,
+       |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+       |   AND sym <= 0.1 AND af >= 0.8 AND n_stop >= 2) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: eval set = every 97th doc; a training
+    * doc is contaminated when it shares a 3-word shingle with the eval
+    * set (eval docs trivially contaminate themselves — kept in, the
+    * flag is exact either way).
+    */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    TextOps.contamination(d, "doc_id", "text", bench, "doc_id", "text")
+      .select(col("doc_id"), col("n_sh"), col("n_contam"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val textContaminationSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                         for i in generate_series(1, len(ws) - 2)]) AS s
+       |  FROM w WHERE len(ws) >= 3
+       |), occ AS (
+       |  SELECT doc_id, s, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+       |), agg AS (
+       |  SELECT o.doc_id,
+       |    CAST(SUM(o.cnt) AS BIGINT) AS n_sh,
+       |    CAST(SUM(CASE WHEN b.s IS NOT NULL THEN o.cnt ELSE 0 END) AS BIGINT) AS n_contam
+       |  FROM occ o LEFT JOIN bench b ON b.s = o.s
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_sh, 0) AS n_sh,
+       |  COALESCE(a.n_contam, 0) AS n_contam,
+       |  (COALESCE(a.n_contam, 0) > 0) AS contaminated
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY 1""".stripMargin
+
   /** Sequence packing: whitespace-token counts laid end-to-end in
     * doc_id order, cut into 512-token training sequences; one row per
     * (doc, bin) span. bucketSpan=64 exercises the multi-bucket
@@ -818,6 +963,9 @@ object Pipeline {
     "text_quota" -> (textQuota _),
     "text_common_ngrams" -> (textCommonNgrams _),
     "text_pack" -> (textPack _),
+    "text_pii" -> (textPii _),
+    "text_gopher" -> (textGopher _),
+    "text_contamination" -> (textContamination _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -845,6 +993,9 @@ object Pipeline {
     "text_quota" -> textQuotaSql,
     "text_common_ngrams" -> textCommonNgramsSql,
     "text_pack" -> textPackSql,
+    "text_pii" -> textPiiSql,
+    "text_gopher" -> textGopherSql,
+    "text_contamination" -> textContaminationSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

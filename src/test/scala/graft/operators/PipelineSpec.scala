@@ -568,4 +568,57 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => r.getDouble(3))
     assert(all1.forall(_ == 1.0))
   }
+
+  test("piiScrub: sequential scrub, per-category counts, clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at jo.doe+spam@mail.example.org or 415-555-0142 ok"),
+      (2L, "server 10.0.255.7 and backup 192.168.1.1 online"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.co next to 1.2.3.4 then 000-555-9999 and x@y.net")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("text_scrubbed"), r.getInt(r.fieldIndex("n_email")),
+          r.getInt(r.fieldIndex("n_ip")), r.getInt(r.fieldIndex("n_phone")))).toMap
+    assert(out(1L) == (("reach me at <EMAIL> or <PHONE> ok", 1, 0, 1)))
+    assert(out(2L) == (("server <IP> and backup <IP> online", 0, 2, 0)))
+    assert(out(3L) == (("no pii here at all", 0, 0, 0)))
+    assert(out(4L) == (("<EMAIL> next to <IP> then <PHONE> and <EMAIL>", 2, 1, 1)))
+  }
+
+  test("gopherRules: each rule fires independently") {
+    val longDoc = ("the word and some that other filler text with more of be to have " * 5).trim
+    val df = Seq(
+      (1L, longDoc),                                   // passes everything
+      (2L, "short doc"),                               // fails r_words
+      (3L, longDoc + " " + Array.fill(30)("###").mkString(" ")), // fails r_symbol + r_alpha
+      (4L, ("aaaaaaaaaaaaaaaaaaaaaaaa " * 60).trim)    // fails r_word_len + r_stop
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "text")
+      .collect().map(r => r.getLong(0) -> Seq("r_words", "r_word_len", "r_symbol",
+        "r_alpha", "r_stop", "keep").map(c => r.getBoolean(r.fieldIndex(c)))).toMap
+    assert(out(1L) == Seq(true, true, true, true, true, true))
+    assert(out(2L).head == false && out(2L).last == false)
+    assert(out(3L)(2) == false && out(3L)(3) == false && out(3L).last == false)
+    assert(out(4L)(1) == false && out(4L)(4) == false && out(4L).last == false)
+  }
+
+  test("contamination: shingle overlap with the bench set, occurrence-weighted") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // abg overlaps bench
+      (2L, "one two three four five"),         // disjoint
+      (3L, "alpha beta gamma alpha beta gamma x"), // abg twice (+bga, gab...)
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    val out = TextOps.contamination(corpus, "doc_id", "text", bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((2L, 1L, true)))   // abg hit, bgd clean
+    assert(out(2L) == ((3L, 0L, false)))
+    // doc 3 shingles: abg, bga, gab, abg, bgx -> abg occurs twice (bench),
+    // "beta gamma zeta" not present
+    assert(out(3L) == ((5L, 2L, true)))
+    assert(out(4L) == ((0L, 0L, false)))
+  }
 }

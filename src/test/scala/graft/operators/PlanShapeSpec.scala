@@ -92,6 +92,18 @@ class PlanShapeSpec extends SparkTestBase {
     // left join reuses the aggregate's hash(id) partitioning
     assert(hashExchanges(
       TextOps.commonNgramCoverage(docs, "doc_id", "text")) == 4)
+    // pure map-side column transforms: scrubbing and rule evaluation
+    // must stay scan-bound
+    assert(hashExchanges(TextOps.piiScrub(docs, "text")) == 0)
+    assert(hashExchanges(TextOps.gopherRules(docs, "text")) == 0)
+    // contamination: corpus shingle repartition + occurrence agg reuse,
+    // bench distinct, flag join probe, per-doc agg (same budget as
+    // commonNgramCoverage, bench side replacing the doc-frequency agg)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val contam = TextOps.contamination(docs, "doc_id", "text", bench, "doc_id", "text")
+    assert(hashExchanges(contam) <= 5)
+    assert(!contam.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "contamination must not plan as a nested loop")
   }
 
   test("IVF cell layout: probe-side parquet scan prunes cell partitions") {
