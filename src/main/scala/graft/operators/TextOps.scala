@@ -503,6 +503,42 @@ object TextOps {
           col("r_alpha") && col("r_stop"))
   }
 
+  // ---- tf-idf ----------------------------------------------------------
+
+  /** Per-document top-k TF-IDF terms (Sparck Jones 1972 weighting:
+    * tf · ln(N/df)). Rank ties break on term text so the output is
+    * deterministic.
+    *
+    * Scale shape: term frequencies and document frequencies are both
+    * partial-aggregatable hash aggs (a stopword appearing in 10⁹ docs
+    * map-side combines; neither is a window over raw term rows). The
+    * tf⋈df join on term is left unhinted — AQE broadcasts a small
+    * vocabulary and falls back with skew-join splitting for hot terms
+    * otherwise. N arrives as a one-row broadcast, not a collect. The
+    * rank window partitions by document — bounded groups (a doc's
+    * distinct terms ≤ its length), hash-distributed, no mega-partition.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, term) — count(*) by term IS document
+    // frequency, no distinct needed
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   // ---- benchmark contamination ----------------------------------------
 
   /** Decontamination check against an eval/benchmark set (Lee et al.

@@ -706,6 +706,41 @@ object Pipeline {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Top-5 TF-IDF terms per document. tf·ln(N/df) with N = corpus
+    * size; rank ties break on term text. Scores are products of exact
+    * integers with one ln() — the only cross-engine float hazard is a
+    * sub-ulp ln difference flipping a DESC near-tie, and distinct
+    * (tf, df) pairs are quantized far apart at this vocabulary size.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidf(docs(s, dir), "doc_id", "text", topK = 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        fp6(col("tfidf")).as("tfidf_fp"))
+      .orderBy("doc_id", "rank")
+
+  private val textTfidfSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), t AS (
+       |  SELECT doc_id, unnest(ws) AS term FROM w
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rank
+       |  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+       |)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+       |  ${fpSql("tfidf", "1e6")} AS tfidf_fp
+       |FROM scored WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin
+
   /** Benchmark decontamination: eval set = every 97th doc; a training
     * doc is contaminated when it shares a 3-word shingle with the eval
     * set (eval docs trivially contaminate themselves — kept in, the
@@ -966,6 +1001,7 @@ object Pipeline {
     "text_pii" -> (textPii _),
     "text_gopher" -> (textGopher _),
     "text_contamination" -> (textContamination _),
+    "text_tfidf" -> (textTfidf _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -996,6 +1032,7 @@ object Pipeline {
     "text_pii" -> textPiiSql,
     "text_gopher" -> textGopherSql,
     "text_contamination" -> textContaminationSql,
+    "text_tfidf" -> textTfidfSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

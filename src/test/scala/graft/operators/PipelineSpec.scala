@@ -603,6 +603,30 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L)(1) == false && out(4L)(4) == false && out(4L).last == false)
   }
 
+  test("tfidf: corpus-wide terms score zero, rare terms rank first, ties on term") {
+    val df = Seq(
+      (1L, "shared shared rare1 rare1 rare1"),
+      (2L, "shared duo x"),
+      (3L, "shared duo y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidf(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // "shared" is in all 3 docs -> idf = ln(1) = 0 -> ranks last always
+    def close(got: (String, Long, Long, Double),
+              want: (String, Long, Long, Double)): Unit = {
+      assert(got._1 == want._1 && got._2 == want._2 && got._3 == want._3, got)
+      assert(math.abs(got._4 - want._4) < 1e-12, got)
+    }
+    val ln3 = math.log(3.0)
+    close(out((1L, 1)), ("rare1", 3L, 1L, 3 * ln3))
+    close(out((1L, 2)), ("shared", 2L, 3L, 0.0))
+    // doc 2: x (df=1, idf=ln 3) outranks duo (df=2, idf=ln 1.5)
+    close(out((2L, 1)), ("x", 1L, 1L, ln3))
+    close(out((2L, 2)), ("duo", 1L, 2L, math.log(1.5)))
+    assert(out((3L, 1))._1 == "y")
+  }
+
   test("contamination: shingle overlap with the bench set, occurrence-weighted") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),          // abg overlaps bench
