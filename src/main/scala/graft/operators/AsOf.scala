@@ -24,14 +24,23 @@ import org.apache.spark.sql.functions._
   * semantics). Right rows with duplicate (keys, time) are ordered by
   * the payload struct for cross-engine determinism — callers wanting a
   * specific winner should dedupe first.
+  *
+  * `tolerance` (pandas merge_asof semantics): a finite value nulls the
+  * payload when the matched right row is older than `tolerance` time
+  * units — the latest right row IS the closest one, so nulling (rather
+  * than re-searching) is exact. Implemented by carrying the right time
+  * inside the payload struct; the default (∞) emits the identical plan
+  * as before.
   */
 object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, payload: Seq[String],
-               strict: Boolean = false): DataFrame = {
+               strict: Boolean = false,
+               tolerance: Double = Double.PositiveInfinity): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains), "payload must exist in right")
     // a payload name colliding with a left column would emit duplicate
@@ -51,9 +60,15 @@ object AsOf {
       case _ => false
     })
     val tType = if (integral) "long" else "double"
+    // the right time rides inside the payload struct (_rt) so the
+    // tolerance check can compare against the matched row, not just
+    // the carried values; it leads the struct, so tie ordering among
+    // duplicate (keys, time) right rows is unchanged (_rt equal there)
     val rT = right.select(
       (keys.map(col) :+ col(timeCol).cast(tType).as("_t") :+
-        lit(tagR).as("_tag") :+ struct(payload.map(col): _*).as("_pl")): _*)
+        lit(tagR).as("_tag") :+
+        struct((col(timeCol).cast(tType).as("_rt") +: payload.map(col)): _*)
+          .as("_pl")): _*)
     // carry the whole left row as a struct so arbitrary left schemas
     // survive the union without column gymnastics
     val lT = left.select(
@@ -66,8 +81,12 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = u.withColumn("_last", last(col("_pl"), ignoreNulls = true).over(w))
       .filter(col("_tag") === tagL)
+    val pick: String => Column =
+      if (tolerance.isPosInfinity) p => col(s"_last.$p").as(p)
+      else p => when(
+        col("_t").cast("double") - col("_last._rt").cast("double") <= tolerance,
+        col(s"_last.$p")).as(p)
     out.select(
-      leftCols.map(c => col(s"_lrow.$c").as(c)) ++
-        payload.map(p => col(s"_last.$p").as(p)): _*)
+      leftCols.map(c => col(s"_lrow.$c").as(c)) ++ payload.map(pick): _*)
   }
 }

@@ -100,6 +100,29 @@ object Relational {
       .orderBy("user_id", "cmp", "t_fp", "value_fp")
   }
 
+  /** As-of join with a 10-minute tolerance (pandas merge_asof
+    * semantics): the matched snapshot nulls out when it is older than
+    * 600 s. The oracle applies the same CASE to DuckDB's native ASOF
+    * result — the latest match is the closest, so null-on-stale is
+    * exact on both sides.
+    */
+  def q4AsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"),
+        (expr("ts div 1000").cast("double") / lit(1e6)).as("t"),
+        col("value"), col("event_id"))
+    val left = ev.select(col("user_id"), col("t"), col("value"))
+    val snaps = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("t"), col("value").as("snap"),
+        col("event_id").as("snap_id"))
+    graft.operators.AsOf.asofJoin(left, snaps, Seq("user_id"), "t",
+        Seq("snap", "snap_id"), strict = false, tolerance = 600.0)
+      .select(col("user_id"), fp6(col("t")).as("t_fp"),
+        fp6(col("value")).as("value_fp"),
+        fp6(col("snap")).as("snap_fp"), col("snap_id"))
+      .orderBy("user_id", "t_fp", "value_fp")
+  }
+
   /** Interval-containment join: every event inside the 30-minute
     * window opened by the user's marker events (event_id % 20 == 0) —
     * bucketized equi-join ([[graft.operators.RangeJoin]], bucket =
@@ -128,6 +151,7 @@ object Relational {
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
     "q4_asof" -> (q4Asof _),
+    "q4_asof_tol" -> (q4AsofTol _),
     "q5_interval" -> (q5Interval _))
 
   val oracleSql: Map[String, String] = Map(
@@ -177,6 +201,23 @@ object Relational {
          |    ON l.user_id = r.user_id AND l.t > r.t
          |)
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q4_asof_tol" ->
+      s"""WITH raw AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value, event_id
+         |  FROM events
+         |), l AS (
+         |  SELECT user_id, t, value FROM raw
+         |), r AS (
+         |  SELECT user_id, t, value AS snap, event_id AS snap_id
+         |  FROM raw WHERE event_id % 10 = 0
+         |)
+         |SELECT l.user_id, ${fpSql("l.t", "1e6")} AS t_fp,
+         |  ${fpSql("l.value", "1e6")} AS value_fp,
+         |  CASE WHEN l.t - r.t <= 600.0 THEN ${fpSql("r.snap", "1e6")} END AS snap_fp,
+         |  CASE WHEN l.t - r.t <= 600.0 THEN r.snap_id END AS snap_id
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.t >= r.t
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q5_interval" ->
       s"""WITH raw AS (
          |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, event_id

@@ -443,6 +443,30 @@ class PipelineSpec extends SparkTestBase {
       (2L, 3.0, "d", None, -1L)))
   }
 
+  test("asofJoin tolerance nulls stale matches, keeps fresh ones, all-payload atomic") {
+    val left = Seq((1L, 5.0, "a"), (1L, 9.0, "b"), (1L, 30.0, "c"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 5.0, "s5", 50L), (1L, 8.0, "s8", 80L))
+      .toDF("k", "t", "snap", "sid")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap", "sid"),
+        strict = false, tolerance = 2.0)
+      .collect().map(r => (r.getDouble(1), Option(r.getString(3)),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (5.0, Some("s5"), 50L),   // exact hit, age 0 <= 2
+      (9.0, Some("s8"), 80L),   // age 1 <= 2
+      (30.0, None, -1L)))       // latest is s8, age 22 > 2 -> BOTH fields null
+    // tolerance = 0 keeps only exact-time matches
+    val exact = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap", "sid"),
+        strict = false, tolerance = 0.0)
+      .collect().map(r => (r.getDouble(1), Option(r.getString(3))))
+      .sortBy(_._1).toSeq
+    assert(exact == Seq((5.0, Some("s5")), (9.0, None), (30.0, None)))
+    assertThrows[IllegalArgumentException](
+      AsOf.asofJoin(left, right, Seq("k"), "t", Seq("snap"), tolerance = -1.0))
+  }
+
   test("asofJoin matches a brute-force reference on random frames (ties, gaps, dup times)") {
     val rnd = new scala.util.Random(29)
     for (trial <- 0 until 3) {
