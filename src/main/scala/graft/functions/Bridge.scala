@@ -166,6 +166,17 @@ object Bridge {
           fs: Double, demean: Boolean): InternalRow =
     c(Spectral.csd(d(x), d(y), nperseg, hop, d(wts), fs, demean))
 
+  /** scipy.signal.periodogram == welch with ONE whole-series segment;
+    * the window is built here because its length is the per-row series
+    * length, not a plan-time literal.
+    */
+  def periodogram(x: ArrayData, window: UTF8String, fs: Double,
+                  demean: Boolean): ArrayData = {
+    val xs = d(x)
+    val wts = Resample.periodicWindow(window.toString, xs.length)
+    out(Spectral.welch(xs, xs.length, xs.length, wts, fs, demean))
+  }
+
   def coherence(x: ArrayData, y: ArrayData, nperseg: Int, hop: Int,
                 wts: ArrayData, fs: Double, demean: Boolean): ArrayData =
     out(Spectral.coherence(d(x), d(y), nperseg, hop, d(wts), fs, demean))
@@ -574,6 +585,7 @@ object Bridge {
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
     "coherence" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
+    "periodogram" -> (Seq(arrD, StringType, DoubleType, BooleanType) -> arrD),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
     "resampleW" -> (Seq(arrD, IntegerType, arrD, StringType) -> arrD),
@@ -644,6 +656,7 @@ object Bridge {
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "coherence" => coherence(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
+    case "periodogram" => periodogram(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[Double], a(3).asInstanceOf[Boolean])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "resampleW" => resampleW(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[UTF8String])

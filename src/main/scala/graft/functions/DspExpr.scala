@@ -206,6 +206,9 @@ object Functions {
     def coherenceC(x: Column, y: Column, nperseg: Int, hop: Int, wts: Column,
                    fs: Column, demean: Boolean = true): Column =
       call("coherence", x, y, lit(nperseg), lit(hop), wts, fs, lit(demean))
+    def periodogramC(x: Column, window: String, fs: Column,
+                     demean: Boolean = true): Column =
+      call("periodogram", x, lit(window), fs, lit(demean))
     def envelopeC(x: Column, n: Int = -1): Column = call("envelope", x, lit(n))
     def resampleC(x: Column, num: Column, window: String = "",
                   domain: String = "time"): Column =

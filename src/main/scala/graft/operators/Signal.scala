@@ -855,6 +855,32 @@ object Signal {
       newdim -> col("_freq"), "psd" -> col("_psd")))
   }
 
+  /** scipy.signal.periodogram lifted onto series: the whole series as
+    * ONE Welch segment (boxcar window and constant detrend are scipy's
+    * defaults). The segment length is the per-series length, so the
+    * window is built inside the kernel rather than passed as a plan
+    * literal. One seriesify shuffle, one kernel call; n/2+1 bins at
+    * rfftfreq(n, delta).
+    */
+  def periodogram(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                  window: String = "boxcar", detrend: String = "constant",
+                  fs: Double = -1.0, newdim: String = "frequency"): DataFrame = {
+    val demean = detrend match {
+      case "constant" => true
+      case "none" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"periodogram: unsupported detrend '$other' (constant|none)")
+    }
+    val fsCol = if (fs > 0) lit(fs) else lit(1.0) / col("delta")
+    val dCol = if (fs > 0) lit(1.0 / fs) else col("delta")
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_psd", periodogramC(col(value), window, fsCol, demean))
+      .withColumn("_freq", rfftfreqC(col("n"), dCol))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "psd" -> col("_psd")))
+  }
+
   private def welchHop(nperseg: Int, noverlap: Int): Int = {
     val hop = nperseg - (if (noverlap >= 0) noverlap else nperseg / 2)
     require(hop > 0 && hop <= nperseg,

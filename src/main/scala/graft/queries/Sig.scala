@@ -1043,6 +1043,31 @@ object Sig {
        |GROUP BY sp.user_id, sp.b
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.periodogram per user (boxcar, constant detrend,
+    * fs=2.0): the whole series as one Welch segment. The oracle is a
+    * naive demeaned DFT over all n/2+1 bins with the density scaling
+    * |X|²/(fs·n) and the one-sided doubling (Nyquist bin undoubled via
+    * the 2j = n test, which also covers odd n).
+    */
+  def sigPeriodogram(s: SparkSession, dir: String): DataFrame =
+    Signal.periodogram(evReal(s, dir), Seq("user_id"), "t", "value", fs = 2.0)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("psd")).as("psd_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigPeriodogramSql: String =
+    s"""$sSql, st AS (
+       |  SELECT user_id, AVG(value) AS vbar FROM s GROUP BY 1
+       |)
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("a.j * (1.0/(a.n * 0.5))", "1e6")} AS freq_fp,
+       |  ${fpSql("(POWER(SUM((b.value - st.vbar) * COS(-2*PI()*a.j*b.j/a.n)), 2) + POWER(SUM((b.value - st.vbar) * SIN(-2*PI()*a.j*b.j/a.n)), 2)) / (2.0 * a.n) * (CASE WHEN a.j = 0 OR 2*a.j = a.n THEN 1.0 ELSE 2.0 END)", "1e4")} AS psd_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |JOIN st ON st.user_id = a.user_id
+       |WHERE a.j <= a.n // 2
+       |GROUP BY a.user_id, a.j, a.n, st.vbar
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.medfilt(kernel_size=5) per user: sliding median,
     * zero-padded edges. The oracle rebuilds each window by an offset
     * join (LEFT JOIN nulls become the zero padding) and takes DuckDB's
@@ -1889,6 +1914,7 @@ object Sig {
     "sig_coherence" -> (sigCoherence _),
     "sig_medfilt" -> (sigMedfilt _),
     "sig_wiener" -> (sigWiener _),
+    "sig_periodogram" -> (sigPeriodogram _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1944,6 +1970,7 @@ object Sig {
     "sig_coherence" -> sigCoherenceSql,
     "sig_medfilt" -> sigMedfiltSql,
     "sig_wiener" -> sigWienerSql,
+    "sig_periodogram" -> sigPeriodogramSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

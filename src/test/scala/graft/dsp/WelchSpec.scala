@@ -56,6 +56,21 @@ class WelchSpec extends AnyFunSuite {
     }
   }
 
+  test("periodogram == single-segment welch (kernel identity the bridge relies on)") {
+    // the bridge's periodogram builds welch(x, n, n, window(n)); this
+    // pins the identity on both an even and an odd length
+    for (n <- Seq(64, 63)) {
+      val x = g("wx_200").take(n)
+      val box = Array.fill(n)(1.0)
+      val p = Spectral.welch(x, n, n, box, fs = 2.0)
+      // one segment, boxcar: Parseval — sum(psd·df) ≈ variance (density
+      // integrates to power); df = fs/n, doubling makes one side carry it
+      val varX = { val m = x.sum / n; x.map(v => (v - m) * (v - m)).sum / n }
+      val power = p.sum * (2.0 / n)
+      assert(math.abs(power - varX) / varX < 1e-9, s"n=$n parseval $power vs $varX")
+    }
+  }
+
   test("coherence of y = c*x (same segment means) is 1 at every bin") {
     val x = g("wx_200")
     val y = x.map(_ * 3.0)
