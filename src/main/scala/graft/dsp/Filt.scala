@@ -254,6 +254,100 @@ object Filt {
     if (edge > 0) java.util.Arrays.copyOfRange(y, edge, y.length - edge) else y
   }
 
+  /** Savitzky-Golay smoothing coefficients (Savitzky & Golay 1964):
+    * least-squares fit of a degree-`polyorder` polynomial over the
+    * odd-length window on abscissa -h..h, evaluated at `t` (0 = the
+    * center; edge positions use t != 0). Derivation: y(t) = rhsᵀM⁻¹Aᵀy
+    * with M = AᵀA the normal matrix and rhs_j = t^j, so the weight of
+    * sample i is Σ_j c_j·x_i^j where Mc = rhs — solved with the same
+    * Gaussian elimination [[solve]] the zi computation uses. The
+    * kernel is fully general; published closed-form tables (e.g.
+    * (-3,12,17,12,-3)/35 for window 5, order 2) fall out as special
+    * cases and pin it in tests and oracles.
+    */
+  def savgolCoeffs(window: Int, polyorder: Int, t: Double = 0.0): Array[Double] = {
+    require(window > 0 && window % 2 == 1,
+      s"savgol: window must be positive odd, got $window")
+    require(polyorder >= 0 && polyorder < window,
+      s"savgol: need 0 <= polyorder < window, got $polyorder/$window")
+    val ho = window / 2
+    val p = polyorder
+    val m = Array.ofDim[Double](p + 1, p + 1)
+    var j = 0
+    while (j <= p) {
+      var k = 0
+      while (k <= p) {
+        var s = 0.0
+        var i = -ho
+        while (i <= ho) { s += math.pow(i.toDouble, (j + k).toDouble); i += 1 }
+        m(j)(k) = s
+        k += 1
+      }
+      j += 1
+    }
+    val rhs = Array.tabulate(p + 1)(j => math.pow(t, j.toDouble))
+    val c = solve(m, rhs)
+    Array.tabulate(window) { idx =>
+      val xi = (idx - ho).toDouble
+      var s = 0.0
+      var jj = 0
+      while (jj <= p) { s += c(jj) * math.pow(xi, jj.toDouble); jj += 1 }
+      s
+    }
+  }
+
+  /** scipy.signal.savgol_filter (1-D, deriv=0): polynomial
+    * least-squares smoothing. mode="constant" zero-pads (cval=0);
+    * mode="interp" (scipy's default) fits the first/last full window
+    * and evaluates the SAME fit at the edge positions — which is why
+    * it needs n >= window.
+    */
+  def savgol(x: Array[Double], window: Int = 5, polyorder: Int = 2,
+             mode: String = "constant"): Array[Double] = {
+    val n = x.length
+    val ho = window / 2
+    val out = new Array[Double](n)
+    if (n == 0) return out
+    val center = savgolCoeffs(window, polyorder)
+    mode match {
+      case "constant" =>
+        var i = 0
+        while (i < n) {
+          var s = 0.0
+          var k = 0
+          while (k < window) {
+            val src = i - ho + k
+            if (src >= 0 && src < n) s += center(k) * x(src)
+            k += 1
+          }
+          out(i) = s
+          i += 1
+        }
+      case "interp" =>
+        require(n >= window,
+          s"savgol mode=interp: series length $n < window $window")
+        var i = 0
+        while (i < n) {
+          // window base + eval offset: head fits the first window,
+          // tail the last, middle the centered one
+          val (base, t) =
+            if (i < ho) (0, (i - ho).toDouble)
+            else if (i >= n - ho) (n - window, (i - (n - 1 - ho)).toDouble)
+            else (i - ho, 0.0)
+          val h = if (t == 0.0) center else savgolCoeffs(window, polyorder, t)
+          var s = 0.0
+          var k = 0
+          while (k < window) { s += h(k) * x(base + k); k += 1 }
+          out(i) = s
+          i += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"savgol: unknown mode '$other' (constant|interp)")
+    }
+    out
+  }
+
   /** scipy.signal.medfilt (1-D): sliding median with odd kernel size,
     * zero-padded edges (scipy pads with zeros, not reflection). Output
     * length == input length. O(n·k log k) — k is a small constant

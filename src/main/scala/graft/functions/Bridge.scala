@@ -152,6 +152,9 @@ object Bridge {
   def medfilt(x: ArrayData, kernelSize: Int): ArrayData =
     out(Filt.medfilt(d(x), kernelSize))
 
+  def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String): ArrayData =
+    out(Filt.savgol(d(x), window, polyorder, mode.toString))
+
   def wiener(x: ArrayData, size: Int, noise: Double): ArrayData =
     out(Filt.wiener(d(x), size, noise))
 
@@ -581,6 +584,7 @@ object Bridge {
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
+    "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),
     "wiener" -> (Seq(arrD, IntegerType, DoubleType) -> arrD),
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
@@ -652,6 +656,7 @@ object Bridge {
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
+    case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String])
     case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])

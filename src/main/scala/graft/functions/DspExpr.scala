@@ -195,6 +195,9 @@ object Functions {
       call("detrend", x, lit(typ))
     def medfiltC(x: Column, kernelSize: Int = 3): Column =
       call("medfilt", x, lit(kernelSize))
+    def savgolC(x: Column, window: Int = 5, polyorder: Int = 2,
+                mode: String = "constant"): Column =
+      call("savgol", x, lit(window), lit(polyorder), lit(mode))
     def wienerC(x: Column, size: Int = 3, noise: Double = -1.0): Column =
       call("wiener", x, lit(size), lit(noise))
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,

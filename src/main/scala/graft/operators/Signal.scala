@@ -800,6 +800,19 @@ object Signal {
       dim -> col("coords"), "value" -> col("_out")))
   }
 
+  /** scipy.signal.savgol_filter lifted onto series: polynomial
+    * least-squares smoothing per series (deriv=0; mode constant or
+    * scipy's default interp). One seriesify shuffle, one kernel call.
+    */
+  def savgol(df: DataFrame, keys: Seq[String], dim: String, value: String,
+             window: Int = 5, polyorder: Int = 2,
+             mode: String = "constant"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", savgolC(col(value), window, polyorder, mode))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("coords"), "value" -> col("_out")))
+  }
+
   /** scipy.signal.wiener lifted onto series: adaptive local-statistics
     * filter (local mean/variance over a zero-padded odd window, noise
     * estimated as the mean local variance unless given). One seriesify

@@ -1125,6 +1125,29 @@ object Sig {
        |FROM lv JOIN nz ON nz.user_id = lv.user_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.savgol_filter(window=5, polyorder=2, mode=constant)
+    * per user. The kernel derives coefficients by solving the normal
+    * equations; the oracle convolves with the PUBLISHED Savitzky-Golay
+    * table (-3,12,17,12,-3)/35 over the same offset join as medfilt —
+    * two fully independent derivations of the same filter.
+    */
+  def sigSavgol(s: SparkSession, dir: String): DataFrame =
+    Signal.savgol(evReal(s, dir), Seq("user_id"), "t", "value",
+        window = 5, polyorder = 2, mode = "constant")
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigSavgolSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("s.t", "1e6")} AS t_fp,
+       |  ${fpSql("SUM((CASE o.o WHEN -2 THEN -3.0 WHEN -1 THEN 12.0 WHEN 0 THEN 17.0 WHEN 1 THEN 12.0 WHEN 2 THEN -3.0 END / 35.0) * COALESCE(x.value, 0.0))", "1e4")} AS value_fp
+       |FROM s CROSS JOIN range(-2, 3) o(o)
+       |LEFT JOIN s x ON x.user_id = s.user_id AND x.j = s.j + o.o
+       |GROUP BY s.user_id, s.j, s.t
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.csd per user between value and its lag-1 (zero
     * seeded) — the cross-spectrum of a unit delay has a known phase
     * ramp, so re AND im are both exercised. Same Welch segmentation
@@ -1915,6 +1938,7 @@ object Sig {
     "sig_medfilt" -> (sigMedfilt _),
     "sig_wiener" -> (sigWiener _),
     "sig_periodogram" -> (sigPeriodogram _),
+    "sig_savgol" -> (sigSavgol _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1971,6 +1995,7 @@ object Sig {
     "sig_medfilt" -> sigMedfiltSql,
     "sig_wiener" -> sigWienerSql,
     "sig_periodogram" -> sigPeriodogramSql,
+    "sig_savgol" -> sigSavgolSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

@@ -540,3 +540,39 @@ with open(os.path.join(OUT, "medfilt.txt"), "w") as f:
         for size in (3, 7):
             emit(f, f"wiener_{n}_{size}", wiener_np(x, size))
             emit(f, f"wiener_{n}_{size}_n01", wiener_np(x, size, noise=0.1))
+
+
+# --------------------------------------------------------------- savgol
+# Per-window numpy polyfit reference — independent of the kernel's
+# normal-equation coefficient derivation.
+def savgol_np(x, w, p, mode):
+    ho = w // 2
+    n = len(x)
+    out = np.zeros(n)
+    grid = np.arange(-ho, ho + 1)
+    if mode == "constant":
+        xp = np.concatenate([np.zeros(ho), x, np.zeros(ho)])
+        for i in range(n):
+            coef = np.polyfit(grid, xp[i:i + w], p)
+            out[i] = np.polyval(coef, 0.0)
+    else:  # interp
+        for i in range(n):
+            if i < ho:
+                base, t = 0, i - ho
+            elif i >= n - ho:
+                base, t = n - w, i - (n - 1 - ho)
+            else:
+                base, t = i - ho, 0
+            coef = np.polyfit(grid, x[base:base + w], p)
+            out[i] = np.polyval(coef, float(t))
+    return out
+
+
+with open(os.path.join(OUT, "savgol.txt"), "w") as f:
+    srng = np.random.default_rng(19)
+    for n in (80, 23):
+        x = np.cumsum(srng.standard_normal(n))  # smooth-ish walk
+        emit(f, f"sgx_{n}", x)
+        for (w, p) in ((5, 2), (7, 3), (9, 4)):
+            emit(f, f"savgol_const_{n}_{w}_{p}", savgol_np(x, w, p, "constant"))
+            emit(f, f"savgol_interp_{n}_{w}_{p}", savgol_np(x, w, p, "interp"))
