@@ -706,6 +706,37 @@ object Pipeline {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Population covariance of the 64-dim embedding corpus (upper
+    * triangle), via the one-pass partial-aggregated GramAgg moment
+    * buffer. The oracle recomputes Σeᵢeⱼ per pair with double-widened
+    * components — same elementwise products, different summation
+    * order, hence the fp grid.
+    */
+  def embCov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Emb.covariance(embs(s, dir), "embedding", 64)
+      .select(col("i"), col("j"), col("n"),
+        fp6(col("mean_i")).as("mi_fp"), fp6(col("mean_j")).as("mj_fp"),
+        fp6(col("cov")).as("cov_fp"))
+      .orderBy("i", "j")
+
+  private val embCovSql: String =
+    s"""WITH p AS (
+       |  SELECT i.i, j.j FROM range(64) i(i), range(64) j(j) WHERE j.j >= i.i
+       |), st AS (
+       |  SELECT p.i, p.j,
+       |    COUNT(*) AS n,
+       |    SUM(CAST(embedding[p.i + 1] AS DOUBLE)) / COUNT(*) AS mi,
+       |    SUM(CAST(embedding[p.j + 1] AS DOUBLE)) / COUNT(*) AS mj,
+       |    SUM(CAST(embedding[p.i + 1] AS DOUBLE) * CAST(embedding[p.j + 1] AS DOUBLE)) / COUNT(*) AS gij
+       |  FROM p, embeddings
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(n AS BIGINT) AS n,
+       |  ${fpSql("mi", "1e6")} AS mi_fp,
+       |  ${fpSql("mj", "1e6")} AS mj_fp,
+       |  ${fpSql("gij - mi * mj", "1e6")} AS cov_fp
+       |FROM st ORDER BY 1, 2""".stripMargin
+
   /** Top-5 TF-IDF terms per document. tf·ln(N/df) with N = corpus
     * size; rank ties break on term text. Scores are products of exact
     * integers with one ln() — the only cross-engine float hazard is a
@@ -1002,6 +1033,7 @@ object Pipeline {
     "text_gopher" -> (textGopher _),
     "text_contamination" -> (textContamination _),
     "text_tfidf" -> (textTfidf _),
+    "emb_cov" -> (embCov _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -1033,6 +1065,7 @@ object Pipeline {
     "text_gopher" -> textGopherSql,
     "text_contamination" -> textContaminationSql,
     "text_tfidf" -> textTfidfSql,
+    "emb_cov" -> embCovSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

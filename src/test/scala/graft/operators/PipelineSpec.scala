@@ -627,6 +627,33 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L)(1) == false && out(4L)(4) == false && out(4L).last == false)
   }
 
+  test("Emb.covariance matches a local computation across partition merges") {
+    val d = 5
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 200).map(_ => Array.fill(d)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .repartition(7) // force multi-partition partial merge
+    val got = Emb.covariance(df, "embedding", d)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got.size == d * (d + 1) / 2)
+    val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i).toDouble).sum / n)
+    for (i <- 0 until d; j <- i until d) {
+      val gram = vecs.map(v => v(i).toDouble * v(j).toDouble).sum / n
+      val want = gram - mean(i) * mean(j)
+      val (gn, gc) = got((i, j))
+      assert(gn == n)
+      assert(math.abs(gc - want) < 1e-12, s"cov($i,$j): $gc vs $want")
+    }
+    // wrong-length vector fails fast, not silently
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assertThrows[org.apache.spark.SparkException](
+      Emb.covariance(bad, "embedding", d).collect())
+  }
+
   test("tfidf: corpus-wide terms score zero, rare terms rank first, ties on term") {
     val df = Seq(
       (1L, "shared shared rare1 rare1 rare1"),
