@@ -25,14 +25,46 @@ object Design {
   private def sinc(x: Double): Double =
     if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
 
-  /** scipy.signal.firwin lowpass with a hamming window, scaled so the
-    * DC gain is exactly 1.
+  /** Modified Bessel function of the first kind, order 0 — the kaiser
+    * window's kernel. Power series Σ ((x/2)^k / k!)², terms added
+    * until they stop moving the sum (converges fast for the β ≤ ~20
+    * range windows use).
     */
-  def firwinLowpass(numtaps: Int, cutoff: Double): Array[Double] = {
+  def besselI0(x: Double): Double = {
+    val h = x / 2.0
+    var term = 1.0
+    var sum = 1.0
+    var k = 1
+    while (term > sum * 1e-17 && k < 1000) {
+      val t = h / k
+      term *= t * t
+      sum += term
+      k += 1
+    }
+    sum
+  }
+
+  /** Symmetric kaiser window (numpy.kaiser / scipy get_window('kaiser',
+    * sym=True)): I0(β√(1 − ((2i/(M−1)) − 1)²)) / I0(β).
+    */
+  def kaiser(m: Int, beta: Double): Array[Double] = {
+    if (m == 1) return Array(1.0)
+    val denom = besselI0(beta)
+    Array.tabulate(m) { i =>
+      val r = 2.0 * i / (m - 1) - 1.0
+      besselI0(beta * math.sqrt(math.max(0.0, 1.0 - r * r))) / denom
+    }
+  }
+
+  /** scipy.signal.firwin lowpass with an explicit window vector,
+    * scaled so the DC gain is exactly 1.
+    */
+  def firwinLowpassW(numtaps: Int, cutoff: Double,
+                     w: Array[Double]): Array[Double] = {
     require(cutoff > 0 && cutoff < 1, s"cutoff must be in (0,1): $cutoff")
+    require(w.length == numtaps, s"window length ${w.length} != numtaps $numtaps")
     val m = numtaps
     val alpha = 0.5 * (m - 1)
-    val w = hamming(m)
     val h = new Array[Double](m)
     var i = 0
     while (i < m) {
@@ -47,6 +79,12 @@ object Design {
     while (i < m) { h(i) /= s; i += 1 }
     h
   }
+
+  /** scipy.signal.firwin lowpass with a hamming window (decimate's
+    * default), scaled so the DC gain is exactly 1.
+    */
+  def firwinLowpass(numtaps: Int, cutoff: Double): Array[Double] =
+    firwinLowpassW(numtaps, cutoff, hamming(numtaps))
 
   // ---- zpk machinery ------------------------------------------------
 

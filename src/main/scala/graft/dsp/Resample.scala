@@ -141,4 +141,77 @@ object Resample {
     while (i < outLen) { out(i) = filtered(i * q); i += 1 }
     out
   }
+
+  /** scipy.signal.upfirdn(h, x, up, down): upsample by zero insertion,
+    * FIR filter (full convolution), downsample — evaluated polyphase-
+    * style without materializing the zero-stuffed signal:
+    * y[m] = Σ_j x[j]·h[m·down − j·up] over taps in range. Output
+    * length ceil(((n−1)·up + len(h)) / down), scipy's _output_len.
+    */
+  def upfirdn(h: Array[Double], x: Array[Double], up: Int,
+              down: Int): Array[Double] = {
+    require(up >= 1 && down >= 1, s"upfirdn: up/down must be >= 1: $up/$down")
+    require(h.nonEmpty, "upfirdn: empty filter")
+    val n = x.length
+    if (n == 0) return new Array[Double](0)
+    val total = (n - 1) * up + h.length
+    val outLen = (total + down - 1) / down
+    val out = new Array[Double](outLen)
+    var m = 0
+    while (m < outLen) {
+      val t = m * down
+      // j with 0 <= t - j*up <= L-1 and 0 <= j < n
+      var j = math.max(0, (t - h.length + up) / up) // ceil((t-L+1)/up) for t-L+1 > 0
+      if (j * up > t) j = t / up
+      var s = 0.0
+      while (j < n && j * up <= t) {
+        val k = t - j * up
+        if (k < h.length) s += x(j) * h(k)
+        j += 1
+      }
+      out(m) = s
+      m += 1
+    }
+    out
+  }
+
+  /** scipy.signal.resample_poly(x, up, down, window=('kaiser', 5.0)):
+    * polyphase rational-rate resampling, reimplemented from the
+    * published algorithm — gcd-reduce the ratio, design
+    * firwin(2·10·max_rate + 1, 1/max_rate, kaiser β)·up, zero-pad the
+    * filter so the kept samples sit on the output grid
+    * (n_pre_pad = down − half_len % down, n_pre_remove =
+    * (half_len + n_pre_pad)/down), run [[upfirdn]], slice n_out =
+    * ceil(n·up/down).
+    */
+  def resamplePoly(x: Array[Double], upIn: Int, downIn: Int,
+                   beta: Double = 5.0): Array[Double] = {
+    require(upIn >= 1 && downIn >= 1, s"up/down must be >= 1: $upIn/$downIn")
+    val g = BigInt(upIn).gcd(BigInt(downIn)).toInt
+    val up = upIn / g
+    val down = downIn / g
+    if (up == 1 && down == 1) return x.clone()
+    val n = x.length
+    val nOut = (n.toLong * up / down + (if (n.toLong * up % down != 0) 1 else 0)).toInt
+    val maxRate = math.max(up, down)
+    val halfLen = 10 * maxRate
+    val h0 = Design.firwinLowpassW(2 * halfLen + 1, 1.0 / maxRate,
+      Design.kaiser(2 * halfLen + 1, beta))
+    var i = 0
+    while (i < h0.length) { h0(i) *= up; i += 1 }
+    val nPrePad = down - halfLen % down
+    val nPreRemove = (halfLen + nPrePad) / down
+    def outputLen(lenH: Int): Int = ((n - 1) * up + lenH + down - 1) / down
+    var nPostPad = 0
+    while (outputLen(h0.length + nPrePad + nPostPad) < nOut + nPreRemove)
+      nPostPad += 1
+    val h = new Array[Double](nPrePad + h0.length + nPostPad)
+    System.arraycopy(h0, 0, h, nPrePad, h0.length)
+    val y = upfirdn(h, x, up, down)
+    java.util.Arrays.copyOfRange(y, nPreRemove,
+      math.min(y.length, nPreRemove + nOut)) match {
+      case r if r.length == nOut => r
+      case r => java.util.Arrays.copyOf(r, nOut) // zero-extend (rare)
+    }
+  }
 }

@@ -186,6 +186,12 @@ object Bridge {
 
   def envelope(x: ArrayData, n: Int): ArrayData = out(Hilbert.envelope(d(x), n))
 
+  def upfirdn(h: ArrayData, x: ArrayData, up: Int, down: Int): ArrayData =
+    out(Resample.upfirdn(d(h), d(x), up, down))
+
+  def resamplePoly(x: ArrayData, up: Int, down: Int, beta: Double): ArrayData =
+    out(Resample.resamplePoly(d(x), up, down, beta))
+
   def resample(x: ArrayData, num: Int, window: UTF8String, domain: UTF8String): ArrayData =
     out(Resample.resample(d(x), num, window.toString, domain.toString))
 
@@ -592,6 +598,8 @@ object Bridge {
     "periodogram" -> (Seq(arrD, StringType, DoubleType, BooleanType) -> arrD),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
+    "upfirdn" -> (Seq(arrD, arrD, IntegerType, IntegerType) -> arrD),
+    "resamplePoly" -> (Seq(arrD, IntegerType, IntegerType, DoubleType) -> arrD),
     "resampleW" -> (Seq(arrD, IntegerType, arrD, StringType) -> arrD),
     "decimate" -> (Seq(arrD, IntegerType, IntegerType, StringType, BooleanType) -> arrD),
     "peakWidths" -> (Seq(arrD, arrI, DoubleType, IntegerType) -> peakWidthsT),
@@ -664,6 +672,8 @@ object Bridge {
     case "periodogram" => periodogram(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[Double], a(3).asInstanceOf[Boolean])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
+    case "upfirdn" => upfirdn(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
+    case "resamplePoly" => resamplePoly(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double])
     case "resampleW" => resampleW(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[UTF8String])
     case "decimate" => decimate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Boolean])
     case "peakWidths" => peakWidths(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int])

@@ -219,6 +219,10 @@ object Functions {
     def resampleWC(x: Column, num: Column, w: Column,
                    domain: String = "time"): Column =
       call("resampleW", x, num, w, lit(domain))
+    def upfirdnC(h: Column, x: Column, up: Int, down: Int): Column =
+      call("upfirdn", h, x, lit(up), lit(down))
+    def resamplePolyC(x: Column, up: Int, down: Int, beta: Double = 5.0): Column =
+      call("resamplePoly", x, lit(up), lit(down), lit(beta))
     def decimateC(x: Column, q: Int, n: Int = -1, ftype: String = "iir",
                   zeroPhase: Boolean = true): Column =
       call("decimate", x, lit(q), lit(n), lit(ftype), lit(zeroPhase))

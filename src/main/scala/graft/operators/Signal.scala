@@ -788,6 +788,31 @@ object Signal {
       dim -> col("coords"), "value" -> col("_out")))
   }
 
+  /** scipy.signal.upfirdn lifted onto series: zero-stuff upsample by
+    * `up`, FIR filter with the literal taps `h`, downsample by `down`
+    * — evaluated polyphase-style in ONE kernel call per series (the
+    * zero-stuffed intermediate is never materialized). Output: keys,
+    * pos (output sample index), value.
+    */
+  def upfirdn(df: DataFrame, keys: Seq[String], dim: String, value: String,
+              h: Array[Double], up: Int, down: Int): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out",
+      upfirdnC(typedLit(h), col(value), up, down))
+    explodeSeries(withOut, keys, Seq("value" -> col("_out")))
+  }
+
+  /** scipy.signal.resample_poly lifted onto series: rational-rate
+    * polyphase resampling with the kaiser-windowed anti-alias design
+    * (β = 5.0 default). One seriesify shuffle, one kernel call.
+    */
+  def resamplePoly(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                   up: Int, down: Int, beta: Double = 5.0): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", resamplePolyC(col(value), up, down, beta))
+    explodeSeries(withOut, keys, Seq("value" -> col("_out")))
+  }
+
   /** scipy.signal.medfilt lifted onto series: sliding median with odd
     * kernel size, zero-padded edges, per series. One seriesify
     * shuffle, one kernel call.

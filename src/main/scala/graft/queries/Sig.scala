@@ -1125,6 +1125,77 @@ object Sig {
        |FROM lv JOIN nz ON nz.user_id = lv.user_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.upfirdn(h, x, up=3, down=2) per user with literal
+    * taps. The oracle evaluates the polyphase identity directly:
+    * y[m] = Σⱼ x[j]·h[m·down − j·up] over in-range taps, with the
+    * output index set generated per series from its length
+    * (out_len = ceil(((n−1)·up + L)/down)).
+    */
+  def sigUpfirdn(s: SparkSession, dir: String): DataFrame =
+    Signal.upfirdn(evReal(s, dir), Seq("user_id"), "t", "value",
+        Array(0.25, 0.5, 1.0, 0.5, 0.25), up = 3, down = 2)
+      .select(col("user_id"), col("pos"), fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigUpfirdnSql: String =
+    s"""$sSql, nn AS (
+       |  SELECT user_id, MAX(n) AS n FROM s GROUP BY 1
+       |), m AS (
+       |  SELECT user_id, unnest(generate_series(0, CAST(((n-1)*3 + 5 - 1) // 2 AS INT))) AS pos
+       |  FROM nn
+       |)
+       |SELECT m.user_id, CAST(m.pos AS INT) AS pos,
+       |  ${fpSql("SUM(b.value * (CASE m.pos*2 - b.j*3 WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 WHEN 2 THEN 1.0 WHEN 3 THEN 0.5 WHEN 4 THEN 0.25 END))", "1e4")} AS value_fp
+       |FROM m JOIN s b ON b.user_id = m.user_id
+       |  AND m.pos*2 - b.j*3 BETWEEN 0 AND 4
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** scipy.signal.resample_poly(x, 3, 2) per user. The kaiser-windowed
+    * anti-alias taps cannot be designed in SQL, so the oracle inlines
+    * the 61 golden-tested taps (Design.firwinLowpassW × up — verified
+    * against numpy.kaiser in UpfirdnSpec) as literals and replays the
+    * published padding arithmetic: joined tap index
+    * (pos + n_pre_remove)·down − j·up − n_pre_pad, output sliced to
+    * ceil(n·up/down). The oracle therefore independently verifies the
+    * distributed machinery and the polyphase evaluation; the tap
+    * VALUES are design constants, like the savgol table.
+    */
+  def sigResamplePoly(s: SparkSession, dir: String): DataFrame =
+    Signal.resamplePoly(evReal(s, dir), Seq("user_id"), "t", "value",
+        up = 3, down = 2)
+      .select(col("user_id"), col("pos"), fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigResamplePolySql: String = {
+    // up=3, down=2: maxRate 3, halfLen 30, 61 taps, nPrePad = 2-30%2 = 2,
+    // nPreRemove = (30+2)/2 = 16 — the same arithmetic the kernel runs
+    val up = 3
+    val down = 2
+    val halfLen = 10 * math.max(up, down)
+    val h0 = graft.dsp.Design.firwinLowpassW(2 * halfLen + 1,
+      1.0 / math.max(up, down), graft.dsp.Design.kaiser(2 * halfLen + 1, 5.0))
+      .map(_ * up)
+    val nPrePad = down - halfLen % down
+    val nPreRemove = (halfLen + nPrePad) / down
+    val taps = h0.zipWithIndex
+      .map { case (w, k) => s"($k, ${"%.17g".format(w)})" }.mkString(", ")
+    s"""$sSql, nn AS (
+       |  SELECT user_id, MAX(n) AS n FROM s GROUP BY 1
+       |), taps(k, w) AS (
+       |  SELECT * FROM (VALUES $taps)
+       |), m AS (
+       |  SELECT user_id, unnest(generate_series(0, CAST(($up*n + $down - 1) // $down AS INT) - 1)) AS pos
+       |  FROM nn
+       |)
+       |SELECT m.user_id, CAST(m.pos AS INT) AS pos,
+       |  ${fpSql("SUM(b.value * t.w)", "1e4")} AS value_fp
+       |FROM m JOIN s b ON b.user_id = m.user_id
+       |JOIN taps t ON t.k = (m.pos + $nPreRemove)*$down - b.j*$up - $nPrePad
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** scipy.signal.savgol_filter(window=5, polyorder=2, mode=constant)
     * per user. The kernel derives coefficients by solving the normal
     * equations; the oracle convolves with the PUBLISHED Savitzky-Golay
@@ -1939,6 +2010,8 @@ object Sig {
     "sig_wiener" -> (sigWiener _),
     "sig_periodogram" -> (sigPeriodogram _),
     "sig_savgol" -> (sigSavgol _),
+    "sig_upfirdn" -> (sigUpfirdn _),
+    "sig_resample_poly" -> (sigResamplePoly _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -1996,6 +2069,8 @@ object Sig {
     "sig_wiener" -> sigWienerSql,
     "sig_periodogram" -> sigPeriodogramSql,
     "sig_savgol" -> sigSavgolSql,
+    "sig_upfirdn" -> sigUpfirdnSql,
+    "sig_resample_poly" -> sigResamplePolySql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

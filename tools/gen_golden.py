@@ -576,3 +576,57 @@ with open(os.path.join(OUT, "savgol.txt"), "w") as f:
         for (w, p) in ((5, 2), (7, 3), (9, 4)):
             emit(f, f"savgol_const_{n}_{w}_{p}", savgol_np(x, w, p, "constant"))
             emit(f, f"savgol_interp_{n}_{w}_{p}", savgol_np(x, w, p, "interp"))
+
+
+# --------------------------------------------------------- upfirdn/poly
+# Literal-definition references: zero-stuff, full convolve, stride.
+def upfirdn_np(h, x, up, down):
+    n = len(x)
+    xu = np.zeros((n - 1) * up + 1)
+    xu[::up] = x
+    full = np.convolve(xu, h)
+    return full[::down]
+
+
+def resample_poly_np(x, up, down, beta=5.0):
+    g = np.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x.copy()
+    n = len(x)
+    n_out = n * up // down + bool((n * up) % down)
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    m = 2 * half_len + 1
+    alpha = 0.5 * (m - 1)
+    cutoff = 1.0 / max_rate
+    idx = np.arange(m) - alpha
+    hh = cutoff * np.sinc(cutoff * idx) * np.kaiser(m, beta)
+    hh /= hh.sum()
+    hh *= up
+    n_pre_pad = down - half_len % down
+    n_pre_remove = half_len // down + 1  # == (half_len + n_pre_pad) // down
+    def out_len(len_h):
+        return ((n - 1) * up + len_h + down - 1) // down
+    n_post_pad = 0
+    while out_len(len(hh) + n_pre_pad + n_post_pad) < n_out + n_pre_remove:
+        n_post_pad += 1
+    hh = np.concatenate([np.zeros(n_pre_pad), hh, np.zeros(n_post_pad)])
+    y = upfirdn_np(hh, x, up, down)
+    return y[n_pre_remove:n_pre_remove + n_out]
+
+
+with open(os.path.join(OUT, "upfirdn.txt"), "w") as f:
+    urng = np.random.default_rng(23)
+    for n in (50, 17):
+        x = urng.standard_normal(n)
+        emit(f, f"ux_{n}", x)
+        h = np.array([0.25, 0.5, 1.0, 0.5, 0.25])
+        for (up, down) in ((3, 2), (2, 3), (1, 4), (4, 1)):
+            emit(f, f"upfirdn_{n}_{up}_{down}", upfirdn_np(h, x, up, down))
+        for (up, down) in ((3, 2), (2, 3), (5, 7)):
+            emit(f, f"rpoly_{n}_{up}_{down}", resample_poly_np(x, up, down))
+    # kaiser window itself (checks besselI0 + the window formula)
+    emit(f, "kaiser_21_5", np.kaiser(21, 5.0))
+    emit(f, "kaiser_8_14", np.kaiser(8, 14.0))
