@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GramAgg
@@ -9,6 +9,58 @@ import graft.functions.GramAgg
   * PCA / whitening / mean-centering of a vector corpus.
   */
 object Emb {
+
+  /** PCA model: population covariance eigenpairs (descending) plus the
+    * corpus mean. `vectors(c)` is the c-th principal axis; signs follow
+    * [[graft.dsp.Eigen.symmetric]]'s largest-component-positive rule.
+    */
+  final case class PcaModel(n: Long, mean: Array[Double],
+                            values: Array[Double],
+                            vectors: Array[Array[Double]]) {
+    def explained(c: Int): Double = values(c) / values.sum
+  }
+
+  /** Fit PCA from the ONE distributed [[GramAgg]] scan: the collect is
+    * the bounded d(d+1)/2 covariance triangle (d=1024 → 4 MB), the
+    * Jacobi eigendecomposition is a driver-side O(d³) on that bounded
+    * matrix — the same collect-a-model shape as Ann.kmeansFit. The
+    * corpus itself never leaves the executors.
+    */
+  def pcaFit(df: DataFrame, embCol: String, dim: Int): PcaModel = {
+    val rows = covariance(df, embCol, dim).collect()
+    val n = rows.head.getLong(2)
+    val mean = new Array[Double](dim)
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      val j = r.getInt(1)
+      mean(i) = r.getDouble(3)
+      mean(j) = r.getDouble(4)
+      cov(i)(j) = r.getDouble(5)
+      cov(j)(i) = r.getDouble(5)
+    }
+    val (values, vectors) = graft.dsp.Eigen.symmetric(cov)
+    PcaModel(n, mean, values, vectors)
+  }
+
+  /** Map-side projection onto the model's top `k` axes: appends
+    * `proj` = array(⟨e − mean, v_c⟩ for c < k). Pure builtin
+    * zip_with/aggregate expressions on broadcast literal vectors —
+    * zero shuffle, scan-bound at any corpus size.
+    */
+  def pcaProject(df: DataFrame, embCol: String, model: PcaModel,
+                 k: Int): DataFrame = {
+    require(k >= 1 && k <= model.vectors.length, s"bad k=$k")
+    val centered = zip_with(
+      col(embCol).cast("array<double>"), typedLit(model.mean.toSeq),
+      (a, b) => a - b)
+    val comps: Seq[Column] = (0 until k).map { c =>
+      aggregate(
+        zip_with(centered, typedLit(model.vectors(c).toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.withColumn("proj", array(comps: _*))
+  }
 
   /** Covariance (and mean) of an embedding column, as one row per
     * upper-triangle (i ≤ j) component pair:

@@ -737,6 +737,47 @@ object Pipeline {
        |  ${fpSql("gij - mi * mj", "1e6")} AS cov_fp
        |FROM st ORDER BY 1, 2""".stripMargin
 
+  /** PCA correctness via the reconstruction identity: the driver-side
+    * Jacobi eigendecomposition of the GramAgg covariance must satisfy
+    * Σ_c λ_c·v_c v_cᵀ = cov, so the query emits the reconstructed
+    * matrix and the oracle computes the covariance DIRECTLY in SQL —
+    * any defect in the moment pass OR the eigensolver breaks the
+    * match. (Eigenvector sign/order ambiguity cancels in the sum,
+    * which is what makes this oracle-able at all.)
+    */
+  def embPcaRecon(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val model = graft.operators.Emb.pcaFit(embs(s, dir), "embedding", dim)
+    val rows = for (i <- 0 until dim; j <- i until dim) yield {
+      var r = 0.0
+      var c = 0
+      while (c < dim) {
+        r += model.values(c) * model.vectors(c)(i) * model.vectors(c)(j)
+        c += 1
+      }
+      (i, j, r)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("i", "j", "recon")
+      .select(col("i"), col("j"), fp6(col("recon")).as("cov_fp"))
+      .orderBy("i", "j")
+  }
+
+  private val embPcaReconSql: String =
+    s"""WITH p AS (
+       |  SELECT i.i, j.j FROM range(64) i(i), range(64) j(j) WHERE j.j >= i.i
+       |), st AS (
+       |  SELECT p.i, p.j,
+       |    SUM(CAST(embedding[p.i + 1] AS DOUBLE)) / COUNT(*) AS mi,
+       |    SUM(CAST(embedding[p.j + 1] AS DOUBLE)) / COUNT(*) AS mj,
+       |    SUM(CAST(embedding[p.i + 1] AS DOUBLE) * CAST(embedding[p.j + 1] AS DOUBLE)) / COUNT(*) AS gij
+       |  FROM p, embeddings
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |  ${fpSql("gij - mi * mj", "1e6")} AS cov_fp
+       |FROM st ORDER BY 1, 2""".stripMargin
+
   /** Top-5 TF-IDF terms per document. tf·ln(N/df) with N = corpus
     * size; rank ties break on term text. Scores are products of exact
     * integers with one ln() — the only cross-engine float hazard is a
@@ -1034,6 +1075,7 @@ object Pipeline {
     "text_contamination" -> (textContamination _),
     "text_tfidf" -> (textTfidf _),
     "emb_cov" -> (embCov _),
+    "emb_pca_recon" -> (embPcaRecon _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -1066,6 +1108,7 @@ object Pipeline {
     "text_contamination" -> textContaminationSql,
     "text_tfidf" -> textTfidfSql,
     "emb_cov" -> embCovSql,
+    "emb_pca_recon" -> embPcaReconSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

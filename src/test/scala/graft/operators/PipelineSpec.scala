@@ -654,6 +654,41 @@ class PipelineSpec extends SparkTestBase {
       Emb.covariance(bad, "embedding", d).collect())
   }
 
+  test("pcaFit recovers a planted dominant direction; projection is variance-sorted") {
+    val d = 6
+    val rnd = new scala.util.Random(17)
+    // points spread mostly along a fixed axis u with small isotropic noise
+    val u = Array(1.0, 2.0, -1.0, 0.5, 0.0, 1.5)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val vecs = (1 to 400).map { _ =>
+      val t = rnd.nextGaussian() * 5
+      Array.tabulate(d)(i => (t * un(i) + rnd.nextGaussian() * 0.1).toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .repartition(5)
+    val model = Emb.pcaFit(df, "embedding", d)
+    // top eigenvector aligns with the planted direction (|cos| ~ 1)
+    val cos = math.abs(model.vectors(0).zip(un).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"top axis misaligned: |cos|=$cos")
+    // dominant variance: first eigenvalue carries nearly everything
+    assert(model.explained(0) > 0.95, s"explained=${model.explained(0)}")
+    assert(model.values.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // projection: column 0 variance >> column 1 variance
+    val proj = Emb.pcaProject(df, "embedding", model, 2)
+      .select("proj").collect().map(_.getSeq[Double](0))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = variance(proj.map(_(0)).toSeq)
+    val v1 = variance(proj.map(_(1)).toSeq)
+    assert(v0 > 10 * v1, s"projection variances not sorted: $v0 vs $v1")
+    // and the projection variances equal the eigenvalues (population)
+    assert(math.abs(v0 - model.values(0)) < 1e-6 * model.values(0))
+  }
+
   test("tfidf: corpus-wide terms score zero, rare terms rank first, ties on term") {
     val df = Seq(
       (1L, "shared shared rare1 rare1 rare1"),
