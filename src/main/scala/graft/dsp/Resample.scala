@@ -142,6 +142,40 @@ object Resample {
     out
   }
 
+  /** numpy.interp onto a regular grid: linear interpolation of the
+    * (coords, values) series at points start + i·step, i < n, with
+    * numpy's edge policy (clamp to the first/last sample value outside
+    * the observed span; exact hits return the sample). Coords must be
+    * ascending (the seriesify contract). Two-pointer sweep, O(n + m).
+    * NaN start means "the series' own first coordinate".
+    */
+  def interpGrid(coords: Array[Double], values: Array[Double], start: Double,
+                 step: Double, n: Int): Array[Double] = {
+    require(coords.length == values.length,
+      s"interpGrid: coords/values length mismatch ${coords.length}/${values.length}")
+    require(coords.nonEmpty, "interpGrid: empty series")
+    require(step > 0, s"interpGrid: step must be positive, got $step")
+    require(n > 0, s"interpGrid: n must be positive, got $n")
+    val s0 = if (start.isNaN) coords(0) else start
+    val m = coords.length
+    val out = new Array[Double](n)
+    var j = 0 // last sample with coords(j) <= g (sweep pointer)
+    var i = 0
+    while (i < n) {
+      val g = s0 + i * step
+      if (g <= coords(0)) out(i) = values(0)
+      else if (g >= coords(m - 1)) out(i) = values(m - 1)
+      else {
+        while (j + 1 < m && coords(j + 1) <= g) j += 1
+        val tlo = coords(j)
+        val thi = coords(j + 1)
+        out(i) = values(j) + (values(j + 1) - values(j)) * ((g - tlo) / (thi - tlo))
+      }
+      i += 1
+    }
+    out
+  }
+
   /** scipy.signal.upfirdn(h, x, up, down): upsample by zero insertion,
     * FIR filter (full convolution), downsample — evaluated polyphase-
     * style without materializing the zero-stuffed signal:

@@ -186,6 +186,10 @@ object Bridge {
 
   def envelope(x: ArrayData, n: Int): ArrayData = out(Hilbert.envelope(d(x), n))
 
+  def interpGrid(coords: ArrayData, values: ArrayData, start: Double,
+                 step: Double, n: Int): ArrayData =
+    out(Resample.interpGrid(d(coords), d(values), start, step, n))
+
   def upfirdn(h: ArrayData, x: ArrayData, up: Int, down: Int): ArrayData =
     out(Resample.upfirdn(d(h), d(x), up, down))
 
@@ -599,6 +603,7 @@ object Bridge {
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
     "upfirdn" -> (Seq(arrD, arrD, IntegerType, IntegerType) -> arrD),
+    "interpGrid" -> (Seq(arrD, arrD, DoubleType, DoubleType, IntegerType) -> arrD),
     "resamplePoly" -> (Seq(arrD, IntegerType, IntegerType, DoubleType) -> arrD),
     "resampleW" -> (Seq(arrD, IntegerType, arrD, StringType) -> arrD),
     "decimate" -> (Seq(arrD, IntegerType, IntegerType, StringType, BooleanType) -> arrD),
@@ -673,6 +678,7 @@ object Bridge {
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])
     case "upfirdn" => upfirdn(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
+    case "interpGrid" => interpGrid(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int])
     case "resamplePoly" => resamplePoly(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double])
     case "resampleW" => resampleW(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[UTF8String])
     case "decimate" => decimate(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Boolean])

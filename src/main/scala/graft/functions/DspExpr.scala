@@ -221,6 +221,9 @@ object Functions {
       call("resampleW", x, num, w, lit(domain))
     def upfirdnC(h: Column, x: Column, up: Int, down: Int): Column =
       call("upfirdn", h, x, lit(up), lit(down))
+    def interpGridC(coords: Column, values: Column, start: Double,
+                    step: Double, n: Int): Column =
+      call("interpGrid", coords, values, lit(start), lit(step), lit(n))
     def resamplePolyC(x: Column, up: Int, down: Int, beta: Double = 5.0): Column =
       call("resamplePoly", x, lit(up), lit(down), lit(beta))
     def decimateC(x: Column, q: Int, n: Int = -1, ftype: String = "iir",

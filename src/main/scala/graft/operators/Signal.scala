@@ -788,6 +788,26 @@ object Signal {
       dim -> col("coords"), "value" -> col("_out")))
   }
 
+  /** xarray-style `interp`/`resample` onto a regular grid: linear
+    * interpolation of each series at start + i·step (i < n) with
+    * numpy.interp's clamp-to-edge policy. NaN start anchors each
+    * series' grid at its own first coordinate (the per-series resample
+    * case); a finite start aligns every series onto one shared grid
+    * (the join-series case). One seriesify shuffle, one kernel call.
+    * Output: keys, pos, <dim> (grid coordinate), value.
+    */
+  def interpGrid(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                 step: Double, n: Int,
+                 start: Double = Double.NaN): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_out", interpGridC(col("coords"), col(value), start, step, n))
+      .withColumn("_grid", expr(
+        s"transform(sequence(0, ${n - 1}), i -> ${if (start.isNaN) "cmin" else start.toString} + i * cast($step as double))"))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("_grid"), "value" -> col("_out")))
+  }
+
   /** scipy.signal.upfirdn lifted onto series: zero-stuff upsample by
     * `up`, FIR filter with the literal taps `h`, downsample by `down`
     * — evaluated polyphase-style in ONE kernel call per series (the

@@ -1125,6 +1125,42 @@ object Sig {
        |FROM lv JOIN nz ON nz.user_id = lv.user_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** xarray-style grid resample per user: linear interpolation onto a
+    * 64-point 60-second grid anchored at each series' first sample,
+    * numpy.interp clamp-to-edge outside the span (the grid outruns
+    * short series, exercising the clamp). Oracle rebuilds the
+    * bracketing samples with FILTERed ARG_MAX/ARG_MIN and replays the
+    * identical interpolation expression.
+    */
+  def sigInterpGrid(s: SparkSession, dir: String): DataFrame =
+    Signal.interpGrid(evReal(s, dir), Seq("user_id"), "t", "value",
+        step = 60.0, n = 64)
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigInterpGridSql: String =
+    s"""$sSql, nn AS (
+       |  SELECT user_id, MIN(t) AS t0 FROM s GROUP BY 1
+       |), gp AS (
+       |  SELECT user_id, unnest(generate_series(0, 63)) AS gi,
+       |    t0 + unnest(generate_series(0, 63)) * CAST(60.0 AS DOUBLE) AS g
+       |  FROM nn
+       |), br AS (
+       |  SELECT gp.user_id, gp.gi, gp.g,
+       |    MAX(x.t) FILTER (x.t <= gp.g) AS tlo,
+       |    ARG_MAX(x.value, x.t) FILTER (x.t <= gp.g) AS vlo,
+       |    MIN(x.t) FILTER (x.t > gp.g) AS thi,
+       |    ARG_MIN(x.value, x.t) FILTER (x.t > gp.g) AS vhi
+       |  FROM gp JOIN s x ON x.user_id = gp.user_id
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT user_id, CAST(gi AS INT) AS pos,
+       |  ${fpSql("g", "1e6")} AS t_fp,
+       |  ${fpSql("CASE WHEN tlo IS NULL THEN vhi WHEN thi IS NULL THEN vlo ELSE vlo + (vhi - vlo) * ((g - tlo) / (thi - tlo)) END", "1e4")} AS value_fp
+       |FROM br
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.upfirdn(h, x, up=3, down=2) per user with literal
     * taps. The oracle evaluates the polyphase identity directly:
     * y[m] = Σⱼ x[j]·h[m·down − j·up] over in-range taps, with the
@@ -2012,6 +2048,7 @@ object Sig {
     "sig_savgol" -> (sigSavgol _),
     "sig_upfirdn" -> (sigUpfirdn _),
     "sig_resample_poly" -> (sigResamplePoly _),
+    "sig_interp_grid" -> (sigInterpGrid _),
     "sig_complex_modes" -> (sigComplexModes _),
     "sig_even_modes" -> (sigEvenModes _),
     "sig_rfft_ortho" -> (sigRfftOrtho _),
@@ -2071,6 +2108,7 @@ object Sig {
     "sig_savgol" -> sigSavgolSql,
     "sig_upfirdn" -> sigUpfirdnSql,
     "sig_resample_poly" -> sigResamplePolySql,
+    "sig_interp_grid" -> sigInterpGridSql,
     "sig_complex_modes" -> sigComplexModesSql,
     "sig_even_modes" -> sigEvenModesSql,
     "sig_rfft_ortho" -> sigRfftOrthoSql,

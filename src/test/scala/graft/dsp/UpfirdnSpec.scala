@@ -42,6 +42,28 @@ class UpfirdnSpec extends AnyFunSuite {
       Seq(1.0, 0.0, 2.0, 0.0, 3.0))
   }
 
+  test("interpGrid: numpy.interp semantics — interior linear, exact hits, edge clamp") {
+    val c = Array(0.0, 1.0, 3.0, 7.0)
+    val v = Array(10.0, 20.0, 30.0, 70.0)
+    // grid -1, 0.5, 2, 3.5, ... clamps below, interpolates, hits samples
+    val got = Resample.interpGrid(c, v, start = -1.0, step = 1.5, n = 7)
+    val want = Seq(
+      10.0,              // -1  -> clamp to first
+      15.0,              // 0.5 -> midpoint of (0,10)-(1,20)
+      25.0,              // 2   -> midpoint of (1,20)-(3,30)
+      35.0,              // 3.5 -> 30 + 10*0.5/4
+      50.0,              // 5   -> 30 + 40*2/4
+      65.0,              // 6.5 -> 30 + 40*3.5/4
+      70.0)              // 8   -> clamp to last
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12, got.toSeq) }
+    // NaN start anchors at the first coordinate; exact hits return samples
+    val anchored = Resample.interpGrid(c, v, Double.NaN, 1.0, 4)
+    assert(anchored(0) == 10.0 && anchored(1) == 20.0)
+    assertThrows[IllegalArgumentException](Resample.interpGrid(c, v, 0.0, 0.0, 3))
+    assertThrows[IllegalArgumentException](
+      Resample.interpGrid(Array.empty[Double], Array.empty[Double], 0.0, 1.0, 3))
+  }
+
   test("resamplePoly rate identities: gcd reduction and 1:1 passthrough") {
     val x = g("ux_50")
     assert(Resample.resamplePoly(x, 4, 4).toSeq == x.toSeq)

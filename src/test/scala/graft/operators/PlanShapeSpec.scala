@@ -46,6 +46,12 @@ class PlanShapeSpec extends SparkTestBase {
       nperseg = 16, fs = 2.0)) == 1)
     assert(hashExchanges(Signal.medfilt(series, Seq("k"), "t", "v", 5)) == 1)
     assert(hashExchanges(Signal.wiener(series, Seq("k"), "t", "v", 5)) == 1)
+    assert(hashExchanges(Signal.savgol(series, Seq("k"), "t", "v")) == 1)
+    assert(hashExchanges(Signal.upfirdn(series, Seq("k"), "t", "v",
+      Array(0.5, 1.0, 0.5), 3, 2)) == 1)
+    assert(hashExchanges(Signal.resamplePoly(series, Seq("k"), "t", "v", 3, 2)) == 1)
+    assert(hashExchanges(Signal.interpGrid(series, Seq("k"), "t", "v", 2.0, 16)) == 1)
+    assert(hashExchanges(Signal.periodogram(series, Seq("k"), "t", "v")) == 1)
     // csd/coherence: BOTH channels pack in the one seriesify pass —
     // adding a second value column must not add a join or a shuffle
     val series2 = series.withColumn("v2", col("v") * 2)
