@@ -110,6 +110,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(contam) <= 5)
     assert(!contam.queryExecution.executedPlan.toString.contains("NestedLoop"),
       "contamination must not plan as a nested loop")
+    // tfidf: tf agg, df agg, term join, rank window — bounded exchange
+    // budget; the ONE BroadcastNestedLoopJoin is the deliberate 1-row
+    // broadcast of N (crossJoin with a single-row aggregate), nothing else
+    val tfidf = TextOps.tfidf(docs, "doc_id", "text", topK = 3)
+    assert(hashExchanges(tfidf) <= 5)
+    val nl = "NestedLoop".r.findAllIn(tfidf.queryExecution.executedPlan.toString).length
+    assert(nl <= 1, s"tfidf has $nl nested loops (only the 1-row N broadcast is allowed)")
   }
 
   test("IVF cell layout: probe-side parquet scan prunes cell partitions") {
