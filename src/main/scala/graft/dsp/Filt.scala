@@ -376,6 +376,35 @@ object Filt {
     out
   }
 
+  /** scipy.signal.order_filter (1-D, full domain): sliding rank
+    * selection — output i is the `rank`-th smallest (0-based) of the
+    * zero-padded window, so rank = size/2 IS medfilt. Same O(n·k log k)
+    * envelope as medfilt.
+    */
+  def orderFilter(x: Array[Double], size: Int, rank: Int): Array[Double] = {
+    require(size > 0 && size % 2 == 1,
+      s"orderFilter: window size must be positive odd, got $size")
+    require(rank >= 0 && rank < size,
+      s"orderFilter: need 0 <= rank < size, got $rank/$size")
+    val n = x.length
+    val ho = size / 2
+    val out = new Array[Double](n)
+    val buf = new Array[Double](size)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < size) {
+        val src = i - ho + j
+        buf(j) = if (src < 0 || src >= n) 0.0 else x(src)
+        j += 1
+      }
+      java.util.Arrays.sort(buf)
+      out(i) = buf(rank)
+      i += 1
+    }
+    out
+  }
+
   /** scipy.signal.wiener (1-D): adaptive local-statistics filter.
     * Local mean/variance over a zero-padded `size` window (size odd,
     * scipy default 3); `noise` defaults to the mean of the local

@@ -155,6 +155,9 @@ object Bridge {
   def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String): ArrayData =
     out(Filt.savgol(d(x), window, polyorder, mode.toString))
 
+  def orderFilter(x: ArrayData, size: Int, rank: Int): ArrayData =
+    out(Filt.orderFilter(d(x), size, rank))
+
   def wiener(x: ArrayData, size: Int, noise: Double): ArrayData =
     out(Filt.wiener(d(x), size, noise))
 
@@ -595,6 +598,7 @@ object Bridge {
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
     "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),
+    "orderFilter" -> (Seq(arrD, IntegerType, IntegerType) -> arrD),
     "wiener" -> (Seq(arrD, IntegerType, DoubleType) -> arrD),
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
@@ -670,6 +674,7 @@ object Bridge {
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String])
+    case "orderFilter" => orderFilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])

@@ -198,6 +198,8 @@ object Functions {
     def savgolC(x: Column, window: Int = 5, polyorder: Int = 2,
                 mode: String = "constant"): Column =
       call("savgol", x, lit(window), lit(polyorder), lit(mode))
+    def orderFilterC(x: Column, size: Int, rank: Int): Column =
+      call("orderFilter", x, lit(size), lit(rank))
     def wienerC(x: Column, size: Int = 3, noise: Double = -1.0): Column =
       call("wiener", x, lit(size), lit(noise))
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,

@@ -16,7 +16,8 @@ object Emb {
     */
   final case class PcaModel(n: Long, mean: Array[Double],
                             values: Array[Double],
-                            vectors: Array[Array[Double]]) {
+                            vectors: Array[Array[Double]],
+                            variances: Array[Double]) {
     def explained(c: Int): Double = values(c) / values.sum
   }
 
@@ -40,26 +41,45 @@ object Emb {
       cov(j)(i) = r.getDouble(5)
     }
     val (values, vectors) = graft.dsp.Eigen.symmetric(cov)
-    PcaModel(n, mean, values, vectors)
+    PcaModel(n, mean, values, vectors, Array.tabulate(dim)(i => cov(i)(i)))
   }
 
   /** Map-side projection onto the model's top `k` axes: appends
-    * `proj` = array(⟨e − mean, v_c⟩ for c < k). Pure builtin
-    * zip_with/aggregate expressions on broadcast literal vectors —
-    * zero shuffle, scan-bound at any corpus size.
+    * `proj` = array(⟨e − mean, v_c⟩ for c < k). With `whiten`, each
+    * component divides by √λ_c so the projected corpus has unit
+    * population variance per axis (sklearn's whiten=True). Pure
+    * builtin zip_with/aggregate expressions on broadcast literal
+    * vectors — zero shuffle, scan-bound at any corpus size.
     */
   def pcaProject(df: DataFrame, embCol: String, model: PcaModel,
-                 k: Int): DataFrame = {
+                 k: Int, whiten: Boolean = false): DataFrame = {
     require(k >= 1 && k <= model.vectors.length, s"bad k=$k")
     val centered = zip_with(
       col(embCol).cast("array<double>"), typedLit(model.mean.toSeq),
       (a, b) => a - b)
     val comps: Seq[Column] = (0 until k).map { c =>
-      aggregate(
+      val dot = aggregate(
         zip_with(centered, typedLit(model.vectors(c).toSeq), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
+      if (whiten) dot / math.sqrt(model.values(c)) else dot
     }
     df.withColumn("proj", array(comps: _*))
+  }
+
+  /** Map-side per-component z-scoring against the corpus moments
+    * (mean and population std from the SAME GramAgg pass the
+    * covariance uses): appends `z` = (e − mean) / σ elementwise.
+    * Components with σ = 0 standardize to 0 (sklearn StandardScaler's
+    * constant-feature rule), not NaN.
+    */
+  def standardize(df: DataFrame, embCol: String, model: PcaModel): DataFrame = {
+    val std = model.variances.map(v => math.sqrt(math.max(0.0, v)))
+    val z = zip_with(
+      zip_with(col(embCol).cast("array<double>"), typedLit(model.mean.toSeq),
+        (a, b) => a - b),
+      typedLit(std.toSeq),
+      (num, sd) => when(sd > 0, num / sd).otherwise(lit(0.0)))
+    df.withColumn("z", z)
   }
 
   /** Covariance (and mean) of an embedding column, as one row per

@@ -858,6 +858,18 @@ object Signal {
       dim -> col("coords"), "value" -> col("_out")))
   }
 
+  /** scipy.signal.order_filter lifted onto series: sliding rank
+    * selection over a zero-padded odd window (rank size/2 == medfilt).
+    * One seriesify shuffle, one kernel call.
+    */
+  def orderFilter(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                  size: Int, rank: Int): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_out", orderFilterC(col(value), size, rank))
+    explodeSeries(withOut, keys, Seq(
+      dim -> col("coords"), "value" -> col("_out")))
+  }
+
   /** scipy.signal.wiener lifted onto series: adaptive local-statistics
     * filter (local mean/variance over a zero-padded odd window, noise
     * estimated as the mean local variance unless given). One seriesify

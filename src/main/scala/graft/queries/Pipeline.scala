@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{load, fp6, fpSql}
+import graft.Tables.{load, fp4, fp6, fpSql}
 import graft.operators.{Ann, Dedup, Multimodal, TextOps}
 
 /** Training-data pipeline anchor queries (SURVEY.md §2.2) over the
@@ -778,6 +778,31 @@ object Pipeline {
        |  ${fpSql("gij - mi * mj", "1e6")} AS cov_fp
        |FROM st ORDER BY 1, 2""".stripMargin
 
+  /** Per-component z-scoring of the embedding corpus against the
+    * GramAgg moments (first 8 dims to bound output). The oracle
+    * recomputes mean and population std per component directly.
+    */
+  def embStandardize(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val model = graft.operators.Emb.pcaFit(e, "embedding", 64)
+    graft.operators.Emb.standardize(e, "embedding", model)
+      .select(col("vec_id"), posexplode(expr("slice(z, 1, 8)")).as(Seq("i", "z")))
+      .select(col("vec_id"), col("i"), fp4(col("z")).as("z_fp"))
+      .orderBy("vec_id", "i")
+  }
+
+  private val embStandardizeSql: String =
+    s"""WITH st AS (
+       |  SELECT i.i,
+       |    SUM(CAST(embedding[i.i + 1] AS DOUBLE)) / COUNT(*) AS m,
+       |    SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE)) / COUNT(*) AS s2
+       |  FROM range(8) i(i), embeddings GROUP BY 1
+       |)
+       |SELECT e.vec_id, CAST(st.i AS INT) AS i,
+       |  ${fpSql("(CAST(e.embedding[st.i + 1] AS DOUBLE) - st.m) / sqrt(st.s2 - st.m * st.m)", "1e4")} AS z_fp
+       |FROM embeddings e, st
+       |ORDER BY 1, 2""".stripMargin
+
   /** Top-5 TF-IDF terms per document. tf·ln(N/df) with N = corpus
     * size; rank ties break on term text. Scores are products of exact
     * integers with one ln() — the only cross-engine float hazard is a
@@ -1076,6 +1101,7 @@ object Pipeline {
     "text_tfidf" -> (textTfidf _),
     "emb_cov" -> (embCov _),
     "emb_pca_recon" -> (embPcaRecon _),
+    "emb_standardize" -> (embStandardize _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -1109,6 +1135,7 @@ object Pipeline {
     "text_tfidf" -> textTfidfSql,
     "emb_cov" -> embCovSql,
     "emb_pca_recon" -> embPcaReconSql,
+    "emb_standardize" -> embStandardizeSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

@@ -1091,6 +1091,28 @@ object Sig {
        |GROUP BY s.user_id, s.j, s.t
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.order_filter(size=5, rank=1) per user: the second
+    * smallest of each zero-padded window. The oracle collects each
+    * offset-join window into a list and indexes its sort — pure
+    * selection, so both engines emit bit-identical doubles.
+    */
+  def sigOrderFilter(s: SparkSession, dir: String): DataFrame =
+    Signal.orderFilter(evReal(s, dir), Seq("user_id"), "t", "value",
+        size = 5, rank = 1)
+      .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigOrderFilterSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("s.t", "1e6")} AS t_fp,
+       |  ${fpSql("list_sort(list(COALESCE(x.value, 0.0)))[2]", "1e6")} AS value_fp
+       |FROM s CROSS JOIN range(-2, 3) o(o)
+       |LEFT JOIN s x ON x.user_id = s.user_id AND x.j = s.j + o.o
+       |GROUP BY s.user_id, s.j, s.t
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.wiener(size=5) per user: adaptive local-statistics
     * filter, noise floor estimated as the per-series mean local
     * variance. The oracle rebuilds lMean/lVar from the same offset
@@ -2044,6 +2066,7 @@ object Sig {
     "sig_coherence" -> (sigCoherence _),
     "sig_medfilt" -> (sigMedfilt _),
     "sig_wiener" -> (sigWiener _),
+    "sig_order_filter" -> (sigOrderFilter _),
     "sig_periodogram" -> (sigPeriodogram _),
     "sig_savgol" -> (sigSavgol _),
     "sig_upfirdn" -> (sigUpfirdn _),
@@ -2104,6 +2127,7 @@ object Sig {
     "sig_coherence" -> sigCoherenceSql,
     "sig_medfilt" -> sigMedfiltSql,
     "sig_wiener" -> sigWienerSql,
+    "sig_order_filter" -> sigOrderFilterSql,
     "sig_periodogram" -> sigPeriodogramSql,
     "sig_savgol" -> sigSavgolSql,
     "sig_upfirdn" -> sigUpfirdnSql,

@@ -27,6 +27,17 @@ class MedfiltSpec extends AnyFunSuite {
     }
   }
 
+  test("orderFilter: rank size/2 == medfilt; extreme ranks select window min/max") {
+    val x = g("mx_100")
+    assert(Filt.orderFilter(x, 5, 2).sameElements(Filt.medfilt(x, 5)))
+    // rank 0 over [5,1,3]: windows [0,5,1]->0, [5,1,3]->1, [1,3,0]->0
+    assert(Filt.orderFilter(Array(5.0, 1.0, 3.0), 3, 0).toSeq == Seq(0.0, 1.0, 0.0))
+    // rank k-1 = window max
+    assert(Filt.orderFilter(Array(5.0, 1.0, 3.0), 3, 2).toSeq == Seq(5.0, 5.0, 3.0))
+    assertThrows[IllegalArgumentException](Filt.orderFilter(x, 5, 5))
+    assertThrows[IllegalArgumentException](Filt.orderFilter(x, 4, 1))
+  }
+
   test("medfilt selects the exact middle element (no averaging)") {
     // k=3 over [5, 1, 3]: windows [0,5,1]->1, [5,1,3]->3, [1,3,0]->1
     assert(Filt.medfilt(Array(5.0, 1.0, 3.0), 3).toSeq == Seq(1.0, 3.0, 1.0))

@@ -687,6 +687,28 @@ class PipelineSpec extends SparkTestBase {
     assert(v0 > 10 * v1, s"projection variances not sorted: $v0 vs $v1")
     // and the projection variances equal the eigenvalues (population)
     assert(math.abs(v0 - model.values(0)) < 1e-6 * model.values(0))
+    // whiten: every kept component lands at unit population variance
+    val white = Emb.pcaProject(df, "embedding", model, 2, whiten = true)
+      .select("proj").collect().map(_.getSeq[Double](0))
+    for (c <- 0 until 2) {
+      val vc = variance(white.map(_(c)).toSeq)
+      assert(math.abs(vc - 1.0) < 1e-9, s"whitened var($c)=$vc")
+    }
+    // standardize: per-component z-scores have mean 0 / var 1; a
+    // constant component maps to 0, not NaN
+    val zs = Emb.standardize(df, "embedding", model)
+      .select("z").collect().map(_.getSeq[Double](0))
+    for (c <- 0 until d) {
+      val col0 = zs.map(_(c)).toSeq
+      assert(math.abs(col0.sum / col0.size) < 1e-9)
+      assert(math.abs(variance(col0) - 1.0) < 1e-9)
+    }
+    val constDf = Seq((1L, Seq(1.0f, 7.0f)), (2L, Seq(2.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val cm = Emb.pcaFit(constDf, "embedding", 2)
+    val cz = Emb.standardize(constDf, "embedding", cm)
+      .select("z").collect().map(_.getSeq[Double](0))
+    assert(cz.forall(_(1) == 0.0), "constant component must standardize to 0")
   }
 
   test("tfidf: corpus-wide terms score zero, rare terms rank first, ties on term") {
