@@ -503,6 +503,22 @@ object TextOps {
           col("r_alpha") && col("r_stop"))
   }
 
+  /** Corpus-wide top-k most frequent words (heavy hitters), exact.
+    *
+    * Scale shape: one partial-aggregatable hash agg over exploded
+    * words (the 10⁹-doc stopword combines map-side), then Spark's
+    * TakeOrderedAndProject — a bounded per-partition heap + driver
+    * merge of k rows per partition, NOT a global sort. Ties break on
+    * the word so the cut is deterministic.
+    */
+  def topWords(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+  }
+
   // ---- tf-idf ----------------------------------------------------------
 
   /** Per-document top-k TF-IDF terms (Sparck Jones 1972 weighting:

@@ -599,6 +599,23 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Corpus-wide exact top-20 words. Spark plans the bounded-heap
+    * TakeOrderedAndProject (k rows per partition cross the exchange,
+    * never the vocabulary); ties break on the word.
+    */
+  def textTopWords(s: SparkSession, dir: String): DataFrame =
+    TextOps.topWords(docs(s, dir), "text", k = 20)
+      .orderBy(col("cnt").desc, col("word"))
+
+  private val textTopWordsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+      |  FROM documents
+      |)
+      |SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM w GROUP BY 1
+      |ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
   /** PII scrubbing over documents with deterministic PII injected from
     * doc_id (the corpus is synthetic word salad with no organic PII):
     * every 3rd doc gains an email, every 5th a phone, every 7th an
@@ -1099,6 +1116,7 @@ object Pipeline {
     "text_gopher" -> (textGopher _),
     "text_contamination" -> (textContamination _),
     "text_tfidf" -> (textTfidf _),
+    "text_top_words" -> (textTopWords _),
     "emb_cov" -> (embCov _),
     "emb_pca_recon" -> (embPcaRecon _),
     "emb_standardize" -> (embStandardize _),
@@ -1133,6 +1151,7 @@ object Pipeline {
     "text_gopher" -> textGopherSql,
     "text_contamination" -> textContaminationSql,
     "text_tfidf" -> textTfidfSql,
+    "text_top_words" -> textTopWordsSql,
     "emb_cov" -> embCovSql,
     "emb_pca_recon" -> embPcaReconSql,
     "emb_standardize" -> embStandardizeSql,

@@ -146,13 +146,26 @@ object Relational {
       .orderBy("user_id", "t_fp", "event_id", "win_id")
   }
 
+  /** 32-bin histogram of events.value: bounds from a broadcast one-row
+    * min/max agg, binning a single partial-aggregated hash agg. The
+    * oracle replays the identical bin expression — min/max are exact
+    * selections, so the edge floats agree bitwise.
+    */
+  def q6Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.histogram(
+        load(s, dir, "events").select(col("value")), "value", 32)
+      .select(col("bin"), fp6(col("lo")).as("lo_fp"), fp6(col("hi")).as("hi_fp"),
+        col("cnt"))
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
     "q4_asof" -> (q4Asof _),
     "q4_asof_tol" -> (q4AsofTol _),
-    "q5_interval" -> (q5Interval _))
+    "q5_interval" -> (q5Interval _),
+    "q6_histogram" -> (q6Histogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -230,5 +243,21 @@ object Relational {
          |  w.win_id, ${fpSql("w.ws", "1e6")} AS ws_fp
          |FROM raw l JOIN w
          |  ON l.user_id = w.user_id AND l.t >= w.ws AND l.t <= w.we
-         |ORDER BY 1, 2, 3, 4""".stripMargin)
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q6_histogram" ->
+      s"""WITH b AS (
+         |  SELECT MIN(CAST(value AS DOUBLE)) AS mn, MAX(CAST(value AS DOUBLE)) AS mx
+         |  FROM events
+         |), binned AS (
+         |  SELECT CASE WHEN b.mx > b.mn
+         |    THEN LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - b.mn) / ((b.mx - b.mn) / 32)) AS INT), 31)
+         |    ELSE 0 END AS bin, b.mn, b.mx
+         |  FROM events e, b WHERE e.value IS NOT NULL
+         |)
+         |SELECT CAST(bin AS INT) AS bin,
+         |  ${fpSql("mn + bin * ((mx - mn) / 32)", "1e6")} AS lo_fp,
+         |  ${fpSql("mn + (bin + 1) * ((mx - mn) / 32)", "1e6")} AS hi_fp,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM binned GROUP BY bin, mn, mx
+         |ORDER BY bin""".stripMargin)
 }

@@ -496,6 +496,52 @@ object Stream {
       |  AS content_hash
       |FROM documents ORDER BY 1""".stripMargin
 
+  /** Online quality filtering: the SAME stateless gopherRules operator
+    * the batch pipeline uses, applied to a document stream — no state
+    * store, so the streaming result must be row-identical to the batch
+    * rules; what this pins is that the filter column expressions are
+    * streaming-safe (no window/agg sneaking in). The oracle is the
+    * batch rule replay restricted to the same columns.
+    */
+  def streamQuality(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val docsStream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToSink(
+      graft.operators.TextOps.gopherRules(docsStream.toDF(), "text")
+        .select(col("doc_id"), col("n_words"), col("n_stop"),
+          col("r_words"), col("r_stop"), col("keep")),
+      "stream_quality_sink")
+      .orderBy("doc_id")
+  }
+
+  private val streamQualitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    CASE WHEN len(ws) > 0
+      |      THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+      |      ELSE 0.0 END AS mwl,
+      |    CASE WHEN len(ws) > 0
+      |      THEN CAST((length(text) - length(replace(text, '#', ''))) +
+      |                (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(ws)
+      |      ELSE 0.0 END AS sym,
+      |    CASE WHEN len(ws) > 0
+      |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+      |      ELSE 0.0 END AS af,
+      |    len(list_filter(ws, x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS n_stop
+      |  FROM w
+      |)
+      |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_stop AS INT) AS n_stop,
+      |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+      |  (n_stop >= 2) AS r_stop,
+      |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+      |   AND sym <= 0.1 AND af >= 0.8 AND n_stop >= 2) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
     "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
@@ -503,7 +549,8 @@ object Stream {
     "stream_sessionize" -> (streamSessionize _),
     "stream_stft" -> (streamStft _),
     "stream_stft_ttl" -> (streamStftTtl _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_quality" -> (streamQuality _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
     * IS the batch oracle. */
@@ -514,5 +561,6 @@ object Stream {
     "stream_sessionize" -> streamSessionizeSql,
     "stream_stft" -> streamStftSql,
     "stream_stft_ttl" -> streamStftTtlSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_quality" -> streamQualitySql)
 }

@@ -117,6 +117,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(tfidf) <= 5)
     val nl = "NestedLoop".r.findAllIn(tfidf.queryExecution.executedPlan.toString).length
     assert(nl <= 1, s"tfidf has $nl nested loops (only the 1-row N broadcast is allowed)")
+    // heavy hitters must plan the bounded-heap top-k, not a global sort
+    val top = TextOps.topWords(docs, "text", 5)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "topWords must plan TakeOrderedAndProject")
   }
 
   test("IVF cell layout: probe-side parquet scan prunes cell partitions") {
