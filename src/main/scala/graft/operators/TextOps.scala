@@ -555,6 +555,44 @@ object TextOps {
         col("tfidf"))
   }
 
+  // ---- n-gram LM quality scoring ----------------------------------------
+
+  /** CCNet-style LM quality signal (Wenzek et al. 2020, reduced to a
+    * corpus-trained bigram model): score each document by its mean
+    * bigram log-probability ln P(w₂|w₁) = ln((c(w₁w₂)+1)/(c(w₁)+V))
+    * (add-one smoothing, V = vocabulary size). Fluent/common text
+    * scores high; gibberish and rare-token soup score low.
+    *
+    * Scale shape: bigram and unigram counts are partial-aggregatable
+    * hash aggs over exploded tokens (the "of the" bigram of 10⁹ docs
+    * map-side combines); V is a one-row broadcast; the score join on
+    * bigram is unhinted (AQE broadcast/skew-split); the per-doc mean
+    * is one last hash agg. Four scan-shaped passes, no windows, no
+    * driver data. Docs with < 2 words score NULL (no bigrams).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), words(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_ws) - 2), i -> struct(_ws[i] AS w1, _ws[i+1] AS w2))"))
+        .as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val big = toks.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scored = toks
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp", log((col("c2") + 1).cast("double") / (col("c1") + col("v"))))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(avg(col("_lp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("lm_score"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   // ---- benchmark contamination ----------------------------------------
 
   /** Decontamination check against an eval/benchmark set (Lee et al.

@@ -599,6 +599,46 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** CCNet-style bigram LM quality score per document (corpus-trained,
+    * add-one smoothed, mean token log-prob). The oracle retrains the
+    * same bigram model in SQL.
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), fp4(col("lm_score")).as("lm_fp"), col("n_bigrams"))
+      .orderBy("doc_id")
+
+  private val textLmScoreSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), bg AS (
+       |  -- words are whitespace-split, so ' ' is a safe bigram separator
+       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+       |                         for i in generate_series(1, len(ws) - 1)]) AS b
+       |  FROM w WHERE len(ws) >= 2
+       |), big AS (
+       |  SELECT b, COUNT(*) AS c2 FROM bg GROUP BY 1
+       |), tok AS (
+       |  SELECT unnest(ws) AS wd FROM w
+       |), uni AS (
+       |  SELECT wd, COUNT(*) AS c1 FROM tok GROUP BY 1
+       |), v AS (
+       |  SELECT COUNT(*) AS v FROM uni
+       |), sc AS (
+       |  SELECT bg.doc_id,
+       |    AVG(ln(CAST(big.c2 + 1 AS DOUBLE) / (uni.c1 + v.v))) AS lm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+       |  FROM bg
+       |  JOIN big ON big.b = bg.b
+       |  JOIN uni ON uni.wd = split_part(bg.b, ' ', 1)
+       |  CROSS JOIN v
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id, ${fpSql("sc.lm", "1e4")} AS lm_fp,
+       |  COALESCE(sc.n_bigrams, 0) AS n_bigrams
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |ORDER BY 1""".stripMargin
+
   /** Corpus-wide exact top-20 words. Spark plans the bounded-heap
     * TakeOrderedAndProject (k rows per partition cross the exchange,
     * never the vocabulary); ties break on the word.
@@ -1117,6 +1157,7 @@ object Pipeline {
     "text_contamination" -> (textContamination _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
+    "text_lm_score" -> (textLmScore _),
     "emb_cov" -> (embCov _),
     "emb_pca_recon" -> (embPcaRecon _),
     "emb_standardize" -> (embStandardize _),
@@ -1152,6 +1193,7 @@ object Pipeline {
     "text_contamination" -> textContaminationSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
+    "text_lm_score" -> textLmScoreSql,
     "emb_cov" -> embCovSql,
     "emb_pca_recon" -> embPcaReconSql,
     "emb_standardize" -> embStandardizeSql,

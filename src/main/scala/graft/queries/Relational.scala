@@ -158,6 +158,24 @@ object Relational {
         col("cnt"))
       .orderBy("bin")
 
+  /** Exact per-user quantiles of events.value (p25/p50/p90), Spark's
+    * sort-based `percentile` vs DuckDB's `quantile_cont` — both define
+    * the continuous quantile at rank p·(n−1) with linear interpolation,
+    * so values agree to fp noise. Groups are per-user (bounded);
+    * corpus-wide quantiles at 100 TB would use approx_percentile's
+    * mergeable sketch instead — this query pins the exact kernel.
+    */
+  def q7Quantiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .select(col("user_id"), fp6(col("p25")).as("p25_fp"),
+        fp6(col("p50")).as("p50_fp"), fp6(col("p90")).as("p90_fp"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -165,7 +183,8 @@ object Relational {
     "q4_asof" -> (q4Asof _),
     "q4_asof_tol" -> (q4AsofTol _),
     "q5_interval" -> (q5Interval _),
-    "q6_histogram" -> (q6Histogram _))
+    "q6_histogram" -> (q6Histogram _),
+    "q7_quantiles" -> (q7Quantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -259,5 +278,11 @@ object Relational {
          |  ${fpSql("mn + (bin + 1) * ((mx - mn) / 32)", "1e6")} AS hi_fp,
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM binned GROUP BY bin, mn, mx
-         |ORDER BY bin""".stripMargin)
+         |ORDER BY bin""".stripMargin,
+    "q7_quantiles" ->
+      s"""SELECT user_id,
+         |  ${fpSql("quantile_cont(value, 0.25)", "1e6")} AS p25_fp,
+         |  ${fpSql("quantile_cont(value, 0.5)", "1e6")} AS p50_fp,
+         |  ${fpSql("quantile_cont(value, 0.9)", "1e6")} AS p90_fp
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

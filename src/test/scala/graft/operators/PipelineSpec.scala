@@ -735,6 +735,27 @@ class PipelineSpec extends SparkTestBase {
     assert(out((3L, 1))._1 == "y")
   }
 
+  test("lmScore: common-bigram docs outrank rare-bigram docs; short docs null out") {
+    val df = Seq(
+      (1L, "the cat sat"),       // bigrams shared with docs 2,3
+      (2L, "the cat sat"),
+      (3L, "the cat ran"),       // shares "the cat"
+      (4L, "zq xv"),             // unique bigram of rare words
+      (5L, "one")                // < 2 words -> no score
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))).toMap
+    assert(out(1L)._1.get == out(2L)._1.get)       // identical docs tie exactly
+    assert(out(1L)._1.get > out(4L)._1.get)        // fluent beats rare soup
+    assert(out(3L)._1.get > out(4L)._1.get)
+    assert(out(5L) == ((None, 0L)))
+    assert(out(1L)._2 == 2 && out(4L)._2 == 1)
+    // hand-check doc 4: V=7 distinct words (the,cat,sat,ran,zq,xv,one);
+    // c("zq xv")=1, c("zq")=1 -> ln((1+1)/(1+7))
+    assert(math.abs(out(4L)._1.get - math.log(2.0 / 8.0)) < 1e-12)
+  }
+
   test("contamination: shingle overlap with the bench set, occurrence-weighted") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),          // abg overlaps bench
