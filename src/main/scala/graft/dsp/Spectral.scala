@@ -51,6 +51,50 @@ object Spectral {
     out
   }
 
+  /** Partial Welch accumulator for ONE chunk of a long series: the
+    * unscaled Σ|rfft(segment)|² over every hop-aligned segment whose
+    * START lies in this chunk's span, plus the segment count prepended
+    * (out(0) = count, out(1+b) = power sum for bin b). `vals` holds
+    * samples [chunkStart, chunkStart + vals.length); a forward halo of
+    * nperseg−1 samples lets edge segments complete, and the
+    * vals-length guard drops series-tail segments exactly like the
+    * whole-series kernel's `st + nperseg <= n`. Summing these partials
+    * across chunks and scaling by 1/(fs·Σw²·count) reproduces
+    * [[welch]] up to float association — the distributed path for
+    * series that do not fit one task.
+    */
+  def welchPartial(vals: Array[Double], chunkStart: Long, span: Int,
+                   nperseg: Int, hop: Int, wts: Array[Double],
+                   demean: Boolean): Array[Double] = {
+    require(nperseg > 0 && hop > 0 && hop <= nperseg,
+      s"welchPartial: need 0 < hop <= nperseg, got hop=$hop nperseg=$nperseg")
+    require(wts.length == nperseg,
+      s"welchPartial: window length ${wts.length} != nperseg $nperseg")
+    val nb = nperseg / 2 + 1
+    val out = new Array[Double](nb + 1)
+    val seg = new Array[Double](nperseg)
+    // first hop-aligned start at or after chunkStart
+    var st = ((chunkStart + hop - 1) / hop) * hop
+    while (st < chunkStart + span &&
+           st - chunkStart + nperseg <= vals.length) {
+      val local = (st - chunkStart).toInt
+      var m = 0.0
+      var i = 0
+      if (demean) {
+        while (i < nperseg) { m += vals(local + i); i += 1 }
+        m /= nperseg
+      }
+      i = 0
+      while (i < nperseg) { seg(i) = (vals(local + i) - m) * wts(i); i += 1 }
+      val sp = Fft.rfft(seg)
+      var b = 0
+      while (b < nb) { out(1 + b) += sp.re(b) * sp.re(b) + sp.im(b) * sp.im(b); b += 1 }
+      out(0) += 1.0
+      st += hop
+    }
+    out
+  }
+
   /** scipy.signal.csd (onesided, density scaling): cross power
     * spectral density Pxy via Welch's method — per segment, conj(X)·Y
     * of the demeaned+tapered rffts, averaged across segments, scaled

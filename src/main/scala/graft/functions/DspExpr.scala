@@ -205,6 +205,10 @@ object Functions {
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,
                fs: Column, demean: Boolean = true): Column =
       call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean))
+    def welchPartialC(vals: Column, chunkStart: Column, span: Int, nperseg: Int,
+                      hop: Int, wts: Column, demean: Boolean = true): Column =
+      call("welchPartial", vals, chunkStart, lit(span), lit(nperseg), lit(hop),
+        wts, lit(demean))
     def csdC(x: Column, y: Column, nperseg: Int, hop: Int, wts: Column,
              fs: Column, demean: Boolean = true): Column =
       call("csd", x, y, lit(nperseg), lit(hop), wts, fs, lit(demean))

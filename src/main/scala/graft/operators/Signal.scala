@@ -951,6 +951,94 @@ object Signal {
       newdim -> col("_freq"), "psd" -> col("_psd")))
   }
 
+  /** Chunked Welch PSD for series whose core dim does not fit one task
+    * (SURVEY §4, the spectral sibling of [[convolveLong]]): segments
+    * are independent, so each chunk task computes the UNSCALED partial
+    * Σ|rfft(seg)|² for the hop-aligned segments starting inside it — a
+    * forward (nperseg−1)-sample halo replicated from the next chunk
+    * lets edge segments complete, so the shuffle carries each row at
+    * most twice and no task ever holds the whole series. The partials
+    * then combine in one partial-aggregatable hash agg per (key, bin)
+    * and scale by 1/(fs·Σw²·nSeg). Identical segmentation and math to
+    * [[welch]] up to float summation order. Requires explicit fs > 0
+    * OR equispaced coords (fs derived from the global span).
+    */
+  def welchLong(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                nperseg: Int, noverlap: Int = -1, window: String = "hann",
+                detrend: String = "constant", fs: Double = -1.0,
+                chunkSize: Int = 65536,
+                newdim: String = "frequency"): DataFrame = {
+    val hop = welchHop(nperseg, noverlap)
+    require(chunkSize >= nperseg,
+      s"welchLong: chunkSize $chunkSize must be >= nperseg $nperseg")
+    val demean = detrend match {
+      case "constant" => true
+      case "none" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"welchLong: unsupported detrend '$other' (constant|none)")
+    }
+    val wts = graft.dsp.Resample.periodicWindow(window, nperseg)
+    var w2 = 0.0
+    wts.foreach(v => w2 += v * v)
+    // long-format chunking exactly as convolveLong: rank-based sample
+    // index, per-key stats joined back, halo rows replicated — but the
+    // halo points FORWARD (a segment starting near a chunk's end reads
+    // into the next chunk), so rows with _j % C <= nperseg-2 replicate
+    // DOWN to the previous chunk
+    val clean = df
+      .filter(col(dim).isNotNull)
+      .withColumn(value, coalesce(col(value).cast("double"), lit(Double.NaN)))
+    val stats = clean.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      min(col(dim).cast("double")).as("_cmin"),
+      max(col(dim).cast("double")).as("_cmax"))
+    val withStats =
+      if (keys.isEmpty) clean.crossJoin(broadcast(stats))
+      else clean.join(stats, keys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(dim).cast("double"), col(value))
+    val c0 = expr(s"_j div $chunkSize")
+    val idx = withStats
+      .withColumn("_j", (row_number().over(w) - lit(1)).cast("long"))
+      .withColumn("_c", explode(
+        when(col("_j") % chunkSize <= nperseg - 2 && c0 >= 1,
+          array(c0 - 1, c0)).otherwise(array(c0))))
+    val grouped = idx
+      .groupBy((keys.map(col) :+ col("_c")): _*)
+      .agg(
+        expr(s"transform(array_sort(collect_list(named_struct('j', _j, 'v', $value))), s -> s.v)").as("_vals"),
+        min(col("_j")).as("_start"),
+        max(col("_n")).as("_gn"),
+        max(col("_cmin")).as("_gmin"),
+        max(col("_cmax")).as("_gmax"))
+      .withColumn("_acc", welchPartialC(col("_vals"), col("_start"), chunkSize,
+        nperseg, hop, typedLit(wts), demean))
+    val parts = grouped.select(
+      (keys.map(col) ++ Seq(col("_gn"), col("_gmin"), col("_gmax"),
+        posexplode(col("_acc")).as(Seq("_i", "_v")))): _*)
+    val agg = parts
+      .groupBy((keys.map(col) :+ col("_i")): _*)
+      .agg(sum(col("_v")).as("_s"), max(col("_gn")).as("_n"),
+        max(col("_gmin")).as("_cmin"), max(col("_gmax")).as("_cmax"))
+    val cnt = agg.filter(col("_i") === 0)
+      .select((keys.map(col) :+ col("_s").as("_cnt")): _*)
+    val bins =
+      if (keys.isEmpty) agg.filter(col("_i") > 0).crossJoin(broadcast(cnt))
+      else agg.filter(col("_i") > 0).join(cnt, keys)
+    val fsCol =
+      if (fs > 0) lit(fs)
+      else (col("_n") - 1).cast("double") / (col("_cmax") - col("_cmin"))
+    bins
+      .withColumn("pos", (col("_i") - 1).cast("int"))
+      .withColumn(newdim, col("pos") * fsCol / nperseg)
+      .withColumn("psd", col("_s") / (fsCol * lit(w2) * col("_cnt")) *
+        when(col("pos") === 0 ||
+          col("pos") === (if (nperseg % 2 == 0) nperseg / 2 else -1), lit(1.0))
+          .otherwise(lit(2.0)))
+      .select((keys.map(col) ++ Seq(col("pos"), col(newdim), col("psd"))): _*)
+  }
+
   private def welchHop(nperseg: Int, noverlap: Int): Int = {
     val hop = nperseg - (if (noverlap >= 0) noverlap else nperseg / 2)
     require(hop > 0 && hop <= nperseg,

@@ -1277,6 +1277,19 @@ object Sig {
        |GROUP BY s.user_id, s.j, s.t
        |ORDER BY 1, 2""".stripMargin
 
+  /** Chunked Welch on the same data and parameters as [[sigWelch]],
+    * chunkSize 32 → 4+ chunks per 100-sample series with live forward
+    * halos. Same oracle as sig_welch: the distributed partial-sum path
+    * must reproduce the single-kernel estimate (fp4 absorbs the
+    * cross-chunk summation reassociation).
+    */
+  def sigWelchLong(s: SparkSession, dir: String): DataFrame =
+    Signal.welchLong(evReal(s, dir), Seq("user_id"), "t", "value",
+        nperseg = 16, fs = 2.0, chunkSize = 32)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("psd")).as("psd_fp"))
+      .orderBy("user_id", "pos")
+
   /** scipy.signal.csd per user between value and its lag-1 (zero
     * seeded) — the cross-spectrum of a unit delay has a known phase
     * ramp, so re AND im are both exercised. Same Welch segmentation
@@ -2062,6 +2075,7 @@ object Sig {
     "sig_stft_hann" -> (sigStftHann _),
     "sig_detrend" -> (sigDetrend _),
     "sig_welch" -> (sigWelch _),
+    "sig_welch_long" -> (sigWelchLong _),
     "sig_csd" -> (sigCsd _),
     "sig_coherence" -> (sigCoherence _),
     "sig_medfilt" -> (sigMedfilt _),
@@ -2123,6 +2137,7 @@ object Sig {
     "sig_stft_hann" -> sigStftHannSql,
     "sig_detrend" -> sigDetrendSql,
     "sig_welch" -> sigWelchSql,
+    "sig_welch_long" -> sigWelchSql,
     "sig_csd" -> sigCsdSql,
     "sig_coherence" -> sigCoherenceSql,
     "sig_medfilt" -> sigMedfiltSql,

@@ -97,6 +97,33 @@ class LongSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("welchLong matches the single-kernel welch across chunk geometries") {
+    import graft.dsp.{Resample, Spectral}
+    val nperseg = 64
+    val hann = Resample.periodicWindow("hann", nperseg)
+    for (chunkSize <- Seq(64, 100, 512, 4096, 5000)) {
+      // 64 = minimum legal (chunk == segment); 100 = hop-misaligned
+      // boundaries; 4096 = single chunk; 5000 = chunk > series
+      val out = Signal.welchLong(longDf, Seq("k"), "t", "v",
+        nperseg = nperseg, fs = 2.0, chunkSize = chunkSize)
+      for (k <- Seq(0, 7)) {
+        val want = Spectral.welch(series(k), nperseg, nperseg / 2, hann, fs = 2.0)
+        val got = byK(out, k, "psd")
+        assert(got.length == want.length, s"chunk=$chunkSize k=$k")
+        got.indices.foreach(i => assert(
+          math.abs(got(i) - want(i)) < 1e-9 * math.max(1.0, math.abs(want(i))),
+          s"chunk=$chunkSize k=$k bin=$i: ${got(i)} vs ${want(i)}"))
+      }
+    }
+    // derived fs (equispaced coords, delta=1 -> fs=1) agrees too
+    val derived = Signal.welchLong(longDf, Seq("k"), "t", "v",
+      nperseg = nperseg, chunkSize = 512)
+    val wantD = Spectral.welch(series(2), nperseg, nperseg / 2, hann, fs = 1.0)
+    val gotD = byK(derived, 2, "psd")
+    gotD.indices.foreach(i => assert(
+      math.abs(gotD(i) - wantD(i)) < 1e-9 * math.max(1.0, math.abs(wantD(i)))))
+  }
+
   test("sosfiltfilt on 4096-sample series matches the kernel") {
     val sos = Design.cheby1Sos(8, 0.05, 0.2)
     val out = Signal.sosfiltfilt(sos, longDf, Seq("k"), "t", "v")
