@@ -66,6 +66,45 @@ object Peaks {
     Width(rightIp - leftIp, height, leftIp, rightIp)
   }
 
+  /** scipy.signal.find_peaks with its three most-used filters, applied
+    * in scipy's order: `height` (absolute sample floor), then
+    * `distance` (scipy's greedy rule: walk peaks from highest to
+    * lowest, erase any unkept neighbor closer than `distance`; ties
+    * resolve by index order of the stable sort), then `prominence`
+    * (floor on [[prominence]] with the optional wlen window). NaN
+    * height/prominence and distance <= 1 mean "no filter", matching
+    * scipy's None.
+    */
+  def findPeaksFiltered(x: Array[Double], height: Double = Double.NaN,
+                        distance: Int = 1, promMin: Double = Double.NaN,
+                        wlen: Int = -1): Array[Int] = {
+    var peaks = localMaxima(x)
+    if (!height.isNaN) peaks = peaks.filter(p => x(p) >= height)
+    if (distance > 1 && peaks.length > 1) {
+      // scipy's priority order: argsort ascending (stable) iterated
+      // from the top — highest first, and the RIGHTMOST of exact-tied
+      // heights processed first
+      val order = peaks.indices.sortBy(i => x(peaks(i))).reverse
+      val keep = Array.fill(peaks.length)(true)
+      for (oi <- order if keep(oi)) {
+        var j = oi - 1
+        while (j >= 0 && peaks(oi) - peaks(j) < distance) {
+          keep(j) = false
+          j -= 1
+        }
+        j = oi + 1
+        while (j < peaks.length && peaks(j) - peaks(oi) < distance) {
+          keep(j) = false
+          j += 1
+        }
+      }
+      peaks = peaks.indices.filter(keep).map(peaks).toArray
+    }
+    if (!promMin.isNaN)
+      peaks = peaks.filter(p => prominence(x, p, wlen).prominence >= promMin)
+    peaks
+  }
+
   /** Interior local maxima (plateaus report their left edge), the
     * "peaks" input a user would get from scipy.signal.find_peaks with
     * no filtering — a convenience for queries where peaks are not

@@ -152,6 +152,11 @@ object Bridge {
   def medfilt(x: ArrayData, kernelSize: Int): ArrayData =
     out(Filt.medfilt(d(x), kernelSize))
 
+  def findPeaksF(x: ArrayData, height: Double, distance: Int, promMin: Double,
+                 wlen: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Peaks.findPeaksFiltered(d(x), height, distance, promMin, wlen))
+
   def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String): ArrayData =
     out(Filt.savgol(d(x), window, polyorder, mode.toString))
 
@@ -602,6 +607,7 @@ object Bridge {
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
+    "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType) -> arrI),
     "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),
     "orderFilter" -> (Seq(arrD, IntegerType, IntegerType) -> arrD),
     "wiener" -> (Seq(arrD, IntegerType, DoubleType) -> arrD),
@@ -679,6 +685,7 @@ object Bridge {
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
+    case "findPeaksF" => findPeaksF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int])
     case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String])
     case "orderFilter" => orderFilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])

@@ -242,6 +242,9 @@ object Functions {
                      prom: Column, lbase: Column, rbase: Column): Column =
       call("peakWidthsP", x, peaks, relHeight, prom, lbase, rbase)
     def localMaximaC(x: Column): Column = call("localMaxima", x)
+    def findPeaksFC(x: Column, height: Double = Double.NaN, distance: Int = 1,
+                    promMin: Double = Double.NaN, wlen: Int = -1): Column =
+      call("findPeaksF", x, lit(height), lit(distance), lit(promMin), lit(wlen))
     def winnowC(text: Column, k: Int = 8, w: Int = 4,
                 base: Long = 31L, mod: Long = 1000000007L): Column =
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))

@@ -1118,6 +1118,25 @@ object Signal {
       Seq("peak" -> col("_pk")))
   }
 
+  /** scipy.signal.find_peaks with the height / distance / prominence
+    * filters (scipy's order: height, then the greedy distance rule,
+    * then prominence with optional wlen). NaN height/prominence and
+    * distance <= 1 mean unfiltered. Output: keys, pos (ordinal), peak
+    * (sample index), height (the sample value at the peak). One
+    * seriesify shuffle, one kernel call.
+    */
+  def findPeaks(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                height: Double, distance: Int, prominence: Double,
+                wlen: Int): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withPk = sdf
+      .withColumn("_pk", findPeaksFC(col(value), height, distance, prominence, wlen))
+      // height looked up map-side from the in-row array — no join
+      .withColumn("_ph", expr(s"transform(_pk, p -> element_at($value, p + 1))"))
+    explodeSeries(withPk, keys,
+      Seq("peak" -> col("_pk"), "height" -> col("_ph")))
+  }
+
   /** peak_widths with caller-provided peak indices (the reference's
     * exact signature, signal.py:331: `peaks` is a labelled array of
     * sample indices per series). `peaks` is a long frame (keys,

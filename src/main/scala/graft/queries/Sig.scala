@@ -1277,6 +1277,61 @@ object Sig {
        |GROUP BY s.user_id, s.j, s.t
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.find_peaks(height=0, prominence=0.5) per user: the
+    * filtered front door of the peaks family (distance left at 1 — its
+    * greedy selection is sequential and spec-pinned instead). The
+    * oracle reuses the peak/prominence SQL chain: plateau-midpoint
+    * local maxima, strict-greater base search, prominence = hp −
+    * GREATEST(lm, rm); the filters compare exact sample doubles, so
+    * both engines cut identically.
+    */
+  def sigFindPeaks(s: SparkSession, dir: String): DataFrame =
+    Signal.findPeaks(evReal(s, dir), Seq("user_id"), "t", "value",
+        height = 0.0, distance = 1, prominence = 0.5, wlen = -1)
+      .select(col("user_id"), col("pos"), col("peak"),
+        fp6(col("height")).as("height_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigFindPeaksSql: String =
+    s"""$sSql, nx AS (
+       |  SELECT cur.user_id, cur.j, cur.value, nxt.value AS vnext
+       |  FROM s cur JOIN s nxt ON nxt.user_id = cur.user_id AND nxt.j = cur.j + 1
+       |), pk0 AS (
+       |  SELECT a.user_id, a.j AS i, a.value AS v, a.n
+       |  FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
+       |  WHERE l.value < a.value AND a.j <= a.n - 2
+       |), pe AS (
+       |  SELECT p.user_id, p.i, p.v, p.n,
+       |    MIN(nx.j) FILTER (WHERE nx.vnext != p.v) AS jend
+       |  FROM pk0 p JOIN nx ON nx.user_id = p.user_id AND nx.j >= p.i
+       |  GROUP BY 1, 2, 3, 4
+       |), pk AS (
+       |  SELECT pe.user_id, (pe.i + pe.jend) // 2 AS p, pe.v AS hp, pe.n
+       |  FROM pe JOIN nx e ON e.user_id = pe.user_id AND e.j = pe.jend
+       |  WHERE pe.jend IS NOT NULL AND e.vnext < pe.v
+       |), st AS (
+       |  SELECT pk.user_id, pk.p, pk.hp, pk.n,
+       |    COALESCE(MAX(b.j) FILTER (WHERE b.j < pk.p AND b.value > pk.hp) + 1, 0) AS lo,
+       |    COALESCE(MIN(b.j) FILTER (WHERE b.j > pk.p AND b.value > pk.hp) - 1, pk.n - 1) AS hi
+       |  FROM pk JOIN s b ON b.user_id = pk.user_id
+       |  GROUP BY 1, 2, 3, 4
+       |), mn AS (
+       |  SELECT st.user_id, st.p, st.hp,
+       |    MIN(b.value) FILTER (WHERE b.j >= st.lo AND b.j <= st.p) AS lm,
+       |    MIN(b.value) FILTER (WHERE b.j >= st.p AND b.j <= st.hi) AS rm
+       |  FROM st JOIN s b ON b.user_id = st.user_id
+       |  GROUP BY 1, 2, 3
+       |), kept AS (
+       |  SELECT user_id, p, hp FROM mn
+       |  WHERE hp >= 0.0 AND hp - GREATEST(lm, rm) >= 0.5
+       |)
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) - 1 AS INT) AS pos,
+       |  CAST(p AS INT) AS peak,
+       |  ${fpSql("hp", "1e6")} AS height_fp
+       |FROM kept
+       |ORDER BY 1, 2""".stripMargin
+
   /** Chunked Welch on the same data and parameters as [[sigWelch]],
     * chunkSize 32 → 4+ chunks per 100-sample series with live forward
     * halos. Same oracle as sig_welch: the distributed partial-sum path
@@ -2076,6 +2131,7 @@ object Sig {
     "sig_detrend" -> (sigDetrend _),
     "sig_welch" -> (sigWelch _),
     "sig_welch_long" -> (sigWelchLong _),
+    "sig_find_peaks" -> (sigFindPeaks _),
     "sig_csd" -> (sigCsd _),
     "sig_coherence" -> (sigCoherence _),
     "sig_medfilt" -> (sigMedfilt _),
@@ -2138,6 +2194,7 @@ object Sig {
     "sig_detrend" -> sigDetrendSql,
     "sig_welch" -> sigWelchSql,
     "sig_welch_long" -> sigWelchSql,
+    "sig_find_peaks" -> sigFindPeaksSql,
     "sig_csd" -> sigCsdSql,
     "sig_coherence" -> sigCoherenceSql,
     "sig_medfilt" -> sigMedfiltSql,

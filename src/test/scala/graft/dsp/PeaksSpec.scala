@@ -66,4 +66,38 @@ class PeaksSpec extends AnyFunSuite {
     assert(Peaks.localMaxima(Array(3, 1, 2, 1, 3).map(_.toDouble)).toSeq == Seq(2))
     assert(Peaks.localMaxima(Array(1.0, 2.0)).isEmpty)
   }
+
+  test("findPeaksFiltered: height floor, greedy distance (scipy tie rule), prominence") {
+    // peaks at 1 (h=3), 3 (h=2), 5 (h=1)
+    val x = Array(0.0, 3.0, 0.0, 2.0, 0.0, 1.0, 0.0)
+    assert(Peaks.findPeaksFiltered(x).toSeq == Seq(1, 3, 5))
+    assert(Peaks.findPeaksFiltered(x, height = 1.5).toSeq == Seq(1, 3))
+    // distance 3: highest (idx 1) erases idx 3 (gap 2 < 3); idx 5
+    // survives (gap 4 from idx 1)
+    assert(Peaks.findPeaksFiltered(x, distance = 3).toSeq == Seq(1, 5))
+    // exact height tie: scipy processes the RIGHTMOST tied peak first
+    val tie = Array(0.0, 2.0, 0.0, 2.0, 0.0)
+    assert(Peaks.findPeaksFiltered(tie, distance = 3).toSeq == Seq(3))
+    // prominence: middle peak on a high shoulder has low prominence
+    val sh = Array(0.0, 5.0, 4.0, 4.5, 4.0, 5.0, 0.0)
+    assert(Peaks.findPeaksFiltered(sh, promMin = 1.0).toSeq == Seq(1, 5))
+    assert(Peaks.findPeaksFiltered(sh, promMin = 0.4).toSeq == Seq(1, 3, 5))
+    // invariants on random data: kept peaks pairwise >= distance apart,
+    // all are true local maxima, and every drop is justified by a
+    // kept higher-or-equal peak within distance
+    val rnd = new scala.util.Random(5)
+    val xs = Array.fill(400)(rnd.nextGaussian())
+    for (dist <- Seq(2, 5, 11)) {
+      val all = Peaks.localMaxima(xs)
+      val kept = Peaks.findPeaksFiltered(xs, distance = dist)
+      kept.sliding(2).foreach(p =>
+        if (p.length == 2) assert(p(1) - p(0) >= dist))
+      assert(kept.forall(all.contains))
+      val dropped = all.filterNot(kept.contains)
+      dropped.foreach { dp =>
+        assert(kept.exists(kp => math.abs(kp - dp) < dist && xs(kp) >= xs(dp)),
+          s"dropped peak $dp has no dominating kept neighbor (dist=$dist)")
+      }
+    }
+  }
 }
