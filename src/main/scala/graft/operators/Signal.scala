@@ -1021,8 +1021,11 @@ object Signal {
       .groupBy((keys.map(col) :+ col("_i")): _*)
       .agg(sum(col("_v")).as("_s"), max(col("_gn")).as("_n"),
         max(col("_gmin")).as("_cmin"), max(col("_gmax")).as("_cmax"))
+    // a series shorter than nperseg produces zero segments — drop it,
+    // matching welch's n >= nperseg filter (not a 0/0 NaN row)
     val cnt = agg.filter(col("_i") === 0)
       .select((keys.map(col) :+ col("_s").as("_cnt")): _*)
+      .filter(col("_cnt") > 0)
     val bins =
       if (keys.isEmpty) agg.filter(col("_i") > 0).crossJoin(broadcast(cnt))
       else agg.filter(col("_i") > 0).join(cnt, keys)

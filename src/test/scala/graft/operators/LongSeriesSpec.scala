@@ -122,6 +122,11 @@ class LongSeriesSpec extends SparkTestBase {
     val gotD = byK(derived, 2, "psd")
     gotD.indices.foreach(i => assert(
       math.abs(gotD(i) - wantD(i)) < 1e-9 * math.max(1.0, math.abs(wantD(i)))))
+    // a series shorter than nperseg drops (welch's filter), never a
+    // 0/0 NaN row
+    val short = (0 until 10).map(i => (99, i.toDouble, 1.0)).toDF("k", "t", "v")
+    assert(Signal.welchLong(short, Seq("k"), "t", "v",
+      nperseg = nperseg, fs = 2.0, chunkSize = 512).count() == 0)
   }
 
   test("sosfiltfilt on 4096-sample series matches the kernel") {
