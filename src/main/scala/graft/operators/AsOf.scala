@@ -81,10 +81,13 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = u.withColumn("_last", last(col("_pl"), ignoreNulls = true).over(w))
       .filter(col("_tag") === tagL)
+    // subtract FIRST, cast after: long times subtract exactly (the
+    // same >2^53 nanosecond-epoch hazard the ordering path avoids),
+    // and the small difference casts to double losslessly
     val pick: String => Column =
       if (tolerance.isPosInfinity) p => col(s"_last.$p").as(p)
       else p => when(
-        col("_t").cast("double") - col("_last._rt").cast("double") <= tolerance,
+        (col("_t") - col("_last._rt")).cast("double") <= tolerance,
         col(s"_last.$p")).as(p)
     out.select(
       leftCols.map(c => col(s"_lrow.$c").as(c)) ++ payload.map(pick): _*)

@@ -29,6 +29,8 @@ object Emb {
     */
   def pcaFit(df: DataFrame, embCol: String, dim: Int): PcaModel = {
     val rows = covariance(df, embCol, dim).collect()
+    require(rows.nonEmpty && rows.head.getLong(2) > 0,
+      "pcaFit: empty corpus (no embedding rows)")
     val n = rows.head.getLong(2)
     val mean = new Array[Double](dim)
     val cov = Array.ofDim[Double](dim, dim)
