@@ -496,6 +496,34 @@ object Stream {
       |  AS content_hash
       |FROM documents ORDER BY 1""".stripMargin
 
+  /** Stream-static enrichment: the production lookup-join pattern — a
+    * fact stream joined to a broadcast dimension table (customer) with
+    * no state store (stream-static joins are stateless per micro-batch
+    * in Structured Streaming; the dimension broadcasts to every
+    * executor once per batch). The oracle is the plain batch join.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val ev = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = broadcast(Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")))
+    runToSink(ev.join(cust, ev("user_id") === cust("c_custkey")),
+      "stream_enrich_sink")
+      .select(col("user_id"), col("event_id"), col("c_nationkey"),
+        fp6(col("value")).as("value_fp"), fp2(col("c_acctbal")).as("bal_fp"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val streamEnrichSql: String =
+    s"""SELECT e.user_id, e.event_id, c.c_nationkey,
+       |  ${fpSql("e.value", "1e6")} AS value_fp,
+       |  ${fpSql("c.c_acctbal", "100")} AS bal_fp
+       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+       |ORDER BY 1, 2""".stripMargin
+
   /** Online quality filtering: the SAME stateless gopherRules operator
     * the batch pipeline uses, applied to a document stream — no state
     * store, so the streaming result must be row-identical to the batch
@@ -550,7 +578,8 @@ object Stream {
     "stream_stft" -> (streamStft _),
     "stream_stft_ttl" -> (streamStftTtl _),
     "stream_dedup" -> (streamDedup _),
-    "stream_quality" -> (streamQuality _))
+    "stream_quality" -> (streamQuality _),
+    "stream_enrich" -> (streamEnrich _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
     * IS the batch oracle. */
@@ -562,5 +591,6 @@ object Stream {
     "stream_stft" -> streamStftSql,
     "stream_stft_ttl" -> streamStftTtlSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_quality" -> streamQualitySql)
+    "stream_quality" -> streamQualitySql,
+    "stream_enrich" -> streamEnrichSql)
 }
