@@ -1072,6 +1072,24 @@ object Signal {
       newdim -> col("_freq"), "re" -> col("_sp.re"), "im" -> col("_sp.im")))
   }
 
+  /** Two-frame csd: cross power spectral density between value
+    * columns of TWO frames sharing the same keys and coordinate axis
+    * (two sensors on one clock). The frames align by an inner
+    * equi-join on (keys, dim) — sample pairs must share exact
+    * coordinates; rows present in only one frame drop (scipy would
+    * require equal-length arrays outright). After the join this IS
+    * [[csd]]: one seriesify shuffle packs both channels.
+    */
+  def csdFrames(left: DataFrame, right: DataFrame, keys: Seq[String],
+                dim: String, lval: String, rval: String, nperseg: Int,
+                noverlap: Int = -1, window: String = "hann",
+                fs: Double = -1.0, newdim: String = "frequency"): DataFrame = {
+    val l = left.select((keys.map(col) :+ col(dim) :+ col(lval)): _*)
+    val r = right.select((keys.map(col) :+ col(dim) :+ col(rval).as("_y2")): _*)
+    csd(l.join(r, keys :+ dim), keys, dim, lval, "_y2", nperseg, noverlap,
+      window, fs, newdim)
+  }
+
   /** scipy.signal.coherence lifted onto series: magnitude-squared
     * coherence Cxy = |Pxy|²/(Pxx·Pyy) of two value columns over the
     * shared Welch segmentation. One shuffle, one kernel call computing

@@ -1360,14 +1360,15 @@ object Sig {
       .orderBy("user_id", "pos")
   }
 
-  /** Shared CTE chain for the cross-spectral oracles: lag channel,
-    * window starts, per-segment means of both channels, and the four
-    * hann-tapered DFT sums per (user, segment, bin).
+  /** Shared CTE chain for the cross-spectral oracles, parameterized by
+    * the second channel's SQL definition: window starts, per-segment
+    * means of both channels, and the four hann-tapered DFT sums per
+    * (user, segment, bin).
     */
-  private val csdBaseSql: String =
+  private def csdBaseSqlFor(yExpr: String): String =
     s"""$sSql, s2 AS (
        |  SELECT user_id, j, n, value,
-       |    LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY j) AS y
+       |    $yExpr AS y
        |  FROM s
        |), win AS (
        |  SELECT user_id, j AS st FROM s2 WHERE j % 8 = 0 AND j + 16 <= n
@@ -1396,8 +1397,38 @@ object Sig {
        |  SELECT SUM(POWER(0.5 - 0.5*COS(2*PI()*i/16), 2)) AS v FROM range(16) r(i)
        |)""".stripMargin
 
+private val csdBaseSql: String =
+    csdBaseSqlFor("LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY j)")
+
   private val sigCsdSql: String =
     s"""$csdBaseSql
+       |SELECT sp.user_id, CAST(sp.b AS INT) AS pos,
+       |  ${fpSql("sp.b * (1.0/(16 * 0.5))", "1e6")} AS freq_fp,
+       |  ${fpSql("SUM(sp.rex*sp.rey + sp.imx*sp.imy) / (2.0 * (SELECT v FROM w2) * ANY_VALUE(ns.ns)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(sp.rex*sp.imy - sp.imx*sp.rey) / (2.0 * (SELECT v FROM w2) * ANY_VALUE(ns.ns)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS im_fp
+       |FROM spec sp JOIN nseg ns ON ns.user_id = sp.user_id
+       |GROUP BY sp.user_id, sp.b
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Two-frame csd: left = the events frame, right = a second "sensor"
+    * frame on the SAME timestamps carrying value² — aligned by the
+    * (user, t) equi-join inside csdFrames, then the identical Welch
+    * cross-spectrum. The oracle swaps the lag channel for value².
+    */
+  def sigCsdFrames(s: SparkSession, dir: String): DataFrame = {
+    val left = evReal(s, dir)
+    val right = evReal(s, dir)
+      .withColumn("y2", col("value") * col("value"))
+      .select(col("user_id"), col("t"), col("y2"))
+    Signal.csdFrames(left, right, Seq("user_id"), "t", "value", "y2",
+        nperseg = 16, fs = 2.0)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigCsdFramesSql: String =
+    s"""${csdBaseSqlFor("value * value")}
        |SELECT sp.user_id, CAST(sp.b AS INT) AS pos,
        |  ${fpSql("sp.b * (1.0/(16 * 0.5))", "1e6")} AS freq_fp,
        |  ${fpSql("SUM(sp.rex*sp.rey + sp.imx*sp.imy) / (2.0 * (SELECT v FROM w2) * ANY_VALUE(ns.ns)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS re_fp,
@@ -2133,6 +2164,7 @@ object Sig {
     "sig_welch_long" -> (sigWelchLong _),
     "sig_find_peaks" -> (sigFindPeaks _),
     "sig_csd" -> (sigCsd _),
+    "sig_csd_frames" -> (sigCsdFrames _),
     "sig_coherence" -> (sigCoherence _),
     "sig_medfilt" -> (sigMedfilt _),
     "sig_wiener" -> (sigWiener _),
@@ -2196,6 +2228,7 @@ object Sig {
     "sig_welch_long" -> sigWelchSql,
     "sig_find_peaks" -> sigFindPeaksSql,
     "sig_csd" -> sigCsdSql,
+    "sig_csd_frames" -> sigCsdFramesSql,
     "sig_coherence" -> sigCoherenceSql,
     "sig_medfilt" -> sigMedfiltSql,
     "sig_wiener" -> sigWienerSql,
