@@ -51,6 +51,42 @@ object Spectral {
     out
   }
 
+  /** scipy.signal.zoom_fft: the spectrum evaluated on m points of the
+    * band [f1, f2) only (endpoint=false, scipy's default — pass true
+    * for the inclusive grid). Direct O(n·m) evaluation: zoom bands are
+    * small by construction (that is the point of zooming — m ≪ n/2),
+    * so the chirp-z O((n+m) log) machinery buys nothing at kernel
+    * sizes and the direct sum keeps the oracle replayable term by
+    * term. Matches czt/zoom_fft values exactly in exact arithmetic.
+    */
+  def zoomDft(x: Array[Double], f1: Double, f2: Double, m: Int,
+              fs: Double, endpoint: Boolean = false): Fft.C = {
+    require(m > 0, s"zoomDft: m must be positive, got $m")
+    require(fs > 0, s"zoomDft: fs must be positive, got $fs")
+    require(f2 >= f1, s"zoomDft: need f2 >= f1, got [$f1, $f2]")
+    val n = x.length
+    val step = if (m == 1) 0.0 else (f2 - f1) / (if (endpoint) m - 1 else m)
+    val re = new Array[Double](m)
+    val im = new Array[Double](m)
+    var k = 0
+    while (k < m) {
+      val fk = f1 + k * step
+      var sr = 0.0
+      var si = 0.0
+      var j = 0
+      while (j < n) {
+        val ang = -2.0 * math.Pi * fk * j / fs
+        sr += x(j) * math.cos(ang)
+        si += x(j) * math.sin(ang)
+        j += 1
+      }
+      re(k) = sr
+      im(k) = si
+      k += 1
+    }
+    Fft.C(re, im)
+  }
+
   /** Partial Welch accumulator for ONE chunk of a long series: the
     * unscaled Σ|rfft(segment)|² over every hop-aligned segment whose
     * START lies in this chunk's span, plus the segment count prepended

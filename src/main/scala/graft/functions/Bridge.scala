@@ -173,6 +173,10 @@ object Bridge {
             fs: Double, demean: Boolean): ArrayData =
     out(Spectral.welch(d(x), nperseg, hop, d(wts), fs, demean))
 
+  def zoomDft(x: ArrayData, f1: Double, f2: Double, m: Int, fs: Double,
+              endpoint: Boolean): InternalRow =
+    c(Spectral.zoomDft(d(x), f1, f2, m, fs, endpoint))
+
   def welchPartial(vals: ArrayData, chunkStart: Long, span: Int, nperseg: Int,
                    hop: Int, wts: ArrayData, demean: Boolean): ArrayData =
     out(Spectral.welchPartial(d(vals), chunkStart, span, nperseg, hop,
@@ -614,6 +618,7 @@ object Bridge {
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
     "welchPartial" -> (Seq(arrD, LongType, IntegerType, IntegerType, IntegerType, arrD, BooleanType) -> arrD),
+    "zoomDft" -> (Seq(arrD, DoubleType, DoubleType, IntegerType, DoubleType, BooleanType) -> complexT),
     "coherence" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "periodogram" -> (Seq(arrD, StringType, DoubleType, BooleanType) -> arrD),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
@@ -692,6 +697,7 @@ object Bridge {
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "welchPartial" => welchPartial(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Long], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[ArrayData], a(6).asInstanceOf[Boolean])
+    case "zoomDft" => zoomDft(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "coherence" => coherence(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "periodogram" => periodogram(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[Double], a(3).asInstanceOf[Boolean])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])

@@ -205,6 +205,9 @@ object Functions {
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,
                fs: Column, demean: Boolean = true): Column =
       call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean))
+    def zoomDftC(x: Column, f1: Double, f2: Double, m: Int, fs: Column,
+                 endpoint: Boolean = false): Column =
+      call("zoomDft", x, lit(f1), lit(f2), lit(m), fs, lit(endpoint))
     def welchPartialC(vals: Column, chunkStart: Column, span: Int, nperseg: Int,
                       hop: Int, wts: Column, demean: Boolean = true): Column =
       call("welchPartial", vals, chunkStart, lit(span), lit(nperseg), lit(hop),

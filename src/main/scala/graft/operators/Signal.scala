@@ -925,6 +925,25 @@ object Signal {
       newdim -> col("_freq"), "psd" -> col("_psd")))
   }
 
+  /** scipy.signal.zoom_fft lifted onto series: the spectrum on m
+    * points of [f1, f2) only (endpoint=false default). One seriesify
+    * shuffle, one kernel call. Output: keys, pos, <newdim>, re, im.
+    */
+  def zoomFft(df: DataFrame, keys: Seq[String], dim: String, value: String,
+              f1: Double, f2: Double, m: Int, fs: Double = -1.0,
+              endpoint: Boolean = false,
+              newdim: String = "frequency"): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val fsCol = if (fs > 0) lit(fs) else lit(1.0) / col("delta")
+    val step = if (m == 1) 0.0 else (f2 - f1) / (if (endpoint) m - 1 else m)
+    val withOut = sdf
+      .withColumn("_sp", zoomDftC(col(value), f1, f2, m, fsCol, endpoint))
+      .withColumn("_freq", expr(
+        s"transform(sequence(0, ${m - 1}), k -> cast($f1 as double) + k * cast($step as double))"))
+    explodeSeries(withOut, keys, Seq(
+      newdim -> col("_freq"), "re" -> col("_sp.re"), "im" -> col("_sp.im")))
+  }
+
   /** scipy.signal.periodogram lifted onto series: the whole series as
     * ONE Welch segment (boxcar window and constant detrend are scipy's
     * defaults). The segment length is the per-series length, so the

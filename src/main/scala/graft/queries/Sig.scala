@@ -1068,6 +1068,31 @@ object Sig {
        |GROUP BY a.user_id, a.j, a.n, st.vbar
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.zoom_fft per user: 20 spectrum points on the band
+    * [0.1, 0.5) only (endpoint=false). The oracle evaluates the same
+    * band-limited DFT sum per (user, bin) with the frequency grid
+    * written as the same double expression ((0.5−0.1)/20 step), so the
+    * axes agree bitwise and only the trig sums ride the fp4 grid.
+    */
+  def sigZoomFft(s: SparkSession, dir: String): DataFrame =
+    Signal.zoomFft(evReal(s, dir), Seq("user_id"), "t", "value",
+        f1 = 0.1, f2 = 0.5, m = 20, fs = 2.0)
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigZoomFftSql: String = {
+    val fk = "(0.1 + k.k * ((0.5 - 0.1) / 20))"
+    s"""$sSql
+       |SELECT b.user_id, CAST(k.k AS INT) AS pos,
+       |  ${fpSql(fk, "1e6")} AS freq_fp,
+       |  ${fpSql(s"SUM(b.value * COS(-2*PI()*$fk*b.j/2.0))", "1e4")} AS re_fp,
+       |  ${fpSql(s"SUM(b.value * SIN(-2*PI()*$fk*b.j/2.0))", "1e4")} AS im_fp
+       |FROM s b CROSS JOIN range(20) k(k)
+       |GROUP BY b.user_id, k.k
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** scipy.signal.medfilt(kernel_size=5) per user: sliding median,
     * zero-padded edges. The oracle rebuilds each window by an offset
     * join (LEFT JOIN nulls become the zero padding) and takes DuckDB's
@@ -2163,6 +2188,7 @@ private val csdBaseSql: String =
     "sig_welch" -> (sigWelch _),
     "sig_welch_long" -> (sigWelchLong _),
     "sig_find_peaks" -> (sigFindPeaks _),
+    "sig_zoom_fft" -> (sigZoomFft _),
     "sig_csd" -> (sigCsd _),
     "sig_csd_frames" -> (sigCsdFrames _),
     "sig_coherence" -> (sigCoherence _),
@@ -2227,6 +2253,7 @@ private val csdBaseSql: String =
     "sig_welch" -> sigWelchSql,
     "sig_welch_long" -> sigWelchSql,
     "sig_find_peaks" -> sigFindPeaksSql,
+    "sig_zoom_fft" -> sigZoomFftSql,
     "sig_csd" -> sigCsdSql,
     "sig_csd_frames" -> sigCsdFramesSql,
     "sig_coherence" -> sigCoherenceSql,

@@ -71,6 +71,25 @@ class WelchSpec extends AnyFunSuite {
     }
   }
 
+  test("zoomDft over the full band reproduces the FFT bins") {
+    val n = 64
+    val x = g("wx_200").take(n)
+    // f_k = k*fs/n for k < n is exactly the DFT grid
+    val z = Spectral.zoomDft(x, 0.0, 2.0, n, fs = 2.0)
+    val want = Fft.rfft(x)
+    for (k <- 0 until n / 2 + 1) {
+      assert(math.abs(z.re(k) - want.re(k)) < 1e-8, s"re[$k]")
+      assert(math.abs(z.im(k) - want.im(k)) < 1e-8, s"im[$k]")
+    }
+    // single-point zoom is the plain DFT at f1
+    val one = Spectral.zoomDft(x, 0.25, 0.9, 1, fs = 2.0)
+    val direct = x.indices.map(j =>
+      x(j) * math.cos(-2.0 * math.Pi * 0.25 * j / 2.0)).sum
+    assert(math.abs(one.re(0) - direct) < 1e-10)
+    assertThrows[IllegalArgumentException](Spectral.zoomDft(x, 0.5, 0.1, 4, 2.0))
+    assertThrows[IllegalArgumentException](Spectral.zoomDft(x, 0.1, 0.5, 0, 2.0))
+  }
+
   test("coherence of y = c*x (same segment means) is 1 at every bin") {
     val x = g("wx_200")
     val y = x.map(_ * 3.0)
