@@ -63,7 +63,10 @@ object Emb {
       val dot = aggregate(
         zip_with(centered, typedLit(model.vectors(c).toSeq), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
-      if (whiten) dot / math.sqrt(model.values(c)) else dot
+      // a zero-variance axis has nothing to whiten — emit 0, not x/0
+      if (whiten && model.values(c) > 0) dot / math.sqrt(model.values(c))
+      else if (whiten) lit(0.0)
+      else dot
     }
     df.withColumn("proj", array(comps: _*))
   }
