@@ -524,6 +524,46 @@ object Stream {
        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** Stream-stream interval join (click → purchase within 2 h per
+    * user) over TWO independent 12-slice file sources advancing in
+    * lockstep (maxFilesPerTrigger = 1 each), so matches genuinely
+    * span micro-batch boundaries and ride the join state store. The
+    * slices are globally time-ordered, hence no late data, hence the
+    * engine's watermark-correctness guarantee makes the emitted
+    * inner-join set EXACTLY the batch interval join — which is the
+    * oracle. The range condition is evaluated at the stream's native
+    * µs precision; the oracle replays it on epoch_us.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = slicedEventStream(s, dir, 12).toDF()
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+    val purchases = slicedEventStream(s, dir, 12).toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    runToSink(
+      Streaming.streamStreamIntervalJoin(clicks, purchases,
+        "user_id", "c_ts", "p_user", "p_ts", maxDelayMs = 7200000L),
+      "stream_join_sink")
+      .select(col("user_id"),
+        unix_micros(col("c_ts")).as("c_us"),
+        unix_micros(col("p_ts")).as("p_us"),
+        fp6(col("c_value")).as("c_fp"), fp6(col("p_value")).as("p_fp"))
+      .orderBy("user_id", "c_us", "p_us", "c_fp", "p_fp")
+  }
+
+  private val streamStreamJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us, value FROM events
+       |)
+       |SELECT c.user_id, c.t_us AS c_us, p.t_us AS p_us,
+       |  ${fpSql("c.value", "1e6")} AS c_fp, ${fpSql("p.value", "1e6")} AS p_fp
+       |FROM e c JOIN e p ON p.user_id = c.user_id
+       |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+       |  AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 7200000000
+       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Online quality filtering: the SAME stateless gopherRules operator
     * the batch pipeline uses, applied to a document stream — no state
     * store, so the streaming result must be row-identical to the batch
@@ -579,7 +619,8 @@ object Stream {
     "stream_stft_ttl" -> (streamStftTtl _),
     "stream_dedup" -> (streamDedup _),
     "stream_quality" -> (streamQuality _),
-    "stream_enrich" -> (streamEnrich _))
+    "stream_enrich" -> (streamEnrich _),
+    "stream_join" -> (streamStreamJoin _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
     * IS the batch oracle. */
@@ -592,5 +633,6 @@ object Stream {
     "stream_stft_ttl" -> streamStftTtlSql,
     "stream_dedup" -> streamDedupSql,
     "stream_quality" -> streamQualitySql,
-    "stream_enrich" -> streamEnrichSql)
+    "stream_enrich" -> streamEnrichSql,
+    "stream_join" -> streamStreamJoinSql)
 }

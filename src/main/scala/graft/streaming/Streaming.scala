@@ -36,6 +36,39 @@ object Streaming {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval inner join: left events join right events
+    * of the same key with rightTs in [leftTs, leftTs + maxDelayMs] —
+    * the funnel/attribution primitive (click → purchase within 2 h)
+    * as a genuine two-stream stateful join, not a batch self-join.
+    *
+    * Scale shape: both sides shuffle once on the key into the same
+    * state-store partitioning; the watermark plus the time-range
+    * condition let the engine evict buffered rows as soon as no
+    * future match is possible (left rows expire at wm - maxDelay,
+    * right rows at wm), so state per partition is bounded by the
+    * key's event rate × (maxDelay + lateness), independent of stream
+    * length. Inner-join matches emit eagerly as both sides arrive —
+    * on in-watermark data the emitted set is exactly the batch join,
+    * which is what the oracle checks.
+    *
+    * Columns from both sides must be pre-renamed disjoint (left
+    * keeps `key` and `leftTs`; right carries `rightKey`/`rightTs`)
+    * so the output schema needs no disambiguation.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               key: String, leftTs: String,
+                               rightKey: String, rightTs: String,
+                               maxDelayMs: Long,
+                               watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelayMs MILLISECONDS"),
+      "inner")
+  }
+
   /** Gap-based sessionization per user via flatMapGroupsWithState with
     * an event-time timeout: a session closes when the watermark passes
     * last-event + gap, emitting (start, end, n, sum).

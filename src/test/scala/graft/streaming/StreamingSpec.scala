@@ -34,6 +34,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across micro-batch boundaries") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val inL = MemoryStream[Event]
+    val inR = MemoryStream[Event]
+    val left = inL.toDF().select(col("user_id"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    val right = inR.toDF().select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    val q = Streaming.streamStreamIntervalJoin(left, right,
+      "user_id", "c_ts", "p_user", "p_ts", maxDelayMs = 600000L)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // base offset: the engine's INITIAL watermark is epoch 0 and the
+      // late filter is `eventTime > watermark`, so a row at exactly
+      // ts(0) would be dropped before reaching join state
+      val b = 1000
+      // batch 1: a click for users 1 and 2; no purchases yet
+      inL.addData(Event(1, ts(b), "click", 1.0), Event(2, ts(b + 1), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("ssj").count() === 0)
+      // batch 2: purchases — user 1 inside the 10-min window (cross-
+      // batch match via buffered join state), user 2 outside it, and a
+      // user-3 purchase with no click at all
+      inR.addData(Event(1, ts(b + 5), "purchase", 10.0),
+        Event(2, ts(b + 20), "purchase", 20.0), Event(3, ts(b + 2), "purchase", 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("user_id", "c_value", "p_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(rows === Set((1L, 1.0, 10.0)))
+      // batch 3: a purchase BEFORE the click's time never joins
+      // (rightTs >= leftTs is one-sided)
+      inR.addData(Event(1, ts(b - 3), "purchase", 40.0))
+      q.processAllAvailable()
+      assert(spark.table("ssj").count() === 1)
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap via event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
