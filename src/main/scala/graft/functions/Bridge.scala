@@ -573,6 +573,30 @@ object Bridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // ---- BPE tokenization --------------------------------------------
+
+  @inline private def strArr(a: ArrayData): Array[String] = {
+    val n = a.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = a.getUTF8String(i).toString; i += 1 }
+    out
+  }
+
+  @inline private def outS(a: Array[String]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      a.map(UTF8String.fromString))
+
+  /** One greedy pass of merge (l, r) over a symbol array. */
+  def bpeMerge(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData =
+    outS(graft.dsp.Bpe.applyMerge(strArr(syms), l.toString, r.toString))
+
+  /** Tokenize one word under an ordered merge table (parallel l/r
+    * arrays, rank order).
+    */
+  def bpeEncode(word: UTF8String, mergesL: ArrayData, mergesR: ArrayData): ArrayData =
+    outS(graft.dsp.Bpe.encode(word.toString, strArr(mergesL), strArr(mergesR)))
+
   // ---- signatures for DspExpr --------------------------------------
 
   /** Catalyst argument/return types per bridge function; the generic
@@ -661,7 +685,11 @@ object Bridge {
     "imageFrames" -> (Seq(BinaryType) -> ArrayType(StructType(Seq(
       StructField("w", IntegerType, nullable = false),
       StructField("h", IntegerType, nullable = false),
-      StructField("psum", LongType, nullable = false))), containsNull = false)))
+      StructField("psum", LongType, nullable = false))), containsNull = false)),
+    "bpeMerge" -> (Seq(ArrayType(StringType), StringType, StringType)
+      -> ArrayType(StringType, containsNull = false)),
+    "bpeEncode" -> (Seq(StringType, ArrayType(StringType), ArrayType(StringType))
+      -> ArrayType(StringType, containsNull = false)))
 
   /** Interpreted-path dispatch (mirrors the static calls codegen makes). */
   def dispatch(fn: String, a: Array[Any]): Any = fn match {
@@ -726,6 +754,8 @@ object Bridge {
     case "imageResizeNN" => imageResizeNN(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageResizeBilinear" => imageResizeBilinear(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageFrames" => imageFrames(a(0).asInstanceOf[Array[Byte]])
+    case "bpeMerge" => bpeMerge(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[UTF8String])
+    case "bpeEncode" => bpeEncode(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")
   }
 }

@@ -129,6 +129,102 @@ object TextOps {
       .withColumn("bpe_tokens",
         regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")))
 
+  /** Lowercase alphabetic word TYPES with occurrence counts — the BPE
+    * training corpus representation: training cost scales with the
+    * vocabulary (sublinear in corpus size), not with raw tokens.
+    */
+  private def wordTypes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(expr(
+      s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** REAL byte-pair-encoding training (Sennrich et al., ACL 2016):
+    * learn `nMerges` merges over the corpus vocabulary. Iteration =
+    * one partial-aggregated shuffle (adjacent-pair counts over word
+    * types, overlaps counted) + a ONE-ROW argmax collect (ties: max
+    * count, then lexicographic pair) + a map-side greedy merge pass
+    * ([[graft.dsp.Bpe.applyMerge]]) over the cached vocabulary frame.
+    *
+    * Scale shape: state is the word-type frame (|V| rows — fits any
+    * cluster; vocabulary grows ~O(corpus^0.6), and at 100 TB you
+    * train on a hashSplit sample anyway), pair counting map-side
+    * partial-aggregates before its single shuffle, and the only
+    * driver traffic is the 1-row argmax per iteration — the same
+    * bounded control-plane collect as Ann.kmeansFit's centroid pull.
+    * Returns (left, right, pairCount) in rank order.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Array[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    graft.functions.Functions.install(df.sparkSession)
+    val init = wordTypes(df, textCol)
+      .withColumn("syms", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    var state = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      var t = 0
+      while (t < nMerges) {
+        val top = state.filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"BPE training ran out of pairs after ${merges.length} merges " +
+            s"(every word is a single symbol); asked for $nMerges")
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, c))
+        // the argmax job materialized `state`'s cache; the previous
+        // frame fed it and can go now
+        if (prev != null) prev.unpersist(false)
+        prev = state
+        state = state.withColumn("syms", bpeMergeC(col("syms"), lit(l), lit(r)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t += 1
+      }
+    } finally {
+      if (prev != null) prev.unpersist(false)
+      state.unpersist(false)
+    }
+    merges.toArray
+  }
+
+  /** Per-document token counts under a learned merge table: pure
+    * map-side (merges ride into the plan as literal arrays — the
+    * broadcast-dimension of tokenization), explode words → encode →
+    * sum. Docs with no alphabetic words count 0.
+    */
+  def bpeEncodeCounts(df: DataFrame, textCol: String, idCol: String,
+                      merges: Array[(String, String)]): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
+    val mL = typedLit(merges.map(_._1))
+    val mR = typedLit(merges.map(_._2))
+    df.select(col(idCol), explode_outer(expr(
+      s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("_word"))
+      .withColumn("_n", when(col("_word").isNull, lit(0))
+        .otherwise(size(bpeEncodeC(col("_word"), mL, mR))))
+      .groupBy(idCol)
+      .agg(count(col("_word")).cast("int").as("n_words"),
+        sum(col("_n")).cast("int").as("n_tokens"))
+  }
+
+  /** Tokenize under a learned merge table: adds `bpe` (array of token
+    * strings per word, flattened doc-order) — the map-side production
+    * path a training pipeline feeds to an id-lookup table.
+    */
+  def bpeTokenize(df: DataFrame, textCol: String,
+                  merges: Array[(String, String)]): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
+    val mL = typedLit(merges.map(_._1))
+    val mR = typedLit(merges.map(_._2))
+    df.withColumn("bpe", flatten(transform(
+      expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"),
+      w => bpeEncodeC(w, mL, mR))))
+  }
+
   /** Deterministic train/val/test assignment from a stable content
     * hash of the id: bucket = first 15 hex digits of md5(id) mod 10000
     * (permille-level granularity). Reproducible across runs, engines

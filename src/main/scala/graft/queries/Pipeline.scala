@@ -486,6 +486,109 @@ object Pipeline {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- BPE ----------------------------------------------------------
+
+  private val BpeMerges = 8
+
+  /** Learn 8 BPE merges on the documents corpus and emit the merge
+    * table — a TRAINED result, like ann_topk_ivf_trained: the oracle
+    * replays the deterministic fit (pair counts + argmax + greedy
+    * merge) unrolled per iteration in SQL.
+    */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = TextOps.bpeTrain(docs(s, dir), "text", BpeMerges)
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }.toSeq
+      .toDF("rank", "l_sym", "r_sym", "cnt")
+      .orderBy("rank")
+  }
+
+  /** Tokenize every document under the 8 learned merges: per-doc word
+    * and BPE-token counts, all map-side after the train.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextOps.bpeTrain(docs(s, dir), "text", BpeMerges)
+      .map { case (l, r, _) => (l, r) }
+    TextOps.bpeEncodeCounts(docs(s, dir), "text", "doc_id", merges)
+      .orderBy("doc_id")
+  }
+
+  /** One unrolled BPE iteration `wP` → `w$t`: adjacent-pair counts
+    * with LEAD (overlaps counted), deterministic argmax m$t (count
+    * desc, then lexicographic), then the greedy left-to-right merge
+    * replayed with a run-parity rule — candidates (sym, next) =
+    * (l, r) can only be CONSECUTIVE when l = r, and in such a run
+    * greedy merges the 1st, 3rd, 5th... candidate; a row whose left
+    * neighbor merged is consumed (LAG filter). MATERIALIZED
+    * throughout — each state feeds 3 consumers in the next iteration
+    * and DuckDB would otherwise inline the whole 8-deep chain
+    * exponentially.
+    */
+  private def bpeIterSql(t: Int): String = {
+    val wP = s"w${t - 1}"
+    s""", p$t AS MATERIALIZED (
+       |  SELECT l, r, SUM(cnt) AS c FROM (
+       |    SELECT sym AS l, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS r, cnt
+       |    FROM $wP) WHERE r IS NOT NULL GROUP BY 1, 2
+       |), m$t AS MATERIALIZED (
+       |  SELECT l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1
+       |), c$t AS MATERIALIZED (
+       |  SELECT w.word, w.cnt, w.pos, w.sym,
+       |    ROW_NUMBER() OVER (PARTITION BY w.word ORDER BY w.pos) AS rn,
+       |    CASE WHEN w.sym = m.l AND LEAD(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) = m.r
+       |      THEN 1 ELSE 0 END AS cand,
+       |    LEAD(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) AS nxt
+       |  FROM $wP w CROSS JOIN m$t m
+       |), g$t AS MATERIALIZED (
+       |  SELECT *, CASE WHEN cand = 1
+       |      AND (rn - MIN(rn) OVER (PARTITION BY word, cand, grp)) % 2 = 0
+       |    THEN 1 ELSE 0 END AS mg
+       |  FROM (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY rn) AS grp
+       |        FROM c$t)
+       |), w$t AS MATERIALIZED (
+       |  SELECT word, cnt, pos, CASE WHEN mg = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, LAG(mg) OVER (PARTITION BY word ORDER BY rn) AS consumed FROM g$t)
+       |  WHERE COALESCE(consumed, 0) = 0
+       |)""".stripMargin
+  }
+
+  /** Word types + initial single-char symbol state shared by both BPE
+    * oracles.
+    */
+  private val bpeBaseSql: String =
+    """WITH wt AS MATERIALIZED (
+      |  SELECT word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+      |  GROUP BY 1
+      |), w0 AS MATERIALIZED (
+      |  SELECT word, cnt, CAST(u.i AS BIGINT) AS pos,
+      |    substring(word, CAST(u.i AS INT), 1) AS sym
+      |  FROM wt, UNNEST(range(1, length(word) + 1)) AS u(i)
+      |)""".stripMargin
+
+  private val textBpeTrainSql: String =
+    bpeBaseSql + (1 to BpeMerges).map(bpeIterSql).mkString + "\n" +
+      "SELECT * FROM (\n  " +
+      (1 to BpeMerges).map(t =>
+        s"SELECT $t AS rank, l AS l_sym, r AS r_sym, CAST(c AS BIGINT) AS cnt FROM m$t")
+        .mkString("\n  UNION ALL ") +
+      ") ORDER BY rank"
+
+  private val textBpeEncodeSql: String =
+    bpeBaseSql + (1 to BpeMerges).map(bpeIterSql).mkString +
+      s""", tc AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS n FROM w$BpeMerges GROUP BY 1
+         |), dw AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents
+         |)
+         |SELECT d.doc_id, CAST(COUNT(w.word) AS INT) AS n_words,
+         |  CAST(COALESCE(SUM(t.n), 0) AS INT) AS n_tokens
+         |FROM documents d LEFT JOIN dw w ON w.doc_id = d.doc_id
+         |LEFT JOIN tc t ON t.word = w.word
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionFrame(docs(s, dir), "text")
       .select(col("doc_id"), col("n_shingles"), fp6(col("dup_ratio")).as("dr_fp"))
@@ -1145,6 +1248,8 @@ object Pipeline {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_split" -> (textSplit _),
@@ -1181,6 +1286,8 @@ object Pipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_split" -> textSplitSql,

@@ -348,6 +348,46 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("BPE kernel: greedy overlap, composite merges, encode = iterated merges") {
+    import graft.dsp.Bpe
+    // self-pair run: greedy merges (0,1) then (2,3)... — "aaa" -> [aa, a]
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq === Seq("aa", "aa"))
+    // distinct pair: all occurrences merge in one pass
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq === Seq("ab", "ab"))
+    // no occurrence: unchanged
+    assert(Bpe.applyMerge(Array("x", "y"), "a", "b").toSeq === Seq("x", "y"))
+    // composite merge uses symbols produced by an earlier merge
+    assert(Bpe.encode("parse",
+      Array("a", "p"), Array("r", "ar")).toSeq === Seq("par", "s", "e"))
+    // single char / empty word
+    assert(Bpe.encode("a", Array("a"), Array("a")).toSeq === Seq("a"))
+    assert(Bpe.encode("", Array("a"), Array("a")).toSeq === Seq.empty)
+  }
+
+  test("bpeTrain learns the most frequent pair first; encode counts match") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "the theme the"),
+      (1L, "theme thesis the"),
+      (2L, "ababab zz")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", 2)
+    // 'th' and 'he' both occur 6 times ('e'+'m' twice, 'a'+'b' 3x);
+    // ties resolve lexicographically -> (h,e) first, then (t,he)
+    assert(merges(0)._1 === "h" && merges(0)._2 === "e" && merges(0)._3 === 6L)
+    assert(merges(1)._1 === "t" && merges(1)._2 === "he" && merges(1)._3 === 6L)
+    val counts = TextOps.bpeEncodeCounts(docs, "text", "doc_id",
+      merges.map(m => (m._1, m._2)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 0: the=1, theme=3 (the,m,e), the=1 -> 5 tokens over 3 words
+    assert(counts(0) === ((0L, 3, 5)))
+    // doc 1: theme=3, thesis=4 (the,s,i,s), the=1 -> 8
+    assert(counts(1) === ((1L, 3, 8)))
+    // doc 2: ababab=6 chars unmerged, zz=2 -> 8
+    assert(counts(2) === ((2L, 2, 8)))
+  }
+
   test("langid scores and quality are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog is in a house"),
       (2L, "der hund und die katze ist da"),
