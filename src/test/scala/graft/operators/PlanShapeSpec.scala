@@ -123,6 +123,24 @@ class PlanShapeSpec extends SparkTestBase {
       "topWords must plan TakeOrderedAndProject")
   }
 
+  test("BPE: encode is one shuffle; tokenize map-side; train argmax is TakeOrdered") {
+    val merges = Array(("w", "1"), ("w1", "_"))
+    // encode: word explode + kernel are map-side; the only exchange is
+    // the per-doc count aggregation
+    assert(hashExchanges(
+      TextOps.bpeEncodeCounts(docs, "text", "doc_id", merges)) == 1)
+    // full tokenization never shuffles — it's the production map-side path
+    assert(hashExchanges(TextOps.bpeTokenize(docs, "text", merges)) == 0)
+    // the training argmax must plan the bounded top-1, not a global sort
+    // (same TakeOrdered shape the 1-row collect rides in bpeTrain)
+    val pairCount = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(1)
+    assert(pairCount.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "orderBy+limit(1) must plan TakeOrderedAndProject")
+  }
+
   test("IVF cell layout: probe-side parquet scan prunes cell partitions") {
     // the 100 TB ANN story: corpus written partitioned by the trained
     // cell id; a probe reading nProbe cells must touch only those
