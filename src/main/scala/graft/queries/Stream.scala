@@ -564,6 +564,69 @@ object Stream {
        |  AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 7200000000
        |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** LEFT-OUTER stream-stream interval join: same two-source sliced
+    * setup as [[streamStreamJoin]], but unmatched clicks ALSO emit
+    * (with null purchase columns) — and only once the watermark
+    * proves no matching purchase can still arrive (the state-eviction
+    * pass removes a left row when c_ts ≤ wm − 2 h, emitting its null
+    * row; the final no-data batch runs it at the final watermark).
+    * The watermark here is SUBTLER than the other streaming oracles':
+    * each side's watermark node sits AFTER the event-type filter, so
+    * it tracks only that side's events, and the query watermark is
+    * the MIN across sides (multipleWatermarkPolicy=min) — i.e.
+    * min(max click ts, max purchase ts) − 10 min, at the engine's ms
+    * granularity. Clicks above the final eviction threshold stay in
+    * state unsaid — the oracle replays exactly that population
+    * split, like the sessionize last-session rule (verified against
+    * the engine's actual final state via the statestore reader).
+    */
+  def streamStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val clicks = slicedEventStream(s, dir, 12).toDF()
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+    val purchases = slicedEventStream(s, dir, 12).toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    runToSink(
+      Streaming.streamStreamIntervalJoin(clicks, purchases,
+        "user_id", "c_ts", "p_user", "p_ts", maxDelayMs = 7200000L,
+        joinType = "left_outer"),
+      "stream_join_outer_sink")
+      .select(col("user_id"),
+        unix_micros(col("c_ts")).as("c_us"),
+        unix_micros(col("p_ts")).as("p_us"),
+        fp6(col("c_value")).as("c_fp"), fp6(col("p_value")).as("p_fp"))
+      .orderBy("user_id", "c_us", "p_us", "c_fp", "p_fp")
+  }
+
+  private val streamStreamJoinOuterSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us, value FROM events
+       |), j AS (
+       |  SELECT c.user_id, c.t_us AS c_us, p.t_us AS p_us,
+       |    c.value AS c_value, p.value AS p_value
+       |  FROM e c LEFT JOIN e p ON p.user_id = c.user_id
+       |    AND p.event_type = 'purchase'
+       |    AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 7200000000
+       |  WHERE c.event_type = 'click'
+       |), m AS (
+       |  -- the engine's global watermark: each side's watermark node
+       |  -- sits AFTER the event-type filter, so it tracks that side's
+       |  -- own max event time (ms granularity) and the query watermark
+       |  -- is the MIN across sides, minus the 10-min lateness bound
+       |  SELECT LEAST(
+       |    (SELECT MAX(t_us) // 1000 FROM e WHERE event_type = 'click'),
+       |    (SELECT MAX(t_us) // 1000 FROM e WHERE event_type = 'purchase'))
+       |    - 600000 AS wm_ms
+       |)
+       |SELECT user_id, c_us, p_us,
+       |  ${fpSql("c_value", "1e6")} AS c_fp, ${fpSql("p_value", "1e6")} AS p_fp
+       |FROM j, m
+       |WHERE p_us IS NOT NULL
+       |   OR c_us <= (m.wm_ms - 7200000) * 1000
+       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Online quality filtering: the SAME stateless gopherRules operator
     * the batch pipeline uses, applied to a document stream — no state
     * store, so the streaming result must be row-identical to the batch
@@ -620,7 +683,8 @@ object Stream {
     "stream_dedup" -> (streamDedup _),
     "stream_quality" -> (streamQuality _),
     "stream_enrich" -> (streamEnrich _),
-    "stream_join" -> (streamStreamJoin _))
+    "stream_join" -> (streamStreamJoin _),
+    "stream_join_outer" -> (streamStreamJoinOuter _))
 
   /** stream_sosfilt replays the batch sosfilt semantics, so its oracle
     * IS the batch oracle. */
@@ -634,5 +698,6 @@ object Stream {
     "stream_dedup" -> streamDedupSql,
     "stream_quality" -> streamQualitySql,
     "stream_enrich" -> streamEnrichSql,
-    "stream_join" -> streamStreamJoinSql)
+    "stream_join" -> streamStreamJoinSql,
+    "stream_join_outer" -> streamStreamJoinOuterSql)
 }

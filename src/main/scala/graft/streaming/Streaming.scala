@@ -55,18 +55,26 @@ object Streaming {
     * keeps `key` and `leftTs`; right carries `rightKey`/`rightTs`)
     * so the output schema needs no disambiguation.
     */
+  /** joinType "inner" or "left_outer". Outer rows (left rows that
+    * found no match) emit only once the watermark passes leftTs +
+    * maxDelay — i.e. when the engine can PROVE no future right row
+    * can match — so on a bounded stream the most recent unmatched
+    * left rows stay in state and are never emitted, exactly like an
+    * open session in [[sessionize]].
+    */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
                                key: String, leftTs: String,
                                rightKey: String, rightTs: String,
                                maxDelayMs: Long,
-                               watermark: String = "10 minutes"): DataFrame = {
+                               watermark: String = "10 minutes",
+                               joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       col(key) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelayMs MILLISECONDS"),
-      "inner")
+      joinType)
   }
 
   /** Gap-based sessionization per user via flatMapGroupsWithState with

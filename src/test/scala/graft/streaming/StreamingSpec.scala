@@ -73,6 +73,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null rows only after watermark eviction") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val inL = MemoryStream[Event]
+    val inR = MemoryStream[Event]
+    val left = inL.toDF().select(col("user_id"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    val right = inR.toDF().select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    val q = Streaming.streamStreamIntervalJoin(left, right,
+      "user_id", "c_ts", "p_user", "p_ts", maxDelayMs = 600000L,
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      val b = 1000
+      // batch 1: user 1 clicks and purchases in-window; user 2's click
+      // never matches
+      inL.addData(Event(1, ts(b), "click", 1.0), Event(2, ts(b), "click", 2.0))
+      inR.addData(Event(1, ts(b + 5), "purchase", 10.0))
+      q.processAllAvailable()
+      // user 2's null row may NOT emit yet: wm = min-of-sides = the
+      // purchase side's (b+5) - 10 = b-5; eviction needs c_ts <= wm - 10
+      assert(spark.table("ssjo").count() === 1)
+      // batch 2: both sides advance far enough that wm - 10 min passes
+      // user 2's click (wm = b+50-10 = b+40 > b+10)
+      inL.addData(Event(9, ts(b + 50), "click", 0.0))
+      inR.addData(Event(9, ts(b + 50), "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo")
+        .select("user_id", "c_value", "p_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+      assert(rows.exists(r => r._1 == 2L && r._3.isNaN),
+        s"user 2's unmatched click should have emitted a null row; got $rows")
+      assert(rows.contains((1L, 1.0, 10.0)))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap via event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
