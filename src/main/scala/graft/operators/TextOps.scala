@@ -225,6 +225,35 @@ object TextOps {
       w => bpeEncodeC(w, mL, mR))))
   }
 
+  /** Deterministic vocabulary over a merge table: ids 0-25 are the
+    * base symbols 'a'-'z' (the training regex admits nothing else),
+    * merge t (1-based rank) is id 25 + t. If two merges produce the
+    * same token string (possible in principle: (a, br) and (ab, r)
+    * both yield "abr"), the string keeps its FIRST (lowest) id —
+    * token→id is a function of the string, as in any real vocab file.
+    */
+  def bpeVocab(merges: Array[(String, String)]): Map[String, Int] = {
+    val base = ('a' to 'z').zipWithIndex.map { case (c, i) => (c.toString, i) }
+    val merged = merges.zipWithIndex.map { case ((l, r), t) => (l + r, 26 + t) }
+    (merged.reverse ++ base.reverse).toMap // earliest occurrence wins
+  }
+
+  /** Encode documents to flattened token-ID sequences: one row per
+    * (doc, position) in document order — what a packing/training
+    * pipeline consumes. Map-side end to end (the vocab rides as a
+    * literal map; posexplode is a generator, not a shuffle).
+    */
+  def bpeEncodeIds(df: DataFrame, textCol: String, idCol: String,
+                   merges: Array[(String, String)]): DataFrame = {
+    val vocab = bpeVocab(merges)
+    val vocabMap = map(vocab.toSeq.sortBy(_._2).flatMap {
+      case (tok, id) => Seq(lit(tok), lit(id))
+    }: _*)
+    bpeTokenize(df, textCol, merges)
+      .select(col(idCol), posexplode(col("bpe")).as(Seq("pos", "_tok")))
+      .select(col(idCol), col("pos"), element_at(vocabMap, col("_tok")).as("token_id"))
+  }
+
   /** Deterministic train/val/test assignment from a stable content
     * hash of the id: bucket = first 15 hex digits of md5(id) mod 10000
     * (permille-level granularity). Reproducible across runs, engines

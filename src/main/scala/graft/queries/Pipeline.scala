@@ -514,6 +514,17 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Full id-level tokenization under the 8 learned merges: flattened
+    * (doc, position, token_id) rows in document order — the tensor a
+    * training pipeline reads. Vocab: 'a'-'z' = 0-25, merge t = 25+t.
+    */
+  def textBpeIds(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextOps.bpeTrain(docs(s, dir), "text", BpeMerges)
+      .map { case (l, r, _) => (l, r) }
+    TextOps.bpeEncodeIds(docs(s, dir), "text", "doc_id", merges)
+      .orderBy("doc_id", "pos")
+  }
+
   /** One unrolled BPE iteration `wP` → `w$t`: adjacent-pair counts
     * with LEAD (overlaps counted), deterministic argmax m$t (count
     * desc, then lexicographic), then the greedy left-to-right merge
@@ -588,6 +599,44 @@ object Pipeline {
          |FROM documents d LEFT JOIN dw w ON w.doc_id = d.doc_id
          |LEFT JOIN tc t ON t.word = w.word
          |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** (doc, position, token_id) replay: per-word symbol order from the
+    * final training state, per-doc word order from the regexp list
+    * index, global position = running token offset + in-word index,
+    * ids from the base-26 + merge-rank vocab (duplicate token strings
+    * keep the lowest id, matching TextOps.bpeVocab).
+    */
+  private val textBpeIdsSql: String =
+    bpeBaseSql + (1 to BpeMerges).map(bpeIterSql).mkString +
+      s""", tc AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS n FROM w$BpeMerges GROUP BY 1
+         |), ws AS MATERIALIZED (
+         |  SELECT word, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS sidx
+         |  FROM w$BpeMerges
+         |), dw AS MATERIALIZED (
+         |  SELECT doc_id, u.i AS widx, lst[CAST(u.i AS INT)] AS word
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS lst
+         |        FROM documents),
+         |       UNNEST(range(1, len(lst) + 1)) AS u(i)
+         |), off AS MATERIALIZED (
+         |  SELECT d.doc_id, d.widx, d.word,
+         |    COALESCE(SUM(t.n) OVER (PARTITION BY d.doc_id ORDER BY d.widx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ofs
+         |  FROM dw d JOIN tc t ON t.word = d.word
+         |), vm AS MATERIALIZED (
+         |  SELECT tok, MIN(id) AS id FROM (
+         |    SELECT chr(97 + CAST(u.i AS INT)) AS tok, CAST(u.i AS INT) AS id
+         |    FROM UNNEST(range(0, 26)) AS u(i)
+         |    ${(1 to BpeMerges).map(t =>
+                  s"UNION ALL SELECT l || r AS tok, ${25 + t} AS id FROM m$t")
+                .mkString("\n    ")}
+         |  ) GROUP BY 1
+         |)
+         |SELECT o.doc_id, CAST(o.ofs + s.sidx AS INT) AS pos,
+         |  CAST(v.id AS INT) AS token_id
+         |FROM off o JOIN ws s ON s.word = o.word JOIN vm v ON v.tok = s.sym
+         |ORDER BY 1, 2""".stripMargin
 
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionFrame(docs(s, dir), "text")
@@ -1250,6 +1299,7 @@ object Pipeline {
     "text_tokens" -> (textTokens _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_ids" -> (textBpeIds _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_split" -> (textSplit _),
@@ -1288,6 +1338,7 @@ object Pipeline {
     "text_tokens" -> textTokensSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_ids" -> textBpeIdsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_split" -> textSplitSql,

@@ -386,6 +386,18 @@ class PipelineSpec extends SparkTestBase {
     assert(counts(1) === ((1L, 3, 8)))
     // doc 2: ababab=6 chars unmerged, zz=2 -> 8
     assert(counts(2) === ((2L, 2, 8)))
+    // vocab ids: base chars 0-25, merges 26+; duplicate strings keep
+    // the lowest id
+    val vocab = TextOps.bpeVocab(Array(("h", "e"), ("t", "he")))
+    assert(vocab("a") === 0 && vocab("z") === 25)
+    assert(vocab("he") === 26 && vocab("the") === 27)
+    assert(TextOps.bpeVocab(Array(("a", "b"), ("a", "b")))("ab") === 26)
+    val ids = TextOps.bpeEncodeIds(
+      Seq((7L, "The theme")).toDF("doc_id", "text"), "text", "doc_id",
+      Array(("h", "e"), ("t", "he")))
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getInt(2)))
+    // "the theme" -> [the] [the, m, e] -> ids 27, 27, 12, 4
+    assert(ids.toSeq === Seq((0, 27), (1, 27), (2, 12), (3, 4)))
   }
 
   test("langid scores and quality are deterministic and sane") {

@@ -131,6 +131,8 @@ class PlanShapeSpec extends SparkTestBase {
       TextOps.bpeEncodeCounts(docs, "text", "doc_id", merges)) == 1)
     // full tokenization never shuffles — it's the production map-side path
     assert(hashExchanges(TextOps.bpeTokenize(docs, "text", merges)) == 0)
+    // ...and so does id-level encoding (vocab rides as a literal map)
+    assert(hashExchanges(TextOps.bpeEncodeIds(docs, "text", "doc_id", merges)) == 0)
     // the training argmax must plan the bounded top-1, not a global sort
     // (same TakeOrdered shape the 1-row collect rides in bpeTrain)
     val pairCount = docs
