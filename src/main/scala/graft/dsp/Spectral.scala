@@ -232,6 +232,51 @@ object Spectral {
     * IDENTICAL to the batch/streaming STFT so the three spectral ops
     * agree on which samples form a frame.
     */
+  /** scipy.signal.istft: overlap-add inverse of the STFT with the
+    * repo-wide window placement (starts 0, h, 2h, …). Input is the
+    * flattened (nWins × (w/2+1)) onesided spectrum grid, row-major in
+    * window order. Each window's spectrum inverts by irfft, is tapered
+    * by the SAME analysis window, and accumulates into the output;
+    * normalization divides by the accumulated squared-window envelope
+    * (scipy's exact rule, istft's `norm` array), so for unmodified
+    * spectra the round trip reproduces the signal EXACTLY wherever
+    * Σ w² > 0 — samples with zero window coverage (e.g. sample 0 under
+    * a periodic hann, whose only covering tap is w[0] = 0) emit 0.
+    * Output length (nWins−1)·h + w, the span the windows cover.
+    */
+  def istft(re: Array[Double], im: Array[Double], nWins: Int, w: Int, h: Int,
+            wts: Array[Double]): Array[Double] = {
+    require(w > 0 && h > 0 && h <= w, s"istft: need 0 < hop <= window, got h=$h w=$w")
+    require(wts.length == w, s"istft: window length ${wts.length} != $w")
+    val nb = w / 2 + 1
+    require(nWins > 0 && re.length == nWins * nb && im.length == nWins * nb,
+      s"istft: ${re.length} spectrum values do not form $nWins windows of $nb bins")
+    val nOut = (nWins - 1) * h + w
+    val ola = new Array[Double](nOut)
+    val norm = new Array[Double](nOut)
+    val sr = new Array[Double](nb)
+    val si = new Array[Double](nb)
+    var k = 0
+    while (k < nWins) {
+      System.arraycopy(re, k * nb, sr, 0, nb)
+      System.arraycopy(im, k * nb, si, 0, nb)
+      val xsub = Fft.irfft(sr, si, w)
+      var i = 0
+      while (i < w) {
+        ola(k * h + i) += xsub(i) * wts(i)
+        norm(k * h + i) += wts(i) * wts(i)
+        i += 1
+      }
+      k += 1
+    }
+    var i = 0
+    while (i < nOut) {
+      ola(i) = if (norm(i) > 1e-12) ola(i) / norm(i) else 0.0
+      i += 1
+    }
+    ola
+  }
+
   def welch(x: Array[Double], nperseg: Int, hop: Int, wts: Array[Double],
             fs: Double, demean: Boolean = true): Array[Double] = {
     require(nperseg > 0 && hop > 0 && hop <= nperseg,

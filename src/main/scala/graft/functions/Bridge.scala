@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.dsp.{Conv, Fft, Filt, Hilbert, Peaks, Resample, Spectral}
+import graft.dsp.{Conv, Fft, Filt, Hilbert, Peaks, Resample, Spectral, Wavelet}
 
 /** Static kernel entry points on Catalyst runtime types (ArrayData
   * in/out, UTF8String params). Every method here is called directly
@@ -200,6 +200,17 @@ object Bridge {
   def coherence(x: ArrayData, y: ArrayData, nperseg: Int, hop: Int,
                 wts: ArrayData, fs: Double, demean: Boolean): ArrayData =
     out(Spectral.coherence(d(x), d(y), nperseg, hop, d(wts), fs, demean))
+
+  def istft(re: ArrayData, im: ArrayData, nWins: Int, w: Int, h: Int,
+            wts: ArrayData): ArrayData =
+    out(Spectral.istft(d(re), d(im), nWins, w, h, d(wts)))
+
+  def cwtFlat(x: ArrayData, tapsFlat: ArrayData, tapLens: ArrayData): ArrayData =
+    out(Wavelet.cwtFlat(d(x), d(tapsFlat), tapLens.toIntArray()))
+
+  def lombscargle(t: ArrayData, y: ArrayData, freqs: ArrayData,
+                  precenter: Boolean, normalize: Boolean): ArrayData =
+    out(Wavelet.lombscargle(d(t), d(y), d(freqs), precenter, normalize))
 
   def envelope(x: ArrayData, n: Int): ArrayData = out(Hilbert.envelope(d(x), n))
 
@@ -644,6 +655,9 @@ object Bridge {
     "welchPartial" -> (Seq(arrD, LongType, IntegerType, IntegerType, IntegerType, arrD, BooleanType) -> arrD),
     "zoomDft" -> (Seq(arrD, DoubleType, DoubleType, IntegerType, DoubleType, BooleanType) -> complexT),
     "coherence" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
+    "istft" -> (Seq(arrD, arrD, IntegerType, IntegerType, IntegerType, arrD) -> arrD),
+    "cwtFlat" -> (Seq(arrD, arrD, arrI) -> arrD),
+    "lombscargle" -> (Seq(arrD, arrD, arrD, BooleanType, BooleanType) -> arrD),
     "periodogram" -> (Seq(arrD, StringType, DoubleType, BooleanType) -> arrD),
     "envelope" -> (Seq(arrD, IntegerType) -> arrD),
     "resample" -> (Seq(arrD, IntegerType, StringType, StringType) -> arrD),
@@ -727,6 +741,9 @@ object Bridge {
     case "welchPartial" => welchPartial(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Long], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[ArrayData], a(6).asInstanceOf[Boolean])
     case "zoomDft" => zoomDft(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
     case "coherence" => coherence(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
+    case "istft" => istft(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[ArrayData])
+    case "cwtFlat" => cwtFlat(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
+    case "lombscargle" => lombscargle(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Boolean], a(4).asInstanceOf[Boolean])
     case "periodogram" => periodogram(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[Double], a(3).asInstanceOf[Boolean])
     case "envelope" => envelope(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "resample" => resample(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[UTF8String], a(3).asInstanceOf[UTF8String])

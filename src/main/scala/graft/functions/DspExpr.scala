@@ -218,6 +218,15 @@ object Functions {
     def coherenceC(x: Column, y: Column, nperseg: Int, hop: Int, wts: Column,
                    fs: Column, demean: Boolean = true): Column =
       call("coherence", x, y, lit(nperseg), lit(hop), wts, fs, lit(demean))
+    def istftC(re: Column, im: Column, nWins: Column, w: Int, h: Int,
+               wts: Column): Column =
+      call("istft", re, im, nWins, lit(w), lit(h), wts)
+    def cwtFlatC(x: Column, tapsFlat: Column, tapLens: Column): Column =
+      call("cwtFlat", x, tapsFlat, tapLens)
+    def lombscargleC(t: Column, y: Column, freqs: Column,
+                     precenter: Boolean = false,
+                     normalize: Boolean = false): Column =
+      call("lombscargle", t, y, freqs, lit(precenter), lit(normalize))
     def periodogramC(x: Column, window: String, fs: Column,
                      demean: Boolean = true): Column =
       call("periodogram", x, lit(window), fs, lit(demean))

@@ -775,6 +775,90 @@ object Signal {
       Seq("re" -> col("_spec.re"), "im" -> col("_spec.im")), posName = "bin")
   }
 
+  /** scipy.signal.istft: overlap-add inverse of [[stft]]. Input is an
+    * stft-shaped frame (keys, window ordinal, bin, re, im — column
+    * names configurable); windows regroup per series in ONE hash
+    * exchange (the istft twin of the seriesify shuffle), sort
+    * deterministically by (win, bin), and the whole reconstruction —
+    * per-window irfft, analysis-window taper, overlap-add, division by
+    * the accumulated squared-window envelope (scipy's exact `norm`
+    * rule) — is one kernel call per series. For unmodified spectra the
+    * round trip reproduces the signal exactly wherever the window
+    * envelope is nonzero; zero-coverage samples (sample 0 under a
+    * periodic hann) emit 0, mirroring scipy's NOLA contract. Output:
+    * keys, pos (sample index from the first window's start), value.
+    */
+  def istft(df: DataFrame, keys: Seq[String], w: Int, h: Int,
+            window: String = "hann",
+            winCol: String = "win", binCol: String = "bin",
+            reCol: String = "re", imCol: String = "im"): DataFrame = {
+    require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
+    val wts = graft.dsp.Resample.periodicWindow(window, w)
+    val packed = struct(
+      col(winCol).cast("int").as("k"), col(binCol).cast("int").as("b"),
+      col(reCol).cast("double").as("re"), col(imCol).cast("double").as("im"))
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("_arr"),
+        (max(col(winCol)).cast("int") + 1).as("_nw"))
+    val out = grouped
+      .withColumn("_y", istftC(
+        expr("transform(_arr, s -> s.re)"), expr("transform(_arr, s -> s.im)"),
+        col("_nw"), w, h, typedLit(wts)))
+    explodeSeries(out, keys, Seq("value" -> col("_y")))
+  }
+
+  /** scipy.signal.cwt with the ricker (Mexican-hat) wavelet: one
+    * "same"-mode convolution per width, rows stacked. The wavelet taps
+    * are fixed ONCE at the driver ([[graft.dsp.Wavelet.ricker]] with
+    * scipy's 10·width points) and broadcast as plan literals, so every
+    * series convolves against bit-identical taps — scipy instead caps
+    * the tap count at the per-series length, a difference only for
+    * series shorter than 10·width (the taps then overhang and the
+    * zero-padded convolution still matches the replayed sum). One
+    * seriesify shuffle, one kernel call per series covering ALL
+    * widths. Output: keys, width_idx, pos, value.
+    */
+  def cwt(df: DataFrame, keys: Seq[String], dim: String, value: String,
+          widths: Array[Double]): DataFrame = {
+    require(widths.nonEmpty, "cwt: need at least one width")
+    val taps = widths.map(a => graft.dsp.Wavelet.ricker((10 * a).toInt, a))
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    sdf
+      .withColumn("_c", cwtFlatC(col(value),
+        typedLit(taps.flatten.toSeq), typedLit(taps.map(_.length).toSeq)))
+      .select((keys.map(col) :+ col("n") :+
+        posexplode(col("_c")).as(Seq("_p", "value"))): _*)
+      .withColumn("width_idx", (col("_p") / col("n")).cast("int"))
+      .withColumn("pos", (col("_p") % col("n")).cast("int"))
+      .select((keys.map(col) ++ Seq(col("width_idx"), col("pos"), col("value"))): _*)
+  }
+
+  /** scipy.signal.lombscargle lifted onto series: the least-squares
+    * spectral power of an UNEVENLY sampled series — the one estimator
+    * that drops the reference's equispaced-coordinate contract
+    * (xarray_scipy README), and therefore the natural spectrum for raw
+    * event streams. `center` (default) shifts each series' time axis
+    * to start at 0 before the trig sums — the periodogram is
+    * time-shift invariant, and small arguments keep the cross-engine
+    * sin/cos agreement that the fixed-point oracles rely on. One
+    * seriesify shuffle, one kernel call per series covering ALL
+    * frequencies. Output: keys, fidx, freq (rad/s), pgram.
+    */
+  def lombscargle(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                  freqs: Array[Double], precenter: Boolean = false,
+                  normalize: Boolean = false,
+                  center: Boolean = true): DataFrame = {
+    require(freqs.nonEmpty, "lombscargle: need at least one frequency")
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val t = if (center) expr("transform(coords, c -> c - cmin)") else col("coords")
+    val out = sdf
+      .withColumn("_p", lombscargleC(t, col(value), typedLit(freqs.toSeq),
+        precenter, normalize))
+      .withColumn("_f", typedLit(freqs.toSeq))
+    explodeSeries(out, keys,
+      Seq("freq" -> col("_f"), "pgram" -> col("_p")), posName = "fidx")
+  }
+
   /** scipy.signal.detrend lifted onto series: remove the mean
     * ("constant") or the least-squares line over the sample index
     * ("linear", the scipy default) per series. Coordinates pass

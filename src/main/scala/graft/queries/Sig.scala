@@ -966,6 +966,117 @@ object Sig {
        |GROUP BY w.user_id, w.st, anchor.t, k.b
        |ORDER BY 1, 3, 5""".stripMargin
 
+  /** STFT → ISTFT round trip (window 16, hop 8, hann): the overlap-add
+    * inverse with scipy's squared-window-envelope normalization
+    * reconstructs the original series EXACTLY wherever the envelope is
+    * nonzero — for a periodic hann that is every covered sample except
+    * sample 0 (its only covering tap is w[0] = 0, scipy's NOLA edge).
+    * The oracle is therefore the ORIGINAL series with sample 0 zeroed,
+    * restricted to the span the windows cover — a genuinely
+    * independent derivation (no DFT replay at all); the fp6 grid
+    * absorbs the kernel's FFT round-trip noise (~1e-12).
+    */
+  def sigIstft(s: SparkSession, dir: String): DataFrame = {
+    val spec = Signal.stft(evReal(s, dir), Seq("user_id"), "t", "value",
+      w = 16, h = 8)
+    Signal.istft(spec, Seq("user_id"), w = 16, h = 8)
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigIstftSql: String =
+    s"""$sSql, par AS (
+       |  SELECT user_id, n, ((n - 16) // 8) * 8 + 16 AS covered
+       |  FROM s WHERE n >= 16 GROUP BY user_id, n
+       |)
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("CASE WHEN s.j = 0 THEN 0.0 ELSE s.value END", "1e6")} AS value_fp
+       |FROM s JOIN par ON par.user_id = s.user_id
+       |WHERE s.j < par.covered
+       |ORDER BY 1, 2""".stripMargin
+
+  private val cwtWidths = Array(1.0, 2.0, 4.0)
+
+  /** scipy.signal.cwt with the ricker wavelet at widths 1/2/4: one
+    * "same"-mode convolution per width. The kernel receives the tap
+    * doubles as plan literals fixed at the driver, and the oracle
+    * inlines the IDENTICAL literals (shortest-repr printing round-trips
+    * bit-exactly through DuckDB's parser), so both engines convolve the
+    * same numbers and only summation order differs — the 1e4 grid
+    * absorbs that (SURVEY §5 rule 1). Tap values themselves are
+    * golden-tested against the published ricker closed form.
+    */
+  def sigCwt(s: SparkSession, dir: String): DataFrame =
+    Signal.cwt(evReal(s, dir), Seq("user_id"), "t", "value", cwtWidths)
+      .select(col("user_id"), col("width_idx"), col("pos"),
+        fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "width_idx", "pos")
+
+  private val sigCwtSql: String = {
+    val rows = cwtWidths.zipWithIndex.flatMap { case (a, wi) =>
+      val taps = graft.dsp.Wavelet.ricker((10 * a).toInt, a)
+      taps.zipWithIndex.map { case (v, ti) => s"($wi, ${taps.length}, $ti, $v)" }
+    }.mkString(",\n       |  ").stripMargin
+    s"""$sSql, taps(wi, m, ti, w) AS (VALUES
+       |  $rows
+       |)
+       |SELECT s.user_id, CAST(t.wi AS INT) AS width_idx,
+       |  CAST(s.j + t.ti - ((t.m - 1) // 2) AS INT) AS pos,
+       |  ${fpSql("SUM(s.value * t.w)", "1e4")} AS value_fp
+       |FROM s JOIN taps t
+       |  ON s.j + t.ti - ((t.m - 1) // 2) >= 0
+       | AND s.j + t.ti - ((t.m - 1) // 2) < s.n
+       |GROUP BY s.user_id, t.wi, s.j + t.ti - ((t.m - 1) // 2)
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  private val lsFreqs = Array(0.5, 1.0, 2.0, 4.0)
+
+  /** scipy.signal.lombscargle over the RAW (irregular) event times —
+    * the one spectral estimator that needs no equispaced contract.
+    * precenter=true (subtract the mean), center=true (per-series time
+    * origin at the first event; the periodogram is shift-invariant and
+    * small trig arguments keep cross-engine sin/cos within an ulp).
+    * Kernel and oracle both evaluate the 2×2 normal-equation form
+    * P = ½(c²ss − 2c·s·cs + s²cc)/(cc·ss − cs²) term by term — the
+    * τ-rotation form's algebraic twin (equality spec-pinned), which
+    * SQL can replay where atan2-based τ could not.
+    */
+  def sigLombscargle(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val src = evReal(s, dir)
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .filter(col("_cnt") >= 2).drop("_cnt")
+    Signal.lombscargle(src, Seq("user_id"), "t", "value", lsFreqs,
+        precenter = true)
+      .select(col("user_id"), col("fidx"), fp6(col("freq")).as("freq_fp"),
+        fp4(col("pgram")).as("pgram_fp"))
+      .orderBy("user_id", "fidx")
+  }
+
+  private val sigLombscargleSql: String = {
+    val rows = lsFreqs.zipWithIndex
+      .map { case (f, i) => s"($i, $f)" }.mkString(", ")
+    s"""$sSql, ctr AS (
+       |  SELECT user_id, MIN(t) AS t0, AVG(value) AS m
+       |  FROM s WHERE n >= 2 GROUP BY 1
+       |), f(fi, w) AS (VALUES $rows),
+       |acc AS (
+       |  SELECT s.user_id, f.fi, f.w,
+       |    SUM((s.value - c.m) * COS(f.w * (s.t - c.t0))) AS cth,
+       |    SUM((s.value - c.m) * SIN(f.w * (s.t - c.t0))) AS sth,
+       |    SUM(COS(f.w * (s.t - c.t0)) * COS(f.w * (s.t - c.t0))) AS cc,
+       |    SUM(SIN(f.w * (s.t - c.t0)) * SIN(f.w * (s.t - c.t0))) AS ss,
+       |    SUM(COS(f.w * (s.t - c.t0)) * SIN(f.w * (s.t - c.t0))) AS cs
+       |  FROM s JOIN ctr c ON c.user_id = s.user_id CROSS JOIN f
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT user_id, CAST(fi AS INT) AS fidx,
+       |  ${fpSql("w", "1e6")} AS freq_fp,
+       |  ${fpSql("0.5 * (cth*cth*ss - 2*cth*sth*cs + sth*sth*cc) / (cc*ss - cs*cs)", "1e4")} AS pgram_fp
+       |FROM acc ORDER BY 1, 2""".stripMargin
+  }
+
   /** scipy.signal.detrend(type="linear") per user: remove the
     * per-series least-squares line over the sample index. The oracle
     * recomputes the closed-form slope/intercept with SQL aggregates —
@@ -2184,6 +2295,9 @@ private val csdBaseSql: String =
     "sig_hilbert_n" -> (sigHilbertN _),
     "sig_stft" -> (sigStft _),
     "sig_stft_hann" -> (sigStftHann _),
+    "sig_istft" -> (sigIstft _),
+    "sig_cwt" -> (sigCwt _),
+    "sig_lombscargle" -> (sigLombscargle _),
     "sig_detrend" -> (sigDetrend _),
     "sig_welch" -> (sigWelch _),
     "sig_welch_long" -> (sigWelchLong _),
@@ -2249,6 +2363,9 @@ private val csdBaseSql: String =
     "sig_hilbert_n" -> sigHilbertNSql,
     "sig_stft" -> sigStftSql,
     "sig_stft_hann" -> sigStftHannSql,
+    "sig_istft" -> sigIstftSql,
+    "sig_cwt" -> sigCwtSql,
+    "sig_lombscargle" -> sigLombscargleSql,
     "sig_detrend" -> sigDetrendSql,
     "sig_welch" -> sigWelchSql,
     "sig_welch_long" -> sigWelchSql,

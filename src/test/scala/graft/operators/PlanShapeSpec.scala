@@ -59,6 +59,23 @@ class PlanShapeSpec extends SparkTestBase {
       nperseg = 16, fs = 2.0)) == 1)
     assert(hashExchanges(Signal.coherence(series2, Seq("k"), "t", "v", "v2",
       nperseg = 16, fs = 2.0)) == 1)
+    // cwt: all widths convolve in the one kernel call — widths must not
+    // become a per-width explode+agg round trip
+    assert(hashExchanges(Signal.cwt(series, Seq("k"), "t", "v",
+      Array(1.0, 2.0))) == 1)
+    // lombscargle: the whole frequency grid from one grouped pass
+    assert(hashExchanges(Signal.lombscargle(series, Seq("k"), "t", "v",
+      Array(0.5, 1.0))) == 1)
+  }
+
+  test("stft -> istft round trip is ONE shuffle total: the regroup reuses stft's partitioning") {
+    // stft's map-side window explode leaves the data hash-partitioned
+    // by the series keys, so istft's groupBy(keys) needs NO new
+    // exchange — Catalyst sees its required distribution satisfied.
+    // The analysis->modify->synthesis pipeline therefore costs the
+    // same single shuffle as any one signal op.
+    val spec = Signal.stft(series, Seq("k"), "t", "v", 16, 8)
+    assert(hashExchanges(Signal.istft(spec, Seq("k"), 16, 8)) == 1)
   }
 
   test("complex convolve keeps the one-shuffle signal-op shape") {
