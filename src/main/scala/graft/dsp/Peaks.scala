@@ -77,7 +77,9 @@ object Peaks {
     */
   def findPeaksFiltered(x: Array[Double], height: Double = Double.NaN,
                         distance: Int = 1, promMin: Double = Double.NaN,
-                        wlen: Int = -1): Array[Int] = {
+                        wlen: Int = -1, widthMin: Double = Double.NaN,
+                        widthMax: Double = Double.NaN,
+                        relHeight: Double = 0.5): Array[Int] = {
     var peaks = localMaxima(x)
     if (!height.isNaN) peaks = peaks.filter(p => x(p) >= height)
     if (distance > 1 && peaks.length > 1) {
@@ -102,6 +104,14 @@ object Peaks {
     }
     if (!promMin.isNaN)
       peaks = peaks.filter(p => prominence(x, p, wlen).prominence >= promMin)
+    // scipy applies `width` AFTER prominence, evaluating peak_widths at
+    // rel_height with the same wlen; scalar width = a minimum, the
+    // optional second bound an (inclusive) maximum
+    if (!widthMin.isNaN || !widthMax.isNaN)
+      peaks = peaks.filter { p =>
+        val wd = width(x, p, relHeight, wlen).width
+        (widthMin.isNaN || wd >= widthMin) && (widthMax.isNaN || wd <= widthMax)
+      }
     peaks
   }
 

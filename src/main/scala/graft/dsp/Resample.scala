@@ -28,6 +28,33 @@ object Resample {
     w
   }
 
+  /** Periodic (fftbins=true) Tukey window — scipy.signal.windows.tukey
+    * with sym=False, the default analysis window of
+    * scipy.signal.spectrogram (('tukey', 0.25)). The periodic variant
+    * evaluates the symmetric window on n+1 points and drops the last;
+    * the piecewise formula below is scipy's verbatim (cosine taper of
+    * total fraction `alpha`, flat top between).
+    */
+  def tukeyPeriodic(n: Int, alpha: Double): Array[Double] = {
+    require(n > 0, s"tukey: need n > 0, got $n")
+    if (alpha <= 0) return Array.fill(n)(1.0)
+    if (alpha >= 1) return periodicWindow("hann", n)
+    val m = n + 1 // symmetric length before the periodic truncation
+    val width = math.floor(alpha * (m - 1) / 2.0).toInt
+    val w = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      w(k) =
+        if (k <= width)
+          0.5 * (1 + math.cos(math.Pi * (-1 + 2.0 * k / alpha / (m - 1))))
+        else if (k < m - 1 - width) 1.0
+        else
+          0.5 * (1 + math.cos(math.Pi * (-2.0 / alpha + 1 + 2.0 * k / alpha / (m - 1))))
+      k += 1
+    }
+    w
+  }
+
   /** scipy.signal.resample(x, num, window, domain): real input path.
     * domain "time": x is a time series → rfft first.
     * domain "freq": x is interpreted as a real-valued packed rfft

@@ -278,16 +278,28 @@ object Spectral {
   }
 
   def welch(x: Array[Double], nperseg: Int, hop: Int, wts: Array[Double],
-            fs: Double, demean: Boolean = true): Array[Double] = {
+            fs: Double, demean: Boolean = true,
+            average: String = "mean"): Array[Double] = {
     require(nperseg > 0 && hop > 0 && hop <= nperseg,
       s"welch: need 0 < hop <= nperseg, got hop=$hop nperseg=$nperseg")
     require(wts.length == nperseg,
       s"welch: window length ${wts.length} != nperseg $nperseg")
     require(fs > 0, s"welch: fs must be positive, got $fs")
+    val median = average match {
+      case "mean" => false
+      case "median" => true
+      case other => throw new IllegalArgumentException(
+        s"welch: unknown average '$other' (mean|median)")
+    }
     val n = x.length
     require(n >= nperseg, s"welch: series length $n < nperseg $nperseg")
     val nb = nperseg / 2 + 1
+    val nSegTot = (n - nperseg) / hop + 1
     val acc = new Array[Double](nb)
+    // median averaging (scipy average="median", Welch's robust
+    // variant) keeps the per-segment raw powers per bin; mean folds
+    // them into one accumulator
+    val perSeg = if (median) Array.ofDim[Double](nb, nSegTot) else null
     val seg = new Array[Double](nperseg)
     var w2 = 0.0
     var i = 0
@@ -305,11 +317,42 @@ object Spectral {
       while (i < nperseg) { seg(i) = (x(st + i) - m) * wts(i); i += 1 }
       val sp = Fft.rfft(seg)
       var b = 0
-      while (b < nb) { acc(b) += sp.re(b) * sp.re(b) + sp.im(b) * sp.im(b); b += 1 }
+      while (b < nb) {
+        val p = sp.re(b) * sp.re(b) + sp.im(b) * sp.im(b)
+        if (median) perSeg(b)(nSeg) = p else acc(b) += p
+        b += 1
+      }
       nSeg += 1
       st += hop
     }
-    val scale = 1.0 / (fs * w2 * nSeg)
+    if (median) {
+      // median of the raw powers, then scipy's small-sample bias
+      // correction _median_bias(n) = 1 + Σ_{k=1}^{(n-1)/2} (1/(2k+1) − 1/(2k))
+      // (the median of n iid χ²₂ variables underestimates the mean);
+      // the lo + (hi−lo)/2 interpolation matches quantile_cont(0.5)
+      var bias = 1.0
+      var k = 1
+      while (k <= (nSegTot - 1) / 2) {
+        bias += 1.0 / (2 * k + 1) - 1.0 / (2 * k)
+        k += 1
+      }
+      var b = 0
+      while (b < nb) {
+        val v = perSeg(b)
+        java.util.Arrays.sort(v)
+        val med =
+          if (nSegTot % 2 == 1) v(nSegTot / 2)
+          else {
+            val lo = v(nSegTot / 2 - 1); val hi = v(nSegTot / 2)
+            lo + (hi - lo) * 0.5
+          }
+        acc(b) = med / bias
+        b += 1
+      }
+    }
+    val scale =
+      if (median) 1.0 / (fs * w2)
+      else 1.0 / (fs * w2 * nSeg)
     var b = 0
     while (b < nb) {
       val dbl = if (b == 0 || (nperseg % 2 == 0 && b == nb - 1)) 1.0 else 2.0

@@ -153,9 +153,11 @@ object Bridge {
     out(Filt.medfilt(d(x), kernelSize))
 
   def findPeaksF(x: ArrayData, height: Double, distance: Int, promMin: Double,
-                 wlen: Int): ArrayData =
+                 wlen: Int, widthMin: Double, widthMax: Double,
+                 relHeight: Double): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
-      Peaks.findPeaksFiltered(d(x), height, distance, promMin, wlen))
+      Peaks.findPeaksFiltered(d(x), height, distance, promMin, wlen,
+        widthMin, widthMax, relHeight))
 
   def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String): ArrayData =
     out(Filt.savgol(d(x), window, polyorder, mode.toString))
@@ -170,8 +172,8 @@ object Bridge {
     out(Spectral.detrend(d(x), typ.toString))
 
   def welch(x: ArrayData, nperseg: Int, hop: Int, wts: ArrayData,
-            fs: Double, demean: Boolean): ArrayData =
-    out(Spectral.welch(d(x), nperseg, hop, d(wts), fs, demean))
+            fs: Double, demean: Boolean, average: UTF8String): ArrayData =
+    out(Spectral.welch(d(x), nperseg, hop, d(wts), fs, demean, average.toString))
 
   def zoomDft(x: ArrayData, f1: Double, f2: Double, m: Int, fs: Double,
               endpoint: Boolean): InternalRow =
@@ -646,11 +648,12 @@ object Bridge {
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
-    "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType) -> arrI),
+    "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType,
+      DoubleType, DoubleType, DoubleType) -> arrI),
     "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),
     "orderFilter" -> (Seq(arrD, IntegerType, IntegerType) -> arrD),
     "wiener" -> (Seq(arrD, IntegerType, DoubleType) -> arrD),
-    "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
+    "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType, StringType) -> arrD),
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
     "welchPartial" -> (Seq(arrD, LongType, IntegerType, IntegerType, IntegerType, arrD, BooleanType) -> arrD),
     "zoomDft" -> (Seq(arrD, DoubleType, DoubleType, IntegerType, DoubleType, BooleanType) -> complexT),
@@ -732,11 +735,11 @@ object Bridge {
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
-    case "findPeaksF" => findPeaksF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int])
+    case "findPeaksF" => findPeaksF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double], a(6).asInstanceOf[Double], a(7).asInstanceOf[Double])
     case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String])
     case "orderFilter" => orderFilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])
-    case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
+    case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean], a(6).asInstanceOf[UTF8String])
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "welchPartial" => welchPartial(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Long], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[ArrayData], a(6).asInstanceOf[Boolean])
     case "zoomDft" => zoomDft(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])

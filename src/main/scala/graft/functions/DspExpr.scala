@@ -203,8 +203,9 @@ object Functions {
     def wienerC(x: Column, size: Int = 3, noise: Double = -1.0): Column =
       call("wiener", x, lit(size), lit(noise))
     def welchC(x: Column, nperseg: Int, hop: Int, wts: Column,
-               fs: Column, demean: Boolean = true): Column =
-      call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean))
+               fs: Column, demean: Boolean = true,
+               average: String = "mean"): Column =
+      call("welch", x, lit(nperseg), lit(hop), wts, fs, lit(demean), lit(average))
     def zoomDftC(x: Column, f1: Double, f2: Double, m: Int, fs: Column,
                  endpoint: Boolean = false): Column =
       call("zoomDft", x, lit(f1), lit(f2), lit(m), fs, lit(endpoint))
@@ -255,8 +256,12 @@ object Functions {
       call("peakWidthsP", x, peaks, relHeight, prom, lbase, rbase)
     def localMaximaC(x: Column): Column = call("localMaxima", x)
     def findPeaksFC(x: Column, height: Double = Double.NaN, distance: Int = 1,
-                    promMin: Double = Double.NaN, wlen: Int = -1): Column =
-      call("findPeaksF", x, lit(height), lit(distance), lit(promMin), lit(wlen))
+                    promMin: Double = Double.NaN, wlen: Int = -1,
+                    widthMin: Double = Double.NaN,
+                    widthMax: Double = Double.NaN,
+                    relHeight: Double = 0.5): Column =
+      call("findPeaksF", x, lit(height), lit(distance), lit(promMin), lit(wlen),
+        lit(widthMin), lit(widthMax), lit(relHeight))
     def winnowC(text: Column, k: Int = 8, w: Int = 4,
                 base: Long = 31L, mod: Long = 1000000007L): Column =
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))

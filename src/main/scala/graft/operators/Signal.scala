@@ -775,6 +775,65 @@ object Signal {
       Seq("re" -> col("_spec.re"), "im" -> col("_spec.im")), posName = "bin")
   }
 
+  /** scipy.signal.spectrogram (mode="psd", scaling="density"): the
+    * per-window one-sided power spectral density with scipy's exact
+    * defaults — ('tukey', 0.25) analysis window and per-window
+    * CONSTANT detrend (both of which differ from stft's hann /
+    * no-detrend; scipy's own two APIs disagree the same way). Window
+    * placement is [[stft]]'s (starts 0, h, 2h, … — scipy's default
+    * spectrogram hop is nperseg − nperseg//8). Same single-shuffle
+    * shape as stft: windows explode map-side, one rfft kernel call per
+    * window, the psd projection is a codegen'd transform. Output:
+    * keys, win, start, coord, bin, frequency, psd.
+    */
+  def spectrogram(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                  w: Int, h: Int, window: String = "tukey",
+                  tukeyAlpha: Double = 0.25, fs: Double = -1.0,
+                  detrend: String = "constant"): DataFrame = {
+    require(w > 0 && h > 0 && h <= w, "need 0 < hop <= window")
+    val wts =
+      if (window == "tukey") graft.dsp.Resample.tukeyPeriodic(w, tukeyAlpha)
+      else graft.dsp.Resample.periodicWindow(window, w)
+    var w2 = 0.0
+    wts.foreach(x => w2 += x * x)
+    val nb = w / 2 + 1
+    val demean = detrend match {
+      case "constant" => true
+      case "none" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"spectrogram: unsupported detrend '$other' (constant|none)")
+    }
+    val base = expr(s"slice(_v, start + 1, $w)")
+    val centered =
+      if (demean) expr(s"transform(slice(_v, start + 1, $w), x -> x - _m)")
+      else base
+    val tapered = zip_with(centered, typedLit(wts), (x, wt) => x * wt)
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val fsExpr = if (fs > 0) s"CAST($fs AS DOUBLE)" else "1.0 / _delta"
+    val nyq = if (w % 2 == 0) s" OR b = ${nb - 1}" else ""
+    val windows = sdf
+      .filter(col("n") >= w)
+      .withColumn("_starts", expr(s"sequence(0, n - $w, $h)"))
+      .select((keys.map(col) :+ col("coords") :+ col("delta").as("_delta") :+
+        col(value).as("_v") :+
+        posexplode(col("_starts")).as(Seq("win", "start"))): _*)
+      .withColumn("_m",
+        if (demean)
+          expr(s"aggregate(slice(_v, start + 1, $w), CAST(0 AS DOUBLE), (a, x) -> a + x) / $w")
+        else lit(0.0))
+      .withColumn("_spec", rfftC(tapered, -1, "backward"))
+      .withColumn("coord", expr(s"element_at(coords, start + $w)"))
+      .withColumn("_fs", expr(fsExpr))
+      .withColumn("_psd", expr(
+        s"transform(sequence(0, ${nb - 1}), b -> " +
+          "(element_at(_spec.re, b+1)*element_at(_spec.re, b+1) + " +
+          "element_at(_spec.im, b+1)*element_at(_spec.im, b+1)) * " +
+          s"(CASE WHEN b = 0$nyq THEN 1.0 ELSE 2.0 END) / (_fs * CAST($w2 AS DOUBLE)))"))
+      .withColumn("_freq", expr(s"transform(sequence(0, ${nb - 1}), b -> b * _fs / $w)"))
+    explodeSeries(windows, keys ++ Seq("win", "start", "coord"),
+      Seq("frequency" -> col("_freq"), "psd" -> col("_psd")), posName = "bin")
+  }
+
   /** scipy.signal.istft: overlap-add inverse of [[stft]]. Input is an
     * stft-shaped frame (keys, window ordinal, bin, re, im — column
     * names configurable); windows regroup per series in ONE hash
@@ -984,7 +1043,7 @@ object Signal {
   def welch(df: DataFrame, keys: Seq[String], dim: String, value: String,
             nperseg: Int, noverlap: Int = -1, window: String = "hann",
             detrend: String = "constant", fs: Double = -1.0,
-            newdim: String = "frequency"): DataFrame = {
+            newdim: String = "frequency", average: String = "mean"): DataFrame = {
     val hop = nperseg - (if (noverlap >= 0) noverlap else nperseg / 2)
     require(hop > 0 && hop <= nperseg,
       s"welch: need 0 <= noverlap < nperseg, got noverlap=$noverlap nperseg=$nperseg")
@@ -1003,7 +1062,7 @@ object Signal {
     val sdf = seriesify(df, keys, dim, Seq(value)).filter(col("n") >= nperseg)
     val withOut = sdf
       .withColumn("_psd", welchC(col(value), nperseg, hop, typedLit(wts),
-        fsCol, demean))
+        fsCol, demean, average))
       .withColumn("_freq", rfftfreqC(lit(nperseg), dCol))
     explodeSeries(withOut, keys, Seq(
       newdim -> col("_freq"), "psd" -> col("_psd")))
@@ -1242,19 +1301,23 @@ object Signal {
       Seq("peak" -> col("_pk")))
   }
 
-  /** scipy.signal.find_peaks with the height / distance / prominence
-    * filters (scipy's order: height, then the greedy distance rule,
-    * then prominence with optional wlen). NaN height/prominence and
-    * distance <= 1 mean unfiltered. Output: keys, pos (ordinal), peak
-    * (sample index), height (the sample value at the peak). One
-    * seriesify shuffle, one kernel call.
+  /** scipy.signal.find_peaks with the height / distance / prominence /
+    * width filters (scipy's order: height, then the greedy distance
+    * rule, then prominence with optional wlen, then `width` evaluated
+    * by peak_widths at `relHeight`). NaN bounds and distance <= 1 mean
+    * unfiltered. Output: keys, pos (ordinal), peak (sample index),
+    * height (the sample value at the peak). One seriesify shuffle, one
+    * kernel call.
     */
   def findPeaks(df: DataFrame, keys: Seq[String], dim: String, value: String,
                 height: Double, distance: Int, prominence: Double,
-                wlen: Int): DataFrame = {
+                wlen: Int, widthMin: Double = Double.NaN,
+                widthMax: Double = Double.NaN,
+                relHeight: Double = 0.5): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
     val withPk = sdf
-      .withColumn("_pk", findPeaksFC(col(value), height, distance, prominence, wlen))
+      .withColumn("_pk", findPeaksFC(col(value), height, distance, prominence,
+        wlen, widthMin, widthMax, relHeight))
       // height looked up map-side from the in-row array — no join
       .withColumn("_ph", expr(s"transform(_pk, p -> element_at($value, p + 1))"))
     explodeSeries(withPk, keys,

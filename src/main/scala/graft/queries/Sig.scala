@@ -1154,6 +1154,111 @@ object Sig {
        |GROUP BY sp.user_id, sp.b
        |ORDER BY 1, 2""".stripMargin
 
+  /** scipy.signal.spectrogram per user with scipy's exact defaults:
+    * ('tukey', 0.25) window, per-window constant detrend, psd mode,
+    * density scaling, hop = nperseg − nperseg//8 = 14, fs=2.0. The
+    * tukey weights are fixed at the driver and the oracle inlines the
+    * IDENTICAL literals (same scheme as sig_cwt); the rest replays the
+    * demeaned tapered naive DFT and the 1/(fs·Σw²) scaling.
+    */
+  def sigSpectrogram(s: SparkSession, dir: String): DataFrame =
+    Signal.spectrogram(evReal(s, dir), Seq("user_id"), "t", "value",
+        w = 16, h = 14, fs = 2.0)
+      .select(col("user_id"), col("win"), col("start"),
+        fp6(col("coord")).as("coord_fp"), col("bin"),
+        fp6(col("frequency")).as("freq_fp"),
+        // per-window psd is |X|^2-scaled (magnitudes 1e3-1e4, squaring
+        // doubles the relative reassociation error) — the 1e2 grid
+        // keeps the boundary ~100x above the cross-engine noise where
+        // fp4 collided a few-in-250k times at sf0.1
+        fp(col("psd"), 1e2).as("psd_fp"))
+      .orderBy("user_id", "start", "bin")
+
+  private val sigSpectrogramSql: String = {
+    val wts = graft.dsp.Resample.tukeyPeriodic(16, 0.25)
+    val rows = wts.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    s"""$sSql, wt(i, v) AS (VALUES $rows),
+       |win AS (
+       |  SELECT user_id, j AS st FROM s WHERE j % 14 = 0 AND j + 16 <= n
+       |), sm AS (
+       |  SELECT w.user_id, w.st, AVG(x.value) AS m
+       |  FROM win w JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  GROUP BY 1, 2
+       |), spec AS (
+       |  SELECT w.user_id, w.st, k.b,
+       |    SUM((x.value - sm.m) * wt.v * COS(-2*PI()*k.b*(x.j - w.st)/16)) AS re,
+       |    SUM((x.value - sm.m) * wt.v * SIN(-2*PI()*k.b*(x.j - w.st)/16)) AS im
+       |  FROM win w
+       |  JOIN sm ON sm.user_id = w.user_id AND sm.st = w.st
+       |  JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  JOIN wt ON wt.i = x.j - w.st
+       |  CROSS JOIN range(9) k(b)
+       |  GROUP BY 1, 2, 3
+       |), w2 AS (
+       |  SELECT SUM(v*v) AS v FROM wt
+       |)
+       |SELECT sp.user_id, CAST(sp.st // 14 AS INT) AS win, CAST(sp.st AS INT) AS start,
+       |  ${fpSql("anchor.t", "1e6")} AS coord_fp,
+       |  CAST(sp.b AS INT) AS bin,
+       |  ${fpSql("(sp.b * 2.0) / 16", "1e6")} AS freq_fp,
+       |  ${fpSql("(sp.re*sp.re + sp.im*sp.im) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END) / (2.0 * (SELECT v FROM w2))", "1e2")} AS psd_fp
+       |FROM spec sp
+       |JOIN s anchor ON anchor.user_id = sp.user_id AND anchor.j = sp.st + 15
+       |ORDER BY 1, 3, 5""".stripMargin
+  }
+
+  /** scipy.signal.welch(average="median") per user — Welch's robust
+    * variant: the per-bin MEDIAN of the per-segment raw powers
+    * replaces the mean (one spiky segment no longer poisons the
+    * estimate), divided by scipy's _median_bias(ns) small-sample
+    * correction 1 + Σ_{k=1}^{(ns−1)/2}(1/(2k+1) − 1/(2k)). Same
+    * segmentation/taper/scaling as sig_welch. The oracle's MEDIAN is
+    * DuckDB's quantile_cont(0.5) — the kernel interpolates even counts
+    * by the identical lo + (hi−lo)·0.5 — and the bias sum replays via
+    * a bounded lateral range join.
+    */
+  def sigWelchMedian(s: SparkSession, dir: String): DataFrame =
+    Signal.welch(evReal(s, dir), Seq("user_id"), "t", "value",
+        nperseg = 16, fs = 2.0, average = "median")
+      .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
+        fp4(col("psd")).as("psd_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigWelchMedianSql: String =
+    s"""$sSql, win AS (
+       |  SELECT user_id, j AS st FROM s WHERE j % 8 = 0 AND j + 16 <= n
+       |), nseg AS (
+       |  SELECT user_id, COUNT(*) AS ns FROM win GROUP BY 1
+       |), bias AS (
+       |  SELECT n.user_id,
+       |    1 + COALESCE(SUM(1.0/(2*(i.i+1)+1) - 1.0/(2*(i.i+1))), 0) AS v
+       |  FROM nseg n LEFT JOIN range(5000) i(i) ON i.i + 1 <= (n.ns - 1) // 2
+       |  GROUP BY 1
+       |), sm AS (
+       |  SELECT w.user_id, w.st, AVG(x.value) AS m
+       |  FROM win w JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  GROUP BY 1, 2
+       |), spec AS (
+       |  SELECT w.user_id, w.st, k.b,
+       |    SUM((x.value - sm.m) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * COS(-2*PI()*k.b*(x.j - w.st)/16)) AS re,
+       |    SUM((x.value - sm.m) * (0.5 - 0.5*COS(2*PI()*(x.j - w.st)/16))
+       |        * SIN(-2*PI()*k.b*(x.j - w.st)/16)) AS im
+       |  FROM win w
+       |  JOIN sm ON sm.user_id = w.user_id AND sm.st = w.st
+       |  JOIN s x ON x.user_id = w.user_id AND x.j >= w.st AND x.j < w.st + 16
+       |  CROSS JOIN range(9) k(b)
+       |  GROUP BY 1, 2, 3
+       |), w2 AS (
+       |  SELECT SUM(POWER(0.5 - 0.5*COS(2*PI()*i/16), 2)) AS v FROM range(16) r(i)
+       |)
+       |SELECT sp.user_id, CAST(sp.b AS INT) AS pos,
+       |  ${fpSql("sp.b * (1.0/(16 * 0.5))", "1e6")} AS freq_fp,
+       |  ${fpSql("MEDIAN(sp.re*sp.re + sp.im*sp.im) / ANY_VALUE(bi.v) / (2.0 * (SELECT v FROM w2)) * (CASE WHEN sp.b = 0 OR sp.b = 8 THEN 1.0 ELSE 2.0 END)", "1e4")} AS psd_fp
+       |FROM spec sp JOIN bias bi ON bi.user_id = sp.user_id
+       |GROUP BY sp.user_id, sp.b
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.periodogram per user (boxcar, constant detrend,
     * fs=2.0): the whole series as one Welch segment. The oracle is a
     * naive demeaned DFT over all n/2+1 bins with the density scaling
@@ -2300,6 +2405,8 @@ private val csdBaseSql: String =
     "sig_lombscargle" -> (sigLombscargle _),
     "sig_detrend" -> (sigDetrend _),
     "sig_welch" -> (sigWelch _),
+    "sig_welch_median" -> (sigWelchMedian _),
+    "sig_spectrogram" -> (sigSpectrogram _),
     "sig_welch_long" -> (sigWelchLong _),
     "sig_find_peaks" -> (sigFindPeaks _),
     "sig_zoom_fft" -> (sigZoomFft _),
@@ -2368,6 +2475,8 @@ private val csdBaseSql: String =
     "sig_lombscargle" -> sigLombscargleSql,
     "sig_detrend" -> sigDetrendSql,
     "sig_welch" -> sigWelchSql,
+    "sig_welch_median" -> sigWelchMedianSql,
+    "sig_spectrogram" -> sigSpectrogramSql,
     "sig_welch_long" -> sigWelchSql,
     "sig_find_peaks" -> sigFindPeaksSql,
     "sig_zoom_fft" -> sigZoomFftSql,

@@ -100,4 +100,31 @@ class PeaksSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("findPeaksFiltered width filter: kept peaks bracket the bound, applied after prominence") {
+    // a narrow spike (FWHM 1) and a broad hill (FWHM ~4)
+    val x = Array(0.0, 0.5, 5.0, 0.5, 0.0, 1.0, 2.5, 3.0, 2.5, 1.0, 0.0)
+    val narrowAndBroad = Peaks.findPeaksFiltered(x)
+    assert(narrowAndBroad.toSeq == Seq(2, 7))
+    // width floor keeps only the hill; ceiling keeps only the spike
+    assert(Peaks.findPeaksFiltered(x, widthMin = 2.0).toSeq == Seq(7))
+    assert(Peaks.findPeaksFiltered(x, widthMax = 2.0).toSeq == Seq(2))
+    // both bounds = a band-pass on width
+    assert(Peaks.findPeaksFiltered(x, widthMin = 0.5, widthMax = 2.0).toSeq == Seq(2))
+    // filter agrees with the (independently oracled) width() evaluation
+    val rnd = new scala.util.Random(17)
+    val xs = Array.fill(300)(rnd.nextGaussian()).scanLeft(0.0)(_ + _ * 0.3)
+    val wmin = 3.0
+    val kept = Peaks.findPeaksFiltered(xs, widthMin = wmin)
+    val all = Peaks.findPeaksFiltered(xs)
+    for (p <- all) {
+      val wd = Peaks.width(xs, p).width
+      assert(kept.contains(p) == (wd >= wmin),
+        s"peak $p width $wd membership mismatch")
+    }
+    // relHeight is honoured: at rel_height 1.0 widths span whole bases,
+    // so a floor that removed peaks at 0.5 keeps them at 1.0
+    val keptFull = Peaks.findPeaksFiltered(xs, widthMin = wmin, relHeight = 1.0)
+    assert(keptFull.length >= kept.length)
+  }
 }

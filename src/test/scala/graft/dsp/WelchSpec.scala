@@ -115,6 +115,61 @@ class WelchSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Spectral.welch(Array.fill(8)(1.0), 16, 8, w, 1.0))
   }
 
+  test("welch average=median: identical segments make median == mean / bias") {
+    // x periodic with period == hop: every segment is the same vector,
+    // so the median of the raw powers equals the mean of them, and the
+    // two estimates differ by exactly the _median_bias factor
+    val x = Array.tabulate(96)(t => math.sin(2 * math.Pi * t / 16) + 0.25)
+    val w = Array.fill(16)(1.0)
+    val mean = Spectral.welch(x, 16, 16, w, fs = 2.0, demean = false)
+    val med = Spectral.welch(x, 16, 16, w, fs = 2.0, demean = false,
+      average = "median")
+    // ns = 6 segments -> bias = 1 + (1/3 - 1/2) + (1/5 - 1/4) = 47/60
+    val bias = 1.0 + (1.0 / 3 - 1.0 / 2) + (1.0 / 5 - 1.0 / 4)
+    for (b <- mean.indices)
+      assert(math.abs(med(b) - mean(b) / bias) < 1e-12 * math.max(1.0, mean(b)),
+        s"bin $b: median=${med(b)} mean=${mean(b)}")
+  }
+
+  test("welch average=median shrugs off one poisoned segment where mean cannot") {
+    val r = new scala.util.Random(13)
+    val x = Array.tabulate(160)(t => math.sin(2 * math.Pi * t / 8) + r.nextGaussian() * 0.01)
+    // blow up one interior segment (scale, not offset — the per-segment
+    // demean would cancel a constant)
+    for (i <- 64 until 80) x(i) *= 100.0
+    val w = Array.fill(16)(1.0)
+    val mean = Spectral.welch(x, 16, 16, w, fs = 2.0)
+    val med = Spectral.welch(x, 16, 16, w, fs = 2.0, average = "median")
+    // the spike dominates the mean's tone bin estimate; the median stays
+    // within an order of magnitude of the clean tone power
+    val tone = 2 // bin for period 8 at nperseg 16
+    assert(mean(tone) > 50 * med(tone),
+      s"mean=${mean(tone)} median=${med(tone)} — median should be robust")
+    assertThrows[IllegalArgumentException](
+      Spectral.welch(x, 16, 16, w, fs = 2.0, average = "trimmed"))
+  }
+
+  test("tukey periodic window: scipy piecewise anchors") {
+    // n=16, alpha=0.25: sym length 17, width = floor(0.25*16/2) = 2 ->
+    // taper on k=0..2 and k=14..15, flat 1.0 on k=3..13
+    val w = Resample.tukeyPeriodic(16, 0.25)
+    assert(w.length == 16)
+    assert(w(0) == 0.0) // cos(-pi) edge
+    for (k <- 3 to 13) assert(w(k) == 1.0, s"flat top broken at $k")
+    // taper is the published cosine: w(k) = 0.5(1+cos(pi(-1 + 2k/(alpha(M-1)))))
+    for (k <- 1 to 2) {
+      val want = 0.5 * (1 + math.cos(math.Pi * (-1 + 2.0 * k / 0.25 / 16)))
+      assert(math.abs(w(k) - want) < 1e-15)
+    }
+    // periodic truncation keeps the head/tail asymmetric: w(14) mirrors w(2)
+    assert(math.abs(w(14) - w(2)) < 1e-12)
+    assert(math.abs(w(15) - w(1)) < 1e-12)
+    // degenerate alphas
+    assert(Resample.tukeyPeriodic(8, 0.0).forall(_ == 1.0))
+    val hann = Resample.periodicWindow("hann", 8)
+    assert(Resample.tukeyPeriodic(8, 1.0).zip(hann).forall { case (a, b) => a == b })
+  }
+
   test("welch of a bin-aligned tone concentrates power in its bin (Parseval sanity)") {
     // sin(2*pi*4*t/32) with nperseg=32, boxcar, no demean: all power in
     // bin 4. Density scaling: psd[4] = 2 * |n/2 * 1|^2 / (fs * n) with

@@ -39,6 +39,7 @@ class PlanShapeSpec extends SparkTestBase {
       "v", Array(1.0, 0.5), Array(1, 2))) == 1)
     // batch STFT: windows explode map-side from the one grouped pass
     assert(hashExchanges(Signal.stft(series, Seq("k"), "t", "v", 16, 8)) == 1)
+    assert(hashExchanges(Signal.spectrogram(series, Seq("k"), "t", "v", 16, 14)) == 1)
     // detrend + welch: one kernel call on the seriesified array — the
     // welch segment loop must NOT become a per-segment explode+agg
     assert(hashExchanges(Signal.detrend(series, Seq("k"), "t", "v")) == 1)
