@@ -250,6 +250,72 @@ object Design {
   /** Frequency response of an sos cascade at normalized frequency
     * w (radians/sample): returns |H(e^{jw})|.
     */
+  /** scipy.signal.freqz(b, a, worN, whole=False): the complex
+    * frequency response of the transfer function
+    * H(e^{jw}) = Σ b_j e^{-jwj} / Σ a_j e^{-jwj} at the worN points
+    * w_k = π·k/worN. Returns (w, re, im).
+    */
+  def freqz(b: Array[Double], a: Array[Double],
+            worN: Int = 512): (Array[Double], Array[Double], Array[Double]) = {
+    require(worN > 0, s"freqz: need worN > 0, got $worN")
+    require(b.nonEmpty && a.nonEmpty && a(0) != 0.0,
+      "freqz: empty polynomial or zero leading denominator coefficient")
+    val w = new Array[Double](worN)
+    val re = new Array[Double](worN)
+    val im = new Array[Double](worN)
+    var k = 0
+    while (k < worN) {
+      val wk = math.Pi * k / worN
+      w(k) = wk
+      var nr = 0.0; var ni = 0.0; var dr = 0.0; var di = 0.0
+      var j = 0
+      while (j < b.length) {
+        nr += b(j) * math.cos(wk * j); ni -= b(j) * math.sin(wk * j); j += 1
+      }
+      j = 0
+      while (j < a.length) {
+        dr += a(j) * math.cos(wk * j); di -= a(j) * math.sin(wk * j); j += 1
+      }
+      val dd = dr * dr + di * di
+      re(k) = (nr * dr + ni * di) / dd
+      im(k) = (ni * dr - nr * di) / dd
+      k += 1
+    }
+    (w, re, im)
+  }
+
+  /** scipy.signal.sosfreqz: cascade response — the pointwise product
+    * of each biquad section's freqz. Returns (w, re, im).
+    */
+  def sosfreqz(sos: Array[Double],
+               worN: Int = 512): (Array[Double], Array[Double], Array[Double]) = {
+    require(sos.nonEmpty && sos.length % Filt.SOS_W == 0,
+      s"sosfreqz: ${sos.length} values do not form whole sos sections")
+    val ns = sos.length / Filt.SOS_W
+    var acc: (Array[Double], Array[Double], Array[Double]) = null
+    var s = 0
+    while (s < ns) {
+      val o = s * Filt.SOS_W
+      val sec = freqz(
+        Array(sos(o), sos(o + 1), sos(o + 2)),
+        Array(sos(o + 3), sos(o + 4), sos(o + 5)), worN)
+      if (acc == null) acc = sec
+      else {
+        val (_, ar, ai) = acc
+        val (_, br, bi) = sec
+        var k = 0
+        while (k < worN) {
+          val tr = ar(k) * br(k) - ai(k) * bi(k)
+          ai(k) = ar(k) * bi(k) + ai(k) * br(k)
+          ar(k) = tr
+          k += 1
+        }
+      }
+      s += 1
+    }
+    acc
+  }
+
   def sosFreqAbs(sos: Array[Double], w: Double): Double = {
     val ns = Filt.nSections(sos)
     val c1 = math.cos(-w); val s1 = math.sin(-w)

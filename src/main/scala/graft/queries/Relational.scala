@@ -176,6 +176,28 @@ object Relational {
         fp6(col("p50")).as("p50_fp"), fp6(col("p90")).as("p90_fp"))
       .orderBy("user_id")
 
+  /** ROLLUP over (returnflag, linestatus) — the grouping-sets/cube
+    * family Spark executes as ONE Expand + hash aggregate (no
+    * per-level re-scan; each input row fans out to its grouping-set
+    * rows map-side and partial aggregation still applies). Subtotal
+    * rows surface with a sentinel instead of NULL group keys because
+    * the two engines order NULLs differently (Spark NULLS FIRST,
+    * DuckDB NULLS LAST) and the real columns are never null here.
+    */
+  def q8Rollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        fp2(sum(col("l_quantity"))).as("sum_qty"),
+        fp2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("sum_disc_price"), col("n"))
+      .orderBy("rf", "ls")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -184,9 +206,19 @@ object Relational {
     "q4_asof_tol" -> (q4AsofTol _),
     "q5_interval" -> (q5Interval _),
     "q6_histogram" -> (q6Histogram _),
-    "q7_quantiles" -> (q7Quantiles _))
+    "q7_quantiles" -> (q7Quantiles _),
+    "q8_rollup" -> (q8Rollup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q8_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty,
+         |  ${fpSql("SUM(l_extendedprice * (1.0 - l_discount))", "100")} AS sum_disc_price,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty,

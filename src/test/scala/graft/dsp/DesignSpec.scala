@@ -105,4 +105,63 @@ class DesignSpec extends AnyFunSuite {
     assert(math.abs(w(5) - 1.0) < 1e-12)
     assert(Design.hamming(1).toSeq == Seq(1.0))
   }
+
+  test("freqz: moving average matches the closed form |1 + 2cos(w)|/3") {
+    val (w, re, im) = Design.freqz(Array(1.0 / 3, 1.0 / 3, 1.0 / 3), Array(1.0), 64)
+    for (k <- 0 until 64) {
+      val want = math.abs(1.0 + 2.0 * math.cos(w(k))) / 3.0
+      assert(math.abs(math.hypot(re(k), im(k)) - want) < 1e-12, s"bin $k")
+      // linear phase -w for the symmetric FIR (where the real factor
+      // is positive)
+      if (1.0 + 2.0 * math.cos(w(k)) > 1e-6) {
+        val ph = math.atan2(im(k), re(k))
+        assert(math.abs(ph - (-w(k))) < 1e-9, s"phase at $k")
+      }
+    }
+  }
+
+  test("freqz of an FIR equals the rfft of the zero-padded taps (independent FFT path)") {
+    val h = Design.firwinLowpass(21, 0.3)
+    val n = 64
+    val (_, re, im) = Design.freqz(h, Array(1.0), n)
+    val sp = graft.dsp.Fft.rfft(h, 2 * n) // bins at pi*k/n for k <= n
+    for (k <- 0 until n) {
+      assert(math.abs(re(k) - sp.re(k)) < 1e-10, s"re bin $k")
+      assert(math.abs(im(k) - sp.im(k)) < 1e-10, s"im bin $k")
+    }
+  }
+
+  test("sosfreqz: butterworth is exactly -3dB at its cutoff, monotone, unity DC") {
+    for ((order, wn) <- Seq((2, 0.4), (4, 0.5), (6, 0.2))) {
+      val sos = Design.butterSos(order, wn)
+      val n = 1000
+      val (w, re, im) = Design.sosfreqz(sos, n)
+      val mag = Array.tabulate(n)(k => math.hypot(re(k), im(k)))
+      assert(math.abs(mag(0) - 1.0) < 1e-12, "DC gain")
+      // half-power exactly at wn*pi (butterworth's defining property,
+      // preserved by the bilinear transform's frequency warping)
+      val kc = (wn * n).round.toInt
+      assert(math.abs(mag(kc) - 1.0 / math.sqrt(2.0)) < 1e-9,
+        s"order=$order wn=$wn |H(wc)|=${mag(kc)}")
+      // monotone decreasing magnitude (no ripple)
+      for (k <- 1 until n)
+        assert(mag(k) <= mag(k - 1) + 1e-12, s"ripple at $k")
+      // agrees with the independent single-point evaluator
+      for (k <- Seq(1, n / 4, n / 2, 3 * n / 4))
+        assert(math.abs(mag(k) - Design.sosFreqAbs(sos, w(k))) < 1e-12)
+    }
+  }
+
+  test("sosfreqz: cheby1 passband ripples within its rp band") {
+    val rp = 1.0 // dB
+    val sos = Design.cheby1Sos(8, rp, 0.3)
+    val n = 1000
+    val (w, re, im) = Design.sosfreqz(sos, n)
+    val floor = math.pow(10.0, -rp / 20.0)
+    for (k <- 0 until n if w(k) < 0.3 * math.Pi) {
+      val m = math.hypot(re(k), im(k))
+      assert(m <= 1.0 + 1e-9 && m >= floor - 1e-9,
+        s"passband ripple bound broken at ${w(k)}: $m")
+    }
+  }
 }

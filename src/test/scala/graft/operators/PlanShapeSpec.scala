@@ -69,6 +69,15 @@ class PlanShapeSpec extends SparkTestBase {
       Array(0.5, 1.0))) == 1)
   }
 
+  test("rollup is one Expand + one hash-aggregate pass, not per-level re-scans") {
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
+      .toDF("rf", "ls", "q")
+      .rollup($"rf", $"ls").agg(sum($"q").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length == 1, "expected a single Expand")
+    assert(hashExchanges(df) == 1)
+  }
+
   test("stft -> istft round trip is ONE shuffle total: the regroup reuses stft's partitioning") {
     // stft's map-side window explode leaves the data hash-partitioned
     // by the series keys, so istft's groupBy(keys) needs NO new
