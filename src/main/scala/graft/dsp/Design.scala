@@ -129,39 +129,252 @@ object Design {
     (pr, pi, 1.0)
   }
 
+  private def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1.0))
+
+  /** Re(prod(-x)) / conj-symmetric complex product of negated roots. */
+  private def prodNegReal(xr: Array[Double], xi: Array[Double]): Double = {
+    var gr = 1.0; var gi = 0.0
+    var k = 0
+    while (k < xr.length) {
+      val nr = gr * (-xr(k)) - gi * (-xi(k))
+      gi = gr * (-xi(k)) + gi * (-xr(k))
+      gr = nr
+      k += 1
+    }
+    gr
+  }
+
+  /** Analog Chebyshev type-II (inverse Chebyshev) prototype
+    * (scipy.signal.cheb2ap): maximally-flat passband, equiripple
+    * stopband with attenuation rs dB; purely-imaginary zeros at
+    * 1/sin(mπ/2n), poles the inverted type-I pole set. The stopband
+    * EDGE sits at ω = 1 (scipy's Wn convention for cheby2).
+    */
+  private def cheb2ap(n: Int, rs: Double): (Array[Double], Array[Double], Array[Double], Array[Double], Double) = {
+    val de = 1.0 / math.sqrt(math.pow(10.0, 0.1 * rs) - 1.0)
+    val mu = asinh(1.0 / de) / n
+    // index set m = odd integers in (-n, n), skipping 0's slot when n
+    // is odd (the real pole has no finite zero partner)
+    val full = (-n + 1) until n by 2
+    val zIdx = if (n % 2 == 1) full.filter(_ != 0) else full
+    val zr = Array.fill(zIdx.length)(0.0)
+    val zi = zIdx.map(m => 1.0 / math.sin(m * math.Pi / (2.0 * n))).toArray
+    val pr = new Array[Double](n); val pi = new Array[Double](n)
+    for ((m, k) <- full.zipWithIndex) {
+      // p = 1 / (sinh(mu)·Re(-e^{jθ}) + j·cosh(mu)·Im(-e^{jθ}))
+      val theta = math.Pi * m / (2.0 * n)
+      val ar = -math.sinh(mu) * math.cos(theta)
+      val ai = -math.cosh(mu) * math.sin(theta)
+      val d = ar * ar + ai * ai
+      pr(k) = ar / d; pi(k) = -ai / d
+    }
+    val k0 = prodNegReal(pr, pi) / prodNegReal(zr, zi)
+    (zr, zi, pr, pi, k0)
+  }
+
+  // ---- elliptic machinery (AGM / Landen; Abramowitz & Stegun 16-17) --
+
+  /** Complete elliptic integral K(m), parameter m = k² (AGM). */
+  def ellipK(m: Double): Double = {
+    require(m >= 0 && m < 1, s"ellipK: m in [0,1): $m")
+    var a = 1.0; var b = math.sqrt(1.0 - m)
+    var it = 0
+    while (math.abs(a - b) > 1e-16 * a && it < 60) {
+      val an = 0.5 * (a + b)
+      b = math.sqrt(a * b)
+      a = an
+      it += 1
+    }
+    math.Pi / (2.0 * a)
+  }
+
+  /** Jacobi elliptic sn/cn/dn(u | m) via the AGM descending ladder. */
+  def ellipj(u: Double, m: Double): (Double, Double, Double) = {
+    require(m >= 0 && m <= 1, s"ellipj: m in [0,1]: $m")
+    if (m < 1e-16) return (math.sin(u), math.cos(u), 1.0)
+    if (m > 1.0 - 1e-16) {
+      val sech = 1.0 / math.cosh(u)
+      return (math.tanh(u), sech, sech)
+    }
+    val a = new Array[Double](32); val c = new Array[Double](32)
+    a(0) = 1.0; c(0) = math.sqrt(m)
+    var b = math.sqrt(1.0 - m)
+    var i = 0
+    while (math.abs(c(i)) > 1e-16 * math.abs(a(i)) && i < 30) {
+      val an = 0.5 * (a(i) + b)
+      c(i + 1) = 0.5 * (a(i) - b)
+      b = math.sqrt(a(i) * b)
+      a(i + 1) = an
+      i += 1
+    }
+    var phi = math.pow(2.0, i.toDouble) * a(i) * u
+    var j = i
+    while (j > 0) {
+      phi = 0.5 * (phi + math.asin(math.max(-1.0, math.min(1.0,
+        c(j) * math.sin(phi) / a(j)))))
+      j -= 1
+    }
+    val sn = math.sin(phi); val cn = math.cos(phi)
+    val dn = math.sqrt(math.max(0.0, 1.0 - m * sn * sn))
+    (sn, cn, dn)
+  }
+
+  /** Solve the elliptic-filter degree equation for the pole modulus m
+    * given the order and the (squared) stopband modulus m1 (scipy
+    * _ellipdeg: nome expansion with MMAX=7 terms).
+    */
+  private[dsp] def ellipdeg(n: Int, m1: Double): Double = {
+    val k1 = ellipK(m1); val k1p = ellipK(1.0 - m1)
+    val q1 = math.exp(-math.Pi * k1p / k1)
+    val q = math.pow(q1, 1.0 / n)
+    var num = 0.0; var den = 1.0
+    var i = 0
+    while (i <= 7) {
+      num += math.pow(q, (i * (i + 1)).toDouble)
+      den += 2.0 * math.pow(q, ((i + 1) * (i + 1)).toDouble)
+      i += 1
+    }
+    16.0 * q * math.pow(num / den, 4.0)
+  }
+
+  /** Real inverse Jacobi sc with complementary modulus: solve
+    * sc(z, 1-m) = w (scipy _arc_jac_sc1). The underlying inverse-sn
+    * Landen ladder stays purely imaginary for the j·w argument, so the
+    * iteration tracks only the imaginary part.
+    */
+  private def arcJacSc1(w: Double, m: Double): Double = {
+    val k = math.sqrt(m)
+    require(k < 1, s"arcJacSc1: modulus >= 1")
+    val ks = scala.collection.mutable.ArrayBuffer(k)
+    var it = 0
+    while (ks.last != 0.0) {
+      val kp = math.sqrt((1.0 - ks.last) * (1.0 + ks.last))
+      ks += (1.0 - kp) / (1.0 + kp)
+      it += 1
+      require(it < 60, "arcJacSc1: Landen ladder not converging")
+    }
+    var bigK = math.Pi / 2.0
+    for (kn <- ks.drop(1)) bigK *= (1.0 + kn)
+    // wn ladder on the imaginary part: complement(kn·jt) = sqrt(1+kn²t²)
+    var t = w
+    var i = 0
+    while (i < ks.length - 1) {
+      val kn = ks(i); val knext = ks(i + 1)
+      t = 2.0 * t / ((1.0 + knext) * (1.0 + math.sqrt(1.0 + kn * kn * t * t)))
+      i += 1
+    }
+    bigK * (2.0 / math.Pi) * asinh(t)
+  }
+
+  /** Analog elliptic (Cauer) prototype (scipy.signal.ellipap):
+    * equiripple in BOTH bands — rp dB passband ripple, rs dB stopband
+    * floor, the steepest possible transition at a given order.
+    */
+  private def ellipap(n: Int, rp: Double, rs: Double): (Array[Double], Array[Double], Array[Double], Array[Double], Double) = {
+    require(n >= 1, "ellipap: order >= 1")
+    val epsSq = math.pow(10.0, 0.1 * rp) - 1.0
+    if (n == 1) {
+      val p = -math.sqrt(1.0 / epsSq)
+      return (new Array[Double](0), new Array[Double](0),
+        Array(p), Array(0.0), -p)
+    }
+    val eps = math.sqrt(epsSq)
+    val ck1Sq = epsSq / (math.pow(10.0, 0.1 * rs) - 1.0)
+    require(ck1Sq > 0, "ellipap: rs must exceed rp")
+    val bigK1 = ellipK(ck1Sq)
+    val m = ellipdeg(n, ck1Sq)
+    val capk = ellipK(m)
+    val js = ((1 - n % 2) until n by 2).toArray
+    val sn = new Array[Double](js.length)
+    val cn = new Array[Double](js.length)
+    val dn = new Array[Double](js.length)
+    for ((j, idx) <- js.zipWithIndex) {
+      val (s, c, d) = ellipj(j * capk / n, m)
+      sn(idx) = s; cn(idx) = c; dn(idx) = d
+    }
+    // zeros: ±j / (sqrt(m)·sn) for the nonzero sn entries
+    val zBase = sn.filter(math.abs(_) > 1e-13).map(s => 1.0 / (math.sqrt(m) * s))
+    val zr = Array.fill(zBase.length * 2)(0.0)
+    val zi = zBase ++ zBase.map(-_)
+    // poles
+    val r = arcJacSc1(1.0 / eps, ck1Sq)
+    val v0 = capk * r / (n * bigK1)
+    val (sv, cv, dv) = ellipj(v0, 1.0 - m)
+    val prB = new Array[Double](js.length)
+    val piB = new Array[Double](js.length)
+    for (idx <- js.indices) {
+      val d = 1.0 - (dn(idx) * sv) * (dn(idx) * sv)
+      prB(idx) = -(cn(idx) * dn(idx) * sv * cv) / d
+      piB(idx) = -(sn(idx) * dv) / d
+    }
+    // conjugate completion: even order duplicates all; odd order keeps
+    // the real pole (the j=0 slot) single
+    val keep = prB.indices.filter(idx =>
+      math.abs(piB(idx)) > 1e-13 * math.sqrt(prB.map(x => x * x).sum + piB.map(x => x * x).sum))
+    val pr = prB ++ keep.map(prB(_))
+    val pi = piB ++ keep.map(-piB(_))
+    var k0 = prodNegReal(pr, pi) / prodNegReal(zr, zi)
+    if (n % 2 == 0) k0 /= math.sqrt(1.0 + epsSq)
+    (zr, zi, pr, pi, k0)
+  }
+
   /** Digital lowpass design via prototype → lp2lp → bilinear → sos.
     * wn is the cutoff normalized to Nyquist (scipy convention).
     */
   private def designLowpassSos(proto: (Array[Double], Array[Double], Double), wn: Double): Array[Double] = {
-    require(wn > 0 && wn < 1, s"Wn must be in (0,1): $wn")
     val (pr0, pi0, k0) = proto
-    val n = pr0.length
+    designLowpassSosZpk(new Array[Double](0), new Array[Double](0),
+      pr0, pi0, k0, wn)
+  }
+
+  /** The general prototype→digital path (scipy lp2lp_zpk + bilinear_zpk
+    * + zpk2sos) for prototypes WITH finite zeros (cheby2, elliptic).
+    * The all-pole designs delegate here with an empty zero set.
+    */
+  private def designLowpassSosZpk(
+      zr0: Array[Double], zi0: Array[Double],
+      pr0: Array[Double], pi0: Array[Double],
+      k0: Double, wn: Double): Array[Double] = {
+    require(wn > 0 && wn < 1, s"Wn must be in (0,1): $wn")
+    val np = pr0.length; val nz = zr0.length
+    require(nz <= np, "improper prototype (more zeros than poles)")
     val fs = 2.0
     val warped = 2.0 * fs * math.tan(math.Pi * wn / fs)
-    // lp2lp_zpk: p *= wo; k *= wo^(n - nZeros) (no zeros here)
+    // lp2lp_zpk: z *= wo; p *= wo; k *= wo^(np - nz)
+    val zr = zr0.map(_ * warped); val zi = zi0.map(_ * warped)
     val pr = pr0.map(_ * warped); val pi = pi0.map(_ * warped)
-    var k = k0 * math.pow(warped, n)
-    // bilinear_zpk: z_d = (2fs + p) / (2fs - p); zeros at -1 (degree n);
-    // k *= real(prod(2fs - p_analog)^-1) * prod(2fs - z_analog) [no zeros]
+    var k = k0 * math.pow(warped, (np - nz).toDouble)
+    // bilinear_zpk: x_d = (2fs + x) / (2fs - x) for zeros and poles;
+    // the (np - nz) excess poles pull in digital zeros at -1;
+    // k *= real(prod(2fs - z) / prod(2fs - p))
     val fs2 = 2.0 * fs
-    val zr = new Array[Double](n); val zi = new Array[Double](n)
-    var denR = 1.0; var denI = 0.0
-    var j = 0
-    while (j < n) {
-      val ar = fs2 + pr(j); val ai = pi(j)      // 2fs + p
-      val br = fs2 - pr(j); val bi = -pi(j)     // 2fs - p
-      val d = br * br + bi * bi
-      val npr = (ar * br + ai * bi) / d
-      val npi = (ai * br - ar * bi) / d
-      pr(j) = npr; pi(j) = npi
-      zr(j) = -1.0; zi(j) = 0.0
-      val nr = denR * br - denI * bi
-      denI = denR * bi + denI * br
-      denR = nr
-      j += 1
+    def mapBilinear(xr: Array[Double], xi: Array[Double]): (Double, Double) = {
+      // maps in place, returns the complex product prod(2fs - x)
+      var prodR = 1.0; var prodI = 0.0
+      var j = 0
+      while (j < xr.length) {
+        val ar = fs2 + xr(j); val ai = xi(j)      // 2fs + x
+        val br = fs2 - xr(j); val bi = -xi(j)     // 2fs - x
+        val d = br * br + bi * bi
+        xr(j) = (ar * br + ai * bi) / d
+        xi(j) = (ai * br - ar * bi) / d
+        val nr = prodR * br - prodI * bi
+        prodI = prodR * bi + prodI * br
+        prodR = nr
+        j += 1
+      }
+      (prodR, prodI)
     }
-    k = k / denR // prod(2fs - p) is real for conjugate-symmetric pole sets
-    zpk2sos(zr, zi, pr, pi, k)
+    val (numR, numI) = mapBilinear(zr, zi)
+    val (denR, denI) = mapBilinear(pr, pi)
+    // both products are real for conjugate-symmetric sets
+    require(math.abs(numI) <= 1e-9 * math.abs(numR) + 1e-12 &&
+      math.abs(denI) <= 1e-9 * math.abs(denR) + 1e-12,
+      "non-conjugate-symmetric prototype")
+    k = k * numR / denR
+    val zrD = zr ++ Array.fill(np - nz)(-1.0)
+    val ziD = zi ++ Array.fill(np - nz)(0.0)
+    zpk2sos(zrD, ziD, pr, pi, k)
   }
 
   /** scipy.signal.cheby1(N, rp, Wn, btype='low', output='sos'). */
@@ -172,12 +385,33 @@ object Design {
   def butterSos(n: Int, wn: Double): Array[Double] =
     designLowpassSos(buttap(n), wn)
 
+  /** scipy.signal.cheby2(N, rs, Wn, btype='low', output='sos').
+    * NOTE scipy's convention: Wn is the STOPBAND edge — the lowest
+    * frequency where the attenuation first reaches rs dB.
+    */
+  def cheby2Sos(n: Int, rsDb: Double, wn: Double): Array[Double] = {
+    val (zr, zi, pr, pi, k) = cheb2ap(n, rsDb)
+    designLowpassSosZpk(zr, zi, pr, pi, k, wn)
+  }
+
+  /** scipy.signal.ellip(N, rp, rs, Wn, btype='low', output='sos').
+    * Wn is the PASSBAND edge (last frequency where |H| ≥ -rp dB).
+    */
+  def ellipSos(n: Int, rpDb: Double, rsDb: Double, wn: Double): Array[Double] = {
+    val (zr, zi, pr, pi, k) = ellipap(n, rpDb, rsDb)
+    designLowpassSosZpk(zr, zi, pr, pi, k, wn)
+  }
+
   /** zpk → flattened sos (n/2 sections, padded with a first-order
     * section when n is odd). Pairing: conjugate pole pairs ordered by
-    * closeness to the unit circle (closest last, like scipy), each
-    * paired with two zeros (all zeros are at z=-1 for our lowpass
-    * designs, so pairing freedom doesn't change the cascade response).
-    * Overall gain is applied to the last section (matches scipy).
+    * closeness to the unit circle (closest last, like scipy); zeros are
+    * grouped into conjugate pairs / reals and distributed one group per
+    * section (real zeros reserved first for single-pole sections — a
+    * degree-2 numerator can't sit over a degree-1 denominator). The
+    * CASCADE response is pairing-invariant, which is what the freqz
+    * specs pin; scipy's exact section-by-section grouping is not
+    * reproduced. Overall gain lands on the last (most selective)
+    * section.
     */
   def zpk2sos(zr: Array[Double], zi: Array[Double],
               pr: Array[Double], pi: Array[Double], k: Double): Array[Double] = {
@@ -208,9 +442,21 @@ object Design {
     }
     val ns = pairs.length
     val sos = new Array[Double](ns * Filt.SOS_W)
-    // distribute zeros two per section (all at -1 for lowpass; odd order
-    // leaves one section with a single zero)
-    var zLeft = zr.length
+    // group zeros: conjugate pairs and reals
+    val zUsed = new Array[Boolean](zr.length)
+    val zPairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val zReals = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- zr.indices if !zUsed(i)) {
+      zUsed(i) = true
+      if (math.abs(zi(i)) < 1e-14) zReals += i
+      else {
+        val j = zr.indices.find(j => !zUsed(j) &&
+          math.abs(zr(j) - zr(i)) < 1e-9 && math.abs(zi(j) + zi(i)) < 1e-9)
+          .getOrElse(throw new IllegalStateException("unpaired complex zero"))
+        zUsed(j) = true
+        zPairs += ((i, j))
+      }
+    }
     var s = 0
     // sections ordered: least selective first (farthest from unit circle)
     val ordered = pairs.sortBy { case (i, j) =>
@@ -218,7 +464,7 @@ object Design {
       val rj = if (j >= 0) math.sqrt(pr(j) * pr(j) + pi(j) * pi(j)) else r2
       math.max(r2, rj)
     }
-    for ((i, j) <- ordered) {
+    for (((i, j), secIdx) <- ordered.zipWithIndex) {
       val o = s * Filt.SOS_W
       // denominator from pole pair
       if (j >= 0) {
@@ -230,16 +476,37 @@ object Design {
         sos(o + 4) = -pr(i)
         sos(o + 5) = 0.0
       }
-      // numerator: two zeros if available (else one / none)
-      val nz = math.min(zLeft, if (j >= 0) 2 else 1)
-      zLeft -= nz
-      nz match {
-        case 2 => sos(o) = 1.0; sos(o + 1) = 2.0; sos(o + 2) = 1.0 // (z+1)^2
-        case 1 => sos(o) = 1.0; sos(o + 1) = 1.0; sos(o + 2) = 0.0 // (z+1)
-        case _ => sos(o) = 1.0
+      // numerator from the next zero group that fits this section
+      if (j < 0) {
+        // single real pole: at most one real zero
+        if (zReals.nonEmpty) {
+          val a = zr(zReals.remove(0))
+          sos(o) = 1.0; sos(o + 1) = -a; sos(o + 2) = 0.0
+        } else sos(o) = 1.0
+      } else {
+        // 2-pole section, but keep enough reals back for the remaining
+        // single-pole sections downstream of this one (cheby2/ellip
+        // odd order: the bilinear fill zero at -1 must land on the one
+        // real-pole section)
+        val singlesLeft = ordered.drop(secIdx + 1).count(_._2 < 0)
+        val spareReals = zReals.length - singlesLeft
+        if (zPairs.nonEmpty) {
+          val (a, b) = zPairs.remove(0)
+          sos(o) = 1.0
+          sos(o + 1) = -(zr(a) + zr(b))
+          sos(o + 2) = zr(a) * zr(b) - zi(a) * zi(b)
+        } else if (spareReals >= 2) {
+          val a = zr(zReals.remove(0)); val b = zr(zReals.remove(0))
+          sos(o) = 1.0; sos(o + 1) = -(a + b); sos(o + 2) = a * b
+        } else if (spareReals == 1) {
+          val a = zr(zReals.remove(0))
+          sos(o) = 1.0; sos(o + 1) = -a; sos(o + 2) = 0.0
+        } else sos(o) = 1.0
       }
       s += 1
     }
+    require(zPairs.isEmpty && zReals.isEmpty,
+      "zpk2sos: zeros left unassigned (zero units exceed section capacity)")
     // apply overall gain to the last section's numerator (scipy puts it
     // on the first section; equivalent cascade — document the choice)
     val o = (ns - 1) * Filt.SOS_W

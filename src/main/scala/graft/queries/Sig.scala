@@ -1992,6 +1992,26 @@ private val csdBaseSql: String =
       .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  /** sosfilt with ellip(4, 0.5 dB, 40 dB, 0.3) — the round-9 Cauer
+    * design (finite stopband zeros → non-trivial b1/b2 per section,
+    * unlike the all-pole butter path) pushed through the same one-
+    * shuffle cascade; the oracle replays the literal coefficients
+    * recursively, so the filtering is cross-engine-exact while
+    * DesignSpec pins the design itself (degree-equation edge, ripple).
+    */
+  def sigSosfiltEllip(s: SparkSession, dir: String): DataFrame =
+    Signal.sosfilt(Design.ellipSos(4, 0.5, 40.0, 0.3), evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  /** sosfilt with cheby2(5, 40 dB, 0.35) — odd order exercises the
+    * single-real-pole section carrying the bilinear fill zero at -1.
+    */
+  def sigSosfiltCheby2(s: SparkSession, dir: String): DataFrame =
+    Signal.sosfilt(Design.cheby2Sos(5, 40.0, 0.35), evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
   /** butter(2, 0.4) is a single biquad, so lfilter's DF2T step is
     * exactly the one-section cascade — the recursive oracle generator
     * covers the (b, a) form too.
@@ -2276,6 +2296,12 @@ private val csdBaseSql: String =
   private[queries] lazy val sigSosfiltSql: String =
     sosfiltRecSql(Design.butterSos(4, 0.3), sSql)
 
+  private lazy val sigSosfiltEllipSql: String =
+    sosfiltRecSql(Design.ellipSos(4, 0.5, 40.0, 0.3), sSql)
+
+  private lazy val sigSosfiltCheby2Sql: String =
+    sosfiltRecSql(Design.cheby2Sos(5, 40.0, 0.35), sSql)
+
   /** lfilter(butter(2, 0.4)) == single-section sosfilt. */
   private lazy val sigLfilterSql: String =
     sosfiltRecSql(Design.butterSos(2, 0.4), sSql)
@@ -2457,6 +2483,8 @@ private val csdBaseSql: String =
     "sig_convolve_keyed" -> (sigConvolveKeyed _),
     "sig_hilbert_envelope" -> (sigHilbertEnvelope _),
     "sig_sosfilt" -> (sigSosfilt _),
+    "sig_sosfilt_ellip" -> (sigSosfiltEllip _),
+    "sig_sosfilt_cheby2" -> (sigSosfiltCheby2 _),
     "sig_sosfiltfilt" -> (sigSosfiltfilt _),
     "sig_peak_widths" -> (sigPeakWidths _),
     "sig_peak_widths_at" -> (sigPeakWidthsAt _))
@@ -2527,6 +2555,8 @@ private val csdBaseSql: String =
     "sig_convolve_keyed" -> sigConvolveKeyedSql,
     "sig_hilbert_envelope" -> sigHilbertEnvelopeSql,
     "sig_sosfilt" -> sigSosfiltSql,
+    "sig_sosfilt_ellip" -> sigSosfiltEllipSql,
+    "sig_sosfilt_cheby2" -> sigSosfiltCheby2Sql,
     "sig_sosfiltfilt" -> sigSosfiltfiltSql,
     "sig_peak_widths" -> sigPeakWidthsSql,
     "sig_peak_widths_at" -> sigPeakWidthsAtSql)

@@ -152,6 +152,127 @@ class DesignSpec extends AnyFunSuite {
     }
   }
 
+  test("cheby2Sos: DC gain 1, exactly -rs dB at the stopband edge, equiripple stopband") {
+    for (n <- Seq(2, 3, 4, 5, 8); rs <- Seq(20.0, 40.0, 60.0); wn <- Seq(0.3, 0.6)) {
+      val sos = Design.cheby2Sos(n, rs, wn)
+      assert(Filt.nSections(sos) == (n + 1) / 2)
+      val ceilS = math.pow(10.0, -rs / 20.0)
+      val dc = Design.sosFreqAbs(sos, 0.0)
+      assert(math.abs(dc - 1.0) < 1e-9, s"n=$n rs=$rs wn=$wn dc=$dc")
+      // scipy Wn convention for cheby2: attenuation is exactly rs at wn
+      val he = Design.sosFreqAbs(sos, math.Pi * wn)
+      assert(math.abs(he - ceilS) < 1e-7 * (1 + ceilS),
+        s"n=$n rs=$rs wn=$wn |H(edge)|=$he want $ceilS")
+      // passband: monotone decreasing from DC to the stopband edge
+      // (type II is maximally flat in the passband — no ripple there)
+      var prev = Double.MaxValue
+      for (k <- 0 to 500) {
+        val h = Design.sosFreqAbs(sos, math.Pi * wn * k / 500.0)
+        assert(h <= prev + 1e-10, s"n=$n rs=$rs wn=$wn passband ripple at k=$k")
+        prev = h
+      }
+      // stopband: never above the -rs ceiling, but TOUCHES it between
+      // the transmission zeros (the equiripple signature)
+      var mx = 0.0
+      for (k <- 0 to 3000) {
+        val w = math.Pi * (wn + (1.0 - wn) * k / 3000.0)
+        val h = Design.sosFreqAbs(sos, w)
+        assert(h <= ceilS * (1 + 1e-9), s"n=$n rs=$rs wn=$wn stopband leak $h at $w")
+        mx = math.max(mx, h)
+      }
+      assert(mx > ceilS * 0.999, s"n=$n rs=$rs wn=$wn stopband never touches ceiling ($mx vs $ceilS)")
+      // stability triangle per section
+      for (s <- 0 until Filt.nSections(sos)) {
+        val o = s * Filt.SOS_W
+        assert(math.abs(sos(o + 5)) < 1.0 && math.abs(sos(o + 4)) < 1.0 + sos(o + 5) + 1e-12)
+      }
+      // the two independent response evaluators agree
+      val (w, re, im) = Design.sosfreqz(sos, 64)
+      for (k <- Seq(1, 16, 32, 63))
+        assert(math.abs(math.hypot(re(k), im(k)) - Design.sosFreqAbs(sos, w(k))) < 1e-12)
+    }
+  }
+
+  test("ellipSos: rp passband ripple, -rs stopband floor, sharp transition") {
+    for (n <- Seq(2, 3, 4, 5, 7); rp <- Seq(0.5, 1.0); rs <- Seq(40.0, 60.0); wn <- Seq(0.3, 0.6)) {
+      val sos = Design.ellipSos(n, rp, rs, wn)
+      assert(Filt.nSections(sos) == (n + 1) / 2)
+      val floorG = math.pow(10.0, -rp / 20.0)
+      val ceilS = math.pow(10.0, -rs / 20.0)
+      val dc = Design.sosFreqAbs(sos, 0.0)
+      val expDc = if (n % 2 == 0) floorG else 1.0
+      assert(math.abs(dc - expDc) < 1e-8, s"n=$n rp=$rp rs=$rs dc=$dc exp=$expDc")
+      // passband edge sits exactly on the ripple floor
+      val he = Design.sosFreqAbs(sos, math.Pi * wn)
+      assert(math.abs(he - floorG) < 1e-6, s"n=$n rp=$rp rs=$rs wn=$wn |H(wn)|=$he")
+      // equiripple passband within [floor, 1], touching both
+      var nearMax = 0; var nearMin = 0
+      for (k <- 0 to 2000) {
+        val h = Design.sosFreqAbs(sos, math.Pi * wn * k / 2000.0)
+        assert(h <= 1.0 + 1e-8, s"n=$n rp=$rp rs=$rs overshoot $h")
+        assert(h >= floorG - 1e-6, s"n=$n rp=$rp rs=$rs droop $h")
+        if (h > 1.0 - 1e-3) nearMax += 1
+        if (h < floorG + 1e-3) nearMin += 1
+      }
+      assert(nearMax >= 1, s"n=$n rp=$rp rs=$rs never touches passband max")
+      assert(nearMin >= 1, s"n=$n rp=$rp rs=$rs never touches ripple floor")
+      // stopband: once attenuation reaches rs it stays there, and the
+      // transition ends EXACTLY at the degree-equation stopband edge
+      // ws = (2/pi)·atan(tan(pi·wn/2)/sqrt(m)) (prototype edge 1/sqrt(m)
+      // through the same lp2lp+bilinear warp) — the defining minimality
+      // property of the elliptic family
+      val wsIdx = (0 to 3000).find { k =>
+        val w = math.Pi * (wn + (1.0 - wn) * k / 3000.0)
+        Design.sosFreqAbs(sos, w) <= ceilS * (1 + 1e-9)
+      }
+      assert(wsIdx.isDefined, s"n=$n rp=$rp rs=$rs never reaches the stopband floor")
+      val ws = wn + (1.0 - wn) * wsIdx.get / 3000.0
+      val ck1Sq = (math.pow(10, 0.1 * rp) - 1) / (math.pow(10, 0.1 * rs) - 1)
+      val mDeg = Design.ellipdeg(n, ck1Sq)
+      val wsPred = 2.0 / math.Pi *
+        math.atan(math.tan(math.Pi * wn / 2) / math.sqrt(mDeg))
+      if (wsPred < 0.99)
+        assert(math.abs(ws - wsPred) < 5e-3,
+          s"n=$n rp=$rp rs=$rs wn=$wn measured edge $ws vs degree-equation $wsPred")
+      var mx = 0.0
+      for (k <- wsIdx.get to 3000) {
+        val w = math.Pi * (wn + (1.0 - wn) * k / 3000.0)
+        val h = Design.sosFreqAbs(sos, w)
+        assert(h <= ceilS * (1 + 1e-6), s"n=$n rp=$rp rs=$rs stopband leak $h")
+        mx = math.max(mx, h)
+      }
+      if (n >= 3)
+        assert(mx > ceilS * 0.99, s"n=$n rp=$rp rs=$rs stopband never touches its floor")
+      // stability
+      for (s <- 0 until Filt.nSections(sos)) {
+        val o = s * Filt.SOS_W
+        assert(math.abs(sos(o + 5)) < 1.0 && math.abs(sos(o + 4)) < 1.0 + sos(o + 5) + 1e-12)
+      }
+    }
+  }
+
+  test("ellipj/ellipK: Jacobi identities and known values") {
+    // K(0) = pi/2; K(m) vs the arithmetic-geometric mean is internal,
+    // so pin against independently known points: K(0.5) = 1.85407467730...
+    assert(math.abs(Design.ellipK(0.0) - math.Pi / 2) < 1e-14)
+    assert(math.abs(Design.ellipK(0.5) - 1.8540746773013719) < 1e-12)
+    // sn² + cn² = 1 and dn² + m·sn² = 1 across a grid
+    for (m <- Seq(0.1, 0.5, 0.9, 0.99); u <- Seq(-2.0, -0.3, 0.0, 0.7, 1.9)) {
+      val (sn, cn, dn) = Design.ellipj(u, m)
+      assert(math.abs(sn * sn + cn * cn - 1.0) < 1e-12, s"m=$m u=$u")
+      assert(math.abs(dn * dn + m * sn * sn - 1.0) < 1e-12, s"m=$m u=$u")
+    }
+    // quarter period: sn(K, m) = 1, cn(K, m) = 0
+    for (m <- Seq(0.2, 0.7)) {
+      val k = Design.ellipK(m)
+      val (sn, cn, _) = Design.ellipj(k, m)
+      assert(math.abs(sn - 1.0) < 1e-10 && math.abs(cn) < 1e-10, s"m=$m")
+    }
+    // degenerate moduli
+    val (s0, c0, d0) = Design.ellipj(0.8, 0.0)
+    assert(math.abs(s0 - math.sin(0.8)) < 1e-15 && math.abs(c0 - math.cos(0.8)) < 1e-15 && d0 == 1.0)
+  }
+
   test("sosfreqz: cheby1 passband ripples within its rp band") {
     val rp = 1.0 // dB
     val sos = Design.cheby1Sos(8, rp, 0.3)
