@@ -198,6 +198,62 @@ object Relational {
         col("sum_qty"), col("sum_disc_price"), col("n"))
       .orderBy("rf", "ls")
 
+  /** Semi + anti join: customers WITH at least one urgent order and
+    * customers WITHOUT any. Spark's LeftSemi/LeftAnti never materialize
+    * the probe side's payload — the build side reduces to the join key
+    * and broadcasts (or shuffles under AQE at scale); either way no
+    * row multiplication, which is the point vs an inner-join+distinct.
+    */
+  def q9Semi(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val urgent = load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val has = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("side", lit("has_urgent"))
+    val not = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("side", lit("no_urgent"))
+    has.unionByName(not)
+      .select(col("side"), col("c_mktsegment"), col("n"))
+      .orderBy("side", "c_mktsegment")
+  }
+
+  /** Pivot with an EXPLICIT value list — the 100 TB-safe form: Spark's
+    * value-discovering pivot runs an extra distinct job and collects
+    * the domain to the driver; pinning the (known, bounded) priority
+    * domain keeps this a single pass that rewrites to one hash
+    * aggregate of `count(CASE WHEN ...)` columns, partial-aggregated
+    * map-side like any other agg.
+    */
+  def q10Pivot(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Distinct aggregation: count(DISTINCT partkey), count(DISTINCT
+    * suppkey) AND a plain sum in one pass — Spark plans multi-distinct
+    * via a single Expand (one branch per distinct set + one for the
+    * plain aggs) feeding two-phase hash aggregates, so each input row
+    * is read once and partial aggregation still applies; no per-
+    * distinct re-scan of the table.
+    */
+  def q11Distinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        fp2(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -207,9 +263,39 @@ object Relational {
     "q5_interval" -> (q5Interval _),
     "q6_histogram" -> (q6Histogram _),
     "q7_quantiles" -> (q7Quantiles _),
-    "q8_rollup" -> (q8Rollup _))
+    "q8_rollup" -> (q8Rollup _),
+    "q9_semi" -> (q9Semi _),
+    "q10_pivot" -> (q10Pivot _),
+    "q11_distinct" -> (q11Distinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q9_semi" ->
+      s"""SELECT side, c_mktsegment, n FROM (
+         |  SELECT 'has_urgent' AS side, c_mktsegment, COUNT(*) AS n
+         |  FROM customer c
+         |  WHERE EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         |  GROUP BY c_mktsegment
+         |  UNION ALL
+         |  SELECT 'no_urgent' AS side, c_mktsegment, COUNT(*) AS n
+         |  FROM customer c
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         |  GROUP BY c_mktsegment
+         |)
+         |ORDER BY 1, 2""".stripMargin,
+    "q10_pivot" ->
+      s"""SELECT o_orderpriority,
+         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_distinct" ->
+      s"""SELECT l_returnflag,
+         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q8_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
          |  COALESCE(l_linestatus, 'ALL') AS ls,

@@ -237,4 +237,37 @@ class PlanShapeSpec extends SparkTestBase {
     // groupBy) + band-bucket groupBy + final pair distinct
     assert(hashExchanges(Dedup.minhashCandidates(docs, "doc_id", "text")) == 3)
   }
+
+  test("explicit-list pivot is ONE agg pass; multi-distinct is a single Expand") {
+    val orders = (0L until 40L)
+      .map(i => (s"p${i % 3}", Seq("F", "O", "P")((i % 3).toInt)))
+      .toDF("pri", "status")
+    // explicit value list => no value-discovery job; the pivot
+    // rewrites to two chained two-phase hash aggregates (count by
+    // (pri, status), then PivotFirst by pri) — both partial-aggregated
+    // map-side, no Expand, input scanned once
+    val piv = orders.groupBy($"pri").pivot("status", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    assert(hashExchanges(piv) == 2)
+    assert(!piv.queryExecution.executedPlan.toString.contains("Expand"))
+    // multi-distinct: one Expand branch per distinct set + the plain
+    // aggs, so the input is read ONCE (no per-distinct re-scan)
+    val li = (0L until 40L).map(i => (s"f${i % 2}", i % 7, i % 5, i.toDouble))
+      .toDF("rf", "pk", "sk", "qty")
+    val md = li.groupBy($"rf").agg(
+      countDistinct($"pk"), countDistinct($"sk"), sum($"qty"))
+    val plan = md.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length == 1, "one Expand, one scan")
+  }
+
+  test("semi/anti joins never multiply rows (no inner-join+distinct shape)") {
+    val cust = (0L until 20L).map(i => (i, s"seg${i % 3}")).toDF("ck", "seg")
+    val urgent = (0L until 30L).map(i => i % 9).toDF("ok")
+    val semi = cust.join(urgent, $"ck" === $"ok", "left_semi")
+    val anti = cust.join(urgent, $"ck" === $"ok", "left_anti")
+    assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(anti.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // neither plan needs a post-join distinct/aggregate to dedup
+    assert(!semi.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
 }
