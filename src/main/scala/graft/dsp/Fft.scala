@@ -275,6 +275,133 @@ object Fft {
     r
   }
 
+  // ---- DCT / DST (scipy.fft.dct/idct/dst/idst, type 2) -------------
+  // The reference's FFT family stops at the numpy.fft surface; DCT-II
+  // is the missing real-even sibling every MFCC / compression pipeline
+  // reaches for next. Computed via Makhoul's even-permutation FFT
+  // algorithm (one length-N complex FFT, no 2N zero-extension), so the
+  // cost matches the fft family. Norms: "backward" (unnormalized
+  // forward, scipy default) and "ortho" (orthonormal matrix); scipy's
+  // rarely-used norm="forward" is rejected explicitly rather than
+  // half-supported.
+
+  private def requireDctNorm(norm: String): Unit = norm match {
+    case null | "backward" | "ortho" => ()
+    case other => throw new IllegalArgumentException(
+      s"dct/dst: unsupported norm '$other' (backward | ortho)")
+  }
+
+  /** scipy.fft.dct(x, type=2, norm): y[k] = 2 Σ_n x[n] cos(πk(2n+1)/(2N)),
+    * ortho-scaled by √(1/4N) for k=0 and √(1/2N) otherwise.
+    * Even-permutation algorithm: v[i]=x[2i], v[N-1-i]=x[2i+1];
+    * y[k] = 2 Re(FFT(v)[k] · e^{-iπk/2N}).
+    */
+  def dct2(x: Array[Double], norm: String = "backward"): Array[Double] = {
+    requireDctNorm(norm)
+    val n = x.length
+    require(n > 0, "dct2: empty input")
+    val vre = new Array[Double](n); val vim = new Array[Double](n)
+    var i = 0
+    while (2 * i < n) { vre(i) = x(2 * i); i += 1 }
+    i = 0
+    while (2 * i + 1 < n) { vre(n - 1 - i) = x(2 * i + 1); i += 1 }
+    rawFft(vre, vim, inverse = false)
+    val y = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val ang = -math.Pi * k / (2.0 * n)
+      y(k) = 2.0 * (vre(k) * math.cos(ang) - vim(k) * math.sin(ang))
+      k += 1
+    }
+    if (norm == "ortho") {
+      y(0) *= math.sqrt(1.0 / (4.0 * n))
+      val f = math.sqrt(1.0 / (2.0 * n))
+      k = 1; while (k < n) { y(k) *= f; k += 1 }
+    }
+    y
+  }
+
+  /** scipy.fft.idct(y, type=2, norm): the exact inverse of [[dct2]]
+    * under the SAME norm (idct(dct(x)) == x for both norms — scipy.fft
+    * semantics, not fftpack's unnormalized pair). Inverse algorithm:
+    * V[k] = e^{iπk/2N}(y[k] - i·y[N-k])/2 (y[N]≡0, hermitian fold of
+    * the forward path), v = IFFT(V), de-interleave.
+    */
+  def idct2(y: Array[Double], norm: String = "backward"): Array[Double] = {
+    requireDctNorm(norm)
+    val n = y.length
+    require(n > 0, "idct2: empty input")
+    // undo the norm scaling so the core inverts the unnormalized dct2,
+    // then the backward 1/(2N) (or nothing for ortho) lands at the end
+    val yy = new Array[Double](n)
+    if (norm == "ortho") {
+      yy(0) = y(0) / math.sqrt(1.0 / (4.0 * n))
+      val f = math.sqrt(1.0 / (2.0 * n))
+      var k = 1; while (k < n) { yy(k) = y(k) / f; k += 1 }
+    } else {
+      System.arraycopy(y, 0, yy, 0, n)
+    }
+    val vre = new Array[Double](n); val vim = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val ang = math.Pi * k / (2.0 * n)
+      val re = yy(k) / 2.0
+      val im = -(if (k == 0) 0.0 else yy(n - k)) / 2.0
+      val c = math.cos(ang); val s = math.sin(ang)
+      vre(k) = re * c - im * s
+      vim(k) = re * s + im * c
+      k += 1
+    }
+    rawFft(vre, vim, inverse = true) // unnormalized: carries a factor N
+    val x = new Array[Double](n)
+    var i = 0
+    while (2 * i < n) { x(2 * i) = vre(i); i += 1 }
+    i = 0
+    while (2 * i + 1 < n) { x(2 * i + 1) = vre(n - 1 - i); i += 1 }
+    // rawFft inverse left ×N; the /2 of C2⁻¹ = C3/(2N) is already in
+    // the A[k] = (y[k] - i·y[N-k])/2 fold, so /N finishes both norms
+    val f = 1.0 / n
+    i = 0; while (i < n) { x(i) *= f; i += 1 }
+    x
+  }
+
+  /** scipy.fft.dst(x, type=2, norm): y[k] = 2 Σ_n x[n] sin(π(k+1)(2n+1)/(2N)).
+    * Identity sin(π(k+1)(2n+1)/2N) = (-1)^n cos(π(N-1-k)(2n+1)/2N)
+    * reduces it to a reversed dct2 of the alternating-sign input; the
+    * ortho diag lands on row N-1 (√(1/4N)) after the reversal, which
+    * is exactly scipy's scaling.
+    */
+  def dst2(x: Array[Double], norm: String = "backward"): Array[Double] = {
+    requireDctNorm(norm)
+    val n = x.length
+    require(n > 0, "dst2: empty input")
+    val xa = new Array[Double](n)
+    var i = 0
+    while (i < n) { xa(i) = if ((i & 1) == 0) x(i) else -x(i); i += 1 }
+    val c = dct2(xa, norm)
+    val y = new Array[Double](n)
+    i = 0
+    while (i < n) { y(i) = c(n - 1 - i); i += 1 }
+    y
+  }
+
+  /** scipy.fft.idst(y, type=2, norm): inverse of [[dst2]] under the
+    * same norm. S2 = R·C2·E (row-reversal · dct2 · sign-flip) for both
+    * norms ⇒ S2⁻¹ = E·C2⁻¹·R: sign-flip(idct2(reverse(y))).
+    */
+  def idst2(y: Array[Double], norm: String = "backward"): Array[Double] = {
+    requireDctNorm(norm)
+    val n = y.length
+    require(n > 0, "idst2: empty input")
+    val rev = new Array[Double](n)
+    var i = 0
+    while (i < n) { rev(i) = y(n - 1 - i); i += 1 }
+    val x = idct2(rev, norm)
+    i = 0
+    while (i < n) { if ((i & 1) == 1) x(i) = -x(i); i += 1 }
+    x
+  }
+
   /** numpy.fft.fftfreq(n, d). */
   def fftfreq(n: Int, d: Double): Array[Double] = {
     val out = new Array[Double](n)

@@ -57,6 +57,18 @@ object Bridge {
   def hfft(re: ArrayData, im: ArrayData, n: Int, norm: UTF8String): ArrayData =
     out(Fft.hfft(d(re), d(im), n, norm.toString))
 
+  def dct2(x: ArrayData, norm: UTF8String): ArrayData =
+    out(Fft.dct2(d(x), norm.toString))
+
+  def idct2(x: ArrayData, norm: UTF8String): ArrayData =
+    out(Fft.idct2(d(x), norm.toString))
+
+  def dst2(x: ArrayData, norm: UTF8String): ArrayData =
+    out(Fft.dst2(d(x), norm.toString))
+
+  def idst2(x: ArrayData, norm: UTF8String): ArrayData =
+    out(Fft.idst2(d(x), norm.toString))
+
   def ihfft(x: ArrayData, n: Int, norm: UTF8String): InternalRow =
     c(Fft.ihfft(d(x), n, norm.toString))
 
@@ -622,6 +634,10 @@ object Bridge {
     "irfft" -> (Seq(arrD, arrD, IntegerType, StringType) -> arrD),
     "hfft" -> (Seq(arrD, arrD, IntegerType, StringType) -> arrD),
     "ihfft" -> (Seq(arrD, IntegerType, StringType) -> complexT),
+    "dct2" -> (Seq(arrD, StringType) -> arrD),
+    "idct2" -> (Seq(arrD, StringType) -> arrD),
+    "dst2" -> (Seq(arrD, StringType) -> arrD),
+    "idst2" -> (Seq(arrD, StringType) -> arrD),
     "fftfreq" -> (Seq(IntegerType, DoubleType) -> arrD),
     "rfftfreq" -> (Seq(IntegerType, DoubleType) -> arrD),
     "fftshift" -> (Seq(arrD) -> arrD),

@@ -162,6 +162,14 @@ object Functions {
       call("hfft", re, im, lit(n), lit(norm))
     def ihfftC(x: Column, n: Int = -1, norm: String = "backward"): Column =
       call("ihfft", x, lit(n), lit(norm))
+    def dct2C(x: Column, norm: String = "backward"): Column =
+      call("dct2", x, lit(norm))
+    def idct2C(x: Column, norm: String = "backward"): Column =
+      call("idct2", x, lit(norm))
+    def dst2C(x: Column, norm: String = "backward"): Column =
+      call("dst2", x, lit(norm))
+    def idst2C(x: Column, norm: String = "backward"): Column =
+      call("idst2", x, lit(norm))
     def fftfreqC(n: Column, delta: Column): Column = call("fftfreq", n, delta)
     def rfftfreqC(n: Column, delta: Column): Column = call("rfftfreq", n, delta)
     def fftshiftC(x: Column): Column = call("fftshift", x)

@@ -199,6 +199,35 @@ object Signal {
       newdim -> col("_freq"), "re" -> col("_out.re"), "im" -> col("_out.im")))
   }
 
+  /** DCT-II / DST-II and their exact inverses (scipy.fft.dct/idct/
+    * dst/idst, type 2, norms backward|ortho). The real-even/odd
+    * siblings of the fft family the reference stops short of — the
+    * next transform an MFCC or compression pipeline reaches for.
+    * Output: keys, pos (bin index k), value — same one-shuffle
+    * seriesify shape as every other signal op.
+    */
+  def dct(df: DataFrame, keys: Seq[String], dim: String, value: String,
+          norm: String = "backward", inverse: Boolean = false): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val k = if (inverse) idct2C(col(value), norm) else dct2C(col(value), norm)
+    explodeSeries(sdf.withColumn("_out", k), keys, Seq("value" -> col("_out")))
+  }
+
+  def idct(df: DataFrame, keys: Seq[String], dim: String, value: String,
+           norm: String = "backward"): DataFrame =
+    dct(df, keys, dim, value, norm, inverse = true)
+
+  def dst(df: DataFrame, keys: Seq[String], dim: String, value: String,
+          norm: String = "backward", inverse: Boolean = false): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val k = if (inverse) idst2C(col(value), norm) else dst2C(col(value), norm)
+    explodeSeries(sdf.withColumn("_out", k), keys, Seq("value" -> col("_out")))
+  }
+
+  def idst(df: DataFrame, keys: Seq[String], dim: String, value: String,
+           norm: String = "backward"): DataFrame =
+    dst(df, keys, dim, value, norm, inverse = true)
+
   /** fftshift/ifftshift (signal.py:244-276): values AND coordinates
     * rotate together; pos is the post-shift array position.
     */

@@ -316,6 +316,69 @@ object Sig {
        |GROUP BY a.user_id, a.j
        |ORDER BY 1, 2""".stripMargin
 
+  /** DCT-II per user (scipy.fft.dct type 2, norm=backward): the
+    * real-even sibling of the fft family, computed by the Makhoul
+    * even-permutation FFT kernel; the oracle replays the DEFINITION
+    * sum y[k] = 2 Σ x[j] cos(πk(2j+1)/(2n)) — two independent
+    * derivations, same one-shuffle signal-op shape.
+    */
+  def sigDct(s: SparkSession, dir: String): DataFrame =
+    Signal.dct(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp4(col("value")).as("v_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigDctSql: String =
+    s"""$sSql
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("SUM(2 * b.value * COS(PI() * a.j * (2*b.j + 1) / (2*a.n)))", "1e4")} AS v_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |GROUP BY a.user_id, a.j, a.n
+       |ORDER BY 1, 2""".stripMargin
+
+  /** DST-II per user (scipy.fft.dst type 2, norm=backward), via the
+    * reversed alternating-sign dct2 identity in the kernel; oracle is
+    * the direct sine definition sum.
+    */
+  def sigDst(s: SparkSession, dir: String): DataFrame =
+    Signal.dst(evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp4(col("value")).as("v_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigDstSql: String =
+    s"""$sSql
+       |SELECT a.user_id, CAST(a.j AS INT) AS pos,
+       |  ${fpSql("SUM(2 * b.value * SIN(PI() * (a.j + 1) * (2*b.j + 1) / (2*a.n)))", "1e4")} AS v_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |GROUP BY a.user_id, a.j, a.n
+       |ORDER BY 1, 2""".stripMargin
+
+  /** dct→idct (norm=ortho) and dst→idst (norm=backward) roundtrips —
+    * the INVERSE kernels' CORRECTNESS rows. A matched-norm roundtrip
+    * must reproduce the input exactly, so the oracle is the identity,
+    * tagged per leg (same pattern as sig_fft_norm_roundtrips).
+    */
+  def sigDctRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = evReal(s, dir)
+    val dctLeg = Signal.idct(
+      Signal.dct(base, Seq("user_id"), "t", "value", norm = "ortho"),
+      Seq("user_id"), "pos", "value", norm = "ortho")
+      .select(col("user_id"), lit("dct").as("op"), col("pos"),
+        fp6(col("value")).as("v_fp"))
+    val dstLeg = Signal.idst(
+      Signal.dst(base, Seq("user_id"), "t", "value"),
+      Seq("user_id"), "pos", "value")
+      .select(col("user_id"), lit("dst").as("op"), col("pos"),
+        fp6(col("value")).as("v_fp"))
+    dctLeg.unionByName(dstLeg).orderBy("user_id", "op", "pos")
+  }
+
+  private val sigDctRoundtripSql: String =
+    s"""$sSql
+       |SELECT user_id, op, CAST(j AS INT) AS pos,
+       |  ${fpSql("value", "1e6")} AS v_fp
+       |FROM s CROSS JOIN (VALUES ('dct'), ('dst')) ops(op)
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** fft with an explicit n=56 (reference parameterizes every FFT test
     * over n, tests/test_signal.py:358-373): per-user series are 49-86
     * samples at the oracle SF, so ONE n exercises BOTH paths — users
@@ -2457,6 +2520,9 @@ private val csdBaseSql: String =
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
     "sig_hfft" -> (sigHfft _),
     "sig_ihfft" -> (sigIhfft _),
+    "sig_dct" -> (sigDct _),
+    "sig_dst" -> (sigDst _),
+    "sig_dct_roundtrip" -> (sigDctRoundtrip _),
     "sig_fftshift" -> (sigFftshift _),
     "sig_fftshift2d" -> (sigFftshift2d _),
     "sig_fftshift_complex" -> (sigFftshiftComplex _),
@@ -2529,6 +2595,9 @@ private val csdBaseSql: String =
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
     "sig_hfft" -> sigHfftSql,
     "sig_ihfft" -> sigIhfftSql,
+    "sig_dct" -> sigDctSql,
+    "sig_dst" -> sigDstSql,
+    "sig_dct_roundtrip" -> sigDctRoundtripSql,
     "sig_fftshift" -> sigFftshiftSql,
     "sig_fftshift2d" -> sigFftshift2dSql,
     "sig_fftshift_complex" -> sigFftshiftComplexSql,

@@ -119,4 +119,72 @@ class FftSpec extends AnyFunSuite {
       assert(Golden.maxAbsDiff(b.im, im) < 1e-9, s"n=$n im")
     }
   }
+
+  // ---- DCT / DST: the FFT-based kernels vs the direct O(n²)
+  // definition sums (two independent derivations — scipy.fft.dct
+  // type 2 definitions transcribed verbatim), round trips, and the
+  // ortho Parseval identity.
+
+  private def dct2Naive(x: Array[Double], norm: String): Array[Double] = {
+    val n = x.length
+    val y = Array.tabulate(n) { k =>
+      2.0 * (0 until n).map(j =>
+        x(j) * math.cos(math.Pi * k * (2 * j + 1) / (2.0 * n))).sum
+    }
+    if (norm == "ortho") {
+      y(0) *= math.sqrt(1.0 / (4.0 * n))
+      for (k <- 1 until n) y(k) *= math.sqrt(1.0 / (2.0 * n))
+    }
+    y
+  }
+
+  private def dst2Naive(x: Array[Double], norm: String): Array[Double] = {
+    val n = x.length
+    val y = Array.tabulate(n) { k =>
+      2.0 * (0 until n).map(j =>
+        x(j) * math.sin(math.Pi * (k + 1) * (2 * j + 1) / (2.0 * n))).sum
+    }
+    if (norm == "ortho") {
+      y(n - 1) *= math.sqrt(1.0 / (4.0 * n))
+      for (k <- 0 until n - 1) y(k) *= math.sqrt(1.0 / (2.0 * n))
+    }
+    y
+  }
+
+  test("dct2/dst2 match the direct definition sums, odd and even n, both norms") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(1, 2, 3, 8, 15, 64, 100); norm <- Seq("backward", "ortho")) {
+      val x = Array.fill(n)(rnd.nextGaussian())
+      assert(Golden.maxAbsDiff(Fft.dct2(x, norm), dct2Naive(x, norm)) < 1e-9,
+        s"dct2 n=$n $norm")
+      assert(Golden.maxAbsDiff(Fft.dst2(x, norm), dst2Naive(x, norm)) < 1e-9,
+        s"dst2 n=$n $norm")
+    }
+  }
+
+  test("idct2/idst2 invert dct2/dst2 exactly under both norms") {
+    val rnd = new scala.util.Random(13)
+    for (n <- Seq(1, 2, 3, 8, 15, 64, 100); norm <- Seq("backward", "ortho")) {
+      val x = Array.fill(n)(rnd.nextGaussian())
+      assert(Golden.maxAbsDiff(Fft.idct2(Fft.dct2(x, norm), norm), x) < 1e-9,
+        s"idct2∘dct2 n=$n $norm")
+      assert(Golden.maxAbsDiff(Fft.idst2(Fft.dst2(x, norm), norm), x) < 1e-9,
+        s"idst2∘dst2 n=$n $norm")
+    }
+  }
+
+  test("ortho dct2/dst2 preserve the l2 norm (orthonormal matrix)") {
+    val rnd = new scala.util.Random(17)
+    for (n <- Seq(2, 7, 32, 101)) {
+      val x = Array.fill(n)(rnd.nextGaussian())
+      val e = x.map(v => v * v).sum
+      assert(math.abs(Fft.dct2(x, "ortho").map(v => v * v).sum - e) < 1e-9 * e)
+      assert(math.abs(Fft.dst2(x, "ortho").map(v => v * v).sum - e) < 1e-9 * e)
+    }
+  }
+
+  test("dct/dst reject unsupported norms with a clear error") {
+    intercept[IllegalArgumentException](Fft.dct2(Array(1.0), "forward"))
+    intercept[IllegalArgumentException](Fft.idst2(Array(1.0), "wat"))
+  }
 }

@@ -67,6 +67,11 @@ class PlanShapeSpec extends SparkTestBase {
     // lombscargle: the whole frequency grid from one grouped pass
     assert(hashExchanges(Signal.lombscargle(series, Seq("k"), "t", "v",
       Array(0.5, 1.0))) == 1)
+    // dct/dst: same seriesify shape; the matched-norm roundtrip reuses
+    // the forward pass's partitioning like stft→istft
+    assert(hashExchanges(Signal.dct(series, Seq("k"), "t", "v")) == 1)
+    assert(hashExchanges(Signal.idst(
+      Signal.dst(series, Seq("k"), "t", "v"), Seq("k"), "pos", "value")) == 1)
   }
 
   test("rollup is one Expand + one hash-aggregate pass, not per-level re-scans") {
