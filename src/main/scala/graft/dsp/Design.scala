@@ -551,6 +551,51 @@ object Design {
     (w, re, im)
   }
 
+  /** scipy.signal.group_delay((b, a), w=πk/worN): τ(w) = -dφ/dw in
+    * samples, via the ramped-polynomial identity scipy uses —
+    * c = b ∗ reverse(a), τ = Re(C'(e^{jw})/C(e^{jw})) − (len(a)−1)
+    * where C' has coefficients n·c_n. Singular points (|C| ≈ 0, a
+    * response zero ON the unit circle) yield 0, scipy's convention.
+    */
+  def groupDelay(b: Array[Double], a: Array[Double],
+                 worN: Int = 512): (Array[Double], Array[Double]) = {
+    require(worN > 0, s"groupDelay: need worN > 0, got $worN")
+    require(b.nonEmpty && a.nonEmpty && a(0) != 0.0,
+      "groupDelay: empty polynomial or zero leading denominator coefficient")
+    // c = convolve(b, a reversed): the single polynomial whose phase
+    // slope is the full transfer function's (denominator phase enters
+    // negated, hence the reversal and the -(len(a)-1) shift)
+    val ar = a.reverse
+    val c = new Array[Double](b.length + a.length - 1)
+    var i = 0
+    while (i < b.length) {
+      var j = 0
+      while (j < ar.length) { c(i + j) += b(i) * ar(j); j += 1 }
+      i += 1
+    }
+    val w = new Array[Double](worN)
+    val gd = new Array[Double](worN)
+    var k = 0
+    while (k < worN) {
+      val wk = math.Pi * k / worN
+      w(k) = wk
+      var dr = 0.0; var di = 0.0; var nr = 0.0; var ni = 0.0
+      var n = 0
+      while (n < c.length) {
+        val cs = math.cos(wk * n); val sn = -math.sin(wk * n)
+        dr += c(n) * cs; di += c(n) * sn
+        nr += n * c(n) * cs; ni += n * c(n) * sn
+        n += 1
+      }
+      val dd = dr * dr + di * di
+      gd(k) =
+        if (dd <= 1e-300) 0.0 // singular: zero on the unit circle
+        else (nr * dr + ni * di) / dd - (a.length - 1).toDouble
+      k += 1
+    }
+    (w, gd)
+  }
+
   /** scipy.signal.sosfreqz: cascade response — the pointwise product
     * of each biquad section's freqz. Returns (w, re, im).
     */

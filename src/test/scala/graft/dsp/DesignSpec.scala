@@ -131,6 +131,47 @@ class DesignSpec extends AnyFunSuite {
     }
   }
 
+  test("groupDelay: linear-phase FIRs are exactly (n-1)/2 samples everywhere") {
+    // symmetric 3-tap MA: τ ≡ 1; pure k-sample delay b = [0..0,1]: τ ≡ k
+    val (_, gd3) = Design.groupDelay(Array(1.0 / 3, 1.0 / 3, 1.0 / 3), Array(1.0), 64)
+    for (k <- 0 until 64 if math.abs(1.0 + 2.0 * math.cos(math.Pi * k / 64)) > 1e-6)
+      assert(math.abs(gd3(k) - 1.0) < 1e-9, s"MA bin $k: ${gd3(k)}")
+    val (_, gdD) = Design.groupDelay(Array(0.0, 0.0, 0.0, 1.0), Array(1.0), 32)
+    for (k <- 0 until 32)
+      assert(math.abs(gdD(k) - 3.0) < 1e-9, s"delay bin $k: ${gdD(k)}")
+    // long symmetric firwin: τ ≡ (numtaps-1)/2
+    val h = Design.firwinLowpass(21, 0.3)
+    val (_, gdH) = Design.groupDelay(h, Array(1.0), 50)
+    for (k <- 0 until 40) // pass/transition band, away from stop zeros
+      assert(math.abs(gdH(k) - 10.0) < 1e-6, s"firwin bin $k: ${gdH(k)}")
+  }
+
+  test("groupDelay: IIR matches the numerical phase derivative; cascades add") {
+    val sos = Design.butterSos(2, 0.3) // one biquad => exact (b, a) form
+    val bb = Array(sos(0), sos(1), sos(2))
+    val aa = Array(sos(3), sos(4), sos(5))
+    val n = 4096
+    val (w, gd) = Design.groupDelay(bb, aa, n)
+    val (_, re, im) = Design.freqz(bb, aa, n)
+    val ph = Array.tabulate(n)(k => math.atan2(im(k), re(k)))
+    // unwrap then central-difference -dφ/dw
+    for (k <- 1 until n) while (ph(k) - ph(k - 1) > math.Pi) ph(k) -= 2 * math.Pi
+    for (k <- 1 until n - 1) {
+      val num = -(ph(k + 1) - ph(k - 1)) / (w(k + 1) - w(k - 1))
+      assert(math.abs(gd(k) - num) < 1e-3 * (1 + math.abs(num)),
+        s"bin $k: analytic ${gd(k)} vs numeric $num")
+    }
+    // group delay of a cascade is the sum of the stages'
+    val b2 = Array(0.5, 0.5)
+    val casc = new Array[Double](bb.length + 1)
+    for (i <- bb.indices; j <- 0 to 1) casc(i + j) += bb(i) * b2(j)
+    val (_, gdC) = Design.groupDelay(casc, aa, 64)
+    val (_, gdA) = Design.groupDelay(bb, aa, 64)
+    val (_, gdB) = Design.groupDelay(b2, Array(1.0), 64)
+    for (k <- 0 until 64)
+      assert(math.abs(gdC(k) - (gdA(k) + gdB(k))) < 1e-8, s"cascade bin $k")
+  }
+
   test("sosfreqz: butterworth is exactly -3dB at its cutoff, monotone, unity DC") {
     for ((order, wn) <- Seq((2, 0.4), (4, 0.5), (6, 0.2))) {
       val sos = Design.butterSos(order, wn)
