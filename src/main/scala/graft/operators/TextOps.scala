@@ -312,6 +312,38 @@ object TextOps {
     df.filter(saltedBucket(idCol, "smp|") < thr)
   }
 
+  /** Deterministic domain-mixture resampling — the corpus-mixing step
+    * of a training-data pipeline (Pile/DoReMi-style target weights):
+    * downsample each listed domain so the SURVIVING corpus matches the
+    * target proportions while keeping the maximum possible data. The
+    * binding domain (smallest count_d/w_d) keeps 100%; every other
+    * rate follows as rate_d = w_d·K/count_d with K = min_d(count_d/w_d).
+    * Domains not listed are dropped.
+    *
+    * Domain counts are one partial-aggregatable hash agg collected to
+    * the driver — bounded control-plane rows (one per LISTED domain),
+    * the same collect-a-model shape as kmeansFit's centroid table. The
+    * accept test is [[sampleByRates]]'s salted permyriad bucket: zero
+    * shuffle on the corpus side, no RNG, growth-stable. Realized
+    * mixture is within 1/10000 of target per domain (rate rounding).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample: need at least one domain weight")
+    require(weights.forall(_._2 > 0.0), "mixtureSample: weights must be positive")
+    val within = df.filter(col(domainCol).isin(weights.map(_._1): _*))
+    val counts = within.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.map(_._1).filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"mixtureSample: no rows for domain(s) ${missing.mkString(", ")}")
+    val k = weights.map { case (d, w) => counts(d) / w }.min
+    val rates = weights.map { case (d, w) =>
+      d -> math.min(1.0, w * k / counts(d))
+    }
+    sampleByRates(within, idCol, domainCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic per-stratum quota sample: the `n` rows with the
     * smallest salted hashes in each stratum, ranked 1..n (hash order,
     * ties by id) — "exactly 200 eval docs per language" without RNG.
@@ -440,6 +472,48 @@ object TextOps {
         .cast("int").as("off_in_bin"),
       (least((col("_bin") + 1) * ctxLen, col("_start") + col("_n")) -
         greatest(col("_bin") * ctxLen, col("_start"))).cast("int").as("n_toks"))
+  }
+
+  /** Token-balanced shard assignment — "write the corpus as N training
+    * shards with near-equal token mass": docs rank globally by
+    * (weight DESC, id) and shard round-robin by rank, the classic
+    * sorted-greedy LPT approximation, so shard totals differ by at
+    * most ~max(weight). Deterministic, no RNG.
+    *
+    * The global rank is computed WITHOUT the single-partition window
+    * Spark gives `row_number() OVER (ORDER BY …)`: range-repartition
+    * on the sort key (ordered ranges), collect the bounded
+    * per-partition counts (one row per range partition — control
+    * plane, never data), broadcast the prefix offsets back, and
+    * finish with a per-partition row_number (each window group = one
+    * range partition, all in parallel). Same two-level shape as
+    * [[packChunks]]'s prefix sum; this is the general "global
+    * row_number at 100 TB" mechanism.
+    */
+  def shardByWeight(df: DataFrame, idCol: String, weightCol: String,
+                    nShards: Int, partitions: Int = 0): DataFrame = {
+    require(nShards > 0, "shardByWeight: nShards must be positive")
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = Seq(col(weightCol).desc, col(idCol))
+    val ranged = df
+      .repartitionByRange(p, ord: _*)
+      .withColumn("_pid", spark_partition_id())
+    // bounded control-plane collect: one row per range partition
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = counts.scanLeft(0L)(_ + _._2)
+    val offRows = counts.map(_._1).zip(offs)
+    val offDf = df.sparkSession.createDataFrame(
+      offRows.toSeq.map { case (pid, off) => (pid, off) })
+      .toDF("_pid", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(ord: _*)
+    ranged.join(broadcast(offDf), "_pid")
+      .withColumn("rank", col("_off") + row_number().over(w))
+      .withColumn("shard", ((col("rank") - 1) % nShards).cast("int"))
+      .drop("_pid", "_off")
   }
 
   /** Cross-document repeated n-gram coverage — the boilerplate /

@@ -716,6 +716,59 @@ object Pipeline {
       |SELECT stratum, CAST(rk AS INT) AS rank, doc_id
       |FROM r WHERE rk <= 20 ORDER BY 1, 2""".stripMargin
 
+  /** Domain-mixture resampling to en 0.5 / zh 0.25 / de 0.25: the
+    * binding domain keeps 100%, others downsample by the permyriad
+    * hash bucket. The oracle recomputes the counts, the binding
+    * constant K, and the rounded thresholds in SQL with the identical
+    * double expression shape (w·K/c, round half-up ×10000) — all
+    * literals CAST AS DOUBLE so DuckDB doesn't fall into DECIMAL
+    * arithmetic. es/fr are unlisted and must be dropped.
+    */
+  def textMixture(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixtureSample(docs(s, dir), "doc_id", "lang",
+      Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val textMixtureSql: String =
+    """WITH wt(dom, w) AS (
+      |  VALUES ('en', CAST(0.5 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
+      |         ('de', CAST(0.25 AS DOUBLE))
+      |), c AS (
+      |  SELECT lang AS dom, COUNT(*) AS c FROM documents
+      |  WHERE lang IN (SELECT dom FROM wt) GROUP BY 1
+      |), k AS (
+      |  SELECT MIN(c.c / wt.w) AS k FROM c JOIN wt USING (dom)
+      |), r AS (
+      |  SELECT c.dom,
+      |    CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE), wt.w * k.k / c.c) * 10000, 0) AS BIGINT) AS thr
+      |  FROM c JOIN wt USING (dom) CROSS JOIN k
+      |), b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+      |  FROM documents
+      |)
+      |SELECT b.doc_id, b.lang FROM b JOIN r ON r.dom = b.lang
+      |WHERE b.bk < r.thr
+      |ORDER BY 1""".stripMargin
+
+  /** Token-balanced sharding into 8 shards by n_chars: global
+    * (weight DESC, id) rank via the range-partition + broadcast-offset
+    * mechanism (NO single-partition window), shard = (rank-1) mod 8.
+    * The oracle is the plain ROW_NUMBER the mechanism replaces.
+    */
+  def textShards(s: SparkSession, dir: String): DataFrame =
+    TextOps.shardByWeight(docs(s, dir), "doc_id", "n_chars", nShards = 8)
+      .select(col("doc_id"), col("rank"), col("shard"))
+      .orderBy("doc_id")
+
+  private val textShardsSql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+      |  CAST((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS INT) AS shard
+      |FROM documents
+      |ORDER BY 1""".stripMargin
+
   /** Cross-doc repeated-3-gram coverage (boilerplate/contamination
     * signal): shingles occurring in ≥2 distinct docs are "common";
     * per doc, total/common occurrence counts + covered fraction.
@@ -1305,6 +1358,8 @@ object Pipeline {
     "text_split" -> (textSplit _),
     "text_sample" -> (textSample _),
     "text_quota" -> (textQuota _),
+    "text_mixture" -> (textMixture _),
+    "text_shards" -> (textShards _),
     "text_common_ngrams" -> (textCommonNgrams _),
     "text_pack" -> (textPack _),
     "text_pii" -> (textPii _),
@@ -1344,6 +1399,8 @@ object Pipeline {
     "text_split" -> textSplitSql,
     "text_sample" -> textSampleSql,
     "text_quota" -> textQuotaSql,
+    "text_mixture" -> textMixtureSql,
+    "text_shards" -> textShardsSql,
     "text_common_ngrams" -> textCommonNgramsSql,
     "text_pack" -> textPackSql,
     "text_pii" -> textPiiSql,

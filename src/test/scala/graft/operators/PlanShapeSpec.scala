@@ -243,6 +243,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(Dedup.minhashCandidates(docs, "doc_id", "text")) == 3)
   }
 
+  test("shardByWeight: global rank has NO single-partition window") {
+    val weighted = (1L to 200L).map(i => (i, (i * 37 % 91).toInt))
+      .toDF("doc_id", "ntok")
+    val sharded = TextOps.shardByWeight(weighted, "doc_id", "ntok", 8, partitions = 4)
+    val plan = sharded.queryExecution.executedPlan.toString
+    // the rank window must be partitioned (by _pid); an empty
+    // partitionSpec is the all-rows-to-one-task shape this mechanism
+    // exists to avoid
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_pid")),
+      s"unpartitioned window in plan:\n${winLines.mkString("\n")}")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1,
+      "global order comes from ONE range exchange")
+    // correctness of the distributed rank vs the single-window rank
+    val got = sharded.select($"doc_id", $"rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = weighted.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ntok".desc, $"doc_id")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, "distributed rank != ROW_NUMBER oracle")
+    // LPT round-robin balance: shard token sums within max(weight)
+    val sums = sharded.groupBy($"shard").agg(sum($"ntok").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.max - sums.min <= 90, s"imbalance ${sums.max - sums.min}")
+  }
+
   test("explicit-list pivot is ONE agg pass; multi-distinct is a single Expand") {
     val orders = (0L until 40L)
       .map(i => (s"p${i % 3}", Seq("F", "O", "P")((i % 3).toInt)))
