@@ -275,6 +275,54 @@ object Fft {
     r
   }
 
+  /** N-D complex FFT (numpy.fft.fftn/ifftn over a row-major buffer,
+    * no axis resizing): axis-by-axis strided 1-D transforms, radix-2
+    * or Bluestein per line so ANY per-axis length works (unlike the
+    * convolution path there is no freedom to zero-pad to a power of
+    * two — the transform length IS the axis length). Norm scaling is
+    * by the total element count, numpy's rule.
+    */
+  def fftNd(xre: Array[Double], xim: Array[Double], shape: Array[Int],
+            inverse: Boolean = false, norm: String = "backward"): C = {
+    val nd = shape.length
+    require(nd >= 1 && shape.forall(_ > 0), s"fftNd: bad shape ${shape.mkString("x")}")
+    val total = shape.product
+    require(xre.length == total,
+      s"fftNd: ${xre.length} values do not fill a ${shape.mkString("x")} grid")
+    require(xim == null || xim.length == xre.length,
+      s"fftNd: re/im lengths differ (${xre.length} vs ${xim.length})")
+    val re = xre.clone()
+    val im = if (xim == null) new Array[Double](total) else xim.clone()
+    val stride = new Array[Int](nd)
+    stride(nd - 1) = 1
+    var k = nd - 2
+    while (k >= 0) { stride(k) = stride(k + 1) * shape(k + 1); k -= 1 }
+    var axis = 0
+    while (axis < nd) {
+      val len = shape(axis); val st = stride(axis)
+      if (len > 1) {
+        val outer = total / len
+        val lineRe = new Array[Double](len); val lineIm = new Array[Double](len)
+        var o = 0
+        while (o < outer) {
+          var rem = o; var base = 0; var j = nd - 1
+          while (j >= 0) {
+            if (j != axis) { base += (rem % shape(j)) * stride(j); rem /= shape(j) }
+            j -= 1
+          }
+          var t = 0
+          while (t < len) { lineRe(t) = re(base + t * st); lineIm(t) = im(base + t * st); t += 1 }
+          transformInPlace(lineRe, lineIm, inverse)
+          t = 0
+          while (t < len) { re(base + t * st) = lineRe(t); im(base + t * st) = lineIm(t); t += 1 }
+          o += 1
+        }
+      }
+      axis += 1
+    }
+    scaleInPlace(C(re, im), normFactor(norm, total, forward = !inverse))
+  }
+
   // ---- DCT / DST (scipy.fft.dct/idct/dst/idst, type 2) -------------
   // The reference's FFT family stops at the numpy.fft surface; DCT-II
   // is the missing real-even sibling every MFCC / compression pipeline

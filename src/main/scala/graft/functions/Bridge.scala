@@ -57,6 +57,11 @@ object Bridge {
   def hfft(re: ArrayData, im: ArrayData, n: Int, norm: UTF8String): ArrayData =
     out(Fft.hfft(d(re), d(im), n, norm.toString))
 
+  def fftNd(re: ArrayData, im: ArrayData, shape: ArrayData,
+            inverse: Boolean, norm: UTF8String): InternalRow =
+    c(Fft.fftNd(d(re), if (im == null) null else d(im), shape.toIntArray(),
+      inverse, norm.toString))
+
   def dct2(x: ArrayData, norm: UTF8String): ArrayData =
     out(Fft.dct2(d(x), norm.toString))
 
@@ -634,6 +639,7 @@ object Bridge {
     "irfft" -> (Seq(arrD, arrD, IntegerType, StringType) -> arrD),
     "hfft" -> (Seq(arrD, arrD, IntegerType, StringType) -> arrD),
     "ihfft" -> (Seq(arrD, IntegerType, StringType) -> complexT),
+    "fftNd" -> (Seq(arrD, arrD, arrI, BooleanType, StringType) -> complexT),
     "dct2" -> (Seq(arrD, StringType) -> arrD),
     "idct2" -> (Seq(arrD, StringType) -> arrD),
     "dst2" -> (Seq(arrD, StringType) -> arrD),

@@ -162,6 +162,9 @@ object Functions {
       call("hfft", re, im, lit(n), lit(norm))
     def ihfftC(x: Column, n: Int = -1, norm: String = "backward"): Column =
       call("ihfft", x, lit(n), lit(norm))
+    def fftNdC(re: Column, im: Column, shape: Column,
+               inverse: Boolean, norm: String = "backward"): Column =
+      call("fftNd", re, im, shape, lit(inverse), lit(norm))
     def dct2C(x: Column, norm: String = "backward"): Column =
       call("dct2", x, lit(norm))
     def idct2C(x: Column, norm: String = "backward"): Column =

@@ -277,6 +277,46 @@ object Signal {
         dims.map(col) :+ col("value")): _*)
   }
 
+  /** N-D FFT over a complete hyper-rectangular grid — numpy's
+    * fftn/ifftn where the reference loops its 1-D fft per dim
+    * (signal.py:234-241 applied over a dims tuple). One gridify
+    * shuffle carries re AND im (multi-value gridify), one kernel call
+    * transforms every axis (strided radix-2/Bluestein lines — axis
+    * lengths are NOT padded; the transform length is the axis length).
+    * Real input: pass `im = null`. Output: keys, pos1..posN, re, im —
+    * grid positions, not frequency coords (compose with [[fftshiftNd]]
+    * for centered spectra; per-dim fftfreq follows the 1-D rule).
+    */
+  def fftNd(df: DataFrame, keys: Seq[String], dims: Seq[String],
+            re: String, im: String = null,
+            norm: String = "backward", inverse: Boolean = false): DataFrame = {
+    val nd = dims.length
+    require(nd >= 1, "need at least one dim")
+    val vals = if (im == null) Seq(re) else Seq(re, im)
+    val g = gridify(df, keys, dims, vals, "fftNd", "", keepCoords = false)
+    val shapeArr = array((1 to nd).map(i => col(s"_n$i").cast("int")): _*)
+    val imCol =
+      if (im == null) expr("transform(_vals, x -> CAST(0.0 AS DOUBLE))")
+      else col("_vals_1")
+    val withOut = g.withColumn("_out",
+      fftNdC(col("_vals"), imCol, shapeArr, inverse, norm))
+    val exploded = withOut.select(
+      (keys.map(col) ++ (1 to nd).map(i => col(s"_n$i")) :+
+        posexplode(arrays_zip(col("_out.re").as("re"), col("_out.im").as("im")))
+          .as(Seq("_p", "_z"))): _*)
+    val withPos = (1 to nd).foldLeft(exploded) { (d, i) =>
+      val later = ((i + 1 to nd).map(j => s"_n$j") :+ "1").mkString(" * ")
+      d.withColumn(s"pos$i", expr(s"int((_p div ($later)) % _n$i)"))
+    }
+    withPos.select(
+      (keys.map(col) ++ (1 to nd).map(i => col(s"pos$i")) :+
+        col("_z.re").as("re") :+ col("_z.im").as("im")): _*)
+  }
+
+  def ifftNd(df: DataFrame, keys: Seq[String], dims: Seq[String],
+             re: String, im: String, norm: String = "backward"): DataFrame =
+    fftNd(df, keys, dims, re, im, norm, inverse = true)
+
   /** Complex fftshift/ifftshift — one call shifts a (re, im) spectrum
     * with shared coordinate handling (the reference shifts complex
     * arrays natively since numpy is type-generic; two independent
@@ -370,7 +410,17 @@ object Signal {
     */
   private def gridify(df: DataFrame, keys: Seq[String], dims: Seq[String],
                       value: String, op: String, sfx: String = "",
-                      keepCoords: Boolean = false): DataFrame = {
+                      keepCoords: Boolean = false): DataFrame =
+    gridify(df, keys, dims, Seq(value), op, sfx, keepCoords)
+
+  /** Multi-value gridify: the first value column lands in `_vals$sfx`
+    * (the historical name every single-value grid op reads), value i>0
+    * in `_vals_i$sfx` — one groupBy carries all of them (a complex
+    * grid must NOT pay two shuffles for re and im).
+    */
+  private def gridify(df: DataFrame, keys: Seq[String], dims: Seq[String],
+                      values: Seq[String], op: String, sfx: String,
+                      keepCoords: Boolean): DataFrame = {
     val nd = dims.length
     // Null handling mirrors [[seriesify]]: a null sample becomes NaN
     // and propagates through the kernel; a row missing any grid
@@ -378,8 +428,10 @@ object Signal {
     // become a null struct field that silently sorts first and
     // corrupts the row-major reshape).
     val packed = struct(
-      dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } :+
-        coalesce(col(value).cast("double"), lit(Double.NaN)).as("v"): _*)
+      dims.zipWithIndex.map { case (d, i) => col(d).cast("double").as(s"c${i + 1}") } ++
+        values.zipWithIndex.map { case (v, i) =>
+          coalesce(col(v).cast("double"), lit(Double.NaN)).as(if (i == 0) "v" else s"v$i")
+        }: _*)
     val clean = df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
     val grouped = (1 to nd).foldLeft(
       clean.groupBy(keys.map(col): _*)
@@ -397,8 +449,13 @@ object Signal {
         concat_ws(" x ", (1 to nd).map(i => col(s"_n$i$sfx").cast("string")): _*),
         lit(" != "), size(col("_arr")).cast("string"),
         lit(" (or duplicate cells)")))
-    val withVals = grouped
-      .withColumn(s"_vals$sfx", when(gridOk.isNull, expr("transform(_arr, s -> s.v)")))
+    val withVals = values.indices.foldLeft(grouped) { (g, i) =>
+      val (name, fld) = if (i == 0) (s"_vals$sfx", "v") else (s"_vals_$i$sfx", s"v$i")
+      // the grid-completeness guard chains into the FIRST value column
+      // (enough to keep it unprunable — every grid op reads _vals)
+      val arr = expr(s"transform(_arr, s -> s.$fld)")
+      g.withColumn(name, if (i == 0) when(gridOk.isNull, arr) else arr)
+    }
     // sorted distinct coordinate values per dim — the axes a
     // coordinate-shifting op (fftshift) rotates alongside the values
     val withCoords =

@@ -379,6 +379,49 @@ object Sig {
        |FROM s CROSS JOIN (VALUES ('dct'), ('dst')) ops(op)
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** 2-D FFT of the per-user 8×8 grid (numpy.fft.fft2 over the
+    * reference's per-dim fft loop): one multi-value gridify shuffle,
+    * one strided N-D kernel call. Oracle is the naive double DFT sum.
+    */
+  def sigFft2(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir)
+      .withColumn("r", expr("CAST(t AS INT) div 8"))
+      .withColumn("c", expr("CAST(t AS INT) % 8"))
+    Signal.fftNd(grid, Seq("user_id"), Seq("r", "c"), "value")
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigFft2Sql: String =
+    s"""$s64Sql
+       |SELECT a.user_id, CAST(a.j // 8 AS INT) AS pos1, CAST(a.j % 8 AS INT) AS pos2,
+       |  ${fpSql("SUM(b.value * COS(-2*PI()*((a.j//8)*(b.j//8)/8.0 + (a.j%8)*(b.j%8)/8.0)))", "1e4")} AS re_fp,
+       |  ${fpSql("SUM(b.value * SIN(-2*PI()*((a.j//8)*(b.j//8)/8.0 + (a.j%8)*(b.j%8)/8.0)))", "1e4")} AS im_fp
+       |FROM s a JOIN s b ON a.user_id = b.user_id
+       |GROUP BY a.user_id, a.j // 8, a.j % 8
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** fft2 → ifft2 (norm=ortho) roundtrip: the N-D INVERSE kernel's
+    * CORRECTNESS row; a matched-norm roundtrip reproduces the grid.
+    */
+  def sigFft2Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir)
+      .withColumn("r", expr("CAST(t AS INT) div 8"))
+      .withColumn("c", expr("CAST(t AS INT) % 8"))
+    val f = Signal.fftNd(grid, Seq("user_id"), Seq("r", "c"), "value", norm = "ortho")
+    Signal.ifftNd(f, Seq("user_id"), Seq("pos1", "pos2"), "re", "im", norm = "ortho")
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp6(col("re")).as("re_fp"), fp6(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigFft2RoundtripSql: String =
+    s"""$s64Sql
+       |SELECT user_id, CAST(j // 8 AS INT) AS pos1, CAST(j % 8 AS INT) AS pos2,
+       |  ${fpSql("value", "1e6")} AS re_fp, CAST(0 AS BIGINT) AS im_fp
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
+
   /** fft with an explicit n=56 (reference parameterizes every FFT test
     * over n, tests/test_signal.py:358-373): per-user series are 49-86
     * samples at the oracle SF, so ONE n exercises BOTH paths — users
@@ -2520,6 +2563,8 @@ private val csdBaseSql: String =
     "sig_irfft_roundtrip" -> (sigIrfftRoundtrip _),
     "sig_hfft" -> (sigHfft _),
     "sig_ihfft" -> (sigIhfft _),
+    "sig_fft2" -> (sigFft2 _),
+    "sig_fft2_roundtrip" -> (sigFft2Roundtrip _),
     "sig_dct" -> (sigDct _),
     "sig_dst" -> (sigDst _),
     "sig_dct_roundtrip" -> (sigDctRoundtrip _),
@@ -2595,6 +2640,8 @@ private val csdBaseSql: String =
     "sig_irfft_roundtrip" -> sigIrfftRoundtripSql,
     "sig_hfft" -> sigHfftSql,
     "sig_ihfft" -> sigIhfftSql,
+    "sig_fft2" -> sigFft2Sql,
+    "sig_fft2_roundtrip" -> sigFft2RoundtripSql,
     "sig_dct" -> sigDctSql,
     "sig_dst" -> sigDstSql,
     "sig_dct_roundtrip" -> sigDctRoundtripSql,

@@ -120,6 +120,41 @@ class FftSpec extends AnyFunSuite {
     }
   }
 
+  test("fftNd 2-D equals row-then-column 1-D ffts; ifftNd inverts; norms scale by total") {
+    val rnd = new scala.util.Random(23)
+    for ((r, c) <- Seq((4, 8), (3, 5), (1, 7), (6, 1))) {
+      val re = Array.fill(r * c)(rnd.nextGaussian())
+      val im = Array.fill(r * c)(rnd.nextGaussian())
+      // independent path: 1-D fft of every row, then of every column
+      val wr = Array.ofDim[Double](r * c); val wi = Array.ofDim[Double](r * c)
+      for (i <- 0 until r) {
+        val f = Fft.fft(re.slice(i * c, i * c + c), im.slice(i * c, i * c + c))
+        for (j <- 0 until c) { wr(i * c + j) = f.re(j); wi(i * c + j) = f.im(j) }
+      }
+      val er = wr.clone(); val ei = wi.clone()
+      for (j <- 0 until c) {
+        val f = Fft.fft(Array.tabulate(r)(i => wr(i * c + j)),
+          Array.tabulate(r)(i => wi(i * c + j)))
+        for (i <- 0 until r) { er(i * c + j) = f.re(i); ei(i * c + j) = f.im(i) }
+      }
+      val got = Fft.fftNd(re, im, Array(r, c))
+      assert(Golden.maxAbsDiff(got.re, er) < 1e-9, s"${r}x$c re")
+      assert(Golden.maxAbsDiff(got.im, ei) < 1e-9, s"${r}x$c im")
+      for (norm <- Seq("backward", "ortho", "forward")) {
+        val f = Fft.fftNd(re, im, Array(r, c), inverse = false, norm)
+        val b = Fft.fftNd(f.re, f.im, Array(r, c), inverse = true, norm)
+        assert(Golden.maxAbsDiff(b.re, re) < 1e-9, s"${r}x$c roundtrip $norm re")
+        assert(Golden.maxAbsDiff(b.im, im) < 1e-9, s"${r}x$c roundtrip $norm im")
+      }
+    }
+    // rank 3, coprime odd sizes (Bluestein on every axis)
+    val re3 = Array.fill(3 * 5 * 7)(rnd.nextGaussian())
+    val f3 = Fft.fftNd(re3, null, Array(3, 5, 7))
+    val b3 = Fft.fftNd(f3.re, f3.im, Array(3, 5, 7), inverse = true)
+    assert(Golden.maxAbsDiff(b3.re, re3) < 1e-9)
+    assert(b3.im.forall(math.abs(_) < 1e-9))
+  }
+
   // ---- DCT / DST: the FFT-based kernels vs the direct O(n²)
   // definition sums (two independent derivations — scipy.fft.dct
   // type 2 definitions transcribed verbatim), round trips, and the

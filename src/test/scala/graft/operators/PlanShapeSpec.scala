@@ -72,6 +72,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(Signal.dct(series, Seq("k"), "t", "v")) == 1)
     assert(hashExchanges(Signal.idst(
       Signal.dst(series, Seq("k"), "t", "v"), Seq("k"), "pos", "value")) == 1)
+    // fftNd: ONE multi-value gridify shuffle carries re AND im; the
+    // inverse's regroup reuses the forward's partitioning
+    val fgrid = series
+      .withColumn("d1", expr("CAST(t AS INT) div 8"))
+      .withColumn("d2", expr("CAST(t AS INT) % 8"))
+    assert(hashExchanges(Signal.fftNd(fgrid, Seq("k"), Seq("d1", "d2"), "v")) == 1)
+    assert(hashExchanges(Signal.ifftNd(
+      Signal.fftNd(fgrid, Seq("k"), Seq("d1", "d2"), "v"),
+      Seq("k"), Seq("pos1", "pos2"), "re", "im")) == 1)
   }
 
   test("rollup is one Expand + one hash-aggregate pass, not per-level re-scans") {
