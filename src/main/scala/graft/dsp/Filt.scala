@@ -376,6 +376,45 @@ object Filt {
     out
   }
 
+  /** scipy.signal.medfilt2d: 2-D sliding median over a row-major
+    * rows×cols grid, odd (kr × kc) kernel, zero-padded edges (scipy
+    * zero-pads here too). O(n·k² log k²) with the same small-constant
+    * argument as the 1-D kernel.
+    */
+  def medfilt2d(x: Array[Double], rows: Int, cols: Int,
+                kr: Int = 3, kc: Int = 3): Array[Double] = {
+    require(rows > 0 && cols > 0 && rows * cols == x.length,
+      s"medfilt2d: ${x.length} values do not fill a ${rows}x$cols grid")
+    require(kr > 0 && kr % 2 == 1 && kc > 0 && kc % 2 == 1,
+      s"medfilt2d: kernel dims must be positive odd, got ${kr}x$kc")
+    val hr = kr / 2; val hc = kc / 2
+    val out = new Array[Double](x.length)
+    val buf = new Array[Double](kr * kc)
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols) {
+        var j = 0
+        var dr = -hr
+        while (dr <= hr) {
+          var dc = -hc
+          while (dc <= hc) {
+            val rr = r + dr; val cc = c + dc
+            buf(j) = if (rr < 0 || rr >= rows || cc < 0 || cc >= cols) 0.0
+                     else x(rr * cols + cc)
+            j += 1; dc += 1
+          }
+          dr += 1
+        }
+        java.util.Arrays.sort(buf)
+        out(r * cols + c) = buf(buf.length / 2)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** scipy.signal.order_filter (1-D, full domain): sliding rank
     * selection — output i is the `rank`-th smallest (0-based) of the
     * zero-padded window, so rank = size/2 IS medfilt. Same O(n·k log k)

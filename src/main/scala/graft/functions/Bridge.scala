@@ -169,6 +169,9 @@ object Bridge {
   def medfilt(x: ArrayData, kernelSize: Int): ArrayData =
     out(Filt.medfilt(d(x), kernelSize))
 
+  def medfilt2d(x: ArrayData, rows: Int, cols: Int, kr: Int, kc: Int): ArrayData =
+    out(Filt.medfilt2d(d(x), rows, cols, kr, kc))
+
   def findPeaksF(x: ArrayData, height: Double, distance: Int, promMin: Double,
                  wlen: Int, widthMin: Double, widthMax: Double,
                  relHeight: Double): ArrayData =
@@ -670,6 +673,7 @@ object Bridge {
     "hilbert" -> (Seq(arrD, IntegerType) -> complexT),
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
+    "medfilt2d" -> (Seq(arrD, IntegerType, IntegerType, IntegerType, IntegerType) -> arrD),
     "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType,
       DoubleType, DoubleType, DoubleType) -> arrI),
     "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),

@@ -206,6 +206,9 @@ object Functions {
       call("detrend", x, lit(typ))
     def medfiltC(x: Column, kernelSize: Int = 3): Column =
       call("medfilt", x, lit(kernelSize))
+    def medfilt2dC(x: Column, rows: Column, cols: Column,
+                   kr: Int = 3, kc: Int = 3): Column =
+      call("medfilt2d", x, rows, cols, lit(kr), lit(kc))
     def savgolC(x: Column, window: Int = 5, polyorder: Int = 2,
                 mode: String = "constant"): Column =
       call("savgol", x, lit(window), lit(polyorder), lit(mode))

@@ -277,6 +277,25 @@ object Signal {
         dims.map(col) :+ col("value")): _*)
   }
 
+  /** 2-D sliding median (scipy.signal.medfilt2d: odd kernel,
+    * zero-padded edges) over the complete-grid contract — the
+    * despeckle filter for image-like per-key grids. One gridify
+    * shuffle, one kernel call. Output: keys, pos1, pos2, value.
+    */
+  def medfilt2d(df: DataFrame, keys: Seq[String], dim1: String, dim2: String,
+                value: String, kernelSize: (Int, Int) = (3, 3)): DataFrame = {
+    val g = gridify(df, keys, Seq(dim1, dim2), value, "medfilt2d")
+    val withOut = g.withColumn("_out",
+      medfilt2dC(col("_vals"), col("_n1").cast("int"), col("_n2").cast("int"),
+        kernelSize._1, kernelSize._2))
+    val exploded = withOut.select(
+      (keys.map(col) :+ col("_n2") :+
+        posexplode(col("_out")).as(Seq("_p", "value"))): _*)
+    exploded.select(
+      (keys.map(col) :+ expr("int(_p div _n2)").as("pos1") :+
+        expr("int(_p % _n2)").as("pos2") :+ col("value")): _*)
+  }
+
   /** N-D FFT over a complete hyper-rectangular grid — numpy's
     * fftn/ifftn where the reference loops its 1-D fft per dim
     * (signal.py:234-241 applied over a dims tuple). One gridify

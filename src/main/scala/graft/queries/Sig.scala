@@ -422,6 +422,34 @@ object Sig {
        |  ${fpSql("value", "1e6")} AS re_fp, CAST(0 AS BIGINT) AS im_fp
        |FROM s ORDER BY 1, 2, 3""".stripMargin
 
+  /** 2-D median filter (scipy.signal.medfilt2d, 3×3, zero-padded
+    * edges) on the per-user 8×8 grid. The oracle rebuilds every
+    * neighborhood with a 9-offset cross join (LEFT JOIN nulls are the
+    * zero padding) and takes MEDIAN — 9 values per cell, odd count, so
+    * both engines select the exact middle element bit-identically.
+    */
+  def sigMedfilt2d(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir)
+      .withColumn("r", expr("CAST(t AS INT) div 8"))
+      .withColumn("c", expr("CAST(t AS INT) % 8"))
+    Signal.medfilt2d(grid, Seq("user_id"), "r", "c", "value")
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp6(col("value")).as("v_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigMedfilt2dSql: String =
+    s"""$s64Sql, g AS (
+       |  SELECT user_id, CAST(j // 8 AS INT) AS r, CAST(j % 8 AS INT) AS c, value FROM s
+       |)
+       |SELECT a.user_id, a.r AS pos1, a.c AS pos2,
+       |  ${fpSql("MEDIAN(COALESCE(b.value, 0.0))", "1e6")} AS v_fp
+       |FROM g a
+       |CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) k(dr, dc)
+       |LEFT JOIN g b ON b.user_id = a.user_id AND b.r = a.r + k.dr AND b.c = a.c + k.dc
+       |GROUP BY a.user_id, a.r, a.c
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** fft with an explicit n=56 (reference parameterizes every FFT test
     * over n, tests/test_signal.py:358-373): per-user series are 49-86
     * samples at the oracle SF, so ONE n exercises BOTH paths — users
@@ -2564,6 +2592,7 @@ private val csdBaseSql: String =
     "sig_hfft" -> (sigHfft _),
     "sig_ihfft" -> (sigIhfft _),
     "sig_fft2" -> (sigFft2 _),
+    "sig_medfilt2d" -> (sigMedfilt2d _),
     "sig_fft2_roundtrip" -> (sigFft2Roundtrip _),
     "sig_dct" -> (sigDct _),
     "sig_dst" -> (sigDst _),
@@ -2641,6 +2670,7 @@ private val csdBaseSql: String =
     "sig_hfft" -> sigHfftSql,
     "sig_ihfft" -> sigIhfftSql,
     "sig_fft2" -> sigFft2Sql,
+    "sig_medfilt2d" -> sigMedfilt2dSql,
     "sig_fft2_roundtrip" -> sigFft2RoundtripSql,
     "sig_dct" -> sigDctSql,
     "sig_dst" -> sigDstSql,

@@ -57,4 +57,29 @@ class MedfiltSpec extends AnyFunSuite {
     val lm = Array((0.0 + 1 + 2) / 3, (1.0 + 2 + 3) / 3, (2.0 + 3 + 4) / 3, (3.0 + 4 + 0) / 3)
     got.zip(lm).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
+
+  test("medfilt2d: hand-computed 3x3, zero-padded corners") {
+    // 3x3 grid 1..9; at the corner the 9-window holds 5 zeros + 4
+    // values, so the median IS 0+… — e.g. (0,0): {0,0,0,0,0,1,2,4,5}
+    // sorted → middle 0. Center: {1..9} → 5.
+    val x = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0)
+    val got = Filt.medfilt2d(x, 3, 3)
+    assert(got(4) == 5.0, s"center ${got(4)}")
+    assert(got(0) == 0.0, s"corner ${got(0)}")
+    // edge (0,1): {0,0,0,1,2,3,4,5,6} → 2
+    assert(got(1) == 2.0, s"edge ${got(1)}")
+  }
+
+  test("medfilt2d on a 1-row grid with a 1x3 kernel equals 1-D medfilt") {
+    val x = Array(5.0, 1.0, 3.0, 9.0, 2.0, 7.0)
+    assert(Filt.medfilt2d(x, 1, x.length, 1, 3).toSeq ==
+      Filt.medfilt(x, 3).toSeq)
+    // 1x1 kernel is the identity
+    assert(Filt.medfilt2d(x, 2, 3, 1, 1).toSeq == x.toSeq)
+  }
+
+  test("medfilt2d input validation fails fast") {
+    assertThrows[IllegalArgumentException](Filt.medfilt2d(Array(1.0, 2.0), 2, 2))
+    assertThrows[IllegalArgumentException](Filt.medfilt2d(Array(1.0), 1, 1, 2, 3))
+  }
 }

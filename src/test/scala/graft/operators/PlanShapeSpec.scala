@@ -78,6 +78,7 @@ class PlanShapeSpec extends SparkTestBase {
       .withColumn("d1", expr("CAST(t AS INT) div 8"))
       .withColumn("d2", expr("CAST(t AS INT) % 8"))
     assert(hashExchanges(Signal.fftNd(fgrid, Seq("k"), Seq("d1", "d2"), "v")) == 1)
+    assert(hashExchanges(Signal.medfilt2d(fgrid, Seq("k"), "d1", "d2", "v")) == 1)
     assert(hashExchanges(Signal.ifftNd(
       Signal.fftNd(fgrid, Seq("k"), Seq("d1", "d2"), "v"),
       Seq("k"), Seq("pos1", "pos2"), "re", "im")) == 1)
