@@ -393,4 +393,31 @@ object Conv {
     }
     (out, outShape)
   }
+
+  /** scipy.signal.deconvolve: polynomial long division — quotient q
+    * and remainder r with signal = convolve(divisor, q) + r. Standard
+    * synthetic division: the working copy accumulates the remainder in
+    * place, so r IS signal − divisor∗q exactly (no re-convolution).
+    * Signals shorter than the divisor yield an empty quotient and
+    * r = signal, scipy's rule.
+    */
+  def deconvolve(sig: Array[Double], div: Array[Double]): (Array[Double], Array[Double]) = {
+    require(div.nonEmpty && div(0) != 0.0,
+      "deconvolve: divisor must be non-empty with a nonzero leading coefficient")
+    val n = sig.length - div.length + 1
+    if (n <= 0) return (Array.empty[Double], sig.clone())
+    val q = new Array[Double](n)
+    val w = sig.clone()
+    var k = 0
+    while (k < n) {
+      val qk = w(k) / div(0)
+      q(k) = qk
+      if (qk != 0.0) {
+        var j = 0
+        while (j < div.length) { w(k + j) -= qk * div(j); j += 1 }
+      }
+      k += 1
+    }
+    (q, w)
+  }
 }

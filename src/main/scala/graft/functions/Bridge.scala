@@ -172,6 +172,11 @@ object Bridge {
   def medfilt2d(x: ArrayData, rows: Int, cols: Int, kr: Int, kc: Int): ArrayData =
     out(Filt.medfilt2d(d(x), rows, cols, kr, kc))
 
+  def deconvolve(sig: ArrayData, div: ArrayData): InternalRow = {
+    val (q, r) = Conv.deconvolve(d(sig), d(div))
+    new GenericInternalRow(Array[Any](out(q), out(r)))
+  }
+
   def findPeaksF(x: ArrayData, height: Double, distance: Int, promMin: Double,
                  wlen: Int, widthMin: Double, widthMax: Double,
                  relHeight: Double): ArrayData =
@@ -674,6 +679,9 @@ object Bridge {
     "detrend" -> (Seq(arrD, StringType) -> arrD),
     "medfilt" -> (Seq(arrD, IntegerType) -> arrD),
     "medfilt2d" -> (Seq(arrD, IntegerType, IntegerType, IntegerType, IntegerType) -> arrD),
+    "deconvolve" -> (Seq(arrD, arrD) -> StructType(Seq(
+      StructField("quot", arrD, nullable = false),
+      StructField("rem", arrD, nullable = false)))),
     "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType,
       DoubleType, DoubleType, DoubleType) -> arrI),
     "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),

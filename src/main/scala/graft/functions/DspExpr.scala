@@ -209,6 +209,8 @@ object Functions {
     def medfilt2dC(x: Column, rows: Column, cols: Column,
                    kr: Int = 3, kc: Int = 3): Column =
       call("medfilt2d", x, rows, cols, lit(kr), lit(kc))
+    def deconvolveC(sig: Column, div: Column): Column =
+      call("deconvolve", sig, div)
     def savgolC(x: Column, window: Int = 5, polyorder: Int = 2,
                 mode: String = "constant"): Column =
       call("savgol", x, lit(window), lit(polyorder), lit(mode))

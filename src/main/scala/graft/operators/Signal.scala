@@ -1482,4 +1482,88 @@ object Signal {
       "width_height" -> col("_pw.width_heights"),
       "left_ip" -> col("_pw.left_ips"),
       "right_ip" -> col("_pw.right_ips")))
+
+  /** scipy.signal.deconvolve: per-series polynomial long division by a
+    * literal divisor — quotient (`part = "quot"`, length n−nd+1) or
+    * remainder (`part = "rem"`, length n) as a long frame. The filter
+    * inverse of [[convolve]]: deconvolve(convolve(x, d), d) == (x, 0).
+    */
+  def deconvolve(df: DataFrame, keys: Seq[String], dim: String, value: String,
+                 divisor: Array[Double], part: String = "quot"): DataFrame = {
+    require(part == "quot" || part == "rem", s"deconvolve: part must be quot|rem, got $part")
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf.withColumn("_dc",
+      deconvolveC(col(value), typedLit(divisor.toSeq)))
+    explodeSeries(withOut, keys, Seq("value" -> col(s"_dc.$part")))
+  }
+
+  /** scipy.signal.vectorstrength(events, period): the phase-locking
+    * metric over raw event TIMES — strength = |mean e^{2πi·t/T}|,
+    * phase = its angle. A plain partial-aggregatable groupBy (sums of
+    * cos/sin + count), no seriesify, no kernel: the cheapest operator
+    * in the family. The phase argument reduces through exact fmod
+    * FIRST so the trig sees a small argument (identical math, and both
+    * engines' cos stay within an ulp — epoch-second inputs would
+    * otherwise stress large-argument reduction).
+    */
+  def vectorstrength(df: DataFrame, keys: Seq[String], dim: String,
+                     period: Double): DataFrame = {
+    require(period > 0.0, s"vectorstrength: period must be positive, got $period")
+    val ang = lit(2.0 * math.Pi) * pmod(col(dim).cast("double"), lit(period)) / lit(period)
+    val grouped =
+      if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    grouped
+      .agg(sum(cos(ang)).as("_sc"), sum(sin(ang)).as("_ss"),
+        count(lit(1)).as("_n"))
+      .select((keys.map(col) :+
+        (sqrt(col("_sc") * col("_sc") + col("_ss") * col("_ss")) / col("_n"))
+          .as("strength") :+
+        atan2(col("_ss"), col("_sc")).as("phase")): _*)
+  }
+
+  // ---- waveform synthesis (scipy.signal chirp/square/sawtooth) -------
+  // Pure codegen'd column expressions over the coordinate — ZERO
+  // shuffle, zero kernel calls: the test-tone/carrier generators a
+  // pipeline composes with the analysis ops above. Phase arguments use
+  // exact IEEE fmod, so the piecewise branches pick the same side on
+  // every engine.
+
+  /** scipy.signal.chirp(t, f0, t1, f1, method='linear', phi):
+    * cos(2π·(f0·t + (f1−f0)/(2·t1)·t²) + phi·π/180).
+    */
+  def chirp(df: DataFrame, dim: String, out: String,
+            f0: Double, t1: Double, f1: Double, phiDeg: Double = 0.0): DataFrame = {
+    require(t1 != 0.0, "chirp: t1 must be nonzero")
+    val t = col(dim).cast("double")
+    df.withColumn(out, cos(
+      lit(2.0 * math.Pi) * (lit(f0) * t +
+        lit((f1 - f0) / (2.0 * t1)) * t * t) + lit(math.toRadians(phiDeg))))
+  }
+
+  /** scipy.signal.square(t, duty): +1 while the 2π-periodic phase sits
+    * in the first `duty` fraction of the cycle, else −1.
+    */
+  def square(df: DataFrame, dim: String, out: String,
+             duty: Double = 0.5): DataFrame = {
+    require(duty >= 0.0 && duty <= 1.0, s"square: duty must be in [0,1], got $duty")
+    val ph = pmod(col(dim).cast("double"), lit(2.0 * math.Pi))
+    df.withColumn(out,
+      when(ph < lit(2.0 * math.Pi * duty), lit(1.0)).otherwise(lit(-1.0)))
+  }
+
+  /** scipy.signal.sawtooth(t, width): rises −1→1 over the first
+    * `width` fraction of each 2π cycle, falls 1→−1 over the rest
+    * (width=1 is the pure ramp, width=0.5 a triangle).
+    */
+  def sawtooth(df: DataFrame, dim: String, out: String,
+               width: Double = 1.0): DataFrame = {
+    require(width >= 0.0 && width <= 1.0, s"sawtooth: width must be in [0,1], got $width")
+    val frac = pmod(col(dim).cast("double"), lit(2.0 * math.Pi)) / lit(2.0 * math.Pi)
+    val rise =
+      if (width == 0.0) lit(Double.NaN) else lit(-1.0) + lit(2.0) * frac / lit(width)
+    val fall =
+      if (width == 1.0) lit(Double.NaN)
+      else lit(1.0) - lit(2.0) * (frac - lit(width)) / lit(1.0 - width)
+    df.withColumn(out, when(frac < lit(width), rise).otherwise(fall))
+  }
 }

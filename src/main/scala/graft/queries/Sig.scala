@@ -422,6 +422,84 @@ object Sig {
        |  ${fpSql("value", "1e6")} AS re_fp, CAST(0 AS BIGINT) AS im_fp
        |FROM s ORDER BY 1, 2, 3""".stripMargin
 
+  /** Waveform synthesis (scipy.signal chirp/square/sawtooth) on the
+    * 64-frame index coordinate — pure codegen'd column math, zero
+    * kernel calls. Oracle replays the identical closed forms; phase
+    * branches go through exact IEEE fmod so both engines pick the
+    * same side, and the chirp's rate coefficient is interpolated as a
+    * Scala double literal so both parse the same value.
+    */
+  def sigWaveforms(s: SparkSession, dir: String): DataFrame = {
+    val base = ev64(s, dir)
+    val out = Signal.sawtooth(
+      Signal.square(
+        Signal.chirp(base, "t", "chirp_v", f0 = 0.01, t1 = 64.0, f1 = 0.05),
+        "t", "square_v", duty = 0.3),
+      "t", "saw_v", width = 0.7)
+    out.select(col("user_id"), col("t").cast("int").as("pos"),
+        fp6(col("chirp_v")).as("chirp_fp"),
+        col("square_v").cast("bigint").as("square_v"),
+        fp6(col("saw_v")).as("saw_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigWaveformsSql: String = {
+    val rate = (0.05 - 0.01) / (2.0 * 64.0)
+    s"""$s64Sql
+       |SELECT user_id, CAST(j AS INT) AS pos,
+       |  ${fpSql(s"COS(2*PI()*(0.01*t + $rate*t*t))", "1e6")} AS chirp_fp,
+       |  CAST(CASE WHEN fmod(t, 2*PI()) < 2*PI()*0.3 THEN 1 ELSE -1 END AS BIGINT) AS square_v,
+       |  ${fpSql(
+           "CASE WHEN fmod(t, 2*PI())/(2*PI()) < 0.7" +
+           " THEN -1.0 + 2.0*(fmod(t, 2*PI())/(2*PI()))/0.7" +
+           " ELSE 1.0 - 2.0*((fmod(t, 2*PI())/(2*PI())) - 0.7)/(1.0 - 0.7) END", "1e6")} AS saw_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+  }
+
+  /** vectorstrength (scipy.signal): phase locking of each user's raw
+    * event times to a 60 s period — strength = |mean e^{2πi·t/T}| and
+    * its phase angle. A plain partial-aggregatable groupBy, the only
+    * signal op with NO series materialization at all.
+    */
+  def sigVectorstrength(s: SparkSession, dir: String): DataFrame =
+    Signal.vectorstrength(evReal(s, dir), Seq("user_id"), "t", period = 60.0)
+      .select(col("user_id"),
+        fp6(col("strength")).as("strength_fp"), fp6(col("phase")).as("phase_fp"))
+      .orderBy("user_id")
+
+  private val sigVectorstrengthSql: String =
+    s"""WITH raw AS (
+       |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t, value FROM events
+       |), v AS (
+       |  SELECT user_id, 2*PI()*fmod(t, 60.0)/60.0 AS a FROM raw
+       |), g AS (
+       |  SELECT user_id, SUM(COS(a)) AS sc, SUM(SIN(a)) AS ss, COUNT(*) AS n
+       |  FROM v GROUP BY 1
+       |)
+       |SELECT user_id,
+       |  ${fpSql("SQRT(sc*sc + ss*ss) / n", "1e6")} AS strength_fp,
+       |  ${fpSql("ATAN2(ss, sc)", "1e6")} AS phase_fp
+       |FROM g ORDER BY 1""".stripMargin
+
+  /** deconvolve∘convolve identity (scipy.signal.deconvolve): convolve
+    * each series with divisor (1, 0.5) then long-divide it back out —
+    * the quotient must reproduce the input. Exercises the synthetic
+    * division end-to-end with the identity as the oracle.
+    */
+  def sigDeconvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val div = Seq((0.0, 1.0), (1.0, 0.5)).toDF("t", "value")
+    val conv = Signal.convolve(evReal(s, dir), div, Seq("user_id"), "t", "value", "full")
+    Signal.deconvolve(conv, Seq("user_id"), "pos", "value", Array(1.0, 0.5))
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("v_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private val sigDeconvolveSql: String =
+    s"""$sSql
+       |SELECT user_id, CAST(j AS INT) AS pos, ${fpSql("value", "1e6")} AS v_fp
+       |FROM s ORDER BY 1, 2""".stripMargin
+
   /** 2-D median filter (scipy.signal.medfilt2d, 3×3, zero-padded
     * edges) on the per-user 8×8 grid. The oracle rebuilds every
     * neighborhood with a 9-offset cross join (LEFT JOIN nulls are the
@@ -2593,6 +2671,9 @@ private val csdBaseSql: String =
     "sig_ihfft" -> (sigIhfft _),
     "sig_fft2" -> (sigFft2 _),
     "sig_medfilt2d" -> (sigMedfilt2d _),
+    "sig_waveforms" -> (sigWaveforms _),
+    "sig_vectorstrength" -> (sigVectorstrength _),
+    "sig_deconvolve" -> (sigDeconvolve _),
     "sig_fft2_roundtrip" -> (sigFft2Roundtrip _),
     "sig_dct" -> (sigDct _),
     "sig_dst" -> (sigDst _),
@@ -2671,6 +2752,9 @@ private val csdBaseSql: String =
     "sig_ihfft" -> sigIhfftSql,
     "sig_fft2" -> sigFft2Sql,
     "sig_medfilt2d" -> sigMedfilt2dSql,
+    "sig_waveforms" -> sigWaveformsSql,
+    "sig_vectorstrength" -> sigVectorstrengthSql,
+    "sig_deconvolve" -> sigDeconvolveSql,
     "sig_fft2_roundtrip" -> sigFft2RoundtripSql,
     "sig_dct" -> sigDctSql,
     "sig_dst" -> sigDstSql,

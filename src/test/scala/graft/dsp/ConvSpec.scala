@@ -238,4 +238,30 @@ class ConvSpec extends AnyFunSuite {
       assert(Golden.maxAbsDiff(cab.im, revConjIm) < 1e-8, s"trial $trial corr im")
     }
   }
+
+  test("deconvolve: exact long division, remainder identity, scipy edge rules") {
+    // exact division: convolve then deconvolve recovers the quotient
+    // with ZERO remainder (small integers — every step exact)
+    val q0 = Array(1.0, 2.0, 3.0)
+    val d0 = Array(1.0, 0.5)
+    val (q, r) = Conv.deconvolve(Conv.convolveDirect(q0, d0), d0)
+    assert(q.toSeq == q0.toSeq)
+    assert(r.forall(_ == 0.0))
+    // nonzero remainder, hand-computed: [1,1,1] / [1,2] → q=[1,-1], r=[0,0,3]
+    val (q1, r1) = Conv.deconvolve(Array(1.0, 1.0, 1.0), Array(1.0, 2.0))
+    assert(q1.toSeq == Seq(1.0, -1.0))
+    assert(r1.toSeq == Seq(0.0, 0.0, 3.0))
+    // signal = divisor*q + r always (random trial)
+    val rnd = new scala.util.Random(31)
+    val sig = Array.fill(20)(rnd.nextGaussian())
+    val div = Array(1.5, -0.3, 0.2)
+    val (q2, r2) = Conv.deconvolve(sig, div)
+    val back = Conv.convolveDirect(div, q2).zipAll(r2, 0.0, 0.0).map(t => t._1 + t._2)
+    assert(Golden.maxAbsDiff(back, sig) < 1e-12)
+    // shorter-than-divisor signal: empty quotient, remainder = signal
+    val (q3, r3) = Conv.deconvolve(Array(1.0, 2.0), Array(1.0, 0.0, 0.0))
+    assert(q3.isEmpty && r3.toSeq == Seq(1.0, 2.0))
+    assertThrows[IllegalArgumentException](
+      Conv.deconvolve(Array(1.0), Array(0.0, 1.0)))
+  }
 }

@@ -79,6 +79,14 @@ class PlanShapeSpec extends SparkTestBase {
       .withColumn("d2", expr("CAST(t AS INT) % 8"))
     assert(hashExchanges(Signal.fftNd(fgrid, Seq("k"), Seq("d1", "d2"), "v")) == 1)
     assert(hashExchanges(Signal.medfilt2d(fgrid, Seq("k"), "d1", "d2", "v")) == 1)
+    // deconvolve: the seriesify shuffle only; vectorstrength is a
+    // plain two-phase agg (1); waveform synthesis is pure map-side (0)
+    assert(hashExchanges(Signal.deconvolve(series, Seq("k"), "t", "v",
+      Array(1.0, 0.5))) == 1)
+    assert(hashExchanges(Signal.vectorstrength(series, Seq("k"), "t", 8.0)) == 1)
+    assert(hashExchanges(Signal.sawtooth(Signal.square(
+      Signal.chirp(series, "t", "c1", 0.01, 64.0, 0.05),
+      "t", "c2"), "t", "c3")) == 0)
     assert(hashExchanges(Signal.ifftNd(
       Signal.fftNd(fgrid, Seq("k"), Seq("d1", "d2"), "v"),
       Seq("k"), Seq("pos1", "pos2"), "re", "im")) == 1)
