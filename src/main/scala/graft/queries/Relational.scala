@@ -198,6 +198,21 @@ object Relational {
         col("sum_qty"), col("sum_disc_price"), col("n"))
       .orderBy("rf", "ls")
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets from
+    * ONE Expand + one hash-aggregate pass (the rollup plan with a
+    * 4-branch Expand — map-side partials still apply, input scanned
+    * once). Same sentinel-label trick as q8 for the NULLS ordering trap.
+    */
+  def q12Cube(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(fp2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
   /** Semi + anti join: customers WITH at least one urgent order and
     * customers WITHOUT any. Spark's LeftSemi/LeftAnti never materialize
     * the probe side's payload — the build side reduces to the join key

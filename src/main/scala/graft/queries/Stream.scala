@@ -151,16 +151,31 @@ object Stream {
     pendingTmp.add(tmp)
     val out = new java.io.File(tmp, "out").getAbsolutePath
     val chk = new java.io.File(tmp, "chk").getAbsolutePath
+    // State partitions are sized by STATE VOLUME, not by the batch
+    // side's shuffle default: every stateful operator commits one
+    // store per partition per micro-batch (a symmetric join commits
+    // FOUR), so partitions × stores × batches delta-file fsyncs
+    // dominate wall time when per-partition state is small. The
+    // checkpoint pins the count for the query's lifetime either way —
+    // production picks it the same way, by state-per-partition, and
+    // scales it with SPARK_GRAFT_STREAM_PARTITIONS. Batch queries keep
+    // the session default (restored below; the stateful partitioning
+    // is locked into checkpoint metadata at the first batch).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     val writer = ds.toDF().writeStream.option("checkpointLocation", chk)
-    val q =
-      if (mode == "append")
-        writer.format("parquet").outputMode(mode).option("path", out).start()
-      else
-        writer.outputMode(mode).foreachBatch {
-          (batch: DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-        }.start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      val q =
+        if (mode == "append")
+          writer.format("parquet").outputMode(mode).option("path", out).start()
+        else
+          writer.outputMode(mode).foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+          }.start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // explicit schema: a stream that emitted zero rows leaves no (or
     // schemaless) parquet behind, where the old memory sink still
     // returned an empty schema-bearing table
