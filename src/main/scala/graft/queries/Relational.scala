@@ -279,6 +279,7 @@ object Relational {
     "q6_histogram" -> (q6Histogram _),
     "q7_quantiles" -> (q7Quantiles _),
     "q8_rollup" -> (q8Rollup _),
+    "q12_cube" -> (q12Cube _),
     "q9_semi" -> (q9Semi _),
     "q10_pivot" -> (q10Pivot _),
     "q11_distinct" -> (q11Distinct _))
@@ -311,6 +312,14 @@ object Relational {
          |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
          |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
     "q8_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
          |  COALESCE(l_linestatus, 'ALL') AS ls,
