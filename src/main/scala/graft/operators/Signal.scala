@@ -529,6 +529,17 @@ object Signal {
     explodeGrid2d(withOut, keys)
   }
 
+  /** scipy.signal.correlate2d (literal kernel): cross-correlation is
+    * convolution with the 180°-rotated kernel, which in row-major flat
+    * form is simply the REVERSED array (both axes flip; the row count
+    * is unchanged) — the same full-output identity the 1-D correlate
+    * rides, so every mode window applies identically.
+    */
+  def correlate2d(df: DataFrame, keys: Seq[String], dim1: String, dim2: String,
+                  value: String, kernel: Array[Double], kernelRows: Int,
+                  mode: String = "full"): DataFrame =
+    fftconvolve2d(df, keys, dim1, dim2, value, kernel.reverse, kernelRows, mode)
+
   /** Two-frame 2-D FFT convolution — the reference's full
     * `fftconvolve(in1, in2, dims=[d1, d2])` signature (signal.py:41-48)
     * where BOTH operands are labelled arrays. An in2 carrying the key

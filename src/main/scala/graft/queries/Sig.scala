@@ -1023,6 +1023,31 @@ object Sig {
        |GROUP BY s.user_id, s.j // 8 + k.ki, s.j % 8 + k.kj
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** correlate2d (full): the flat-reversed-kernel identity end-to-end —
+    * the oracle convolves with the EXPLICITLY 180°-rotated weight
+    * table, so the two sides derive the rotation independently.
+    */
+  def sigCorrelate2d(s: SparkSession, dir: String): DataFrame = {
+    val grid = ev64(s, dir)
+      .withColumn("r", expr("CAST(t AS INT) div 8"))
+      .withColumn("c", expr("CAST(t AS INT) % 8"))
+    Signal.correlate2d(grid, Seq("user_id"), "r", "c", "value",
+      Array(1.0, 0.5, 0.25, 0.125), kernelRows = 2)
+      .select(col("user_id"), col("pos1"), col("pos2"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos1", "pos2")
+  }
+
+  private val sigCorrelate2dSql: String =
+    s"""$s64Sql
+       |SELECT s.user_id,
+       |  CAST(s.j // 8 + k.ki AS INT) AS pos1,
+       |  CAST(s.j % 8 + k.kj AS INT) AS pos2,
+       |  ${fpSql("SUM(s.value * k.w)", "1e6")} AS value_fp
+       |FROM s, (VALUES (0, 0, 0.125), (0, 1, 0.25), (1, 0, 0.5), (1, 1, 1.0)) k(ki, kj, w)
+       |GROUP BY s.user_id, s.j // 8 + k.ki, s.j % 8 + k.kj
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Two-frame KEYED 2-D fftconvolve — the reference's
     * `fftconvolve(in1, in2, dims=[d1, d2])` with BOTH operands
     * labelled arrays (signal.py:41-48): in1 is the 8×8 grid; in2 is a
@@ -2691,6 +2716,7 @@ private val csdBaseSql: String =
     "sig_convolve_complex" -> (sigConvolveComplex _),
     "sig_correlate_complex" -> (sigCorrelateComplex _),
     "sig_fftconvolve2d" -> (sigFftconvolve2d _),
+    "sig_correlate2d" -> (sigCorrelate2d _),
     "sig_fftconvolve2d_keyed" -> (sigFftconvolve2dKeyed _),
     "sig_fftconvolve3d" -> (sigFftconvolve3d _),
     "sig_fftconvolve" -> (sigFftconvolve _),
@@ -2772,6 +2798,7 @@ private val csdBaseSql: String =
     "sig_convolve_complex" -> sigConvolveComplexSql,
     "sig_correlate_complex" -> sigCorrelateComplexSql,
     "sig_fftconvolve2d" -> sigFftconvolve2dSql,
+    "sig_correlate2d" -> sigCorrelate2dSql,
     "sig_fftconvolve2d_keyed" -> sigFftconvolve2dKeyedSql,
     "sig_fftconvolve3d" -> sigFftconvolve3dSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
