@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables.{load, fp2, fp6, fpSql}
+import graft.Tables.{load, fp2, fp4, fp6, fpSql}
 
 /** Baseline relational layer (SURVEY.md §2.3): scan/filter/agg,
   * broadcast join, window functions. These anchor the bench and prove
@@ -64,6 +64,25 @@ object Relational {
       .withColumn("running_sum", fp2(sum(col("value"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .select(col("event_id"), col("user_id"), col("rn"), col("running_sum"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE-frame window: per user, events in the trailing 1 hour
+    * (RANGE BETWEEN 1h PRECEDING AND CURRENT ROW over epoch_us) —
+    * the time-windowed running aggregate ROWS frames can't express.
+    * RANGE frames include ALL order-key peers, so the result is
+    * deterministic without a tie-break column; the frame bound rides
+    * the integral µs axis on both engines.
+    */
+  def q13RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", fp4(sum(col("value")).over(w)))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
       .orderBy("event_id")
   }
 
@@ -280,6 +299,7 @@ object Relational {
     "q7_quantiles" -> (q7Quantiles _),
     "q8_rollup" -> (q8Rollup _),
     "q12_cube" -> (q12Cube _),
+    "q13_range_window" -> (q13RangeWindow _),
     "q9_semi" -> (q9Semi _),
     "q10_pivot" -> (q10Pivot _),
     "q11_distinct" -> (q11Distinct _))
@@ -312,6 +332,14 @@ object Relational {
          |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
          |  ${fpSql("SUM(l_quantity)", "100")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_range_window" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+         |  ${fpSql("SUM(value) OVER w", "1e4")} AS sum_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
     "q12_cube" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
          |  COALESCE(l_linestatus, 'ALL') AS ls,
