@@ -79,9 +79,21 @@ object Peaks {
                         distance: Int = 1, promMin: Double = Double.NaN,
                         wlen: Int = -1, widthMin: Double = Double.NaN,
                         widthMax: Double = Double.NaN,
-                        relHeight: Double = 0.5): Array[Int] = {
+                        relHeight: Double = 0.5,
+                        thresholdMin: Double = Double.NaN,
+                        thresholdMax: Double = Double.NaN): Array[Int] = {
     var peaks = localMaxima(x)
     if (!height.isNaN) peaks = peaks.filter(p => x(p) >= height)
+    // scipy's `threshold`: vertical drop to the IMMEDIATE neighbors —
+    // scalar = a floor on min(x[p]-x[p-1], x[p]-x[p+1]), optional max
+    // a ceiling on max(...); applied after height, before distance
+    // (scipy's documented filter order)
+    if (!thresholdMin.isNaN)
+      peaks = peaks.filter(p =>
+        math.min(x(p) - x(p - 1), x(p) - x(p + 1)) >= thresholdMin)
+    if (!thresholdMax.isNaN)
+      peaks = peaks.filter(p =>
+        math.max(x(p) - x(p - 1), x(p) - x(p + 1)) <= thresholdMax)
     if (distance > 1 && peaks.length > 1) {
       // scipy's priority order: argsort ascending (stable) iterated
       // from the top — highest first, and the RIGHTMOST of exact-tied

@@ -275,9 +275,12 @@ object Functions {
                     promMin: Double = Double.NaN, wlen: Int = -1,
                     widthMin: Double = Double.NaN,
                     widthMax: Double = Double.NaN,
-                    relHeight: Double = 0.5): Column =
+                    relHeight: Double = 0.5,
+                    thresholdMin: Double = Double.NaN,
+                    thresholdMax: Double = Double.NaN): Column =
       call("findPeaksF", x, lit(height), lit(distance), lit(promMin), lit(wlen),
-        lit(widthMin), lit(widthMax), lit(relHeight))
+        lit(widthMin), lit(widthMax), lit(relHeight),
+        lit(thresholdMin), lit(thresholdMax))
     def winnowC(text: Column, k: Int = 8, w: Int = 4,
                 base: Long = 31L, mod: Long = 1000000007L): Column =
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))

@@ -1429,11 +1429,13 @@ object Signal {
                 height: Double, distance: Int, prominence: Double,
                 wlen: Int, widthMin: Double = Double.NaN,
                 widthMax: Double = Double.NaN,
-                relHeight: Double = 0.5): DataFrame = {
+                relHeight: Double = 0.5,
+                thresholdMin: Double = Double.NaN,
+                thresholdMax: Double = Double.NaN): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
     val withPk = sdf
       .withColumn("_pk", findPeaksFC(col(value), height, distance, prominence,
-        wlen, widthMin, widthMax, relHeight))
+        wlen, widthMin, widthMax, relHeight, thresholdMin, thresholdMax))
       // height looked up map-side from the in-row array — no join
       .withColumn("_ph", expr(s"transform(_pk, p -> element_at($value, p + 1))"))
     explodeSeries(withPk, keys,

@@ -1810,6 +1810,53 @@ object Sig {
        |FROM kept
        |ORDER BY 1, 2""".stripMargin
 
+  /** find_peaks with the `threshold` filter (the remaining scipy
+    * filter kwarg): floor 0.015 on the minimum IMMEDIATE-neighbor
+    * drop. Plateau peaks die under any floor (zero drop on the
+    * plateau side) — the oracle replays exactly that: the same
+    * plateau-midpoint peak chain as sig_find_peaks, then the LEAST
+    * drop test against the p±1 samples. 0.015 sits strictly between
+    * the 2-decimal data's drop grid points, so no comparison ties.
+    */
+  def sigFindPeaksThr(s: SparkSession, dir: String): DataFrame =
+    Signal.findPeaks(evReal(s, dir), Seq("user_id"), "t", "value",
+        height = Double.NaN, distance = 1, prominence = Double.NaN,
+        wlen = -1, thresholdMin = 0.015)
+      .select(col("user_id"), col("pos"), col("peak"),
+        fp6(col("height")).as("height_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigFindPeaksThrSql: String =
+    s"""$sSql, nx AS (
+       |  SELECT cur.user_id, cur.j, cur.value, nxt.value AS vnext
+       |  FROM s cur JOIN s nxt ON nxt.user_id = cur.user_id AND nxt.j = cur.j + 1
+       |), pk0 AS (
+       |  SELECT a.user_id, a.j AS i, a.value AS v, a.n
+       |  FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
+       |  WHERE l.value < a.value AND a.j <= a.n - 2
+       |), pe AS (
+       |  SELECT p.user_id, p.i, p.v, p.n,
+       |    MIN(nx.j) FILTER (WHERE nx.vnext != p.v) AS jend
+       |  FROM pk0 p JOIN nx ON nx.user_id = p.user_id AND nx.j >= p.i
+       |  GROUP BY 1, 2, 3, 4
+       |), pk AS (
+       |  SELECT pe.user_id, (pe.i + pe.jend) // 2 AS p, pe.v AS hp
+       |  FROM pe JOIN nx e ON e.user_id = pe.user_id AND e.j = pe.jend
+       |  WHERE pe.jend IS NOT NULL AND e.vnext < pe.v
+       |), kept AS (
+       |  SELECT pk.user_id, pk.p, pk.hp
+       |  FROM pk
+       |  JOIN s lm ON lm.user_id = pk.user_id AND lm.j = pk.p - 1
+       |  JOIN s rm ON rm.user_id = pk.user_id AND rm.j = pk.p + 1
+       |  WHERE LEAST(pk.hp - lm.value, pk.hp - rm.value) >= 0.015
+       |)
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) - 1 AS INT) AS pos,
+       |  CAST(p AS INT) AS peak,
+       |  ${fpSql("hp", "1e6")} AS height_fp
+       |FROM kept
+       |ORDER BY 1, 2""".stripMargin
+
   /** Chunked Welch on the same data and parameters as [[sigWelch]],
     * chunkSize 32 → 4+ chunks per 100-sample series with live forward
     * halos. Same oracle as sig_welch: the distributed partial-sum path
@@ -2672,6 +2719,7 @@ private val csdBaseSql: String =
     "sig_spectrogram" -> (sigSpectrogram _),
     "sig_welch_long" -> (sigWelchLong _),
     "sig_find_peaks" -> (sigFindPeaks _),
+    "sig_find_peaks_thr" -> (sigFindPeaksThr _),
     "sig_zoom_fft" -> (sigZoomFft _),
     "sig_csd" -> (sigCsd _),
     "sig_csd_frames" -> (sigCsdFrames _),
@@ -2754,6 +2802,7 @@ private val csdBaseSql: String =
     "sig_spectrogram" -> sigSpectrogramSql,
     "sig_welch_long" -> sigWelchSql,
     "sig_find_peaks" -> sigFindPeaksSql,
+    "sig_find_peaks_thr" -> sigFindPeaksThrSql,
     "sig_zoom_fft" -> sigZoomFftSql,
     "sig_csd" -> sigCsdSql,
     "sig_csd_frames" -> sigCsdFramesSql,

@@ -127,4 +127,29 @@ class PeaksSpec extends AnyFunSuite {
     val keptFull = Peaks.findPeaksFiltered(xs, widthMin = wmin, relHeight = 1.0)
     assert(keptFull.length >= kept.length)
   }
+
+  test("findPeaksFiltered threshold: floor on min neighbor drop, ceiling on max") {
+    //           0    1    2    3    4    5    6    7    8
+    val x = Array(0.0, 1.0, 0.9, 3.0, 0.0, 0.5, 0.45, 0.5, 0.0)
+    // peaks: 1 (drops 1.0, 0.1), 3 (2.1, 3.0), 5 (0.5, 0.05), 7 (0.05, 0.5)
+    assert(Peaks.findPeaksFiltered(x).toSeq == Seq(1, 3, 5, 7))
+    // min-drop floor 0.2: peak 1 min drop 0.1 out, 5/7 min drop 0.05 out
+    assert(Peaks.findPeaksFiltered(x, thresholdMin = 0.2).toSeq == Seq(3))
+    // floor 0.04 keeps all; ceiling 1.0 on the MAX drop kills 3 (drop
+    // 3.0) but keeps 1 (max drop exactly 1.0 — the bound is inclusive)
+    assert(Peaks.findPeaksFiltered(x, thresholdMin = 0.04).toSeq == Seq(1, 3, 5, 7))
+    assert(Peaks.findPeaksFiltered(x, thresholdMin = 0.04, thresholdMax = 1.0)
+      .toSeq == Seq(1, 5, 7))
+    // a plateau peak has a zero drop on the plateau side -> any floor
+    // removes it (scipy: threshold measures the IMMEDIATE neighbors)
+    val pl = Array(0.0, 2.0, 2.0, 2.0, 0.0)
+    assert(Peaks.findPeaksFiltered(pl).toSeq == Seq(2))
+    assert(Peaks.findPeaksFiltered(pl, thresholdMin = 0.1).isEmpty)
+    // threshold applies BEFORE distance: a tall peak removed by the
+    // ceiling no longer suppresses its low neighbors
+    val y = Array(0.0, 1.0, 0.0, 5.0, 0.0, 1.0, 0.0)
+    assert(Peaks.findPeaksFiltered(y, distance = 3).toSeq == Seq(3))
+    assert(Peaks.findPeaksFiltered(y, distance = 3, thresholdMax = 2.0)
+      .toSeq == Seq(1, 5))
+  }
 }
