@@ -86,6 +86,63 @@ object Design {
   def firwinLowpass(numtaps: Int, cutoff: Double): Array[Double] =
     firwinLowpassW(numtaps, cutoff, hamming(numtaps))
 
+  /** scipy.signal.firwin, general form: `cutoffs` are the normalized
+    * band edges in (0, 1), `passZero` says whether DC is inside a
+    * passband — together spanning lowpass (one edge, passZero),
+    * highpass (one edge, !passZero), bandpass (two edges, !passZero),
+    * bandstop (two edges, passZero). Construction is scipy's band
+    * sum: h[x] = Σ_bands (r·sinc(r·x) − l·sinc(l·x)) windowed, then
+    * scaled to unit response at the first passband's reference
+    * frequency (DC if the band starts at 0, Nyquist if it ends at 1,
+    * else the band center — scipy's scale rule). A Nyquist passband
+    * (highpass/bandstop) needs ODD numtaps, scipy's own error.
+    */
+  def firwin(numtaps: Int, cutoffs: Array[Double], passZero: Boolean = true,
+             window: Array[Double] = null): Array[Double] = {
+    require(numtaps > 0, s"firwin: numtaps must be positive, got $numtaps")
+    require(cutoffs.nonEmpty && cutoffs.forall(c => c > 0 && c < 1) &&
+      cutoffs.zip(cutoffs.drop(1)).forall { case (a, b) => a < b },
+      s"firwin: cutoffs must be strictly increasing in (0,1): ${cutoffs.mkString(",")}")
+    val w = if (window == null) hamming(numtaps) else window
+    require(w.length == numtaps, s"window length ${w.length} != numtaps $numtaps")
+    val edges0 = if (passZero) 0.0 +: cutoffs.toVector else cutoffs.toVector
+    val edges = if (edges0.length % 2 == 1) edges0 :+ 1.0 else edges0
+    require(edges.last != 1.0 || numtaps % 2 == 1,
+      "firwin: a Nyquist passband (highpass/bandstop) needs odd numtaps")
+    val alpha = 0.5 * (numtaps - 1)
+    val h = new Array[Double](numtaps)
+    edges.grouped(2).foreach { b =>
+      val l = b(0); val r = b(1)
+      var i = 0
+      while (i < numtaps) {
+        val x = i - alpha
+        h(i) += r * sinc(r * x) - l * sinc(l * x)
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < numtaps) { h(i) *= w(i); i += 1 }
+    val fs =
+      if (edges(0) == 0.0) 0.0
+      else if (edges(1) == 1.0) 1.0
+      else 0.5 * (edges(0) + edges(1))
+    var g = 0.0
+    i = 0
+    while (i < numtaps) { g += h(i) * math.cos(math.Pi * fs * (i - alpha)); i += 1 }
+    i = 0
+    while (i < numtaps) { h(i) /= g; i += 1 }
+    h
+  }
+
+  def firwinHighpass(numtaps: Int, cutoff: Double): Array[Double] =
+    firwin(numtaps, Array(cutoff), passZero = false)
+
+  def firwinBandpass(numtaps: Int, f1: Double, f2: Double): Array[Double] =
+    firwin(numtaps, Array(f1, f2), passZero = false)
+
+  def firwinBandstop(numtaps: Int, f1: Double, f2: Double): Array[Double] =
+    firwin(numtaps, Array(f1, f2), passZero = true)
+
   // ---- zpk machinery ------------------------------------------------
 
   /** Analog Chebyshev type-I prototype (scipy.signal.cheb1ap):

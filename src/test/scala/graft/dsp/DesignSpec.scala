@@ -131,6 +131,35 @@ class DesignSpec extends AnyFunSuite {
     }
   }
 
+  test("firwin general form: lowpass identity, highpass/bandpass/bandstop responses") {
+    def mag(h: Array[Double], f: Double): Double = {
+      val alpha = 0.5 * (h.length - 1)
+      val re = h.indices.map(i => h(i) * math.cos(-math.Pi * f * (i - alpha))).sum
+      val im = h.indices.map(i => h(i) * math.sin(-math.Pi * f * (i - alpha))).sum
+      math.hypot(re, im)
+    }
+    // single cutoff + passZero reduces EXACTLY to the lowpass path
+    assert(Design.firwin(21, Array(0.3)).toSeq == Design.firwinLowpass(21, 0.3).toSeq)
+    // highpass: unit gain AT Nyquist by the scale rule, stopband DC leak tiny
+    val hp = Design.firwinHighpass(31, 0.4)
+    assert(math.abs(mag(hp, 1.0) - 1.0) < 1e-12)
+    // hamming's stopband floor is ~-53 dB (~2e-3) — the leak IS that
+    assert(mag(hp, 0.0) < 5e-3, s"DC leak ${mag(hp, 0.0)}")
+    assert(hp.indices.forall(i => math.abs(hp(i) - hp(hp.length - 1 - i)) < 1e-15),
+      "linear phase (symmetric taps)")
+    // bandpass: unit gain at the band CENTER, both stopbands down
+    val bp = Design.firwinBandpass(41, 0.3, 0.6)
+    assert(math.abs(mag(bp, 0.45) - 1.0) < 1e-12)
+    assert(mag(bp, 0.0) < 5e-3 && mag(bp, 1.0) < 5e-3)
+    assert(mag(bp, 0.1) < 0.05 && mag(bp, 0.85) < 0.05)
+    // bandstop: unit DC gain, notch at the stop-band center
+    val bs = Design.firwinBandstop(41, 0.3, 0.6)
+    assert(math.abs(mag(bs, 0.0) - 1.0) < 1e-12)
+    assert(mag(bs, 0.45) < 0.05, s"notch ${mag(bs, 0.45)}")
+    // Nyquist-passband parity rule enforced
+    assertThrows[IllegalArgumentException](Design.firwinHighpass(20, 0.4))
+  }
+
   test("groupDelay: linear-phase FIRs are exactly (n-1)/2 samples everywhere") {
     // symmetric 3-tap MA: τ ≡ 1; pure k-sample delay b = [0..0,1]: τ ≡ k
     val (_, gd3) = Design.groupDelay(Array(1.0 / 3, 1.0 / 3, 1.0 / 3), Array(1.0), 64)
