@@ -265,13 +265,19 @@ object Filt {
     * (-3,12,17,12,-3)/35 for window 5, order 2) fall out as special
     * cases and pin it in tests and oracles.
     */
-  def savgolCoeffs(window: Int, polyorder: Int, t: Double = 0.0): Array[Double] = {
+  def savgolCoeffs(window: Int, polyorder: Int, t: Double = 0.0,
+                   deriv: Int = 0, delta: Double = 1.0): Array[Double] = {
     require(window > 0 && window % 2 == 1,
       s"savgol: window must be positive odd, got $window")
     require(polyorder >= 0 && polyorder < window,
       s"savgol: need 0 <= polyorder < window, got $polyorder/$window")
+    require(deriv >= 0, s"savgol: deriv must be nonnegative, got $deriv")
+    require(delta > 0.0, s"savgol: delta must be positive, got $delta")
     val ho = window / 2
     val p = polyorder
+    // a derivative order past the polynomial degree is identically 0
+    // (scipy returns the zero filter)
+    if (deriv > p) return new Array[Double](window)
     val m = Array.ofDim[Double](p + 1, p + 1)
     var j = 0
     while (j <= p) {
@@ -285,14 +291,26 @@ object Filt {
       }
       j += 1
     }
-    val rhs = Array.tabulate(p + 1)(j => math.pow(t, j.toDouble))
+    // evaluation functional on the monomial basis: d-th derivative of
+    // u^j at u=t is j!/(j-d)! · t^(j-d); the sample-spacing scale
+    // delta^d converts per-sample to per-coordinate derivatives
+    val rhs = Array.tabulate(p + 1) { j =>
+      if (j < deriv) 0.0
+      else {
+        var f = 1.0
+        var q = j
+        while (q > j - deriv) { f *= q; q -= 1 }
+        f * math.pow(t, (j - deriv).toDouble)
+      }
+    }
     val c = solve(m, rhs)
+    val scale = math.pow(delta, deriv.toDouble)
     Array.tabulate(window) { idx =>
       val xi = (idx - ho).toDouble
       var s = 0.0
       var jj = 0
       while (jj <= p) { s += c(jj) * math.pow(xi, jj.toDouble); jj += 1 }
-      s
+      s / scale
     }
   }
 
@@ -303,12 +321,13 @@ object Filt {
     * it needs n >= window.
     */
   def savgol(x: Array[Double], window: Int = 5, polyorder: Int = 2,
-             mode: String = "constant"): Array[Double] = {
+             mode: String = "constant", deriv: Int = 0,
+             delta: Double = 1.0): Array[Double] = {
     val n = x.length
     val ho = window / 2
     val out = new Array[Double](n)
     if (n == 0) return out
-    val center = savgolCoeffs(window, polyorder)
+    val center = savgolCoeffs(window, polyorder, 0.0, deriv, delta)
     mode match {
       case "constant" =>
         var i = 0
@@ -334,7 +353,8 @@ object Filt {
             if (i < ho) (0, (i - ho).toDouble)
             else if (i >= n - ho) (n - window, (i - (n - 1 - ho)).toDouble)
             else (i - ho, 0.0)
-          val h = if (t == 0.0) center else savgolCoeffs(window, polyorder, t)
+          val h = if (t == 0.0) center
+                  else savgolCoeffs(window, polyorder, t, deriv, delta)
           var s = 0.0
           var k = 0
           while (k < window) { s += h(k) * x(base + k); k += 1 }

@@ -184,8 +184,9 @@ object Bridge {
       Peaks.findPeaksFiltered(d(x), height, distance, promMin, wlen,
         widthMin, widthMax, relHeight, thrMin, thrMax))
 
-  def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String): ArrayData =
-    out(Filt.savgol(d(x), window, polyorder, mode.toString))
+  def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String,
+             deriv: Int, delta: Double): ArrayData =
+    out(Filt.savgol(d(x), window, polyorder, mode.toString, deriv, delta))
 
   def orderFilter(x: ArrayData, size: Int, rank: Int): ArrayData =
     out(Filt.orderFilter(d(x), size, rank))
@@ -684,7 +685,8 @@ object Bridge {
       StructField("rem", arrD, nullable = false)))),
     "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType,
       DoubleType, DoubleType, DoubleType, DoubleType, DoubleType) -> arrI),
-    "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType) -> arrD),
+    "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType,
+      IntegerType, DoubleType) -> arrD),
     "orderFilter" -> (Seq(arrD, IntegerType, IntegerType) -> arrD),
     "wiener" -> (Seq(arrD, IntegerType, DoubleType) -> arrD),
     "welch" -> (Seq(arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType, StringType) -> arrD),
@@ -770,7 +772,7 @@ object Bridge {
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "findPeaksF" => findPeaksF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double], a(6).asInstanceOf[Double], a(7).asInstanceOf[Double], a(8).asInstanceOf[Double], a(9).asInstanceOf[Double])
-    case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String])
+    case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double])
     case "orderFilter" => orderFilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])
     case "welch" => welch(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean], a(6).asInstanceOf[UTF8String])

@@ -212,8 +212,10 @@ object Functions {
     def deconvolveC(sig: Column, div: Column): Column =
       call("deconvolve", sig, div)
     def savgolC(x: Column, window: Int = 5, polyorder: Int = 2,
-                mode: String = "constant"): Column =
-      call("savgol", x, lit(window), lit(polyorder), lit(mode))
+                mode: String = "constant", deriv: Int = 0,
+                delta: Double = 1.0): Column =
+      call("savgol", x, lit(window), lit(polyorder), lit(mode),
+        lit(deriv), lit(delta))
     def orderFilterC(x: Column, size: Int, rank: Int): Column =
       call("orderFilter", x, lit(size), lit(rank))
     def wienerC(x: Column, size: Int = 3, noise: Double = -1.0): Column =

@@ -1105,14 +1105,17 @@ object Signal {
   }
 
   /** scipy.signal.savgol_filter lifted onto series: polynomial
-    * least-squares smoothing per series (deriv=0; mode constant or
-    * scipy's default interp). One seriesify shuffle, one kernel call.
+    * least-squares smoothing per series (mode constant or scipy's
+    * default interp; `deriv`/`delta` estimate the d-th derivative in
+    * coordinate units). One seriesify shuffle, one kernel call.
     */
   def savgol(df: DataFrame, keys: Seq[String], dim: String, value: String,
              window: Int = 5, polyorder: Int = 2,
-             mode: String = "constant"): DataFrame = {
+             mode: String = "constant", deriv: Int = 0,
+             delta: Double = 1.0): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
-    val withOut = sdf.withColumn("_out", savgolC(col(value), window, polyorder, mode))
+    val withOut = sdf.withColumn("_out",
+      savgolC(col(value), window, polyorder, mode, deriv, delta))
     explodeSeries(withOut, keys, Seq(
       dim -> col("coords"), "value" -> col("_out")))
   }

@@ -1755,6 +1755,26 @@ object Sig {
        |GROUP BY s.user_id, s.j, s.t
        |ORDER BY 1, 2""".stripMargin
 
+  /** savgol deriv=1 (the least-squares SLOPE filter): the oracle
+    * convolves with the classic published (-2,-1,0,1,2)/10 derivative
+    * table — the kernel derives the same taps from the generic normal
+    * equations (spec-pinned), two independent derivations again.
+    */
+  def sigSavgolDeriv(s: SparkSession, dir: String): DataFrame =
+    Signal.savgol(evReal(s, dir), Seq("user_id"), "t", "value",
+        window = 5, polyorder = 2, mode = "constant", deriv = 1)
+      .select(col("user_id"), col("pos"), fp4(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigSavgolDerivSql: String =
+    s"""$sSql
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("SUM((o.o / 10.0) * COALESCE(x.value, 0.0))", "1e4")} AS value_fp
+       |FROM s CROSS JOIN range(-2, 3) o(o)
+       |LEFT JOIN s x ON x.user_id = s.user_id AND x.j = s.j + o.o
+       |GROUP BY s.user_id, s.j
+       |ORDER BY 1, 2""".stripMargin
+
   /** scipy.signal.find_peaks(height=0, prominence=0.5) per user: the
     * filtered front door of the peaks family (distance left at 1 — its
     * greedy selection is sequential and spec-pinned instead). The
@@ -2729,6 +2749,7 @@ private val csdBaseSql: String =
     "sig_order_filter" -> (sigOrderFilter _),
     "sig_periodogram" -> (sigPeriodogram _),
     "sig_savgol" -> (sigSavgol _),
+    "sig_savgol_deriv" -> (sigSavgolDeriv _),
     "sig_upfirdn" -> (sigUpfirdn _),
     "sig_resample_poly" -> (sigResamplePoly _),
     "sig_interp_grid" -> (sigInterpGrid _),
@@ -2812,6 +2833,7 @@ private val csdBaseSql: String =
     "sig_order_filter" -> sigOrderFilterSql,
     "sig_periodogram" -> sigPeriodogramSql,
     "sig_savgol" -> sigSavgolSql,
+    "sig_savgol_deriv" -> sigSavgolDerivSql,
     "sig_upfirdn" -> sigUpfirdnSql,
     "sig_resample_poly" -> sigResamplePolySql,
     "sig_interp_grid" -> sigInterpGridSql,

@@ -39,6 +39,28 @@ class SavgolSpec extends AnyFunSuite {
     x.indices.foreach(i => assert(math.abs(y(i) - x(i)) < 1e-9, s"i=$i"))
   }
 
+  test("savgol deriv: published slope table, polynomial exactness, delta scale") {
+    // window 5, poly 2, deriv 1 center weights are the classic
+    // least-squares slope (-2,-1,0,1,2)/10
+    val h = Filt.savgolCoeffs(5, 2, 0.0, deriv = 1)
+    val want = Array(-0.2, -0.1, 0.0, 0.1, 0.2)
+    h.indices.foreach(i => assert(math.abs(h(i) - want(i)) < 1e-12, s"tap $i"))
+    // interp mode on a quadratic: 1st derivative exact EVERYWHERE
+    // (edges included — the edge fit is the same exact polynomial)
+    val x = Array.tabulate(12)(i => 0.5 * i * i - 3.0 * i + 2.0)
+    val d1 = Filt.savgol(x, 5, 2, "interp", deriv = 1)
+    x.indices.foreach(i =>
+      assert(math.abs(d1(i) - (i - 3.0)) < 1e-9, s"d1 at $i: ${d1(i)}"))
+    val d2 = Filt.savgol(x, 5, 2, "interp", deriv = 2)
+    x.indices.foreach(i => assert(math.abs(d2(i) - 1.0) < 1e-9, s"d2 at $i"))
+    // delta converts to coordinate units: halving the spacing doubles
+    // the per-coordinate slope estimate
+    val dHalf = Filt.savgol(x, 5, 2, "interp", deriv = 1, delta = 0.5)
+    x.indices.foreach(i => assert(math.abs(dHalf(i) - 2.0 * d1(i)) < 1e-9))
+    // deriv beyond the fit degree is identically zero
+    assert(Filt.savgol(x, 5, 2, "constant", deriv = 3).forall(_ == 0.0))
+  }
+
   test("savgol validation fails fast") {
     assertThrows[IllegalArgumentException](Filt.savgol(Array(1.0, 2.0), 4, 2))
     assertThrows[IllegalArgumentException](Filt.savgol(Array(1.0, 2.0), 5, 5))
