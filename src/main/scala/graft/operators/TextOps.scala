@@ -481,39 +481,67 @@ object TextOps {
     * most ~max(weight). Deterministic, no RNG.
     *
     * The global rank is computed WITHOUT the single-partition window
-    * Spark gives `row_number() OVER (ORDER BY …)`: range-repartition
-    * on the sort key (ordered ranges), collect the bounded
-    * per-partition counts (one row per range partition — control
-    * plane, never data), broadcast the prefix offsets back, and
-    * finish with a per-partition row_number (each window group = one
-    * range partition, all in parallel). Same two-level shape as
-    * [[packChunks]]'s prefix sum; this is the general "global
-    * row_number at 100 TB" mechanism.
+    * Spark gives `row_number() OVER (ORDER BY …)` — and WITHOUT
+    * `spark_partition_id()` over a range exchange, which is NOT stable
+    * across the two jobs this needs (each action re-plans the
+    * exchange; AQE may re-cut its partitions differently, which
+    * silently shifted ranks at the 10× corpus). Instead the split is
+    * pinned in the PLAN itself: a bounded deterministic hash-sample of
+    * ordering keys picks ~`buckets` composite literal boundaries, a
+    * codegen'd comparison chain assigns each row its bucket (ties
+    * split by id, exactly the sort order), bucket counts (one
+    * partial-aggregated shuffle of `buckets` rows) turn into broadcast
+    * prefix offsets, and a per-bucket window finishes the rank. Same
+    * control-plane-collect shape as [[packChunks]]; ONE full-data
+    * shuffle (the bucket window's), deterministic by construction.
     */
   def shardByWeight(df: DataFrame, idCol: String, weightCol: String,
-                    nShards: Int, partitions: Int = 0): DataFrame = {
+                    nShards: Int, buckets: Int = 0,
+                    sampleKeysPerBucket: Int = 200): DataFrame = {
     require(nShards > 0, "shardByWeight: nShards must be positive")
     val p =
-      if (partitions > 0) partitions
+      if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ord = Seq(col(weightCol).desc, col(idCol))
-    val ranged = df
-      .repartitionByRange(p, ord: _*)
-      .withColumn("_pid", spark_partition_id())
-    // bounded control-plane collect: one row per range partition
-    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
+    // ascending composite ordering key: (-weight, id) == (weight DESC, id)
+    val nw = -col(weightCol).cast("double")
+    val idL = col(idCol).cast("long")
+    val cnt = df.count()
+    if (cnt == 0)
+      return df.withColumn("rank", lit(0L)).withColumn("shard", lit(0))
+        .filter(lit(false))
+    // bounded control-plane collect #1: ~p·sampleKeysPerBucket hash-
+    // sampled keys (deterministic md5 threshold — no RNG, stable
+    // across jobs and reruns)
+    val want = p.toLong * sampleKeysPerBucket
+    val permyriad = math.min(10000L, math.max(1L, want * 10000L / cnt))
+    val sampled = df
+      .filter(conv(substring(md5(concat(lit("shardbnd|"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 10000L
+        < lit(permyriad))
+      .select(nw.as("_nw"), idL.as("_id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+    val step = math.max(1, sampled.length / p)
+    val bounds = (step until sampled.length by step).map(sampled).distinct
+    // bucket(x) = #{boundaries <= key(x)} — a codegen'd comparison
+    // chain over literal pairs; equal-weight runs split by id, so no
+    // boundary tie can straddle nondeterministically
+    val bucket = bounds.foldLeft(lit(0)) { case (acc, (bw, bid)) =>
+      acc + when(nw > lit(bw) || (nw === lit(bw) && idL >= lit(bid)), 1)
+        .otherwise(0)
+    }
+    val withB = df.withColumn("_b", bucket)
+    // bounded control-plane collect #2: one row per bucket
+    val counts = withB.groupBy("_b").agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offs = counts.scanLeft(0L)(_ + _._2)
-    val offRows = counts.map(_._1).zip(offs)
-    val offDf = df.sparkSession.createDataFrame(
-      offRows.toSeq.map { case (pid, off) => (pid, off) })
-      .toDF("_pid", "_off")
+    val offDf = broadcast(df.sparkSession.createDataFrame(
+      counts.map(_._1).zip(offs).toSeq).toDF("_b", "_off"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(ord: _*)
-    ranged.join(broadcast(offDf), "_pid")
+      .partitionBy("_b").orderBy(col(weightCol).desc, col(idCol))
+    withB.join(offDf, "_b")
       .withColumn("rank", col("_off") + row_number().over(w))
       .withColumn("shard", ((col("rank") - 1) % nShards).cast("int"))
-      .drop("_pid", "_off")
+      .drop("_b", "_off")
   }
 
   /** Cross-document repeated n-gram coverage — the boilerplate /

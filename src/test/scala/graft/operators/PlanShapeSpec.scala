@@ -264,16 +264,19 @@ class PlanShapeSpec extends SparkTestBase {
   test("shardByWeight: global rank has NO single-partition window") {
     val weighted = (1L to 200L).map(i => (i, (i * 37 % 91).toInt))
       .toDF("doc_id", "ntok")
-    val sharded = TextOps.shardByWeight(weighted, "doc_id", "ntok", 8, partitions = 4)
+    val sharded = TextOps.shardByWeight(weighted, "doc_id", "ntok", 8,
+      buckets = 4, sampleKeysPerBucket = 10)
     val plan = sharded.queryExecution.executedPlan.toString
-    // the rank window must be partitioned (by _pid); an empty
-    // partitionSpec is the all-rows-to-one-task shape this mechanism
-    // exists to avoid
+    // the rank window must be partitioned (by the literal-boundary
+    // bucket); an empty partitionSpec is the all-rows-to-one-task
+    // shape this mechanism exists to avoid
     val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(winLines.nonEmpty && winLines.forall(_.contains("_pid")),
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_b")),
       s"unpartitioned window in plan:\n${winLines.mkString("\n")}")
-    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1,
-      "global order comes from ONE range exchange")
+    assert(hashExchanges(sharded) == 1,
+      "one full-data shuffle: the bucket window's hash exchange")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no range exchange — the split is literal boundaries in the plan")
     // correctness of the distributed rank vs the single-window rank
     val got = sharded.select($"doc_id", $"rank").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
