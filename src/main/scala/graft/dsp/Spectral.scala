@@ -51,6 +51,29 @@ object Spectral {
     out
   }
 
+  /** scipy.signal.detrend with BREAKPOINTS (`bp`): the fit applies
+    * independently to each segment [bp_i, bp_{i+1}) of the implicit
+    * 0..n axis (scipy sorts, dedups, clips and brackets the list with
+    * 0 and n). Each segment reuses the single-segment kernel, so the
+    * per-segment arithmetic is bit-identical to [[detrend]].
+    */
+  def detrendBp(x: Array[Double], typ: String, bp: Array[Int]): Array[Double] = {
+    val n = x.length
+    val pts = (bp.filter(b => b > 0 && b < n).distinct.sorted
+      .prepended(0).appended(n))
+    val out = new Array[Double](n)
+    var s = 0
+    while (s < pts.length - 1) {
+      val lo = pts(s); val hi = pts(s + 1)
+      if (hi > lo) {
+        val seg = detrend(java.util.Arrays.copyOfRange(x, lo, hi), typ)
+        System.arraycopy(seg, 0, out, lo, hi - lo)
+      }
+      s += 1
+    }
+    out
+  }
+
   /** scipy.signal.zoom_fft: the spectrum evaluated on m points of the
     * band [f1, f2) only (endpoint=false, scipy's default — pass true
     * for the inclusive grid). Direct O(n·m) evaluation: zoom bands are
