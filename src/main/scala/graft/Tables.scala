@@ -17,7 +17,32 @@ object Tables {
     // coordinate type). Runtime-settable, but the session builders set
     // it too so the driver's own session works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    tsToNanos(spark.read.parquet(s"$sfDir/$table.parquet"))
+  }
+
+  /** events.ts has flipped physical parquet type across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark can only read as a
+    * nanos-since-epoch long (under nanosAsLong, above) — and
+    * TIMESTAMP(MICROS), which it reads natively as TimestampType.
+    * Every operator and oracle computes on the long-nanos form (the
+    * natural equispaced coordinate), so normalize at the read edge:
+    * both generations yield the identical column. DuckDB sees a
+    * timestamp either way (TIMESTAMP_NS / TIMESTAMP), so `epoch_us`
+    * oracles are unaffected. Works on batch and streaming frames
+    * (pure projection).
+    */
+  def tsToNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val tsType = df.schema.fields.find(_.name == "ts").map(_.dataType)
+    if (tsType.contains(TimestampType) || tsType.contains(TimestampNTZType)) {
+      // TIMESTAMP_NTZ (isAdjustedToUTC=false) casts to TimestampType
+      // through the SESSION timezone — pin it to UTC so the epoch
+      // micros Spark computes are the raw stored micros, exactly what
+      // DuckDB's epoch_us reads off the same file.
+      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+      df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    } else df
   }
 
   /** Fixed-point encode a double column so Spark and DuckDB hash

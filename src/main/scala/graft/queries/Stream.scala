@@ -19,10 +19,10 @@ import graft.streaming.Streaming
 object Stream {
 
   /** events.parquet as a bounded file-source stream of [[Streaming.Event]].
-    * ts is parquet TIMESTAMP(NANOS) read as a nanos long
-    * (legacy.parquet.nanosAsLong); `timestamp_micros(ts div 1000)`
-    * reproduces the µs truncation every batch oracle uses, so stream
-    * and oracle see identical coordinates.
+    * ts arrives as a nanos long ([[Tables.tsToNanos]] normalizes either
+    * testdata generation); `timestamp_micros(ts div 1000)` reproduces
+    * the µs truncation every batch oracle uses, so stream and oracle
+    * see identical coordinates.
     */
   private def eventStream(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -31,8 +31,9 @@ object Stream {
     val schema = s.read.parquet(path).schema
     // the file source wants a directory: stream the sf dir with a
     // glob filter selecting just the events table file(s)
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    Tables.tsToNanos(
+      s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
@@ -62,7 +63,9 @@ object Stream {
     // visible only via the rename of a fully-sliced dir, so concurrent
     // bench/verify JVMs can never stream a half-written slice set
     Tables.materializeOnce(root, "_READY") { scratch =>
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      // normalized to nanos-long BEFORE slicing, so the slice files
+      // carry one canonical ts type regardless of testdata generation
+      val ev = Tables.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
       val n = ev.count()
       val chunk = math.ceil(n.toDouble / nFiles).toLong
       // slice at the µs precision the stream and every oracle rank on
@@ -90,7 +93,10 @@ object Stream {
       }
       idx.unpersist(false)
     }
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // schema must come from the SLICES (ts already nanos-long there),
+    // not the source file (whose ts may be TimestampType)
+    val schema = s.read.option("pathGlobFilter", "ev_*.parquet")
+      .parquet(root.getAbsolutePath).schema
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "ev_*.parquet")
