@@ -329,4 +329,193 @@ object Ann {
       .select(col("a"), col("b"), fp6(col("cos")).as("cos_fp"))
       .distinct()
   }
+
+  // ---- product quantization (IVF-PQ's compression half) -------------
+
+  /** Product-quantization codebook fit (Jégou et al., TPAMI 2011): the
+    * vector splits into `nSub` contiguous subspaces of dim/nSub
+    * components; each subspace gets its own `kSub`-centroid plain
+    * (non-spherical) k-means fit, so a vector compresses to nSub small
+    * cell ids — 8 bytes instead of 256 for a 64-dim float embedding.
+    * Returns (m, cell, centroid: array<double>) — nSub·kSub bounded
+    * rows, the same collect-a-model contract as [[kmeansFit]].
+    *
+    * Deterministic/replayable by the same construction as kmeansFit:
+    * init = the kSub smallest-id vectors sliced per subspace, assign =
+    * argmin fixed-point L2 (computed as fp6(‖c‖² − 2⟨x,c⟩) — the ‖x‖²
+    * term is constant per (vector, subspace) and cancels from the
+    * argmin, and dropping it lets the oracle replay the identical
+    * expression), ties → smallest cell, re-center = component mean on
+    * the 1e-6 grid, empty cells keep their previous centroid.
+    *
+    * Scale shape: ALL subspaces train in every pass — one map-side
+    * assignment expression + ONE partial-aggregated shuffle per Lloyd
+    * iteration carrying ≤ nSub·kSub rows per partition (never the
+    * corpus), one bounded nSub·kSub-row collect per iteration. At
+    * 100 TB the fit runs on a sample; encoding is a pure map over the
+    * corpus (see [[pqEncode]]).
+    */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+            nSub: Int = 8, kSub: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    require(nSub >= 1 && kSub >= 1 && iters >= 0,
+      "nSub/kSub must be positive, iters nonnegative")
+    def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val initRows = corpus
+      .select(col(idCol).cast("long").as("_id"), asDouble(col(vecCol)).as("_v"))
+      .orderBy(col("_id")).limit(kSub).collect()
+    require(initRows.length == kSub, s"corpus has fewer than $kSub vectors")
+    val dim = initRows.head.getSeq[Double](1).length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val sd = dim / nSub
+    // cb(m)(cell) = subspace centroid (sd components)
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(nSub, kSub) { (m, cell) =>
+      initRows(cell).getSeq[Double](1).slice(m * sd, (m + 1) * sd)
+        .map(quant).toArray
+    }
+    // subvectors projected ONCE into attributes: the argmin expression
+    // references each subspace kSub times, and an inline slice() would
+    // replicate its subtree into every generated struct (codegen blowup
+    // at larger kSub)
+    val vecs = vectors(corpus, idCol, vecCol, "_cid", "_cv")
+      .select(col("_cid") +: (0 until nSub).map(m =>
+        slice(col("_cv"), m * sd + 1, sd).as(s"_sv$m")): _*)
+    if (iters > 0) vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        // (m, cell_m, subvector_m) per input row — assignment is pure
+        // map-side expression against the codebook literals
+        val subStructs = array((0 until nSub).map { m =>
+          val sv = col(s"_sv$m")
+          struct(lit(m).as("m"), pqCellOf(cb(m), sv).as("cell"), sv.as("sv"))
+        }: _*)
+        val aggCols = (0 until sd).map(j =>
+          sum(element_at(col("_sv"), j + 1).cast("double")).as(s"_s$j")) :+
+          count(lit(1)).as("_cnt")
+        val rows = vecs.select(explode(subStructs).as("_e"))
+          .select(col("_e.m").as("_m"), col("_e.cell").as("_cell"),
+            col("_e.sv").as("_sv"))
+          .groupBy(col("_m"), col("_cell"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = cb.map(_.clone()) // empty cells keep their centroid
+        rows.foreach { r =>
+          val m = r.getInt(0); val cell = r.getInt(1)
+          val cnt = r.getLong(sd + 2).toDouble
+          next(m)(cell) = Array.tabulate(sd)(j => quant(r.getDouble(j + 2) / cnt))
+        }
+        cb = next
+      }
+    } finally if (iters > 0) vecs.unpersist(false)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (for { m <- 0 until nSub; cell <- 0 until kSub }
+      yield (m, cell, cb(m)(cell).toSeq)).toDF("m", "cell", "centroid")
+  }
+
+  /** argmin-L2 cell for one subspace against its literal codebook:
+    * min over struct(fp6(‖c‖² − 2⟨sv,c⟩), cell) — smallest distance,
+    * smallest cell on ties. The fixed-point grid absorbs the
+    * engine-vs-oracle summation-order ulps before they can flip an
+    * assignment (same trick as the kmeansFit centroid grid).
+    */
+  private def pqCellOf(cells: Array[Array[Double]], sv: Column): Column =
+    array_min(array(cells.zipWithIndex.map { case (cv, cell) =>
+      val cnorm = cv.map(x => x * x).sum
+      struct(fp6(lit(cnorm) - lit(2.0) * dotpFC(sv, typedLit(cv))).as("d"),
+        lit(cell).as("c"))
+    }: _*)).getField("c")
+
+  /** Collect a (m, cell, centroid) codebook frame to the nested
+    * literal array the map-side expressions close over. Bounded:
+    * nSub·kSub rows.
+    */
+  private def collectCodebook(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebooks
+      .select(col("m").cast("int"), col("cell").cast("int"),
+        asDouble(col("centroid")))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "codebook frame is empty")
+    val nSub = rows.map(_._1._1).max + 1
+    val kSub = rows.map(_._1._2).max + 1
+    require(rows.length == nSub * kSub, "codebook frame has holes")
+    val byKey = rows.toMap
+    Array.tabulate(nSub, kSub)((m, c) => byKey((m, c)))
+  }
+
+  /** Write-time PQ encoding: each vector → array of nSub cell ids
+    * (the 100 TB layout stores ONLY these codes + the id next to the
+    * bucketed/IVF-partitioned corpus — ~nSub bytes per vector). Pure
+    * map-side expression, zero shuffle; the same argmin rule as the
+    * fit, so stored codes and a re-encode never disagree.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+               vecCol: String, codesCol: String = "codes"): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    val cb = collectCodebook(codebooks)
+    val sd = cb(0)(0).length
+    // two-step projection: subvector attributes first, then the argmin
+    // — inlining the slice into all nSub·kSub structs blows up codegen
+    val svNames = cb.indices.map(m => s"__pqsv$m")
+    corpus
+      .select(col("*") +: cb.indices.map(m =>
+        slice(col(vecCol), m * sd + 1, sd).as(svNames(m))): _*)
+      .withColumn(codesCol, array(cb.indices.map { m =>
+        pqCellOf(cb(m), col(svNames(m)))
+      }: _*))
+      .drop(svNames: _*)
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): the query stays
+    * uncompressed; its approximate dot with a corpus vector is
+    * Σ_m ⟨q_m, centroid(m, code_m)⟩ — a table lookup per subspace.
+    * Each query precomputes the nSub×kSub lookup table map-side from
+    * the codebook literals and broadcasts with it; corpus rows are
+    * scored from their CODES alone (the scan never touches the raw
+    * embedding after encoding — at 100 TB that is the point: 8 bytes
+    * scanned per vector instead of 256). TopKAgg partial-aggregates to
+    * k per partition before the one bounded exchange, like every ANN
+    * path here. Ranking is by the fp6 fixed-point ADC score
+    * (approximate by construction; the oracle replays the identical
+    * codebook, codes, and lookup sums).
+    *
+    * Codegen note: at 8×16 the unrolled argmin/lut expressions stay
+    * inside Janino's method limits (verified codegen-clean); 8×32
+    * trips the limit and Spark falls back to interpreted projection
+    * for that stage — correct but slower. A codebook bigger than ~16
+    * cells/subspace on the hot path wants a dedicated Catalyst
+    * Expression (the DspExpr bridge pattern).
+    */
+  def topkPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nSub: Int = 8, kSub: Int = 16,
+             iters: Int = 2, codebooks: Option[DataFrame] = None): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    val cbFrame = codebooks.getOrElse(
+      pqFit(corpus, idCol, vecCol, nSub, kSub, iters))
+    val cb = collectCodebook(cbFrame)
+    val sd = cb(0)(0).length
+    val c = pqEncode(vectors(corpus, idCol, vecCol, "_cid", "_cv"),
+      cbFrame, "_cid", "_cv", codesCol = "_codes")
+      .select(col("_cid"), col("_codes"))
+    // per-query ADC lookup table: lut[m+1][cell+1] = ⟨q_m, c(m,cell)⟩
+    // (query subvectors projected to attributes first — same codegen
+    // hygiene as pqEncode)
+    val lut = array(cb.indices.map { m =>
+      array(cb(m).map(cv => dotpC(col(s"_q$m"), typedLit(cv))): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .select(col("query_id") +: cb.indices.map(m =>
+        slice(col("_qv"), m * sd + 1, sd).as(s"_q$m")): _*)
+      .withColumn("_lut", lut)
+      .select(col("query_id"), col("_lut"))
+    val score = fp6(cb.indices.map { m =>
+      element_at(element_at(col("_lut"), m + 1),
+        element_at(col("_codes"), m + 1) + 1)
+    }.reduce(_ + _))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("_cid") =!= col("query_id"))
+      .withColumn("_score", score)
+    topkOutput(scored, k)
+  }
 }

@@ -337,6 +337,94 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ ANN: product-quantization codebooks (8 subspaces × 16 cells,
+    * 2 Lloyd iterations — Ann.pqFit), write-time codes, ADC top-k.
+    * The approximate scores ARE the result (no exact rerank), so the
+    * oracle replays fit → encode → lookup-sum exactly.
+    */
+  def annTopkPq(s: SparkSession, dir: String): DataFrame =
+    Ann.topkPq(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
+      k = 3, nSub = 8, kSub = 16, iters = 2)
+      .orderBy("query_id", "rank")
+
+  /** One unrolled PQ Lloyd iteration over component-form codebooks
+    * `cp` → `cn` (columns m, cell, j, cv; j = component within the
+    * subspace, global component index = m·8 + j + 1). Distance is the
+    * same fp6(‖c‖² − 2⟨x,c⟩) grid the engine compares on (‖x‖² cancels
+    * from the argmin), ties → smallest cell; re-center = component
+    * mean on the 1e-6 grid, empty cells keep their previous centroid —
+    * Ann.pqFit bit-for-bit.
+    */
+  private def pqIterSql(cp: String, cn: String, t: Int): String =
+    s""", pd$t AS (
+       |  SELECT e.vec_id, c.m, c.cell,
+       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(CAST(e.embedding[s.i] AS DOUBLE) * c.cv)", "1e6")} AS d
+       |  FROM ee e JOIN $cp c ON TRUE JOIN sub s ON s.m = c.m AND s.j = c.j
+       |  GROUP BY 1, 2, 3
+       |), pa$t AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT vec_id, m, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+       |    FROM pd$t) WHERE rk = 1
+       |), ps$t AS (
+       |  SELECT a.m, a.cell, s.j, SUM(CAST(e.embedding[s.i] AS DOUBLE)) AS sm,
+       |    COUNT(*) AS cnt
+       |  FROM pa$t a JOIN ee e ON e.vec_id = a.vec_id JOIN sub s ON s.m = a.m
+       |  GROUP BY 1, 2, 3
+       |), $cn AS (
+       |  SELECT c.m, c.cell, c.j,
+       |    COALESCE(FLOOR(x.sm / x.cnt * 1e6 + 0.5) / 1e6, c.cv) AS cv
+       |  FROM $cp c
+       |  LEFT JOIN ps$t x ON x.m = c.m AND x.cell = c.cell AND x.j = c.j
+       |)""".stripMargin
+
+  /** PQ oracle: replay the deterministic fit (smallest-id init → 2
+    * Lloyd iterations in component form with a subspace column — the
+    * SQL is generic over nSub, no per-subspace unrolling), encode
+    * every vector by the same fp6-argmin rule, build each query's
+    * ADC lookup table, and rank the lookup-sum scores (DESC, id ties).
+    */
+  private val annTopkPqSql: String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), sub AS (
+       |  SELECT m.m, j.j, m.m * 8 + j.j + 1 AS i
+       |  FROM range(8) m(m), range(8) j(j)
+       |), ini AS (
+       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM ee ORDER BY vec_id LIMIT 16
+       |), cb0 AS (
+       |  SELECT s.m, n.cell, s.j,
+       |    FLOOR(CAST(n.embedding[s.i] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cv
+       |  FROM ini n, sub s
+       |)${pqIterSql("cb0", "cb1", 1)}${pqIterSql("cb1", "cb2", 2)}, fd AS (
+       |  SELECT e.vec_id, c.m, c.cell,
+       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(CAST(e.embedding[s.i] AS DOUBLE) * c.cv)", "1e6")} AS d
+       |  FROM ee e JOIN cb2 c ON TRUE JOIN sub s ON s.m = c.m AND s.j = c.j
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT vec_id, m, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+       |    FROM fd) WHERE rk = 1
+       |), lut AS (
+       |  SELECT e.vec_id AS qid, c.m, c.cell,
+       |    SUM(CAST(e.embedding[s.i] AS DOUBLE) * c.cv) AS t
+       |  FROM ee e JOIN cb2 c ON TRUE JOIN sub s ON s.m = c.m AND s.j = c.j
+       |  WHERE e.vec_id < 10 GROUP BY 1, 2, 3
+       |), sc AS (
+       |  SELECT l.qid, co.vec_id AS cid, ${fpSql("SUM(l.t)", "1e6")} AS score_fp
+       |  FROM codes co JOIN lut l ON l.m = co.m AND l.cell = co.cell
+       |  WHERE co.vec_id != l.qid
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM sc
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
+       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
   /** One unrolled Lloyd iteration over component-form centroids
     * `cp` → `cn`: dots vs every centroid, argmax cell (tie → smallest
     * cell), per-(cell, component) sums + count, normalized quantized
@@ -1347,6 +1435,7 @@ object Pipeline {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_trained" -> (annTopkIvfTrained _),
+    "ann_topk_pq" -> (annTopkPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1388,6 +1477,7 @@ object Pipeline {
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_trained" -> annTopkIvfTrainedSql,
+    "ann_topk_pq" -> annTopkPqSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

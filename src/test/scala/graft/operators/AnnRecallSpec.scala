@@ -66,4 +66,25 @@ class AnnRecallSpec extends SparkTestBase {
     info(f"recall@$k: ivf_trained nProbe=8 -> $ivf8Recall%.3f")
     assert(ivf8Recall >= ivfRecall - 1e-9, "raising nProbe lowered recall")
   }
+
+  test(s"PQ ADC recall@$k vs brute force stays above its floor") {
+    val truth = neighborSets(
+      Ann.topkBruteForce(corpus, queries, "vec_id", "embedding", k))
+    // 8×16 codebook at 64 dims = 32× compression; ADC ranks by
+    // reconstructed dot product, NOT cosine, so recall measures both
+    // quantization loss and the unnormalized-score mismatch. Finer
+    // codebooks (more cells per subspace) must not lose recall.
+    val cb16 = Ann.pqFit(corpus, "vec_id", "embedding", nSub = 8, kSub = 16, iters = 2)
+    val pq16 = neighborSets(Ann.topkPq(corpus, queries, "vec_id", "embedding",
+      k, codebooks = Some(cb16)))
+    val r16 = recallVs(pq16, truth)
+    val cb32 = Ann.pqFit(corpus, "vec_id", "embedding", nSub = 8, kSub = 32, iters = 2)
+    val pq32 = neighborSets(Ann.topkPq(corpus, queries, "vec_id", "embedding",
+      k, codebooks = Some(cb32)))
+    val r32 = recallVs(pq32, truth)
+    info(f"recall@$k: pq 8x16=$r16%.3f 8x32=$r32%.3f (ADC, no rerank)")
+    assert(r16 >= 0.25, f"PQ(8x16) recall@$k degraded: $r16%.3f")
+    assert(r32 >= r16 - 0.10,
+      f"doubling cells per subspace collapsed recall: $r32%.3f vs $r16%.3f")
+  }
 }
