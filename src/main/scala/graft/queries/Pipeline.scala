@@ -30,6 +30,37 @@ object Pipeline {
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))
       .orderBy("doc_id")
 
+  /** Span-level exact dedup (16-word windows, global first-occurrence
+    * wins — Dedup.spanDedup). The oracle rebuilds the identical spans
+    * with a correlated generate_series, ranks occurrences per span
+    * content, and re-derives the cleaned-text md5; COALESCE('') covers
+    * the all-spans-duplicated doc whose kept set is empty.
+    */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(docs(s, dir), "doc_id", "text", span = 16)
+      .orderBy("doc_id")
+
+  private val dedupSpansSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), sp0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'idx': i, 'span': array_to_string(ws[(i * 16 + 1):((i + 1) * 16)], ' ')}
+      |            for i in generate_series(0, CAST(CEIL(len(ws) / 16.0) AS BIGINT) - 1)]) AS s
+      |  FROM w WHERE len(ws) > 0
+      |), sp AS (
+      |  SELECT doc_id, CAST(s.idx AS INT) AS idx, s.span AS span FROM sp0
+      |), k AS (
+      |  SELECT doc_id, idx, span,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) AS rk
+      |  FROM sp
+      |)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(STRING_AGG(CASE WHEN rk = 1 THEN span END, ' ' ORDER BY idx), '')) AS clean_hash
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val dedupExactSql: String =
     """SELECT doc_id,
       |  MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canonical_id,
@@ -1425,6 +1456,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_spans" -> (dedupSpans _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1467,6 +1499,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_spans" -> dedupSpansSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

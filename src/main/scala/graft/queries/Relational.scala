@@ -288,6 +288,28 @@ object Relational {
         fp2(sum(col("l_quantity"))).as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based approximate distinct (HLL++) GATED for accuracy:
+    * the query computes BOTH the exact per-group distinct and the
+    * approx_count_distinct estimate, and emits the exact count plus a
+    * within-bounds verdict (|apx − exact| ≤ 15%·exact + 10, a ±3σ
+    * band around the rsd=0.05 sketch). The oracle asserts the verdict
+    * is TRUE — if Spark's sketch ever drifts outside its advertised
+    * error, the hash compare fails. At 100 TB the exact half drops
+    * away and the one-pass mergeable sketch (fixed ~1.5 KB state per
+    * group, partial-aggregated) IS the query — this pins that the
+    * sketch can be trusted before a pipeline leans on it.
+    */
+  def q14ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("_apx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("_apx") - col("n_exact")) <=
+          col("n_exact") * lit(0.15) + lit(10)).as("within_bounds"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -302,9 +324,14 @@ object Relational {
     "q13_range_window" -> (q13RangeWindow _),
     "q9_semi" -> (q9Semi _),
     "q10_pivot" -> (q10Pivot _),
-    "q11_distinct" -> (q11Distinct _))
+    "q11_distinct" -> (q11Distinct _),
+    "q14_approx_distinct" -> (q14ApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q14_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_semi" ->
       s"""SELECT side, c_mktsegment, n FROM (
          |  SELECT 'has_urgent' AS side, c_mktsegment, COUNT(*) AS n

@@ -332,6 +332,56 @@ object Stream {
     * correctly stays in state and is NOT emitted, matching production
     * append semantics.
     */
+  /** Spark's BUILT-IN session_window aggregation (the declarative
+    * sibling of the flatMapGroupsWithState sessionize above) driven
+    * over a SIX-slice file stream, so sessions genuinely merge across
+    * micro-batch boundaries inside the SessionWindowStateStore.
+    * Complete mode: the final result is every per-user gap session of
+    * the whole stream — no watermark-emission rule to replay, the
+    * oracle is the plain batch island computation. Window semantics:
+    * an event at t spans [t, t+gap), adjacent events merge iff
+    * overlap, so a session breaks exactly when the µs delta is ≥ gap
+    * (the custom sessionize breaks on > gap — both rules pinned by
+    * their own oracles). Scale shape: state is one (start, end, agg)
+    * tuple per OPEN session per user, partitioned by user hash;
+    * production swaps complete for append + watermark and the state
+    * store evicts finalized sessions.
+    */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      slicedEventStream(s, dir, 6).toDF()
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          sum(col("value")).as("sum_value")),
+      "stream_sesswin_sink", mode = "complete")
+      .select(col("user_id"),
+        expr("unix_micros(w.start) div 1000").as("start_ms"),
+        expr("(unix_micros(w.end) - 14400000000) div 1000").as("end_ms"),
+        col("n_events"), fp2(col("sum_value")).as("sum_fp"))
+      .orderBy("user_id", "start_ms")
+
+  private val streamSessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+       |), marked AS (
+       |  SELECT user_id, t_us, value,
+       |    CASE WHEN LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+       |           IS NULL THEN 1
+       |         WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+       |           >= 14400000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM e
+       |), grp AS (
+       |  SELECT user_id, t_us, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked
+       |)
+       |SELECT user_id, MIN(t_us) // 1000 AS start_ms, MAX(t_us) // 1000 AS end_ms,
+       |  CAST(COUNT(*) AS INT) AS n_events, ${fpSql("SUM(value)", "100")} AS sum_fp
+       |FROM grp GROUP BY user_id, sid
+       |ORDER BY 1, 2""".stripMargin
+
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     runToSink(
       Streaming.sessionize(eventStream(s, dir), gapMs = 14400000L),
@@ -699,6 +749,7 @@ object Stream {
     "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_session_window" -> (streamSessionWindow _),
     "stream_stft" -> (streamStft _),
     "stream_stft_ttl" -> (streamStftTtl _),
     "stream_dedup" -> (streamDedup _),
@@ -714,6 +765,7 @@ object Stream {
     "stream_sosfilt_ttl" -> streamSosfiltTtlSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
+    "stream_session_window" -> streamSessionWindowSql,
     "stream_stft" -> streamStftSql,
     "stream_stft_ttl" -> streamStftTtlSql,
     "stream_dedup" -> streamDedupSql,
