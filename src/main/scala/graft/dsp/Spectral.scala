@@ -82,6 +82,47 @@ object Spectral {
     * sizes and the direct sum keeps the oracle replayable term by
     * term. Matches czt/zoom_fft values exactly in exact arithmetic.
     */
+  /** scipy.signal.czt: the chirp-z transform on the general spiral
+    * contour z_k = a·w^{−k}, k = 0..m−1 — X[k] = Σ_n x[n]·a^{−n}·w^{kn}
+    * with a and w in polar form (mod, phase). With a=1, wMod=1,
+    * wPhi=−2π/m this IS the DFT; |w| ≠ 1 spirals the contour in/out of
+    * the unit circle (the case [[zoomDft]]'s unit-circle band can't
+    * express). Direct O(n·m) term evaluation for the same reason as
+    * zoomDft: czt sizes are small by construction and the term sum is
+    * what a SQL oracle can replay — Bluestein O((n+m)log) buys nothing
+    * at kernel sizes (it IS available in dsp.Fft for plain FFT sizes).
+    */
+  def czt(x: Array[Double], m: Int, wMod: Double, wPhi: Double,
+          aMod: Double, aPhi: Double): Fft.C = {
+    require(m > 0, s"czt: m must be positive, got $m")
+    require(wMod > 0 && aMod > 0,
+      s"czt: |w| and |a| must be positive, got $wMod, $aMod")
+    val n = x.length
+    val lnW = math.log(wMod)
+    val lnA = math.log(aMod)
+    val re = new Array[Double](m)
+    val im = new Array[Double](m)
+    var k = 0
+    while (k < m) {
+      var sr = 0.0
+      var si = 0.0
+      var j = 0
+      while (j < n) {
+        // a^{−j}·w^{jk}: magnitude exp(−j·ln|a| + j·k·ln|w|),
+        // angle −j·arg(a) + j·k·arg(w)
+        val mag = math.exp(-j * lnA + j.toDouble * k * lnW)
+        val ang = -j * aPhi + j.toDouble * k * wPhi
+        sr += x(j) * mag * math.cos(ang)
+        si += x(j) * mag * math.sin(ang)
+        j += 1
+      }
+      re(k) = sr
+      im(k) = si
+      k += 1
+    }
+    Fft.C(re, im)
+  }
+
   def zoomDft(x: Array[Double], f1: Double, f2: Double, m: Int,
               fs: Double, endpoint: Boolean = false): Fft.C = {
     require(m > 0, s"zoomDft: m must be positive, got $m")

@@ -205,6 +205,10 @@ object Bridge {
               endpoint: Boolean): InternalRow =
     c(Spectral.zoomDft(d(x), f1, f2, m, fs, endpoint))
 
+  def czt(x: ArrayData, m: Int, wMod: Double, wPhi: Double,
+          aMod: Double, aPhi: Double): InternalRow =
+    c(Spectral.czt(d(x), m, wMod, wPhi, aMod, aPhi))
+
   def welchPartial(vals: ArrayData, chunkStart: Long, span: Int, nperseg: Int,
                    hop: Int, wts: ArrayData, demean: Boolean): ArrayData =
     out(Spectral.welchPartial(d(vals), chunkStart, span, nperseg, hop,
@@ -693,6 +697,7 @@ object Bridge {
     "csd" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> complexT),
     "welchPartial" -> (Seq(arrD, LongType, IntegerType, IntegerType, IntegerType, arrD, BooleanType) -> arrD),
     "zoomDft" -> (Seq(arrD, DoubleType, DoubleType, IntegerType, DoubleType, BooleanType) -> complexT),
+    "czt" -> (Seq(arrD, IntegerType, DoubleType, DoubleType, DoubleType, DoubleType) -> complexT),
     "coherence" -> (Seq(arrD, arrD, IntegerType, IntegerType, arrD, DoubleType, BooleanType) -> arrD),
     "istft" -> (Seq(arrD, arrD, IntegerType, IntegerType, IntegerType, arrD) -> arrD),
     "cwtFlat" -> (Seq(arrD, arrD, arrI) -> arrD),
@@ -779,6 +784,7 @@ object Bridge {
     case "csd" => csd(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "welchPartial" => welchPartial(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Long], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[ArrayData], a(6).asInstanceOf[Boolean])
     case "zoomDft" => zoomDft(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int], a(4).asInstanceOf[Double], a(5).asInstanceOf[Boolean])
+    case "czt" => czt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double], a(3).asInstanceOf[Double], a(4).asInstanceOf[Double], a(5).asInstanceOf[Double])
     case "coherence" => coherence(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[Double], a(6).asInstanceOf[Boolean])
     case "istft" => istft(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[ArrayData])
     case "cwtFlat" => cwtFlat(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])

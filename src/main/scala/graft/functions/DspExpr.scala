@@ -227,6 +227,9 @@ object Functions {
     def zoomDftC(x: Column, f1: Double, f2: Double, m: Int, fs: Column,
                  endpoint: Boolean = false): Column =
       call("zoomDft", x, lit(f1), lit(f2), lit(m), fs, lit(endpoint))
+    def cztC(x: Column, m: Int, wMod: Double, wPhi: Double,
+             aMod: Double, aPhi: Double): Column =
+      call("czt", x, lit(m), lit(wMod), lit(wPhi), lit(aMod), lit(aPhi))
     def welchPartialC(vals: Column, chunkStart: Column, span: Int, nperseg: Int,
                       hop: Int, wts: Column, demean: Boolean = true): Column =
       call("welchPartial", vals, chunkStart, lit(span), lit(nperseg), lit(hop),

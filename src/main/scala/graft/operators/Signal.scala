@@ -1206,6 +1206,24 @@ object Signal {
       newdim -> col("_freq"), "re" -> col("_sp.re"), "im" -> col("_sp.im")))
   }
 
+  /** scipy.signal.czt lifted onto series: the chirp-z transform on the
+    * general spiral contour z_k = a·w^{−k} (polar-form a, w) — the
+    * off-unit-circle generalization [[zoomFft]]'s band can't express
+    * (pole-zero probing, decaying-contour analysis). One seriesify
+    * shuffle, one kernel call per series. Output: keys, pos, k, re, im
+    * (k = the contour point index).
+    */
+  def czt(df: DataFrame, keys: Seq[String], dim: String, value: String,
+          m: Int, wMod: Double, wPhi: Double,
+          aMod: Double = 1.0, aPhi: Double = 0.0): DataFrame = {
+    val sdf = seriesify(df, keys, dim, Seq(value))
+    val withOut = sdf
+      .withColumn("_sp", cztC(col(value), m, wMod, wPhi, aMod, aPhi))
+      .withColumn("_k", expr(s"transform(sequence(0, ${m - 1}), x -> cast(x as int))"))
+    explodeSeries(withOut, keys, Seq(
+      "k" -> col("_k"), "re" -> col("_sp.re"), "im" -> col("_sp.im")))
+  }
+
   /** scipy.signal.periodogram lifted onto series: the whole series as
     * ONE Welch segment (boxcar window and constant detrend are scipy's
     * defaults). The segment length is the per-series length, so the

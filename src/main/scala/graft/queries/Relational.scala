@@ -310,6 +310,33 @@ object Relational {
           col("n_exact") * lit(0.15) + lit(10)).as("within_bounds"))
       .orderBy("event_type")
 
+  /** Quantile sketch GATED by its rank-error guarantee, the scale
+    * path for q7's exact percentile: approx_percentile (Greenwald-
+    * Khanna summaries, accuracy 100 → rank error ε ≤ 1%) must land
+    * between the exact p±ε quantiles — that bound holds by the
+    * algorithm's construction REGARDLESS of partition merge order, so
+    * the verdict is deterministic even though the sketch value isn't.
+    * The oracle asserts both verdicts TRUE next to the exact group
+    * count. At 100 TB the sketch is one partial-aggregated pass with
+    * bounded per-group state; the exact percentile (full sort per
+    * group) drops away.
+    */
+  def q15ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.49)").as("_lo50"),
+        expr("percentile(value, 0.51)").as("_hi50"),
+        expr("percentile(value, 0.94)").as("_lo95"),
+        expr("percentile(value, 0.96)").as("_hi95"),
+        expr("approx_percentile(value, 0.5, 100)").as("_a50"),
+        expr("approx_percentile(value, 0.95, 100)").as("_a95"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (col("_a50") >= col("_lo50") && col("_a50") <= col("_hi50")).as("p50_ok"),
+        (col("_a95") >= col("_lo95") && col("_a95") <= col("_hi95")).as("p95_ok"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -325,12 +352,17 @@ object Relational {
     "q9_semi" -> (q9Semi _),
     "q10_pivot" -> (q10Pivot _),
     "q11_distinct" -> (q11Distinct _),
-    "q14_approx_distinct" -> (q14ApproxDistinct _))
+    "q14_approx_distinct" -> (q14ApproxDistinct _),
+    "q15_approx_quantiles" -> (q15ApproxQuantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q14_approx_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_approx_quantiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_semi" ->
       s"""SELECT side, c_mktsegment, n FROM (

@@ -1546,6 +1546,34 @@ object Sig {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** scipy.signal.czt per user on a genuinely SPIRAL contour
+    * (|a| = 1.001 start, |w| = 0.9995 step — both off the unit
+    * circle, the case zoom_fft cannot express), m = 16 points with
+    * DFT-spaced phases. Exponents stay bounded on real series
+    * lengths (≤ a few hundred samples → |exponent| < 3). The oracle
+    * replays the polar term sum; LN/EXP/trig ulp skew between engines
+    * is ~1e-10 at these magnitudes, far under the fp4 grid.
+    */
+  def sigCzt(s: SparkSession, dir: String): DataFrame =
+    Signal.czt(evReal(s, dir), Seq("user_id"), "t", "value",
+        m = 16, wMod = 0.9995, wPhi = -2.0 * math.Pi / 16,
+        aMod = 1.001, aPhi = 0.05)
+      .select(col("user_id"), col("pos"), col("k"),
+        fp4(col("re")).as("re_fp"), fp4(col("im")).as("im_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigCztSql: String = {
+    val mag = "EXP(-b.j * LN(1.001) + b.j * k.k * LN(0.9995))"
+    val ang = "(-b.j * 0.05 + b.j * k.k * (-2 * PI() / 16))"
+    s"""$sSql
+       |SELECT b.user_id, CAST(k.k AS INT) AS pos, CAST(k.k AS INT) AS k,
+       |  ${fpSql(s"SUM(b.value * $mag * COS($ang))", "1e4")} AS re_fp,
+       |  ${fpSql(s"SUM(b.value * $mag * SIN($ang))", "1e4")} AS im_fp
+       |FROM s b CROSS JOIN range(16) k(k)
+       |GROUP BY b.user_id, k.k
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** scipy.signal.medfilt(kernel_size=5) per user: sliding median,
     * zero-padded edges. The oracle rebuilds each window by an offset
     * join (LEFT JOIN nulls become the zero padding) and takes DuckDB's
@@ -2741,6 +2769,7 @@ private val csdBaseSql: String =
     "sig_find_peaks" -> (sigFindPeaks _),
     "sig_find_peaks_thr" -> (sigFindPeaksThr _),
     "sig_zoom_fft" -> (sigZoomFft _),
+    "sig_czt" -> (sigCzt _),
     "sig_csd" -> (sigCsd _),
     "sig_csd_frames" -> (sigCsdFrames _),
     "sig_coherence" -> (sigCoherence _),
@@ -2825,6 +2854,7 @@ private val csdBaseSql: String =
     "sig_find_peaks" -> sigFindPeaksSql,
     "sig_find_peaks_thr" -> sigFindPeaksThrSql,
     "sig_zoom_fft" -> sigZoomFftSql,
+    "sig_czt" -> sigCztSql,
     "sig_csd" -> sigCsdSql,
     "sig_csd_frames" -> sigCsdFramesSql,
     "sig_coherence" -> sigCoherenceSql,

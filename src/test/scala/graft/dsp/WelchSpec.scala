@@ -90,6 +90,37 @@ class WelchSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Spectral.zoomDft(x, 0.1, 0.5, 0, 2.0))
   }
 
+  test("czt on the unit-circle DFT contour reproduces the FFT bins") {
+    val n = 64
+    val x = g("wx_200").take(n)
+    // a = 1, w = exp(-2πi/n), m = n: z_k = e^{2πik/n} — the DFT
+    val z = Spectral.czt(x, n, wMod = 1.0, wPhi = -2.0 * math.Pi / n,
+      aMod = 1.0, aPhi = 0.0)
+    val want = Fft.rfft(x)
+    for (k <- 0 until n / 2 + 1) {
+      assert(math.abs(z.re(k) - want.re(k)) < 1e-8, s"re[$k]")
+      assert(math.abs(z.im(k) - want.im(k)) < 1e-8, s"im[$k]")
+    }
+    // spiral contour (|a|,|w| ≠ 1): replay one point term-by-term
+    val zs = Spectral.czt(x, 4, wMod = 0.999, wPhi = -0.3,
+      aMod = 1.002, aPhi = 0.05)
+    val k = 3
+    var sr = 0.0
+    var si = 0.0
+    for (j <- 0 until n) {
+      val mag = math.pow(1.002, -j) * math.pow(0.999, j * k)
+      val ang = -j * 0.05 + j.toDouble * k * -0.3
+      sr += x(j) * mag * math.cos(ang)
+      si += x(j) * mag * math.sin(ang)
+    }
+    assert(math.abs(zs.re(k) - sr) < 1e-9 * math.max(1.0, math.abs(sr)))
+    assert(math.abs(zs.im(k) - si) < 1e-9 * math.max(1.0, math.abs(si)))
+    assertThrows[IllegalArgumentException](
+      Spectral.czt(x, 0, 1.0, 0.0, 1.0, 0.0))
+    assertThrows[IllegalArgumentException](
+      Spectral.czt(x, 4, -1.0, 0.0, 1.0, 0.0))
+  }
+
   test("coherence of y = c*x (same segment means) is 1 at every bin") {
     val x = g("wx_200")
     val y = x.map(_ * 3.0)
