@@ -261,6 +261,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(Dedup.minhashCandidates(docs, "doc_id", "text")) == 3)
   }
 
+  test("PQ: encode is map-side (0 shuffles); ADC top-k pays only the TopKAgg exchange") {
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(16)(j => ((i * 7 + j) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Ann.pqFit(vecs, "vec_id", "embedding", nSub = 4, kSub = 4, iters = 1)
+    // write-time encoding: pure projection against codebook literals
+    assert(hashExchanges(Ann.pqEncode(vecs, cb, "vec_id", "embedding")) == 0)
+    val topk = Ann.topkPq(vecs, vecs.filter($"vec_id" < 3), "vec_id",
+      "embedding", k = 2, codebooks = Some(cb))
+    // corpus never shuffles: queries broadcast with their lookup
+    // tables, TopKAgg partial-aggregates to k per partition, and the
+    // ONE hash exchange carries O(k × partitions) candidate rows
+    assert(hashExchanges(topk) == 1)
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"), "query side must broadcast")
+  }
+
+  test("spanDedup: no window over span groups; agg + join + regroup budget") {
+    val out = Dedup.spanDedup(docs, "doc_id", "text", span = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // first-occurrence is a min-struct AGG keyed on the span hash —
+    // a window over the span group would put a mega-duplicated
+    // boilerplate span's every occurrence into one task
+    assert(!plan.contains("Window"), s"window over span groups:\n$plan")
+    assert(hashExchanges(out) <= 4,
+      s"spanDedup shuffle budget exceeded: ${hashExchanges(out)}")
+    // duplicated content dedups: docs share w<k>_j word streams by
+    // i % 4, so later docs lose their shared spans to earlier ones
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length == 20)
+    val firstOfEachClass = rows.filter(_._1 <= 4)
+    assert(firstOfEachClass.forall { case (_, n, kept) => kept == n },
+      "first doc of each content class must keep all spans")
+    assert(rows.filter(_._1 > 4).forall { case (_, _, kept) => kept == 0 },
+      "exact-duplicate later docs must keep nothing")
+  }
+
   test("shardByWeight: global rank has NO single-partition window") {
     val weighted = (1L to 200L).map(i => (i, (i * 37 % 91).toInt))
       .toDF("doc_id", "ntok")
