@@ -373,6 +373,7 @@ object Ann {
       initRows(cell).getSeq[Double](1).slice(m * sd, (m + 1) * sd)
         .map(quant).toArray
     }
+    val fv = isFloatVec(corpus, vecCol)
     // subvectors projected ONCE into attributes: the argmin expression
     // references each subspace kSub times, and an inline slice() would
     // replicate its subtree into every generated struct (codegen blowup
@@ -387,7 +388,7 @@ object Ann {
         // map-side expression against the codebook literals
         val subStructs = array((0 until nSub).map { m =>
           val sv = col(s"_sv$m")
-          struct(lit(m).as("m"), pqCellOf(cb(m), sv).as("cell"), sv.as("sv"))
+          struct(lit(m).as("m"), pqCellOf(cb(m), sv, fv).as("cell"), sv.as("sv"))
         }: _*)
         val aggCols = (0 until sd).map(j =>
           sum(element_at(col("_sv"), j + 1).cast("double")).as(s"_s$j")) :+
@@ -418,13 +419,26 @@ object Ann {
     * smallest cell on ties. The fixed-point grid absorbs the
     * engine-vs-oracle summation-order ulps before they can flip an
     * assignment (same trick as the kmeansFit centroid grid).
+    * `isFloat` picks the float-native or double dot kernel — residual
+    * vectors (IVF-PQ) arrive as doubles, raw embeddings as floats.
     */
-  private def pqCellOf(cells: Array[Array[Double]], sv: Column): Column =
+  private def pqCellOf(cells: Array[Array[Double]], sv: Column,
+                       isFloat: Boolean): Column =
     array_min(array(cells.zipWithIndex.map { case (cv, cell) =>
       val cnorm = cv.map(x => x * x).sum
-      struct(fp6(lit(cnorm) - lit(2.0) * dotpFC(sv, typedLit(cv))).as("d"),
+      val dp = if (isFloat) dotpFC(sv, typedLit(cv)) else dotpC(sv, typedLit(cv))
+      struct(fp6(lit(cnorm) - lit(2.0) * dp).as("d"),
         lit(cell).as("c"))
     }: _*)).getField("c")
+
+  /** Element type check: array<float> vectors take the float-native
+    * kernels, array<double> (residuals) the double ones. */
+  private def isFloatVec(df: DataFrame, vecCol: String): Boolean =
+    df.schema(df.schema.fieldIndex(vecCol)).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
 
   /** Collect a (m, cell, centroid) codebook frame to the nested
     * literal array the map-side expressions close over. Bounded:
@@ -457,12 +471,13 @@ object Ann {
     val sd = cb(0)(0).length
     // two-step projection: subvector attributes first, then the argmin
     // — inlining the slice into all nSub·kSub structs blows up codegen
+    val fv = isFloatVec(corpus, vecCol)
     val svNames = cb.indices.map(m => s"__pqsv$m")
     corpus
       .select(col("*") +: cb.indices.map(m =>
         slice(col(vecCol), m * sd + 1, sd).as(svNames(m))): _*)
       .withColumn(codesCol, array(cb.indices.map { m =>
-        pqCellOf(cb(m), col(svNames(m)))
+        pqCellOf(cb(m), col(svNames(m)), fv)
       }: _*))
       .drop(svNames: _*)
   }
@@ -514,6 +529,88 @@ object Ann {
         element_at(col("_codes"), m + 1) + 1)
     }.reduce(_ + _))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("_cid") =!= col("query_id"))
+      .withColumn("_score", score)
+    topkOutput(scored, k)
+  }
+
+  /** IVF-PQ (the FAISS IndexIVFPQ recipe, Jégou et al. TPAMI 2011
+    * §V): a coarse quantizer partitions the corpus into cells, each
+    * vector stores only its cell id + the PQ codes of its RESIDUAL
+    * (x − centroid[cell]) — residuals concentrate near 0 so the same
+    * codebook budget quantizes them far better than raw vectors — and
+    * a query scores candidates in its nProbe nearest cells by
+    * ⟨q, centroid⟩ + ADC(q, residual codes): the first term falls out
+    * of cell probing, the second is the subspace lookup-table sum.
+    *
+    * Scale shape: write time = map-side cell assign + residual encode
+    * (cell id + nSub bytes per vector stored, layout via
+    * [[assignCells]]-style partitioning so probes PRUNE partitions);
+    * fit = one bounded coarse-centroid collect + pqFit's one shuffle
+    * per Lloyd iteration on the residual frame; query time = broadcast
+    * probe join on the cell id (never a corpus shuffle) + TopKAgg's
+    * bounded exchange. The coarse quantizer defaults to the same
+    * deterministic smallest-id stand-in as [[topkIvf]] (the oracle
+    * replays it); production passes `centroids` from a kmeansFit run.
+    */
+  def topkIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nProbe: Int = 4, nSub: Int = 8,
+                kSub: Int = 16, iters: Int = 1,
+                centroids: Option[DataFrame] = None,
+                nCentroids: Option[Int] = None): DataFrame = {
+    graft.functions.Functions.install(corpus.sparkSession)
+    require(centroids.isEmpty || nCentroids.isEmpty,
+      "nCentroids only parameterizes the stand-in quantizer; with a " +
+        "caller-supplied centroids DataFrame the cell count is its row count")
+    val standInK = nCentroids.getOrElse(16)
+    val centSrc = centroids.getOrElse(corpus.filter(col(idCol) < standInK))
+    val cents: Array[(Int, Array[Double])] = centSrc
+      .select(col(idCol).cast("int"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "no coarse centroids")
+    // centroid table as ONE literal array column indexed by cell id —
+    // the residual expression stays a single zip_with regardless of
+    // cell count (no CASE chain)
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      "coarse cell ids must be dense 0..n-1 for the literal-array index")
+    val centArr = typedLit(cents.map(_._2.toSeq).toSeq)
+    val c0 = vectors(corpus, idCol, vecCol, "_cid", "_cv")
+      .withColumn("_cell",
+        cellExpr(cents.toSeq, (_, cv) => dotpFC(col("_cv"), typedLit(cv))))
+      .withColumn("_resid",
+        zip_with(asDouble(col("_cv")),
+          element_at(centArr, col("_cell") + 1), (a, b) => a - b))
+    val cbFrame = pqFit(c0, "_cid", "_resid", nSub, kSub, iters)
+    val cb = collectCodebook(cbFrame)
+    val sd = cb(0)(0).length
+    val c = pqEncode(c0, cbFrame, "_cid", "_resid", codesCol = "_codes")
+      .select(col("_cid"), col("_cell"), col("_codes"))
+    // query: nProbe best cells, carrying each probed cell's ⟨q, c⟩
+    // (the coarse half of the ADC score), plus the residual lut
+    val probeStructs = cents.toSeq.map { case (cid, cv) =>
+      struct(dotpC(col("_qv"), typedLit(cv)).as("d"), lit(-cid.toLong).as("ni"))
+    }
+    val lut = array(cb.indices.map { m =>
+      array(cb(m).map(cv => dotpC(col(s"_q$m"), typedLit(cv))): _*)
+    }: _*)
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .withColumn("_parr",
+        slice(sort_array(array(probeStructs: _*), asc = false), 1, nProbe))
+      .select(col("query_id") +: col("_parr") +: cb.indices.map(m =>
+        slice(col("_qv"), m * sd + 1, sd).as(s"_q$m")): _*)
+      .withColumn("_lut", lut)
+      .select(col("query_id"), col("_lut"),
+        explode(expr("transform(_parr, s -> struct(CAST(-s.ni AS INT) AS cell, s.d AS qcdot))")).as("_p"))
+      .select(col("query_id"), col("_lut"),
+        col("_p.cell").as("_probe"), col("_p.qcdot").as("_qcdot"))
+    val score = fp6(col("_qcdot") + cb.indices.map { m =>
+      element_at(element_at(col("_lut"), m + 1),
+        element_at(col("_codes"), m + 1) + 1)
+    }.reduce(_ + _))
+    val scored = c.join(broadcast(q), col("_cell") === col("_probe"))
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", score)
     topkOutput(scored, k)

@@ -378,6 +378,87 @@ object Pipeline {
       k = 3, nSub = 8, kSub = 16, iters = 2)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ (Ann.topkIvfPq): deterministic stand-in coarse quantizer
+    * (16 smallest-id vectors, argmax dot — identical to ann_topk_ivf's)
+    * + 1-Lloyd-iteration PQ on the RESIDUALS + ADC scoring
+    * ⟨q, centroid⟩ + Σ_m lut over the nProbe=4 probed cells. The
+    * oracle replays the whole chain: coarse assign, residual
+    * components, the generic pqIterSql on them, encode, probe, and
+    * the two-term score.
+    */
+  def annTopkIvfPq(s: SparkSession, dir: String): DataFrame =
+    Ann.topkIvfPq(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
+      k = 3, nProbe = 4, nSub = 8, kSub = 16, iters = 1)
+      .orderBy("query_id", "rank")
+
+  private val annTopkIvfPqSql: String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), sub AS (
+       |  SELECT m.m, j.j, m.m * 8 + j.j + 1 AS i
+       |  FROM range(8) m(m), range(8) j(j)
+       |), ccomp AS (
+       |  SELECT vec_id AS cell, s.i, CAST(embedding[s.i] AS DOUBLE) AS cv
+       |  FROM ee, sub s WHERE vec_id < 16
+       |), cdot AS (
+       |  SELECT e.vec_id, cc.cell,
+       |    SUM(CAST(e.embedding[cc.i] AS DOUBLE) * cc.cv) AS d
+       |  FROM ee e JOIN ccomp cc ON TRUE
+       |  GROUP BY 1, 2
+       |), casg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM cdot) WHERE rk = 1
+       |), px AS (
+       |  SELECT e.vec_id, cc.i, CAST(e.embedding[cc.i] AS DOUBLE) - cc.cv AS x
+       |  FROM ee e JOIN casg a ON a.vec_id = e.vec_id
+       |  JOIN ccomp cc ON cc.cell = a.cell
+       |), ini AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM (SELECT DISTINCT vec_id FROM ee ORDER BY vec_id LIMIT 16)
+       |), cb0 AS (
+       |  SELECT s.m, n.cell, s.j, FLOOR(p.x * 1e6 + 0.5) / 1e6 AS cv
+       |  FROM ini n JOIN px p ON p.vec_id = n.vec_id
+       |  JOIN sub s ON s.i = p.i
+       |)${pqIterSql("cb0", "cb1", 1)}, fd AS (
+       |  SELECT p.vec_id, c.m, c.cell,
+       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(p.x * c.cv)", "1e6")} AS d
+       |  FROM px p JOIN sub s ON s.i = p.i
+       |  JOIN cb1 c ON c.m = s.m AND c.j = s.j
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT vec_id, m, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+       |    FROM fd) WHERE rk = 1
+       |), qp AS (
+       |  SELECT vec_id AS qid, cell, d AS qcdot FROM (
+       |    SELECT vec_id, cell, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM cdot WHERE vec_id < 10) WHERE rk <= 4
+       |), lut AS (
+       |  SELECT e.vec_id AS qid, c.m, c.cell,
+       |    SUM(CAST(e.embedding[s.i] AS DOUBLE) * c.cv) AS t
+       |  FROM ee e JOIN cb1 c ON TRUE JOIN sub s ON s.m = c.m AND s.j = c.j
+       |  WHERE e.vec_id < 10 GROUP BY 1, 2, 3
+       |), sc AS (
+       |  SELECT q.qid, co.vec_id AS cid,
+       |    ${fpSql("ANY_VALUE(q.qcdot) + SUM(l.t)", "1e6")} AS score_fp
+       |  FROM codes co
+       |  JOIN casg a ON a.vec_id = co.vec_id
+       |  JOIN qp q ON q.cell = a.cell
+       |  JOIN lut l ON l.qid = q.qid AND l.m = co.m AND l.cell = co.cell
+       |  WHERE co.vec_id != q.qid
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM sc
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
+       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
   /** One unrolled PQ Lloyd iteration over component-form codebooks
     * `cp` → `cn` (columns m, cell, j, cv; j = component within the
     * subspace, global component index = m·8 + j + 1). Distance is the
@@ -388,9 +469,10 @@ object Pipeline {
     */
   private def pqIterSql(cp: String, cn: String, t: Int): String =
     s""", pd$t AS (
-       |  SELECT e.vec_id, c.m, c.cell,
-       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(CAST(e.embedding[s.i] AS DOUBLE) * c.cv)", "1e6")} AS d
-       |  FROM ee e JOIN $cp c ON TRUE JOIN sub s ON s.m = c.m AND s.j = c.j
+       |  SELECT p.vec_id, c.m, c.cell,
+       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(p.x * c.cv)", "1e6")} AS d
+       |  FROM px p JOIN sub s ON s.i = p.i
+       |  JOIN $cp c ON c.m = s.m AND c.j = s.j
        |  GROUP BY 1, 2, 3
        |), pa$t AS (
        |  SELECT vec_id, m, cell FROM (
@@ -398,9 +480,9 @@ object Pipeline {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
        |    FROM pd$t) WHERE rk = 1
        |), ps$t AS (
-       |  SELECT a.m, a.cell, s.j, SUM(CAST(e.embedding[s.i] AS DOUBLE)) AS sm,
-       |    COUNT(*) AS cnt
-       |  FROM pa$t a JOIN ee e ON e.vec_id = a.vec_id JOIN sub s ON s.m = a.m
+       |  SELECT a.m, a.cell, s.j, SUM(p.x) AS sm, COUNT(*) AS cnt
+       |  FROM pa$t a JOIN px p ON p.vec_id = a.vec_id
+       |  JOIN sub s ON s.m = a.m AND s.i = p.i
        |  GROUP BY 1, 2, 3
        |), $cn AS (
        |  SELECT c.m, c.cell, c.j,
@@ -421,6 +503,9 @@ object Pipeline {
        |), sub AS (
        |  SELECT m.m, j.j, m.m * 8 + j.j + 1 AS i
        |  FROM range(8) m(m), range(8) j(j)
+       |), px AS (
+       |  SELECT e.vec_id, s.i, CAST(e.embedding[s.i] AS DOUBLE) AS x
+       |  FROM ee e, sub s
        |), ini AS (
        |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
        |  FROM ee ORDER BY vec_id LIMIT 16
@@ -429,9 +514,10 @@ object Pipeline {
        |    FLOOR(CAST(n.embedding[s.i] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cv
        |  FROM ini n, sub s
        |)${pqIterSql("cb0", "cb1", 1)}${pqIterSql("cb1", "cb2", 2)}, fd AS (
-       |  SELECT e.vec_id, c.m, c.cell,
-       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(CAST(e.embedding[s.i] AS DOUBLE) * c.cv)", "1e6")} AS d
-       |  FROM ee e JOIN cb2 c ON TRUE JOIN sub s ON s.m = c.m AND s.j = c.j
+       |  SELECT p.vec_id, c.m, c.cell,
+       |    ${fpSql("SUM(c.cv * c.cv) - 2 * SUM(p.x * c.cv)", "1e6")} AS d
+       |  FROM px p JOIN sub s ON s.i = p.i
+       |  JOIN cb2 c ON c.m = s.m AND c.j = s.j
        |  GROUP BY 1, 2, 3
        |), codes AS (
        |  SELECT vec_id, m, cell FROM (
@@ -1468,6 +1554,7 @@ object Pipeline {
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_trained" -> (annTopkIvfTrained _),
     "ann_topk_pq" -> (annTopkPq _),
+    "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1511,6 +1598,7 @@ object Pipeline {
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_trained" -> annTopkIvfTrainedSql,
     "ann_topk_pq" -> annTopkPqSql,
+    "ann_topk_ivfpq" -> annTopkIvfPqSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

@@ -87,4 +87,21 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r32 >= r16 - 0.10,
       f"doubling cells per subspace collapsed recall: $r32%.3f vs $r16%.3f")
   }
+
+  test(s"IVF-PQ recall@$k vs brute force stays above its floor") {
+    val truth = neighborSets(
+      Ann.topkBruteForce(corpus, queries, "vec_id", "embedding", k))
+    // residual quantization + cell pruning: recall is bounded above by
+    // IVF's probe coverage and below by PQ's quantization loss — it
+    // must beat raw-PQ-at-the-same-budget on the probed fraction
+    val ivfpq = neighborSets(Ann.topkIvfPq(corpus, queries, "vec_id",
+      "embedding", k, nProbe = 4, nSub = 8, kSub = 16, iters = 1))
+    val r = recallVs(ivfpq, truth)
+    val ivfpq8 = neighborSets(Ann.topkIvfPq(corpus, queries, "vec_id",
+      "embedding", k, nProbe = 8, nSub = 8, kSub = 16, iters = 1))
+    val r8 = recallVs(ivfpq8, truth)
+    info(f"recall@$k: ivfpq nProbe=4 -> $r%.3f, nProbe=8 -> $r8%.3f")
+    assert(r >= 0.20, f"IVF-PQ recall@$k degraded: $r%.3f")
+    assert(r8 >= r - 1e-9, "raising nProbe lowered IVF-PQ recall")
+  }
 }
