@@ -434,6 +434,45 @@ object Design {
     zpk2sos(zrD, ziD, pr, pi, k)
   }
 
+  /** scipy.signal.iirnotch(w0, Q) — second-order notch on the fs=2
+    * convention (w0 ∈ (0,1), 1 = Nyquist): zeros ON the unit circle at
+    * ±w0 (exact null), poles pulled inside by the −3 dB bandwidth
+    * w0/Q through the bilinear tan mapping, so |H| = 1/√2 exactly at
+    * the band edges (scipy's beta = tan(bw/2) construction). Returns
+    * (b, a), a(0) = 1.
+    */
+  def iirnotch(w0: Double, q: Double): (Array[Double], Array[Double]) =
+    notchPeak(w0, q, peak = false)
+
+  /** scipy.signal.iirpeak(w0, Q) — the complementary resonator: unit
+    * gain at w0, zeros at DC and Nyquist, same −3 dB bandwidth rule.
+    */
+  def iirpeak(w0: Double, q: Double): (Array[Double], Array[Double]) =
+    notchPeak(w0, q, peak = true)
+
+  private def notchPeak(w0: Double, q: Double,
+                        peak: Boolean): (Array[Double], Array[Double]) = {
+    require(w0 > 0 && w0 < 1, s"w0 must be in (0, 1), got $w0")
+    require(q > 0, s"Q must be positive, got $q")
+    val om = w0 * math.Pi
+    val beta = math.tan(om / q / 2.0)
+    val gain = 1.0 / (1.0 + beta)
+    val b =
+      if (peak) Array(1.0 - gain, 0.0, -(1.0 - gain))
+      else Array(gain, -2.0 * gain * math.cos(om), gain)
+    val a = Array(1.0, -2.0 * gain * math.cos(om), 2.0 * gain - 1.0)
+    (b, a)
+  }
+
+  /** (b, a) biquad → the flattened one-section sos layout the sosfilt
+    * family consumes ([b0 b1 b2 a0 a1 a2], a0 = 1). */
+  def baToSos(ba: (Array[Double], Array[Double])): Array[Double] = {
+    val (b, a) = ba
+    require(b.length == 3 && a.length == 3 && a(0) == 1.0,
+      "baToSos expects a normalized biquad")
+    Array(b(0), b(1), b(2), a(0), a(1), a(2))
+  }
+
   /** scipy.signal.cheby1(N, rp, Wn, btype='low', output='sos'). */
   def cheby1Sos(n: Int, rpDb: Double, wn: Double): Array[Double] =
     designLowpassSos(cheb1ap(n, rpDb), wn)

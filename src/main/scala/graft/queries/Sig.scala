@@ -2360,6 +2360,24 @@ private val csdBaseSql: String =
       .orderBy("user_id", "pos")
   }
 
+  /** scipy.signal.iirnotch(0.25, 30) applied causally (lfilter): the
+    * power-line-removal biquad — exact unit-circle zeros at ±w0, −3 dB
+    * width w0/Q. DesignSpec pins the response (null, unit DC/Nyquist,
+    * edge gains, notch/peak complementarity); this oracle pins the
+    * time-domain recursion end-to-end via the same recursive-CTE
+    * machinery as every sosfilt query (the designed coefficients
+    * inline as literals on both sides).
+    */
+  def sigIirnotch(s: SparkSession, dir: String): DataFrame = {
+    val (b, a) = graft.dsp.Design.iirnotch(0.25, 30.0)
+    Signal.lfilter(b, a, evReal(s, dir), Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
+
+  private lazy val sigIirnotchSql: String =
+    sosfiltRecSql(graft.dsp.Design.baToSos(graft.dsp.Design.iirnotch(0.25, 30.0)), sSql)
+
   def sigFiltfilt(s: SparkSession, dir: String): DataFrame = {
     val (b, a) = ba24
     Signal.filtfilt(b, a, evReal(s, dir), Seq("user_id"), "t", "value")
@@ -2819,6 +2837,7 @@ private val csdBaseSql: String =
     "sig_fftconvolve3d" -> (sigFftconvolve3d _),
     "sig_fftconvolve" -> (sigFftconvolve _),
     "sig_lfilter" -> (sigLfilter _),
+    "sig_iirnotch" -> (sigIirnotch _),
     "sig_filtfilt" -> (sigFiltfilt _),
     "sig_decimate_fir" -> (sigDecimateFir _),
     "sig_decimate_iir" -> (sigDecimateIir _),
@@ -2904,6 +2923,7 @@ private val csdBaseSql: String =
     "sig_fftconvolve3d" -> sigFftconvolve3dSql,
     "sig_fftconvolve" -> sigConvolveFullSql,
     "sig_lfilter" -> sigLfilterSql,
+    "sig_iirnotch" -> sigIirnotchSql,
     "sig_filtfilt" -> sigFiltfiltSql,
     "sig_decimate_fir" -> sigDecimateFirSql,
     "sig_decimate_iir" -> sigDecimateIirSql,

@@ -343,6 +343,47 @@ class DesignSpec extends AnyFunSuite {
     assert(math.abs(s0 - math.sin(0.8)) < 1e-15 && math.abs(c0 - math.cos(0.8)) < 1e-15 && d0 == 1.0)
   }
 
+  test("iirnotch: exact null at w0, unit gain at DC/Nyquist, -3 dB at band edges") {
+    val w0 = 0.25
+    val q = 30.0
+    val (b, a) = Design.iirnotch(w0, q)
+    def mag(w: Double): Double = {
+      // direct evaluation of B(e^{-jw})/A(e^{-jw})
+      def ev(c: Array[Double]): (Double, Double) =
+        (c.indices.map(i => c(i) * math.cos(-i * w)).sum,
+          c.indices.map(i => c(i) * math.sin(-i * w)).sum)
+      val (br, bi) = ev(b); val (ar, ai) = ev(a)
+      math.hypot(br, bi) / math.hypot(ar, ai)
+    }
+    val om = w0 * math.Pi
+    assert(mag(om) < 1e-12, s"notch floor ${mag(om)}")
+    assert(math.abs(mag(0.0) - 1.0) < 1e-12)
+    assert(math.abs(mag(math.Pi) - 1.0) < 1e-12)
+    // beta = tan(bw/2) sets the -3 dB bandwidth in the TAN-WARPED
+    // domain; in linear frequency the crossings sit within ~0.3% of
+    // w0 ± bw/2 at Q=30 (the residual is the bilinear warp, not error)
+    val bw = om / q
+    for (edge <- Seq(om - bw / 2, om + bw / 2))
+      assert(math.abs(mag(edge) - 1.0 / math.sqrt(2.0)) < 5e-3,
+        s"edge gain ${mag(edge)} at $edge")
+    // peak is the complement: unit gain AT w0, nulls at DC/Nyquist
+    val (pb, pa) = Design.iirpeak(w0, q)
+    def magP(w: Double): Double = {
+      def ev(c: Array[Double]): (Double, Double) =
+        (c.indices.map(i => c(i) * math.cos(-i * w)).sum,
+          c.indices.map(i => c(i) * math.sin(-i * w)).sum)
+      val (br, bi) = ev(pb); val (ar, ai) = ev(pa)
+      math.hypot(br, bi) / math.hypot(ar, ai)
+    }
+    assert(math.abs(magP(om) - 1.0) < 1e-12)
+    assert(magP(0.0) < 1e-12 && magP(math.Pi) < 1e-12)
+    // complementarity: |H_notch|² + |H_peak|² = 1 at every frequency
+    // (allpass-decomposition identity of the RBJ pair)
+    for (w <- Seq(0.3, 0.7, om, 1.9, 2.8))
+      assert(math.abs(mag(w) * mag(w) + magP(w) * magP(w) - 1.0) < 1e-9,
+        s"complementarity at $w")
+  }
+
   test("sosfreqz: cheby1 passband ripples within its rp band") {
     val rp = 1.0 // dB
     val sos = Design.cheby1Sos(8, rp, 0.3)
