@@ -434,6 +434,159 @@ object Design {
     zpk2sos(zrD, ziD, pr, pi, k)
   }
 
+  /** scipy.signal.remez (Parks-McClellan) restricted to type-I linear
+    * phase (ODD numtaps, symmetric taps) — the optimal-Chebyshev FIR
+    * design: minimize the maximum weighted error over the specified
+    * bands; the optimum equioscillates over M+2 extremal frequencies
+    * (alternation theorem), which is exactly what DesignSpec pins.
+    *
+    * Conventions match scipy: `bands` are edge pairs on the fs=1 axis
+    * (so [0, 0.5] is the full range), `desired` is one gain per band,
+    * `weight` one relative weight per band. Implementation is the
+    * textbook McClellan-Parks-Rabiner exchange: dense cosine-domain
+    * grid, barycentric-Lagrange evaluation of the degree-M Chebyshev
+    * interpolant, extremal exchange until the ripple stops growing.
+    * Driver-side design (bounded: grid size ≈ 16·(M+2) per band) —
+    * taps then travel into kernels as literals like every other design.
+    */
+  def remez(numtaps: Int, bands: Array[Double], desired: Array[Double],
+            weight: Array[Double] = Array.empty,
+            maxiter: Int = 40): Array[Double] = {
+    require(numtaps >= 3 && numtaps % 2 == 1,
+      s"remez: type-I design needs odd numtaps >= 3, got $numtaps")
+    require(bands.length >= 4 && bands.length % 2 == 0,
+      "remez: bands must be edge pairs [f0lo, f0hi, f1lo, f1hi, ...]")
+    val nBands = bands.length / 2
+    require(desired.length == nBands, "remez: one desired gain per band")
+    val w = if (weight.isEmpty) Array.fill(nBands)(1.0) else weight
+    require(w.length == nBands && w.forall(_ > 0), "remez: bad weights")
+    require(bands.forall(f => f >= 0 && f <= 0.5) &&
+      bands.sliding(2).forall(p => p(0) <= p(1)),
+      "remez: band edges must be nondecreasing in [0, 0.5]")
+    val mOrd = (numtaps - 1) / 2
+    val r = mOrd + 2 // extremal count (alternation theorem)
+    // dense grid: ~16 points per extremal, spread across the bands
+    val gridF = {
+      val delta = 0.5 / (16.0 * r)
+      val buf = scala.collection.mutable.ArrayBuffer[ (Double, Int) ]()
+      for (b <- 0 until nBands) {
+        val (lo, hi) = (bands(2 * b), bands(2 * b + 1))
+        val n = math.max(2, math.ceil((hi - lo) / delta).toInt + 1)
+        for (i <- 0 until n) buf += ((lo + (hi - lo) * i / (n - 1), b))
+      }
+      buf.toArray
+    }
+    val nGrid = gridF.length
+    val gx = gridF.map { case (f, _) => math.cos(2.0 * math.Pi * f) }
+    val gd = gridF.map { case (_, b) => desired(b) }
+    val gw = gridF.map { case (_, b) => w(b) }
+    // initial extremals: equally spaced grid indices
+    var ext = Array.tabulate(r)(k => (k.toDouble * (nGrid - 1) / (r - 1)).toInt)
+    var taps: Array[Double] = null
+    var lastDelta = 0.0
+    var it = 0
+    var converged = false
+    while (it < maxiter && !converged) {
+      val x = ext.map(gx)
+      val d = ext.map(gd)
+      val wt = ext.map(gw)
+      // barycentric weights over ALL r extremal abscissae
+      val gam = Array.tabulate(r) { k =>
+        var p = 1.0
+        for (j <- 0 until r if j != k) p *= (x(k) - x(j))
+        1.0 / p
+      }
+      var num = 0.0
+      var den = 0.0
+      for (k <- 0 until r) {
+        num += gam(k) * d(k)
+        den += gam(k) * (if (k % 2 == 0) 1.0 else -1.0) / wt(k)
+      }
+      val delta = num / den
+      // interpolate through the first r-1 points at the shifted values
+      val nI = r - 1
+      val cy = Array.tabulate(nI)(k =>
+        d(k) - (if (k % 2 == 0) 1.0 else -1.0) * delta / wt(k))
+      val beta = Array.tabulate(nI) { k =>
+        var p = 1.0
+        for (j <- 0 until nI if j != k) p *= (x(k) - x(j))
+        1.0 / p
+      }
+      def aOf(xx: Double): Double = {
+        // exact hit → nodal value (barycentric singularity)
+        var hit = -1
+        var k = 0
+        while (k < nI && hit < 0) { if (xx == x(k)) hit = k; k += 1 }
+        if (hit >= 0) cy(hit)
+        else {
+          var nn = 0.0
+          var dd = 0.0
+          for (j <- 0 until nI) {
+            val t = beta(j) / (xx - x(j))
+            nn += t * cy(j)
+            dd += t
+          }
+          nn / dd
+        }
+      }
+      // weighted error on the whole grid
+      val err = Array.tabulate(nGrid)(i => gw(i) * (aOf(gx(i)) - gd(i)))
+      // candidate extrema: alternation-filtered local maxima of |err|
+      val cand = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- 0 until nGrid) {
+        val isEnd = i == 0 || i == nGrid - 1 ||
+          gridF(i)._2 != gridF(i - 1)._2 || gridF(i)._2 != gridF(i + 1)._2
+        val localMax =
+          (isEnd || math.abs(err(i)) >= math.abs(err(i - 1))) &&
+          (isEnd || math.abs(err(i)) >= math.abs(err(i + 1)))
+        if (localMax &&
+            (i == 0 || i == nGrid - 1 || gridF(i)._2 != gridF(i - 1)._2 ||
+             gridF(i)._2 != gridF(i + 1)._2 ||
+             math.abs(err(i)) > math.abs(err(i - 1)) ||
+             math.abs(err(i)) > math.abs(err(i + 1))))
+          cand += i
+      }
+      // enforce sign alternation: among same-sign runs keep the largest
+      val alt = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- cand) {
+        if (alt.isEmpty) alt += i
+        else if (math.signum(err(i)) == math.signum(err(alt.last))) {
+          if (math.abs(err(i)) > math.abs(err(alt.last))) alt(alt.length - 1) = i
+        } else alt += i
+      }
+      // trim to r keeping the largest ripples at the ends
+      while (alt.length > r) {
+        if (math.abs(err(alt.head)) < math.abs(err(alt.last))) alt.remove(0)
+        else alt.remove(alt.length - 1)
+      }
+      if (alt.length < r) {
+        // degenerate exchange (flat error) — keep previous extremals
+        converged = true
+      } else {
+        val next = alt.toArray
+        converged = next.sameElements(ext) ||
+          (it > 0 && math.abs(math.abs(delta) - math.abs(lastDelta)) <
+            1e-12 * math.max(1.0, math.abs(delta)))
+        ext = next
+      }
+      lastDelta = delta
+      // reconstruct type-I taps from A(f) samples at N points
+      val nT = numtaps
+      val a0 = aOf(1.0) // f = 0
+      taps = Array.tabulate(nT) { n =>
+        var s = a0
+        for (j <- 1 to mOrd) {
+          val fj = j.toDouble / nT
+          s += 2.0 * aOf(math.cos(2.0 * math.Pi * fj)) *
+            math.cos(2.0 * math.Pi * fj * (n - mOrd))
+        }
+        s / nT
+      }
+      it += 1
+    }
+    taps
+  }
+
   /** scipy.signal.iirnotch(w0, Q) — second-order notch on the fs=2
     * convention (w0 ∈ (0,1), 1 = Nyquist): zeros ON the unit circle at
     * ±w0 (exact null), poles pulled inside by the −3 dB bandwidth

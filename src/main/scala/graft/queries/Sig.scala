@@ -2378,6 +2378,35 @@ private val csdBaseSql: String =
   private lazy val sigIirnotchSql: String =
     sosfiltRecSql(graft.dsp.Design.baToSos(graft.dsp.Design.iirnotch(0.25, 30.0)), sSql)
 
+  private lazy val remezTaps: Array[Double] =
+    graft.dsp.Design.remez(31, Array(0.0, 0.2, 0.25, 0.5), Array(1.0, 0.0))
+
+  /** Parks-McClellan remez(31, lowpass 0.2/0.25) applied causally —
+    * the optimal-Chebyshev FIR the reference's scipy surface designs
+    * with signal.remez. The design itself is spec-pinned (equiripple
+    * alternation, beats firwin at equal taps); this oracle pins the
+    * end-to-end filtering with the designed taps inlined as literals
+    * on both sides (shortest-repr doubles round-trip bit-exactly, so
+    * only summation order differs under the fp6 grid).
+    */
+  def sigRemez(s: SparkSession, dir: String): DataFrame =
+    Signal.lfilter(remezTaps, Array(1.0), evReal(s, dir),
+        Seq("user_id"), "t", "value")
+      .select(col("user_id"), col("pos"), fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+
+  private lazy val sigRemezSql: String = {
+    val rows = remezTaps.zipWithIndex
+      .map { case (h, k) => s"($k, $h)" }.mkString(", ")
+    s"""$sSql, taps(k, h) AS (VALUES $rows)
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos,
+       |  ${fpSql("SUM(x.value * t.h)", "1e6")} AS value_fp
+       |FROM s JOIN taps t ON TRUE
+       |JOIN s x ON x.user_id = s.user_id AND x.j = s.j - t.k
+       |GROUP BY s.user_id, s.j
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def sigFiltfilt(s: SparkSession, dir: String): DataFrame = {
     val (b, a) = ba24
     Signal.filtfilt(b, a, evReal(s, dir), Seq("user_id"), "t", "value")
@@ -2838,6 +2867,7 @@ private val csdBaseSql: String =
     "sig_fftconvolve" -> (sigFftconvolve _),
     "sig_lfilter" -> (sigLfilter _),
     "sig_iirnotch" -> (sigIirnotch _),
+    "sig_remez" -> (sigRemez _),
     "sig_filtfilt" -> (sigFiltfilt _),
     "sig_decimate_fir" -> (sigDecimateFir _),
     "sig_decimate_iir" -> (sigDecimateIir _),
@@ -2924,6 +2954,7 @@ private val csdBaseSql: String =
     "sig_fftconvolve" -> sigConvolveFullSql,
     "sig_lfilter" -> sigLfilterSql,
     "sig_iirnotch" -> sigIirnotchSql,
+    "sig_remez" -> sigRemezSql,
     "sig_filtfilt" -> sigFiltfiltSql,
     "sig_decimate_fir" -> sigDecimateFirSql,
     "sig_decimate_iir" -> sigDecimateIirSql,

@@ -384,6 +384,57 @@ class DesignSpec extends AnyFunSuite {
         s"complementarity at $w")
   }
 
+  test("remez: equiripple lowpass — alternation, symmetry, beats firwin") {
+    val n = 31
+    val bands = Array(0.0, 0.2, 0.25, 0.5)
+    val h = Design.remez(n, bands, Array(1.0, 0.0))
+    assert(h.length == n)
+    // type-I linear phase: exact tap symmetry
+    for (i <- 0 until n / 2)
+      assert(math.abs(h(i) - h(n - 1 - i)) < 1e-9, s"tap asymmetry at $i")
+    def mag(taps: Array[Double], f: Double): Double = {
+      val w = 2.0 * math.Pi * f
+      val re = taps.indices.map(i => taps(i) * math.cos(-i * w)).sum
+      val im = taps.indices.map(i => taps(i) * math.sin(-i * w)).sum
+      math.hypot(re, im)
+    }
+    val passErr = (0 to 400).map(i => 0.2 * i / 400.0)
+      .map(f => math.abs(mag(h, f) - 1.0)).max
+    val stopErr = (0 to 400).map(i => 0.25 + 0.25 * i / 400.0)
+      .map(f => mag(h, f)).max
+    // optimal Chebyshev with equal weights: the two band ripples are
+    // the SAME delta (equiripple) — allow 5% for grid resolution
+    assert(math.abs(passErr - stopErr) / math.max(passErr, stopErr) < 0.05,
+      f"not equiripple: pass $passErr%.6f stop $stopErr%.6f")
+    assert(stopErr < 0.05, f"ripple too large for this spec: $stopErr%.6f")
+    // optimality: firwin (hamming) at the same numtaps and centered
+    // cutoff must have WORSE stopband attenuation past 0.25
+    val fir = Design.firwinLowpass(n, 2.0 * 0.225) // firwin cutoff on fs=2
+    val firStop = (0 to 400).map(i => 0.25 + 0.25 * i / 400.0)
+      .map(f => mag(fir, f)).max
+    assert(stopErr < firStop,
+      f"remez ($stopErr%.6f) not better than firwin ($firStop%.6f)")
+    // weighting: weight 10 on the stopband buys ~10x smaller stopband
+    // ripple at the cost of passband ripple (delta_s = delta_p / 10)
+    val hw = Design.remez(n, bands, Array(1.0, 0.0), Array(1.0, 10.0))
+    val passW = (0 to 400).map(i => 0.2 * i / 400.0)
+      .map(f => math.abs(mag(hw, f) - 1.0)).max
+    val stopW = (0 to 400).map(i => 0.25 + 0.25 * i / 400.0)
+      .map(f => mag(hw, f)).max
+    assert(math.abs(passW / stopW - 10.0) < 1.0,
+      f"weight ratio broken: pass $passW%.6f stop $stopW%.6f")
+    // bandpass: three bands, desired [0, 1, 0]
+    val bp = Design.remez(41, Array(0.0, 0.1, 0.15, 0.35, 0.4, 0.5),
+      Array(0.0, 1.0, 0.0))
+    val bpPass = (0 to 200).map(i => 0.15 + 0.2 * i / 200.0)
+      .map(f => math.abs(mag(bp, f) - 1.0)).max
+    val bpStop = math.max(
+      (0 to 200).map(i => 0.1 * i / 200.0).map(f => mag(bp, f)).max,
+      (0 to 200).map(i => 0.4 + 0.1 * i / 200.0).map(f => mag(bp, f)).max)
+    assert(bpPass < 0.1 && bpStop < 0.1,
+      f"bandpass ripples too large: pass $bpPass%.6f stop $bpStop%.6f")
+  }
+
   test("sosfreqz: cheby1 passband ripples within its rp band") {
     val rp = 1.0 // dB
     val sos = Design.cheby1Sos(8, rp, 0.3)
