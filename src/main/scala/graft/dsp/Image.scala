@@ -173,6 +173,39 @@ object Image {
     out
   }
 
+  /** Difference hash (dHash, the standard perceptual image
+    * fingerprint): nearest-neighbor resize to (dw+1)×dh gray, then
+    * one bit per output cell — bit (y·dw + x) set iff
+    * p[y][x] < p[y][x+1] (brightness gradient direction). Returns the
+    * dw·dh bits split into (hi, lo) 32-bit halves, the simhash
+    * convention, so downstream hamming/dedup machinery applies
+    * unchanged. NN resize (not bilinear) keeps every sampled value an
+    * EXACT source pixel — the whole hash is replayable by byte
+    * arithmetic, which bilinear's implementation-defined interpolation
+    * would break. Default 8×8 = 64 bits.
+    */
+  def dHash(bytes: Array[Byte], dw: Int = 8, dh: Int = 8): (Long, Long) = {
+    require(dw >= 1 && dh >= 1 && dw * dh <= 64,
+      s"dHash: bad dims ${dw}x$dh (need dw*dh <= 64)")
+    val px = resizeNN(bytes, dw + 1, dh)
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        val b = y * dw + x
+        if (px(y * (dw + 1) + x) < px(y * (dw + 1) + x + 1)) {
+          if (b < 32) lo |= 1L << b
+          else hi |= 1L << (b - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   /** Decode + Java2D bilinear resize (Graphics2D + RenderingHints) —
     * the production smooth-resize path. Interpolated values are
     * implementation-defined at sub-pixel phase, so this variant is

@@ -594,6 +594,13 @@ object Bridge {
   def imageResizeNN(bin: Array[Byte], ow: Int, oh: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(graft.dsp.Image.resizeNN(bin, ow, oh))
 
+  /** Perceptual difference hash over the NN-resized gray grid —
+    * (hi, lo) 32-bit halves, the simhash layout. */
+  def imageDHash(bin: Array[Byte], dw: Int, dh: Int): InternalRow = {
+    val (hi, lo) = graft.dsp.Image.dHash(bin, dw, dh)
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+
   /** REAL smooth resize: ImageIO decode + Graphics2D bilinear,
     * re-encoded as PNG (production path; invariant-tested, not
     * oracle-replayed — Java2D sub-pixel phase is implementation-defined).
@@ -739,6 +746,9 @@ object Bridge {
       StructField("h", IntegerType, nullable = false),
       StructField("sums", ArrayType(LongType, containsNull = false), nullable = false)))),
     "imageResizeNN" -> (Seq(BinaryType, IntegerType, IntegerType) -> arrI),
+    "imageDHash" -> (Seq(BinaryType, IntegerType, IntegerType) -> StructType(Seq(
+      StructField("hi", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false)))),
     "imageResizeBilinear" -> (Seq(BinaryType, IntegerType, IntegerType) -> BinaryType),
     "imageFrames" -> (Seq(BinaryType) -> ArrayType(StructType(Seq(
       StructField("w", IntegerType, nullable = false),
@@ -814,6 +824,7 @@ object Bridge {
     case "synthPng" => synthPng(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
     case "imageBlockSums" => imageBlockSums(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageResizeNN" => imageResizeNN(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
+    case "imageDHash" => imageDHash(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageResizeBilinear" => imageResizeBilinear(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageFrames" => imageFrames(a(0).asInstanceOf[Array[Byte]])
     case "bpeMerge" => bpeMerge(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[UTF8String])

@@ -307,6 +307,8 @@ object Functions {
       call("imageBlockSums", bin, lit(gw), lit(gh))
     def imageResizeNNC(bin: Column, ow: Int, oh: Int): Column =
       call("imageResizeNN", bin, lit(ow), lit(oh))
+    def imageDHashC(bin: Column, dw: Int, dh: Int): Column =
+      call("imageDHash", bin, lit(dw), lit(dh))
     def imageResizeBilinearC(bin: Column, ow: Int, oh: Int): Column =
       call("imageResizeBilinear", bin, lit(ow), lit(oh))
     def imageFramesC(bin: Column): Column = call("imageFrames", bin)

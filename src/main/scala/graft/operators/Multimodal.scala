@@ -118,6 +118,23 @@ object Multimodal {
   def resize(media: DataFrame, ow: Int, oh: Int): DataFrame =
     media.withColumn("resized", imageResizeNNC(col("content"), ow, oh))
 
+  /** Perceptual difference hash (dHash) per image: NN-resize to
+    * (dw+1)×dh gray, one bit per cell for the horizontal gradient
+    * direction, emitted as (hi, lo) 32-bit halves — the simhash
+    * layout, so image near-dup clustering reuses the SAME downstream
+    * machinery as text (hamming pairs, Manku keys, CC clustering).
+    * Map-side expression over the binary column, zero shuffle; at
+    * 100 TB this is the write-time image fingerprint the dedup pass
+    * groups on. NN (not bilinear) keeps every sampled value an exact
+    * source pixel, so the oracle replays the hash from the generative
+    * pixel formula by integer arithmetic alone.
+    */
+  def imageDHash(media: DataFrame, dw: Int = 8, dh: Int = 8): DataFrame =
+    media.withColumn("_dh", imageDHashC(col("content"), dw, dh))
+      .withColumn("phash_hi", col("_dh.hi"))
+      .withColumn("phash_lo", col("_dh.lo"))
+      .drop("_dh")
+
   /** REAL smooth resize: ImageIO decode + Graphics2D bilinear,
     * re-encoded PNG (the production thumbnailing path; invariant-
     * tested rather than oracle-replayed — Java2D's sub-pixel phase is

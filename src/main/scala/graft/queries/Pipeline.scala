@@ -1488,6 +1488,37 @@ object Pipeline {
         posexplode(col("resized")).as(Seq("pos", "v")))
       .orderBy("doc_id", "pos")
 
+  /** Perceptual dHash over REAL decoded BMPs (16×16 render → 9×8 NN
+    * grid → 64 horizontal-gradient bits as hi/lo halves). The oracle
+    * replays decode + NN indexing + comparisons from the generative
+    * pixel formula by pure integer arithmetic — the same end-to-end
+    * proof shape as mm_resize, now producing the image-dedup
+    * fingerprint.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(
+      Multimodal.asImageMedia(docs(s, dir).filter(col("lang") === "en"),
+        "doc_id", "text", w = 16, h = 16, format = "bmp"))
+      .select(col("media_id").as("doc_id"), col("phash_hi"), col("phash_lo"))
+      .orderBy("doc_id")
+
+  private val mmPhashSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE lang = 'en' AND length(text) > 0
+      |), g AS (
+      |  SELECT doc_id, b.range AS b,
+      |    CASE WHEN
+      |      unicode(substr(text, ((((b.range // 8) * 2) * 16 + ((b.range % 8) * 16 // 9)) % n) + 1, 1)) <
+      |      unicode(substr(text, ((((b.range // 8) * 2) * 16 + (((b.range % 8) + 1) * 16 // 9)) % n) + 1, 1))
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM en, range(64) b
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |  CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS phash_lo
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val mmResizeSql: String =
     """WITH en AS (
       |  SELECT doc_id, text, length(text) AS n FROM documents
@@ -1582,6 +1613,7 @@ object Pipeline {
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
+    "mm_phash" -> (mmPhash _),
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1626,5 +1658,6 @@ object Pipeline {
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,
+    "mm_phash" -> mmPhashSql,
     "mm_frames" -> mmFramesSql)
 }
