@@ -129,6 +129,36 @@ object TextOps {
       .withColumn("bpe_tokens",
         regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")))
 
+  /** Curriculum / difficulty bucketing: assign every doc to a global
+    * quantile bucket of a numeric score WITHOUT a global window —
+    * the scalable "ntile at 100 TB" pattern. Boundaries come from ONE
+    * sort-based percentile aggregate (a bounded `quantiles.length`-row
+    * collect, the kmeansFit control-plane shape; at corpus scale swap
+    * in approx_percentile's mergeable sketch — q15 pins its error
+    * band), then the bucket is a map-side codegen'd comparison chain
+    * against the fp6-gridded literal boundaries. A window-based ntile
+    * would drag every row into one task ordering; this is two scans
+    * and zero windows. fp6 on BOTH sides of each comparison makes the
+    * boundary ties engine-exact (the boundaries are rank-interpolated
+    * doubles; the grid absorbs the last-ulp ambiguity).
+    */
+  def quantileBuckets(df: DataFrame, scoreCol: String,
+                      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                      bucketCol: String = "bucket"): DataFrame = {
+    require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
+      quantiles.forall(q => q > 0 && q < 1), "quantiles must be sorted in (0,1)")
+    val qArr = quantiles.map(q => s"$q").mkString(", ")
+    val bounds = df.agg(
+      expr(s"percentile($scoreCol, array($qArr))").as("_b"))
+      .collect()(0).getSeq[Double](0)
+    val fpScore = graft.Tables.fp6(col(scoreCol).cast("double"))
+    val bucket = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), els) =>
+        when(fpScore <= graft.Tables.fp6(lit(b)), lit(i)).otherwise(els)
+    }
+    df.withColumn(bucketCol, bucket)
+  }
+
   /** Lowercase alphabetic word TYPES with occurrence counts — the BPE
     * training corpus representation: training cost scales with the
     * vocabulary (sublinear in corpus size), not with raw tokens.

@@ -685,6 +685,38 @@ object Pipeline {
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Curriculum bucketing: global token-count quartiles WITHOUT a
+    * global window (TextOps.quantileBuckets — one percentile agg,
+    * bounded 3-value collect, map-side comparison chain). The oracle
+    * recomputes the boundaries with quantile_cont (the same
+    * p·(n−1) rank interpolation q7 pinned) and replays the fp6-gridded
+    * comparisons.
+    */
+  def textCurriculum(s: SparkSession, dir: String): DataFrame =
+    TextOps.quantileBuckets(
+      TextOps.tokensFrame(docs(s, dir), "text")
+        .select(col("doc_id"), col("ws_tokens")),
+      "ws_tokens")
+      .select(col("doc_id"), col("ws_tokens"), col("bucket"))
+      .orderBy("doc_id")
+
+  private val textCurriculumSql: String = {
+    def fp(e: String) = fpSql(e, "1e6")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS INT) AS ws_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT quantile_cont(ws_tokens, [0.25, 0.5, 0.75]) AS bs FROM t
+       |)
+       |SELECT t.doc_id, t.ws_tokens,
+       |  CASE WHEN ${fp("t.ws_tokens")} <= ${fp("b.bs[1]")} THEN 0
+       |       WHEN ${fp("t.ws_tokens")} <= ${fp("b.bs[2]")} THEN 1
+       |       WHEN ${fp("t.ws_tokens")} <= ${fp("b.bs[3]")} THEN 2
+       |       ELSE 3 END AS bucket
+       |FROM t, b ORDER BY 1""".stripMargin
+  }
+
   private val textTokensSql: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS INT) AS ws_tokens,
@@ -1589,6 +1621,7 @@ object Pipeline {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_curriculum" -> (textCurriculum _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_ids" -> (textBpeIds _),
@@ -1634,6 +1667,7 @@ object Pipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_curriculum" -> textCurriculumSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_ids" -> textBpeIdsSql,
