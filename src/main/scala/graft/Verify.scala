@@ -16,11 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
         // remove any output from a PREVIOUS run: a reused outDir would
         // otherwise hand the comparator stale parquet and the gate
         // would silently PASS a query that no longer runs
@@ -31,6 +33,15 @@ object Verify {
         }
       }
     }
+    // LOUD summary on stdout: per-query failures are swallowed above
+    // by design (one bad query must not zero the round), which is
+    // exactly how round 9 silently lost 52 events-family queries from
+    // the gate — the comparator only sees outputs that exist, so "all
+    // pass" can coexist with half the suite missing. This line makes a
+    // shrink visible in the driver log and to any human reading it.
+    val total = SparkEntry.queries.size
+    println(s"[verify] wrote ${total - failed.length}/$total query outputs" +
+      (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(", ")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
