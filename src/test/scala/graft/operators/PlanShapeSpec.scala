@@ -299,6 +299,29 @@ class PlanShapeSpec extends SparkTestBase {
       "exact-duplicate later docs must keep nothing")
   }
 
+  test("quantileBuckets: the bucketed frame is window-free and shuffle-free") {
+    val scored = (1L to 100L).map(i => (i, (i * 13 % 50).toInt))
+      .toDF("doc_id", "score")
+    val out = TextOps.quantileBuckets(scored, "score")
+    // boundaries are collected at BUILD time (bounded control-plane
+    // rows); the returned plan must be a pure projection — an ntile
+    // window here would drag every row into one task ordering
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in quantileBuckets plan:\n$plan")
+    assert(hashExchanges(out) == 0)
+    // quartiles of 100 rows: 25 per bucket on distinct-heavy scores
+    val sizes = out.groupBy($"bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), s"buckets: $sizes")
+    assert(sizes.values.sum == 100)
+    // monotone: every score in bucket b is <= every score in b+1
+    val maxByBucket = out.groupBy($"bucket").agg(max($"score"), min($"score"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    for (b <- 0 until 3)
+      assert(maxByBucket(b)._1 <= maxByBucket(b + 1)._2,
+        s"bucket $b overlaps ${b + 1}: $maxByBucket")
+  }
+
   test("shardByWeight: global rank has NO single-partition window") {
     val weighted = (1L to 200L).map(i => (i, (i * 37 % 91).toInt))
       .toDF("doc_id", "ntok")
