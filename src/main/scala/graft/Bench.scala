@@ -21,7 +21,25 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val loadStart = loadAvg
+    // Self-adjudicating start (VERDICT r10): a run that STARTS on a
+    // loaded host prices phantom regressions into the artifact of
+    // record (BENCH_r10 showed 10 queries 2-7x over that a clean twin
+    // re-priced at 0.92-1.61x). Wait — bounded — for the 1-minute
+    // loadavg to drop under the same 2.5 threshold the third-run rule
+    // uses; if it never does, the JSON says "contended": true so the
+    // numbers can't be read as a regression.
+    val loadStart = {
+      var l = loadAvg
+      var waited = 0
+      while (l > 2.5 && waited < 6) {
+        System.err.println(f"[bench] host contended (load $l%.2f), waiting 20s...")
+        Thread.sleep(20000)
+        waited += 1
+        l = loadAvg
+      }
+      l
+    }
+    val contended = loadStart > 2.5
     // A failed query is reported as negative elapsed time so failures
     // are visible in the bench JSON (ADVICE r1), and flagged in "failed".
     // Evaluation is a noop-sink write, NOT count(): under count(1)
@@ -52,7 +70,7 @@ object Bench {
     // a THIRD run per query, and the per-run times ship in the artifact
     // ("runs_detail") so a reviewer can read the spread off the JSON
     // instead of burning a re-run to disprove phantom regressions.
-    val nRuns = if (loadStart > 2.5) 3 else 2
+    val nRuns = if (contended) 3 else 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // every run is attempted even when an earlier one failed: a
       // transient first-run failure is the mirror image of the run-2
@@ -64,7 +82,11 @@ object Bench {
       (name, best, runs)
     }
     val loadEnd = loadAvg
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive — a JVM
+    // default locale with comma decimal separators would make both the
+    // stdout line and BENCH_DETAIL.json invalid JSON (ADVICE r10).
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
@@ -78,7 +100,7 @@ object Bench {
     // every round once the query map outgrew the tail window), so the
     // stdout line must stay compact. It carries per-FAMILY totals plus a
     // pointer to the full detail file the judge can read directly.
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"runs_detail":$detail,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"runs_detail":$detail,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
     val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), fullJson + "\n")
@@ -99,7 +121,7 @@ object Bench {
     val head = results.collect { case (k, v, _) if headline(k) =>
       "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"detail_file":"$detailFile","load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"detail_file":"$detailFile","contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

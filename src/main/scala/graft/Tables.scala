@@ -34,15 +34,29 @@ object Tables {
   def tsToNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
     val tsType = df.schema.fields.find(_.name == "ts").map(_.dataType)
-    if (tsType.contains(TimestampType) || tsType.contains(TimestampNTZType)) {
-      // TIMESTAMP_NTZ (isAdjustedToUTC=false) casts to TimestampType
-      // through the SESSION timezone — pin it to UTC so the epoch
-      // micros Spark computes are the raw stored micros, exactly what
-      // DuckDB's epoch_us reads off the same file.
-      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-      df.withColumn("ts",
-        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
-    } else df
+    tsType match {
+      case Some(TimestampType) =>
+        // internal representation IS epoch micros; unix_micros reads it
+        // back timezone-independently.
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        // TIMESTAMP_NTZ's wall clock IS the raw stored micros (what
+        // DuckDB's epoch_us reads off the same file). Rebuild epoch
+        // micros from timezone-FREE field extraction — the previous
+        // cast-to-TimestampType route goes through the session zone,
+        // and pinning that zone session-wide as a read side effect
+        // changed the semantics of unrelated timestamp expressions
+        // (ADVICE r10). date/hour/minute/second extraction on NTZ
+        // never consults a timezone; SECOND is DECIMAL(8,6) so the
+        // micros survive exactly.
+        val micros =
+          expr("unix_date(CAST(ts AS DATE))").cast("long") * lit(86400000000L) +
+          expr("CAST(date_part('HOUR', ts) AS LONG)") * lit(3600000000L) +
+          expr("CAST(date_part('MINUTE', ts) AS LONG)") * lit(60000000L) +
+          expr("CAST(date_part('SECOND', ts) * 1000000 AS LONG)")
+        df.withColumn("ts", micros * lit(1000L))
+      case _ => df
+    }
   }
 
   /** Fixed-point encode a double column so Spark and DuckDB hash

@@ -460,9 +460,14 @@ object Design {
     require(desired.length == nBands, "remez: one desired gain per band")
     val w = if (weight.isEmpty) Array.fill(nBands)(1.0) else weight
     require(w.length == nBands && w.forall(_ > 0), "remez: bad weights")
+    // strictly increasing: a shared edge (zero-width transition band)
+    // puts duplicate cos-domain abscissae on the dense grid, and if
+    // both duplicates are ever selected as extremals the barycentric
+    // weights divide by zero and every tap comes back NaN (ADVICE r10)
     require(bands.forall(f => f >= 0 && f <= 0.5) &&
-      bands.sliding(2).forall(p => p(0) <= p(1)),
-      "remez: band edges must be nondecreasing in [0, 0.5]")
+      bands.sliding(2).forall(p => p(0) < p(1)),
+      "remez: band edges must be strictly increasing in [0, 0.5] " +
+        "(nonzero band widths and nonzero transition bands)")
     val mOrd = (numtaps - 1) / 2
     val r = mOrd + 2 // extremal count (alternation theorem)
     // dense grid: ~16 points per extremal, spread across the bands

@@ -148,9 +148,17 @@ object TextOps {
     require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
       quantiles.forall(q => q > 0 && q < 1), "quantiles must be sorted in (0,1)")
     val qArr = quantiles.map(q => s"$q").mkString(", ")
-    val bounds = df.agg(
+    // NOTE: this collect runs a full scan job EAGERLY at builder time
+    // (the boundaries must be plan literals for the map-side bucket
+    // chain). percentile returns NULL on an empty/all-null score
+    // column — fail with a descriptive error, not an NPE (ADVICE r10).
+    val boundsRow = df.agg(
       expr(s"percentile($scoreCol, array($qArr))").as("_b"))
-      .collect()(0).getSeq[Double](0)
+      .collect()(0)
+    require(!boundsRow.isNullAt(0),
+      s"quantileBuckets: '$scoreCol' has no non-null values, " +
+        "cannot compute quantile boundaries")
+    val bounds = boundsRow.getSeq[Double](0)
     val fpScore = graft.Tables.fp6(col(scoreCol).cast("double"))
     val bucket = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
       case ((b, i), els) =>

@@ -433,6 +433,15 @@ class DesignSpec extends AnyFunSuite {
       (0 to 200).map(i => 0.4 + 0.1 * i / 200.0).map(f => mag(bp, f)).max)
     assert(bpPass < 0.1 && bpStop < 0.1,
       f"bandpass ripples too large: pass $bpPass%.6f stop $bpStop%.6f")
+    // a shared edge (zero-width transition band) duplicates cos-domain
+    // grid abscissae → NaN taps if both get selected as extremals; the
+    // design must reject it up front (ADVICE r10)
+    intercept[IllegalArgumentException] {
+      Design.remez(31, Array(0.0, 0.2, 0.2, 0.5), Array(1.0, 0.0))
+    }
+    intercept[IllegalArgumentException] { // zero-width band
+      Design.remez(31, Array(0.0, 0.2, 0.25, 0.25), Array(1.0, 0.0))
+    }
   }
 
   test("sosfreqz: cheby1 passband ripples within its rp band") {

@@ -322,6 +322,21 @@ class PlanShapeSpec extends SparkTestBase {
         s"bucket $b overlaps ${b + 1}: $maxByBucket")
   }
 
+  test("quantileBuckets: empty / all-null score column fails loudly") {
+    // percentile returns NULL with no non-null input; the builder must
+    // throw a descriptive error, not NPE (ADVICE r10)
+    val empty = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.quantileBuckets(empty, "score")
+    }
+    assert(e.getMessage.contains("no non-null values"))
+    val allNull = Seq(1L, 2L).toDF("doc_id")
+      .withColumn("score", lit(null).cast("double"))
+    intercept[IllegalArgumentException] {
+      TextOps.quantileBuckets(allNull, "score")
+    }
+  }
+
   test("shardByWeight: global rank has NO single-partition window") {
     val weighted = (1L to 200L).map(i => (i, (i * 37 % 91).toInt))
       .toDF("doc_id", "ntok")
