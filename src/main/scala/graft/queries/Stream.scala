@@ -382,6 +382,64 @@ object Stream {
        |FROM grp GROUP BY user_id, sid
        |ORDER BY 1, 2""".stripMargin
 
+  /** The built-in session_window in APPEND mode with a 10-minute
+    * watermark — the 100 TB output mode for op 30t (VERDICT r10 #3):
+    * complete mode retains the full result set in the state store
+    * forever, append evicts every finalized session and emits it
+    * exactly once, so state holds only OPEN sessions. Emission rule
+    * pinned empirically on an exact-tie experiment (session end
+    * EQUAL to the watermark emits; one µs above does not): a session
+    * is evicted iff `w.end <= watermark`, and on this time-ordered
+    * slice stream the final no-data micro-batch runs with watermark =
+    * global max event time − 10 min, so the oracle filters the batch
+    * session islands by `last_ts + gap <= max_ts − 10min`. No session
+    * is both emitted and later extended: eviction needs end <= wm,
+    * later events arrive at ts >= wm and a window [t', t'+gap) only
+    * merges into [s, e) when t' < e. The complete-mode twin
+    * (stream_session_window) stays as the all-sessions oracle; this
+    * query pins the production emission semantics.
+    */
+  def streamSessionWindowAppend(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      slicedEventStream(s, dir, 6).toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          sum(col("value")).as("sum_value")),
+      "stream_sesswin_app_sink", mode = "append")
+      .select(col("user_id"),
+        expr("unix_micros(w.start) div 1000").as("start_ms"),
+        expr("(unix_micros(w.end) - 14400000000) div 1000").as("end_ms"),
+        col("n_events"), fp2(col("sum_value")).as("sum_fp"))
+      .orderBy("user_id", "start_ms")
+
+  private val streamSessionWindowAppendSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+       |), marked AS (
+       |  SELECT user_id, t_us, value,
+       |    CASE WHEN LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+       |           IS NULL THEN 1
+       |         WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+       |           >= 14400000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM e
+       |), grp AS (
+       |  SELECT user_id, t_us, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked
+       |), sess AS (
+       |  SELECT user_id, MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+       |    CAST(COUNT(*) AS INT) AS n_events, SUM(value) AS sum_value
+       |  FROM grp GROUP BY user_id, sid
+       |)
+       |SELECT user_id, start_us // 1000 AS start_ms, end_us // 1000 AS end_ms,
+       |  n_events, ${fpSql("sum_value", "100")} AS sum_fp
+       |FROM sess
+       |WHERE end_us + 14400000000 <= (SELECT MAX(t_us) FROM e) - 600000000
+       |ORDER BY 1, 2""".stripMargin
+
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     runToSink(
       Streaming.sessionize(eventStream(s, dir), gapMs = 14400000L),
@@ -750,6 +808,7 @@ object Stream {
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
+    "stream_session_window_append" -> (streamSessionWindowAppend _),
     "stream_stft" -> (streamStft _),
     "stream_stft_ttl" -> (streamStftTtl _),
     "stream_dedup" -> (streamDedup _),
@@ -766,6 +825,7 @@ object Stream {
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_window" -> streamSessionWindowSql,
+    "stream_session_window_append" -> streamSessionWindowAppendSql,
     "stream_stft" -> streamStftSql,
     "stream_stft_ttl" -> streamStftTtlSql,
     "stream_dedup" -> streamDedupSql,

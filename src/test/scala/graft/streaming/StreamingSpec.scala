@@ -160,6 +160,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window append: eviction is end <= watermark (exact tie emits)") {
+    // Pins the emission rule stream_session_window_append's oracle
+    // replays: a finalized session emits iff its window end is <= the
+    // watermark — INCLUSIVE at the exact microsecond tie. gap = 10 s,
+    // delay = 5 s; the second batch's 15 s event drives the final
+    // watermark to exactly 10 s.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Event]
+    val agg = in.toDF()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.end").as("e"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sessapp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val tTie = new Timestamp(0) // end = 10 s == final wm
+      val tAbove = new Timestamp(0); tAbove.setNanos(1000) // end = wm + 1 µs
+      in.addData(
+        Event(1, tTie, "c", 1.0),
+        Event(2, new Timestamp(-1000), "c", 1.0), // end = 9 s < wm
+        Event(3, tAbove, "c", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(4, new Timestamp(15000), "c", 1.0)) // wm -> 10 s
+      q.processAllAvailable()
+      val emitted = spark.table("sessapp").select("user_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(emitted == Set(1L, 2L),
+        s"expected exactly the tie (1) and below-wm (2) sessions: $emitted")
+    } finally q.stop()
+  }
+
   test("streaming sosfilt equals batch sosfilt across micro-batches") {
     implicit val sc = spark.sqlContext
     val sos = Design.butterSos(4, 0.25)
