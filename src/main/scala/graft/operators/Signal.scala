@@ -40,6 +40,27 @@ object Signal {
   private val seriesMeta = new org.apache.spark.sql.types.MetadataBuilder()
     .putBoolean("graft.series", true).build()
 
+  /** Session-conf key for the opt-in strict equispacing check
+    * (VERDICT r10 #4). The reference CONTRACT demands equispaced
+    * coordinates (README; signal.py:16-17 computes delta as
+    * mean-of-diffs) but violations are otherwise silent — graft's
+    * (max−min)/(n−1) delta would quietly produce wrong spectra on
+    * irregular series (only lombscargle/vectorstrength are honest
+    * about irregularity). With this conf set to an absolute tolerance
+    * (e.g. "1e-9"), [[seriesify]] weaves an assert_true over
+    * max|diff − delta| into every value column, so irregular input
+    * fails LOUDLY at execution time; when unset the plan is untouched.
+    */
+  val EquispacedTolKey = "graft.signal.equispacedTol"
+
+  /** Turn the strict equispacing contract check on for the session. */
+  def assertEquispaced(s: org.apache.spark.sql.SparkSession, tol: Double = 1e-9): Unit =
+    s.conf.set(EquispacedTolKey, tol.toString)
+
+  /** Turn the strict equispacing contract check back off. */
+  def clearEquispaced(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.unset(EquispacedTolKey)
+
   private def isSeriesified(df: DataFrame): Boolean =
     df.columns.contains("n") &&
       df.schema("n").metadata.contains("graft.series") &&
@@ -95,6 +116,31 @@ object Signal {
       .withColumn("coords", expr("transform(_arr, s -> s.c)"))
     values.zipWithIndex.foreach { case (v, i) =>
       out = out.withColumn(v, expr(s"transform(_arr, s -> s.v$i)"))
+    }
+    // Opt-in strict equispacing check (see [[EquispacedTolKey]]): the
+    // assertion is woven into each VALUE column (kernels always consume
+    // one) rather than emitted as its own column, which Catalyst would
+    // prune away unread. assert_true returns null on success, so the
+    // when() passes the value array through unchanged; on violation
+    // the task fails with the offending deviation in the message.
+    df.sparkSession.conf.getOption(EquispacedTolKey).foreach { tolS =>
+      val tol = tolS.toDouble
+      val dev = expr(
+        """CASE WHEN n > 1 THEN aggregate(
+          |  transform(sequence(0, n - 2),
+          |    i -> abs((coords[i + 1] - coords[i]) - delta)),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))
+          |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin)
+      val msg = concat(
+        lit(s"seriesify: non-equispaced coordinates in '$dim' (max |diff - delta| = "),
+        dev.cast("string"), lit(s", tol $tol, delta = "),
+        col("delta").cast("string"),
+        lit("); the reference contract requires an equispaced axis - " +
+          "resample/interpolate first, or use lombscargle for irregular series"))
+      values.foreach { v =>
+        out = out.withColumn(v,
+          when(assert_true(dev <= lit(tol), msg).isNull, col(v)))
+      }
     }
     out.drop("_arr").withMetadata("n", seriesMeta)
   }

@@ -556,6 +556,40 @@ class SignalSpec extends SparkTestBase {
     }
   }
 
+  test("strict equispacing guard: irregular series fails loudly when opted in") {
+    // reference contract (README + signal.py:16): FFT-family ops are
+    // only meaningful on an equispaced axis. Off by default (silent,
+    // zero plan change); opted in, seriesify raises on violation.
+    val irregular = Seq(
+      ("u", 0.0, 1.0), ("u", 1.0, 2.0), ("u", 2.0, 3.0), ("u", 5.0, 4.0))
+      .toDF("k", "t", "x")
+    val regular = Seq(
+      ("u", 0.0, 1.0), ("u", 1.0, 2.0), ("u", 2.0, 3.0), ("u", 3.0, 4.0))
+      .toDF("k", "t", "x")
+    def planOf(df: DataFrame): String =
+      Signal.rfft(df, Seq("k"), "t", "x").queryExecution.optimizedPlan.toString
+    // OFF: no assertion in the plan, irregular input silently computes
+    assert(!planOf(irregular).contains("raise_error"),
+      "guard must be absent when not opted in")
+    Signal.rfft(irregular, Seq("k"), "t", "x").collect()
+    Signal.assertEquispaced(spark, 1e-9)
+    try {
+      assert(planOf(irregular).contains("raise_error"),
+        "guard must appear in the plan when opted in")
+      // equispaced series still computes fine under the guard
+      assert(Signal.rfft(regular, Seq("k"), "t", "x").collect().nonEmpty)
+      val e = intercept[Exception] {
+        Signal.rfft(irregular, Seq("k"), "t", "x").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("non-equispaced")),
+        s"expected the equispacing message in: ${msgs(e)}")
+    } finally Signal.clearEquispaced(spark)
+    // and OFF again restores the untouched plan
+    assert(!planOf(irregular).contains("raise_error"))
+  }
+
   private def maxDiff(a: Array[Double], b: Array[Double]): Double = {
     require(a.length == b.length, s"length ${a.length} vs ${b.length}")
     if (a.isEmpty) 0.0 else a.indices.map(i => math.abs(a(i) - b(i))).max
