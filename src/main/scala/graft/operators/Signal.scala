@@ -424,15 +424,19 @@ object Signal {
     if (in2Keyed)
       s1.join(s2.select((keys.map(col) ++ renamed.map(col)): _*), keys)
     else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      val oneRow = s2.withColumn("_nrows", count(lit(1)).over(w))
+      // seriesify with no keys is ONE global-aggregate row by
+      // construction, so the only shape left to assert is coordinate
+      // distinctness: an in2 keyed by OTHER columns interleaves
+      // several kernels into one sorted mixture with colliding
+      // coordinates. (The previous row-count guard over an empty
+      // Window.partitionBy() was a tautology that flooded every log
+      // with single-partition WindowExec warnings — VERDICT r10 #6.)
       val guard = assert_true(
-        col("_nrows") === 1 &&
-          size(array_distinct(col("coords"))) === size(col("coords")),
-        lit("convolve/correlate: in2 is not ONE kernel series (multiple " +
-          "rows or duplicate coordinates); a per-key second input must " +
-          "carry the same key columns as in1"))
-      s1.crossJoin(broadcast(oneRow.select(
+        size(array_distinct(col("coords"))) === size(col("coords")),
+        lit("convolve/correlate: in2 is not ONE kernel series " +
+          "(duplicate coordinates - several kernels interleaved); a " +
+          "per-key second input must carry the same key columns as in1"))
+      s1.crossJoin(broadcast(s2.select(
         renamed.map(b => when(guard.isNull, col(b)).as(b)): _*)))
     }
   }

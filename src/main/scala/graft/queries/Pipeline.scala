@@ -61,6 +61,48 @@ object Pipeline {
       |  md5(COALESCE(STRING_AGG(CASE WHEN rk = 1 THEN span END, ' ' ORDER BY idx), '')) AS clean_hash
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact-substring dedup: stride-1 sliding 8-word windows — catches
+    * duplicates straddling span boundaries that dedup_spans' fixed
+    * 16-word blocks quantize away (VERDICT r10 #5). The oracle
+    * replays the window chain, the min-(doc_id, pos) first-occurrence
+    * rule, and the interval-union coverage with LEAD — pure integer
+    * arithmetic, hash-exact on both engines.
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(s, dir), "doc_id", "text", span = 8)
+      .orderBy("doc_id")
+
+  private val dedupSubstringSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), sp0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'q': i - 1, 'win': array_to_string(ws[i:(i + 7)], ' ')}
+      |            for i in generate_series(1, len(ws) - 7)]) AS s
+      |  FROM w WHERE len(ws) >= 8
+      |), win AS (
+      |  SELECT doc_id, CAST(s.q AS BIGINT) AS q, md5(s.win) AS h FROM sp0
+      |), k AS (
+      |  SELECT doc_id, q,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, q) AS rk
+      |  FROM win
+      |), cov AS (
+      |  SELECT doc_id, q,
+      |    LEAST(8, COALESCE(LEAD(q) OVER (PARTITION BY doc_id ORDER BY q) - q, 8)) AS c
+      |  FROM k WHERE rk > 1
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+      |    CAST(SUM(c) AS BIGINT) AS dup_cov
+      |  FROM cov GROUP BY 1
+      |), nw AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM win GROUP BY 1
+      |)
+      |SELECT nw.doc_id, nw.n_windows,
+      |  COALESCE(a.n_dup, 0) AS n_dup, COALESCE(a.dup_cov, 0) AS dup_cov
+      |FROM nw LEFT JOIN agg a ON a.doc_id = nw.doc_id
+      |ORDER BY 1""".stripMargin
+
   private val dedupExactSql: String =
     """SELECT doc_id,
       |  MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canonical_id,
@@ -1606,6 +1648,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1652,6 +1695,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

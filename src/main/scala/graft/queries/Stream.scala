@@ -73,9 +73,16 @@ object Stream {
       // µs-tied rows differently than the oracle's replayed boundary),
       // with the value tie-break making any residual ambiguity
       // observationally equivalent
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(expr("ts div 1000"), col("user_id"), col("value"))
-      val idx = ev.withColumn("_rn", row_number().over(w).cast("long") - 1)
+      // global slice index WITHOUT a single-partition window (VERDICT
+      // r10 #6): sort (range-partitioned, distributed) + zipWithIndex.
+      // Keeping the harness warning-free means a real single-partition
+      // WindowExec regression stays visible in logs.
+      val sorted = ev.sort(expr("ts div 1000"), col("user_id"), col("value"))
+      val idxSchema = sorted.schema
+        .add("_rn", org.apache.spark.sql.types.LongType)
+      val idx = s.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, idxSchema)
         .withColumn("_c", expr(s"_rn div $chunk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       scratch.mkdirs()

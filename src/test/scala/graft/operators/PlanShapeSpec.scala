@@ -299,6 +299,37 @@ class PlanShapeSpec extends SparkTestBase {
       "exact-duplicate later docs must keep nothing")
   }
 
+  test("substringDedup catches a straddling duplicate spanDedup misses") {
+    // a 20-word phrase planted at offset 16 in doc 1 and offset 5 in
+    // doc 2: doc 2's copy is misaligned w.r.t. spanDedup's fixed
+    // 16-word blocks, so every block of each doc hashes uniquely and
+    // spanDedup sees NO duplication. The stride-1 window chain is
+    // alignment-free: doc 2's phrase yields 13 duplicate 8-word
+    // windows whose interval union covers exactly the 20 words.
+    val phrase = (0 until 20).map(i => s"dup$i").mkString(" ")
+    val f1 = (0 until 16).map(i => s"aaa$i").mkString(" ")
+    val f2 = (0 until 5).map(i => s"bbb$i").mkString(" ")
+    val t1 = (0 until 7).map(i => s"ccc$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"$f1 $phrase $t1"),
+      (2L, s"$f2 $phrase $t1")).toDF("doc_id", "text")
+    val spans = Dedup.spanDedup(docs2, "doc_id", "text", span = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spans.forall { case (_, (n, kept)) => kept == n },
+      s"spanDedup must MISS the straddling duplicate here: $spans")
+    val sub = Dedup.substringDedup(docs2, "doc_id", "text", span = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (_, nDup1, _) = sub(1L)
+    val (_, nDup2, cov2) = sub(2L)
+    assert(nDup1 == 0L, s"doc 1 holds the first occurrences: $sub")
+    // 20-word phrase -> 13 duplicate windows; shared t1 tail extends
+    // the duplicated region to phrase+tail (27 words) minus windows
+    // that mix unique filler. Coverage must include the full phrase.
+    assert(nDup2 >= 13L && cov2 >= 20L,
+      s"substringDedup must catch the straddling duplicate: $sub")
+  }
+
   test("quantileBuckets: the bucketed frame is window-free and shuffle-free") {
     val scored = (1L to 100L).map(i => (i, (i * 13 % 50).toInt))
       .toDF("doc_id", "score")
