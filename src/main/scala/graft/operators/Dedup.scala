@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Tables.fp6
 import graft.functions.Functions.dsl._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.2
@@ -519,5 +520,65 @@ object Dedup {
              |    least(CAST($span AS BIGINT), _dq[i + 1] - _dq[i])))""".stripMargin)))
       .select(col("_id").as(idCol), col("n_windows"), col("n_dup"),
         col("dup_cov"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning over an embedding column. K-means clusters
+    * partition the corpus; pairwise cosine is computed ONLY within a
+    * cluster (the paper's trick that kills the all-pairs matrix); each
+    * duplicate relation keeps the member FARTHER from its cluster
+    * centroid — the paper's keep-the-atypical rule, made deterministic
+    * here by the total priority order (centroid-cosine asc, id asc). A
+    * vector is dropped iff some same-cluster neighbor at cosine ≥
+    * `minCos` has strictly higher keep-priority, so every τ-clique
+    * keeps exactly its most atypical member and chains prune greedily
+    * (a-b-c with cos(a,c) < τ still keeps only the top-priority member,
+    * like the paper's greedy set construction).
+    *
+    * Output: (idCol, cell, cent_cos_fp, keep) — one row per vector.
+    *
+    * Scale shape: the fit is [[Ann.kmeansFit]]'s one-shuffle-per-
+    * iteration on a sample; assignment is map-side against literal
+    * centroids; the within-cluster self-join is an ordinary hash
+    * equi-join on the cell id. k is the blocking knob: it scales with
+    * the corpus so the expected cluster stays bounded (the paper runs
+    * 50k clusters on LAION) — per-cluster pair cost is Σ|c|², and the
+    * cell id doubles as the write-time partition column, so the join
+    * never shuffles the corpus twice.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               minCos: Double, k: Int = 16, iters: Int = 2,
+               centroids: Option[DataFrame] = None): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
+    val cents = centroids.getOrElse(Ann.kmeansFit(df, idCol, vecCol, k, iters))
+    val centRows = cents
+      .select(col(idCol).cast("int"), Ann.asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(centRows.map(_._1).toSeq == centRows.indices.toSeq,
+      "centroid ids must be dense 0..k-1")
+    val centArr = typedLit(centRows.map(_._2.toSeq).toSeq)
+    val assigned = Ann.assignCells(df, cents, idCol, vecCol, "cell")
+    // kmeansFit centroids are unit-norm, so cos(x, centroid) = ⟨x,c⟩/‖x‖
+    val xd = Ann.asDouble(col(vecCol))
+    val nrm = sqrt(aggregate(transform(xd, x => x * x),
+      lit(0.0), (a, x) => a + x))
+    val cdot = dotpC(xd, element_at(centArr, col("cell") + 1))
+    val base = assigned.select(
+      col(idCol).cast("long").as("_id"), col(vecCol).as("_v"), col("cell"),
+      fp6(when(nrm > 0, cdot / nrm).otherwise(lit(0.0))).as("cent_cos_fp"))
+    val a = base.select(col("cell"), col("_id").as("_xa"),
+      col("_v").as("_va"), col("cent_cos_fp").as("_pa"))
+    val b = base.select(col("cell"), col("_id").as("_xb"),
+      col("_v").as("_vb"), col("cent_cos_fp").as("_pb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter((col("_pb") < col("_pa")) ||
+        (col("_pb") === col("_pa") && col("_xb") < col("_xa")))
+      .filter(cosineFFC(col("_va"), col("_vb")) >= lit(minCos))
+      .select(col("_xa").as("_did")).distinct()
+    base.join(dropped, base("_id") === dropped("_did"), "left")
+      .select(col("_id").as(idCol), col("cell"), col("cent_cos_fp"),
+        col("_did").isNull.as("keep"))
   }
 }

@@ -322,6 +322,73 @@ object Pipeline {
        |WHERE d.d / (na.nr * nb.nr) >= 0.35
        |ORDER BY 1, 2""".stripMargin
 
+  /** SemDeDup (Dedup.semDedup — Abbas et al. 2023): trained k-means
+    * clusters (the same 16-cell, 2-Lloyd-iteration spherical fit the
+    * trained-IVF query replays) block the pairwise-cosine work; within
+    * a cluster, any vector with a higher-priority neighbor at cosine ≥
+    * 0.35 is dropped, priority = (centroid-cosine asc, id asc) — the
+    * paper's keep-the-atypical rule made deterministic. The oracle
+    * replays the whole chain: the Lloyd iterations, the argmax-dot
+    * cell assignment, the fp6 centroid-cosine, the within-cluster
+    * priority pairs, and the NOT EXISTS keep rule.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(embs(s, dir), "vec_id", "embedding",
+      minCos = 0.35, k = 16, iters = 2)
+      .orderBy("vec_id")
+
+  private val dedupSemanticSql: String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), idx AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), ini AS (
+       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM ee ORDER BY vec_id LIMIT 16
+       |), inorm AS (
+       |  SELECT n.cell,
+       |    SQRT(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(n.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ini n, idx i GROUP BY 1
+       |), c0 AS (
+       |  SELECT n.cell, i.i,
+       |    FLOOR(CAST(n.embedding[i.i] AS DOUBLE) / o.nr * 1e6 + 0.5) / 1e6 AS cv
+       |  FROM ini n JOIN inorm o ON o.cell = n.cell, idx i
+       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, fd AS (
+       |  SELECT e.vec_id, c.cell,
+       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
+       |  FROM ee e JOIN c2 c ON TRUE GROUP BY 1, 2
+       |), asg AS (
+       |  SELECT vec_id, cell, d FROM (
+       |    SELECT vec_id, cell, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM fd) WHERE rk = 1
+       |), nrm AS (
+       |  SELECT e.vec_id,
+       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ee e, idx i GROUP BY 1
+       |), base AS (
+       |  SELECT a.vec_id, a.cell,
+       |    ${fpSql("CASE WHEN n.nr > 0 THEN a.d / n.nr ELSE 0 END", "1e6")} AS cent_cos_fp
+       |  FROM asg a JOIN nrm n ON n.vec_id = a.vec_id
+       |), cand AS (
+       |  SELECT x.vec_id AS xa, y.vec_id AS xb
+       |  FROM base x JOIN base y ON x.cell = y.cell
+       |  WHERE (y.cent_cos_fp < x.cent_cos_fp OR
+       |         (y.cent_cos_fp = x.cent_cos_fp AND y.vec_id < x.vec_id))
+       |), dp AS (
+       |  SELECT c.xa, c.xb,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM cand c JOIN ee ea ON ea.vec_id = c.xa JOIN ee eb ON eb.vec_id = c.xb, idx i
+       |  GROUP BY 1, 2
+       |), dropped AS (
+       |  SELECT DISTINCT dp.xa AS vec_id
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.xa JOIN nrm nb ON nb.vec_id = dp.xb
+       |  WHERE dp.d / (na.nr * nb.nr) >= 0.35
+       |)
+       |SELECT b.vec_id, b.cell, b.cent_cos_fp, d.vec_id IS NULL AS keep
+       |FROM base b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+       |ORDER BY 1""".stripMargin
+
   // ---- ANN ----------------------------------------------------------
 
   private def annQueries(s: SparkSession, dir: String): DataFrame =
@@ -500,6 +567,91 @@ object Pipeline {
        |)
        |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
        |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
+  /** OPQ ANN, GATED (Ann.opqFit/topkOpq — Ge et al. CVPR'13 parametric
+    * OPQ): the rotation comes from a Jacobi eigendecomposition, which
+    * no SQL replay can reproduce, so this query uses the sketch-gate
+    * pattern (q14/q15): the output rows are the EXACT brute-force
+    * top-10 (oracle-replayable like ann_topk_bruteforce), carrying
+    * four boolean verdicts the oracle asserts TRUE —
+    *  - mse_ok: THE Ge et al. claim — OPQ's mean squared reconstruction
+    *    error (Ann.pqDistortion on rotated vectors, identical code
+    *    budget) is ≤ plain PQ's on the raw vectors (measured ≈5% lower
+    *    at sf0.001/0.01/0.1),
+    *  - recall_ok: ADC top-10 over rotated codes recovers ≥ 15% of the
+    *    exact top-10 across the query set (measured 0.20–0.35; recall
+    *    at 100 samples is noisy, so the floor only catches collapse —
+    *    the distortion gate carries the dominance claim),
+    *  - orth_ok: max |RRᵀ − I| < 1e-9, so rotated ADC scores estimate
+    *    the ORIGINAL dot products,
+    *  - diag_ok: max offdiag |R C Rᵀ| / λmax < 1e-8 against the
+    *    independently collected covariance (R really diagonalizes C),
+    *  - alloc_ok: greedy eigenvalue allocation is never worse balanced
+    *    (max−min per-subspace Σ log λ) than the contiguous split.
+    * A wrong rotation, broken allocation, distortion regression, or
+    * recall collapse flips a verdict and fails the hash compare.
+    */
+  def annTopkOpq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val qs = annQueries(s, dir)
+    val m = Ann.opqFit(corpus, "vec_id", "embedding", nSub = 8)
+    val rotCorpus = Ann.opqRotate(corpus, "embedding", m.rotation, "_rvec")
+      .select(col("vec_id"), col("_rvec"))
+    val rotQs = Ann.opqRotate(qs, "embedding", m.rotation, "_rvec")
+      .select(col("vec_id"), col("_rvec"))
+    val cbOpq = Ann.pqFit(rotCorpus, "vec_id", "_rvec", nSub = 8, kSub = 16, iters = 2)
+    val cbPq = Ann.pqFit(corpus, "vec_id", "embedding", nSub = 8, kSub = 16, iters = 2)
+    val mseOpq = Ann.pqDistortion(
+      Ann.pqEncode(rotCorpus, cbOpq, "vec_id", "_rvec", "_codes"),
+      cbOpq, "_rvec", "_codes").select(col("mse").as("_mo"))
+    val msePq = Ann.pqDistortion(
+      Ann.pqEncode(corpus, cbPq, "vec_id", "embedding", "_codes"),
+      cbPq, "embedding", "_codes").select(col("mse").as("_mp"))
+    val opq = Ann.topkPq(rotCorpus, rotQs, "vec_id", "_rvec", k = 10,
+      nSub = 8, kSub = 16, codebooks = Some(cbOpq))
+    val exact = Ann.topkBruteForce(corpus, qs, "vec_id", "embedding", k = 10)
+    val hits = opq.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("_hits"))
+    val denom = exact.agg(count(lit(1)).as("_n"))
+    val gates = hits.crossJoin(denom).crossJoin(mseOpq).crossJoin(msePq)
+      .select(
+        (col("_mo") <= col("_mp")).as("mse_ok"),
+        (col("_hits") >= col("_n") * lit(0.15)).as("recall_ok"),
+        lit(m.orthErr < 1e-9).as("orth_ok"),
+        lit(m.diagErr < 1e-8).as("diag_ok"),
+        lit(m.allocSpread <= m.contigSpread + 1e-9).as("alloc_ok"))
+    exact.crossJoin(broadcast(gates))
+      .orderBy("query_id", "rank")
+  }
+
+  /** OPQ oracle: the exact brute-force top-10 replay (identical
+    * machinery to ann_topk_bruteforce) + the five verdicts asserted
+    * TRUE.
+    */
+  private val annTopkOpqSql: String =
+    s"""$embBaseSql, q AS (
+       |  SELECT vec_id AS qid FROM ee WHERE vec_id < 10
+       |), dp AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM q JOIN ee ea ON ea.vec_id = q.qid, ee c, idx i
+       |  WHERE c.vec_id != q.qid
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id,
+       |  score_fp, TRUE AS mse_ok, TRUE AS recall_ok, TRUE AS orth_ok,
+       |  TRUE AS diag_ok, TRUE AS alloc_ok
+       |FROM ranked WHERE rk <= 10 ORDER BY 1, 2""".stripMargin
 
   /** One unrolled PQ Lloyd iteration over component-form codebooks
     * `cp` → `cn` (columns m, cell, j, cv; j = component within the
@@ -1655,12 +1807,14 @@ object Pipeline {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_trained" -> (annTopkIvfTrained _),
     "ann_topk_pq" -> (annTopkPq _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
+    "ann_topk_opq" -> (annTopkOpq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1702,12 +1856,14 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_trained" -> annTopkIvfTrainedSql,
     "ann_topk_pq" -> annTopkPqSql,
     "ann_topk_ivfpq" -> annTopkIvfPqSql,
+    "ann_topk_opq" -> annTopkOpqSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

@@ -826,4 +826,31 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3L) == ((5L, 2L, true)))
     assert(out(4L) == ((0L, 0L, false)))
   }
+
+  test("semDedup: keep-the-atypical rule within clusters, distinct vectors survive") {
+    // two unit centroids; two planted near-dup groups + one atypical
+    // in-cell vector below the threshold
+    val cents = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1.0f, 0f, 0f))).toDF("id", "v")
+    val docs = Seq(
+      (0L, Seq(0.90f, 0.10f, 0f, 0f)),    // cell 0, dup of 1
+      (1L, Seq(0.92f, 0.08f, 0.05f, 0f)), // cell 0, closer to centroid
+      (2L, Seq(0.70f, 0f, 0.70f, 0f)),    // cell 0, cos<tau to both -> kept
+      (3L, Seq(0.10f, 0.95f, 0f, 0f)),    // cell 1, closer to centroid
+      (4L, Seq(0.12f, 0.93f, 0.02f, 0f))  // cell 1, dup of 3
+    ).toDF("id", "v")
+    val out = Dedup.semDedup(docs, "id", "v", minCos = 0.8,
+      centroids = Some(cents))
+      .orderBy("id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 0, 0, 1, 1))
+    // within each dup pair the member FARTHER from the centroid
+    // (lower centroid-cos) wins; the atypical vector is untouched
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap ==
+      Map(0L -> true, 1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    // raising the threshold above every pairwise cos keeps everything
+    val all = Dedup.semDedup(docs, "id", "v", minCos = 0.9999,
+      centroids = Some(cents)).collect()
+    assert(all.forall(_.getBoolean(3)))
+  }
 }
