@@ -1292,6 +1292,64 @@ object Pipeline {
       |FROM w GROUP BY 1
       |ORDER BY cnt DESC, word LIMIT 20""".stripMargin
 
+  /** Count-min-sketch n-gram frequencies, GATED (functions.CmsAgg —
+    * Cormode & Muthukrishnan 2005): the one-pass mergeable frequency
+    * sketch that replaces exact heavy-hitter hash aggregates when the
+    * key domain explodes at 100 TB (fixed d·w·8-byte state per group;
+    * merge = elementwise add, so estimates are deterministic under ANY
+    * partition/merge order). The keyed domain here is 3-word shingles
+    * — thousands of distinct keys against w=2048 counters, so
+    * collisions are REAL and the error band is genuinely exercised
+    * (the 31-word corpus vocabulary would fit collision-free). Output
+    * rows are the exact top-20 shingles (oracle-replayable), each
+    * carrying two verdicts the oracle asserts TRUE:
+    *  - over_ok: est ≥ exact — the CMS one-sided guarantee, which
+    *    holds by construction for every item,
+    *  - band_ok: est ≤ exact + εN with ε = e/width — the advertised
+    *    error band (probabilistic over the hash draw, but the hashes
+    *    are fixed constants, so on a given corpus it is deterministic).
+    * The sketch and the verdict table are bounded control-plane
+    * collects (d·w longs + 20 rows — the kmeansFit shape).
+    */
+  def textCmsNgrams(s: SparkSession, dir: String): DataFrame = {
+    val d = 5
+    val w = 2048
+    val toks = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+      .select(col("s").as("word"))
+    val skRow = toks
+      .agg(graft.functions.CmsAgg.cms(col("word"), d, w).as("sk"),
+        count(lit(1)).as("n")).head()
+    val sketch = skRow.getSeq[Long](0).toArray
+    val bound = skRow.getLong(1) * (math.E / w)
+    val top = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+    val verdicts = top.collect().map { r =>
+      val word = r.getString(0)
+      val cnt = r.getLong(1)
+      val est = graft.functions.CmsAgg.estimate(sketch, d, w, word)
+      word -> (est >= cnt, est <= cnt + bound)
+    }.toMap
+    val overMap = typedLit(verdicts.map { case (k, v) => k -> v._1 })
+    val bandMap = typedLit(verdicts.map { case (k, v) => k -> v._2 })
+    top.select(col("word"), col("cnt").as("n_exact"),
+      element_at(overMap, col("word")).as("over_ok"),
+      element_at(bandMap, col("word")).as("band_ok"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
+  private val textCmsNgramsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                         for i in generate_series(1, len(ws) - 2)]) AS s
+       |  FROM w WHERE len(ws) >= 3
+       |)
+       |SELECT s AS word, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  TRUE AS over_ok, TRUE AS band_ok
+       |FROM sh GROUP BY 1
+       |ORDER BY n_exact DESC, word LIMIT 20""".stripMargin
+
   /** PII scrubbing over documents with deterministic PII injected from
     * doc_id (the corpus is synthetic word salad with no organic PII):
     * every 3rd doc gains an email, every 5th a phone, every 7th an
@@ -1836,6 +1894,7 @@ object Pipeline {
     "text_contamination" -> (textContamination _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
+    "text_cms_ngrams" -> (textCmsNgrams _),
     "text_lm_score" -> (textLmScore _),
     "emb_cov" -> (embCov _),
     "emb_pca_recon" -> (embPcaRecon _),
@@ -1885,6 +1944,7 @@ object Pipeline {
     "text_contamination" -> textContaminationSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
+    "text_cms_ngrams" -> textCmsNgramsSql,
     "text_lm_score" -> textLmScoreSql,
     "emb_cov" -> embCovSql,
     "emb_pca_recon" -> embPcaReconSql,

@@ -853,4 +853,31 @@ class PipelineSpec extends SparkTestBase {
       centroids = Some(cents)).collect()
     assert(all.forall(_.getBoolean(3)))
   }
+
+  test("CmsAgg: never undercounts, stays in the error band, merge-order invariant") {
+    import graft.functions.CmsAgg
+    val d = 4; val w = 64
+    // zipf-ish multiset over a domain larger than w so collisions are real
+    val items = (1 to 2000).map(i => "k" + (i % (i % 97 + 3)))
+    val df = items.toDF("s")
+    def sketchOf(parts: Int): Array[Long] =
+      df.repartition(parts).agg(CmsAgg.cms(col("s"), d, w)).head()
+        .getSeq[Long](0).toArray
+    val sk = sketchOf(1)
+    // partition layout must not change a single counter (merge = sum)
+    assert(sk.sameElements(sketchOf(7)))
+    assert(sk.length == d * w)
+    val n = items.length
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n * math.E / w
+    exact.foreach { case (k, cnt) =>
+      val est = CmsAgg.estimate(sk, d, w, k)
+      assert(est >= cnt, s"CMS undercounted $k: $est < $cnt")
+      assert(est <= cnt + bound, s"CMS blew its band on $k: $est > $cnt + $bound")
+    }
+    // every row's counters sum to the stream length
+    (0 until d).foreach { r =>
+      assert(sk.slice(r * w, (r + 1) * w).sum == n)
+    }
+  }
 }
