@@ -263,6 +263,38 @@ object TextOps {
       w => bpeEncodeC(w, mL, mR))))
   }
 
+  /** Decode a flattened (doc, pos, token_id) tensor — the
+    * [[bpeEncodeIds]] output / the stored training layout — back to
+    * each document's character stream. Every id maps to its token
+    * string unconditionally (base ids 0-25 → 'a'-'z', merge id 25+t →
+    * its concatenation; a duplicate-string merge id still decodes to
+    * the right text even though the encoder never emits it), so
+    * decode∘encode is exactly the document's [a-z]+ runs concatenated
+    * — the roundtrip the text_bpe_decode oracle gates without
+    * replaying the training.
+    *
+    * Output: (idCol, n_ids, decoded). One shuffle (groupBy doc);
+    * the inverse vocab rides as a literal map, the per-doc reorder is
+    * a bounded in-group sort_array — no window function.
+    */
+  def bpeDecodeIds(ids: DataFrame, idCol: String,
+                   merges: Array[(String, String)]): DataFrame = {
+    val invPairs: Seq[(Int, String)] =
+      ('a' to 'z').zipWithIndex.map { case (c, i) => (i, c.toString) } ++
+        merges.zipWithIndex.map { case ((l, r), t) => (26 + t, l + r) }
+    val invMap = map(invPairs.flatMap {
+      case (i, s) => Seq(lit(i), lit(s))
+    }: _*)
+    ids
+      .select(col(idCol), col("pos"),
+        element_at(invMap, col("token_id")).as("_tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ids"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("_tok")))),
+          e => e.getField("_tok")), "").as("decoded"))
+  }
+
   /** Deterministic vocabulary over a merge table: ids 0-25 are the
     * base symbols 'a'-'z' (the training regex admits nothing else),
     * merge t (1-based rank) is id 25 + t. If two merges produce the

@@ -1037,6 +1037,37 @@ object Pipeline {
     * ids from the base-26 + merge-rank vocab (duplicate token strings
     * keep the lowest id, matching TextOps.bpeVocab).
     */
+  /** BPE decode roundtrip, GATED: encode every document to the
+    * flattened (doc, pos, token_id) tensor (text_bpe_ids' layout),
+    * decode it back through the inverse vocabulary, and assert
+    * decode∘encode reproduces the document's [a-z]+ character stream
+    * exactly. The roundtrip property makes the oracle trivial — it
+    * recomputes the reference stream's md5 straight from the raw text
+    * and asserts roundtrip_ok TRUE, with no merge-table replay: ANY
+    * encoder defect that loses, reorders, or mislabels a token breaks
+    * the reconstruction and flips the verdict.
+    */
+  def textBpeDecode(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextOps.bpeTrain(docs(s, dir), "text", BpeMerges)
+      .map { case (l, r, _) => (l, r) }
+    val ids = TextOps.bpeEncodeIds(docs(s, dir), "text", "doc_id", merges)
+    val dec = TextOps.bpeDecodeIds(ids, "doc_id", merges)
+    val ref = docs(s, dir).select(col("doc_id"),
+      array_join(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "")
+        .as("_ref"))
+    ref.join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(encode(col("_ref"), "UTF-8")).as("ref_md5"),
+        (coalesce(col("decoded"), lit("")) === col("_ref")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val textBpeDecodeSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '')) AS ref_md5,
+      |  TRUE AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val textBpeIdsSql: String =
     bpeBaseSql + (1 to BpeMerges).map(bpeIterSql).mkString +
       s""", tc AS MATERIALIZED (
@@ -1880,6 +1911,7 @@ object Pipeline {
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_ids" -> (textBpeIds _),
+    "text_bpe_decode" -> (textBpeDecode _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_split" -> (textSplit _),
@@ -1930,6 +1962,7 @@ object Pipeline {
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_ids" -> textBpeIdsSql,
+    "text_bpe_decode" -> textBpeDecodeSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_split" -> textSplitSql,

@@ -880,4 +880,26 @@ class PipelineSpec extends SparkTestBase {
       assert(sk.slice(r * w, (r + 1) * w).sum == n)
     }
   }
+
+  test("bpeDecodeIds: decode of encode reproduces the letter stream") {
+    val docs = Seq(
+      (1L, "the cat, the hat!"),
+      (2L, "  MIXED Case 42 words  "),
+      (3L, "zzz"),
+      (4L, "!!! 123 ...") // no letters: empty stream, no id rows
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", 4).map { case (l, r, _) => (l, r) }
+    val ids = TextOps.bpeEncodeIds(docs, "text", "doc_id", merges)
+    val dec = TextOps.bpeDecodeIds(ids, "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val want = Map(1L -> "thecatthehat", 2L -> "mixedcasewords", 3L -> "zzz")
+    want.foreach { case (id, ref) =>
+      val (n, got) = dec(id)
+      assert(got == ref, s"doc $id: '$got' != '$ref'")
+      assert(n >= 1 && n <= ref.length)
+    }
+    assert(!dec.contains(4L)) // letterless doc emits no ids at all
+    // merge ids above the base vocab decode too (at least one merge fired)
+    assert(ids.filter(col("token_id") >= 26).count() > 0)
+  }
 }
