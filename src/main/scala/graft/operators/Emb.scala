@@ -120,4 +120,35 @@ object Emb {
           "(element_at(_g, i + 2) / element_at(_g, 1)) * " +
           "(element_at(_g, j + 2) / element_at(_g, 1))").as("cov"))
   }
+
+  /** Symmetric per-vector int8 quantization — the embedding STORAGE
+    * transform for ANN/retrieval indexes (4× smaller than float32,
+    * 8× smaller than the float64 working form): scale = absmax/127,
+    * code_i = round(x_i/scale) clamped to [-127, 127], dequant =
+    * code·scale, so the elementwise error is ≤ scale/2 by
+    * construction. Appends `codesCol` (array<int>) and `scaleCol`
+    * (double). Pure map-side builtins — zero shuffle, scan-bound.
+    *
+    * Determinism across engines: the rounding runs on the fp6
+    * fixed-point grid — code = floor((fp6(x/scale) + 5·10⁵)/10⁶) —
+    * so an oracle replaying the identical expression gets the
+    * identical code even when x/scale sits ulps from a .5 boundary
+    * (the same trick every kmeans/PQ assignment here uses). A zero
+    * vector (scale 0) codes to all zeros, not NaN.
+    */
+  def quantizeInt8(df: DataFrame, embCol: String,
+                   codesCol: String = "q8",
+                   scaleCol: String = "q8_scale"): DataFrame = {
+    val xd = col(embCol).cast("array<double>")
+    val absmax = aggregate(transform(xd, x => abs(x)), lit(0.0),
+      (acc, x) => greatest(acc, x))
+    val scale = absmax / lit(127.0)
+    val code = (x: Column) => when(col(scaleCol) > 0,
+      greatest(lit(-127), least(lit(127),
+        floor((graft.Tables.fp6(x / col(scaleCol)) + lit(500000L)) /
+          lit(1000000.0)).cast("int"))))
+      .otherwise(lit(0))
+    df.withColumn(scaleCol, scale)
+      .withColumn(codesCol, transform(xd, code))
+  }
 }

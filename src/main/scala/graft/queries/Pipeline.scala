@@ -1585,6 +1585,46 @@ object Pipeline {
        |FROM embeddings e, st
        |ORDER BY 1, 2""".stripMargin
 
+  /** Int8 embedding quantization (Emb.quantizeInt8): the 4x storage
+    * transform an ANN index applies at write time, exactly replayable
+    * — absmax and scale are one IEEE divide from identical inputs in
+    * both engines, and the per-component rounding runs on the fp6
+    * fixed-point grid, so the oracle reproduces every CODE bit-for-bit
+    * (md5 over the joined code list). err_ok gates the construction
+    * guarantee max|x − code·scale| ≤ scale/2 (grid slack included).
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Emb.quantizeInt8(embs(s, dir), "embedding")
+    val xd = col("embedding").cast("array<double>")
+    val maxErr = aggregate(
+      zip_with(xd, col("q8"), (x, c) => abs(x - c * col("q8_scale"))),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    q.select(col("vec_id"),
+      fp6(col("q8_scale")).as("scale_fp"),
+      md5(encode(array_join(transform(col("q8"), c => c.cast("string")), ","),
+        "UTF-8")).as("codes_md5"),
+      (maxErr <= col("q8_scale") * lit(0.500002) + lit(1e-12)).as("err_ok"))
+      .orderBy("vec_id")
+  }
+
+  private val embQuantizeSql: String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), sc AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM ee
+       |), codes AS (
+       |  SELECT e.vec_id, s.scale,
+       |    CASE WHEN s.scale > 0 THEN
+       |      [GREATEST(-127, LEAST(127, CAST(FLOOR((FLOOR(CAST(x AS DOUBLE) / s.scale * 1e6 + 0.5) + 500000) / 1000000.0) AS INT))) for x in e.embedding]
+       |    ELSE [0 for x in e.embedding] END AS q
+       |  FROM ee e JOIN sc s USING (vec_id)
+       |)
+       |SELECT vec_id, ${fpSql("scale", "1e6")} AS scale_fp,
+       |  md5(array_to_string(q, ',')) AS codes_md5, TRUE AS err_ok
+       |FROM codes ORDER BY vec_id""".stripMargin
+
   /** Top-5 TF-IDF terms per document. tf·ln(N/df) with N = corpus
     * size; rank ties break on term text. Scores are products of exact
     * integers with one ln() — the only cross-engine float hazard is a
@@ -1931,6 +1971,7 @@ object Pipeline {
     "emb_cov" -> (embCov _),
     "emb_pca_recon" -> (embPcaRecon _),
     "emb_standardize" -> (embStandardize _),
+    "emb_quantize" -> (embQuantize _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_resize" -> (mmResize _),
@@ -1982,6 +2023,7 @@ object Pipeline {
     "emb_cov" -> embCovSql,
     "emb_pca_recon" -> embPcaReconSql,
     "emb_standardize" -> embStandardizeSql,
+    "emb_quantize" -> embQuantizeSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,

@@ -902,4 +902,35 @@ class PipelineSpec extends SparkTestBase {
     // merge ids above the base vocab decode too (at least one merge fired)
     assert(ids.filter(col("token_id") >= 26).count() > 0)
   }
+
+  test("quantizeInt8: codes within range, error <= scale/2, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(127.0f, -127.0f, 1.0f, -1.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector: scale 0
+      (4L, Seq(1e-8f, -1e-8f, 5e-9f, 0.0f)) // tiny but nonzero scale
+    ).toDF("vec_id", "embedding")
+    val out = Emb.quantizeInt8(df, "embedding").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("q8_scale")),
+          r.getSeq[Int](r.fieldIndex("q8")))).toMap
+    out.foreach { case (id, (scale, codes)) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"doc $id out of range")
+    }
+    // absmax element always codes to exactly +-127
+    assert(out(1L)._2(1) == -127)
+    assert(out(2L)._2(0) == 127 && out(2L)._2(1) == -127)
+    assert(out(3L)._1 == 0.0 && out(3L)._2.forall(_ == 0))
+    // dequantization error bound holds elementwise
+    val orig = Map(
+      1L -> Seq(0.5, -1.0, 0.25, 0.0), 2L -> Seq(127.0, -127.0, 1.0, -1.0),
+      4L -> Seq(1e-8f.toDouble, -1e-8f.toDouble, 5e-9f.toDouble, 0.0))
+    orig.foreach { case (id, xs) =>
+      val (scale, codes) = out(id)
+      xs.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale * 0.500002 + 1e-12,
+          s"doc $id: err ${math.abs(x - c * scale)} > ${scale / 2}")
+      }
+    }
+  }
 }
