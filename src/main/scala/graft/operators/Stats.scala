@@ -36,4 +36,144 @@ object Stats {
         (col("mn") + (col("bin") + 1) * ((col("mx") - col("mn")) / nBins)).as("hi"),
         col("cnt"))
   }
+
+  /** EXACT per-group median of a numeric column WITHOUT sorting any
+    * group into one task — the mega-group order-statistic pattern
+    * `percentile`'s per-group sort buffer (q7) cannot survive at
+    * 100 TB and the GK sketch (q15) only approximates. Histogram
+    * descent: each pass bins the group's surviving candidate set into
+    * `nBins` equal-width buckets with ONE partial-aggregatable count
+    * pass over the (cached) column, the driver walks the bounded
+    * (groups × nBins) histogram to find the bucket holding the target
+    * rank, and the next pass descends into it; when a bucket's
+    * population drops under `collectThreshold`, a final bounded
+    * sort_array collect reads the exact order statistic out of it.
+    * Candidates shrink ~nBins× per pass, so 600k-row groups finish in
+    * one descent level; the scan count is O(log_nBins(n/threshold)),
+    * never O(n log n) shuffle-sort.
+    *
+    * Exactness under floating point: bucket assignment is
+    * min(max(floor((v − lo)/w), 0), nBins−1) — monotone non-decreasing
+    * in v (IEEE subtraction and positive division are monotone), so
+    * buckets are an ORDER-ALIGNED partition of the population no
+    * matter where ulp wobble puts edge values, which is all rank
+    * descent needs. Each state's population is defined by the
+    * conjunction of its bucket-equality chain (the identical
+    * expressions the count passes grouped on), never by numeric range
+    * predicates that could disagree with the assignment by an ulp.
+    *
+    * Both middle order statistics are tracked (ranks ⌊(n−1)/2⌋ and
+    * ⌈(n−1)/2⌉, 0-based), median = their mean — quantile_cont(0.5).
+    * Returns (keyCol: string form, n, med_lo, med_hi, median).
+    * Group count must be bounded (the per-pass driver state is
+    * O(groups), the kmeansFit control-plane shape).
+    */
+  def exactMedianHist(df: DataFrame, keyCol: String, valueCol: String,
+                      nBins: Int = 4096, collectThreshold: Int = 100000,
+                      maxPasses: Int = 8): DataFrame = {
+    require(nBins >= 2 && collectThreshold >= 1 && maxPasses >= 1,
+      "bad exactMedianHist parameters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    vals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = vals.groupBy("k")
+        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      // one search state per (group, middle-rank); chain = the bucket
+      // path taken so far, each level (lo, w, chosen bucket)
+      final case class St(key: String, target: Long, rank: Long,
+                          chain: List[(Double, Double, Int)],
+                          lo: Double, hi: Double, pop: Long,
+                          var result: Option[Double])
+      var states: Seq[St] = base.toSeq.flatMap { case (k, (n, mn, mx)) =>
+        val r1 = (n - 1) / 2
+        val r2 = n / 2
+        Seq(r1, r2).distinct.map { r =>
+          if (mn == mx) St(k, r, r, Nil, mn, mx, n, Some(mn))
+          else St(k, r, r, Nil, mn, mx, n, None)
+        }
+      }
+      def binExpr(lo: Double, w: Double): org.apache.spark.sql.Column =
+        least(greatest(floor((col("v") - lit(lo)) / lit(w)).cast("int"),
+          lit(0)), lit(nBins - 1))
+      def chainFilter(st: St): org.apache.spark.sql.Column =
+        st.chain.foldLeft(col("k") === lit(st.key)) {
+          case (acc, (lo, w, b)) => acc && binExpr(lo, w) === lit(b)
+        }
+      var pass = 0
+      while (states.exists(s => s.result.isEmpty && s.pop > collectThreshold) &&
+        pass < maxPasses) {
+        pass += 1
+        val active = states.filter(s => s.result.isEmpty && s.pop > collectThreshold)
+        // ONE job for all active states: union of per-state bucket counts
+        // (states are bounded — a handful of groups × 2 ranks)
+        val hists = active.zipWithIndex.map { case (st, i) =>
+          val w = (st.hi - st.lo) / nBins
+          vals.filter(chainFilter(st))
+            .select(lit(i).as("sid"), binExpr(st.lo, w).as("bin"))
+            .groupBy("sid", "bin").agg(count(lit(1)).as("cnt"))
+        }.reduce(_ union _).collect()
+          .groupBy(_.getInt(0))
+          .map { case (sid, rows) =>
+            sid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+          }
+        states = states.map { st =>
+          val i = active.indexOf(st)
+          if (i < 0) st
+          else {
+            val w = (st.hi - st.lo) / nBins
+            var rank = st.rank
+            var chosen = -1
+            var cnt = 0L
+            val it = hists(i).iterator
+            while (chosen < 0 && it.hasNext) {
+              val (b, c) = it.next()
+              if (rank < c) { chosen = b; cnt = c } else rank -= c
+            }
+            require(chosen >= 0, s"rank walk fell off the histogram for ${st.key}")
+            val nlo = st.lo + chosen * w
+            val nhi = if (chosen == nBins - 1) st.hi else st.lo + (chosen + 1) * w
+            if (nlo == nhi || w == 0)
+              st.copy(rank = rank, pop = cnt, result = Some(nlo))
+            else
+              st.copy(chain = st.chain :+ (st.lo, w, chosen),
+                lo = nlo, hi = nhi, rank = rank, pop = cnt)
+          }
+        }
+      }
+      // final bounded collect for the survivors
+      val open = states.filter(_.result.isEmpty)
+      if (open.nonEmpty) {
+        val finals = open.zipWithIndex.map { case (st, i) =>
+          vals.filter(chainFilter(st))
+            .select(lit(i).as("sid"), col("v"))
+            .groupBy("sid")
+            .agg(sort_array(collect_list(col("v"))).as("vs"))
+        }.reduce(_ union _).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        open.zipWithIndex.foreach { case (st, i) =>
+          val vs = finals(i)
+          require(st.rank < vs.length,
+            s"rank ${st.rank} outside collected bucket (${vs.length}) for ${st.key}")
+          st.result = Some(vs(st.rank.toInt))
+        }
+      }
+      val byKey = states.groupBy(_.key)
+      base.toSeq.sortBy(_._1).map { case (k, (n, _, _)) =>
+        val rs = byKey(k).map(s => s.target -> s.result.get).toMap
+        val r1 = (n - 1) / 2
+        val r2 = n / 2
+        val lo = rs(r1)
+        val hi = rs(r2)
+        (k, n, lo, hi, (lo + hi) / 2.0)
+      }.toDF(keyCol, "n", "med_lo", "med_hi", "median")
+    } finally vals.unpersist(false)
+  }
 }

@@ -345,6 +345,30 @@ object Relational {
       .orderBy("event_type")
   }
 
+
+  /** EXACT per-group median of a MEGA-group (Stats.exactMedianHist)
+    * — the third leg of the quantile story: q7 sorts bounded per-user
+    * groups, q15 sketches with a rank-error gate, and this computes
+    * the exact order statistics of groups that are far too big to
+    * sort into one task (each event_type holds 12-120k rows here and
+    * would hold billions at 100 TB) via histogram descent: one
+    * partial-aggregated count pass per level over equal-width buckets,
+    * a bounded driver rank-walk, and a final bounded-bucket collect.
+    * Bucket assignment is monotone in v, so the partition is
+    * order-aligned no matter where ulp wobble lands edge values.
+    * The oracle derives both middle order statistics explicitly with
+    * ROW_NUMBER (no engine quantile-convention ambiguity) and the
+    * median as their mean — the identical (lo + hi)/2 expression.
+    */
+  def q16ExactMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactMedianHist(
+      load(s, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value")
+      .select(col("event_type"), col("n"),
+        fp6(col("med_lo")).as("lo_fp"), fp6(col("med_hi")).as("hi_fp"),
+        fp6(col("median")).as("med_fp"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -361,9 +385,26 @@ object Relational {
     "q10_pivot" -> (q10Pivot _),
     "q11_distinct" -> (q11Distinct _),
     "q14_approx_distinct" -> (q14ApproxDistinct _),
-    "q15_approx_quantiles" -> (q15ApproxQuantiles _))
+    "q15_approx_quantiles" -> (q15ApproxQuantiles _),
+    "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q16_exact_median" ->
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL
+         |), m AS (
+         |  SELECT event_type, ANY_VALUE(n) AS n,
+         |    MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS lo,
+         |    MAX(CASE WHEN rn = n // 2 + 1 THEN value END) AS hi
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  ${fpSql("lo", "1e6")} AS lo_fp, ${fpSql("hi", "1e6")} AS hi_fp,
+         |  ${fpSql("(lo + hi) / 2.0", "1e6")} AS med_fp
+         |FROM m ORDER BY event_type""".stripMargin,
     "q14_approx_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS within_bounds

@@ -933,4 +933,33 @@ class PipelineSpec extends SparkTestBase {
       }
     }
   }
+
+  test("exactMedianHist matches sorted reference incl. duplicates, forced descent") {
+    val rnd = new scala.util.Random(7)
+    // groups: odd size, even size, heavy duplicates, constant, singleton
+    val rows = Seq.newBuilder[(String, Double)]
+    (1 to 501).foreach(_ => rows += ("odd" -> (rnd.nextDouble() * 100 - 50)))
+    (1 to 500).foreach(_ => rows += ("even" -> rnd.nextGaussian() * 7))
+    (1 to 400).foreach(i => rows += ("dup" -> (i % 5).toDouble))
+    (1 to 300).foreach(_ => rows += ("const" -> 3.25))
+    rows += ("one" -> 42.0)
+    val data = rnd.shuffle(rows.result())
+    val df = data.toDF("k", "v").repartition(7)
+    // collectThreshold 16 + nBins 8 forces several descent levels
+    val got = Stats.exactMedianHist(df, "k", "v",
+      nBins = 8, collectThreshold = 16, maxPasses = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    data.groupBy(_._1).foreach { case (k, kv) =>
+      val vs = kv.map(_._2).sorted
+      val n = vs.length
+      val lo = vs((n - 1) / 2)
+      val hi = vs(n / 2)
+      val (gn, glo, ghi, gmed) = got(k)
+      assert(gn == n, s"$k count")
+      assert(glo == lo && ghi == hi, s"$k order stats: ($glo,$ghi) vs ($lo,$hi)")
+      assert(gmed == (lo + hi) / 2.0, s"$k median")
+    }
+    assert(got.size == 5)
+  }
 }
