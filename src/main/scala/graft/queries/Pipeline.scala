@@ -911,6 +911,83 @@ object Pipeline {
        |FROM t, b ORDER BY 1""".stripMargin
   }
 
+  /** END-TO-END training-data pipeline as ONE oracled query — the
+    * composition a real corpus build runs, each stage an
+    * already-oracled operator chained on the previous stage's output:
+    * Gopher quality filter (keep) → exact dedup among survivors (keep
+    * canonical) → whitespace token counting → deterministic md5
+    * train/val/test split → per-split summary (doc count, token mass,
+    * md5 over the ORDERED member id list, so membership — not just
+    * counts — is pinned). The oracle replays the entire chain in SQL.
+    * Every stage is scan/hash-agg shaped: the chain adds one window
+    * (dedup canonical) and one final group to the stages' own costs,
+    * and intermediate frames never materialize driver-side.
+    */
+  def textPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val kept = TextOps.gopherRules(docs(s, dir), "text")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"))
+    val canon = Dedup.exact(kept, "doc_id", "text")
+      .filter(col("is_dup") === 0)
+      .select(col("doc_id"), col("text"))
+    val counted = canon
+      .withColumn("n_tok", size(TextOps.words(col("text"))).cast("long"))
+    TextOps.hashSplit(counted, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(encode(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string"))), "UTF-8")).as("members_md5"))
+      .orderBy("split")
+  }
+
+  private val textPipelineE2eSql: String = {
+    val stopList = TextOps.gopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, text, ws,
+       |    len(ws) AS n_words,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+       |      ELSE 0.0 END AS mwl,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST((length(text) - length(replace(text, '#', ''))) +
+       |                (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(ws)
+       |      ELSE 0.0 END AS sym,
+       |    CASE WHEN len(ws) > 0
+       |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+       |      ELSE 0.0 END AS af,
+       |    len(list_filter(ws, x -> x IN ($stopList))) AS n_stop
+       |  FROM w
+       |), keep AS (
+       |  SELECT doc_id, text, ws FROM f
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+       |    AND af >= 0.8 AND n_stop >= 2
+       |), canon AS (
+       |  SELECT doc_id, ws FROM (
+       |    SELECT doc_id, ws,
+       |      MIN(doc_id) OVER (
+       |        PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS cid
+       |    FROM keep) WHERE doc_id = cid
+       |), sp AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+       |  FROM canon
+       |)
+       |SELECT CASE WHEN bk < 500 THEN 'val'
+       |            WHEN bk < 1000 THEN 'test'
+       |            ELSE 'train' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS members_md5
+       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val textTokensSql: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS INT) AS ws_tokens,
@@ -1967,6 +2044,7 @@ object Pipeline {
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
+    "text_pipeline_e2e" -> (textPipelineE2e _),
     "text_lm_score" -> (textLmScore _),
     "emb_cov" -> (embCov _),
     "emb_pca_recon" -> (embPcaRecon _),
@@ -2019,6 +2097,7 @@ object Pipeline {
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,
+    "text_pipeline_e2e" -> textPipelineE2eSql,
     "text_lm_score" -> textLmScoreSql,
     "emb_cov" -> embCovSql,
     "emb_pca_recon" -> embPcaReconSql,

@@ -430,4 +430,35 @@ class PlanShapeSpec extends SparkTestBase {
     // neither plan needs a post-join distinct/aggregate to dedup
     assert(!semi.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
+
+  test("round-11 op shapes: semDedup equi-join, CMS partial agg, quantize/rotate map-side") {
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(16)(j => ((i * 7 + j) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    // semDedup: the within-cluster pair work is an ordinary hash
+    // EQUI-join on the cell id — never a nested loop (the all-pairs
+    // shape the clustering exists to kill)
+    val cents = Ann.kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    val sem = Dedup.semDedup(vecs, "vec_id", "embedding", minCos = 0.8,
+      centroids = Some(cents))
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(!semPlan.contains("NestedLoop"),
+      s"semDedup degenerated to a nested loop:\n$semPlan")
+    assert(semPlan.contains("SortMergeJoin") || semPlan.contains("ShuffledHashJoin")
+      || semPlan.contains("BroadcastHashJoin"), "cell join missing")
+    // CmsAgg: the sketch must partial-aggregate (map-side partial_cms
+    // before the exchange) so the shuffle carries buffers, not rows
+    val cms = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.CmsAgg.cms(col("w"), 2, 32))
+    val cmsPlan = cms.queryExecution.executedPlan.toString
+    assert(cmsPlan.contains("partial_graft_cms") ||
+      cmsPlan.toLowerCase.contains("partial"),
+      s"CMS lost partial aggregation:\n$cmsPlan")
+    assert(hashExchanges(cms) <= 1)
+    // int8 quantization and the OPQ rotation are pure map-side
+    // projections: zero exchanges, scan-shaped at any size
+    assert(hashExchanges(Emb.quantizeInt8(vecs, "embedding")) == 0)
+    val rot = Array.tabulate(16, 16)((i, j) => if (i == j) 1.0 else 0.0)
+    assert(hashExchanges(Ann.opqRotate(vecs, "embedding", rot, "rv")) == 0)
+  }
 }
