@@ -1775,6 +1775,90 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Bloom-filter decontamination, GATED (functions.BloomAgg — Bloom
+    * 1970): the scale path for text_contamination. At 100 TB the exact
+    * variant ships the benchmark's distinct-shingle set through a join
+    * exchange; the Bloom variant compresses it to a FIXED m/8-byte
+    * bitset (here 2 KB: m=16384, k=5) built in ONE partial-aggregated
+    * pass — merge is bitwise OR, commutative/associative/idempotent,
+    * so the bits are deterministic under any partition/merge order —
+    * and the probe side becomes a map-side codegen'd bit test
+    * ([[graft.functions.BloomContains]] rides into whole-stage codegen
+    * as a reference object), zero shuffle, zero join.
+    *
+    * The filter is sized so collisions are REAL at the bench SF
+    * (sf0.1: ~2.4k benchmark shingles against 16384 bits → measured
+    * FPR ≈ 3.7%, matching the occupancy prediction (set_bits/m)^k),
+    * not vacuous. Output rows are the exact per-doc contamination
+    * counts (oracle-replayable via the same distinct-shingle join as
+    * text_contamination), each carrying gates the oracle asserts TRUE:
+    *  - ge_ok: bloom hit count ≥ exact contaminated count — the
+    *    no-false-negative guarantee, which holds by construction for
+    *    every document (decontamination can only over-flag),
+    *  - fpr_ok: measured FPR over distinct clean shingles ≤ 2× the
+    *    occupancy-exact prediction + 10/n_probes small-sample slack
+    *    (deterministic: the hashes are fixed constants).
+    * The bitset and the FPR row are bounded control-plane collects
+    * (m/64 longs + 1 row — the kmeansFit shape).
+    */
+  def textBloom(s: SparkSession, dir: String): DataFrame = {
+    val m = 16384
+    val k = 5
+    val sh = docs(s, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("_ws"))
+      .filter(size(col("_ws")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingles(col("_ws"))).as("s"))
+    val benchSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val bits = benchSh
+      .agg(graft.functions.BloomAgg.bloom(col("s"), m, k).as("b"))
+      .head().getSeq[Long](0).toArray
+    val probe = sh.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("_hit", graft.functions.BloomAgg.containsC(bits, k, col("s")))
+    val fprRow = probe.select(col("s"), col("_hit")).distinct()
+      .join(benchSh.withColumnRenamed("s", "_bs"),
+        col("s") === col("_bs"), "left_anti")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("fp"))
+      .head()
+    val (nProbe, nFp) = (fprRow.getLong(0), fprRow.getLong(1))
+    val occup = bits.map(java.lang.Long.bitCount(_).toLong).sum.toDouble / m
+    val fprOk = nProbe == 0 ||
+      nFp.toDouble / nProbe <= 2.0 * math.pow(occup, k) + 10.0 / nProbe
+    probe
+      .join(benchSh.withColumnRenamed("s", "_bs"),
+        col("s") === col("_bs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("_bs").isNotNull, 1L).otherwise(0L)).as("n_contam"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("_n_bloom"))
+      .select(col("doc_id"), col("n_sh"), col("n_contam"),
+        (col("n_contam") > 0).as("contaminated"),
+        (col("_n_bloom") >= col("n_contam")).as("ge_ok"),
+        lit(fprOk).as("fpr_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val textBloomSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                         for i in generate_series(1, len(ws) - 2)]) AS s
+       |  FROM w WHERE len(ws) >= 3
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+       |)
+       |SELECT o.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |  CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+       |  (SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) > 0) AS contaminated,
+       |  TRUE AS ge_ok,
+       |  TRUE AS fpr_ok
+       |FROM sh o LEFT JOIN bench b ON b.s = o.s
+       |WHERE o.doc_id % 97 <> 0
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Sequence packing: whitespace-token counts laid end-to-end in
     * doc_id order, cut into 512-token training sequences; one row per
     * (doc, bin) span. bucketSpan=64 exercises the multi-bucket
@@ -2041,6 +2125,7 @@ object Pipeline {
     "text_pii" -> (textPii _),
     "text_gopher" -> (textGopher _),
     "text_contamination" -> (textContamination _),
+    "text_bloom" -> (textBloom _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2094,6 +2179,7 @@ object Pipeline {
     "text_pii" -> textPiiSql,
     "text_gopher" -> textGopherSql,
     "text_contamination" -> textContaminationSql,
+    "text_bloom" -> textBloomSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

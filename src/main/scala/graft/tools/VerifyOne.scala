@@ -1,53 +1,42 @@
 package graft.tools
-
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
-/** Verify a SUBSET of SparkEntry.queries without paying for the whole
-  * suite: `tools/run.sh graft.tools.VerifyOne <outDir> <sfDir> <query...>`
-  * writes each named query's parquet plus an oracle_sql.json restricted
-  * to those queries — then `tools/check.py --skip-verify --out <outDir>
-  * <query...>` runs the DuckDB compare on just the subset.
+/** Dump ONE (or a few) SparkEntry queries + the full oracle_sql.json
+  * in the graft.Verify output layout, so `tools/check.py --skip-verify
+  * <names...>` can gate a single new query locally without re-running
+  * the whole suite:
+  * `tools/run.sh graft.tools.VerifyOne <sfDir> <outDir> <query>...`
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: VerifyOne <outDir> <sfDir> <query...>")
+      System.err.println("usage: VerifyOne <sfDir> <outDir> <query>...")
       sys.exit(2)
     }
-    val outDir = args(0)
-    val sfDir = args(1)
+    val sfDir = args(0)
+    val outDir = args(1)
     val names = args.drop(2).toSeq
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     if (unknown.nonEmpty) {
-      System.err.println(s"unknown queries: ${unknown.mkString(", ")}; valid: " +
-        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[verify-one] wrote $name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(outDir)
     spark.stop()
   }
 }

@@ -962,4 +962,42 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(got.size == 5)
   }
+
+  test("BloomAgg: no false negatives, FPR near prediction, merge-order and probe-path invariant") {
+    import graft.functions.BloomAgg
+    val m = 4096; val k = 5
+    val members = (0 until 400).map(i => s"member_$i")
+    val df = members.toDF("s")
+    def bitsOf(parts: Int): Array[Long] =
+      df.repartition(parts).agg(BloomAgg.bloom(col("s"), m, k)).head()
+        .getSeq[Long](0).toArray
+    val bits = bitsOf(1)
+    // partition layout must not flip a single bit (merge = OR)
+    assert(bits.sameElements(bitsOf(7)))
+    assert(bits.length == m / 64)
+    // no false negatives — every inserted item probes true
+    members.foreach { s =>
+      assert(BloomAgg.contains(bits, k, s.getBytes("UTF-8")), s"false negative: $s")
+    }
+    // false-positive rate on a disjoint probe set tracks the
+    // occupancy-exact prediction (set_bits/m)^k
+    val probes = (0 until 4000).map(i => s"outsider_$i")
+    val fp = probes.count(s => BloomAgg.contains(bits, k, s.getBytes("UTF-8")))
+    val occup = bits.map(java.lang.Long.bitCount(_).toLong).sum.toDouble / m
+    val predicted = math.pow(occup, k)
+    assert(fp.toDouble / probes.size <= 2.0 * predicted + 10.0 / probes.size,
+      s"FPR ${fp.toDouble / probes.size} above band (predicted $predicted)")
+    // the codegen'd column probe agrees with the driver-side probe on
+    // every member and every outsider
+    val probeDf = (members ++ probes).toDF("s")
+      .withColumn("hit", BloomAgg.containsC(bits, k, col("s")))
+    val got = probeDf.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (members ++ probes).foreach { s =>
+      assert(got(s) == BloomAgg.contains(bits, k, s.getBytes("UTF-8")),
+        s"column/driver probe disagree on $s")
+    }
+    // the filter is genuinely loaded: occupancy in a sane band, and at
+    // least one outsider collides at this m/n (k·n/m ≈ 0.49)
+    assert(occup > 0.3 && occup < 0.6, s"occupancy $occup out of band")
+  }
 }
