@@ -925,4 +925,74 @@ object TextOps {
         coalesce(col("n_contam"), lit(0L)).as("n_contam"))
       .withColumn("contaminated", col("n_contam") > 0)
   }
+
+  // ---- naive-Bayes text classifier --------------------------------------
+
+  /** Multinomial Naive Bayes text classifier (the fastText/DCLM-style
+    * quality- or domain-classifier shape, with the hashed-logistic fit
+    * replaced by closed-form count estimation so training is ONE hash
+    * aggregate instead of SGD): train on the rows where `trainPred` is
+    * true, score every other row against every label, predict the
+    * argmax of ln P(l) + Σ_w ln P(w|l) with add-one smoothing
+    * P(w|l) = (c(l,w)+1)/(tot_l+V).
+    *
+    * Determinism: every per-token log-probability is rounded to the
+    * fp6 grid (1e-6) BEFORE summing, so document scores are sums of
+    * BIGINTs — exact under any partition/merge order and bit-identical
+    * across engines (the kmeans/PQ assignment trick); the argmax
+    * breaks score ties toward the alphabetically first label.
+    *
+    * Scale shape: the model fit is two partial-aggregatable hash aggs
+    * (label×word counts; label totals) plus three one-row/one-per-label
+    * broadcast frames — closed-form, no iteration, no driver data.
+    * Scoring explodes test tokens ×|labels| via a broadcast of the
+    * per-label constants (|labels| is small by construction), then
+    * left-joins the model on (label, word) — left UNHINTED so AQE
+    * broadcasts a small vocabulary and shuffles a huge one. The
+    * per-document argmax is a window over |labels| rows per doc —
+    * bounded groups, hash-distributed. No collects anywhere.
+    */
+  def nbClassify(df: DataFrame, idCol: String, labelCol: String,
+                 textCol: String, trainPred: Column): DataFrame = {
+    val train = df.filter(trainPred)
+    val test = df.filter(!trainPred)
+    val trainToks = train.select(col(labelCol).as("_l"),
+      explode(words(col(textCol))).as("_w"))
+    val c2 = trainToks.groupBy(col("_l"), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = trainToks.groupBy(col("_l")).agg(count(lit(1)).as("_tot"))
+    val vocab = trainToks.agg(count_distinct(col("_w")).as("_v"))
+    val nTrain = train.agg(count(lit(1)).as("_n_train"))
+    val labelStats = train.groupBy(col(labelCol).as("_l"))
+      .agg(count(lit(1)).as("_n_l"))
+      .join(tot, Seq("_l"))
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTrain))
+      .select(col("_l"), col("_tot"), col("_v"),
+        graft.Tables.fp6(log(col("_n_l").cast("double") / col("_n_train")))
+          .as("_prior_fp"),
+        graft.Tables.fp6(log(lit(1.0) / (col("_tot") + col("_v"))))
+          .as("_default_fp"))
+    val model = c2.join(labelStats.select(col("_l"), col("_tot"), col("_v")),
+        Seq("_l"))
+      .select(col("_l"), col("_w"),
+        graft.Tables.fp6(log((col("_c") + lit(1)).cast("double") /
+          (col("_tot") + col("_v")))).as("_lp_fp"))
+    val testToks = test.select(col(idCol), explode(words(col(textCol))).as("_w"))
+    val tokScores = testToks
+      .crossJoin(broadcast(labelStats.select(col("_l"), col("_default_fp"))))
+      .join(model, Seq("_l", "_w"), "left")
+      .groupBy(col(idCol), col("_l"))
+      .agg(sum(coalesce(col("_lp_fp"), col("_default_fp"))).as("_tok_fp"))
+    val scores = test.select(col(idCol), col(labelCol))
+      .crossJoin(broadcast(labelStats.select(col("_l"), col("_prior_fp"))))
+      .join(tokScores, Seq(idCol, "_l"), "left")
+      .withColumn("score_fp", col("_prior_fp") + coalesce(col("_tok_fp"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_fp").desc, col("_l"))
+    scores.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("_l").as("pred_label"), col(labelCol),
+        (col("_l") === col(labelCol)).as("correct"), col("score_fp"))
+  }
 }

@@ -1775,6 +1775,71 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Multinomial Naive Bayes classifier (TextOps.nbClassify — the
+    * fastText/DCLM quality- or domain-classifier shape with the SGD
+    * fit replaced by closed-form counting, so train is one hash agg):
+    * trained on the doc_id%5≠0 split's lang labels, scoring the
+    * held-out docs. Per-token log-probs round to the fp6 grid BEFORE
+    * summing, so scores are BIGINT sums — exact under any partition or
+    * merge order — and the oracle retrains the whole model in SQL and
+    * replays every score bit-for-bit. (On this synthetic corpus the
+    * langs share one vocabulary, so accuracy ≈ the majority-class
+    * prior — the oracle pins the exact computation; the ScalaTest spec
+    * proves separability on a corpus where the classes actually
+    * differ.)
+    */
+  def textNbClassify(s: SparkSession, dir: String): DataFrame =
+    TextOps.nbClassify(docs(s, dir), "doc_id", "lang", "text",
+      col("doc_id") % 5 =!= 0)
+      .orderBy("doc_id")
+
+  private val textNbClassifySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), tr AS (
+       |  SELECT * FROM w WHERE doc_id % 5 <> 0
+       |), te AS (
+       |  SELECT * FROM w WHERE doc_id % 5 = 0
+       |), trt AS (
+       |  SELECT lang AS l, unnest(ws) AS wd FROM tr
+       |), tot AS (
+       |  SELECT l, COUNT(*) AS tot FROM trt GROUP BY 1
+       |), v AS (
+       |  SELECT COUNT(DISTINCT wd) AS v FROM trt
+       |), ntr AS (
+       |  SELECT COUNT(*) AS n FROM tr
+       |), ls AS (
+       |  SELECT t.l, t.tot, v.v,
+       |    ${fpSql("ln(CAST(p.n_l AS DOUBLE) / ntr.n)", "1e6")} AS prior_fp,
+       |    ${fpSql("ln(1.0 / (t.tot + v.v))", "1e6")} AS default_fp
+       |  FROM tot t
+       |  JOIN (SELECT lang AS l, COUNT(*) AS n_l FROM tr GROUP BY 1) p ON p.l = t.l
+       |  CROSS JOIN v CROSS JOIN ntr
+       |), model AS (
+       |  SELECT c2.l, c2.wd,
+       |    ${fpSql("ln((c2.c + 1.0) / (t.tot + v.v))", "1e6")} AS lp_fp
+       |  FROM (SELECT l, wd, COUNT(*) AS c FROM trt GROUP BY 1, 2) c2
+       |  JOIN tot t ON t.l = c2.l CROSS JOIN v
+       |), tet AS (
+       |  SELECT doc_id, unnest(ws) AS wd FROM te
+       |), toksc AS (
+       |  SELECT tt.doc_id, ls.l,
+       |    CAST(SUM(COALESCE(m.lp_fp, ls.default_fp)) AS BIGINT) AS tok_fp
+       |  FROM tet tt CROSS JOIN ls
+       |  LEFT JOIN model m ON m.l = ls.l AND m.wd = tt.wd
+       |  GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT te.doc_id, te.lang, ls.l,
+       |    CAST(ls.prior_fp + COALESCE(t.tok_fp, 0) AS BIGINT) AS score_fp
+       |  FROM te CROSS JOIN ls
+       |  LEFT JOIN toksc t ON t.doc_id = te.doc_id AND t.l = ls.l
+       |), rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_fp DESC, l) AS rk FROM sc
+       |)
+       |SELECT doc_id, l AS pred_label, lang, (l = lang) AS correct, score_fp
+       |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   /** Bloom-filter decontamination, GATED (functions.BloomAgg — Bloom
     * 1970): the scale path for text_contamination. At 100 TB the exact
     * variant ships the benchmark's distinct-shingle set through a join
@@ -2126,6 +2191,7 @@ object Pipeline {
     "text_gopher" -> (textGopher _),
     "text_contamination" -> (textContamination _),
     "text_bloom" -> (textBloom _),
+    "text_nb_classify" -> (textNbClassify _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2180,6 +2246,7 @@ object Pipeline {
     "text_gopher" -> textGopherSql,
     "text_contamination" -> textContaminationSql,
     "text_bloom" -> textBloomSql,
+    "text_nb_classify" -> textNbClassifySql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

@@ -1000,4 +1000,30 @@ class PipelineSpec extends SparkTestBase {
     // least one outsider collides at this m/n (k·n/m ≈ 0.49)
     assert(occup > 0.3 && occup < 0.6, s"occupancy $occup out of band")
   }
+
+  test("nbClassify: separates distinct vocabularies, smoothing scores unseen words, ties break alphabetically") {
+    // two classes with disjoint core vocab + shared filler
+    val mk = (base: Long, label: String, core: String, n: Int) =>
+      (0 until n).map(i => (base + i, label,
+        s"$core $core shared filler $core word$i"))
+    val rows = mk(1000L, "spam", "buy pills cheap", 10) ++
+      mk(2000L, "ham", "meeting agenda notes", 10)
+    val df = rows.toDF("id", "cls", "text")
+    // train on all but the last 2 of each class
+    val trainPred = col("id") % 100 < 8
+    val out = TextOps.nbClassify(df, "id", "cls", "text", trainPred)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(3))).toMap
+    assert(out.size == 4)
+    out.foreach { case (id, (pred, correct)) =>
+      assert(correct, s"doc $id misclassified as $pred")
+    }
+    // unseen words fall back to the smoothed default, not a crash/null:
+    // a doc of pure out-of-vocabulary words gets the majority prior
+    val df2 = (rows :+ (999L, "spam", "qqq zzz www")).toDF("id", "cls", "text")
+    val o2 = TextOps.nbClassify(df2, "id", "cls", "text", col("id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both classes equally sized and all words unseen → scores tie at
+    // every token; alphabetical rule picks "ham"
+    assert(o2(999L) == "ham")
+  }
 }
