@@ -926,6 +926,42 @@ object TextOps {
       .withColumn("contaminated", col("n_contam") > 0)
   }
 
+  // ---- retrieval chunking ----------------------------------------------
+
+  /** Overlapping retrieval chunks (the RAG indexing transform): cut
+    * each document's token stream into `chunkTokens`-token windows
+    * every `stride` tokens (overlap = chunkTokens − stride), last
+    * window ragged. Chunk count = 1 + ⌈max(0, n − chunkTokens) /
+    * stride⌉, computed in INTEGER arithmetic ((x + stride−1) div
+    * stride) so engines can't disagree by a float ulp.
+    *
+    * Scale shape: pure map-side — tokenize, explode a per-row integer
+    * sequence, slice; zero shuffle, scan-bound, fully codegen'd. The
+    * chunk content ships as its md5 (what a vector indexer would key
+    * on), not the text, so output width stays bounded.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    df.select(col(idCol), words(col(textCol)).as("_ws"))
+      .withColumn("_n", size(col("_ws")))
+      .filter(col("_n") > 0)
+      .withColumn("_nch",
+        expr(s"1 + ((greatest(_n - $chunkTokens, 0) + ${stride - 1}) div $stride)"))
+      .select(col(idCol), col("_ws"), col("_n"),
+        explode(expr("sequence(0, _nch - 1)")).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("start_tok"),
+        least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride)
+          .cast("int").as("n_toks"),
+        md5(encode(concat_ws(" ",
+          slice(col("_ws"), col("chunk_idx") * stride + 1,
+            least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride))),
+          "UTF-8")).as("chunk_md5"))
+  }
+
   // ---- naive-Bayes text classifier --------------------------------------
 
   /** Multinomial Naive Bayes text classifier (the fastText/DCLM-style

@@ -1775,6 +1775,33 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Overlapping retrieval chunks (TextOps.chunk): 64-token windows
+    * every 48 tokens (16-token overlap), last window ragged — the RAG
+    * indexing transform, map-side only. The oracle rebuilds every
+    * boundary with the same integer arithmetic and re-derives each
+    * chunk's md5 over the space-joined tokens.
+    */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(docs(s, dir), "doc_id", "text", chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val textChunkSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents
+      |), c AS (
+      |  SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+      |), ch AS (
+      |  SELECT doc_id, ws, n,
+      |    unnest(generate_series(0, (GREATEST(n - 64, 0) + 47) // 48)) AS chunk_idx
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(chunk_idx * 48 AS INT) AS start_tok,
+      |  CAST(LEAST(64, n - chunk_idx * 48) AS INT) AS n_toks,
+      |  md5(array_to_string(list_slice(ws, chunk_idx * 48 + 1,
+      |    chunk_idx * 48 + LEAST(64, n - chunk_idx * 48)), ' ')) AS chunk_md5
+      |FROM ch ORDER BY 1, 2""".stripMargin
+
   /** Multinomial Naive Bayes classifier (TextOps.nbClassify — the
     * fastText/DCLM quality- or domain-classifier shape with the SGD
     * fit replaced by closed-form counting, so train is one hash agg):
@@ -2192,6 +2219,7 @@ object Pipeline {
     "text_contamination" -> (textContamination _),
     "text_bloom" -> (textBloom _),
     "text_nb_classify" -> (textNbClassify _),
+    "text_chunk" -> (textChunk _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2247,6 +2275,7 @@ object Pipeline {
     "text_contamination" -> textContaminationSql,
     "text_bloom" -> textBloomSql,
     "text_nb_classify" -> textNbClassifySql,
+    "text_chunk" -> textChunkSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

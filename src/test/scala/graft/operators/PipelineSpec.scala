@@ -1026,4 +1026,36 @@ class PipelineSpec extends SparkTestBase {
     // every token; alphabetical rule picks "ham"
     assert(o2(999L) == "ham")
   }
+
+  test("chunk: boundary counts, 16-token overlap, ragged tail, full coverage") {
+    def doc(id: Long, n: Int) = (id, (0 until n).map(i => s"t$i").mkString(" "))
+    val df = Seq(doc(1, 64), doc(2, 65), doc(3, 112), doc(4, 113),
+      doc(5, 1), doc(6, 200)).toDF("doc_id", "text")
+    val got = TextOps.chunk(df, "doc_id", "text", chunkTokens = 64, stride = 48)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val wantCounts = Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 1, 6L -> 4)
+    wantCounts.foreach { case (id, n) =>
+      assert(got(id).length == n, s"doc $id: ${got(id).length} chunks != $n")
+    }
+    // chunk i starts at 48·i; consecutive chunks overlap by start+64−next
+    got.values.foreach { chunks =>
+      chunks.zipWithIndex.foreach { case ((_, idx, start, _), i) =>
+        assert(idx == i && start == 48 * i)
+      }
+      // coverage: last chunk reaches exactly the doc end
+      val (_, _, lastStart, lastN) = chunks.last
+      val docLen = Map(1L -> 64, 2L -> 65, 3L -> 112, 4L -> 113, 5L -> 1,
+        6L -> 200)(chunks.head._1)
+      assert(lastStart + lastN == docLen)
+      // every non-last chunk is full-width (64), so the overlap with
+      // its successor is exactly 64 − 48 = 16 tokens
+      chunks.init.foreach { case (_, _, _, n) => assert(n == 64) }
+    }
+    // empty doc emits no chunks
+    val empty = TextOps.chunk(Seq((9L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text").count()
+    assert(empty == 0)
+  }
 }
