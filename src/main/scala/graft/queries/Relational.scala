@@ -369,8 +369,31 @@ object Relational {
         fp6(col("median")).as("med_fp"))
       .orderBy("event_type")
 
+  /** Salted skew join (operators.Skew.saltedJoin): events ⋈ customer
+    * with the key split across 16 salt buckets — the hot-key defense a
+    * power-law fact table needs at 100 TB, where one bot user would
+    * otherwise pin its whole key on a single reducer. The salt is
+    * deterministic (xxhash64 of the row-unique event_id, no RNG) and
+    * routing-only: results are identical to the plain join, which is
+    * exactly what the oracle runs. PlanShapeSpec pins the shuffled-
+    * hash plan with (key, salt) join keys and no broadcast.
+    */
+  def q17SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.Skew.saltedJoin(ev, cust, "user_id", "c_custkey",
+        col("event_id"), salt = 16)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        fp2(sum(col("value"))).as("sum_value_fp"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q17_salted_join" -> (q17SaltedJoin _),
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
     "q4_asof" -> (q4Asof _),
@@ -389,6 +412,11 @@ object Relational {
     "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q17_salted_join" ->
+      s"""SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  ${fpSql("SUM(e.value)", "100")} AS sum_value_fp
+         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_exact_median" ->
       s"""WITH r AS (
          |  SELECT event_type, value,

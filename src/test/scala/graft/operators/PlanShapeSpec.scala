@@ -461,4 +461,28 @@ class PlanShapeSpec extends SparkTestBase {
     val rot = Array.tabulate(16, 16)((i, j) => if (i == j) 1.0 else 0.0)
     assert(hashExchanges(Ann.opqRotate(vecs, "embedding", rot, "rv")) == 0)
   }
+
+  test("saltedJoin: shuffled hash join on (key, salt), no broadcast, result = plain join") {
+    // skewed fact: one hot key holds half the rows
+    val fact = (0L until 400L)
+      .map(i => (if (i % 2 == 0) 7L else i % 50, i, (i % 11).toDouble))
+      .toDF("k", "rid", "v")
+    val dim = (0L until 50L).map(i => (i, s"n${i % 5}")).toDF("dk", "name")
+    val joined = Skew.saltedJoin(fact, dim, "k", "dk", col("rid"), salt = 8)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "salting a broadcast join is pointless")
+    assert(plan.contains("_salt"), "salt column missing from join keys")
+    // identical multiset of results vs the plain join
+    val got = joined.groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = fact.join(dim, col("k") === col("dk")).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"salted join changed results: $got vs $want")
+    // the hot key genuinely spreads: its rows land in >1 salt bucket
+    val buckets = fact.filter(col("k") === 7L)
+      .select(pmod(xxhash64(col("rid")), lit(8)).as("b"))
+      .distinct().count()
+    assert(buckets > 1, "hot key stayed in one salt bucket")
+  }
 }
