@@ -795,4 +795,33 @@ object Ann {
       .select(col(idCol), col("_rvec"))
     topkPq(rc, rq, idCol, "_rvec", k, nSub, kSub, iters)
   }
+
+  /** Mutual k-NN graph over a node set: an undirected edge (a, b)
+    * exists iff b is in a's k nearest neighbors AND a is in b's — the
+    * graph primitive under SemDeDup-style cluster dedup, graph-based
+    * label propagation, and connected-component grouping of near-
+    * duplicates. Mutuality prunes the asymmetric "hub" edges a plain
+    * kNN digraph accumulates around dense regions (a hub is in
+    * everyone's top-k; almost nobody is in the hub's).
+    *
+    * The kNN stage here is the exact brute-force scorer (so the graph
+    * is exactly replayable); at 100 TB swap it for [[topkIvfPq]] —
+    * the output contract (query_id, rank, neighbor_id, score_fp) is
+    * identical, and everything downstream is scale-safe already: the
+    * symmetrization is an ordinary hash equi-join of the k·n edge
+    * list against its own reversal on (src, dst) — edge-key
+    * partitioned, k·n rows, never an n² pair set.
+    */
+  def knnGraph(nodes: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val knn = topkBruteForce(nodes, nodes.select(col(idCol), col(vecCol)),
+      idCol, vecCol, k)
+    val e = knn.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"), col("score_fp"))
+    val rev = e.select(col("dst").as("_rsrc"), col("src").as("_rdst"))
+    e.join(rev, col("src") === col("_rsrc") && col("dst") === col("_rdst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        col("score_fp").as("cos_fp"))
+  }
 }

@@ -295,6 +295,47 @@ object Pipeline {
        |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id, score_fp
        |FROM ranked WHERE rk <= $k ORDER BY 1, 2""".stripMargin
 
+  /** Mutual k-NN graph (Ann.knnGraph) over the vec_id%10 node sample:
+    * undirected edges where BOTH endpoints rank the other in their
+    * top-4 by cosine. Exact (brute kNN stage), so the oracle replays
+    * the full graph: pairwise dots, fp6 cosine, (score DESC, id)
+    * ranking, and the mutuality self-join.
+    */
+  def embKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Ann.knnGraph(embs(s, dir).filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", k = 4)
+      .orderBy("a", "b")
+
+  private val embKnnGraphSql: String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+       |), idx AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), nrm AS (
+       |  SELECT e.vec_id,
+       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ee e, idx i GROUP BY 1
+       |), dp AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM ee a, ee b, idx i
+       |  WHERE b.vec_id != a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), kn AS (
+       |  SELECT qid, cid, score_fp FROM (
+       |    SELECT qid, cid, score_fp,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |    FROM scored) WHERE rk <= 4
+       |)
+       |SELECT x.qid AS a, x.cid AS b, x.score_fp AS cos_fp
+       |FROM kn x JOIN kn y ON y.qid = x.cid AND y.cid = x.qid
+       |WHERE x.qid < x.cid
+       |ORDER BY 1, 2""".stripMargin
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.embeddingPairs(embs(s, dir), "vec_id", "embedding", minCos = 0.35)
       .orderBy("a", "b")
@@ -2220,6 +2261,7 @@ object Pipeline {
     "text_bloom" -> (textBloom _),
     "text_nb_classify" -> (textNbClassify _),
     "text_chunk" -> (textChunk _),
+    "emb_knn_graph" -> (embKnnGraph _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2276,6 +2318,7 @@ object Pipeline {
     "text_bloom" -> textBloomSql,
     "text_nb_classify" -> textNbClassifySql,
     "text_chunk" -> textChunkSql,
+    "emb_knn_graph" -> embKnnGraphSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

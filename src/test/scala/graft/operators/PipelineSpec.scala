@@ -1058,4 +1058,41 @@ class PipelineSpec extends SparkTestBase {
       "doc_id", "text").count()
     assert(empty == 0)
   }
+
+  test("knnGraph: matches a hand-computed mutual graph and prunes one-way hub edges") {
+    // two tight clusters + one "hub" vector mid-way: cluster members
+    // rank each other above the hub, but the hub's own top-k is all
+    // cluster members — those hub edges are one-way and must be pruned
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val vecs = Seq(
+      10L -> v(1, 0, 0, 0), 11L -> v(0.99, 0.1, 0, 0), 12L -> v(0.98, 0.15, 0, 0),
+      20L -> v(0, 1, 0, 0), 21L -> v(0.1, 0.99, 0, 0), 22L -> v(0.15, 0.98, 0, 0),
+      99L -> v(0.7, 0.7, 0, 0) // hub
+    ).toDF("vec_id", "embedding")
+    val got = Ann.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference in scala
+    val m = Seq(10L -> v(1, 0, 0, 0), 11L -> v(0.99, 0.1, 0, 0),
+      12L -> v(0.98, 0.15, 0, 0), 20L -> v(0, 1, 0, 0),
+      21L -> v(0.1, 0.99, 0, 0), 22L -> v(0.15, 0.98, 0, 0),
+      99L -> v(0.7, 0.7, 0, 0)).toMap
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val knn = m.keys.map { q =>
+      q -> m.keys.filter(_ != q).toSeq
+        .sortBy(c => (-math.floor(cos(m(q), m(c)) * 1e6 + 0.5), c)).take(2).toSet
+    }.toMap
+    val want = (for {
+      a <- m.keys; b <- m.keys if a < b
+      if knn(a).contains(b) && knn(b).contains(a)
+    } yield (a, b)).toSet
+    assert(got == want, s"graph mismatch: $got vs $want")
+    // the hub picked neighbors, but no edge survives mutuality
+    assert(!got.exists(e => e._1 == 99L || e._2 == 99L))
+    // clusters are internally connected
+    assert(got.contains((10L, 11L)) && got.contains((20L, 21L)))
+  }
 }
