@@ -926,6 +926,43 @@ object TextOps {
       .withColumn("contaminated", col("n_contam") > 0)
   }
 
+  // ---- inverted index ---------------------------------------------------
+
+  /** Inverted-index shard layout (the IR/BM25 indexing primitive): one
+    * row per (term, doc) posting with term frequency, first/last
+    * position, and an md5 digest of the full ascending position list,
+    * joined to per-term document frequency and collection frequency.
+    *
+    * The layout is deliberately (term, doc)-granular, NOT one row per
+    * term with a collected posting list: a stopword-class term's
+    * postings are unbounded at 100 TB (billions of docs), so the
+    * scale-safe index is term-partitioned SHARDS of bounded rows —
+    * exactly what a distributed search engine stores. Positions stay
+    * bounded by the single document's length.
+    *
+    * Scale shape: tokenize + posexplode map-side; one partial-
+    * aggregatable hash agg keyed (term, doc) builds the postings; a
+    * second keyed (term) builds df/cf; the stats join back is left
+    * unhinted (AQE broadcasts a small vocabulary, shuffles a huge one,
+    * and skew-splits the stopword keys). No windows, no collects.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("_pos", "term")))
+    val postings = toks.groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        (min(col("_pos")) + 1).as("first_pos"),
+        (max(col("_pos")) + 1).as("last_pos"),
+        md5(encode(concat_ws(",",
+          transform(sort_array(collect_list(col("_pos") + 1)),
+            _.cast("string"))), "UTF-8")).as("pos_md5"))
+    val stats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    postings.join(stats, Seq("term"))
+      .select(col("term"), col(idCol), col("tf"), col("df"), col("cf"),
+        col("first_pos"), col("last_pos"), col("pos_md5"))
+  }
+
   // ---- retrieval chunking ----------------------------------------------
 
   /** Overlapping retrieval chunks (the RAG indexing transform): cut

@@ -1816,6 +1816,38 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
+    * postings with tf, first/last position, and an md5 over the full
+    * ascending position list, joined to per-term df/cf. The oracle
+    * rebuilds postings from a struct-comprehension tokenizer and
+    * replays every digest.
+    */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextOps.invertedIndex(docs(s, dir), "doc_id", "text")
+      .orderBy("term", "doc_id")
+
+  private val textInvertedIndexSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents
+      |), tk AS (
+      |  SELECT doc_id,
+      |    unnest([{'p': i, 'wd': ws[i]} for i in generate_series(1, len(ws))]) AS s
+      |  FROM w WHERE len(ws) >= 1
+      |), post AS (
+      |  SELECT s.wd AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+      |    CAST(MIN(s.p) AS INT) AS first_pos, CAST(MAX(s.p) AS INT) AS last_pos,
+      |    md5(array_to_string(list_sort(list(s.p)), ',')) AS pos_md5
+      |  FROM tk GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM post GROUP BY 1
+      |)
+      |SELECT p.term, p.doc_id, p.tf, s.df, s.cf, p.first_pos, p.last_pos,
+      |  p.pos_md5
+      |FROM post p JOIN stats s USING (term)
+      |ORDER BY 1, 2""".stripMargin
+
   /** Overlapping retrieval chunks (TextOps.chunk): 64-token windows
     * every 48 tokens (16-token overlap), last window ragged — the RAG
     * indexing transform, map-side only. The oracle rebuilds every
@@ -2262,6 +2294,7 @@ object Pipeline {
     "text_nb_classify" -> (textNbClassify _),
     "text_chunk" -> (textChunk _),
     "emb_knn_graph" -> (embKnnGraph _),
+    "text_inverted_index" -> (textInvertedIndex _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2319,6 +2352,7 @@ object Pipeline {
     "text_nb_classify" -> textNbClassifySql,
     "text_chunk" -> textChunkSql,
     "emb_knn_graph" -> embKnnGraphSql,
+    "text_inverted_index" -> textInvertedIndexSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

@@ -391,9 +391,36 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each later active day offset — the product-analytics matrix
+    * (cohort × day N retention). Shaped for scale: activity first
+    * dedupes to (user, day) pairs with a partial-aggregatable hash agg
+    * — NOT count(DISTINCT user) per cell, whose Expand would rescan
+    * every raw event per cell — then the per-user first-day join is
+    * unhinted (AQE broadcasts when users fit, shuffles on user_id
+    * otherwise), and the final (cohort, offset) count is a plain hash
+    * agg of already-unique rows. Epoch-day arithmetic is integer on
+    * both engines.
+    */
+  def q18Cohort(s: SparkSession, dir: String): DataFrame =
+    cohortFrame(load(s, dir, "events"))
+
+  /** [[q18Cohort]]'s builder over any (user_id, ts-nanos) frame. */
+  def cohortFrame(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q17_salted_join" -> (q17SaltedJoin _),
+    "q18_cohort" -> (q18Cohort _),
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
     "q4_asof" -> (q4Asof _),
@@ -412,6 +439,16 @@ object Relational {
     "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q18_cohort" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), first AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1
+        |)
+        |SELECT f.cohort_day, a.day - f.cohort_day AS offset_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act a JOIN first f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q17_salted_join" ->
       s"""SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
          |  ${fpSql("SUM(e.value)", "100")} AS sum_value_fp

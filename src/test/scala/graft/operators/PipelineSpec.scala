@@ -1095,4 +1095,46 @@ class PipelineSpec extends SparkTestBase {
     // clusters are internally connected
     assert(got.contains((10L, 11L)) && got.contains((20L, 21L)))
   }
+
+  test("invertedIndex: postings, positions, df/cf on a hand-checked corpus") {
+    val df = Seq(
+      (1L, "a b a c a"),
+      (2L, "b b c"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5), r.getInt(6),
+          r.getString(7)))
+      .toMap
+    def md5(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // a: doc1 at 1,3,5 — df 1, cf 3
+    assert(got(("a", 1L)) == (3L, 1L, 3L, 1, 5, md5("1,3,5")))
+    // b: doc1 at 2; doc2 at 1,2 — df 2, cf 3
+    assert(got(("b", 1L)) == (1L, 2L, 3L, 2, 2, md5("2")))
+    assert(got(("b", 2L)) == (2L, 2L, 3L, 1, 2, md5("1,2")))
+    // c: doc1 at 4; doc2 at 3
+    assert(got(("c", 1L)) == (1L, 2L, 2L, 4, 4, md5("4")))
+    assert(got(("c", 2L)) == (1L, 2L, 2L, 3, 3, md5("3")))
+    // empty doc contributes nothing
+    assert(got.size == 5)
+  }
+
+  test("cohort retention counts match a hand-built activity matrix") {
+    val day = 86400000000000L // ns
+    // u1 active days 0,1,3; u2 days 1,1(dup),2; u3 day 3 only
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L), (2L, 1L), (2L, 2L),
+      (3L, 3L)).map { case (u, d) => (u, d * day + 12345L) }
+      .toDF("user_id", "ts")
+    val got = graft.queries.Relational.cohortFrame(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort 0 (u1): offsets 0,1,3; cohort 1 (u2): offsets 0,1;
+    // cohort 3 (u3): offset 0
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L, (3L, 0L) -> 1L))
+  }
 }
