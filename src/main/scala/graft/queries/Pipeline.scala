@@ -1816,6 +1816,46 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** JSONL ingestion round-trip (sources.Sources.jsonlDocs): documents
+    * materialized once as 4 JSONL shards with every 83rd line
+    * deterministically truncated, read back as raw text + map-side
+    * `from_json` with an explicit schema — no inference job, no
+    * corrupt-record caching restriction, corrupt lines counted (never
+    * dropped silently, never fatal). Output: per-source doc count,
+    * char mass, and an ORDER-INDEPENDENT content digest (bit_xor of
+    * each text's 60-bit md5 prefix — mergeable, partial-aggregatable,
+    * so the digest is deterministic under any partition layout) that
+    * proves the JSON round-trip preserved every byte of every
+    * surviving text; plus a `_corrupt` row carrying the quarantine
+    * count. The oracle replays everything from the parquet side
+    * (corrupt = doc_id % 83 = 0).
+    */
+  def srcJsonl(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.sources.Sources.jsonlDocs(s, dir)
+    val good = parsed.filter(col("j.doc_id").isNotNull)
+      .groupBy(col("j.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("j.n_chars")).as("sum_chars"),
+        bit_xor(conv(substring(md5(encode(col("j.text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+    val bad = parsed.filter(col("j.doc_id").isNull)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("_corrupt").as("source"), col("n_docs"),
+        lit(0L).as("sum_chars"), lit(0L).as("content_xor"))
+    good.unionByName(bad).orderBy("source")
+  }
+
+  private val srcJsonlSql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents WHERE doc_id % 83 <> 0
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT '_corrupt', CAST(COUNT(*) AS BIGINT), 0, 0
+      |FROM documents WHERE doc_id % 83 = 0
+      |ORDER BY 1""".stripMargin
+
   /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
     * postings with tf, first/last position, and an md5 over the full
     * ascending position list, joined to per-term df/cf. The oracle
@@ -2295,6 +2335,7 @@ object Pipeline {
     "text_chunk" -> (textChunk _),
     "emb_knn_graph" -> (embKnnGraph _),
     "text_inverted_index" -> (textInvertedIndex _),
+    "src_jsonl" -> (srcJsonl _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2353,6 +2394,7 @@ object Pipeline {
     "text_chunk" -> textChunkSql,
     "emb_knn_graph" -> embKnnGraphSql,
     "text_inverted_index" -> textInvertedIndexSql,
+    "src_jsonl" -> srcJsonlSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

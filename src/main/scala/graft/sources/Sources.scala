@@ -39,4 +39,56 @@ object Sources {
         col("modificationTime").as("modified"),
         mimeExpr.as("mime")).as("meta"))
   }
+
+  /** JSONL document ingestion — the raw-web-dump format every training
+    * pipeline actually starts from — read the SCALE-SAFE way: raw text
+    * lines + `from_json` with an explicit schema (map-side, codegen'd,
+    * no schema-inference scan job, no Spark JSON-source
+    * _corrupt_record caching restriction). A line whose parse fails
+    * yields a null struct and is accounted, not dropped silently or
+    * fatally: real dumps always carry truncated/garbled lines, and
+    * the ingest contract is "count and quarantine, never crash, never
+    * silently lose".
+    *
+    * Returns (value: raw line, j: parsed struct or null) — callers
+    * filter on `j.<field> IS NULL` for the corrupt set.
+    */
+  def jsonlDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = materializeJsonl(spark, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("n_chars", org.apache.spark.sql.types.LongType)
+    spark.read.text(new java.io.File(root, "data").getAbsolutePath)
+      .select(col("value"), from_json(col("value"), schema).as("j"))
+  }
+
+  /** One-time fingerprint-keyed JSONL materialization of the documents
+    * table (4 shards), with every 83rd doc's line deterministically
+    * TRUNCATED (last 2 chars dropped — always a parse error, since a
+    * JSON object line can't survive losing its closing brace) so the
+    * corrupt-record path is genuinely exercised and exactly
+    * replayable from the parquet side (doc_id % 83 = 0).
+    */
+  private def materializeJsonl(spark: SparkSession, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_jsonl/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val line = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("_line", line)
+        .select(when(col("doc_id") % 83 === 0,
+            expr("substring(_line, 1, length(_line) - 2)"))
+          .otherwise(col("_line")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(new java.io.File(scratch, "data").getAbsolutePath)
+    }
+    base
+  }
 }

@@ -41,4 +41,23 @@ class SourcesSpec extends SparkTestBase {
       Files.deleteIfExists(dir)
     }
   }
+
+  test("jsonlDocs: corrupt lines accounted exactly, surviving texts byte-identical") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val parsed = Sources.jsonlDocs(spark, sf).cache()
+    val ref = spark.read.parquet(s"$sf/documents.parquet").cache()
+    val wantCorrupt = ref.filter(col("doc_id") % 83 === 0).count()
+    val gotCorrupt = parsed.filter(col("j.doc_id").isNull).count()
+    assert(gotCorrupt == wantCorrupt && wantCorrupt > 0)
+    assert(parsed.count() == ref.count())
+    // every surviving (doc_id, text) round-trips byte-for-byte
+    val good = parsed.filter(col("j.doc_id").isNotNull)
+      .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+    val refGood = ref.filter(col("doc_id") % 83 =!= 0)
+      .select(col("doc_id"), col("text"))
+    assert(good.exceptAll(refGood).count() == 0)
+    assert(refGood.exceptAll(good).count() == 0)
+    parsed.unpersist(); ref.unpersist(): Unit
+  }
 }
