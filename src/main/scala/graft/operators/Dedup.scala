@@ -410,6 +410,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact edit-distance verification of candidate near-dup pairs —
+    * the VERIFY stage of a production fuzzy-dedup pipeline: banding
+    * (simhash/minhash) proposes candidates cheaply but admits false
+    * positives; Levenshtein on the normalized texts is the exact
+    * arbiter. A pair is a duplicate iff lev ≤ 20% of the longer text
+    * (compared as 5·lev ≤ max_len — integer arithmetic, no float
+    * threshold an engine could round differently).
+    *
+    * Scale shape: the O(len²) DP runs ONLY on candidate pairs (banding
+    * already bounded them — never all-pairs); the two text joins are
+    * unhinted equi-joins on id (AQE broadcasts small sides). In
+    * production use Spark's 3-arg `levenshtein(l, r, threshold)` for
+    * the banded DP that exits early above the bound; here the 2-arg
+    * form keeps the oracle replay trivial.
+    */
+  def editVerify(df: DataFrame, idCol: String, textCol: String,
+                 pairs: DataFrame): DataFrame = {
+    val norm = df.select(col(idCol), graft.operators.TextOps.normalize(col(textCol)).as("_nt"))
+    pairs
+      .join(norm.select(col(idCol).as("a"), col("_nt").as("_ta")), Seq("a"))
+      .join(norm.select(col(idCol).as("b"), col("_nt").as("_tb")), Seq("b"))
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .select(col("a"), col("b"), col("hamming"), col("lev"),
+        (col("lev") * 5 <= greatest(length(col("_ta")), length(col("_tb"))))
+          .as("is_dup"))
+  }
+
   /** Span-level exact dedup (the line/paragraph dedup of RefinedWeb /
     * Lee et al. 2022, on fixed word windows since the corpus carries
     * no line structure): each doc splits into consecutive `span`-word

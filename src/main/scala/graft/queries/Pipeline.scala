@@ -216,6 +216,33 @@ object Pipeline {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHam = 3)
       .orderBy("a", "b")
 
+  /** Edit-distance verification of the simhash candidate pairs
+    * (Dedup.editVerify): exact Levenshtein on normalized texts
+    * arbitrates the banding's false positives; duplicate iff
+    * 5·lev ≤ max(len) (integer threshold). The oracle recomputes the
+    * candidate set with the simhash-pairs SQL and replays DuckDB's
+    * levenshtein on the same normalized texts.
+    */
+  def dedupEdit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.editVerify(d, "doc_id", "text",
+        Dedup.simhashPairs(d, "doc_id", "text", maxHam = 3))
+      .orderBy("a", "b")
+  }
+
+  private def dedupEditSql: String =
+    s"""WITH nt AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents
+       |)
+       |SELECT p.a, p.b, p.hamming,
+       |  CAST(levenshtein(x.t, y.t) AS BIGINT) AS lev,
+       |  (levenshtein(x.t, y.t) * 5 <= GREATEST(len(x.t), len(y.t))) AS is_dup
+       |FROM ($dedupSimhashPairsSql) p
+       |JOIN nt x ON x.doc_id = p.a
+       |JOIN nt y ON y.doc_id = p.b
+       |ORDER BY 1, 2""".stripMargin
+
   /** Manku composite-key blocking twin of Dedup.simhashPairs: 6 blocks
     * (11+11+10 bits per 32-bit half), every C(6,3)=20 triple keyed as
     * bi<<22 | bj<<11 | bl, full-hamming verify, pair dedup. The CASE
@@ -2301,6 +2328,7 @@ object Pipeline {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_edit" -> (dedupEdit _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
@@ -2360,6 +2388,7 @@ object Pipeline {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "dedup_edit" -> dedupEditSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,

@@ -1124,6 +1124,23 @@ class PipelineSpec extends SparkTestBase {
     assert(got.size == 5)
   }
 
+  test("editVerify: confirms a true near-dup, rejects a false candidate, exact lev") {
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // lev 2 from 1
+      (3L, "completely different content about something else entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1L), (1L, 3L, 3L)).toDF("a", "b", "hamming")
+    val got = Dedup.editVerify(docsDf, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    // "jumps" -> "jumped": substitute 's'->'e' + insert 'd' = 2 edits
+    assert(got((1L, 2L)) == (2L, true))
+    val (levFar, dupFar) = got((1L, 3L))
+    assert(!dupFar && levFar * 5 > 58)
+    assert(got.size == 2)
+  }
+
   test("cohort retention counts match a hand-built activity matrix") {
     val day = 86400000000000L // ns
     // u1 active days 0,1,3; u2 days 1,1(dup),2; u3 day 3 only
