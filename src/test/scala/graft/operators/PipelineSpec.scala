@@ -1131,14 +1131,21 @@ class PipelineSpec extends SparkTestBase {
       (3L, "completely different content about something else entirely")
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L, 1L), (1L, 3L, 3L)).toDF("a", "b", "hamming")
-    val got = Dedup.editVerify(docsDf, "doc_id", "text", pairs)
+    val got = Dedup.editVerify(docsDf, "doc_id", "text", pairs, maxEdits = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(3), r.getBoolean(4))).toMap
     // "jumps" -> "jumped": substitute 's'->'e' + insert 'd' = 2 edits
     assert(got((1L, 2L)) == (2L, true))
-    val (levFar, dupFar) = got((1L, 3L))
-    assert(!dupFar && levFar * 5 > 58)
+    // far pair: banded DP proves > 8 edits and reports -1, not a dup
+    assert(got((1L, 3L)) == (-1L, false))
     assert(got.size == 2)
+    // band boundary: exactly maxEdits edits is still a dup with the
+    // exact distance reported
+    val b = Seq((1L, "aaaaaaaaaa"), (2L, "bbaaaaaaaa")).toDF("doc_id", "text")
+    val bp = Seq((1L, 2L, 0L)).toDF("a", "b", "hamming")
+    val gb = Dedup.editVerify(b, "doc_id", "text", bp, maxEdits = 2)
+      .collect().head
+    assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
   test("cohort retention counts match a hand-built activity matrix") {
