@@ -417,10 +417,31 @@ object Relational {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** Per-group top-k via the bounded-heap aggregate
+    * (functions.TopKAgg): the 3 priciest orders per priority class.
+    * THE scale pattern for grouped top-k — the window alternative
+    * (ROW_NUMBER over each group ordered by price) SORTS every group's
+    * full membership; the aggregate keeps a k-element heap per group,
+    * partial-aggregates map-side (the shuffle carries k-row heaps, not
+    * order rows — plan-pinned), and merge is deterministic
+    * ((score DESC, id ASC), set semantics). The oracle IS the window
+    * formulation, proving the two agree exactly.
+    */
+  def q19GroupedTopk(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAgg.topK(fp2(col("o_totalprice")),
+        col("o_orderkey"), 3).as("_tk"))
+      .select(col("o_orderpriority"), posexplode(col("_tk")).as(Seq("_r", "_e")))
+      .select(col("o_orderpriority"), (col("_r") + 1).as("rank"),
+        col("_e.id").as("o_orderkey"), col("_e.score").as("price_fp"))
+      .orderBy("o_orderpriority", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q17_salted_join" -> (q17SaltedJoin _),
     "q18_cohort" -> (q18Cohort _),
+    "q19_grouped_topk" -> (q19GroupedTopk _),
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
     "q4_asof" -> (q4Asof _),
@@ -439,6 +460,20 @@ object Relational {
     "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q19_grouped_topk" ->
+      s"""WITH r AS (
+         |  SELECT o_orderpriority, o_orderkey,
+         |    ${fpSql("o_totalprice", "100")} AS price_fp
+         |  FROM orders
+         |), rk AS (
+         |  SELECT o_orderpriority, o_orderkey, price_fp,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY price_fp DESC, o_orderkey) AS rank
+         |  FROM r
+         |)
+         |SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey,
+         |  price_fp
+         |FROM rk WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
     "q18_cohort" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events

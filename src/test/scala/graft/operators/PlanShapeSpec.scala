@@ -462,6 +462,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(Ann.opqRotate(vecs, "embedding", rot, "rv")) == 0)
   }
 
+  test("grouped top-k: TopKAgg partial-aggregates, one exchange, agrees with the window formulation") {
+    val rows = (0L until 300L).map(i => (s"g${i % 4}", i, (i * 37 % 101)))
+      .toDF("g", "id", "v")
+    val agg = rows.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.topK(col("v"), col("id"), 3).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("g"), col("r"), col("e.id").as("id"), col("e.score").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk") || plan.toLowerCase.contains("partial"),
+      s"TopKAgg lost partial aggregation:\n$plan")
+    assert(hashExchanges(agg) == 1)
+    // exact agreement with the window row_number formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val want = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("g"), (col("rn") - 1).as("r"), col("id"), col("v").as("s"))
+    assert(agg.exceptAll(want).count() == 0 && want.exceptAll(agg).count() == 0)
+  }
+
   test("saltedJoin: shuffled hash join on (key, salt), no broadcast, result = plain join") {
     // skewed fact: one hot key holds half the rows
     val fact = (0L until 400L)
