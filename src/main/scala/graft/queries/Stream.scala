@@ -212,6 +212,55 @@ object Stream {
         fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  /** Streaming EWMA anomaly alerts (Streaming.streamingAnomaly) over
+    * the 12-slice stream: sparse data-dependent emission — an alert
+    * row only when a sample deviates from the running EW mean by more
+    * than 3 EW standard deviations, judged against the PRE-sample
+    * statistics, with α = 1/8 exactly representable so the oracle's
+    * recursive replay (including the strict `>` comparison) matches
+    * bit-for-bit with zero tolerance. State threads across all twelve
+    * micro-batch boundaries.
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame =
+    runToSink(
+      Streaming.streamingAnomaly(slicedEventStream(s, dir, 12)),
+      "stream_anomaly_sink")
+      .select(col("user_id"), col("pos").cast("int").as("pos"), col("ts_ms"),
+        fp6(col("value")).as("value_fp"), fp6(col("mean")).as("mean_fp"),
+        fp6(col("variance")).as("var_fp"))
+      .orderBy("user_id", "pos")
+
+  private val streamAnomalySql: String =
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, epoch_us(ts) // 1000 AS t_ms, value
+       |  FROM events
+       |), s AS MATERIALIZED (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, value) - 1 AS j,
+       |    t_ms, value
+       |  FROM raw
+       |), u AS (
+       |  SELECT DISTINCT user_id FROM s
+       |), f AS (
+       |  SELECT user_id, CAST(-1 AS BIGINT) AS j,
+       |    CAST(0 AS DOUBLE) AS m, CAST(0 AS DOUBLE) AS v
+       |  FROM u
+       |  UNION ALL
+       |  SELECT f.user_id, s.j,
+       |    CASE WHEN s.j = 0 THEN s.value
+       |         ELSE f.m + 0.125 * (s.value - f.m) END AS m,
+       |    CASE WHEN s.j = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE 0.875 * (f.v + 0.125 * (s.value - f.m) * (s.value - f.m)) END AS v
+       |  FROM f JOIN s ON s.user_id = f.user_id AND s.j = f.j + 1
+       |)
+       |SELECT s.user_id, CAST(s.j AS INT) AS pos, s.t_ms AS ts_ms,
+       |  ${fpSql("s.value", "1e6")} AS value_fp,
+       |  ${fpSql("f.m", "1e6")} AS mean_fp,
+       |  ${fpSql("f.v", "1e6")} AS var_fp
+       |FROM f JOIN s ON s.user_id = f.user_id AND s.j = f.j + 1
+       |WHERE s.j >= 8 AND ABS(s.value - f.m) > 3.0 * SQRT(f.v)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Streaming sosfilt with the event-time idle TTL LIVE across the
     * 12-slice stream: a key idle long enough that some later batch
     * runs with watermark past its timeout (last + 2 h, clamped above
@@ -812,6 +861,7 @@ object Stream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
     "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
@@ -829,6 +879,7 @@ object Stream {
   val oracleSql: Map[String, String] = Map(
     "stream_sosfilt" -> Sig.sigSosfiltSql,
     "stream_sosfilt_ttl" -> streamSosfiltTtlSql,
+    "stream_anomaly" -> streamAnomalySql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_window" -> streamSessionWindowSql,

@@ -326,6 +326,71 @@ object Streaming {
       }
   }
 
+  final case class Alert(user_id: Long, pos: Long, ts_ms: Long, value: Double,
+                         mean: Double, variance: Double)
+
+  /** Streaming anomaly detection per key: an exponentially-weighted
+    * mean/variance (EWMA + EW variance, the RFC 6298-style estimator)
+    * maintained in mapGroupsWithState, emitting an alert row — and
+    * ONLY an alert row — whenever a sample deviates from the running
+    * mean by more than `nSigma` EW standard deviations. This is the
+    * telemetry/fraud alerting shape: dense input, SPARSE data-
+    * dependent output, O(1) state per key (three doubles), unlike the
+    * dense re-emission of streamingSosfilt.
+    *
+    * Update (after the alert test, so a spike is judged against the
+    * PRE-spike statistics): d = x − m; m += α·d; v = (1−α)(v + α·d²);
+    * the first sample initializes m = x, v = 0, and no alerts fire
+    * before `minN` samples (the estimator warm-up). α defaults to
+    * 0.125 = 1/8 — exactly representable, so every arithmetic step is
+    * reproducible bit-for-bit by any IEEE-754 engine and the oracle
+    * replays the recursion (and the strict `>` alert comparison) with
+    * zero tolerance.
+    *
+    * Scale shape: state is 3 doubles + a count per key, hash-
+    * partitioned by key; batch sort is per-key per-batch (bounded);
+    * emission is alerts only, so the sink sees event-rate × anomaly-
+    * rate rows. Production adds the event-time TTL of streamingSosfilt
+    * for unbounded key churn (same eviction contract).
+    */
+  def streamingAnomaly(events: Dataset[Event], alpha: Double = 0.125,
+                       nSigma: Double = 3.0, minN: Long = 8): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(minN >= 1, "minN must be >= 1")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Double], Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Array[Double]]) =>
+          // same (ts, value) tie rule as streamingSosfilt: the oracle's
+          // ROW_NUMBER replay must walk the samples in this exact order
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.value < b.value)
+          }
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(Array(0.0, 0.0, 0.0))
+            var m = st(0); var v = st(1); var n = st(2).toLong // n exact < 2^53
+            val out = scala.collection.mutable.ArrayBuffer[Alert]()
+            sorted.foreach { e =>
+              val x = e.value
+              if (n >= minN && math.abs(x - m) > nSigma * math.sqrt(v))
+                out += Alert(user, n, e.ts.getTime, x, m, v)
+              if (n == 0L) { m = x; v = 0.0 }
+              else {
+                val d = x - m
+                m = m + alpha * d
+                v = (1.0 - alpha) * (v + alpha * d * d)
+              }
+              n += 1
+            }
+            state.update(Array(m, v, n.toDouble))
+            out.iterator
+          }
+      }
+  }
+
   /** sosfilt that also returns the final filter state (DF2T z per
     * section) for carry-over across micro-batches.
     */

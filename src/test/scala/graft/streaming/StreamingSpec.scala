@@ -462,4 +462,38 @@ class StreamingSpec extends SparkTestBase {
     val batch = Filt.sosfilt(sos, x)
     assert(full.zip(batch).map { case (a, b) => math.abs(a - b) }.max < 1e-12)
   }
+
+  test("streaming anomaly: planted spike alerts once, warm-up silent, state spans batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.streamingAnomaly(in.toDS(), alpha = 0.125, nSigma = 3.0, minN = 8)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      // steady level-10 signal with tiny wiggle, split across batches;
+      // a level-100 spike lands at pos 20 in the SECOND batch, so the
+      // pre-spike statistics must have carried through the state store
+      def v(i: Int) = 10.0 + 0.1 * (i % 3)
+      in.addData((0 until 15).map(i => Event(5, ts(i), "c", v(i))))
+      q.processAllAvailable()
+      in.addData((15 until 30).map(i =>
+        Event(5, ts(i), "c", if (i == 20) 100.0 else v(i))))
+      q.processAllAvailable()
+      val alerts = spark.table("anom").as[Streaming.Alert].collect().sortBy(_.pos)
+      assert(alerts.map(_.pos).toSeq == Seq(20L), s"got ${alerts.toSeq}")
+      val a = alerts.head
+      assert(a.value == 100.0)
+      // judged against PRE-spike statistics: mean still near 10
+      assert(math.abs(a.mean - 10.0) < 0.2 && a.variance < 0.02)
+      // a spike inside the warm-up (pos < 8) must stay silent
+      val in2 = MemoryStream[Event]
+      val q2 = Streaming.streamingAnomaly(in2.toDS(), minN = 8)
+        .writeStream.format("memory").queryName("anom2").outputMode("append").start()
+      try {
+        in2.addData((0 until 8).map(i =>
+          Event(6, ts(i), "c", if (i == 4) 500.0 else 10.0)))
+        q2.processAllAvailable()
+        assert(spark.table("anom2").count() == 0)
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
