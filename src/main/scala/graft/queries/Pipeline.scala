@@ -1890,6 +1890,29 @@ object Pipeline {
       |FROM documents WHERE doc_id % 83 = 0
       |ORDER BY 1""".stripMargin
 
+  /** Partitioned-layout round-trip (sources.Sources.partitionedDocs):
+    * documents re-written lang-partitioned and read back — per-lang
+    * counts, char mass, and the order-independent content digest prove
+    * no row was lost, duplicated, or corrupted by the layout
+    * transform. Partition pruning on the layout is plan-pinned in
+    * SourcesSpec; the oracle replays the aggregates from the original
+    * table.
+    */
+  def sinkPartitioned(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.partitionedDocs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("lang")
+
+  private val sinkPartitionedSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
     * postings with tf, first/last position, and an md5 over the full
     * ascending position list, joined to per-term df/cf. The oracle
@@ -2371,6 +2394,7 @@ object Pipeline {
     "emb_knn_graph" -> (embKnnGraph _),
     "text_inverted_index" -> (textInvertedIndex _),
     "src_jsonl" -> (srcJsonl _),
+    "sink_partitioned" -> (sinkPartitioned _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2431,6 +2455,7 @@ object Pipeline {
     "emb_knn_graph" -> embKnnGraphSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "src_jsonl" -> srcJsonlSql,
+    "sink_partitioned" -> sinkPartitionedSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

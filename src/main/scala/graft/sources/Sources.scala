@@ -65,6 +65,37 @@ object Sources {
       .select(col("value"), from_json(col("value"), schema).as("j"))
   }
 
+  /** Documents re-written in a lang-PARTITIONED parquet layout
+    * (`lang=en/part-*.parquet` …) and read back — the write-time
+    * layout decision that turns a 100 TB full scan into a pruned one:
+    * a reader filtering on the partition column touches only its
+    * directories (PartitionFilters in the scan, zero data files read
+    * from other partitions — plan-pinned in SourcesSpec). The same
+    * pattern at scale adds a second in-file sort/bucket key
+    * (`sortWithinPartitions` or bucketBy for join co-location); the
+    * partition column must be low-cardinality — partitioning by a
+    * high-cardinality key creates the million-small-files problem this
+    * layout exists to avoid.
+    */
+  def partitionedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = materializePartitioned(spark, dir)
+    spark.read.parquet(new java.io.File(root, "data").getAbsolutePath)
+  }
+
+  private def materializePartitioned(spark: SparkSession, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_part/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(new java.io.File(scratch, "data").getAbsolutePath)
+    }
+    base
+  }
+
   /** One-time fingerprint-keyed JSONL materialization of the documents
     * table (4 shards), with every 83rd doc's line deterministically
     * TRUNCATED (last 2 chars dropped — always a parse error, since a

@@ -60,4 +60,24 @@ class SourcesSpec extends SparkTestBase {
     assert(refGood.exceptAll(good).count() == 0)
     parsed.unpersist(); ref.unpersist(): Unit
   }
+
+  test("partitionedDocs: lang filter prunes to one partition directory, rows intact") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val part = Sources.partitionedDocs(spark, sf)
+    // round trip is lossless
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+    assert(part.count() == ref.count())
+    assert(part.select("doc_id", "text", "lang")
+      .exceptAll(ref.select("doc_id", "text", "lang")).count() == 0)
+    // a partition-column filter must reach the scan as a
+    // PartitionFilter (directory pruning), NOT a post-scan Filter over
+    // all rows — the entire point of the layout
+    val en = part.filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("lang")), s"no lang PartitionFilter:\n$plan")
+    // and the pruned read agrees with the unpartitioned filter
+    assert(en.count() == ref.filter(col("lang") === "en").count())
+  }
 }
