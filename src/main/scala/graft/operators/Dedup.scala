@@ -410,6 +410,79 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup: a NEW batch of documents deduped against the
+    * existing corpus (the "index") — the shape every production
+    * ingestion pipeline actually runs daily, where re-deduping the
+    * full corpus per delta is off the table. Two stages per new doc:
+    *  - exact: content-hash lookup against the index's (hash → min id)
+    *    table → `exact_dup` + `canonical_id`;
+    *  - near: the new doc's minhash band signatures probe the index's
+    *    band table (an equi-join on (band, sig) — exactly the lookup a
+    *    PERSISTED LSH index serves); candidates verify by exact
+    *    3-word-shingle Jaccard, best match = (jac fp6 DESC, index id).
+    *
+    * Scale shape: everything derived from the index side — content
+    * hashes, band signatures, shingle sets of candidate ids — is what
+    * production PERSISTS (bucketed by hash / (band, sig), so the
+    * delta's probes are partition-pruned joins); only the delta is
+    * freshly shingled per run here, and the candidate verify prunes
+    * index shingles with a LEFT SEMI join to candidate ids, so the
+    * verify cost is proportional to the near-duplicate population, not
+    * the corpus. Hot band buckets multiply (delta×index) candidates —
+    * production caps per-bucket fan-out like minhashCandidates'
+    * maxBucket; unnecessary at these corpus sizes (max bucket ≤ 4).
+    * In-batch duplicates are the batch dedup's job (run dedup_exact /
+    * minhashCandidates on the delta alone).
+    */
+  def incrementalDedup(df: DataFrame, idCol: String, textCol: String,
+                       isNew: Column, k: Int = 12, r: Int = 3,
+                       minJac: Double = 0.5): DataFrame = {
+    val flagged = df.withColumn("_new", isNew)
+    val nx = flagged.select(col(idCol), col("_new"),
+      md5(encode(graft.operators.TextOps.normalize(col(textCol)), "UTF-8")).as("_h"))
+    val ih = nx.filter(!col("_new")).groupBy(col("_h"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    val ex = nx.filter(col("_new")).select(col(idCol), col("_h"))
+      .join(ih, Seq("_h"), "left")
+    val sh = shingleFrame(flagged, idCol, textCol)
+    val bd = bands(minhash(sh, idCol, k), idCol, k, r)
+      .join(flagged.select(col(idCol), col("_new")), Seq(idCol))
+    val candidates = bd.filter(col("_new"))
+      .select(col("band"), col("sig"), col(idCol).as("nid"))
+      .join(bd.filter(!col("_new"))
+        .select(col("band"), col("sig"), col(idCol).as("iid")), Seq("band", "sig"))
+      .select(col("nid"), col("iid")).distinct()
+    val shd = sh.select(col(idCol), col("s")).distinct()
+    val shN = shd.join(candidates.select(col("nid").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("nid"), col("s"))
+    val shI = shd.join(candidates.select(col("iid").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("iid"), col("s"))
+    val sz = shd.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val inter = candidates.join(shN, Seq("nid")).join(shI, Seq("iid", "s"))
+      .groupBy(col("nid"), col("iid")).agg(count(lit(1)).as("_i"))
+    val jac = inter
+      .join(sz.select(col(idCol).as("nid"), col("_n").as("_na")), Seq("nid"))
+      .join(sz.select(col(idCol).as("iid"), col("_n").as("_nb")), Seq("iid"))
+      .withColumn("_j", col("_i").cast("double") /
+        (col("_na") + col("_nb") - col("_i")))
+      .filter(col("_j") >= minJac)
+      .withColumn("_jfp", graft.Tables.fp6(col("_j")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid")).orderBy(col("_jfp").desc, col("iid"))
+    val best = jac.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("nid").as(idCol), col("iid").as("best_match_id"),
+        col("_jfp").as("best_jac_fp"))
+    ex.select(col(idCol), col("canonical_id").isNotNull.as("exact_dup"),
+        col("canonical_id"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("exact_dup"), col("canonical_id"),
+        col("best_match_id").isNotNull.as("near_dup"),
+        col("best_match_id"), col("best_jac_fp"))
+  }
+
   /** Exact edit-distance verification of candidate near-dup pairs —
     * the VERIFY stage of a production fuzzy-dedup pipeline: banding
     * (simhash/minhash) proposes candidates cheaply but admits false

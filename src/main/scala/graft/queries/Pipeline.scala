@@ -216,6 +216,58 @@ object Pipeline {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHam = 3)
       .orderBy("a", "b")
 
+  /** Incremental dedup (Dedup.incrementalDedup): the doc_id%7 batch
+    * deduped against the rest of the corpus as the persisted index —
+    * exact content-hash lookup plus minhash-band probe with exact
+    * Jaccard verify. The oracle rebuilds the hash table, the band
+    * index, the cross-only candidate join, and the best-match rank.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedup(docs(s, dir), "doc_id", "text",
+        col("doc_id") % 7 === 0, minJac = 0.5)
+      .orderBy("doc_id")
+
+  private val dedupIncrementalSql: String =
+    s"""$bandSql, nx AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+       |  FROM documents
+       |), ih AS (
+       |  SELECT h, MIN(doc_id) AS canonical_id FROM nx WHERE doc_id % 7 <> 0 GROUP BY 1
+       |), ex AS (
+       |  SELECT n.doc_id, i.canonical_id
+       |  FROM nx n LEFT JOIN ih i ON i.h = n.h
+       |  WHERE n.doc_id % 7 = 0
+       |), xcand AS (
+       |  SELECT DISTINCT x.doc_id AS nid, y.doc_id AS iid
+       |  FROM band x JOIN band y ON x.band = y.band AND x.sig = y.sig
+       |  WHERE x.doc_id % 7 = 0 AND y.doc_id % 7 <> 0
+       |), shd AS (
+       |  SELECT DISTINCT doc_id, s FROM sh
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1
+       |), inter AS (
+       |  SELECT c.nid, c.iid, COUNT(*) AS i
+       |  FROM xcand c JOIN shd x ON x.doc_id = c.nid
+       |  JOIN shd y ON y.doc_id = c.iid AND y.s = x.s
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT i.nid, i.iid,
+       |    ${fpSql("CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i)", "1e6")} AS jfp
+       |  FROM inter i JOIN sz na ON na.doc_id = i.nid JOIN sz nb ON nb.doc_id = i.iid
+       |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5
+       |), best AS (
+       |  SELECT nid, iid, jfp FROM (
+       |    SELECT nid, iid, jfp,
+       |      ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jfp DESC, iid) AS rk
+       |    FROM jac) WHERE rk = 1
+       |)
+       |SELECT e.doc_id, (e.canonical_id IS NOT NULL) AS exact_dup,
+       |  e.canonical_id,
+       |  (b.iid IS NOT NULL) AS near_dup, b.iid AS best_match_id,
+       |  b.jfp AS best_jac_fp
+       |FROM ex e LEFT JOIN best b ON b.nid = e.doc_id
+       |ORDER BY 1""".stripMargin
+
   /** Edit-distance verification of the simhash candidate pairs
     * (Dedup.editVerify): banded Levenshtein on normalized texts
     * arbitrates the banding's false positives; duplicate iff lev ≤ 32
@@ -2359,6 +2411,7 @@ object Pipeline {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_edit" -> (dedupEdit _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
@@ -2420,6 +2473,7 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_edit" -> dedupEditSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,

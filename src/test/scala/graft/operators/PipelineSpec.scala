@@ -1148,6 +1148,34 @@ class PipelineSpec extends SparkTestBase {
     assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
+  test("incrementalDedup: exact hit, near hit with best-match rank, and clean doc") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docsDf = Seq(
+      // index
+      (1L, base),
+      (2L, base + " kilo lima mike november oscar papa"),
+      (3L, "totally unrelated words about nothing in particular here now"),
+      // new batch (ids % 2 == 0 would clash; use explicit flag below)
+      (10L, base),                                      // exact dup of 1
+      (11L, base + " kilo lima mike november oscar QQQ"), // near dup of 2
+      (12L, "fresh unique content that matches no existing document at all xyz abc def ghi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(docsDf, "doc_id", "text",
+        col("doc_id") >= 10L, minJac = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getBoolean(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got.size == 3)
+    // exact dup: canonical is the index copy; it is also a near dup of it
+    val (ex10, canon10, near10, best10) = got(10L)
+    assert(ex10 && canon10 == 1L && near10 && best10 == 1L)
+    // near dup: no exact hit, best match is doc 2
+    val (ex11, _, near11, best11) = got(11L)
+    assert(!ex11 && near11 && best11 == 2L)
+    // clean doc: nothing fires
+    assert(got(12L) == ((false, -1L, false, -1L)))
+  }
+
   test("cohort retention counts match a hand-built activity matrix") {
     val day = 86400000000000L // ns
     // u1 active days 0,1,3; u2 days 1,1(dup),2; u3 day 3 only
