@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph propagation over near-duplicate / similarity edge lists —
+  * the "quality flows along the graph" tool (web-graph centrality for
+  * crawl prioritization, quality propagation across near-dup clusters,
+  * SEO-spam demotion), Pregel-style: one hash-join + one hash-agg per
+  * superstep, edge-partitioned, no driver data beyond the node count.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an undirected edge list, computed
+    * ENTIRELY in fp6 integer arithmetic so the result is bit-exact
+    * under any partition/merge order and exactly replayable by any
+    * engine with 64-bit integers:
+    *
+    *   r⁰(v)   = 10⁶ div n
+    *   contrib = r(u) div deg(u)                  (integer floor)
+    *   rᵗ⁺¹(v) = (0.15·10⁶ div n) + (17·Σcontrib div 20)
+    *
+    * (damping 17/20 = 0.85 as a rational; every op is a long add,
+    * multiply, or floor-div — no float ever enters, so there is no
+    * summation-order question AT ALL, stronger than the quantize-
+    * after-sum trick elsewhere). The floors leak ≤ 1 fp6 unit of mass
+    * per node per step — irrelevant for ranking and fully
+    * deterministic; production float PageRank would quantize per
+    * superstep the same way to stay replayable.
+    *
+    * Scale shape: the classic Pregel-lite loop — per iteration, one
+    * equi-join of the directed edge list against the rank table on the
+    * source node (edge-partitioned; AQE broadcasts small rank tables)
+    * and one partial-aggregatable hash agg summing contributions per
+    * destination. Iterations are FIXED (default 5), so the plan is a
+    * static chain — no driver-side convergence loop, no collect; the
+    * node count arrives as a broadcast one-row frame.
+    *
+    * Nodes are the edge endpoints (an isolated document simply keeps
+    * no rank row — rank flows along edges by definition). In an
+    * undirected graph every node with an edge has inbound mass, but
+    * the final assembly still left-joins + coalesces so a directed
+    * edge list with sinks would not silently drop nodes.
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iters: Int = 5): DataFrame = {
+    require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nF = broadcast(deg.agg(count(lit(1)).as("n")))
+    var ranks = deg.crossJoin(nF)
+      .select(col("src").as("node"), expr("1000000L div n").as("r_fp"))
+    for (_ <- 0 until iters) {
+      val contribs = und
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r_fp div deg").as("_c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      ranks = deg.crossJoin(nF)
+        .join(sums.withColumnRenamed("dst", "src"), Seq("src"), "left")
+        .select(col("src").as("node"),
+          (expr("150000L div n") +
+            expr("(17L * coalesce(_s, 0L)) div 20")).as("r_fp"))
+    }
+    ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("deg"), col("r_fp"))
+  }
+}

@@ -422,6 +422,48 @@ object Pipeline {
        |WHERE x.qid < x.cid
        |ORDER BY 1, 2""".stripMargin
 
+  /** Integer-fp6 PageRank (operators.Graph.pageRank) over the mutual
+    * k-NN graph — graph centrality over the similarity structure, the
+    * quality-propagation tool. Every arithmetic step is a long
+    * add/multiply/floor-div (damping 17/20), so no float enters and
+    * the oracle's five chained-CTE supersteps replay every rank
+    * bit-for-bit.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        Ann.knnGraph(embs(s, dir).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 4),
+        "a", "b", iters = 5)
+      .orderBy("node")
+
+  private def graphPagerankSql: String = {
+    val steps = (1 to 5).map { t =>
+      s"""c$t AS (
+         |  SELECT u.dst AS node, SUM(p.r // d.deg) AS s
+         |  FROM und u JOIN r${t - 1} p ON p.node = u.src
+         |  JOIN deg d ON d.node = u.src
+         |  GROUP BY 1
+         |), r$t AS (
+         |  SELECT d.node, (150000 // nn.n) + (17 * COALESCE(c.s, 0)) // 20 AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$t c ON c.node = d.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH edges AS (
+       |  SELECT a, b FROM ($embKnnGraphSql) q
+       |), und AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION ALL SELECT b AS src, a AS dst FROM edges
+       |), deg AS (
+       |  SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1
+       |), nn AS (
+       |  SELECT COUNT(*) AS n FROM deg
+       |), r0 AS (
+       |  SELECT node, 1000000 // n AS r FROM deg, nn
+       |), $steps
+       |SELECT r5.node, CAST(d.deg AS BIGINT) AS deg, CAST(r5.r AS BIGINT) AS r_fp
+       |FROM r5 JOIN deg d ON d.node = r5.node ORDER BY 1""".stripMargin
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.embeddingPairs(embs(s, dir), "vec_id", "embedding", minCos = 0.35)
       .orderBy("a", "b")
@@ -2445,6 +2487,7 @@ object Pipeline {
     "text_nb_classify" -> (textNbClassify _),
     "text_chunk" -> (textChunk _),
     "emb_knn_graph" -> (embKnnGraph _),
+    "graph_pagerank" -> (graphPagerank _),
     "text_inverted_index" -> (textInvertedIndex _),
     "src_jsonl" -> (srcJsonl _),
     "sink_partitioned" -> (sinkPartitioned _),
@@ -2507,6 +2550,7 @@ object Pipeline {
     "text_nb_classify" -> textNbClassifySql,
     "text_chunk" -> textChunkSql,
     "emb_knn_graph" -> embKnnGraphSql,
+    "graph_pagerank" -> graphPagerankSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "src_jsonl" -> srcJsonlSql,
     "sink_partitioned" -> sinkPartitionedSql,

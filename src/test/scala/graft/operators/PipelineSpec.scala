@@ -1148,6 +1148,35 @@ class PipelineSpec extends SparkTestBase {
     assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
+  test("pageRank: hand-computed star graph, symmetry, integer determinism across layouts") {
+    import graft.operators.Graph
+    // star: hub 1 connected to leaves 2,3,4 — leaves are symmetric
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.pageRank(star, "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 3 && got(2L)._1 == 1)
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    // hub dominates
+    assert(got(1L)._2 > got(2L)._2)
+    // exact integer replay in scala of the recurrence
+    val n = 4L
+    var r = Map(1L -> 1000000L / n, 2L -> 1000000L / n, 3L -> 1000000L / n,
+      4L -> 1000000L / n)
+    val deg = Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    val und = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    for (_ <- 0 until 5) {
+      val sums = und.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = deg.keys.map(v =>
+        v -> (150000L / n + 17L * sums.getOrElse(v, 0L) / 20L)).toMap
+    }
+    deg.keys.foreach(v => assert(got(v)._2 == r(v), s"node $v rank mismatch"))
+    // partition layout cannot change a single rank (pure long arithmetic)
+    val star7 = Graph.pageRank(star.repartition(7), "a", "b", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    deg.keys.foreach(v => assert(star7(v) == got(v)._2))
+  }
+
   test("incrementalDedup: exact hit, near hit with best-match rank, and clean doc") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docsDf = Seq(
