@@ -926,6 +926,48 @@ object TextOps {
       .withColumn("contaminated", col("n_contam") > 0)
   }
 
+  // ---- collocations -----------------------------------------------------
+
+  /** Collocation extraction by pointwise mutual information:
+    * PMI(x,y) = ln(N·c(xy) / (c(x)·c(y))) over adjacent-word bigrams,
+    * keeping pairs seen at least `minCount` times — the lexical-
+    * association tool (multi-word expressions, tokenizer merge
+    * candidates, Church & Hanks 1990). Top-k by (PMI fp6 DESC,
+    * bigram) so the cut is deterministic.
+    *
+    * Scale shape: bigram and unigram counts are the same partial-
+    * aggregatable hash aggs as [[lmScore]]; the count joins are
+    * unhinted (AQE broadcasts a small vocabulary); N is a one-row
+    * broadcast; the final top-k is TakeOrderedAndProject (bounded
+    * per-partition heaps, never a global sort). All inputs to the ln
+    * are exact integers, so the fp6 PMI replays exactly.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
+                   topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val toks = df.select(words(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(_ws) - 2), i -> struct(_ws[i] AS w1, _ws[i+1] AS w2))"))
+        .as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val big = toks.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = df.select(explode(words(col(textCol))).as("w"))
+      .agg(count(lit(1)).as("_n"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c1").as("_ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("_cb")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_fp", graft.Tables.fp6(
+        log(col("_n").cast("double") * col("c12") / (col("_ca") * col("_cb")))))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   // ---- inverted index ---------------------------------------------------
 
   /** Inverted-index shard layout (the IR/BM25 indexing primitive): one

@@ -2007,6 +2007,37 @@ object Pipeline {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PMI collocations (TextOps.collocations): top-20 adjacent-word
+    * bigrams by pointwise mutual information with count ≥ 5. All ln
+    * inputs are exact integers, so the fp6 PMI and the
+    * (pmi DESC, bigram) cut replay exactly.
+    */
+  def textCollocations(s: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(docs(s, dir), "text", minCount = 5, topK = 20)
+
+  private val textCollocationsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |), bg AS (
+       |  SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+       |                 for i in generate_series(1, len(ws) - 1)]) AS b
+       |  FROM w WHERE len(ws) >= 2
+       |), big AS (
+       |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+       |), uni AS (
+       |  SELECT unnest(ws) AS wd FROM w
+       |), c1 AS (
+       |  SELECT wd, COUNT(*) AS c FROM uni GROUP BY 1
+       |), nn AS (
+       |  SELECT COUNT(*) AS n FROM uni
+       |)
+       |SELECT b.w1, b.w2, b.c12,
+       |  ${fpSql("ln(CAST(nn.n AS DOUBLE) * b.c12 / (ca.c * cb.c))", "1e6")} AS pmi_fp
+       |FROM big b JOIN c1 ca ON ca.wd = b.w1 JOIN c1 cb ON cb.wd = b.w2
+       |CROSS JOIN nn
+       |ORDER BY pmi_fp DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
     * postings with tf, first/last position, and an md5 over the full
     * ascending position list, joined to per-term df/cf. The oracle
@@ -2489,6 +2520,7 @@ object Pipeline {
     "emb_knn_graph" -> (embKnnGraph _),
     "graph_pagerank" -> (graphPagerank _),
     "text_inverted_index" -> (textInvertedIndex _),
+    "text_collocations" -> (textCollocations _),
     "src_jsonl" -> (srcJsonl _),
     "sink_partitioned" -> (sinkPartitioned _),
     "text_tfidf" -> (textTfidf _),
@@ -2552,6 +2584,7 @@ object Pipeline {
     "emb_knn_graph" -> embKnnGraphSql,
     "graph_pagerank" -> graphPagerankSql,
     "text_inverted_index" -> textInvertedIndexSql,
+    "text_collocations" -> textCollocationsSql,
     "src_jsonl" -> srcJsonlSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "text_tfidf" -> textTfidfSql,

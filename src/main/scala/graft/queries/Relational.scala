@@ -437,11 +437,21 @@ object Relational {
         col("_e.id").as("o_orderkey"), col("_e.score").as("price_fp"))
       .orderBy("o_orderpriority", "rank")
 
+  /** Welch's t-test (Stats.welchTTest): purchase vs click event
+    * values — the A/B readout from one partial-aggregated pass per
+    * side, sums quantized to fp4 before any derived arithmetic so the
+    * t statistic and the significance verdict replay exactly.
+    */
+  def q20Abtest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.welchTTest(
+      load(s, dir, "events"), "event_type", "value", "purchase", "click")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q17_salted_join" -> (q17SaltedJoin _),
     "q18_cohort" -> (q18Cohort _),
     "q19_grouped_topk" -> (q19GroupedTopk _),
+    "q20_abtest" -> (q20Abtest _),
     "q2_join" -> (q2Join _),
     "q3_window" -> (q3Window _),
     "q4_asof" -> (q4Asof _),
@@ -460,6 +470,30 @@ object Relational {
     "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q20_abtest" ->
+      s"""WITH a AS (
+         |  SELECT COUNT(*) AS n_a,
+         |    ${fpSql("SUM(value)", "1e4")} AS sx,
+         |    ${fpSql("SUM(value * value)", "1e4")} AS sxx
+         |  FROM events WHERE event_type = 'purchase'
+         |), b AS (
+         |  SELECT COUNT(*) AS n_b,
+         |    ${fpSql("SUM(value)", "1e4")} AS sx,
+         |    ${fpSql("SUM(value * value)", "1e4")} AS sxx
+         |  FROM events WHERE event_type = 'click'
+         |), d AS (
+         |  SELECT CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b,
+         |    CAST(a.sx AS DOUBLE)/1e4/a.n_a AS ma,
+         |    CAST(b.sx AS DOUBLE)/1e4/b.n_b AS mb,
+         |    (CAST(a.sxx AS DOUBLE)/1e4 - (CAST(a.sx AS DOUBLE)/1e4) * (CAST(a.sx AS DOUBLE)/1e4) / a.n_a) / (a.n_a - 1) AS va,
+         |    (CAST(b.sxx AS DOUBLE)/1e4 - (CAST(b.sx AS DOUBLE)/1e4) * (CAST(b.sx AS DOUBLE)/1e4) / b.n_b) / (b.n_b - 1) AS vb
+         |  FROM a, b
+         |)
+         |SELECT n_a, n_b,
+         |  ${fpSql("ma", "1e4")} AS mean_a_fp, ${fpSql("mb", "1e4")} AS mean_b_fp,
+         |  ${fpSql("(ma - mb) / SQRT(va / n_a + vb / n_b)", "1e4")} AS t_fp,
+         |  (ABS((ma - mb) / SQRT(va / n_a + vb / n_b)) > 1.96) AS significant
+         |FROM d""".stripMargin,
     "q19_grouped_topk" ->
       s"""WITH r AS (
          |  SELECT o_orderpriority, o_orderkey,

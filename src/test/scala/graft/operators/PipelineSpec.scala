@@ -1148,6 +1148,42 @@ class PipelineSpec extends SparkTestBase {
     assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
+  test("welchTTest: detects a shifted group, stays silent on identical groups") {
+    import graft.operators.Stats
+    // A ~ 10 ± small wiggle, B shifted to 12 — hugely significant
+    val rows = (0 until 50).map(i => ("a", 10.0 + 0.01 * (i % 5))) ++
+      (0 until 60).map(i => ("b", 12.0 + 0.01 * (i % 7)))
+    val df = rows.toDF("g", "v")
+    val r = Stats.welchTTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 50 && r.getLong(1) == 60)
+    assert(r.getBoolean(5), "shifted group not flagged significant")
+    assert(r.getLong(4) < 0, "t sign should be negative (a < b)")
+    // identical distributions: t == 0 exactly (same quantized sums)
+    val same = ((0 until 40).map(i => ("a", 5.0 + (i % 3))) ++
+      (0 until 40).map(i => ("b", 5.0 + (i % 3)))).toDF("g", "v")
+    val r2 = Stats.welchTTest(same, "g", "v", "a", "b").collect().head
+    assert(r2.getLong(4) == 0L && !r2.getBoolean(5))
+  }
+
+  test("collocations: PMI ranks a fixed phrase above independent fillers") {
+    // "new york" always adjacent (high PMI); "the" pairs freely (low)
+    val docsDf = (0 until 10).map(i =>
+      (i.toLong, s"new york the a$i the b$i new york the c$i"))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocations(docsDf, "text", minCount = 5, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nyRow = got.find(r => r._1 == "new" && r._2 == "york")
+    assert(nyRow.isDefined && nyRow.get._3 == 20L)
+    // hand-computed PMI: N=100 tokens (10 per doc), c(new)=c(york)=c12=20
+    val pmi = math.floor(math.log(100.0 * 20 / (20.0 * 20)) * 1e6 + 0.5).toLong
+    assert(nyRow.get._4 == pmi)
+    // "new york" outranks every "the"-bigram
+    val theRows = got.filter(r => r._1 == "the" || r._2 == "the")
+    assert(theRows.forall(_._4 < nyRow.get._4))
+    // min-count filter: a{i}/b{i} bigrams (count 1 each) never appear
+    assert(got.forall(_._3 >= 5))
+  }
+
   test("pageRank: hand-computed star graph, symmetry, integer determinism across layouts") {
     import graft.operators.Graph
     // star: hub 1 connected to leaves 2,3,4 — leaves are symmetric
