@@ -446,8 +446,59 @@ object Relational {
     graft.operators.Stats.welchTTest(
       load(s, dir, "events"), "event_type", "value", "purchase", "click")
 
+  /** Per-key forward fill (gap repair): every 5th reading nulled
+    * deterministically, then repaired with the last non-null value at
+    * or before it — `last(ignoreNulls) OVER (user, time)` — the
+    * telemetry gap-fill primitive. One hash exchange on user_id,
+    * bounded per-user groups; rows before a user's first reading stay
+    * null on both engines.
+    */
+  def q21Ffill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .withColumn("v_gappy",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("v_filled", last(col("v_gappy"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("v_gappy").isNull.as("was_gap"),
+        fp6(col("v_filled")).as("filled_fp"))
+      .orderBy("event_id")
+  }
+
+  /** Conversion funnel: per user, the first click and the first
+    * purchase strictly after it — flag + microsecond lag. Two
+    * conditional-min hash aggs (partial-aggregatable) and one
+    * broadcastable self-join; never a per-event window. The
+    * events-before-first-click purchases correctly don't count.
+    */
+  def q22Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelFrame(load(s, dir, "events"), "click", "purchase")
+
+  /** [[q22Funnel]]'s builder over any (user_id, event_type, ts-nanos)
+    * frame.
+    */
+  def funnelFrame(events: DataFrame, step1: String, step2: String): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t_us"))
+    val firstClick = ev.filter(col("event_type") === step1)
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("click_us"))
+    val conv = ev.filter(col("event_type") === step2)
+      .join(firstClick, Seq("user_id"))
+      .filter(col("t_us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("purchase_us"))
+    firstClick.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("click_us"),
+        col("purchase_us").isNotNull.as("converted"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q21_ffill" -> (q21Ffill _),
+    "q22_funnel" -> (q22Funnel _),
     "q17_salted_join" -> (q17SaltedJoin _),
     "q18_cohort" -> (q18Cohort _),
     "q19_grouped_topk" -> (q19GroupedTopk _),
@@ -470,6 +521,30 @@ object Relational {
     "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_ffill" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+         |  FROM events
+         |)
+         |SELECT event_id, user_id, (v IS NULL) AS was_gap,
+         |  ${fpSql("LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", "1e6")} AS filled_fp
+         |FROM g ORDER BY event_id""".stripMargin,
+    "q22_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS click_us
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), cv AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+        |  FROM events e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.click_us
+        |  GROUP BY 1
+        |)
+        |SELECT fc.user_id, fc.click_us,
+        |  (cv.purchase_us IS NOT NULL) AS converted,
+        |  cv.purchase_us - fc.click_us AS lag_us
+        |FROM fc LEFT JOIN cv ON cv.user_id = fc.user_id
+        |ORDER BY 1""".stripMargin,
     "q20_abtest" ->
       s"""WITH a AS (
          |  SELECT COUNT(*) AS n_a,

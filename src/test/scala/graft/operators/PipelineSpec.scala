@@ -1148,6 +1148,29 @@ class PipelineSpec extends SparkTestBase {
     assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
+  test("funnelFrame: purchase-before-click does not convert; first purchase after first click wins") {
+    // ns timestamps; user 1 converts (click@10, purchases@5(ignored),20,30)
+    // user 2 has purchase only before its click → not converted
+    // user 3 clicks, never purchases
+    val us = 1000L
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "purchase", 5L), (1L, "purchase", 20L),
+      (1L, "purchase", 30L),
+      (2L, "purchase", 3L), (2L, "click", 8L),
+      (3L, "click", 1L),
+      (4L, "purchase", 9L) // never clicks: no row at all
+    ).map { case (u, t, ts) => (u, t, ts * us) }
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.queries.Relational.funnelFrame(ev, "click", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got.size == 3 && !got.contains(4L))
+    assert(got(1L) == ((10L, true, 10L))) // first qualifying purchase: t=20
+    assert(got(2L) == ((8L, false, -1L)))
+    assert(got(3L) == ((1L, false, -1L)))
+  }
+
   test("welchTTest: detects a shifted group, stays silent on identical groups") {
     import graft.operators.Stats
     // A ~ 10 ± small wiggle, B shifted to 12 — hugely significant
