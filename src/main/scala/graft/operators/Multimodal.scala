@@ -111,6 +111,38 @@ object Multimodal {
       .select(col("media_id"), col("f.frame").as("frame"),
         col("f.energy").as("energy"), col("f.zcr").as("zcr"))
 
+  /** Voice-activity segmentation over the frame-feature stream: the
+    * speech-detection front end of an audio training pipeline (what
+    * decides which spans are worth transcribing/storing). A frame is
+    * ACTIVE iff its integral energy exceeds `energyThr` (exact long
+    * comparison — no float); active runs become segments via
+    * gaps-and-islands (frame − row_number is constant within a
+    * consecutive run), and runs shorter than `minFrames` are dropped
+    * (the debounce that kills single-frame clicks).
+    *
+    * Scale shape: one hash exchange (the per-media window over active
+    * frames — bounded groups, a recording's frame count), then a
+    * plain hash agg per island; thresholds are literals; everything
+    * upstream is the map-side pcmFrames expression. Deterministic end
+    * to end: integral energies, integer frame arithmetic.
+    */
+  def vadSegments(features: DataFrame, idCol: String, energyThr: Long,
+                  minFrames: Int = 2): DataFrame = {
+    require(minFrames >= 1, "minFrames must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame"))
+    features.filter(col("energy") > energyThr)
+      .withColumn("_grp", col("frame") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("frame")).as("start_frame"),
+        max(col("frame")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("sum_energy"))
+      .filter(col("n_frames") >= minFrames)
+      .select(col(idCol), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("sum_energy"))
+  }
+
   /** REAL resize: ImageIO decode + nearest-neighbor resample to
     * ow×oh (explicit floor index mapping, oracle-replayable);
     * `resized` is the row-major gray values.

@@ -2375,6 +2375,48 @@ object Pipeline {
       |  CAST(COUNT(*) FILTER (WHERE ps IS NOT NULL AND ps * s < 0) AS INT) AS zcr
       |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Voice-activity segmentation (Multimodal.vadSegments) over the
+    * PCM frame energies: active = integral energy > 3.9e9 (≈ the
+    * corpus median, so both states genuinely occur), runs debounced
+    * at ≥ 2 frames. Long-integer energies and integer frame
+    * arithmetic make the whole segmentation exactly replayable.
+    */
+  def mmVad(s: SparkSession, dir: String): DataFrame =
+    Multimodal.vadSegments(
+      Multimodal.audioFrameFeatures(
+        Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"),
+          "doc_id", "text"),
+        frameLen = 32, center = 16384)
+        .select(col("media_id").as("doc_id"), col("frame"), col("energy")),
+      "doc_id", energyThr = 3900000000L, minFrames = 2)
+      .orderBy("doc_id", "start_frame")
+
+  private val mmVadSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text, (length(text) // 2 // 32) * 32 AS nkeep
+      |  FROM documents WHERE lang = 'en'
+      |), smp AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, nkeep - 1)) AS i FROM en
+      |), sv AS (
+      |  SELECT doc_id, i, i // 32 AS frame,
+      |    unicode(substr(text, 2*i + 1, 1)) + 256 * unicode(substr(text, 2*i + 2, 1)) - 16384 AS s
+      |  FROM smp
+      |), fe AS (
+      |  SELECT doc_id, frame,
+      |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+      |  FROM sv GROUP BY 1, 2
+      |), act AS (
+      |  SELECT doc_id, frame, energy,
+      |    frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+      |  FROM fe WHERE energy > 3900000000
+      |)
+      |SELECT doc_id, CAST(MIN(frame) AS INT) AS start_frame,
+      |  CAST(MAX(frame) AS INT) AS end_frame,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(energy) AS BIGINT) AS sum_energy
+      |FROM act GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** REAL PNG round-trip + resize: the 16×16 gray image goes through
     * the JDK's PNG ENCODER (real zlib deflate), `javax.imageio` PNG
     * decode (inflate + filter reversal), then nearest-neighbor
@@ -2534,6 +2576,7 @@ object Pipeline {
     "emb_quantize" -> (embQuantize _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
+    "mm_vad" -> (mmVad _),
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_frames" -> (mmFrames _))
@@ -2598,6 +2641,7 @@ object Pipeline {
     "emb_quantize" -> embQuantizeSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
+    "mm_vad" -> mmVadSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_frames" -> mmFramesSql)

@@ -1148,6 +1148,23 @@ class PipelineSpec extends SparkTestBase {
     assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
+  test("vadSegments: islands split on gaps, single-frame blips debounced, exact bounds") {
+    // media A: frames 0-2 active, 3 quiet, 4 active (blip), 5-6 active
+    // media B: all quiet
+    val feats = Seq(
+      ("A", 0, 100L), ("A", 1, 100L), ("A", 2, 100L), ("A", 3, 1L),
+      ("A", 4, 100L), ("A", 5, 1L), ("A", 6, 100L), ("A", 7, 100L),
+      ("B", 0, 1L), ("B", 1, 2L)
+    ).toDF("media_id", "frame", "energy")
+    val got = Multimodal.vadSegments(feats, "media_id", energyThr = 10L,
+        minFrames = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // segment 0-2 (3 frames, 300 energy) and 6-7 survive; the frame-4
+    // blip (1 frame) is debounced; B emits nothing
+    assert(got == Set(("A", 0, 2, 3L, 300L), ("A", 6, 7, 2L, 200L)))
+  }
+
   test("funnelFrame: purchase-before-click does not convert; first purchase after first click wins") {
     // ns timestamps; user 1 converts (click@10, purchases@5(ignored),20,30)
     // user 2 has purchase only before its click → not converted
