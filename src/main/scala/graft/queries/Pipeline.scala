@@ -2038,6 +2038,39 @@ object Pipeline {
        |CROSS JOIN nn
        |ORDER BY pmi_fp DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Schema-evolution read (sources.Sources.evolvedDocs): two parquet
+    * generations with drifted schemas merged into the union schema,
+    * missing columns NULL-backfilled — per-generation counts, null
+    * accounting, and content digest prove no column or row was
+    * silently lost. Oracle replays generations from the original
+    * table (gen 1 = even doc_ids).
+    */
+  def srcEvolved(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.evolvedDocs(s, dir)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_null_chars"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_null_quality"),
+        fp6(sum(coalesce(col("quality"), lit(0.0)))).as("sum_quality_fp"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("gen")
+
+  private val srcEvolvedSql: String =
+    s"""WITH g AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS gen, doc_id, text,
+       |    CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars,
+       |    CASE WHEN doc_id % 2 = 0 THEN NULL
+       |         ELSE CAST(doc_id % 100 AS DOUBLE) / 100.0 END AS quality
+       |  FROM documents
+       |)
+       |SELECT gen, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_chars,
+       |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_quality,
+       |  ${fpSql("SUM(COALESCE(quality, 0.0))", "1e6")} AS sum_quality_fp,
+       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
     * postings with tf, first/last position, and an md5 over the full
     * ascending position list, joined to per-term df/cf. The oracle
@@ -2565,6 +2598,7 @@ object Pipeline {
     "text_collocations" -> (textCollocations _),
     "src_jsonl" -> (srcJsonl _),
     "sink_partitioned" -> (sinkPartitioned _),
+    "src_evolved" -> (srcEvolved _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -2630,6 +2664,7 @@ object Pipeline {
     "text_collocations" -> textCollocationsSql,
     "src_jsonl" -> srcJsonlSql,
     "sink_partitioned" -> sinkPartitionedSql,
+    "src_evolved" -> srcEvolvedSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

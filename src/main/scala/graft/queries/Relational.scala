@@ -495,10 +495,36 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** SCD-2 state intervals: each user's event stream becomes validity
+    * ranges [ts, next_ts) per state (event_type), current row open-
+    * ended (null end) — the warehouse slowly-changing-dimension build,
+    * one LEAD window per user (bounded groups, one hash exchange).
+    * Consecutive same-state events are first collapsed to state
+    * CHANGES (LAG compare), the part naive SCD2 builds get wrong.
+    */
+  def q23Scd2(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("t_us"))
+    val changes = ev
+      .withColumn("_prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("t_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("t_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q21_ffill" -> (q21Ffill _),
     "q22_funnel" -> (q22Funnel _),
+    "q23_scd2" -> (q23Scd2 _),
     "q17_salted_join" -> (q17SaltedJoin _),
     "q18_cohort" -> (q18Cohort _),
     "q19_grouped_topk" -> (q19GroupedTopk _),
@@ -521,6 +547,21 @@ object Relational {
     "q16_exact_median" -> (q16ExactMedian _))
 
   val oracleSql: Map[String, String] = Map(
+    "q23_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us FROM events
+        |), ch AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, event_id, t_us,
+        |      LAG(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY t_us, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type AS state, t_us AS valid_from,
+        |  LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to,
+        |  (LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL) AS is_current
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin,
     "q21_ffill" ->
       s"""WITH g AS (
          |  SELECT event_id, user_id, epoch_us(ts) AS t_us,

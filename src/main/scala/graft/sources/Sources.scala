@@ -96,6 +96,57 @@ object Sources {
     base
   }
 
+  /** Documents re-written as TWO parquet generations with drifted
+    * schemas — generation 1 (even doc_ids) lacks `n_chars` and
+    * `quality`, generation 2 carries both — read back through Spark's
+    * `mergeSchema`: the union schema with NULL backfill for columns a
+    * generation never wrote. This is the ingestion reality of any
+    * long-lived corpus (fields appear over time; old files never get
+    * rewritten), and the failure mode it guards is silent column loss
+    * when the footer-sampled schema misses a late-added field.
+    *
+    * Scale note: mergeSchema reads every file footer — fine per
+    * directory-of-generations, expensive over millions of files;
+    * production pins the union schema in a catalog and reads with an
+    * EXPLICIT schema instead (same null-backfill semantics, no footer
+    * sweep). The backfill behavior verified here is identical.
+    */
+  def evolvedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = materializeEvolved(spark, dir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(new java.io.File(root, "data").getAbsolutePath)
+  }
+
+  private def materializeEvolved(spark: SparkSession, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_evolve/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val data = new java.io.File(scratch, "data")
+      data.mkdirs()
+      // one FILE per generation in the same directory (a plain read
+      // does not recurse into non-partition subdirs): write to a tmp
+      // dir, move the part file in — the ScaleUp writeSingle pattern
+      def writeSingle(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(scratch, s"_tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(data, s"$name.parquet").toPath)
+        tmp.listFiles().foreach(_.delete()); tmp.delete(): Unit
+      }
+      writeSingle(d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), lit(1).as("gen")), "g1")
+      writeSingle(d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"), lit(2).as("gen"),
+          col("n_chars"),
+          ((col("doc_id") % 100).cast("double") / 100.0).as("quality")), "g2")
+    }
+    base
+  }
+
   /** One-time fingerprint-keyed JSONL materialization of the documents
     * table (4 shards), with every 83rd doc's line deterministically
     * TRUNCATED (last 2 chars dropped — always a parse error, since a

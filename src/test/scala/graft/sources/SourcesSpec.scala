@@ -80,4 +80,24 @@ class SourcesSpec extends SparkTestBase {
     // and the pruned read agrees with the unpartitioned filter
     assert(en.count() == ref.filter(col("lang") === "en").count())
   }
+
+  test("evolvedDocs: merged union schema, null backfill exactly on the missing generation") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Sources.evolvedDocs(spark, sf).cache()
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+    // union schema carries all six columns
+    assert(ev.columns.toSet ==
+      Set("doc_id", "text", "lang", "gen", "n_chars", "quality"))
+    assert(ev.count() == ref.count())
+    // gen-1 rows have NULL for the late-added columns, gen-2 rows don't
+    assert(ev.filter(col("gen") === 1 &&
+      (col("n_chars").isNotNull || col("quality").isNotNull)).count() == 0)
+    assert(ev.filter(col("gen") === 2 &&
+      (col("n_chars").isNull || col("quality").isNull)).count() == 0)
+    // no row lost or duplicated across the generations
+    assert(ev.select("doc_id").exceptAll(ref.select("doc_id")).count() == 0)
+    assert(ref.select("doc_id").exceptAll(ev.select("doc_id")).count() == 0)
+    ev.unpersist(): Unit
+  }
 }
