@@ -812,6 +812,44 @@ object Ann {
     * list against its own reversal on (src, dst) — edge-key
     * partitioned, k·n rows, never an n² pair set.
     */
+  /** k-distance outlier detection over a node set: each vector's
+    * isolation score is its cosine DISTANCE to its k-th nearest
+    * neighbor (the classic kNN-dist outlier measure), and the
+    * `frac`-most-isolated nodes are flagged — the embedding-curation
+    * complement of dedup: near-dups get dropped for redundancy,
+    * extreme isolates get inspected for garbage (mis-encoded inputs,
+    * off-distribution content).
+    *
+    * Everything is integer-exact: kdist_fp = 10⁶ − fp6(cos_k), the
+    * flag count is ⌈frac·n⌉ computed as (n·num + den−1) div den, and
+    * the cut is the bounded-heap [[graft.functions.TopKAgg]] with the
+    * (kdist DESC, node ASC) tie rule — so the flagged SET is exactly
+    * replayable. The node count is a one-number control-plane collect
+    * (the kmeansFit shape); the top-k agg partial-aggregates, so the
+    * exchange carries heaps, never the node list. Nodes with fewer
+    * than k neighbors available (tiny graphs) have no k-distance and
+    * emit no row. The kNN stage is pluggable exactly as in
+    * [[knnGraph]].
+    */
+  def knnOutliers(nodes: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 4, fracNum: Int = 1, fracDen: Int = 10): DataFrame = {
+    require(fracNum >= 1 && fracDen >= fracNum, "frac must be in (0,1]")
+    val knn = topkBruteForce(nodes, nodes.select(col(idCol), col(vecCol)),
+      idCol, vecCol, k)
+    val kd = knn.filter(col("rank") === k)
+      .select(col("query_id").as("node"),
+        (lit(1000000L) - col("score_fp")).as("kdist_fp"))
+    val n = kd.count()
+    val kTop = ((n * fracNum + fracDen - 1) / fracDen).toInt.max(1)
+    val top = kd
+      .agg(graft.functions.TopKAgg.topK(col("kdist_fp"), col("node"), kTop).as("_tk"))
+      .select(explode(col("_tk")).as("_e"))
+      .select(col("_e.id").as("node"), lit(true).as("_o"))
+    kd.join(top, Seq("node"), "left")
+      .select(col("node"), col("kdist_fp"),
+        coalesce(col("_o"), lit(false)).as("is_outlier"))
+  }
+
   def knnGraph(nodes: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
     val knn = topkBruteForce(nodes, nodes.select(col(idCol), col(vecCol)),

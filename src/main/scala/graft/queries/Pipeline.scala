@@ -422,6 +422,53 @@ object Pipeline {
        |WHERE x.qid < x.cid
        |ORDER BY 1, 2""".stripMargin
 
+  /** k-distance outliers (Ann.knnOutliers) over the vec_id%10 node
+    * sample: isolation = cosine distance to the 4th nearest neighbor,
+    * top-⌈n/10⌉ flagged via the bounded-heap cut — integer-exact end
+    * to end, so the oracle replays both the distances and the flagged
+    * set.
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame =
+    Ann.knnOutliers(embs(s, dir).filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 4)
+      .orderBy("node")
+
+  private val embOutliersSql: String =
+    s"""WITH ee AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+       |), idx AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), nrm AS (
+       |  SELECT e.vec_id,
+       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ee e, idx i GROUP BY 1
+       |), dp AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM ee a, ee b, idx i
+       |  WHERE b.vec_id != a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), kd AS (
+       |  SELECT qid AS node, 1000000 - score_fp AS kdist_fp FROM (
+       |    SELECT qid, cid, score_fp,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |    FROM scored) WHERE rk = 4
+       |), nn AS (
+       |  SELECT COUNT(*) AS n FROM kd
+       |), fl AS (
+       |  SELECT node, kdist_fp,
+       |    ROW_NUMBER() OVER (ORDER BY kdist_fp DESC, node) AS rk
+       |  FROM kd
+       |)
+       |SELECT f.node, CAST(f.kdist_fp AS BIGINT) AS kdist_fp,
+       |  (f.rk <= (nn.n + 9) // 10) AS is_outlier
+       |FROM fl f CROSS JOIN nn
+       |ORDER BY 1""".stripMargin
+
   /** Integer-fp6 PageRank (operators.Graph.pageRank) over the mutual
     * k-NN graph — graph centrality over the similarity structure, the
     * quality-propagation tool. Every arithmetic step is a long
@@ -2007,6 +2054,55 @@ object Pipeline {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-document character-entropy quality signal: H = −Σ p·ln p
+    * over the document's character distribution — near-zero for
+    * repeated-character spam, high for natural text; the cheap
+    * entropy filter real pipelines run before anything heavier.
+    * Map-side only: explode characters, one (doc, char) hash agg, one
+    * per-doc agg — every ln input is an exact integer ratio, fp6
+    * entropy replays exactly. Word-salad docs cluster near ln(27)
+    * (26 letters + space ≈ 3.3) while a planted one-char doc pins 0.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("text_in",
+        when(col("doc_id") % 101 === 0, lit("aaaaaaaaaaaaaaaaaaaa"))
+          .otherwise(col("text")))
+    val chars = d
+      .select(col("doc_id"),
+        explode(split(lower(col("text_in")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val freq = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val tot = freq.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    freq.join(tot, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_chars_e"),
+        fp6(-sum((col("c") / col("n")) *
+          log(col("c").cast("double") / col("n")))).as("entropy_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val textEntropySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 101 = 0 THEN 'aaaaaaaaaaaaaaaaaaaa'
+       |         ELSE text END AS t
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id,
+       |    unnest([substr(lower(t), i, 1) for i in generate_series(1, len(t))]) AS c
+       |  FROM d
+       |), freq AS (
+       |  SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, SUM(cnt) AS n FROM freq GROUP BY 1
+       |)
+       |SELECT f.doc_id, CAST(t.n AS BIGINT) AS n_chars_e,
+       |  ${fpSql("-SUM((CAST(f.cnt AS DOUBLE) / t.n) * ln(CAST(f.cnt AS DOUBLE) / t.n))", "1e6")} AS entropy_fp
+       |FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** PMI collocations (TextOps.collocations): top-20 adjacent-word
     * bigrams by pointwise mutual information with count ≥ 5. All ln
     * inputs are exact integers, so the fp6 PMI and the
@@ -2594,8 +2690,10 @@ object Pipeline {
     "text_chunk" -> (textChunk _),
     "emb_knn_graph" -> (embKnnGraph _),
     "graph_pagerank" -> (graphPagerank _),
+    "emb_outliers" -> (embOutliers _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_collocations" -> (textCollocations _),
+    "text_entropy" -> (textEntropy _),
     "src_jsonl" -> (srcJsonl _),
     "sink_partitioned" -> (sinkPartitioned _),
     "src_evolved" -> (srcEvolved _),
@@ -2660,8 +2758,10 @@ object Pipeline {
     "text_chunk" -> textChunkSql,
     "emb_knn_graph" -> embKnnGraphSql,
     "graph_pagerank" -> graphPagerankSql,
+    "emb_outliers" -> embOutliersSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "text_collocations" -> textCollocationsSql,
+    "text_entropy" -> textEntropySql,
     "src_jsonl" -> srcJsonlSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "src_evolved" -> srcEvolvedSql,

@@ -1148,6 +1148,39 @@ class PipelineSpec extends SparkTestBase {
     assert(gb.getLong(3) == 2L && gb.getBoolean(4))
   }
 
+  test("knnOutliers: planted isolate flagged, cluster members not, ceil fraction honored") {
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    // a tight 10-vector cluster + one orthogonal isolate
+    val vecs = ((0 until 10).map(i =>
+      (i.toLong, v(1, 0.01 * i, 0, 0))) :+ (99L, v(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.knnOutliers(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size == 11)
+    // frac 1/10 of 11 nodes → ceil = 2 flagged
+    assert(got.values.count(_._2) == 2)
+    // the isolate has the largest k-distance and is flagged
+    val iso = got(99L)
+    assert(iso._2 && iso._1 == got.values.map(_._1).max)
+    // the second flag (ceil rounds 1.1 up to 2) goes to a cluster EDGE
+    // member (largest within-cluster k-dist); interior members stay clean
+    assert((2 until 8).forall(i => !got(i.toLong)._2))
+  }
+
+  test("text_entropy: zero for one-char spam, ln(k) for uniform, natural text in between") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.Pipeline.textEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // planted doc_id % 101 == 0 docs are 20x'a' → exactly zero entropy
+    val docs0 = out.keys.filter(_ % 101 == 0)
+    assert(docs0.nonEmpty && docs0.forall(out(_) == 0L))
+    // natural word-salad docs sit in a sane band (well above zero,
+    // below ln(40) ≈ 3.69 for letters+digits+space)
+    val rest = out.filter { case (id, _) => id % 101 != 0 }.values
+    assert(rest.forall(e => e > 2000000L && e < 3690000L),
+      s"entropy out of band: min=${rest.min} max=${rest.max}")
+  }
+
   test("vadSegments: islands split on gaps, single-frame blips debounced, exact bounds") {
     // media A: frames 0-2 active, 3 quiet, 4 active (blip), 5-6 active
     // media B: all quiet
