@@ -382,17 +382,26 @@ object Dedup {
     * deduplicated after the hamming verification.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHam: Int = 3): DataFrame =
+    hammingPairs(simhashFrame(df, idCol, textCol)
+      .select(col(idCol), col("sim_hi"), col("sim_lo")), idCol, maxHam)
+
+  /** Manku composite-key hamming pairs over ANY 64-bit signature frame
+    * carrying (idCol, sim_hi, sim_lo) — the blocking stage of
+    * [[simhashPairs]], factored so image dHashes (the same (hi, lo)
+    * layout) and any other 64-bit fingerprint reuse it unchanged.
+    */
+  def hammingPairs(signatures: DataFrame, idCol: String,
                    maxHam: Int = 3): DataFrame = {
     require(maxHam <= 3,
-      s"simhashPairs guarantees full recall only for maxHam <= 3 " +
+      s"hammingPairs guarantees full recall only for maxHam <= 3 " +
         s"(6 blocks keyed in triples); got $maxHam")
     val blk = simhashBlocks(col("sim_hi"), col("sim_lo"))
     val keys: Seq[Column] = simhashCombos.zipWithIndex.map { case ((i, j, l), t) =>
       struct(lit(t).as("t"),
         (shiftleft(blk(i), 22) + shiftleft(blk(j), 11) + blk(l)).as("k"))
     }
-    val sig = simhashFrame(df, idCol, textCol)
-      .select(col(idCol), col("sim_hi"), col("sim_lo"))
+    val sig = signatures
       .select(col(idCol), col("sim_hi"), col("sim_lo"),
         explode(array(keys: _*)).as("tk"))
       .select(col(idCol), col("sim_hi"), col("sim_lo"),

@@ -2546,6 +2546,47 @@ object Pipeline {
       |FROM act GROUP BY doc_id, grp HAVING COUNT(*) >= 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Image near-dup pairs: the dHash fingerprints run through the
+    * SAME Manku composite-key blocking as text simhash
+    * (Dedup.hammingPairs — the (hi, lo) layout is shared by design),
+    * so image dedup is text dedup with a different fingerprint. The
+    * oracle recomputes the dHashes from the generative pixel formula
+    * and replays the 20-key blocking + full-hamming verify.
+    */
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs(
+        Multimodal.imageDHash(
+          Multimodal.asImageMedia(docs(s, dir).filter(col("lang") === "en"),
+            "doc_id", "text", w = 16, h = 16, format = "bmp"))
+          .select(col("media_id").as("doc_id"),
+            col("phash_hi").as("sim_hi"), col("phash_lo").as("sim_lo")),
+        "doc_id", maxHam = 3)
+      .orderBy("a", "b")
+
+  private def mmPhashPairsSql: String = {
+    val blk = IndexedSeq(
+      "(sim_hi // 2097152)", "((sim_hi // 1024) % 2048)", "(sim_hi % 1024)",
+      "(sim_lo // 2097152)", "((sim_lo // 1024) % 2048)", "(sim_lo % 1024)")
+    val cases = graft.operators.Dedup.simhashCombos.zipWithIndex
+      .map { case ((i, j, l), t) =>
+        s"WHEN $t THEN ${blk(i)} * 4194304 + ${blk(j)} * 2048 + ${blk(l)}"
+      }.mkString(" ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, phash_hi AS sim_hi, phash_lo AS sim_lo
+       |  FROM ($mmPhashSql) q
+       |), k AS (
+       |  SELECT doc_id, sim_hi, sim_lo, r.t,
+       |    CASE r.t $cases END AS blk
+       |  FROM sig, range(20) r(t)
+       |)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming
+       |FROM k x JOIN k y
+       |  ON x.t = y.t AND x.blk = y.blk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** REAL PNG round-trip + resize: the 16×16 gray image goes through
     * the JDK's PNG ENCODER (real zlib deflate), `javax.imageio` PNG
     * decode (inflate + filter reversal), then nearest-neighbor
@@ -2709,6 +2750,7 @@ object Pipeline {
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
     "mm_vad" -> (mmVad _),
+    "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_frames" -> (mmFrames _))
@@ -2777,6 +2819,7 @@ object Pipeline {
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
     "mm_vad" -> mmVadSql,
+    "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_frames" -> mmFramesSql)
