@@ -462,6 +462,54 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(Ann.opqRotate(vecs, "embedding", rot, "rv")) == 0)
   }
 
+  test("round-11 op shapes: chunk map-side, index aggs partial, NB joins hashed, outlier heap partial") {
+    // retrieval chunking is pure map-side — zero exchanges at any size
+    assert(hashExchanges(TextOps.chunk(docs, "doc_id", "text")) == 0)
+    // inverted index: two hash aggs + stats join, all partial-aggregated,
+    // no window anywhere
+    val inv = TextOps.invertedIndex(docs, "doc_id", "text")
+    val invPlan = inv.queryExecution.executedPlan.toString
+    assert(!invPlan.contains("Window"), s"invertedIndex grew a window:\n$invPlan")
+    assert(invPlan.toLowerCase.contains("partial"), "index aggs lost partial aggregation")
+    // NB classifier: the per-label constants ride a broadcast CROSS
+    // join by design (|labels| rows), but the (label, word) MODEL join
+    // must be an equi-join — and every nested-loop in the plan must be
+    // a Cross build, never an equi-join that degenerated
+    val nb = TextOps.nbClassify(docs, "doc_id", "text", "text",
+      col("doc_id") % 2 === 0)
+    val nbPlan = nb.queryExecution.executedPlan.toString
+    assert(nbPlan.contains("SortMergeJoin") || nbPlan.contains("ShuffledHashJoin")
+      || nbPlan.contains("BroadcastHashJoin"), s"model equi-join missing:\n$nbPlan")
+    nbPlan.linesIterator.filter(_.contains("NestedLoop")).foreach { l =>
+      assert(l.contains("Cross"), s"non-cross nested loop:\n$l")
+    }
+    // kNN outliers: the global top-k cut partial-aggregates (the
+    // exchange carries heaps, not the node list)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 5 + j) % 11).toFloat - 5f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.knnOutliers(vecs, "vec_id", "embedding", k = 2)
+    val outPlan = out.queryExecution.executedPlan.toString
+    assert(outPlan.contains("partial_graft_topk") ||
+      outPlan.toLowerCase.contains("partial"), "outlier top-k lost partial agg")
+    // bloom probe stays inside whole-stage codegen (no UDF, no
+    // CodegenFallback marker for the probe expression)
+    val bits = new Array[Long](64)
+    graft.functions.BloomAgg.add(bits, 3, "x".getBytes("UTF-8"))
+    // repartition first: a pure projection over a local Seq would be
+    // constant-folded into a LocalTableScan and show no codegen at all
+    val probe = docs.repartition(2).select(
+      graft.functions.BloomAgg.containsC(bits, 3, col("text")).as("h"))
+    probe.collect() // finalize the AQE plan so codegen stages are visible
+    val probePlan = probe.queryExecution.executedPlan.toString
+    // the `*(n)` operator prefix is the whole-stage-codegen marker in
+    // the AQE plan rendering — the probe's Project must carry it
+    val probeLine = probePlan.linesIterator
+      .find(_.contains("graft_bloom_contains")).get
+    assert(probeLine.contains("*("),
+      s"bloom probe fell out of codegen:\n$probePlan")
+  }
+
   test("grouped top-k: TopKAgg partial-aggregates, one exchange, agrees with the window formulation") {
     val rows = (0L until 300L).map(i => (s"g${i % 4}", i, (i * 37 % 101)))
       .toDF("g", "id", "v")
