@@ -212,6 +212,47 @@ object Stream {
         fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
+  /** Streaming distinct-users-per-window via HLL++, GATED — the
+    * live-dashboard staple (unique visitors per 10-minute window)
+    * in its only scale-safe streaming form: exact COUNT(DISTINCT) is
+    * unsupported in streaming aggregations (unbounded per-window
+    * state), while the HLL sketch is a fixed ~1.5 KB mergeable
+    * register set whose merge (max per register) is commutative and
+    * associative — deterministic under any micro-batch arrival order,
+    * the q14 argument. The query joins the streamed estimates to the
+    * batch-exact distinct counts and asserts the ±3σ (rsd 0.05) band
+    * per window; the oracle replays the exact side and the TRUE gate.
+    */
+  def streamApproxUsers(s: SparkSession, dir: String): DataFrame = {
+    val approx = runToSink(
+      eventStream(s, dir).toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("n_approx")),
+      "stream_users_sink", mode = "complete")
+      .select(col("window.start").cast("long").as("w_start_s"), col("n_approx"))
+    val exact = Tables.load(s, dir, "events")
+      .select((expr("ts div 1000000000 div 600") * 600).as("w_start_s"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("w_start_s")).agg(count(lit(1)).as("n_exact"))
+    exact.join(approx, Seq("w_start_s"), "left")
+      .select(col("w_start_s"), col("n_exact"),
+        (col("n_approx").isNotNull &&
+          abs(col("n_approx") - col("n_exact")) <=
+            lit(3) * lit(0.05) * col("n_exact") + lit(2)).as("within_ok"))
+      .orderBy("w_start_s")
+  }
+
+  private val streamApproxUsersSql: String =
+    """WITH w AS (
+      |  SELECT (epoch_us(ts) // 600000000) * 600 AS w_start_s, user_id
+      |  FROM events
+      |)
+      |SELECT w_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_ok
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming EWMA anomaly alerts (Streaming.streamingAnomaly) over
     * the 12-slice stream: sparse data-dependent emission — an alert
     * row only when a sample deviates from the running EW mean by more
@@ -862,6 +903,7 @@ object Stream {
     "stream_sosfilt" -> (streamSosfilt _),
     "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
     "stream_anomaly" -> (streamAnomaly _),
+    "stream_approx_users" -> (streamApproxUsers _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
@@ -880,6 +922,7 @@ object Stream {
     "stream_sosfilt" -> Sig.sigSosfiltSql,
     "stream_sosfilt_ttl" -> streamSosfiltTtlSql,
     "stream_anomaly" -> streamAnomalySql,
+    "stream_approx_users" -> streamApproxUsersSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_window" -> streamSessionWindowSql,
