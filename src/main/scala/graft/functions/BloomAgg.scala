@@ -195,4 +195,17 @@ case class BloomContains(bits: Array[Long], k: Int, child: Expression)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
   override def prettyName: String = "graft_bloom_contains"
+
+  // Array[Long] compares by reference under the case-class default, so
+  // two semantically identical probes would defeat canonicalization /
+  // common-subexpression elimination and each re-serialize the bitset
+  // (ADVICE r11). Compare the bitset by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case BloomContains(oBits, oK, oChild) =>
+      k == oK && child == oChild && java.util.Arrays.equals(bits, oBits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(Int.box(java.util.Arrays.hashCode(bits)),
+      Int.box(k), child)
 }

@@ -181,14 +181,19 @@ object Stats {
     * experiment readout (does variant A's metric differ from B's?),
     * computed in ONE partial-aggregatable pass per group: n, Σx, Σx².
     *
-    * Determinism: the two raw sums are quantized to the 1e-4 grid
-    * BEFORE any derived arithmetic — distributed double summation is
-    * partition-order-dependent in its last ulps, and quantizing the
-    * (two) sums first makes every downstream value (means, variances,
-    * t, the significance verdict) a pure function of integers, so the
-    * oracle replays it exactly. The quantization perturbs t by
-    * O(1e-4/σ√n) — far below any decision threshold — and the
-    * verdict compares |t| against 1.96 with the data's observed t
+    * Determinism: each VALUE (and squared value) is quantized to the
+    * 1e-4 grid per row, then summed as BIGINT — long addition is
+    * associative/commutative, so the sums are identical in any
+    * partition order and every downstream value (means, variances, t,
+    * the significance verdict) is a pure function of integers the
+    * oracle replays exactly. (Quantizing a distributed double SUM
+    * after the fact — the round-11 shape — left a residual risk: a
+    * sum landing within an ulp of a 0.5e-4 grid boundary could round
+    * differently on Spark vs DuckDB; per-row quantization has no such
+    * boundary because each double→long rounding sees the same single
+    * IEEE double on both engines.) The quantization perturbs t by
+    * O(1e-4/σ) of a mean — far below any decision threshold — and
+    * the verdict compares |t| against 1.96 with the data's observed t
     * values ≥ 0.15 away from the boundary at every SF.
     *
     * Scale shape: one hash agg over the filtered scan (map-side
@@ -202,8 +207,8 @@ object Stats {
     def side(g: String, tag: String) =
       df.filter(col(groupCol) === g)
         .agg(count(lit(1)).as(s"n_$tag"),
-          fp4(sum(col(valueCol))).as(s"_sx_$tag"),
-          fp4(sum(col(valueCol) * col(valueCol))).as(s"_sxx_$tag"))
+          sum(fp4(col(valueCol))).as(s"_sx_$tag"),
+          sum(fp4(col(valueCol) * col(valueCol))).as(s"_sxx_$tag"))
     def mean(tag: String) =
       col(s"_sx_$tag").cast("double") / lit(1e4) / col(s"n_$tag")
     def variance(tag: String) =

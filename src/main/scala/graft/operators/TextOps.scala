@@ -962,7 +962,8 @@ object TextOps {
       .join(uni.select(col("w").as("w2"), col("c1").as("_cb")), Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("pmi_fp", graft.Tables.fp6(
-        log(col("_n").cast("double") * col("c12") / (col("_ca") * col("_cb")))))
+        log(col("_n").cast("double") * col("c12") /
+          (col("_ca").cast("double") * col("_cb")))))
       .select(col("w1"), col("w2"), col("c12"), col("pmi_fp"))
       .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
       .limit(topK)

@@ -2129,7 +2129,7 @@ object Pipeline {
        |  SELECT COUNT(*) AS n FROM uni
        |)
        |SELECT b.w1, b.w2, b.c12,
-       |  ${fpSql("ln(CAST(nn.n AS DOUBLE) * b.c12 / (ca.c * cb.c))", "1e6")} AS pmi_fp
+       |  ${fpSql("ln(CAST(nn.n AS DOUBLE) * b.c12 / (CAST(ca.c AS DOUBLE) * cb.c))", "1e6")} AS pmi_fp
        |FROM big b JOIN c1 ca ON ca.wd = b.w1 JOIN c1 cb ON cb.wd = b.w2
        |CROSS JOIN nn
        |ORDER BY pmi_fp DESC, w1, w2 LIMIT 20""".stripMargin

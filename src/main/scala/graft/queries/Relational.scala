@@ -454,8 +454,13 @@ object Relational {
     * null on both engines.
     */
   def q21Ffill(s: SparkSession, dir: String): DataFrame = {
+    // Order by microseconds (ts div 1000) + event_id, matching the
+    // oracle's epoch_us(ts) exactly: a NANOS-typed events generation
+    // with sub-microsecond deltas would otherwise walk same-microsecond
+    // rows in a different order than DuckDB (ADVICE r11; q23Scd2 does
+    // the same truncation).
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     load(s, dir, "events")
       .withColumn("v_gappy",
@@ -589,13 +594,13 @@ object Relational {
     "q20_abtest" ->
       s"""WITH a AS (
          |  SELECT COUNT(*) AS n_a,
-         |    ${fpSql("SUM(value)", "1e4")} AS sx,
-         |    ${fpSql("SUM(value * value)", "1e4")} AS sxx
+         |    SUM(${fpSql("value", "1e4")}) AS sx,
+         |    SUM(${fpSql("value * value", "1e4")}) AS sxx
          |  FROM events WHERE event_type = 'purchase'
          |), b AS (
          |  SELECT COUNT(*) AS n_b,
-         |    ${fpSql("SUM(value)", "1e4")} AS sx,
-         |    ${fpSql("SUM(value * value)", "1e4")} AS sxx
+         |    SUM(${fpSql("value", "1e4")}) AS sx,
+         |    SUM(${fpSql("value * value", "1e4")}) AS sxx
          |  FROM events WHERE event_type = 'click'
          |), d AS (
          |  SELECT CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b,

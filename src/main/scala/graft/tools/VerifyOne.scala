@@ -15,6 +15,15 @@ object VerifyOne {
     }
     val sfDir = args(0)
     val outDir = args(1)
+    // Guard against the pre-round-11 arg order (<outDir> <sfDir>): an
+    // old invocation would silently write query output INTO the
+    // dataset directory. The sf dir must look like a testdata dir.
+    if (!new java.io.File(sfDir, "events.parquet").exists()) {
+      System.err.println(
+        s"arg order check: $sfDir has no events.parquet — expected " +
+          "<sfDir> <outDir> <query>... (sfDir first)")
+      sys.exit(2)
+    }
     val names = args.drop(2).toSeq
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     if (unknown.nonEmpty) {
