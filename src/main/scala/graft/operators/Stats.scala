@@ -71,8 +71,62 @@ object Stats {
   def exactMedianHist(df: DataFrame, keyCol: String, valueCol: String,
                       nBins: Int = 4096, collectThreshold: Int = 100000,
                       maxPasses: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    exactRankValues(df, keyCol, valueCol, n => Seq((n - 1) / 2, n / 2),
+      nBins, collectThreshold, maxPasses)
+      .map { case (k, n, rs) =>
+        val lo = rs((n - 1) / 2)
+        val hi = rs(n / 2)
+        (k, n, lo, hi, (lo + hi) / 2.0)
+      }.toDF(keyCol, "n", "med_lo", "med_hi", "median")
+  }
+
+  /** EXACT per-group quantile_cont(p) — [[exactMedianHist]]'s descent
+    * generalized to arbitrary p (VERDICT r11 #7): target position
+    * h = (n−1)·p, the bracketing order statistics at ranks ⌊h⌋ and
+    * ⌈h⌉ descend as independent search states, and the result is the
+    * linear interpolation q = v_⌊h⌋ + (h − ⌊h⌋)·(v_⌈h⌉ − v_⌊h⌋) —
+    * quantile_cont's formula, written as the same IEEE expression the
+    * oracle evaluates so both engines agree bitwise on identical
+    * inputs. Same scale shape as the median: O(log_nBins(n/threshold))
+    * counting scans, never a per-group sort.
+    * Returns (keyCol: string form, n, q_lo, q_hi, quantile).
+    */
+  def exactQuantileHist(df: DataFrame, keyCol: String, valueCol: String,
+                        p: Double, nBins: Int = 4096,
+                        collectThreshold: Int = 100000,
+                        maxPasses: Int = 8): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def pos(n: Long): (Long, Long, Double) = {
+      val h = (n - 1) * p
+      val r1 = math.floor(h).toLong
+      (r1, math.ceil(h).toLong, h - r1)
+    }
+    exactRankValues(df, keyCol, valueCol,
+      n => { val (r1, r2, _) = pos(n); Seq(r1, r2) },
+      nBins, collectThreshold, maxPasses)
+      .map { case (k, n, rs) =>
+        val (r1, r2, frac) = pos(n)
+        val lo = rs(r1)
+        val hi = rs(r2)
+        (k, n, lo, hi, lo + frac * (hi - lo))
+      }.toDF(keyCol, "n", "q_lo", "q_hi", "quantile")
+  }
+
+  /** Shared descent core: per key, the exact 0-based order statistics
+    * at `ranksOf(n)`. Returns (key, n, rank → value) with keys sorted.
+    * See [[exactMedianHist]] for the algorithm and the floating-point
+    * exactness argument.
+    */
+  private def exactRankValues(
+      df: DataFrame, keyCol: String, valueCol: String,
+      ranksOf: Long => Seq[Long], nBins: Int, collectThreshold: Int,
+      maxPasses: Int): Seq[(String, Long, Map[Long, Double])] = {
     require(nBins >= 2 && collectThreshold >= 1 && maxPasses >= 1,
-      "bad exactMedianHist parameters")
+      "bad exactRankValues parameters")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df
@@ -93,9 +147,7 @@ object Stats {
                           lo: Double, hi: Double, pop: Long,
                           var result: Option[Double])
       var states: Seq[St] = base.toSeq.flatMap { case (k, (n, mn, mx)) =>
-        val r1 = (n - 1) / 2
-        val r2 = n / 2
-        Seq(r1, r2).distinct.map { r =>
+        ranksOf(n).distinct.map { r =>
           if (mn == mx) St(k, r, r, Nil, mn, mx, n, Some(mn))
           else St(k, r, r, Nil, mn, mx, n, None)
         }
@@ -167,13 +219,8 @@ object Stats {
       }
       val byKey = states.groupBy(_.key)
       base.toSeq.sortBy(_._1).map { case (k, (n, _, _)) =>
-        val rs = byKey(k).map(s => s.target -> s.result.get).toMap
-        val r1 = (n - 1) / 2
-        val r2 = n / 2
-        val lo = rs(r1)
-        val hi = rs(r2)
-        (k, n, lo, hi, (lo + hi) / 2.0)
-      }.toDF(keyCol, "n", "med_lo", "med_hi", "median")
+        (k, n, byKey(k).map(s => s.target -> s.result.get).toMap)
+      }
     } finally vals.unpersist(false)
   }
 

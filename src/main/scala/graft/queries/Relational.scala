@@ -369,6 +369,25 @@ object Relational {
         fp6(col("median")).as("med_fp"))
       .orderBy("event_type")
 
+  /** EXACT per-group p95 of the same mega-groups
+    * (Stats.exactQuantileHist, the histogram descent generalized to
+    * arbitrary p — VERDICT r11 #7): the tail-latency readout q16's
+    * median machinery could not answer. Both bracketing order
+    * statistics at ⌊(n−1)·0.95⌋ / ⌈(n−1)·0.95⌉ descend as search
+    * states and the result is quantile_cont's linear interpolation,
+    * written as the identical IEEE expression on both engines. The
+    * oracle derives the two ranks explicitly with ROW_NUMBER — no
+    * engine quantile-convention ambiguity.
+    */
+  def q24ExactP95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactQuantileHist(
+      load(s, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value", p = 0.95)
+      .select(col("event_type"), col("n"),
+        fp6(col("q_lo")).as("lo_fp"), fp6(col("q_hi")).as("hi_fp"),
+        fp6(col("quantile")).as("p95_fp"))
+      .orderBy("event_type")
+
   /** Salted skew join (operators.Skew.saltedJoin): events ⋈ customer
     * with the key split across 16 salt buckets — the hot-key defense a
     * power-law fact table needs at 100 TB, where one bot user would
@@ -549,7 +568,8 @@ object Relational {
     "q11_distinct" -> (q11Distinct _),
     "q14_approx_distinct" -> (q14ApproxDistinct _),
     "q15_approx_quantiles" -> (q15ApproxQuantiles _),
-    "q16_exact_median" -> (q16ExactMedian _))
+    "q16_exact_median" -> (q16ExactMedian _),
+    "q24_exact_p95" -> (q24ExactP95 _))
 
   val oracleSql: Map[String, String] = Map(
     "q23_scd2" ->
@@ -659,6 +679,22 @@ object Relational {
          |SELECT event_type, CAST(n AS BIGINT) AS n,
          |  ${fpSql("lo", "1e6")} AS lo_fp, ${fpSql("hi", "1e6")} AS hi_fp,
          |  ${fpSql("(lo + hi) / 2.0", "1e6")} AS med_fp
+         |FROM m ORDER BY event_type""".stripMargin,
+    "q24_exact_p95" ->
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL
+         |), m AS (
+         |  SELECT event_type, ANY_VALUE(n) AS n,
+         |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS lo,
+         |    MAX(CASE WHEN rn = CAST(CEIL((n - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS hi
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  ${fpSql("lo", "1e6")} AS lo_fp, ${fpSql("hi", "1e6")} AS hi_fp,
+         |  ${fpSql("lo + ((n - 1) * 0.95 - FLOOR((n - 1) * 0.95)) * (hi - lo)", "1e6")} AS p95_fp
          |FROM m ORDER BY event_type""".stripMargin,
     "q14_approx_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

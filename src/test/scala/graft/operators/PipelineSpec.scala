@@ -963,6 +963,46 @@ class PipelineSpec extends SparkTestBase {
     assert(got.size == 5)
   }
 
+  test("exactQuantileHist matches sorted reference at several p, forced descent") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.newBuilder[(String, Double)]
+    (1 to 501).foreach(_ => rows += ("odd" -> (rnd.nextDouble() * 100 - 50)))
+    (1 to 500).foreach(_ => rows += ("even" -> rnd.nextGaussian() * 7))
+    (1 to 400).foreach(i => rows += ("dup" -> (i % 5).toDouble))
+    (1 to 300).foreach(_ => rows += ("const" -> 3.25))
+    rows += ("one" -> 42.0)
+    val data = rnd.shuffle(rows.result())
+    val df = data.toDF("k", "v").repartition(7)
+    for (p <- Seq(0.0, 0.25, 0.5, 0.95, 1.0)) {
+      val got = Stats.exactQuantileHist(df, "k", "v", p,
+        nBins = 8, collectThreshold = 16, maxPasses = 16)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      data.groupBy(_._1).foreach { case (k, kv) =>
+        val vs = kv.map(_._2).sorted
+        val n = vs.length
+        val h = (n - 1) * p
+        val lo = vs(math.floor(h).toInt)
+        val hi = vs(math.ceil(h).toInt)
+        val (gn, glo, ghi, gq) = got(k)
+        assert(gn == n, s"$k count at p=$p")
+        assert(glo == lo && ghi == hi,
+          s"$k order stats at p=$p: ($glo,$ghi) vs ($lo,$hi)")
+        assert(gq == lo + (h - math.floor(h)) * (hi - lo), s"$k quantile at p=$p")
+      }
+    }
+    // p=0.5 agrees with the median machinery (lo + 0.5*(hi-lo) vs
+    // (lo+hi)/2 — same value up to one ulp of rounding difference)
+    val med = Stats.exactMedianHist(df, "k", "v",
+      nBins = 8, collectThreshold = 16, maxPasses = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val q50 = Stats.exactQuantileHist(df, "k", "v", 0.5,
+      nBins = 8, collectThreshold = 16, maxPasses = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    med.foreach { case (k, m) =>
+      assert(math.abs(q50(k) - m) <= math.ulp(m), s"$k p50 != median") }
+  }
+
   test("BloomAgg: no false negatives, FPR near prediction, merge-order and probe-path invariant") {
     import graft.functions.BloomAgg
     val m = 4096; val k = 5
