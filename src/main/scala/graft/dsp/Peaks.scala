@@ -81,8 +81,25 @@ object Peaks {
                         widthMax: Double = Double.NaN,
                         relHeight: Double = 0.5,
                         thresholdMin: Double = Double.NaN,
-                        thresholdMax: Double = Double.NaN): Array[Int] = {
-    var peaks = localMaxima(x)
+                        thresholdMax: Double = Double.NaN,
+                        plateauMin: Int = -1,
+                        plateauMax: Int = -1): Array[Int] = {
+    // scipy's `plateau_size` is the FIRST filter — applied to the raw
+    // local-maxima plateau extents before height ever looks at a
+    // sample (scipy.signal.find_peaks filter order: plateau_size,
+    // height, threshold, distance, prominence, width). <= 0 bounds
+    // mean "no filter", matching scipy's None.
+    var peaks =
+      if (plateauMin > 0 || plateauMax > 0) {
+        val (mids, lefts, rights) = localMaximaEdges(x)
+        mids.indices.collect { case i
+          if {
+            val sz = rights(i) - lefts(i) + 1
+            (plateauMin <= 0 || sz >= plateauMin) &&
+              (plateauMax <= 0 || sz <= plateauMax)
+          } => mids(i)
+        }.toArray
+      } else localMaxima(x)
     if (!height.isNaN) peaks = peaks.filter(p => x(p) >= height)
     // scipy's `threshold`: vertical drop to the IMMEDIATE neighbors —
     // scalar = a floor on min(x[p]-x[p-1], x[p]-x[p+1]), optional max
@@ -132,8 +149,16 @@ object Peaks {
     * no filtering — a convenience for queries where peaks are not
     * precomputed.
     */
-  def localMaxima(x: Array[Double]): Array[Int] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+  def localMaxima(x: Array[Double]): Array[Int] = localMaximaEdges(x)._1
+
+  /** [[localMaxima]] with the plateau extents scipy's
+    * `_local_maxima_1d` also returns: (midpoints, left edges, right
+    * edges), parallel arrays. plateau_size = right − left + 1.
+    */
+  def localMaximaEdges(x: Array[Double]): (Array[Int], Array[Int], Array[Int]) = {
+    val mids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val lefts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rights = scala.collection.mutable.ArrayBuffer.empty[Int]
     val n = x.length
     var i = 1
     while (i < n - 1) {
@@ -142,12 +167,14 @@ object Peaks {
         var j = i
         while (j < n - 1 && x(j + 1) == x(i)) j += 1
         if (j < n - 1 && x(j + 1) < x(i)) {
-          out += (i + j) / 2 // midpoint, matching scipy's plateau rule
+          mids += (i + j) / 2 // midpoint, matching scipy's plateau rule
+          lefts += i
+          rights += j
           i = j
         }
       }
       i += 1
     }
-    out.toArray
+    (mids.toArray, lefts.toArray, rights.toArray)
   }
 }

@@ -179,10 +179,12 @@ object Bridge {
 
   def findPeaksF(x: ArrayData, height: Double, distance: Int, promMin: Double,
                  wlen: Int, widthMin: Double, widthMax: Double,
-                 relHeight: Double, thrMin: Double, thrMax: Double): ArrayData =
+                 relHeight: Double, thrMin: Double, thrMax: Double,
+                 plateauMin: Int, plateauMax: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
       Peaks.findPeaksFiltered(d(x), height, distance, promMin, wlen,
-        widthMin, widthMax, relHeight, thrMin, thrMax))
+        widthMin, widthMax, relHeight, thrMin, thrMax,
+        plateauMin, plateauMax))
 
   def savgol(x: ArrayData, window: Int, polyorder: Int, mode: UTF8String,
              deriv: Int, delta: Double): ArrayData =
@@ -695,7 +697,8 @@ object Bridge {
       StructField("quot", arrD, nullable = false),
       StructField("rem", arrD, nullable = false)))),
     "findPeaksF" -> (Seq(arrD, DoubleType, IntegerType, DoubleType, IntegerType,
-      DoubleType, DoubleType, DoubleType, DoubleType, DoubleType) -> arrI),
+      DoubleType, DoubleType, DoubleType, DoubleType, DoubleType,
+      IntegerType, IntegerType) -> arrI),
     "savgol" -> (Seq(arrD, IntegerType, IntegerType, StringType,
       IntegerType, DoubleType) -> arrD),
     "orderFilter" -> (Seq(arrD, IntegerType, IntegerType) -> arrD),
@@ -786,7 +789,7 @@ object Bridge {
     case "hilbert" => hilbert(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
     case "detrend" => detrend(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String])
     case "medfilt" => medfilt(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
-    case "findPeaksF" => findPeaksF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double], a(6).asInstanceOf[Double], a(7).asInstanceOf[Double], a(8).asInstanceOf[Double], a(9).asInstanceOf[Double])
+    case "findPeaksF" => findPeaksF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Double], a(2).asInstanceOf[Int], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double], a(6).asInstanceOf[Double], a(7).asInstanceOf[Double], a(8).asInstanceOf[Double], a(9).asInstanceOf[Double], a(10).asInstanceOf[Int], a(11).asInstanceOf[Int])
     case "savgol" => savgol(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[UTF8String], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double])
     case "orderFilter" => orderFilter(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "wiener" => wiener(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int], a(2).asInstanceOf[Double])

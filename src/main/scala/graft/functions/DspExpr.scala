@@ -282,10 +282,13 @@ object Functions {
                     widthMax: Double = Double.NaN,
                     relHeight: Double = 0.5,
                     thresholdMin: Double = Double.NaN,
-                    thresholdMax: Double = Double.NaN): Column =
+                    thresholdMax: Double = Double.NaN,
+                    plateauMin: Int = -1,
+                    plateauMax: Int = -1): Column =
       call("findPeaksF", x, lit(height), lit(distance), lit(promMin), lit(wlen),
         lit(widthMin), lit(widthMax), lit(relHeight),
-        lit(thresholdMin), lit(thresholdMax))
+        lit(thresholdMin), lit(thresholdMax),
+        lit(plateauMin), lit(plateauMax))
     def winnowC(text: Column, k: Int = 8, w: Int = 4,
                 base: Long = 31L, mod: Long = 1000000007L): Column =
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))

@@ -1502,11 +1502,14 @@ object Signal {
                 widthMax: Double = Double.NaN,
                 relHeight: Double = 0.5,
                 thresholdMin: Double = Double.NaN,
-                thresholdMax: Double = Double.NaN): DataFrame = {
+                thresholdMax: Double = Double.NaN,
+                plateauMin: Int = -1,
+                plateauMax: Int = -1): DataFrame = {
     val sdf = seriesify(df, keys, dim, Seq(value))
     val withPk = sdf
       .withColumn("_pk", findPeaksFC(col(value), height, distance, prominence,
-        wlen, widthMin, widthMax, relHeight, thresholdMin, thresholdMax))
+        wlen, widthMin, widthMax, relHeight, thresholdMin, thresholdMax,
+        plateauMin, plateauMax))
       // height looked up map-side from the in-row array — no join
       .withColumn("_ph", expr(s"transform(_pk, p -> element_at($value, p + 1))"))
     explodeSeries(withPk, keys,

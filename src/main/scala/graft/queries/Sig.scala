@@ -1905,6 +1905,64 @@ object Sig {
        |FROM kept
        |ORDER BY 1, 2""".stripMargin
 
+  /** find_peaks with the `plateau_size` kwarg — the LAST scipy peak
+    * filter (VERDICT r11 #4), applied FIRST in scipy's filter order
+    * (plateau_size, height, threshold, distance, prominence, width;
+    * PeaksSpec pins the ordering against distance). The raw 2-decimal
+    * values almost never tie across CONSECUTIVE samples, so the
+    * series quantizes to a 5-unit grid first (FLOOR(value/5) — the
+    * identical integer expression on both engines), which produces
+    * genuine 2–3-sample flat tops at every SF; the filter keeps only
+    * those. The oracle reuses the plateau-resolving peak chain —
+    * `pe.jend` is already the plateau's right edge, so plateau_size =
+    * jend − i + 1 falls out of the existing CTE for free.
+    */
+  def sigFindPeaksPlateau(s: SparkSession, dir: String): DataFrame =
+    Signal.findPeaks(
+        evReal(s, dir).withColumn("value", floor(col("value") / 5.0)),
+        Seq("user_id"), "t", "value",
+        height = Double.NaN, distance = 1, prominence = Double.NaN,
+        wlen = -1, plateauMin = 2, plateauMax = 3)
+      .select(col("user_id"), col("pos"), col("peak"),
+        fp6(col("height")).as("height_fp"))
+      .orderBy("user_id", "pos")
+
+  private val sigFindPeaksPlateauSql: String =
+    s"""WITH raw AS (
+       |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE)/1e6 AS t,
+       |         FLOOR(value / 5.0) AS value
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, value) - 1 AS j,
+       |         COUNT(*) OVER (PARTITION BY user_id) AS n,
+       |         t, value
+       |  FROM raw
+       |), nx AS (
+       |  SELECT cur.user_id, cur.j, cur.value, nxt.value AS vnext
+       |  FROM s cur JOIN s nxt ON nxt.user_id = cur.user_id AND nxt.j = cur.j + 1
+       |), pk0 AS (
+       |  SELECT a.user_id, a.j AS i, a.value AS v, a.n
+       |  FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.j - 1
+       |  WHERE l.value < a.value AND a.j <= a.n - 2
+       |), pe AS (
+       |  SELECT p.user_id, p.i, p.v, p.n,
+       |    MIN(nx.j) FILTER (WHERE nx.vnext != p.v) AS jend
+       |  FROM pk0 p JOIN nx ON nx.user_id = p.user_id AND nx.j >= p.i
+       |  GROUP BY 1, 2, 3, 4
+       |), kept AS (
+       |  SELECT pe.user_id, (pe.i + pe.jend) // 2 AS p, pe.v AS hp
+       |  FROM pe JOIN nx e ON e.user_id = pe.user_id AND e.j = pe.jend
+       |  WHERE pe.jend IS NOT NULL AND e.vnext < pe.v
+       |    AND pe.jend - pe.i + 1 BETWEEN 2 AND 3
+       |)
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) - 1 AS INT) AS pos,
+       |  CAST(p AS INT) AS peak,
+       |  ${fpSql("hp", "1e6")} AS height_fp
+       |FROM kept
+       |ORDER BY 1, 2""".stripMargin
+
   /** find_peaks with the `distance` AND `width` kwargs end-to-end —
     * the last spec-only corner of the reference surface (VERDICT r10
     * #1; mirrors tests/test_signal.py:189-285's parameterized widths).
@@ -2927,6 +2985,7 @@ private val csdBaseSql: String =
     "sig_welch_long" -> (sigWelchLong _),
     "sig_find_peaks" -> (sigFindPeaks _),
     "sig_find_peaks_thr" -> (sigFindPeaksThr _),
+    "sig_find_peaks_plateau" -> (sigFindPeaksPlateau _),
     "sig_find_peaks_dw" -> (sigFindPeaksDw _),
     "sig_zoom_fft" -> (sigZoomFft _),
     "sig_czt" -> (sigCzt _),
@@ -3015,6 +3074,7 @@ private val csdBaseSql: String =
     "sig_welch_long" -> sigWelchSql,
     "sig_find_peaks" -> sigFindPeaksSql,
     "sig_find_peaks_thr" -> sigFindPeaksThrSql,
+    "sig_find_peaks_plateau" -> sigFindPeaksPlateauSql,
     "sig_find_peaks_dw" -> sigFindPeaksDwSql,
     "sig_zoom_fft" -> sigZoomFftSql,
     "sig_czt" -> sigCztSql,

@@ -152,4 +152,31 @@ class PeaksSpec extends AnyFunSuite {
     assert(Peaks.findPeaksFiltered(y, distance = 3, thresholdMax = 2.0)
       .toSeq == Seq(1, 5))
   }
+
+  test("findPeaksFiltered plateau_size: edge bookkeeping, bounds, applied FIRST") {
+    //           0    1    2    3    4    5    6    7    8    9    10
+    val x = Array(0.0, 1.0, 0.0, 2.0, 2.0, 0.0, 3.0, 3.0, 3.0, 0.0, 0.0)
+    // peaks: 1 (size 1), 3 (midpoint of [3,4], size 2), 7 (midpoint of
+    // [6,8], size 3)
+    val (mids, lefts, rights) = Peaks.localMaximaEdges(x)
+    assert(mids.toSeq == Seq(1, 3, 7))
+    assert(lefts.toSeq == Seq(1, 3, 6) && rights.toSeq == Seq(1, 4, 8))
+    assert(Peaks.findPeaksFiltered(x, plateauMin = 2).toSeq == Seq(3, 7))
+    assert(Peaks.findPeaksFiltered(x, plateauMin = 2, plateauMax = 2)
+      .toSeq == Seq(3))
+    assert(Peaks.findPeaksFiltered(x, plateauMax = 1).toSeq == Seq(1))
+    // scipy's find_peaks(plateau_size=(min,max)) filter order: plateau
+    // runs FIRST — a tall sharp peak removed by plateauMin no longer
+    // suppresses its flat low neighbor under distance
+    val y = Array(0.0, 1.0, 1.0, 0.0, 5.0, 0.0)
+    assert(Peaks.findPeaksFiltered(y, distance = 4).toSeq == Seq(4))
+    assert(Peaks.findPeaksFiltered(y, distance = 4, plateauMin = 2)
+      .toSeq == Seq(1))
+    // ...and before height: the plateau cut applies to peaks height
+    // would have kept, independent of order observability — both
+    // filters together conjoin
+    assert(Peaks.findPeaksFiltered(y, height = 2.0, plateauMin = 2).isEmpty)
+    assert(Peaks.findPeaksFiltered(y, height = 0.5, plateauMin = 2)
+      .toSeq == Seq(1))
+  }
 }
