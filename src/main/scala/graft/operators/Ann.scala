@@ -851,9 +851,19 @@ object Ann {
   }
 
   def knnGraph(nodes: DataFrame, idCol: String, vecCol: String,
-               k: Int): DataFrame = {
-    val knn = topkBruteForce(nodes, nodes.select(col(idCol), col(vecCol)),
-      idCol, vecCol, k)
+               k: Int): DataFrame =
+    knnGraphFrom(topkBruteForce(nodes,
+      nodes.select(col(idCol), col(vecCol)), idCol, vecCol, k))
+
+  /** Mutualize ANY top-k neighbor frame with the (query_id, rank,
+    * neighbor_id, score_fp) contract — the swap point the [[knnGraph]]
+    * scaladoc promises: feed it [[topkBruteForce]] for the exactly-
+    * replayable graph or [[topkIvfPq]] for the 100 TB path
+    * (emb_knn_graph_ivfpq gates the recall of that swap). The
+    * symmetrization is an ordinary hash equi-join of the k·n edge list
+    * against its own reversal on (src, dst).
+    */
+  def knnGraphFrom(knn: DataFrame): DataFrame = {
     val e = knn.select(col("query_id").as("src"),
       col("neighbor_id").as("dst"), col("score_fp"))
     val rev = e.select(col("dst").as("_rsrc"), col("src").as("_rdst"))
@@ -862,4 +872,32 @@ object Ann {
       .select(col("src").as("a"), col("dst").as("b"),
         col("score_fp").as("cos_fp"))
   }
+
+  /** Exact-cosine rerank of an ANN shortlist — the standard IVF-PQ
+    * production tail (Jégou et al.'s search pipeline): ADC ranks a
+    * cheap k′-candidate shortlist, then the reported top-k comes from
+    * EXACT scores on just those k′·n pairs. Cost is two hash joins
+    * fetching the pair's vectors plus the bounded-heap cut — k′·n
+    * rows, never the n² pair set, and the scores match
+    * [[topkBruteForce]]'s fp6 cosine bit-for-bit wherever the true
+    * neighbor made the shortlist. Input is any frame with the
+    * (query_id, neighbor_id) columns; output is the usual
+    * (query_id, rank, neighbor_id, score_fp) contract.
+    */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
+    val qv = queries.select(col(idCol).as("_qid"), asDouble(col(vecCol)).as("_qv"))
+    val scored = shortlist
+      .select(col("query_id"), col("neighbor_id").as("_cid"))
+      .join(c, "_cid")
+      .join(qv, col("query_id") === col("_qid"))
+      .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
+    topkOutput(scored, k)
+  }
+
+  /** [[rerankExact]] where queries and corpus are the same node set. */
+  def rerankExact(shortlist: DataFrame, nodes: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame =
+    rerankExact(shortlist, nodes, nodes, idCol, vecCol, k)
 }

@@ -105,6 +105,38 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r8 >= r - 1e-9, "raising nProbe lowered IVF-PQ recall")
   }
 
+  test(s"IVF-PQ shortlist + exact rerank recall@$k: rerank dominates raw ADC") {
+    val truth = neighborSets(
+      Ann.topkBruteForce(corpus, queries, "vec_id", "embedding", k))
+    // the production tail emb_knn_graph_ivfpq rides on: ADC ranks a
+    // 4k-candidate shortlist, exact cosine reranks it. Recall is then
+    // bounded only by shortlist coverage, so it must dominate the raw
+    // ADC ranking at the same probe budget.
+    val adc = Ann.topkIvfPq(corpus, queries, "vec_id", "embedding",
+      k, nProbe = 8, nSub = 8, kSub = 16, iters = 1)
+    val shortlist = Ann.topkIvfPq(corpus, queries, "vec_id", "embedding",
+      k * 4, nProbe = 8, nSub = 8, kSub = 16, iters = 1)
+    val rr = neighborSets(Ann.rerankExact(shortlist, corpus, queries,
+      "vec_id", "embedding", k))
+    val rAdc = recallVs(neighborSets(adc), truth)
+    val rRr = recallVs(rr, truth)
+    info(f"recall@$k: ivfpq ADC=$rAdc%.3f, shortlist(4k)+exact rerank=$rRr%.3f")
+    assert(rRr >= rAdc - 1e-9, "exact rerank lost recall vs raw ADC")
+    assert(rRr >= 0.55, f"rerank recall@$k degraded: $rRr%.3f")
+    // wherever the true neighbor made the shortlist, the reranked
+    // score is the brute-force fp6 cosine bit-for-bit
+    val bf = Ann.topkBruteForce(corpus, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"), col("score_fp"))
+    val rrScores = Ann.rerankExact(shortlist, corpus, queries,
+      "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score_fp").as("rr_fp"))
+    val joined = bf.join(rrScores, Seq("query_id", "neighbor_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r0 => assert(r0.getLong(2) == r0.getLong(3),
+      s"rerank score != brute-force score on ${r0.getLong(0)}->${r0.getLong(1)}"))
+  }
+
   test("OPQ rotation: valid model, lower distortion, recall floor") {
     val m = Ann.opqFit(corpus, "vec_id", "embedding", nSub = 8)
     // the rotation really is orthogonal and really diagonalizes the
