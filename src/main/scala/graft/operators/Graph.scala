@@ -23,10 +23,14 @@ object Graph {
     * (damping 17/20 = 0.85 as a rational; every op is a long add,
     * multiply, or floor-div — no float ever enters, so there is no
     * summation-order question AT ALL, stronger than the quantize-
-    * after-sum trick elsewhere). The floors leak ≤ 1 fp6 unit of mass
-    * per node per step — irrelevant for ranking and fully
-    * deterministic; production float PageRank would quantize per
-    * superstep the same way to stay replayable.
+    * after-sum trick elsewhere). Each floor loses < 1 fp6 unit, and
+    * per step the aggregate leak is < 2n + 0.85·(D − n) units of 10⁶
+    * (D = directed edge count: the teleport and damping floors lose
+    * < 1 per node, and node u's contribution split loses ≤ deg(u) − 1
+    * across its out-edges) — PipelineSpec pins the bound per
+    * superstep. Irrelevant for ranking and fully deterministic;
+    * production float PageRank would quantize per superstep the same
+    * way to stay replayable.
     *
     * Scale shape: the classic Pregel-lite loop — per iteration, one
     * equi-join of the directed edge list against the rank table on the
@@ -34,7 +38,11 @@ object Graph {
     * and one partial-aggregatable hash agg summing contributions per
     * destination. Iterations are FIXED (default 5), so the plan is a
     * static chain — no driver-side convergence loop, no collect; the
-    * node count arrives as a broadcast one-row frame.
+    * node count arrives as a broadcast one-row frame. The repeated
+    * edge-list/degree subtrees dedupe via Spark's exchange reuse —
+    * PlanShapeSpec pins ReusedExchange in the executed plan so a
+    * Spark upgrade or plan edit can't silently recompute the edge
+    * scan once per superstep.
     *
     * Nodes are the edge endpoints (an isolated document simply keeps
     * no rank row — rank flows along edges by definition). In an

@@ -1326,6 +1326,42 @@ class PipelineSpec extends SparkTestBase {
     deg.keys.foreach(v => assert(star7(v) == got(v)._2))
   }
 
+  test("pageRank: per-superstep fp6 mass leak stays under the documented floor bound") {
+    import graft.operators.Graph
+    // each floor loses < 1 fp6 unit: teleport floor (n), damping floor
+    // (n), and node u's contribution split (deg(u) − 1, totalling
+    // D − n over the directed edge count D). Per step:
+    //   0 <= 150000 + floor(17·prev/20) ... ideal - actual < 2n + 0.85(D − n)
+    // checked in exact integer arithmetic (×20 to clear the rational).
+    val rnd = new scala.util.Random(13)
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val rand = (0 until 30).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    for (edgeSeq <- Seq(ring, rand)) {
+      val edges = edgeSeq.toDF("a", "b")
+      val d = edgeSeq.size * 2 // directed edge count after undirect
+      var prev = -1L
+      for (t <- 0 to 4) {
+        val ranks = Graph.pageRank(edges, "a", "b", iters = t).collect()
+        val n = ranks.length
+        val mass = ranks.map(_.getLong(2)).sum
+        if (t == 0) {
+          // r0 = 10^6 div n per node, no leak beyond the init floor
+          assert(mass == n * (1000000L / n))
+        } else {
+          // 20·actual in (20·(150000 + 0.85·prev) − 20·bound, 20·ideal]
+          val ideal20 = 20L * 150000L + 17L * prev
+          val bound20 = 20L * (2L * n) + 17L * (d - n)
+          assert(20L * mass <= ideal20,
+            s"step $t mass ${mass} above ideal (floors can only lose)")
+          assert(20L * mass > ideal20 - bound20,
+            s"step $t leaked too much: 20*mass=${20 * mass}, ideal20=$ideal20, bound20=$bound20")
+        }
+        prev = mass
+      }
+    }
+  }
+
   test("incrementalDedup: exact hit, near hit with best-match rank, and clean doc") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docsDf = Seq(

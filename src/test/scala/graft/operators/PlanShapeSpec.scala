@@ -552,4 +552,21 @@ class PlanShapeSpec extends SparkTestBase {
       .distinct().count()
     assert(buckets > 1, "hot key stayed in one salt bucket")
   }
+
+  test("pageRank: supersteps dedupe the edge/degree subtrees via exchange reuse") {
+    // the fixed-iteration chain repeats the und/deg subtrees once per
+    // superstep; Spark's exchange reuse collapses them to one physical
+    // scan each. Pin ReusedExchange in the EXECUTED plan (reuse is
+    // finalized at runtime under AQE) so a Spark upgrade or a plan
+    // edit can't silently recompute the edge list 5× (VERDICT r11 #5).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val pr = Graph.pageRank(edges, "a", "b", iters = 3)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    assert(reused >= 3,
+      s"expected >= 3 ReusedExchange nodes across 3 supersteps, got $reused:\n" +
+        plan.take(2000))
+  }
 }
