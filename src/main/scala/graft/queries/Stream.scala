@@ -51,7 +51,8 @@ object Stream {
     * global order means each key's events still arrive time-ordered
     * across batches (the operators' telemetry contract).
     */
-  private def slicedEventStream(s: SparkSession, dir: String, nFiles: Int) = {
+  private def slicedEventStream(s: SparkSession, dir: String, nFiles: Int,
+                                glob: String = "ev_*.parquet") = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -106,7 +107,7 @@ object Stream {
       .parquet(root.getAbsolutePath).schema
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "ev_*.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(root.getAbsolutePath)
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
@@ -211,6 +212,79 @@ object Stream {
       .select(col("user_id"), col("pos").cast("int").as("pos"),
         fp6(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
+
+  /** The exactly-once production sink pattern under a SIMULATED CRASH
+    * (VERDICT r11 #6): the parquet file sink's own transaction log is
+    * sink-side only, so production pipelines writing to external
+    * tables use the idempotent `foreachBatch` merge-write — each
+    * micro-batch lands in a BATCH-ID-KEYED directory with overwrite
+    * mode, so a replayed batch overwrites its own previous (possibly
+    * partial) output instead of appending duplicates. The harness
+    * exercises the real failure path: (1) stream the first six slices
+    * to completion; (2) crash simulation — delete the newest
+    * `commits/<n>` marker from the checkpoint, exactly the state a
+    * JVM kill between sink write and commit leaves behind; (3)
+    * restart the SAME checkpoint against all twelve slices. Spark
+    * replays batch n from its recorded offsets and the state-store
+    * version n−1 (flatMapGroupsWithState recovery), the overwrite
+    * makes the replay idempotent, and the six new slices stream on
+    * normally. The run asserts the replayed batch re-committed; the
+    * oracle (the batch sosfilt CTE, unchanged) then proves
+    * exactly-once delivery — a duplicated or dropped replay fails the
+    * row-count/hash gate. Green under RocksDB
+    * (SPARK_GRAFT_STATE_STORE=rocksdb).
+    */
+  def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach { p =>
+      val cls = p.toLowerCase match {
+        case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider"
+        case "hdfs" | "memory" => "org.apache.spark.sql.execution.streaming." +
+          "state.HDFSBackedStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_STORE: unknown provider '$other' (rocksdb|hdfs)")
+      }
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-eo-").toFile
+    cleanupHookInstalled
+    pendingTmp.add(tmp)
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    val chk = new java.io.File(tmp, "chk").getAbsolutePath
+    def start(glob: String) =
+      Streaming.streamingSosfilt(slicedEventStream(s, dir, 12, glob),
+          Design.butterSos(4, 0.3))
+        .toDF().writeStream.option("checkpointLocation", chk)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }.start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q1 = start("ev_00[0-5].parquet")
+      try q1.processAllAvailable() finally q1.stop()
+      val commitsDir = new java.io.File(chk, "commits")
+      val commits = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      require(commits.nonEmpty, "phase 1 committed no batches")
+      val latest = commits.maxBy(_.getName.toInt)
+      val crashedId = latest.getName
+      require(latest.delete(), s"could not delete commit marker $crashedId")
+      // the local ChecksumFs keeps a .<n>.crc sidecar; a leftover one
+      // makes the replayed commit's rename collide (reported as
+      // "multiple streaming queries using the checkpoint")
+      new java.io.File(commitsDir, s".$crashedId.crc").delete(): Unit
+      val q2 = start("ev_*.parquet")
+      try q2.processAllAvailable() finally q2.stop()
+      require(new java.io.File(commitsDir, crashedId).exists(),
+        s"restart did not replay and re-commit crashed batch $crashedId")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(out).drop("batch")
+      .select(col("user_id"), col("pos").cast("int").as("pos"),
+        fp6(col("value")).as("value_fp"))
+      .orderBy("user_id", "pos")
+  }
 
   /** Streaming distinct-users-per-window via HLL++, GATED — the
     * live-dashboard staple (unique visitors per 10-minute window)
@@ -901,6 +975,7 @@ object Stream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sosfilt" -> (streamSosfilt _),
+    "stream_exactly_once" -> (streamExactlyOnce _),
     "stream_sosfilt_ttl" -> (streamSosfiltTtl _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_approx_users" -> (streamApproxUsers _),
@@ -920,6 +995,7 @@ object Stream {
     * IS the batch oracle. */
   val oracleSql: Map[String, String] = Map(
     "stream_sosfilt" -> Sig.sigSosfiltSql,
+    "stream_exactly_once" -> Sig.sigSosfiltSql,
     "stream_sosfilt_ttl" -> streamSosfiltTtlSql,
     "stream_anomaly" -> streamAnomalySql,
     "stream_approx_users" -> streamApproxUsersSql,
