@@ -1503,9 +1503,18 @@ object Sig {
     * the 2j = n test, which also covers odd n).
     */
   def sigPeriodogram(s: SparkSession, dir: String): DataFrame =
+    // psd compares on a 0.1 grid, NOT fp4: the kernel's radix-2 FFT
+    // and the oracle's naive DFT sum agree only to the double
+    // rounding envelope (measured max |diff| 3.0e-10 psd-units over
+    // every (user, bin) at sf0.1 — trig/summation-order ulps on
+    // squared ~1e4-scale spectra), so a 1e-4 grid has ~9 measured
+    // boundary hits at sf0.1 (the round-12 ×10 gate caught exactly
+    // this; fp2 still clips one). 0.1 puts the boundary odds at
+    // ~3e-9/row while still pinning psd to 5 significant digits —
+    // far tighter than any real windowing/scaling defect.
     Signal.periodogram(evReal(s, dir), Seq("user_id"), "t", "value", fs = 2.0)
       .select(col("user_id"), col("pos"), fp6(col("frequency")).as("freq_fp"),
-        fp4(col("psd")).as("psd_fp"))
+        graft.Tables.fp(col("psd"), 10).as("psd_fp"))
       .orderBy("user_id", "pos")
 
   private val sigPeriodogramSql: String =
@@ -1514,7 +1523,7 @@ object Sig {
        |)
        |SELECT a.user_id, CAST(a.j AS INT) AS pos,
        |  ${fpSql("a.j * (1.0/(a.n * 0.5))", "1e6")} AS freq_fp,
-       |  ${fpSql("(POWER(SUM((b.value - st.vbar) * COS(-2*PI()*a.j*b.j/a.n)), 2) + POWER(SUM((b.value - st.vbar) * SIN(-2*PI()*a.j*b.j/a.n)), 2)) / (2.0 * a.n) * (CASE WHEN a.j = 0 OR 2*a.j = a.n THEN 1.0 ELSE 2.0 END)", "1e4")} AS psd_fp
+       |  ${fpSql("(POWER(SUM((b.value - st.vbar) * COS(-2*PI()*a.j*b.j/a.n)), 2) + POWER(SUM((b.value - st.vbar) * SIN(-2*PI()*a.j*b.j/a.n)), 2)) / (2.0 * a.n) * (CASE WHEN a.j = 0 OR 2*a.j = a.n THEN 1.0 ELSE 2.0 END)", "10")} AS psd_fp
        |FROM s a JOIN s b ON a.user_id = b.user_id
        |JOIN st ON st.user_id = a.user_id
        |WHERE a.j <= a.n // 2
