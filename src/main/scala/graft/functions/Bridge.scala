@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -454,6 +454,164 @@ object Bridge {
     s
   }
 
+  /** ADC lookup sum Σ_m lut[m][codes[m]] — the product-quantization
+    * asymmetric-distance inner loop as ONE kernel call per scored row.
+    * The equivalent element_at(element_at(lut,m+1), codes[m]+1) chain
+    * allocates nested-array views per subspace per row and dominated
+    * the ADC scan (~75 µs/row measured on the ×10 corpus — the IVF-PQ
+    * shortlist is exactly the loop a 100 TB ANN query spends its time
+    * in). Ascending-m summation matches the old chain bit-for-bit, so
+    * scores and oracles are unchanged.
+    */
+  def adc(lut: ArrayData, codes: ArrayData): Double = {
+    val n = codes.numElements()
+    var s = 0.0
+    var m = 0
+    while (m < n) { s += lut.getArray(m).getDouble(codes.getInt(m)); m += 1 }
+    s
+  }
+
+  // ---- IVF / PQ per-row kernels -----------------------------------------
+  //
+  // These replace literal-expression chains whose size scaled with
+  // nCells·dim (32 centroids × 64 dims ≈ 2048 literals in ONE Project)
+  // — big enough to push the whole ADC join stage out of whole-stage
+  // codegen, leaving a 1M-row interpreted join path (~45 µs/row, the
+  // emb_knn_graph_ivfpq ×10 regression). Each kernel is one codegen'd
+  // static call; centroids/codebooks arrive ONCE as literal nested
+  // arrays (reference objects, not per-row expressions). All tie rules
+  // and summation orders replicate the old expressions bit-for-bit
+  // (ascending-index dot products; argmax ties -> smallest id; argmin
+  // ties -> smallest cell), so scores, fits, and oracles are unchanged.
+
+  private def mat(a: ArrayData): Array[Array[Double]] =
+    Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
+
+  /** argmax_i ⟨v, cents[i]⟩ -> ids[i]; ties -> the earliest (ids must
+    * ascend, matching the old max(d, −cid) struct rule). */
+  def ivfCell(v: ArrayData, cents: ArrayData, ids: ArrayData): Int = {
+    val x = v.toDoubleArray()
+    var best = 0; var bestD = Double.NegativeInfinity
+    var i = 0
+    val n = cents.numElements()
+    while (i < n) {
+      val c = cents.getArray(i)
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += x(j) * c.getDouble(j); j += 1 }
+      if (s > bestD) { bestD = s; best = i }
+      i += 1
+    }
+    ids.getInt(best)
+  }
+
+  /** [[ivfCell]] for float vectors (x(j).toDouble * c(j), like dotpF). */
+  def ivfCellF(v: ArrayData, cents: ArrayData, ids: ArrayData): Int = {
+    val x = v.toFloatArray()
+    var best = 0; var bestD = Double.NegativeInfinity
+    var i = 0
+    val n = cents.numElements()
+    while (i < n) {
+      val c = cents.getArray(i)
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += x(j).toDouble * c.getDouble(j); j += 1 }
+      if (s > bestD) { bestD = s; best = i }
+      i += 1
+    }
+    ids.getInt(best)
+  }
+
+  /** The nProbe best cells by ⟨v, cents[i]⟩ descending (ties -> lower
+    * id first — the old sort_array(desc) struct rule with ni = −cid),
+    * as array<struct<cell:int, d:double>>. */
+  def ivfProbes(v: ArrayData, cents: ArrayData, ids: ArrayData,
+                nProbe: Int): ArrayData = {
+    val x = v.toDoubleArray()
+    val n = cents.numElements()
+    val ds = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = cents.getArray(i)
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += x(j) * c.getDouble(j); j += 1 }
+      ds(i) = s
+      i += 1
+    }
+    val order = Array.tabulate(n)(identity).sortWith { (a, b) =>
+      ds(a) > ds(b) || (ds(a) == ds(b) && a < b)
+    }
+    val k = math.min(nProbe, n)
+    new GenericArrayData(Array.tabulate[Any](k) { r =>
+      new GenericInternalRow(Array[Any](ids.getInt(order(r)), ds(order(r))))
+    })
+  }
+
+  /** ADC lookup table lut[m][j] = ⟨v[m·sd .. m·sd+sd), cb[m][j]⟩. */
+  def pqLut(v: ArrayData, cb: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    val nSub = cb.numElements()
+    new GenericArrayData(Array.tabulate[Any](nSub) { m =>
+      val cells = cb.getArray(m)
+      val kSub = cells.numElements()
+      val sd = cells.getArray(0).numElements()
+      val row = new Array[Double](kSub)
+      var j = 0
+      while (j < kSub) {
+        val c = cells.getArray(j)
+        var s = 0.0; var i = 0
+        while (i < sd) { s += x(m * sd + i) * c.getDouble(i); i += 1 }
+        row(j) = s
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(row)
+    })
+  }
+
+  /** PQ codes: per subspace the argmin_j of the fp6-quantized
+    * ‖c‖² − 2⟨x, c⟩ (ties -> smallest cell — pqCellOf's struct-min
+    * rule; ‖c‖² summed ascending like the driver's map(x*x).sum). */
+  def pqAssign(v: ArrayData, cb: ArrayData): ArrayData =
+    pqAssignImpl(v.toDoubleArray(), cb)
+
+  def pqAssignF(v: ArrayData, cb: ArrayData): ArrayData = {
+    val f = v.toFloatArray()
+    val x = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { x(i) = f(i).toDouble; i += 1 }
+    pqAssignImpl(x, cb)
+  }
+
+  private def pqAssignImpl(x: Array[Double], cb: ArrayData): ArrayData = {
+    val nSub = cb.numElements()
+    require(nSub >= 1 && x.length == nSub * cb.getArray(0).getArray(0).numElements(),
+      s"pqAssign: vector length ${x.length} does not match codebook " +
+        s"($nSub subspaces x ${cb.getArray(0).getArray(0).numElements()} dims)")
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      val cells = cb.getArray(m)
+      val kSub = cells.numElements()
+      val sd = cells.getArray(0).numElements()
+      var bestJ = 0; var bestD = Long.MaxValue
+      var j = 0
+      while (j < kSub) {
+        val c = cells.getArray(j)
+        var cn = 0.0; var dp = 0.0; var i = 0
+        while (i < sd) {
+          val cv = c.getDouble(i)
+          cn += cv * cv
+          dp += x(m * sd + i) * cv
+          i += 1
+        }
+        val dL = math.floor((cn - 2.0 * dp) * 1e6 + 0.5).toLong
+        if (dL < bestD) { bestD = dL; bestJ = j }
+        j += 1
+      }
+      codes(m) = bestJ
+      m += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
   /** Cosine similarity in one pass (dot and both norms together). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
@@ -729,6 +887,19 @@ object Bridge {
       StructField("hi", LongType, nullable = false),
       StructField("lo", LongType, nullable = false)))),
     "dotp" -> (Seq(arrD, arrD) -> DoubleType),
+    "adc" -> (Seq(ArrayType(arrD, containsNull = false), arrI) -> DoubleType),
+    "ivfCell" -> (Seq(arrD, ArrayType(arrD, containsNull = false), arrI) -> IntegerType),
+    "ivfCellF" -> (Seq(arrF, ArrayType(arrD, containsNull = false), arrI) -> IntegerType),
+    "ivfProbes" -> (Seq(arrD, ArrayType(arrD, containsNull = false), arrI,
+      IntegerType) -> ArrayType(StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("d", DoubleType, nullable = false))), containsNull = false)),
+    "pqLut" -> (Seq(arrD, ArrayType(ArrayType(arrD, containsNull = false),
+      containsNull = false)) -> ArrayType(arrD, containsNull = false)),
+    "pqAssign" -> (Seq(arrD, ArrayType(ArrayType(arrD, containsNull = false),
+      containsNull = false)) -> arrI),
+    "pqAssignF" -> (Seq(arrF, ArrayType(ArrayType(arrD, containsNull = false),
+      containsNull = false)) -> arrI),
     "cosine" -> (Seq(arrD, arrD) -> DoubleType),
     "pairs" -> (Seq(ArrayType(LongType, containsNull = false)) ->
       ArrayType(StructType(Seq(
@@ -816,6 +987,13 @@ object Bridge {
     case "winnow" => winnow(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Long], a(4).asInstanceOf[Long])
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
     case "dotp" => dotp(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "adc" => adc(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "ivfCell" => ivfCell(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
+    case "ivfCellF" => ivfCellF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
+    case "ivfProbes" => ivfProbes(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Int])
+    case "pqLut" => pqLut(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "pqAssign" => pqAssign(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "pqAssignF" => pqAssignF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosine" => cosine(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "pairs" => pairs(a(0).asInstanceOf[ArrayData])
     case "dotpF" => dotpF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])

@@ -294,6 +294,16 @@ object Functions {
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))
     def simhashC(words: Column): Column = call("simhash", words)
     def dotpC(a: Column, b: Column): Column = call("dotp", a, b)
+    def adcC(lut: Column, codes: Column): Column = call("adc", lut, codes)
+    def ivfCellC(v: Column, cents: Column, ids: Column): Column =
+      call("ivfCell", v, cents, ids)
+    def ivfCellFC(v: Column, cents: Column, ids: Column): Column =
+      call("ivfCellF", v, cents, ids)
+    def ivfProbesC(v: Column, cents: Column, ids: Column, nProbe: Int): Column =
+      call("ivfProbes", v, cents, ids, lit(nProbe))
+    def pqLutC(v: Column, cb: Column): Column = call("pqLut", v, cb)
+    def pqAssignC(v: Column, cb: Column): Column = call("pqAssign", v, cb)
+    def pqAssignFC(v: Column, cb: Column): Column = call("pqAssignF", v, cb)
     def cosineC(a: Column, b: Column): Column = call("cosine", a, b)
     def pairsC(ids: Column): Column = call("pairs", ids)
     def dotpFC(a: Column, b: Column): Column = call("dotpF", a, b)

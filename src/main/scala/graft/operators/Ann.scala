@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.fp6
 import graft.functions.TopKAgg
-import graft.functions.Functions.dsl.{cosineFC, cosineFFC, dotpC, dotpFC}
+import graft.functions.Functions.dsl.{adcC, cosineFC, cosineFFC, dotpC, dotpFC,
+  ivfCellC, ivfCellFC, ivfProbesC, pqAssignC, pqAssignFC, pqLutC}
 
 /** Similarity search over an embedding column (SURVEY.md §2.2 ops
   * 22-24): brute-force exact top-k as the baseline and a
@@ -158,30 +159,40 @@ object Ann {
       else s"no centroid vectors found: corpus has no $idCol < $standInK")
     require(cents.map(_._1).distinct.length == cents.length,
       "duplicate centroid ids")
+    val (centsL, idsL) = centroidLits(cents)
     val c = vectors(corpus, idCol, vecCol, "_cid", "_cv")
-      .withColumn("_cell",
-        cellExpr(cents.toSeq, (cid, cv) => dotpFC(col("_cv"), typedLit(cv))))
-    val probeStructs = cents.toSeq.map { case (cid, cv) =>
-      struct(dotpC(col("_qv"), typedLit(cv)).as("d"), lit(-cid.toLong).as("ni"))
-    }
+      .withColumn("_cell", cellOf(corpus, vecCol, col("_cv"), centsL, idsL))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
-      .withColumn("_parr", slice(sort_array(array(probeStructs: _*), asc = false), 1, nProbe))
-      .withColumn("_probe", explode(expr("transform(_parr, s -> CAST(-s.ni AS INT))")))
+      .withColumn("_parr", ivfProbesC(col("_qv"), centsL, idsL, nProbe))
+      .withColumn("_probe", explode(expr("transform(_parr, s -> s.cell)")))
     val scored = c.join(broadcast(q), col("_cell") === col("_probe"))
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", fp6(cosineFC(col("_cv"), col("_qv"))))
     topkOutput(scored, k)
   }
 
-  /** argmax-dot cell id against a literal centroid table: max over
-    * struct(dot, -cid) = best dot, smallest cid on ties. `dot` closes
-    * over the vector column and builds the product for one centroid.
+  /** Centroid table + ids as the two literal nested arrays the
+    * ivfCell/ivfProbes kernels consume. Ids must ascend — the kernels'
+    * earliest-wins tie rule is then exactly the old
+    * max-struct(dot, −cid) rule (smallest cid on ties). Replaces the
+    * per-centroid literal-expression chain whose codegen size scaled
+    * with nCells·dim and pushed ADC join stages out of whole-stage
+    * codegen (round 12).
     */
-  private def cellExpr(cents: Seq[(Int, Array[Double])],
-                       dot: (Int, Array[Double]) => Column): Column =
-    (-array_max(array(cents.map { case (cid, cv) =>
-      struct(dot(cid, cv).as("d"), lit(-cid.toLong).as("ni"))
-    }: _*)).getField("ni")).cast("int")
+  private def centroidLits(cents: Seq[(Int, Array[Double])]): (Column, Column) = {
+    require(cents.map(_._1) == cents.map(_._1).sorted,
+      "centroid ids must ascend for the kernel tie rule")
+    (typedLit(cents.map(_._2.toSeq)), typedLit(cents.map(_._1)))
+  }
+
+  /** Kernelized argmax-dot cell id; float corpora take the
+    * widen-per-element kernel (dotpF's arithmetic), double ones the
+    * double kernel — identical results where both apply.
+    */
+  private def cellOf(df: DataFrame, vecCol: String, v: Column,
+                     centsL: Column, idsL: Column): Column =
+    if (isFloatVec(df, vecCol)) ivfCellFC(v, centsL, idsL)
+    else ivfCellC(v, centsL, idsL)
 
   /** Spherical k-means coarse-quantizer fit (Lloyd iterations) for the
     * IVF path — turns [[topkIvf]]'s stand-in quantizer into a trained
@@ -243,13 +254,13 @@ object Ann {
     if (iters > 0) vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 0 until iters) {
-        val centSeq = cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
+        val (centsL, idsL) = centroidLits(
+          cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq)
         val aggCols = (0 until dim).map(i =>
           sum(element_at(col("_cv"), i + 1).cast("double")).as(s"_s$i")) :+
           count(lit(1)).as("_cnt")
         val rows = vecs
-          .withColumn("_cell",
-            cellExpr(centSeq, (_, cv) => dotpFC(col("_cv"), typedLit(cv))))
+          .withColumn("_cell", cellOf(corpus, vecCol, col("_cv"), centsL, idsL))
           .groupBy(col("_cell"))
           .agg(aggCols.head, aggCols.tail: _*)
           .collect()
@@ -288,8 +299,8 @@ object Ann {
     // asDouble + the double kernel folds in the same index order as the
     // float-native path (widen-then-multiply), so assignments match
     // topkIvf's bit-for-bit on float corpora and also accept double ones
-    corpus.withColumn(cellCol,
-      cellExpr(cents.toSeq, (_, cv) => dotpC(asDouble(col(vecCol)), typedLit(cv))))
+    val (centsL, idsL) = centroidLits(cents.toSeq)
+    corpus.withColumn(cellCol, ivfCellC(asDouble(col(vecCol)), centsL, idsL))
   }
 
   /** Embedding near-duplicate pairs: banded random-hyperplane blocking
@@ -468,18 +479,13 @@ object Ann {
                vecCol: String, codesCol: String = "codes"): DataFrame = {
     graft.functions.Functions.install(corpus.sparkSession)
     val cb = collectCodebook(codebooks)
-    val sd = cb(0)(0).length
-    // two-step projection: subvector attributes first, then the argmin
-    // — inlining the slice into all nSub·kSub structs blows up codegen
-    val fv = isFloatVec(corpus, vecCol)
-    val svNames = cb.indices.map(m => s"__pqsv$m")
-    corpus
-      .select(col("*") +: cb.indices.map(m =>
-        slice(col(vecCol), m * sd + 1, sd).as(svNames(m))): _*)
-      .withColumn(codesCol, array(cb.indices.map { m =>
-        pqCellOf(cb(m), col(svNames(m)), fv)
-      }: _*))
-      .drop(svNames: _*)
+    // ONE kernel call per row (graft_pqassign) — the old per-(m, cell)
+    // struct chain put nSub·kSub literal subtrees in the encode Project
+    // and pushed downstream join stages out of whole-stage codegen
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    corpus.withColumn(codesCol,
+      if (isFloatVec(corpus, vecCol)) pqAssignFC(col(vecCol), cbLit)
+      else pqAssignC(col(vecCol), cbLit))
   }
 
   /** PQ ANN via asymmetric distance computation (ADC): the query stays
@@ -513,21 +519,15 @@ object Ann {
     val c = pqEncode(vectors(corpus, idCol, vecCol, "_cid", "_cv"),
       cbFrame, "_cid", "_cv", codesCol = "_codes")
       .select(col("_cid"), col("_codes"))
-    // per-query ADC lookup table: lut[m+1][cell+1] = ⟨q_m, c(m,cell)⟩
-    // (query subvectors projected to attributes first — same codegen
-    // hygiene as pqEncode)
-    val lut = array(cb.indices.map { m =>
-      array(cb(m).map(cv => dotpC(col(s"_q$m"), typedLit(cv))): _*)
-    }: _*)
+    // per-query ADC lookup table lut[m][j] = ⟨q_m, c(m,j)⟩ as one
+    // kernel call over the literal codebook
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
-      .select(col("query_id") +: cb.indices.map(m =>
-        slice(col("_qv"), m * sd + 1, sd).as(s"_q$m")): _*)
-      .withColumn("_lut", lut)
+      .withColumn("_lut", pqLutC(col("_qv"), cbLit))
       .select(col("query_id"), col("_lut"))
-    val score = fp6(cb.indices.map { m =>
-      element_at(element_at(col("_lut"), m + 1),
-        element_at(col("_codes"), m + 1) + 1)
-    }.reduce(_ + _))
+    // ADC sum as one kernel call (graft_adc) — bit-identical to the
+    // old ascending-m element_at chain, ~75× cheaper per scored row
+    val score = fp6(adcC(col("_lut"), col("_codes")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", score)
@@ -576,40 +576,29 @@ object Ann {
     require(cents.map(_._1).toSeq == cents.indices.toSeq,
       "coarse cell ids must be dense 0..n-1 for the literal-array index")
     val centArr = typedLit(cents.map(_._2.toSeq).toSeq)
+    val (centsL, idsL) = centroidLits(cents.toSeq)
     val c0 = vectors(corpus, idCol, vecCol, "_cid", "_cv")
-      .withColumn("_cell",
-        cellExpr(cents.toSeq, (_, cv) => dotpFC(col("_cv"), typedLit(cv))))
+      .withColumn("_cell", cellOf(corpus, vecCol, col("_cv"), centsL, idsL))
       .withColumn("_resid",
         zip_with(asDouble(col("_cv")),
           element_at(centArr, col("_cell") + 1), (a, b) => a - b))
     val cbFrame = pqFit(c0, "_cid", "_resid", nSub, kSub, iters)
     val cb = collectCodebook(cbFrame)
-    val sd = cb(0)(0).length
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val c = pqEncode(c0, cbFrame, "_cid", "_resid", codesCol = "_codes")
       .select(col("_cid"), col("_cell"), col("_codes"))
     // query: nProbe best cells, carrying each probed cell's ⟨q, c⟩
-    // (the coarse half of the ADC score), plus the residual lut
-    val probeStructs = cents.toSeq.map { case (cid, cv) =>
-      struct(dotpC(col("_qv"), typedLit(cv)).as("d"), lit(-cid.toLong).as("ni"))
-    }
-    val lut = array(cb.indices.map { m =>
-      array(cb(m).map(cv => dotpC(col(s"_q$m"), typedLit(cv))): _*)
-    }: _*)
+    // (the coarse half of the ADC score), plus the residual lut —
+    // both as single kernel calls over the literal tables
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
-      .withColumn("_parr",
-        slice(sort_array(array(probeStructs: _*), asc = false), 1, nProbe))
-      .select(col("query_id") +: col("_parr") +: cb.indices.map(m =>
-        slice(col("_qv"), m * sd + 1, sd).as(s"_q$m")): _*)
-      .withColumn("_lut", lut)
+      .withColumn("_parr", ivfProbesC(col("_qv"), centsL, idsL, nProbe))
+      .withColumn("_lut", pqLutC(col("_qv"), cbLit))
       .select(col("query_id"), col("_lut"),
-        explode(expr("transform(_parr, s -> struct(CAST(-s.ni AS INT) AS cell, s.d AS qcdot))")).as("_p"))
+        explode(expr("transform(_parr, s -> struct(s.cell AS cell, s.d AS qcdot))")).as("_p"))
       .select(col("query_id"), col("_lut"),
         col("_p.cell").as("_probe"), col("_p.qcdot").as("_qcdot"))
-    val score = fp6(col("_qcdot") + cb.indices.map { m =>
-      element_at(element_at(col("_lut"), m + 1),
-        element_at(col("_codes"), m + 1) + 1)
-    }.reduce(_ + _))
+    val score = fp6(col("_qcdot") + adcC(col("_lut"), col("_codes")))
     val scored = c.join(broadcast(q), col("_cell") === col("_probe"))
       .filter(col("_cid") =!= col("query_id"))
       .withColumn("_score", score)
