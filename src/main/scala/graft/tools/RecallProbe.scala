@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Ann
 
-/** One-off measurement harness: edge recall of the IVF-PQ-backed
-  * mutual kNN graph vs the exact brute-force graph, per sf dir —
-  * used to pick (and later re-audit) the emb_knn_graph_ivfpq gate
-  * floor. `tools/run.sh graft.tools.RecallProbe [sfDir...]`
+/** Measurement harness: edge recall of the IVF-PQ-backed mutual kNN
+  * graph vs the exact brute-force graph, per sf dir — used to pick
+  * (and re-audit) the emb_knn_graph_ivfpq gate floor of 0.40. The
+  * first config row (nc=32 np=8 it=2 sk=32) is the SHIPPED query's
+  * configuration; measured 0.82/0.81/0.63 at sf0.001/0.01/0.1.
+  * `tools/run.sh graft.tools.RecallProbe [sfDir...]`
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -23,7 +25,7 @@ object RecallProbe {
         .select(col("vec_id"), col("embedding"))
       val exact = Ann.knnGraph(nodes, "vec_id", "embedding", k = 4)
       val nExact = exact.count()
-      for ((nc, np, it, shortK) <- Seq((32, 8, 2, 16), (32, 8, 2, 32), (16, 4, 2, 32))) {
+      for ((nc, np, it, shortK) <- Seq((32, 8, 2, 32), (32, 8, 2, 16), (16, 4, 2, 32))) {
         val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = nc, iters = 2)
         val short = Ann.topkIvfPq(nodes, nodes, "vec_id", "embedding",
           k = shortK, nProbe = np, nSub = 8, kSub = 16, iters = it,
