@@ -566,6 +566,40 @@ object Bridge {
     })
   }
 
+  /** Dense matrix·vector: out[r] = ⟨rows[r], v⟩ (ascending dots — the
+    * OPQ rotation; replaces a d-component array() of d-literal dotp
+    * expressions, d² literals in one Project). */
+  def matVec(v: ArrayData, rows: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    val n = rows.numElements()
+    val out = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      val c = rows.getArray(r)
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += x(j) * c.getDouble(j); j += 1 }
+      out(r) = s
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** [[matVec]] for float vectors (widen-per-element, like dotpF). */
+  def matVecF(v: ArrayData, rows: ArrayData): ArrayData = {
+    val x = v.toFloatArray()
+    val n = rows.numElements()
+    val out = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      val c = rows.getArray(r)
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += x(j).toDouble * c.getDouble(j); j += 1 }
+      out(r) = s
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** PQ codes: per subspace the argmin_j of the fp6-quantized
     * ‖c‖² − 2⟨x, c⟩ (ties -> smallest cell — pqCellOf's struct-min
     * rule; ‖c‖² summed ascending like the driver's map(x*x).sum). */
@@ -896,6 +930,8 @@ object Bridge {
         StructField("d", DoubleType, nullable = false))), containsNull = false)),
     "pqLut" -> (Seq(arrD, ArrayType(ArrayType(arrD, containsNull = false),
       containsNull = false)) -> ArrayType(arrD, containsNull = false)),
+    "matVec" -> (Seq(arrD, ArrayType(arrD, containsNull = false)) -> arrD),
+    "matVecF" -> (Seq(arrF, ArrayType(arrD, containsNull = false)) -> arrD),
     "pqAssign" -> (Seq(arrD, ArrayType(ArrayType(arrD, containsNull = false),
       containsNull = false)) -> arrI),
     "pqAssignF" -> (Seq(arrF, ArrayType(ArrayType(arrD, containsNull = false),
@@ -992,6 +1028,8 @@ object Bridge {
     case "ivfCellF" => ivfCellF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "ivfProbes" => ivfProbes(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData], a(3).asInstanceOf[Int])
     case "pqLut" => pqLut(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "matVec" => matVec(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
+    case "matVecF" => matVecF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "pqAssign" => pqAssign(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "pqAssignF" => pqAssignF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "cosine" => cosine(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])

@@ -302,6 +302,8 @@ object Functions {
     def ivfProbesC(v: Column, cents: Column, ids: Column, nProbe: Int): Column =
       call("ivfProbes", v, cents, ids, lit(nProbe))
     def pqLutC(v: Column, cb: Column): Column = call("pqLut", v, cb)
+    def matVecC(v: Column, rows: Column): Column = call("matVec", v, rows)
+    def matVecFC(v: Column, rows: Column): Column = call("matVecF", v, rows)
     def pqAssignC(v: Column, cb: Column): Column = call("pqAssign", v, cb)
     def pqAssignFC(v: Column, cb: Column): Column = call("pqAssignF", v, cb)
     def cosineC(a: Column, b: Column): Column = call("cosine", a, b)

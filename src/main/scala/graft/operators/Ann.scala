@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables.fp6
 import graft.functions.TopKAgg
 import graft.functions.Functions.dsl.{adcC, cosineFC, cosineFFC, dotpC, dotpFC,
-  ivfCellC, ivfCellFC, ivfProbesC, pqAssignC, pqAssignFC, pqLutC}
+  ivfCellC, ivfCellFC, ivfProbesC, matVecC, matVecFC, pqAssignC, pqAssignFC,
+  pqLutC}
 
 /** Similarity search over an embedding column (SURVEY.md §2.2 ops
   * 22-24): brute-force exact top-k as the baseline and a
@@ -385,26 +386,25 @@ object Ann {
         .map(quant).toArray
     }
     val fv = isFloatVec(corpus, vecCol)
-    // subvectors projected ONCE into attributes: the argmin expression
-    // references each subspace kSub times, and an inline slice() would
-    // replicate its subtree into every generated struct (codegen blowup
-    // at larger kSub)
     val vecs = vectors(corpus, idCol, vecCol, "_cid", "_cv")
-      .select(col("_cid") +: (0 until nSub).map(m =>
-        slice(col("_cv"), m * sd + 1, sd).as(s"_sv$m")): _*)
     if (iters > 0) vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 0 until iters) {
-        // (m, cell_m, subvector_m) per input row — assignment is pure
-        // map-side expression against the codebook literals
-        val subStructs = array((0 until nSub).map { m =>
-          val sv = col(s"_sv$m")
-          struct(lit(m).as("m"), pqCellOf(cb(m), sv, fv).as("cell"), sv.as("sv"))
-        }: _*)
+        // (m, cell_m, subvector_m) per input row — assignment is ONE
+        // pqAssign kernel call against the literal codebook (round 12:
+        // the old per-(m, cell) struct chain was the codegen-blowup
+        // shape), exploded into per-subspace rows for the re-center agg
+        val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+        val assign = if (fv) pqAssignFC(col("_cv"), cbLit)
+          else pqAssignC(col("_cv"), cbLit)
         val aggCols = (0 until sd).map(j =>
           sum(element_at(col("_sv"), j + 1).cast("double")).as(s"_s$j")) :+
           count(lit(1)).as("_cnt")
-        val rows = vecs.select(explode(subStructs).as("_e"))
+        val rows = vecs.withColumn("_codes", assign)
+          .select(explode(expr(
+            s"transform(sequence(0, ${nSub - 1}), m -> struct(m AS m, " +
+              s"element_at(_codes, m + 1) AS cell, " +
+              s"slice(_cv, m * $sd + 1, $sd) AS sv))")).as("_e"))
           .select(col("_e.m").as("_m"), col("_e.cell").as("_cell"),
             col("_e.sv").as("_sv"))
           .groupBy(col("_m"), col("_cell"))
@@ -433,15 +433,6 @@ object Ann {
     * `isFloat` picks the float-native or double dot kernel — residual
     * vectors (IVF-PQ) arrive as doubles, raw embeddings as floats.
     */
-  private def pqCellOf(cells: Array[Array[Double]], sv: Column,
-                       isFloat: Boolean): Column =
-    array_min(array(cells.zipWithIndex.map { case (cv, cell) =>
-      val cnorm = cv.map(x => x * x).sum
-      val dp = if (isFloat) dotpFC(sv, typedLit(cv)) else dotpC(sv, typedLit(cv))
-      struct(fp6(lit(cnorm) - lit(2.0) * dp).as("d"),
-        lit(cell).as("c"))
-    }: _*)).getField("c")
-
   /** Element type check: array<float> vectors take the float-native
     * kernels, array<double> (residuals) the double ones. */
   private def isFloatVec(df: DataFrame, vecCol: String): Boolean =
@@ -727,12 +718,14 @@ object Ann {
   def opqRotate(df: DataFrame, vecCol: String,
                 rotation: Array[Array[Double]], outCol: String): DataFrame = {
     graft.functions.Functions.install(df.sparkSession)
-    val fv = isFloatVec(df, vecCol)
-    val comps = rotation.map { rv =>
-      if (fv) dotpFC(col(vecCol), typedLit(rv.toSeq))
-      else dotpC(col(vecCol), typedLit(rv.toSeq))
-    }
-    df.withColumn(outCol, array(comps.toIndexedSeq: _*))
+    // one matVec kernel call — the old d-component array of d-literal
+    // dotp expressions put d² literals in one Project (same codegen
+    // blowup class as the round-12 IVF/PQ chains); ascending dots per
+    // row keep the rotated components bit-identical
+    val rotLit = typedLit(rotation.map(_.toSeq).toSeq)
+    df.withColumn(outCol,
+      if (isFloatVec(df, vecCol)) matVecFC(col(vecCol), rotLit)
+      else matVecC(col(vecCol), rotLit))
   }
 
   /** Mean squared reconstruction error of a PQ encoding: for each row,
