@@ -821,6 +821,9 @@ object Ann {
     val kd = knn.filter(col("rank") === k)
       .select(col("query_id").as("node"),
         (lit(1000000L) - col("score_fp")).as("kdist_fp"))
+    // kd is referenced three times (count, heap cut, final join);
+    // cache the bounded n-row frame so the n² kNN stage runs once
+    kd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = kd.count()
     val kTop = ((n * fracNum + fracDen - 1) / fracDen).toInt.max(1)
     val top = kd
@@ -846,6 +849,11 @@ object Ann {
     * against its own reversal on (src, dst).
     */
   def knnGraphFrom(knn: DataFrame): DataFrame = {
+    // the k·n neighbor frame is referenced TWICE (edge list + its
+    // reversal) — without a materialization boundary the kNN stage
+    // (brute force: an n² scan) evaluates once per reference. Bounded
+    // (k rows per node), so cache it for the join.
+    knn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = knn.select(col("query_id").as("src"),
       col("neighbor_id").as("dst"), col("score_fp"))
     val rev = e.select(col("dst").as("_rsrc"), col("src").as("_rdst"))
