@@ -2072,6 +2072,68 @@ object Pipeline {
       |FROM documents WHERE doc_id % 83 = 0
       |ORDER BY 1""".stripMargin
 
+  /** CSV ingestion with RFC 4180 quoting hazards + quarantine
+    * (Sources.csvDocs): every row's `title` embeds commas AND doubled
+    * quotes, rows with doc_id % 89 == 0 are unparseable stubs. The
+    * content hash covers title || text, so a quoting bug anywhere in
+    * the encode→decode round trip (comma split, quote unescape)
+    * changes the xor and fails the gate; the oracle replays from the
+    * ORIGINAL documents table with the same derived title — the CSV
+    * layer itself is what's under test.
+    */
+  def srcCsv(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.sources.Sources.csvDocs(s, dir)
+    val good = parsed.filter(col("c.doc_id").isNotNull)
+      .groupBy(col("c.source").as("source"), col("c.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c.n_chars")).as("sum_chars"),
+        bit_xor(conv(substring(md5(encode(
+            concat(col("c.title"), lit("|"), col("c.text")), "UTF-8")),
+          1, 15), 16, 10).cast("long")).as("content_xor"))
+    val bad = parsed.filter(col("c.doc_id").isNull)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("_corrupt").as("source"), lit("_corrupt").as("lang"),
+        col("n_docs"), lit(0L).as("sum_chars"), lit(0L).as("content_xor"))
+    good.unionByName(bad).orderBy("source", "lang")
+  }
+
+  private val srcCsvSql: String =
+    """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(
+      |    'T,"' || CAST(doc_id % 97 AS VARCHAR) || '",v' || '|' || text
+      |  ), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents WHERE doc_id % 89 <> 0
+      |GROUP BY 1, 2
+      |UNION ALL
+      |SELECT '_corrupt', '_corrupt', CAST(COUNT(*) AS BIGINT), 0, 0
+      |FROM documents WHERE doc_id % 89 = 0
+      |ORDER BY 1, 2""".stripMargin
+
+  /** ORC lake source (Sources.orcDocs): the same filtered-aggregate
+    * contract a parquet reader gets — lang + n_chars predicates reach
+    * the ORC scan as PushedFilters (SourcesSpec pins it), the
+    * projection prunes to four columns, and the oracle replays from
+    * the original documents so the ORC encode→decode round trip is
+    * what's verified.
+    */
+  def srcOrc(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.orcDocs(s, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("source")
+
+  private val srcOrcSql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents WHERE lang = 'en' AND n_chars >= 200
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Partitioned-layout round-trip (sources.Sources.partitionedDocs):
     * documents re-written lang-partitioned and read back — per-lang
     * counts, char mass, and the order-independent content digest prove
@@ -2778,6 +2840,8 @@ object Pipeline {
     "text_collocations" -> (textCollocations _),
     "text_entropy" -> (textEntropy _),
     "src_jsonl" -> (srcJsonl _),
+    "src_csv" -> (srcCsv _),
+    "src_orc" -> (srcOrc _),
     "sink_partitioned" -> (sinkPartitioned _),
     "src_evolved" -> (srcEvolved _),
     "text_tfidf" -> (textTfidf _),
@@ -2848,6 +2912,8 @@ object Pipeline {
     "text_collocations" -> textCollocationsSql,
     "text_entropy" -> textEntropySql,
     "src_jsonl" -> srcJsonlSql,
+    "src_csv" -> srcCsvSql,
+    "src_orc" -> srcOrcSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "src_evolved" -> srcEvolvedSql,
     "text_tfidf" -> textTfidfSql,

@@ -154,6 +154,93 @@ object Sources {
     * corrupt-record path is genuinely exercised and exactly
     * replayable from the parquet side (doc_id % 83 = 0).
     */
+  /** CSV document ingestion — the other raw-dump format real pipelines
+    * start from — read the SCALE-SAFE way: raw text lines + `from_csv`
+    * with an explicit schema (map-side, codegen'd; no inference scan,
+    * no multiline mode — a 100 TB read must stay line-splittable).
+    * The fixture injects the hazards a CSV contract actually has to
+    * survive: every row carries a `title` field with embedded commas
+    * AND doubled quotes (RFC 4180 quoting, escape = `"`), and rows
+    * where doc_id % 89 == 0 are REPLACED by an unparseable stub —
+    * those yield a null-doc_id struct and are counted/quarantined,
+    * never dropped silently, never fatal (the jsonlDocs contract).
+    *
+    * Returns (value: raw line, c: parsed struct or null fields) —
+    * callers filter `c.doc_id IS NULL` for the corrupt set.
+    */
+  def csvDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = materializeCsv(spark, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("n_chars", org.apache.spark.sql.types.LongType)
+      .add("title", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    spark.read.text(new java.io.File(root, "data").getAbsolutePath)
+      .select(col("value"),
+        from_csv(col("value"), schema,
+          Map("escape" -> "\"", "quote" -> "\"")).as("c"))
+  }
+
+  /** The deterministic synthetic title every csv row carries: embedded
+    * comma + doubled-quote content derived from doc_id, so the quoting
+    * round trip is verifiable by any engine. */
+  def csvTitleExpr: org.apache.spark.sql.Column =
+    concat(lit("T,\""), (col("doc_id") % 97).cast("string"), lit("\",v"))
+
+  private def materializeCsv(spark: SparkSession, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_csv/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      // hand-built RFC 4180 lines (quote the string fields, double any
+      // inner quotes) — full control over the bytes so the corruption
+      // rule and the quoting hazards are deterministic and replayable
+      def q(c: org.apache.spark.sql.Column) =
+        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
+      val line = concat_ws(",",
+        col("doc_id").cast("string"), col("lang"), col("source"),
+        col("n_chars").cast("string"), q(csvTitleExpr), q(col("text")))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("_line", line)
+        .select(when(col("doc_id") % 89 === 0,
+            concat(lit("CORRUPT STUB "), col("doc_id").cast("string")))
+          .otherwise(col("_line")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(new java.io.File(scratch, "data").getAbsolutePath)
+    }
+    base
+  }
+
+  /** Documents in ORC — the other columnar lake format (Hive-era lakes
+    * are full of it); Spark's built-in orc source gives the same
+    * column pruning + predicate pushdown contract as parquet, and
+    * SourcesSpec pins PushedFilters on the scan so a regression to a
+    * full read is loud. The fixture is a one-time ORC re-write of the
+    * documents table.
+    */
+  def orcDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = materializeOrc(spark, dir)
+    spark.read.orc(new java.io.File(root, "data").getAbsolutePath)
+  }
+
+  private def materializeOrc(spark: SparkSession, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_orc/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .orc(new java.io.File(scratch, "data").getAbsolutePath)
+    }
+    base
+  }
+
   private def materializeJsonl(spark: SparkSession, dir: String): java.io.File = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")

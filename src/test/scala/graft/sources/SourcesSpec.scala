@@ -81,6 +81,50 @@ class SourcesSpec extends SparkTestBase {
     assert(en.count() == ref.filter(col("lang") === "en").count())
   }
 
+  test("csvDocs: quoting hazards round-trip byte-identical, corrupt stubs quarantined") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val parsed = Sources.csvDocs(spark, sf).cache()
+    val ref = spark.read.parquet(s"$sf/documents.parquet").cache()
+    val wantCorrupt = ref.filter(col("doc_id") % 89 === 0).count()
+    assert(parsed.filter(col("c.doc_id").isNull).count() == wantCorrupt)
+    assert(wantCorrupt > 0 && parsed.count() == ref.count())
+    // the embedded-comma + doubled-quote title decodes EXACTLY to the
+    // derived expression, and text round-trips byte-for-byte
+    val good = parsed.filter(col("c.doc_id").isNotNull)
+      .select(col("c.doc_id").as("doc_id"), col("c.title").as("title"),
+        col("c.text").as("text"))
+    val refGood = ref.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"), Sources.csvTitleExpr.as("title"), col("text"))
+    assert(good.exceptAll(refGood).count() == 0)
+    assert(refGood.exceptAll(good).count() == 0)
+    // sanity: the titles genuinely contain the hazards
+    val t = good.select("title").head().getString(0)
+    assert(t.contains(",") && t.contains("\""), s"hazard-free title: $t")
+    parsed.unpersist(); ref.unpersist(): Unit
+  }
+
+  test("orcDocs: lossless round trip, predicates reach the ORC scan as PushedFilters") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val orc = Sources.orcDocs(spark, sf)
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+    assert(orc.count() == ref.count())
+    assert(orc.select("doc_id", "text", "lang", "source", "n_chars")
+      .exceptAll(ref.select("doc_id", "text", "lang", "source", "n_chars"))
+      .count() == 0)
+    val filtered = orc.filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select("doc_id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(l => l.contains("lang") && l.contains("n_chars")),
+      s"predicates not pushed to the ORC scan:\n$plan")
+    // and the projection prunes: the scan schema must not read `text`
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(l => !l.contains("text")),
+      s"column pruning lost — text read for a doc_id projection:\n$plan")
+  }
+
   test("evolvedDocs: merged union schema, null backfill exactly on the missing generation") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
