@@ -2110,6 +2110,33 @@ object Pipeline {
       |FROM documents WHERE doc_id % 89 = 0
       |ORDER BY 1, 2""".stripMargin
 
+  /** Small-files compaction (Sources.compactedDocs): a 64-way
+    * fragmented documents layout rewritten to 4 size-balanced files by
+    * a keyless round-robin repartition — the lake-maintenance rewrite
+    * every streaming sink eventually needs. The content digest proves
+    * the rewrite lossless; the two boolean gates (was fragmented /
+    * is compacted) assert the file counts the way the recall gates
+    * assert quality, and SourcesSpec pins the exact counts.
+    */
+  def sinkCompacted(s: SparkSession, dir: String): DataFrame = {
+    val (df, before, after) = graft.sources.Sources.compactedDocs(s, dir)
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .withColumn("was_fragmented", lit(before >= 32))
+      .withColumn("is_compacted", lit(after <= 4))
+      .orderBy("lang")
+  }
+
+  private val sinkCompactedSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor,
+      |  TRUE AS was_fragmented, TRUE AS is_compacted
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ORC lake source (Sources.orcDocs): the same filtered-aggregate
     * contract a parquet reader gets — lang + n_chars predicates reach
     * the ORC scan as PushedFilters (SourcesSpec pins it), the
@@ -2842,6 +2869,7 @@ object Pipeline {
     "src_jsonl" -> (srcJsonl _),
     "src_csv" -> (srcCsv _),
     "src_orc" -> (srcOrc _),
+    "sink_compacted" -> (sinkCompacted _),
     "sink_partitioned" -> (sinkPartitioned _),
     "src_evolved" -> (srcEvolved _),
     "text_tfidf" -> (textTfidf _),
@@ -2914,6 +2942,7 @@ object Pipeline {
     "src_jsonl" -> srcJsonlSql,
     "src_csv" -> srcCsvSql,
     "src_orc" -> srcOrcSql,
+    "sink_compacted" -> sinkCompactedSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "src_evolved" -> srcEvolvedSql,
     "text_tfidf" -> textTfidfSql,

@@ -241,6 +241,53 @@ object Sources {
     base
   }
 
+  /** Small-files compaction — THE lake-maintenance operation at scale
+    * (streaming sinks and per-batch writers fragment a table into
+    * thousands of KB-sized files; every subsequent scan then pays a
+    * task + open + footer-read per file). The fixture writes documents
+    * as a 64-way fragmented layout once; `compact` rewrites any
+    * parquet directory to `targetFiles` size-balanced files with a
+    * round-robin `repartition(n)` (no keys — compaction must not
+    * skew on data values) and swaps it in atomically via the
+    * write-to-scratch + rename pattern. Returns the compacted frame;
+    * file counts are exposed for the gate/spec.
+    */
+  def compactedDocs(spark: SparkSession, dir: String,
+                    targetFiles: Int = 4): (DataFrame, Int, Int) = {
+    val frag = materializeFragmented(spark, dir)
+    def parquetCount(d: java.io.File): Int =
+      Option(new java.io.File(d, "data").listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val before = parquetCount(frag)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = new java.io.File(
+      s"/tmp/graft_compact/$tag-${graft.Tables.pathFingerprint(s"$dir/documents.parquet")}-$targetFiles")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      spark.read.parquet(new java.io.File(frag, "data").getAbsolutePath)
+        .repartition(targetFiles)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(scratch, "data").getAbsolutePath)
+    }
+    val after = parquetCount(base)
+    (spark.read.parquet(new java.io.File(base, "data").getAbsolutePath),
+      before, after)
+  }
+
+  private def materializeFragmented(spark: SparkSession, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_frag/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(scratch, "data").getAbsolutePath)
+    }
+    base
+  }
+
   private def materializeJsonl(spark: SparkSession, dir: String): java.io.File = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")

@@ -125,6 +125,18 @@ class SourcesSpec extends SparkTestBase {
       s"column pruning lost — text read for a doc_id projection:\n$plan")
   }
 
+  test("compactedDocs: 64-file layout collapses to the target, content lossless") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (df, before, after) = Sources.compactedDocs(spark, sf, targetFiles = 4)
+    assert(before == 64, s"fragmented fixture has $before files, wanted 64")
+    assert(after == 4, s"compaction produced $after files, wanted 4")
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+    assert(df.count() == ref.count())
+    assert(df.select("doc_id", "text").exceptAll(ref.select("doc_id", "text"))
+      .count() == 0)
+  }
+
   test("evolvedDocs: merged union schema, null backfill exactly on the missing generation") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
