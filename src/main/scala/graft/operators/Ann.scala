@@ -814,15 +814,30 @@ object Ann {
     * [[knnGraph]].
     */
   def knnOutliers(nodes: DataFrame, idCol: String, vecCol: String,
-                  k: Int = 4, fracNum: Int = 1, fracDen: Int = 10): DataFrame = {
+                  k: Int = 4, fracNum: Int = 1, fracDen: Int = 10): DataFrame =
+    knnOutliersFrom(topkBruteForce(nodes,
+      nodes.select(col(idCol), col(vecCol)), idCol, vecCol, k), k,
+      fracNum, fracDen)
+
+  /** k-distance outlier cut over ANY top-k neighbor frame with the
+    * (query_id, rank, neighbor_id, score_fp) contract — the swap point
+    * the [[knnOutliers]] scaladoc promises: feed it [[topkBruteForce]]
+    * for the exactly-replayable flag set or an IVF-PQ shortlist +
+    * [[rerankExact]] tail for the 100 TB path (emb_outliers_ivfpq
+    * gates the flagged-set recall of that swap). kdist over an ANN
+    * shortlist can only OVERestimate (the 4th-of-shortlist is at least
+    * as far as the true 4th neighbor), so genuinely isolated nodes
+    * stay flagged — the miss mode is false positives near the cut, not
+    * lost isolates.
+    */
+  def knnOutliersFrom(knn: DataFrame, k: Int, fracNum: Int = 1,
+                      fracDen: Int = 10): DataFrame = {
     require(fracNum >= 1 && fracDen >= fracNum, "frac must be in (0,1]")
-    val knn = topkBruteForce(nodes, nodes.select(col(idCol), col(vecCol)),
-      idCol, vecCol, k)
     val kd = knn.filter(col("rank") === k)
       .select(col("query_id").as("node"),
         (lit(1000000L) - col("score_fp")).as("kdist_fp"))
     // kd is referenced three times (count, heap cut, final join);
-    // cache the bounded n-row frame so the n² kNN stage runs once
+    // cache the bounded n-row frame so the kNN stage runs once
     kd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = kd.count()
     val kTop = ((n * fracNum + fracDen - 1) / fracDen).toInt.max(1)
