@@ -498,7 +498,10 @@ object Bridge {
       val c = cents.getArray(i)
       var s = 0.0; var j = 0
       while (j < x.length) { s += x(j) * c.getDouble(j); j += 1 }
-      if (s > bestD) { bestD = s; best = i }
+      // Double.compare total order: a NaN dot (non-finite embedding)
+      // ranks greatest, matching the old struct-max NaN semantics
+      // instead of being silently skipped
+      if (java.lang.Double.compare(s, bestD) > 0) { bestD = s; best = i }
       i += 1
     }
     ids.getInt(best)
@@ -514,7 +517,7 @@ object Bridge {
       val c = cents.getArray(i)
       var s = 0.0; var j = 0
       while (j < x.length) { s += x(j).toDouble * c.getDouble(j); j += 1 }
-      if (s > bestD) { bestD = s; best = i }
+      if (java.lang.Double.compare(s, bestD) > 0) { bestD = s; best = i }
       i += 1
     }
     ids.getInt(best)
@@ -536,8 +539,12 @@ object Bridge {
       ds(i) = s
       i += 1
     }
+    // java.lang.Double.compare gives a TOTAL order (NaN greatest, like
+    // Spark's sort_array desc), so a NaN/Inf embedding can't make the
+    // comparator inconsistent (scala.sortWith throws on those)
     val order = Array.tabulate(n)(identity).sortWith { (a, b) =>
-      ds(a) > ds(b) || (ds(a) == ds(b) && a < b)
+      val c = java.lang.Double.compare(ds(b), ds(a))
+      c < 0 || (c == 0 && a < b)
     }
     val k = math.min(nProbe, n)
     new GenericArrayData(Array.tabulate[Any](k) { r =>

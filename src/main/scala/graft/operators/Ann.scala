@@ -828,7 +828,9 @@ object Ann {
     * shortlist can only OVERestimate (the 4th-of-shortlist is at least
     * as far as the true 4th neighbor), so genuinely isolated nodes
     * stay flagged — the miss mode is false positives near the cut, not
-    * lost isolates.
+    * lost isolates. NOTE: the bounded kdist frame is persisted here
+    * (caller-visible) and stays cached for the session — the
+    * [[knnGraphFrom]] contract.
     */
   def knnOutliersFrom(knn: DataFrame, k: Int, fracNum: Int = 1,
                       fracDen: Int = 10): DataFrame = {
@@ -861,7 +863,11 @@ object Ann {
     * replayable graph or [[topkIvfPq]] for the 100 TB path
     * (emb_knn_graph_ivfpq gates the recall of that swap). The
     * symmetrization is an ordinary hash equi-join of the k·n edge list
-    * against its own reversal on (src, dst).
+    * against its own reversal on (src, dst). NOTE: the caller-supplied
+    * knn frame is persisted here (caller-visible; bounded to k rows
+    * per node) and stays cached for the session — unpersisting before
+    * the lazy result materializes would defeat the point, so repeated
+    * invocations rely on LRU eviction like any InMemoryRelation.
     */
   def knnGraphFrom(knn: DataFrame): DataFrame = {
     // the k·n neighbor frame is referenced TWICE (edge list + its

@@ -39,10 +39,12 @@ object Graph {
     * destination. Iterations are FIXED (default 5), so the plan is a
     * static chain — no driver-side convergence loop, no collect; the
     * node count arrives as a broadcast one-row frame. The repeated
-    * edge-list/degree subtrees dedupe via Spark's exchange reuse —
-    * PlanShapeSpec pins ReusedExchange in the executed plan so a
-    * Spark upgrade or plan edit can't silently recompute the edge
-    * scan once per superstep.
+    * edge-list/degree subtrees are cached (see below) — PlanShapeSpec
+    * pins the InMemoryTableScan reads from the Pregel cache in the
+    * executed plan so a Spark upgrade or plan edit can't silently
+    * recompute the edge scan once per superstep. NOTE: the persist is
+    * caller-visible — the two bounded frames stay cached for the
+    * session (LRU-evicted under pressure), the GraphX-Pregel contract.
     *
     * Nodes are the edge endpoints (an isolated document simply keeps
     * no rank row — rank flows along edges by definition). In an

@@ -266,7 +266,8 @@ object Stream {
       val q1 = start("ev_00[0-5].parquet")
       try q1.processAllAvailable() finally q1.stop()
       val commitsDir = new java.io.File(chk, "commits")
-      val commits = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      val commits = Option(commitsDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.forall(_.isDigit))
       require(commits.nonEmpty, "phase 1 committed no batches")
       val latest = commits.maxBy(_.getName.toInt)
       val crashedId = latest.getName
