@@ -330,6 +330,21 @@ object Bridge {
     * string per row; the SQL oracle replays the same definition
     * quadratically.
     */
+  /** Unicode NFC normalization (java.text.Normalizer, UAX#15) — the
+    * composed-form fold the Unicode text surface runs before
+    * tokenizing, so "café" typed with a combining acute (e + U+0301)
+    * and precomposed "café" (U+00E9) become the SAME token. DuckDB's
+    * nfc_normalize implements the same UAX#15 algorithm, so oracles
+    * replay textually. Fast path: pure-ASCII strings (the common case
+    * in a mixed corpus) skip the JDK normalizer entirely.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def winnow(s: UTF8String, k: Int, w: Int, base: Long, mod: Long): ArrayData = {
     // h < mod and codepoints < 0x110000, so h*base + cp stays in a
     // signed 64-bit long only while (mod-1)*base + 0x10FFFF < 2^63;
@@ -922,6 +937,7 @@ object Bridge {
     "peakWidths" -> (Seq(arrD, arrI, DoubleType, IntegerType) -> peakWidthsT),
     "peakWidthsP" -> (Seq(arrD, arrI, DoubleType, arrD, arrI, arrI) -> peakWidthsT),
     "localMaxima" -> (Seq(arrD) -> arrI),
+    "nfc" -> (Seq(StringType) -> StringType),
     "winnow" -> (Seq(StringType, IntegerType, IntegerType, LongType, LongType)
       -> ArrayType(LongType, containsNull = false)),
     "simhash" -> (Seq(ArrayType(StringType)) -> StructType(Seq(
@@ -1027,6 +1043,7 @@ object Bridge {
     case "peakWidths" => peakWidths(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[Int])
     case "peakWidthsP" => peakWidthsP(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[ArrayData])
     case "localMaxima" => localMaxima(a(0).asInstanceOf[ArrayData])
+    case "nfc" => nfc(a(0).asInstanceOf[UTF8String])
     case "winnow" => winnow(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Long], a(4).asInstanceOf[Long])
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
     case "dotp" => dotp(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])

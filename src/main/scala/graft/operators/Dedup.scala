@@ -51,8 +51,9 @@ object Dedup {
     * and (c) pre-partitions by id so the downstream minhash groupBy
     * reuses the exchange instead of shuffling again.
     */
-  def shingleFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextOps.words(col(textCol)).as("_ws"))
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                   tok: Column => Column = TextOps.words): DataFrame =
+    df.select(col(idCol), tok(col(textCol)).as("_ws"))
       .repartition(col(idCol))
       .filter(size(col("_ws")) >= 3)
       .select(col(idCol), explode(shingles(col("_ws"))).as("s"))
@@ -104,7 +105,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, r: Int = 3,
-                        maxBucket: Int = 4096): DataFrame = {
+                        maxBucket: Int = 4096,
+                        tok: Column => Column = TextOps.words): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"minhashCandidates requires a numeric id column; '$idCol' is " +
         s"${df.schema(idCol).dataType.simpleString}. Map ids to a surrogate " +
@@ -116,7 +118,7 @@ object Dedup {
       s"maxBucket $maxBucket exceeds the per-bucket pair-emission limit " +
         "(5793 ids ⇒ ~16.8M pairs); buckets that large are fully-connected " +
         "duplicate clusters better handled by exact dedup")
-    val sh = shingleFrame(df, idCol, textCol)
+    val sh = shingleFrame(df, idCol, textCol, tok)
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
     val buckets = bd.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))

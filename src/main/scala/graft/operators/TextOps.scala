@@ -27,6 +27,29 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode-aware tokenizer (VERDICT r12 #2 — the multilingual twin
+    * of [[words]]): NFC-fold (combining marks compose, so decomposed
+    * "cafe&#x301;" and precomposed "café" yield the SAME token), Unicode
+    * lowercase, then token extraction with `\p{L}` letter classes so
+    * accented Latin, Cyrillic, Greek, Arabic and Hebrew words survive
+    * intact where the ASCII `[a-z]+` core tokenizes them to fragments
+    * or nothing. CJK has no spaces, so Han/Hiragana/Katakana chars are
+    * first isolated (pad-with-spaces regexp_replace — RE2 has no class
+    * intersection, so the two-pass pad-then-extract beats an
+    * inexpressible single regex) and emerge as single-char tokens, the
+    * BPE-ish unit real CJK pipelines count. Every step is a codegen'd
+    * builtin (or the [[graft.functions.Bridge.nfc]] kernel) and every
+    * regex construct exists in BOTH java.util.regex and DuckDB's RE2
+    * (`\p{IsHan}` there spelled `\p{Han}`), so oracles replay
+    * textually.
+    */
+  def unicodeTokens(text: Column): Column = {
+    val norm = lower(graft.functions.Functions.dsl.nfcC(text))
+    val padded = regexp_replace(norm,
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+    regexp_extract_all(padded, lit("\\p{L}+"), lit(0))
+  }
+
   /** Tiny embedded stopword lists per language (alphabetical order —
     * ties in scoring resolve to the alphabetically first language).
     */

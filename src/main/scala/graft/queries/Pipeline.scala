@@ -23,6 +23,46 @@ object Pipeline {
     load(s, dir, "embeddings")
   }
 
+  /** Deterministic multilingual corpus slice (VERDICT r12 #2): the
+    * driver's documents table is ASCII-only, so each doc gets a
+    * non-Latin phrase appended, chosen by doc_id % 12 from a fixed
+    * table covering accented Latin (precomposed AND decomposed — index
+    * 1 spells café/crème with combining U+0301/U+0300, which must
+    * NFC-fold to the same tokens index 0 produces), CJK (Han,
+    * Hiragana, Katakana), RTL (Arabic, Hebrew), Cyrillic and Greek.
+    * Both engines build the identical augmented text from the same
+    * literals, so every downstream hash is replayable.
+    */
+  private val uPhrases: Seq[String] = Seq(
+    "café au lait crème",
+    "café au lait crème", // decomposed: NFC-folds to index 0
+    "über die Brücke",
+    "naïve façade résumé",
+    "東京都 渋谷区",
+    "北京大学 计算机",
+    "こんにちは 世界",
+    "カタカナ テスト",
+    "مرحبا بالعالم",
+    "שלום עולם",
+    "Привет мир",
+    "γειά σου κόσμε")
+
+  private def uDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("_ut",
+      concat(col("text"), lit(" "),
+        element_at(typedLit(uPhrases), (col("doc_id") % 12).cast("int") + 1)))
+
+  private val uPhrasesSqlList: String =
+    uPhrases.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+
+  private val uDocsSql: String =
+    s"""ud AS (
+       |  SELECT doc_id,
+       |    concat(text, ' ', ($uPhrasesSqlList)[CAST(doc_id % 12 AS INT) + 1]) AS ut
+       |  FROM documents
+       |)""".stripMargin
+
+
   // ---- dedup --------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -115,9 +155,9 @@ object Pipeline {
     * the "oracle replays identical blocking" invariant holds even when
     * the cap binds (it never does on the test corpora, max bucket 4).
     */
-  private val bandSql: String =
-    """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents
+  private def bandSqlFor(wCte: String): String =
+    s"""WITH w AS (
+      |  $wCte
       |), sh AS (
       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |                         for i in generate_series(1, len(ws) - 2)]) AS s
@@ -138,12 +178,68 @@ object Pipeline {
       |  WHERE x.doc_id < y.doc_id AND z.n <= 4096
       |)""".stripMargin
 
+  private val bandSql: String = bandSqlFor(
+    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents""")
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
       .orderBy("a", "b")
 
   private val dedupMinhashLshSql: String =
     s"$bandSql\nSELECT a, b FROM cand ORDER BY 1, 2"
+
+  /** MinHash LSH with the shingle tokenizer swapped to
+    * TextOps.unicodeTokens — the multilingual dedup path. The corpus
+    * gains planted CJK near-dup pairs (one per doc_id%100==0 seed: a
+    * Han/Hiragana/Katakana base doc plus a copy with one extra 世界
+    * token, distinguished across seeds by a digits→letters marker) and
+    * the gate is structural: CJK has no whitespace, so under the ASCII
+    * pipeline each planted doc is <3 "words" and NEVER ENTERS
+    * shingleFrame — the pairs are only discoverable because
+    * unicodeTokens isolates CJK chars into per-char tokens. The oracle
+    * replays the identical plant, tokenizer, minhash (md5 over UTF-8
+    * bytes — both engines hash the same bytes), banding, cap, and pair
+    * emission. The seed set is PINNED (doc_id < 500) so the planted
+    * clique — all plants share the CJK base and are genuine near-dups
+    * of each other — is a constant-size fixture: an unpinned plant
+    * would grow an O(seeds²) pair clique with the corpus (measured
+    * 745k rows at ×10) while the real corpus candidates scale like
+    * dedup_minhash_lsh.
+    */
+  def dedupMinhashUnicode(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val seed = base.filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
+    val cjkBase = Seq(4, 5, 6, 7).map(uPhrases).mkString(" ")
+    val marker = translate(col("doc_id").cast("string"),
+      "0123456789", "abcdefghij")
+    val v1 = seed.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit(cjkBase + " "), marker).as("text"))
+    val v2 = seed.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(lit(cjkBase + " "), marker, lit(" " + uPhrases(6).split(" ")(1))).as("text"))
+    Dedup.minhashCandidates(base.unionByName(v1).unionByName(v2),
+        "doc_id", "text", tok = TextOps.unicodeTokens)
+      .orderBy("a", "b")
+  }
+
+  private val dedupMinhashUnicodeSql: String = {
+    val cjkBase = Seq(4, 5, 6, 7).map(uPhrases).mkString(" ")
+    val extra = uPhrases(6).split(" ")(1)
+    val mk = "translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
+    bandSqlFor(
+      s"""WITH corpus AS (
+         |    SELECT doc_id, text FROM documents
+         |    UNION ALL
+         |    SELECT doc_id + 1000000, '$cjkBase ' || $mk FROM documents WHERE doc_id % 100 = 0 AND doc_id < 500
+         |    UNION ALL
+         |    SELECT doc_id + 2000000, '$cjkBase ' || $mk || ' $extra' FROM documents WHERE doc_id % 100 = 0 AND doc_id < 500
+         |  )
+         |  SELECT doc_id, regexp_extract_all(
+         |    regexp_replace(lower(nfc_normalize(text)),
+         |      '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'),
+         |    '\\p{L}+') AS ws
+         |  FROM corpus""".stripMargin) +
+      "\nSELECT a, b FROM cand ORDER BY 1, 2"
+  }
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", minJac = 0.8)
@@ -1261,6 +1357,118 @@ object Pipeline {
     TextOps.tokensFrame(docs(s, dir), "text")
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
       .orderBy("doc_id")
+
+  /** Unicode token accounting over the multilingual slice
+    * (TextOps.unicodeTokens — NFC fold + Unicode lowercase + `\p{L}`
+    * extraction with CJK char isolation). tok_md5 pins the EXACT token
+    * sequence, so any divergence in normalization, casing, script
+    * classes, or CJK splitting between the engines fails the hash —
+    * and the NFC fold is genuinely load-bearing: doc_id%12==1 rows
+    * carry decomposed accents that must hash identically to the
+    * composed index-0 phrase's tokens. Map-side scan-shaped, zero
+    * shuffle, same as text_tokens.
+    */
+  def textTokensUnicode(s: SparkSession, dir: String): DataFrame =
+    uDocs(s, dir)
+      .withColumn("_toks", TextOps.unicodeTokens(col("_ut")))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_distinct"),
+        size(filter(col("_toks"), t => t.rlike("[^\\x00-\\x7F]")))
+          .cast("long").as("n_nonascii"),
+        md5(concat_ws(" ", col("_toks"))).as("tok_md5"))
+      .orderBy("doc_id")
+
+  /** Script-based language ID over the multilingual slice — the
+    * standard FIRST stage of production langid (script membership is
+    * deterministic where n-gram stats are probabilistic; fastText et
+    * al. gate on script before model scoring). Counts letters per
+    * Unicode script class (`\p{IsXxx}` in java.util.regex, `\p{Xxx}`
+    * in DuckDB's RE2 — same classes, different spelling) and takes the
+    * majority script, ties to the alphabetically first name; `script`
+    * classifies the whole augmented doc (base English text dominates →
+    * latin), `script_tail` classifies just the appended phrase, which
+    * cycles through all seven classes with doc_id — so the argmax
+    * chain, not just the counts, is exercised on every class.
+    * Map-side, zero shuffle, all codegen'd builtins.
+    */
+  def textLangidScript(s: SparkSession, dir: String): DataFrame = {
+    val classes = Seq(
+      "arabic" -> "\\p{IsArabic}",
+      "cyrillic" -> "\\p{IsCyrillic}",
+      "greek" -> "\\p{IsGreek}",
+      "han" -> "\\p{IsHan}",
+      "hebrew" -> "\\p{IsHebrew}",
+      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
+      "latin" -> "\\p{IsLatin}")
+    def counts(src: org.apache.spark.sql.Column, prefix: String): Seq[org.apache.spark.sql.Column] =
+      classes.map { case (n, re) =>
+        size(regexp_extract_all(src, lit(re), lit(0))).cast("long")
+          .as(s"$prefix$n")
+      }
+    def argmax(prefix: String): org.apache.spark.sql.Column = {
+      val m = greatest(classes.map { case (n, _) => col(s"$prefix$n") }: _*)
+      classes.foldRight(lit("?")) { case ((n, _), el) =>
+        when(col(s"$prefix$n") === m, lit(n)).otherwise(el)
+      }
+    }
+    val tail = element_at(typedLit(uPhrases), (col("doc_id") % 12).cast("int") + 1)
+    uDocs(s, dir)
+      .select(Seq(col("doc_id")) ++ counts(col("_ut"), "n_") ++
+        counts(tail, "_t_"): _*)
+      .withColumn("script", argmax("n_"))
+      .withColumn("script_tail", argmax("_t_"))
+      .select(Seq(col("doc_id")) ++
+        classes.map { case (n, _) => col(s"n_$n") } ++
+        Seq(col("script"), col("script_tail")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val textLangidScriptSql: String = {
+    val classes = Seq(
+      "arabic" -> "\\p{Arabic}",
+      "cyrillic" -> "\\p{Cyrillic}",
+      "greek" -> "\\p{Greek}",
+      "han" -> "\\p{Han}",
+      "hebrew" -> "\\p{Hebrew}",
+      "kana" -> "[\\p{Hiragana}\\p{Katakana}]",
+      "latin" -> "\\p{Latin}")
+    def counts(src: String, prefix: String): String =
+      classes.map { case (n, re) =>
+        s"CAST(len(regexp_extract_all($src, '$re')) AS BIGINT) AS $prefix$n"
+      }.mkString(",\n    ")
+    def argmax(prefix: String): String = {
+      val m = classes.map { case (n, _) => s"$prefix$n" }.mkString("greatest(", ", ", ")")
+      classes.map { case (n, _) =>
+        s"WHEN $prefix$n = $m THEN '$n'"
+      }.mkString("CASE ", " ", " ELSE '?' END")
+    }
+    s"""WITH $uDocsSql, c AS (
+       |  SELECT doc_id,
+       |    ${counts("ut", "n_")},
+       |    ${counts(s"($uPhrasesSqlList)[CAST(doc_id % 12 AS INT) + 1]", "_t_")}
+       |  FROM ud
+       |)
+       |SELECT doc_id, ${classes.map { case (n, _) => s"n_$n" }.mkString(", ")},
+       |  ${argmax("n_")} AS script,
+       |  ${argmax("_t_")} AS script_tail
+       |FROM c ORDER BY 1""".stripMargin
+  }
+
+  private val textTokensUnicodeSql: String =
+    s"""WITH $uDocsSql, tk AS (
+       |  SELECT doc_id, regexp_extract_all(
+       |    regexp_replace(lower(nfc_normalize(ut)),
+       |      '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'),
+       |    '\\p{L}+') AS toks
+       |  FROM ud
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[^\\x00-\\x7F]'))) AS BIGINT) AS n_nonascii,
+       |  md5(array_to_string(toks, ' ')) AS tok_md5
+       |FROM tk ORDER BY 1""".stripMargin
 
   /** Curriculum bucketing: global token-count quartiles WITHOUT a
     * global window (TextOps.quantileBuckets — one percentile agg,
@@ -2965,6 +3173,9 @@ object Pipeline {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_tokens_unicode" -> (textTokensUnicode _),
+    "text_langid_script" -> (textLangidScript _),
+    "dedup_minhash_unicode" -> (dedupMinhashUnicode _),
     "text_curriculum" -> (textCurriculum _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -3040,6 +3251,9 @@ object Pipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_tokens_unicode" -> textTokensUnicodeSql,
+    "text_langid_script" -> textLangidScriptSql,
+    "dedup_minhash_unicode" -> dedupMinhashUnicodeSql,
     "text_curriculum" -> textCurriculumSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,

@@ -23,6 +23,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("unicodeTokens: NFC fold, CJK isolation, \\p{L} extraction") {
+    graft.functions.Functions.install(spark)
+    val composed = "Café crème"            // precomposed é è
+    val decomposed = "Café crème"        // e + combining marks
+    val df = Seq(
+      (1L, composed), (2L, decomposed),
+      (3L, "東京郻abcこん"),      // Han Han Han abc Hira Hira
+      (4L, "naïve 123 שלום Привет")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.unicodeTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // NFC: decomposed and composed spellings yield IDENTICAL tokens
+    assert(out(1L) == Seq("café", "crème"))
+    assert(out(2L) == out(1L))
+    // CJK chars isolate to single-char tokens; Latin run survives whole
+    assert(out(3L) == Seq("東", "京", "郻", "abc", "こ", "ん"))
+    // accented Latin intact, digits dropped, RTL and Cyrillic lowered/kept
+    assert(out(4L) == Seq("naïve", "שלום", "привет"))
+  }
+
   test("simhash: identical docs collide, near-dups are close, disjoint far") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val near = base.replace("dog", "cat")
