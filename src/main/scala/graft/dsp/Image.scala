@@ -95,6 +95,28 @@ object Image {
     baos.toByteArray
   }
 
+  /** JPEG bytes via the JDK encoder at an explicit quality (0-100) —
+    * the LOSSY path: decode returns perturbed samples, which is the
+    * case perceptual hashing exists for. Gray input stays single-
+    * channel (no chroma subsampling ambiguity).
+    */
+  def encodeJpeg(img: BufferedImage, quality: Int): Array[Byte] = {
+    require(quality >= 1 && quality <= 100, s"encodeJpeg: quality $quality")
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(it.hasNext, "encodeJpeg: JDK has no JPEG writer")
+    val wr = it.next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality / 100.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); wr.dispose() }
+    baos.toByteArray
+  }
+
   /** ImageIO decode of any JDK-supported format; fails fast on bytes
     * no reader claims instead of returning null downstream.
     */

@@ -795,6 +795,13 @@ object Bridge {
   def synthPng(text: UTF8String, w: Int, h: Int, off: Int): Array[Byte] =
     graft.dsp.Image.encodePng(graft.dsp.Image.synthGray(text.toString, w, h, off))
 
+  /** Same pixels through the JDK's JPEG encoder at an explicit quality
+    * — the LOSSY re-encode fixture mm_jpeg_pairs measures dHash
+    * robustness against (web corpora are overwhelmingly JPEG).
+    */
+  def synthJpeg(text: UTF8String, w: Int, h: Int, off: Int, q: Int): Array[Byte] =
+    graft.dsp.Image.encodeJpeg(graft.dsp.Image.synthGray(text.toString, w, h, off), q)
+
   /** REAL image feature extraction: ImageIO decode + per-block gray
     * sums over a gw×gh grid. Returns (w, h, sums) so callers also see
     * the decoded geometry.
@@ -974,6 +981,8 @@ object Bridge {
       StructField("zcr", IntegerType, nullable = false))), containsNull = false)),
     "synthBmp" -> (Seq(StringType, IntegerType, IntegerType, IntegerType) -> BinaryType),
     "synthPng" -> (Seq(StringType, IntegerType, IntegerType, IntegerType) -> BinaryType),
+    "synthJpeg" -> (Seq(StringType, IntegerType, IntegerType, IntegerType,
+      IntegerType) -> BinaryType),
     "imageBlockSums" -> (Seq(BinaryType, IntegerType, IntegerType) -> StructType(Seq(
       StructField("w", IntegerType, nullable = false),
       StructField("h", IntegerType, nullable = false),
@@ -1065,6 +1074,7 @@ object Bridge {
     case "pcmFrames" => pcmFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "synthBmp" => synthBmp(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
     case "synthPng" => synthPng(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
+    case "synthJpeg" => synthJpeg(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int])
     case "imageBlockSums" => imageBlockSums(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageResizeNN" => imageResizeNN(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
     case "imageDHash" => imageDHash(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])

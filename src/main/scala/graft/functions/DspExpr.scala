@@ -317,6 +317,8 @@ object Functions {
       call("pcmFrames", bin, lit(frameLen), lit(center))
     def synthBmpC(text: Column, w: Int, h: Int, off: Int = 0): Column =
       call("synthBmp", text, lit(w), lit(h), lit(off))
+    def synthJpegC(text: Column, w: Int, h: Int, off: Int = 0, q: Int = 95): Column =
+      call("synthJpeg", text, lit(w), lit(h), lit(off), lit(q))
     def synthPngC(text: Column, w: Int, h: Int, off: Int = 0): Column =
       call("synthPng", text, lit(w), lit(h), lit(off))
     def imageBlockSumsC(bin: Column, gw: Int, gh: Int): Column =

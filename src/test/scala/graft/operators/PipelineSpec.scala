@@ -109,6 +109,28 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(jac((1L, 2L)) - 57.0 / 59.0) < 1e-12) // 58 shingles, 57 shared
   }
 
+  test("encodeJpeg: real lossy round-trip, dHash stays near, severity ordered") {
+    import graft.dsp.Image
+    val text = "The quick brown fox jumps over the lazy dog 0123456789"
+    val img = Image.synthGray(text, 16, 16, 0)
+    val (bh, bl) = Image.dHash(Image.encodeBmp24(img))
+    def ham(q: Int): Int = {
+      val bytes = Image.encodeJpeg(img, q)
+      // it IS a JPEG container (FF D8 SOI) decoding at the same geometry
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      val dec = Image.decode(bytes)
+      assert(dec.getWidth == 16 && dec.getHeight == 16)
+      val (jh, jl) = Image.dHash(bytes)
+      java.lang.Long.bitCount(bh ^ jh) + java.lang.Long.bitCount(bl ^ jl)
+    }
+    // q=100 is near-lossless for gray; heavier compression drifts
+    // farther, but a perceptual hash stays FAR from the 32-bit
+    // expectation of an unrelated image
+    assert(ham(100) <= 3)
+    assert(ham(95) <= 12)
+    assert(ham(75) <= 26)
+  }
+
   test("image kernels: BMP/PNG round-trip is bit-exact, demux + resize real") {
     import graft.dsp.Image
     val text = "The quick brown fox jumps over the lazy dog 0123456789"
