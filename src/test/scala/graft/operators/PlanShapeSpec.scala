@@ -243,6 +243,57 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected exactly one single-partition exchange (superbucket cumsum), got $singles")
   }
 
+  test("bounded single-partition contract (VERDICT r12 #4): packChunks " +
+    "moves ONLY superbucket sums through its one single-partition " +
+    "exchange; dedup_edit's pipeline plans none at all") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    def singlePartExchanges(df: DataFrame): Seq[ShuffleExchangeExec] =
+      allNodes(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition ||
+            e.outputPartitioning.numPartitions == 1 => e
+      }
+    // 1000 docs, bucketSpan=4, superFan=4 -> 250 buckets, 63
+    // superbuckets: the ONLY rows allowed onto a single partition are
+    // the superbucket sums — the WindowExec "no partition defined"
+    // warning this stage sprays is bounded BY MEASUREMENT, not prose,
+    // so a refactor that unbounds the window breaks here
+    val toks = (0L until 1000L).map(i => (i, i % 5)).toDF("id", "n")
+    val pc = TextOps.packChunks(toks, "id", "n", ctxLen = 16,
+      bucketSpan = 4, superFan = 4)
+    pc.collect()
+    val singles = singlePartExchanges(pc)
+    assert(singles.nonEmpty, "expected the superbucket cumsum exchange")
+    val moved = singles.map(_.metrics("shuffleRecordsWritten").value)
+    assert(moved.forall(_ <= 63),
+      s"single-partition exchange carried $moved rows; superbucket bound is 63")
+    // dedup_edit (candidates -> banded levenshtein verify -> the
+    // deliberate repartition(1) + sortWithinPartitions tail): the
+    // single-partition exchange may carry ONLY the verified-pair
+    // verdict rows — never the upstream shingle/pair explosion
+    val ev = Dedup.editVerify(docs, "doc_id", "text",
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 3), maxEdits = 32)
+      .repartition(1).sortWithinPartitions("a", "b")
+    val nOut = ev.count()
+    val evSingles = singlePartExchanges(ev)
+    assert(evSingles.nonEmpty, "expected the deliberate terminal repartition(1)")
+    val evMoved = evSingles.map(_.metrics("shuffleRecordsWritten").value)
+    assert(evMoved.forall(_ <= nOut),
+      s"dedup_edit single-partition exchange carried $evMoved rows; " +
+        s"only the $nOut verdict rows are allowed")
+  }
+
   test("intervalJoin is an equi-join, never a nested loop") {
     val left = (0L until 30L).map(i => (i % 3, i.toDouble, i)).toDF("k", "t", "lid")
     val right = (0L until 6L).map(i => (i % 3, i * 4.0, i * 4.0 + 5.0, i)).toDF("k", "s", "e", "rid")
