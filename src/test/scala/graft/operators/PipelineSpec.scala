@@ -292,6 +292,22 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("sizedCells: sqrt-n rule with kMin floor and n cap (oracle GREATEST/CEIL/SQRT parity)") {
+    // the floor: tiny corpora keep kMin cells (capped at n so
+    // kmeansFit's smallest-id init stays satisfiable)
+    assert(Ann.sizedCells(1) == 1)
+    assert(Ann.sizedCells(10) == 10)
+    assert(Ann.sizedCells(16) == 16)
+    assert(Ann.sizedCells(200) == 16)   // ceil(sqrt(200))=15 < 16
+    assert(Ann.sizedCells(256) == 16)   // exact square at the floor
+    assert(Ann.sizedCells(257) == 17)   // first n where sqrt wins
+    assert(Ann.sizedCells(500) == 23)   // the sf0.01 embeddings corpus
+    assert(Ann.sizedCells(2000) == 45)  // sf0.1
+    assert(Ann.sizedCells(20000) == 142) // the x100 graph-node corpus
+    assert(Ann.sizedCells(50, kMin = 16) == 16)
+    intercept[IllegalArgumentException](Ann.sizedCells(0))
+  }
+
   test("kmeansFit: deterministic quantized unit centroids that separate planted clusters") {
     // three tight direction-clusters in 8-d: members of cluster c point
     // near axis c with small deterministic jitter
@@ -895,6 +911,40 @@ class PipelineSpec extends SparkTestBase {
     val all = Dedup.semDedup(docs, "id", "v", minCos = 0.9999,
       centroids = Some(cents)).collect()
     assert(all.forall(_.getBoolean(3)))
+  }
+
+  test("incremental ANN: delta encoded against the frozen base model surfaces in top-k, no refit") {
+    // base: two direction-clusters of four DISTINCT vectors each
+    // (ids 0..7); delta: a NEW vector (id 100) that duplicates the
+    // query exactly — the ANN-dup-detection shape. Through the frozen
+    // model it must rank first (cos 1.0 beats every distinct base
+    // member) and carry the delta flag.
+    def vec(axis: Int, jitter: Float): Seq[Float] =
+      Seq.tabulate(4)(d => if (d == axis) 1.0f else jitter)
+    val base = (0L until 8L).map { i =>
+      (i, vec((i % 2).toInt, 0.1f * (1 + i / 2)))
+    }
+    val delta = Seq((100L, base.head._2))          // dup of id 0
+    val all = (base ++ delta).toDF("vec_id", "embedding")
+    val baseDf = all.filter(col("vec_id") < 100)
+    // frozen model: fit on base only
+    val cents = Ann.kmeansFit(baseDf, "vec_id", "embedding", k = 2, iters = 2)
+    val centsAfter = Ann.kmeansFit(baseDf, "vec_id", "embedding", k = 2, iters = 2)
+    // the fit is a pure function of the base — re-running it (the
+    // "no refit happened" claim) reproduces the identical model
+    assert(cents.collect().map(_.toString).sorted.sameElements(
+      centsAfter.collect().map(_.toString).sorted))
+    val q = all.filter(col("vec_id") === 0L)
+    val out = Ann.topkIvf(all, q, "vec_id", "embedding",
+        k = 3, nProbe = 1, centroids = Some(cents))
+      .withColumn("neighbor_is_new", col("neighbor_id") >= 100)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    // the delta vector is the query's nearest neighbor through the
+    // frozen quantizer: same cell as cluster 0, probed first
+    assert(out.head.getAs[Long]("neighbor_id") == 100L)
+    assert(out.head.getAs[Boolean]("neighbor_is_new"))
+    assert(out.tail.forall(!_.getAs[Boolean]("neighbor_is_new")))
   }
 
   test("CmsAgg: never undercounts, stays in the error band, merge-order invariant") {
