@@ -198,13 +198,20 @@ object Ann {
   /** Default coarse-quantizer sizing rule: `min(n, max(kMin, ⌈√n⌉))`
     * cells for an n-vector corpus. √n balances the two IVF scan costs
     * (per-query centroid scan = nCells vs per-probe posting scan =
-    * n/nCells), the classical IVF sizing; the GraphProbe ×100 run
-    * measured the √n quantizer (128 cells at n=20k) halving the ADC
-    * probe scan vs a fixed 32. `kMin` floors tiny corpora so blocking
-    * queries (SemDeDup) keep useful clusters; the `min(n, ·)` cap keeps
-    * [[kmeansFit]]'s smallest-id init satisfiable. Oracles replay the
-    * same rule as `GREATEST(kMin, CEIL(SQRT(COUNT(*))))` over the same
-    * table, so the sized fit stays engine-replayable at every scale.
+    * n/nCells), the classical IVF sizing; this rule gives 142 cells at
+    * n=20k (PipelineSpec pins sizedCells(20000) == 142), and the
+    * GraphProbe ×100 run measured a √n-shaped quantizer (its pre-rule
+    * fixed config used 128) halving the ADC probe scan vs a fixed 32.
+    * `kMin` floors tiny corpora so blocking queries (SemDeDup) keep
+    * useful clusters; the `min(n, ·)` cap keeps [[kmeansFit]]'s
+    * smallest-id init satisfiable. Oracles replay the same rule as
+    * `GREATEST(kMin, CEIL(SQRT(COUNT(*))))` over the same table —
+    * textually WITHOUT the `min(n, ·)` cap, which the SQL realizes
+    * implicitly: every oracle's `ini` CTE filters `WHERE cell < kk.k`
+    * over row numbers 0..n-1, so at most n init rows exist regardless
+    * of kk.k. That coupling means kk.k must only ever bound the init
+    * CTE — an oracle that used kk.k directly (as a divisor, or a LIMIT
+    * on another table) would diverge from the Scala rule for n < kMin.
     */
   def sizedCells(n: Long, kMin: Int = 16): Int = {
     require(n >= 1, "corpus must be non-empty")

@@ -55,20 +55,41 @@ object Graph {
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
                iters: Int = 5): DataFrame = {
     require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val undRaw = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Pregel truncates then caches the graph. Truncation first: the
+    // edge list is itself the output of an expensive kNN/similarity
+    // stage whose logical plan every superstep would otherwise embed
+    // TWICE (und + deg) — five supersteps over an IVF-PQ-shortlist
+    // lineage made driver-side analysis/canonicalization the dominant
+    // cost (round-14 probe: 4-5 s planning per downstream action on a
+    // 200-node graph). A reliable checkpoint (the dupClusters pattern
+    // — persist so the checkpoint's write pass reads the cache, then
+    // eager checkpoint, then unpersist the pre-image) cuts the
+    // superstep plan to a scan of the materialized edge RDD, and on a
+    // cluster survives executor loss (set
+    // `spark.sparkContext.setCheckpointDir` to durable storage; a
+    // temp-dir default is installed for local runs).
+    // Caching second: und/deg are referenced by EVERY superstep, and
+    // exchange reuse deduplicates within one stage graph but not
+    // across AQE replans — the ×100 probe measured the brute edge
+    // stage recomputed ~10× without this (531 s → see SURVEY §4).
+    // Both frames are bounded (2·|E| and n rows); GraphX's Pregel
+    // holds the same two cached. The cache entries live for the
+    // session like any InMemoryRelation — LRU eviction reclaims them
+    // under pressure.
+    val und = if (iters >= 1) {
+      val sc = edges.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
+      undRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cp = undRaw.checkpoint(eager = true)
+      undRaw.unpersist(blocking = false)
+      cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } else undRaw
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // Pregel caches the graph: und/deg are referenced by EVERY
-    // superstep, and at scale the edge list is itself the output of an
-    // expensive kNN/similarity stage — exchange reuse deduplicates
-    // within one stage graph but not across AQE replans, and the ×100
-    // probe measured the brute edge stage recomputed ~10× without this
-    // (531 s → see SURVEY §4). Both frames are bounded (2·|E| and n
-    // rows); GraphX's Pregel holds the same two cached. The cache
-    // entries live for the session like any InMemoryRelation — LRU
-    // eviction reclaims them under pressure.
     if (iters >= 1) {
-      und.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       deg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
     }
     val nF = broadcast(deg.agg(count(lit(1)).as("n")))

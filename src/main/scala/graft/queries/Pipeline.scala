@@ -633,10 +633,12 @@ object Pipeline {
     */
   def embOutliersIvfPq(s: SparkSession, dir: String): DataFrame = {
     val nodes = embs(s, dir).filter(col("vec_id") % 10 === 0)
+    nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count()
     val exact = Ann.knnOutliers(nodes, "vec_id", "embedding", k = 4)
     exact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Ann.kmeansFit(nodes, "vec_id", "embedding",
-      k = Ann.sizedCells(nodes.count()), iters = 2)
+      k = Ann.sizedCells(nNodes), iters = 2)
     val short = Ann.topkIvfPq(nodes,
       nodes.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       k = 96, nProbe = 24, nSub = 8, kSub = 16, iters = 2,
@@ -727,11 +729,17 @@ object Pipeline {
     */
   def graphPagerankIvfPq(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // nodes feeds FIVE consumers (exact graph, kmeans fit, IVF-PQ
+    // corpus, query set, rerank) plus the sizing count — persist once
+    // so the count materializes the cache instead of an extra parquet
+    // scan per consumer (ADVICE r13).
     val nodes = embs(s, dir).filter(col("vec_id") % 10 === 0)
+    nodes.persist(MEMORY_AND_DISK)
+    val nNodes = nodes.count()
     val exact = Ann.knnGraph(nodes, "vec_id", "embedding", k = 4)
     exact.persist(MEMORY_AND_DISK)
     val cents = Ann.kmeansFit(nodes, "vec_id", "embedding",
-      k = Ann.sizedCells(nodes.count()), iters = 2)
+      k = Ann.sizedCells(nNodes), iters = 2)
     val short = Ann.topkIvfPq(nodes,
       nodes.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       k = 96, nProbe = 24, nSub = 8, kSub = 16, iters = 2,
@@ -748,10 +756,15 @@ object Pipeline {
     val exactRanks = graft.operators.Graph.pageRank(exact, "a", "b", iters = 5)
     exactRanks.persist(MEMORY_AND_DISK)
     val annRanks = graft.operators.Graph.pageRank(ann, "a", "b", iters = 5)
+    // the exact decile feeds BOTH the hit join and the denominator —
+    // build it once and persist (round-14: the duplicated topDecile
+    // calls each re-ran the TopKAgg and its sizing count)
+    val exactTop = topDecile(exactRanks)
+    exactTop.persist(MEMORY_AND_DISK)
     val rHits = topDecile(annRanks)
-      .join(topDecile(exactRanks), Seq("node"), "left_semi")
+      .join(exactTop, Seq("node"), "left_semi")
       .agg(count(lit(1)).as("_rhits"))
-    val rDenom = topDecile(exactRanks).agg(count(lit(1)).as("_rn"))
+    val rDenom = exactTop.agg(count(lit(1)).as("_rn"))
     val rankGate = rHits.crossJoin(rDenom)
       .select((col("_rhits") >= col("_rn") * lit(0.40)).as("rank_agree_ok"))
     exactRanks.crossJoin(broadcast(edgeGate.crossJoin(rankGate)))
@@ -821,7 +834,11 @@ object Pipeline {
     * priority pairs, and the NOT EXISTS keep rule.
     */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    // persist before the sizing count so the quantizer-sizing action
+    // materializes the cache the Lloyd iterations then scan, instead
+    // of an extra bare parquet pass (ADVICE r13)
     val ee = embs(s, dir)
+    ee.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.semDedup(ee, "vec_id", "embedding",
       minCos = 0.35, k = Ann.sizedCells(ee.count()), iters = 2)
       .orderBy("vec_id")
@@ -967,9 +984,10 @@ object Pipeline {
     */
   def annTopkIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val corpus = embs(s, dir)
+    corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Ann.kmeansFit(corpus, "vec_id", "embedding",
       k = Ann.sizedCells(corpus.count()), iters = 2)
-    Ann.topkIvf(embs(s, dir), annQueries(s, dir), "vec_id", "embedding",
+    Ann.topkIvf(corpus, annQueries(s, dir), "vec_id", "embedding",
       k = 3, nProbe = 4, centroids = Some(cents))
       .orderBy("query_id", "rank")
   }
@@ -1006,6 +1024,7 @@ object Pipeline {
     */
   def annIncremental(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
+    all.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = all.filter(col("vec_id") % 10 =!= 9)
     val cents = Ann.kmeansFit(base, "vec_id", "embedding",
       k = Ann.sizedCells(base.count()), iters = 2)
@@ -1013,6 +1032,12 @@ object Pipeline {
       k = 3, nProbe = 4, centroids = Some(cents))
     val exact = Ann.topkBruteForce(all, annQueries(s, dir),
       "vec_id", "embedding", k = 3)
+    // ann feeds the gate hits AND the deliverable rows; exact feeds
+    // the hits join AND the denominator — persist both so the IVF
+    // probe and the brute-force pass run once (ADVICE r13, the
+    // embOutliersIvfPq/graphPagerankIvfPq convention)
+    ann.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = ann.select("query_id", "neighbor_id")
       .join(exact.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi")
