@@ -2794,6 +2794,140 @@ object Pipeline {
        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- transaction-log table format (sources.ManifestTable) ---
+
+  /** One-time fixture: a ManifestTable over the documents table with
+    * three committed versions — v0 create (8 range-bucketed files on
+    * doc_id), v1 copy-on-write upsert (every 97th doc updated + 100
+    * inserted docs above the key space), v2 copy-on-write range
+    * delete of [mx//5, (2*mx)//5] where mx = max original doc_id.
+    * Every mutation is a pure function of the original table, so
+    * DuckDB replays each snapshot exactly.
+    */
+  private def materializeManifestTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8)
+      val updates = d.filter(col("doc_id") % 97 === 0)
+        .withColumn("text", concat(lit("u:"), col("text")))
+        .withColumn("source", lit("upsert"))
+        .withColumn("n_chars", col("n_chars") + 2L)
+      val inserts = s.range(100).select(
+        (lit(mx) + 1L + col("id")).as("doc_id"),
+        concat(lit("ins-"), col("id")).as("text"),
+        element_at(typedLit(Seq("en", "de", "zh", "fr")),
+          (col("id") % 4).cast("int") + 1).as("lang"),
+        lit("insert").as("source"),
+        length(concat(lit("ins-"), col("id"))).cast("long").as("n_chars"))
+      graft.sources.ManifestTable.upsert(s, table,
+        updates.unionByName(inserts), buckets = 4)
+      graft.sources.ManifestTable.deleteRange(s, table, mx / 5, 2 * mx / 5)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  private def manifestDigest(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("lang")
+
+  private val manifestDigestSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |""".stripMargin
+
+  /** The replayed post-upsert state (v1) as a DuckDB CTE `fin1`. */
+  private val manifestStateSql: String =
+    """mxx AS (SELECT MAX(doc_id) AS m FROM documents
+      |), upd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'u:' || text ELSE text END AS text,
+      |    lang,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'upsert' ELSE source END AS source,
+      |    CASE WHEN doc_id % 97 = 0 THEN n_chars + 2 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |), ins AS (
+      |  SELECT m + 1 + i AS doc_id, 'ins-' || i AS text,
+      |    (['en','de','zh','fr'])[CAST(i % 4 AS INT) + 1] AS lang,
+      |    'insert' AS source,
+      |    CAST(length('ins-' || i) AS BIGINT) AS n_chars
+      |  FROM mxx, (SELECT unnest(generate_series(0, 99)) AS i)
+      |), fin1 AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM upd
+      |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins
+      |)""".stripMargin
+
+  /** Latest-snapshot read (v2 = create → upsert → range delete) off
+    * the transaction log: per-lang counts, char sums, id spans and a
+    * content digest prove the merge semantics (same-key replace,
+    * new-key append, range delete) landed exactly — while only the
+    * key-range-overlapping files were ever rewritten (spec-pinned in
+    * ManifestSpec; untouched files carry forward by reference).
+    */
+  def srcManifestLatest(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestTable(s, dir)
+    manifestDigest(graft.sources.ManifestTable.snapshot(s, table))
+  }
+
+  private val srcManifestLatestSql: String =
+    s"""WITH $manifestStateSql, fin2 AS (
+       |  SELECT f.* FROM fin1 f, mxx
+       |  WHERE NOT (f.doc_id >= m // 5 AND f.doc_id <= (2 * m) // 5)
+       |)
+       |${manifestDigestSql}FROM fin2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Time travel: the SAME table read pinned at version 0 AFTER the
+    * upsert and delete committed — byte-identical to the original
+    * documents table, proving snapshot isolation (immutable data
+    * files + versioned manifests; later commits only add manifests).
+    */
+  def srcManifestTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestTable(s, dir)
+    manifestDigest(graft.sources.ManifestTable.snapshot(s, table, Some(0)))
+  }
+
+  private val srcManifestTimetravelSql: String =
+    s"${manifestDigestSql}FROM documents GROUP BY 1 ORDER BY 1"
+
+  /** Stats-pruned range read on the latest snapshot: the manifest's
+    * per-file [min,max] key stats select the overlapping files BEFORE
+    * Spark sees any path (lakehouse data skipping); the residual
+    * filter trims the coarse file ranges. Emits per-doc rows so the
+    * oracle checks content, not just counts.
+    */
+  def srcManifestPruned(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestTable(s, dir)
+    val mx = docs(s, dir).agg(max(col("doc_id"))).collect()(0).getLong(0)
+    graft.sources.ManifestTable.snapshotRange(s, table, 3 * mx / 5, 4 * mx / 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val srcManifestPrunedSql: String =
+    s"""WITH $manifestStateSql, fin2 AS (
+       |  SELECT f.* FROM fin1 f, mxx
+       |  WHERE NOT (f.doc_id >= m // 5 AND f.doc_id <= (2 * m) // 5)
+       |)
+       |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |  md5(text) AS text_md5
+       |FROM fin2, mxx
+       |WHERE doc_id >= (3 * m) // 5 AND doc_id <= (4 * m) // 5
+       |ORDER BY 1""".stripMargin
+
   /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
     * postings with tf, first/last position, and an md5 over the full
     * ascending position list, joined to per-term df/cf. The oracle
@@ -3445,6 +3579,9 @@ object Pipeline {
     "sink_compacted" -> (sinkCompacted _),
     "sink_partitioned" -> (sinkPartitioned _),
     "src_evolved" -> (srcEvolved _),
+    "src_manifest_latest" -> (srcManifestLatest _),
+    "src_manifest_timetravel" -> (srcManifestTimetravel _),
+    "src_manifest_pruned" -> (srcManifestPruned _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -3525,6 +3662,9 @@ object Pipeline {
     "sink_compacted" -> sinkCompactedSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "src_evolved" -> srcEvolvedSql,
+    "src_manifest_latest" -> srcManifestLatestSql,
+    "src_manifest_timetravel" -> srcManifestTimetravelSql,
+    "src_manifest_pruned" -> srcManifestPrunedSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,

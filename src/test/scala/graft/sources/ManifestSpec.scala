@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.ManifestTable._
+
+/** The transaction-log contracts the queries rely on but their DuckDB
+  * oracles can't see: atomic put-if-absent commits, copy-on-write
+  * file pruning (untouched files carry BY REFERENCE), metadata-only
+  * range deletes, and manifest-level scan skipping.
+  */
+class ManifestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_mt").resolve("t").toString
+
+  private def mkTable(n: Int, buckets: Int): String = {
+    val t = tmpTable()
+    val df = (0 until n).map(i => (i.toLong, s"row-$i", i % 7))
+      .toDF("doc_id", "text", "tag")
+    create(spark, t, df, "doc_id", buckets)
+    t
+  }
+
+  test("commit is put-if-absent: replaying a version throws") {
+    val t = mkTable(100, 4)
+    val s0 = readSnapshot(t, 0)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      commit(t, s0.copy(op = "rogue"))
+    }
+    // and the original manifest is untouched by the losing writer
+    assert(readSnapshot(t, 0).op == "create")
+  }
+
+  test("create writes range-bucketed files with tight disjoint stats") {
+    val t = mkTable(400, 4)
+    val s0 = readSnapshot(t, 0)
+    assert(s0.files.size == 4)
+    assert(s0.files.map(_.rows).sum == 400L)
+    // range layout → sorted by minKey, ranges do not interleave
+    val sorted = s0.files.sortBy(_.minKey)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey < b.minKey)
+      case _ =>
+    }
+  }
+
+  test("upsert rewrites ONLY key-range-overlapping files; rest carry by reference") {
+    val t = mkTable(400, 4)
+    val s0 = readSnapshot(t, 0)
+    // delta touches keys 10..19 — inside exactly ONE of the 4 buckets
+    val delta = (10 until 20).map(i => (i.toLong, s"upd-$i", 99))
+      .toDF("doc_id", "text", "tag")
+    upsert(spark, t, delta, buckets = 1)
+    val s1 = readSnapshot(t, 1)
+    val carried = s1.files.map(_.name).toSet intersect s0.files.map(_.name).toSet
+    assert(carried.size == 3, s"expected 3 carried files, got ${carried.size}")
+    assert(s1.files.map(_.rows).sum == 400L) // pure update, no inserts
+    val got = snapshot(spark, t).filter(col("doc_id") === 15L)
+      .select("text", "tag").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("upd-15", 99)))
+  }
+
+  test("upsert appends new keys and replaces matched keys in one commit") {
+    val t = mkTable(100, 2)
+    val delta = Seq(
+      (5L, "upd-5", 99), // matched → replace
+      (500L, "new-500", 42), (501L, "new-501", 42) // above keyspace → insert
+    ).toDF("doc_id", "text", "tag")
+    upsert(spark, t, delta, buckets = 1)
+    val all = snapshot(spark, t)
+    assert(all.count() == 102L)
+    assert(all.filter(col("doc_id") === 5L).select("text").as[String].head() == "upd-5")
+    assert(all.filter(col("doc_id") >= 500L).count() == 2L)
+    // no duplicate keys after the merge
+    assert(all.select("doc_id").distinct().count() == 102L)
+  }
+
+  test("range delete drops fully-covered files metadata-only, rewrites boundaries") {
+    val t = mkTable(400, 4) // buckets ≈ [0,99][100,199][200,299][300,399]
+    val s0 = readSnapshot(t, 0)
+    val b1 = s0.files.sortBy(_.minKey).apply(1)
+    // delete exactly bucket 1's span plus a sliver of bucket 2
+    deleteRange(spark, t, b1.minKey, b1.maxKey + 10)
+    val s1 = readSnapshot(t, 1)
+    assert(!s1.files.map(_.name).contains(b1.name)) // dropped, never read
+    // bucket 0 and 3 carried by reference
+    val sorted0 = s0.files.sortBy(_.minKey)
+    assert(s1.files.map(_.name).toSet.contains(sorted0(0).name))
+    assert(s1.files.map(_.name).toSet.contains(sorted0(3).name))
+    val left = snapshot(spark, t)
+    assert(left.count() == 400L - (b1.rows + 10))
+    assert(left.filter(col("doc_id").between(b1.minKey, b1.maxKey + 10)).count() == 0L)
+  }
+
+  test("snapshotRange prunes at the manifest before Spark sees a path") {
+    val t = mkTable(400, 4)
+    val full = snapshot(spark, t)
+    val pruned = snapshotRange(spark, t, 150, 160)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 11L)
+  }
+
+  test("time travel: v0 is byte-stable across later commits") {
+    val t = mkTable(200, 4)
+    val before = snapshot(spark, t, Some(0)).orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    upsert(spark, t, Seq((7L, "x", 1)).toDF("doc_id", "text", "tag"), 1)
+    deleteRange(spark, t, 50, 90)
+    val after = snapshot(spark, t, Some(0)).orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(after == before)
+    assert(latestVersion(t) == 2)
+  }
+}
