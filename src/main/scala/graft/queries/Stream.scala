@@ -491,6 +491,104 @@ object Stream {
        |FROM events
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** One-time fixture: the events table produced into a 4-partition
+    * ledger topic (partition = user_id % 4 — Kafka's keyed-producer
+    * shape, so each user's events stay in ONE partition in time
+    * order), 5 index-registered segments per partition. Payloads are
+    * `to_json` envelopes; offsets are the per-partition time rank.
+    */
+  private def ledgerTopic(s: SparkSession, dir: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = Tables.pathFingerprint(s"$dir/events.parquet")
+    val base = new java.io.File(s"/tmp/graft_ledger/$tag-$fpTag")
+    Tables.pruneStaleSiblings(base, tag)
+    val root = new java.io.File(base, "topic")
+    Tables.materializeOnce(root, "_READY") { scratch =>
+      scratch.mkdirs()
+      val nParts = 4
+      val nSegs = 5
+      val ev = Tables.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("_p", pmod(col("user_id"), lit(nParts)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try for (p <- 0 until nParts) {
+        // rank materialized ONCE (zipWithIndex over the persisted
+        // sort), so tie rows can't migrate across segment boundaries
+        // between the count and write jobs — the slicedEventStream
+        // determinism rule
+        val sorted = ev.filter(col("_p") === p)
+          .sort(expr("ts div 1000"), col("user_id"), col("value"))
+        val idxSchema = sorted.schema
+          .add("_rn", org.apache.spark.sql.types.LongType)
+        val idx = s.createDataFrame(
+            sorted.rdd.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, idxSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = idx.count()
+        val chunk = math.max(1L, math.ceil(n.toDouble / nSegs).toLong)
+        for (c <- 0 until nSegs) {
+          val lo = c * chunk
+          val hi = math.min((c + 1) * chunk, n)
+          if (hi > lo) {
+            val tmpDir = new java.io.File(scratch, s"_tmp$p-$c")
+            idx.filter(col("_rn") >= lo && col("_rn") < hi)
+              .coalesce(1).sortWithinPartitions("_rn")
+              .select(to_json(struct(
+                col("ts"),
+                col("user_id").cast("string").as("key"),
+                to_json(struct(col("user_id"), col("ts"), col("event_type"),
+                  col("value"))).as("value"))).as("line"))
+              .write.mode("overwrite").text(tmpDir.getAbsolutePath)
+            val f = tmpDir.listFiles().find(_.getName.endsWith(".txt")).get
+            graft.sources.Ledger.registerSegment(
+              new java.io.File(scratch, "t").getAbsolutePath, p, f, hi - lo)
+            tmpDir.listFiles().foreach(_.delete()); tmpDir.delete(): Unit
+          }
+        }
+        idx.unpersist(false)
+      } finally ev.unpersist(false): Unit
+    }
+    new java.io.File(root, "t").getAbsolutePath
+  }
+
+  /** The windowed-counts operator driven from the Kafka-shaped DSv2
+    * ledger source instead of the file source: envelope → `from_json`
+    * payload decode → the SAME [[Streaming.windowedCounts]] state
+    * machine, paced into multiple micro-batches by the source's
+    * admission control (maxRecordsPerTrigger). Shares the batch
+    * oracle with stream_windowed_counts — passing proves the custom
+    * source's offset ranges partition the topic exactly (any lost or
+    * doubled slice breaks the counts). Source contracts (checkpoint
+    * resume, pacing, index-gated visibility) are spec-pinned in
+    * LedgerSpec.
+    */
+  def streamLedgerCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topic = ledgerTopic(s, dir)
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val ev = s.readStream.format("graft.sources.LedgerProvider")
+      .option("maxRecordsPerTrigger", "20000").load(topic)
+      .select(from_json(col("value"), payload).as("e"))
+      .select(col("e.user_id"),
+        timestamp_micros(expr("e.ts div 1000")).as("ts"),
+        col("e.event_type").as("event_type"), col("e.value").as("value"))
+      .as[Streaming.Event]
+    runToSink(
+      Streaming.windowedCounts(ev.toDF(), "5 minutes", "10 minutes"),
+      "stream_ledger_sink", mode = "complete")
+      .select(col("w_start").cast("long").as("w_start_s"), col("event_type"),
+        col("n"), fp2(col("sum_value")).as("sum_fp"))
+      .orderBy("w_start_s", "event_type")
+  }
+
   /** Gap-based sessionization (4-hour gap) via flatMapGroupsWithState
     * with an event-time timeout. On a bounded stream two session
     * populations emit: (a) every NON-final session of a user — closed
@@ -981,6 +1079,7 @@ object Stream {
     "stream_anomaly" -> (streamAnomaly _),
     "stream_approx_users" -> (streamApproxUsers _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
+    "stream_ledger_counts" -> (streamLedgerCounts _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
     "stream_session_window_append" -> (streamSessionWindowAppend _),
@@ -1001,6 +1100,7 @@ object Stream {
     "stream_anomaly" -> streamAnomalySql,
     "stream_approx_users" -> streamApproxUsersSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
+    "stream_ledger_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_window" -> streamSessionWindowSql,
     "stream_session_window_append" -> streamSessionWindowAppendSql,
