@@ -2797,17 +2797,19 @@ object Pipeline {
   // --- transaction-log table format (sources.ManifestTable) ---
 
   /** One-time fixture: a ManifestTable over the documents table with
-    * three committed versions — v0 create (8 range-bucketed files on
+    * four committed versions — v0 create (8 range-bucketed files on
     * doc_id), v1 copy-on-write upsert (every 97th doc updated + 100
     * inserted docs above the key space), v2 copy-on-write range
-    * delete of [mx//5, (2*mx)//5] where mx = max original doc_id.
-    * Every mutation is a pure function of the original table, so
-    * DuckDB replays each snapshot exactly.
+    * delete of [mx//5, (2*mx)//5] where mx = max original doc_id,
+    * v3 compaction to 3 files (content-neutral — the latest-snapshot
+    * digest oracle passing over v3 proves compaction losslessness
+    * through the hash gate). Every mutation is a pure function of
+    * the original table, so DuckDB replays each snapshot exactly.
     */
   private def materializeManifestTable(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
-    val base = new java.io.File(s"/tmp/graft_manifest/$tag-$fpTag")
+    val base = new java.io.File(s"/tmp/graft_manifest/$tag-$fpTag-v2")
     graft.Tables.pruneStaleSiblings(base, tag)
     graft.Tables.materializeOnce(base, "_READY") { scratch =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2828,6 +2830,7 @@ object Pipeline {
       graft.sources.ManifestTable.upsert(s, table,
         updates.unionByName(inserts), buckets = 4)
       graft.sources.ManifestTable.deleteRange(s, table, mx / 5, 2 * mx / 5)
+      graft.sources.ManifestTable.compact(s, table, buckets = 3)
     }
     new java.io.File(base, "table").getAbsolutePath
   }
@@ -2870,10 +2873,11 @@ object Pipeline {
       |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins
       |)""".stripMargin
 
-  /** Latest-snapshot read (v2 = create → upsert → range delete) off
-    * the transaction log: per-lang counts, char sums, id spans and a
-    * content digest prove the merge semantics (same-key replace,
-    * new-key append, range delete) landed exactly — while only the
+  /** Latest-snapshot read (v3 = create → upsert → range delete →
+    * compact) off the transaction log: per-lang counts, char sums,
+    * id spans and a content digest prove the merge semantics
+    * (same-key replace, new-key append, range delete) landed exactly
+    * AND that compaction was content-neutral — while only the
     * key-range-overlapping files were ever rewritten (spec-pinned in
     * ManifestSpec; untouched files carry forward by reference).
     */

@@ -233,6 +233,49 @@ object ManifestTable {
     s
   }
 
+  /** Compaction as a COMMIT: rewrite the current snapshot's files
+    * into `buckets` right-sized ones and commit the new layout as the
+    * next version. Old versions keep reading their own (immutable)
+    * files — time travel survives maintenance; storage is reclaimed
+    * separately by [[vacuum]] once old versions age out. This is the
+    * small-files repair the compaction sink does for raw dirs, lifted
+    * into the transaction log.
+    */
+  def compact(spark: SparkSession, table: String, buckets: Int): Snapshot = {
+    val v = latestVersion(table)
+    val cur = readSnapshot(table, v)
+    val all = spark.read.parquet(filePaths(table, cur): _*)
+    val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets)
+    val s = Snapshot(v + 1, "compact", cur.keyCol, newFiles)
+    commit(table, s)
+    s
+  }
+
+  /** Retention: delete data files referenced ONLY by versions older
+    * than `keepVersions` (and their manifests). The kept window keeps
+    * time-traveling; anything outside it stops being readable — the
+    * Delta VACUUM contract, driven purely off the manifests (never a
+    * directory-diff race with an in-flight writer's staged files:
+    * only files that were once LISTED and are no longer referenced
+    * are touched).
+    */
+  def vacuum(table: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val latest = latestVersion(table)
+    val cutoff = latest - keepVersions + 1
+    if (cutoff <= 0) return Seq.empty
+    val versions = (0 to latest).filter(v => manifestFile(table, v).exists())
+    val live = versions.filter(_ >= cutoff)
+      .flatMap(v => readSnapshot(table, v).files.map(_.name)).toSet
+    val dead = versions.filter(_ < cutoff)
+      .flatMap(v => readSnapshot(table, v).files.map(_.name))
+      .distinct.filterNot(live)
+    dead.foreach(n => Files.deleteIfExists(new File(dataDir(table), n).toPath))
+    versions.filter(_ < cutoff)
+      .foreach(v => Files.deleteIfExists(manifestFile(table, v).toPath))
+    dead
+  }
+
   /** Copy-on-write range delete. Files FULLY inside [lo,hi] are
     * dropped from the manifest without being read (metadata-only
     * delete); files partially overlapping are rewritten without the

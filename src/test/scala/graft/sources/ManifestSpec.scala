@@ -103,6 +103,39 @@ class ManifestSpec extends SparkTestBase {
     assert(pruned.count() == 11L)
   }
 
+  test("compact rewrites the layout as a commit; old versions still read") {
+    val t = mkTable(400, 8)
+    val before = snapshot(spark, t).orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    compact(spark, t, buckets = 2)
+    val s1 = readSnapshot(t, 1)
+    assert(s1.op == "compact" && s1.files.size == 2)
+    val after = snapshot(spark, t).orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(after == before)
+    // pre-compaction version remains readable until vacuumed
+    assert(snapshot(spark, t, Some(0)).count() == 400L)
+  }
+
+  test("vacuum deletes only files unreferenced by the kept window") {
+    val t = mkTable(200, 4)
+    // v1: upsert touching one bucket — 3 files are SHARED between v0 and v1
+    upsert(spark, t, Seq((5L, "x", 1)).toDF("doc_id", "text", "tag"), 1)
+    val v0Files = readSnapshot(t, 0).files.map(_.name).toSet
+    val v1Files = readSnapshot(t, 1).files.map(_.name).toSet
+    val dead = vacuum(t, keepVersions = 1)
+    // exactly the v0-only file(s) died; shared files survived
+    assert(dead.toSet == (v0Files -- v1Files))
+    val dataDir = new java.io.File(t, "data")
+    val onDisk = dataDir.listFiles().map(_.getName).toSet
+    assert(v1Files.subsetOf(onDisk))
+    assert((v0Files -- v1Files).forall(!onDisk.contains(_)))
+    // v0 manifest is gone; latest still reads completely
+    assert(!new java.io.File(t, f"_log/v${0}%08d.json").exists())
+    assert(snapshot(spark, t).count() == 200L)
+    intercept[Exception] { readSnapshot(t, 0) }
+  }
+
   test("time travel: v0 is byte-stable across later commits") {
     val t = mkTable(200, 4)
     val before = snapshot(spark, t, Some(0)).orderBy("doc_id")
