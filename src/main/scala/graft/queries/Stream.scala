@@ -574,8 +574,13 @@ object Stream {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.DoubleType)))
+    // trigger size is a CAPACITY knob, not a corpus property —
+    // production sizes it to bound per-commit state pressure; the
+    // env override is how the ×100 gate runs with a proportionally
+    // larger budget instead of 500 tiny batches
+    val trigger = sys.env.getOrElse("SPARK_GRAFT_LEDGER_TRIGGER", "20000")
     val ev = s.readStream.format("graft.sources.LedgerProvider")
-      .option("maxRecordsPerTrigger", "20000").load(topic)
+      .option("maxRecordsPerTrigger", trigger).load(topic)
       .select(from_json(col("value"), payload).as("e"))
       .select(col("e.user_id"),
         timestamp_micros(expr("e.ts div 1000")).as("ts"),
