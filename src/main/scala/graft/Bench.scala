@@ -92,32 +92,71 @@ object Bench {
       spark.catalog.clearCache()
       (name, best, runs)
     }
+    // Auto-re-run defense (VERDICT r14 #1): the r14 artifact of record
+    // was poisoned by MID-run host load (load 2.19->3.08, under the
+    // start gate) — 12 queries priced >2x vs the standing MINs yet all
+    // re-measured <=1.6x in the same round's earlier clean pass.
+    // Min-of-2 can't absorb contention spanning both runs of a query,
+    // so before the artifact is written, any query pricing over 2x its
+    // standing MIN (BASELINE_MINS.json — per-query min over every
+    // clean run plus the BASELINE.md tables) is re-run solo: wait for
+    // load to settle, then two more runs, min over all four. Genuine
+    // regressions survive the re-run; contention phantoms don't.
+    val standingMins: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE_MINS", "/root/repo/BASELINE_MINS.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    val rerun = results.map { case (name, best, runs) =>
+      val floor = standingMins.get(name)
+      if (best > 0 && floor.exists(f => best > 2.0 * f)) {
+        var waited = 0
+        while (loadAvg > 2.5 && waited < 6) { Thread.sleep(20000); waited += 1 }
+        System.err.println(f"[bench] $name ${best}%.2fs > 2x standing ${floor.get}%.2fs — solo re-run")
+        val extra = (0 until 2).map(_ => once(name, fn = SparkEntry.queries(name)))
+        spark.catalog.clearCache()
+        val all = runs ++ extra
+        val oks = all.filter(_ >= 0)
+        (name, if (oks.nonEmpty) oks.min else all.max, all)
+      } else (name, best, runs)
+    }
+    val results2 = rerun
     val loadEnd = loadAvg
+    // contended keys on BOTH endpoints (VERDICT r14 #1): a run that
+    // starts idle and ends loaded is just as untrustworthy as one that
+    // starts loaded.
+    val contendedAny = contended || loadEnd > 2.5
     // Locale.ROOT: the f interpolator is locale-sensitive — a JVM
     // default locale with comma decimal separators would make both the
     // stdout line and BENCH_DETAIL.json invalid JSON (ADVICE r10).
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results2.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results2.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val detail = results.map { case (k, _, rs) =>
+    val detail = results2.map { case (k, _, rs) =>
       "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    val rerunNames = results2.collect { case (k, _, rs) if rs.size > nRuns => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results2.map { case (_, v, _) => math.abs(v) }.sum
     // Full per-query JSON → a repo file: the line the driver captures is
     // only the LAST ~2000 chars of stdout (ADVICE r9 — "parsed": null
     // every round once the query map outgrew the tail window), so the
     // stdout line must stay compact. It carries per-FAMILY totals plus a
     // pointer to the full detail file the judge can read directly.
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"runs_detail":$detail,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"reruns":$rerunNames,"runs_detail":$detail,"contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
     val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), fullJson + "\n")
     def family(name: String): String =
       if (name.startsWith("q")) "rel" else name.takeWhile(_ != '_')
-    val fams = results.groupBy { case (k, _, _) => family(k) }.toSeq.sortBy(_._1)
+    val fams = results2.groupBy { case (k, _, _) => family(k) }.toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(t => math.abs(t._2)).sum) }
       .mkString("{", ",", "}")
     // one headline query per operator family keeps the stdout "queries"
@@ -129,10 +168,10 @@ object Bench {
       "text_tokens", "text_quality", "text_pack", "text_bpe_encode",
       "text_shards", "mm_image_features", "stream_windowed_counts",
       "stream_sessionize", "stream_dedup").toSet
-    val head = results.collect { case (k, v, _) if headline(k) =>
+    val head = results2.collect { case (k, v, _) if headline(k) =>
       "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"detail_file":"$detailFile","contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"reruns":$rerunNames,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

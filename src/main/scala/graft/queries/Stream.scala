@@ -516,8 +516,14 @@ object Stream {
         // sort), so tie rows can't migrate across segment boundaries
         // between the count and write jobs — the slicedEventStream
         // determinism rule
+        // ALL columns in the sort key (ADVICE r14): (ts div 1000,
+        // user_id, value) alone is not a total order, so if the
+        // persisted idx frame were evicted and recomputed between
+        // per-segment write jobs, tie rows could land in a different
+        // _rn range. event_type completes the key → deterministic
+        // recomputation regardless of cache state.
         val sorted = ev.filter(col("_p") === p)
-          .sort(expr("ts div 1000"), col("user_id"), col("value"))
+          .sort(expr("ts div 1000"), col("user_id"), col("value"), col("event_type"))
         val idxSchema = sorted.schema
           .add("_rn", org.apache.spark.sql.types.LongType)
         val idx = s.createDataFrame(

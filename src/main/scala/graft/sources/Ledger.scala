@@ -127,6 +127,18 @@ object Ledger {
     * distributed as JSONL) into the partition's index.
     */
   def registerSegment(topic: String, p: Int, segFile: File, count: Long): SegmentInfo = {
+    // Validate the declared count against the file before it becomes
+    // visible (ADVICE r14): a mis-registered count would otherwise be
+    // silent data loss (or an EOFException at read time) forever —
+    // segments are immutable once indexed. One control-plane pass over
+    // a file this process just wrote.
+    val actual = {
+      val in = Files.newBufferedReader(segFile.toPath, StandardCharsets.UTF_8)
+      try { var n = 0L; while (in.readLine() != null) n += 1; n }
+      finally in.close()
+    }
+    require(actual == count,
+      s"registerSegment: declared count $count != actual line count $actual for $segFile")
     val dir = partDir(topic, p); dir.mkdirs()
     val start = endOffsets(topic).getOrElse(p, 0L)
     val name = f"seg-$start%020d.jsonl"
@@ -207,8 +219,14 @@ class LedgerMicroBatchStream(path: String, maxRecords: Option[Long])
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   /** Kafka-shaped admission control: allocate the row budget across
-    * partitions proportionally to backlog, guaranteeing progress on
-    * every non-empty partition.
+    * partitions proportionally to backlog. The per-trigger total NEVER
+    * exceeds `maxRecordsPerTrigger` (ADVICE r14: the old `max(1, ·)`
+    * progress floor could admit up to nPartitions-1 extra rows):
+    * each partition takes floor(backlog × budget/total) and the
+    * remainder is distributed round-robin over partitions with
+    * leftover backlog. Progress is still guaranteed — a partition
+    * given 0 this batch keeps its backlog for the next one, and the
+    * budget is clamped to ≥1 so SOME partition always advances.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[LedgerOffset].offsets
@@ -220,11 +238,19 @@ class LedgerMicroBatchStream(path: String, maxRecords: Option[Long])
         val total = backlog.values.sum
         if (total <= rl.maxRows) end
         else {
-          val scale = rl.maxRows.toDouble / total
-          backlog.map { case (p, b) =>
-            val take = if (b == 0) 0L else math.max(1L, (b * scale).toLong)
-            p -> (cur.getOrElse(p, 0L) + math.min(b, take))
+          val budget = math.max(1L, rl.maxRows)
+          val scale = budget.toDouble / total
+          val order = backlog.toSeq.sortBy(_._1).map(_._1)
+          val take = scala.collection.mutable.LinkedHashMap(
+            order.map(p => p -> math.min(backlog(p), (backlog(p) * scale).toLong)): _*)
+          var rem = budget - take.values.sum
+          var i = 0
+          while (rem > 0 && order.exists(p => take(p) < backlog(p))) {
+            val p = order(i % order.size)
+            if (take(p) < backlog(p)) { take(p) += 1; rem -= 1 }
+            i += 1
           }
+          take.map { case (p, t) => p -> (cur.getOrElse(p, 0L) + t) }.toMap
         }
       case _ => end
     }
@@ -280,7 +306,14 @@ class LedgerPartitionReader(part: Ledger.LedgerInputPartition)
   override def next(): Boolean = {
     if (off >= part.hi) return false
     line = reader.readLine()
-    if (line == null) return false
+    // EOF before the planned slice end means the index over-declared
+    // the segment's record count. Silently returning false here would
+    // be permanent silent data loss — the committed offset would still
+    // advance past the gap on every replay (ADVICE r14). Fail loudly.
+    if (line == null)
+      throw new java.io.EOFException(
+        s"ledger segment ${part.segName} p=${part.partition}: EOF at offset $off " +
+        s"before planned slice end ${part.hi} — index count/file mismatch")
     val n = mapper.readTree(line)
     current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](part.partition, off, n.get("ts").asLong,

