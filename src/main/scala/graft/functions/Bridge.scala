@@ -782,6 +782,45 @@ object Bridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-frame MFCC over PCM16-LE bytes (graft.dsp.Mel): decode +
+    * center like [[pcmFrames]], then per complete frame Hamming →
+    * rfft power → mel filterbank → log(E+1) → ortho DCT-II, first
+    * `nCoef` coefficients. Window/filterbank/DCT weights are
+    * deterministic functions of (frameLen, nMels, sampleRate) that
+    * the SQL oracle embeds as identical literals. Weight tables are
+    * cached per parameter tuple (they are per-PARTITION hot-path
+    * otherwise: a few thousand cos/pow evals per row).
+    */
+  private val mfccCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long),
+      (Array[Double], Array[Array[Double]])]()
+
+  def mfccFrames(bin: Array[Byte], frameLen: Int, center: Int,
+                 nMels: Int, nCoef: Int, sampleRate: Double): ArrayData = {
+    val (win, fb) = mfccCache.computeIfAbsent(
+      (frameLen, nMels, java.lang.Double.doubleToLongBits(sampleRate)),
+      _ => (graft.dsp.Mel.hamming(frameLen),
+        graft.dsp.Mel.filterbank(frameLen, nMels, sampleRate)))
+    val nSamples = bin.length / 2
+    val nFrames = if (frameLen > 0) nSamples / frameLen else 0
+    val res = new Array[Any](nFrames)
+    val s = new Array[Double](frameLen)
+    var f = 0
+    while (f < nFrames) {
+      var j = 0
+      while (j < frameLen) {
+        val i = f * frameLen + j
+        s(j) = (((bin(2 * i + 1) & 0xff) << 8) | (bin(2 * i) & 0xff))
+          .toShort.toDouble - center
+        j += 1
+      }
+      val coefs = graft.dsp.Mel.mfccFrame(s, win, fb, nCoef)
+      res(f) = new GenericInternalRow(Array[Any](f, out(coefs)))
+      f += 1
+    }
+    new GenericArrayData(res)
+  }
+
   /** Deterministic synthetic image source (pixel formula → real BMP
     * bytes): the oracle-replayable stand-in for an image table this
     * sandbox doesn't ship. See [[graft.dsp.Image.synthGray]].
@@ -979,6 +1018,10 @@ object Bridge {
       StructField("frame", IntegerType, nullable = false),
       StructField("energy", LongType, nullable = false),
       StructField("zcr", IntegerType, nullable = false))), containsNull = false)),
+    "mfccFrames" -> (Seq(BinaryType, IntegerType, IntegerType, IntegerType,
+      IntegerType, DoubleType) -> ArrayType(StructType(Seq(
+      StructField("frame", IntegerType, nullable = false),
+      StructField("coefs", arrD, nullable = false))), containsNull = false)),
     "synthBmp" -> (Seq(StringType, IntegerType, IntegerType, IntegerType) -> BinaryType),
     "synthPng" -> (Seq(StringType, IntegerType, IntegerType, IntegerType) -> BinaryType),
     "synthJpeg" -> (Seq(StringType, IntegerType, IntegerType, IntegerType,
@@ -1072,6 +1115,7 @@ object Bridge {
     case "cosineFF" => cosineFF(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])
     case "byteHistogram" => byteHistogram(a(0).asInstanceOf[Array[Byte]])
     case "pcmFrames" => pcmFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int])
+    case "mfccFrames" => mfccFrames(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int], a(5).asInstanceOf[Double])
     case "synthBmp" => synthBmp(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
     case "synthPng" => synthPng(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
     case "synthJpeg" => synthJpeg(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Int], a(4).asInstanceOf[Int])

@@ -315,6 +315,10 @@ object Functions {
     def byteHistogramC(bin: Column): Column = call("byteHistogram", bin)
     def pcmFramesC(bin: Column, frameLen: Int, center: Int = 0): Column =
       call("pcmFrames", bin, lit(frameLen), lit(center))
+    def mfccFramesC(bin: Column, frameLen: Int, center: Int, nMels: Int,
+                    nCoef: Int, sampleRate: Double): Column =
+      call("mfccFrames", bin, lit(frameLen), lit(center), lit(nMels),
+        lit(nCoef), lit(sampleRate))
     def synthBmpC(text: Column, w: Int, h: Int, off: Int = 0): Column =
       call("synthBmp", text, lit(w), lit(h), lit(off))
     def synthJpegC(text: Column, w: Int, h: Int, off: Int = 0, q: Int = 95): Column =

@@ -112,6 +112,24 @@ object Multimodal {
       .select(col("media_id"), col("f.frame").as("frame"),
         col("f.energy").as("energy"), col("f.zcr").as("zcr"))
 
+  /** Per-frame MFCCs over a PCM16-LE binary column — the standard
+    * audio-feature representation a training pipeline stores next to
+    * (or instead of) raw audio. Entirely composed from shipped
+    * kernels (graft.dsp.Mel: Hamming → rfft power → triangular mel
+    * filterbank → log → orthonormal Makhoul DCT-II), evaluated as ONE
+    * codegen'd map-side expression per recording — zero shuffle, the
+    * write-time featurization shape at 100 TB.
+    */
+  def mfccFeatures(media: DataFrame, frameLen: Int = 32, center: Int = 0,
+                   nMels: Int = 8, nCoef: Int = 4,
+                   sampleRate: Double = 8000.0): DataFrame =
+    media
+      .select(col("media_id"),
+        explode(mfccFramesC(col("content"), frameLen, center, nMels, nCoef,
+          sampleRate)).as("f"))
+      .select(col("media_id"), col("f.frame").as("frame"),
+        col("f.coefs").as("coefs"))
+
   /** Voice-activity segmentation over the frame-feature stream: the
     * speech-detection front end of an audio training pipeline (what
     * decides which spans are worth transcribing/storing). A frame is

@@ -3269,6 +3269,76 @@ object Pipeline {
       |  CAST(COUNT(*) FILTER (WHERE ps IS NOT NULL AND ps * s < 0) AS INT) AS zcr
       |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** MFCC audio features (Multimodal.mfccFeatures, VERDICT r14 #6):
+    * per 32-sample PCM frame, Hamming window → rfft power spectrum →
+    * 8-filter triangular mel bank → log(E+1) → orthonormal DCT-II,
+    * first 4 cepstral coefficients. The oracle replays the whole
+    * chain naively — windowed naive-DFT bins, then the filterbank
+    * and DCT as literal weight tables generated from the SAME
+    * graft.dsp.Mel functions the kernel uses (the sig_cwt
+    * literal-taps discipline) — so a green hash pins the radix-2
+    * rfft, the mel weights, and the Makhoul DCT against a
+    * structurally independent evaluation at the 1e-4 grid.
+    */
+  def mmMfcc(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mfccFeatures(
+      Multimodal.asMedia(docs(s, dir).filter(col("lang") === "en"),
+        "doc_id", "text"),
+      frameLen = 32, center = 16384, nMels = 8, nCoef = 4, sampleRate = 8000.0)
+      .select(col("media_id").as("doc_id"), col("frame"),
+        posexplode(col("coefs")).as(Seq("cj", "coef")))
+      .select(col("doc_id"), col("frame"), col("cj"),
+        fp4(col("coef")).as("coef_fp"))
+      .orderBy("doc_id", "frame", "cj")
+
+  private val mmMfccSql: String = {
+    // CAST every weight literal to DOUBLE: DuckDB types a bare decimal
+    // literal as DECIMAL(18,·) and the power-spectrum products then
+    // overflow decimal multiplication
+    val winRows = graft.dsp.Mel.hamming(32).zipWithIndex
+      .map { case (w, j) => s"($j, CAST($w AS DOUBLE))" }.mkString(", ")
+    val melRows = graft.dsp.Mel.filterbank(32, 8, 8000.0).zipWithIndex
+      .flatMap { case (row, m) =>
+        row.zipWithIndex.collect { case (w, k) if w != 0.0 =>
+          s"($m, $k, CAST($w AS DOUBLE))" }
+      }.mkString(",\n       |  ").stripMargin
+    val dctRows = graft.dsp.Mel.dctOrthoWeights(4, 8).zipWithIndex
+      .flatMap { case (row, c) =>
+        row.zipWithIndex.map { case (w, m) => s"($c, $m, CAST($w AS DOUBLE))" }
+      }.mkString(",\n       |  ").stripMargin
+    s"""WITH en AS (
+       |  SELECT doc_id, text, (length(text) // 2 // 32) * 32 AS nkeep
+       |  FROM documents WHERE lang = 'en'
+       |), smp AS (
+       |  SELECT doc_id, text, unnest(generate_series(0, nkeep - 1)) AS i FROM en
+       |), sv AS (
+       |  SELECT doc_id, i // 32 AS frame, i % 32 AS j,
+       |    unicode(substr(text, 2*i + 1, 1)) + 256 * unicode(substr(text, 2*i + 2, 1)) - 16384 AS s
+       |  FROM smp
+       |), win(j, w) AS (VALUES $winRows),
+       |wx AS (
+       |  SELECT doc_id, frame, sv.j AS j, s * w AS x FROM sv JOIN win ON win.j = sv.j
+       |), kk AS (SELECT unnest(generate_series(0, 16)) AS k),
+       |spec AS (
+       |  SELECT doc_id, frame, kk.k AS k,
+       |    SUM(x * COS(2 * pi() * kk.k * j / 32)) AS pr,
+       |    SUM(x * SIN(2 * pi() * kk.k * j / 32)) AS pim
+       |  FROM wx CROSS JOIN kk GROUP BY 1, 2, 3
+       |), mel(m, k, w) AS (VALUES
+       |  $melRows
+       |), mele AS (
+       |  SELECT doc_id, frame, mel.m AS m,
+       |    LN(SUM((pr*pr + pim*pim) * mel.w) + 1.0) AS le
+       |  FROM spec JOIN mel ON mel.k = spec.k GROUP BY 1, 2, 3
+       |), dctw(c, m, w) AS (VALUES
+       |  $dctRows
+       |)
+       |SELECT doc_id, CAST(frame AS INT) AS frame, CAST(dctw.c AS INT) AS cj,
+       |  ${fpSql("SUM(le * dctw.w)", "1e4")} AS coef_fp
+       |FROM mele JOIN dctw ON dctw.m = mele.m
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** Voice-activity segmentation (Multimodal.vadSegments) over the
     * PCM frame energies: active = integral energy > 3.9e9 (≈ the
     * corpus median, so both states genuinely occur), runs debounced
@@ -3597,6 +3667,7 @@ object Pipeline {
     "emb_quantize" -> (embQuantize _),
     "mm_image_features" -> (mmImageFeatures _),
     "mm_audio" -> (mmAudio _),
+    "mm_mfcc" -> (mmMfcc _),
     "mm_vad" -> (mmVad _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_jpeg_pairs" -> (mmJpegPairs _),
@@ -3680,6 +3751,7 @@ object Pipeline {
     "emb_quantize" -> embQuantizeSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio" -> mmAudioSql,
+    "mm_mfcc" -> mmMfccSql,
     "mm_vad" -> mmVadSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_jpeg_pairs" -> mmJpegPairsSql,
