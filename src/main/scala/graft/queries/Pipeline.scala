@@ -2809,7 +2809,9 @@ object Pipeline {
   private def materializeManifestTable(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
-    val base = new java.io.File(s"/tmp/graft_manifest/$tag-$fpTag-v2")
+    // -v3: manifests now log the table schema (round 15); rebuild so
+    // snapshotDiff and the evolved read run against schema-carrying logs
+    val base = new java.io.File(s"/tmp/graft_manifest/$tag-$fpTag-v3")
     graft.Tables.pruneStaleSiblings(base, tag)
     graft.Tables.materializeOnce(base, "_READY") { scratch =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2931,6 +2933,123 @@ object Pipeline {
        |FROM fin2, mxx
        |WHERE doc_id >= (3 * m) // 5 AND doc_id <= (4 * m) // 5
        |ORDER BY 1""".stripMargin
+
+  /** One-time fixture for schema evolution: v0 create (4 range
+    * buckets on doc_id), v1 metadata-only `addColumns(quality)`
+    * (Delta's metaData action — zero data IO), v2 copy-on-write
+    * upsert writing quality ONLY for doc_id % 13 == 0 docs in the
+    * LOWER QUARTER of the key space — so the upper buckets' files
+    * still predate the evolution and carry forward by reference,
+    * forcing the latest read to union-schema/NULL-backfill them.
+    */
+  private def materializeManifestEvolved(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_evo/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 4)
+      graft.sources.ManifestTable.addColumns(table,
+        Seq(org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.DoubleType)))
+      val delta = d.filter(col("doc_id") % 13 === 0 && col("doc_id") < lit(mx / 4))
+        .withColumn("text", concat(lit("q:"), col("text")))
+        .withColumn("n_chars", col("n_chars") + 2L)
+        .withColumn("quality",
+          (col("doc_id") % 100).cast("double") / 100.0)
+      graft.sources.ManifestTable.upsert(s, table, delta, buckets = 2)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Union-schema read across a schema-evolution commit
+    * (VERDICT r14 #4): v2's latest snapshot mixes files written
+    * BEFORE the `quality` column existed (carried by reference — the
+    * read must NULL-backfill them from the logged schema alone) with
+    * post-evolution rewrites that carry real values. Per-lang null
+    * accounting plus the content digest prove no row or value was
+    * lost or fabricated on either side of the evolution boundary.
+    */
+  def srcManifestEvolved(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestEvolved(s, dir)
+    graft.sources.ManifestTable.snapshot(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_null_quality"),
+        fp6(sum(coalesce(col("quality"), lit(0.0)))).as("sum_quality_fp"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("lang")
+  }
+
+  private val srcManifestEvolvedSql: String =
+    s"""WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |fin AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 13 = 0 AND d.doc_id < m // 4
+       |         THEN 'q:' || d.text ELSE d.text END AS text,
+       |    d.lang,
+       |    CASE WHEN d.doc_id % 13 = 0 AND d.doc_id < m // 4
+       |         THEN d.n_chars + 2 ELSE d.n_chars END AS n_chars,
+       |    CASE WHEN d.doc_id % 13 = 0 AND d.doc_id < m // 4
+       |         THEN CAST(d.doc_id % 100 AS DOUBLE) / 100.0
+       |         ELSE NULL END AS quality
+       |  FROM documents d, mxx
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_quality,
+       |  ${fpSql("SUM(COALESCE(quality, 0.0))", "1e6")} AS sum_quality_fp,
+       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Snapshot-diff / CDC read (VERDICT r14 #4) over the main
+    * transaction-log fixture: the v0→v1 upsert delta (updates for
+    * doc_id % 97 == 0 plus the 100 inserted docs) and the v1→v2
+    * range-delete delta, as an incremental consumer would tail them.
+    * The load-bearing property the oracle pins: rows REWRITTEN only
+    * because they shared a file with a touched key hash equal across
+    * versions and are EXCLUDED — a file-level diff alone would
+    * misreport the whole rewritten bucket as changed. Deletes carry
+    * the pre-image (so the v1 text for a doc updated in v1 then
+    * deleted in v2), inserts/updates the post-image.
+    */
+  def srcManifestCdc(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestTable(s, dir)
+    def leg(vFrom: Int, vTo: Int) =
+      graft.sources.ManifestTable.snapshotDiff(s, table, vFrom, vTo)
+        .withColumn("step", lit(vTo))
+    leg(0, 1).unionByName(leg(1, 2))
+      .select(col("step"), col("doc_id"), col("_change_type").as("change_type"),
+        col("lang"), col("source"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .orderBy("step", "doc_id")
+  }
+
+  private val srcManifestCdcSql: String =
+    s"""WITH $manifestStateSql
+       |, upd1 AS (
+       |  SELECT 1 AS step, f.doc_id, 'update' AS change_type, f.lang, f.source,
+       |    f.n_chars, md5(f.text) AS text_md5
+       |  FROM fin1 f, mxx WHERE f.doc_id % 97 = 0 AND f.doc_id <= m
+       |), ins1 AS (
+       |  SELECT 1 AS step, doc_id, 'insert' AS change_type, lang, source,
+       |    n_chars, md5(text) AS text_md5
+       |  FROM ins
+       |), del2 AS (
+       |  SELECT 2 AS step, f.doc_id, 'delete' AS change_type, f.lang, f.source,
+       |    f.n_chars, md5(f.text) AS text_md5
+       |  FROM fin1 f, mxx WHERE f.doc_id >= m // 5 AND f.doc_id <= (2 * m) // 5
+       |)
+       |SELECT step, doc_id, change_type, lang, source,
+       |  CAST(n_chars AS BIGINT) AS n_chars, text_md5
+       |FROM (SELECT * FROM upd1 UNION ALL SELECT * FROM ins1
+       |      UNION ALL SELECT * FROM del2)
+       |ORDER BY 1, 2""".stripMargin
 
   /** Inverted-index shard (TextOps.invertedIndex): (term, doc)
     * postings with tf, first/last position, and an md5 over the full
@@ -3656,6 +3775,8 @@ object Pipeline {
     "src_manifest_latest" -> (srcManifestLatest _),
     "src_manifest_timetravel" -> (srcManifestTimetravel _),
     "src_manifest_pruned" -> (srcManifestPruned _),
+    "src_manifest_evolved" -> (srcManifestEvolved _),
+    "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
@@ -3740,6 +3861,8 @@ object Pipeline {
     "src_manifest_latest" -> srcManifestLatestSql,
     "src_manifest_timetravel" -> srcManifestTimetravelSql,
     "src_manifest_pruned" -> srcManifestPrunedSql,
+    "src_manifest_evolved" -> srcManifestEvolvedSql,
+    "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,
