@@ -887,10 +887,12 @@ object Pipeline {
        |  SELECT n.cell, i.i,
        |    FLOOR(CAST(n.embedding[i.i] AS DOUBLE) / o.nr * 1e6 + 0.5) / 1e6 AS cv
        |  FROM ini n JOIN inorm o ON o.cell = n.cell, idx i
-       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, fd AS (
+       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, c2l AS (
+       |  SELECT cell, list(cv ORDER BY i) AS cvl FROM c2 GROUP BY 1
+       |), fd AS (
        |  SELECT e.vec_id, c.cell,
-       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
-       |  FROM ee e JOIN c2 c ON TRUE GROUP BY 1, 2
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvl) AS d
+       |  FROM ee e JOIN c2l c ON TRUE
        |), asg AS (
        |  SELECT vec_id, cell, d FROM (
        |    SELECT vec_id, cell, d,
@@ -1100,10 +1102,12 @@ object Pipeline {
        |  SELECT n.cell, i.i,
        |    FLOOR(CAST(n.embedding[i.i] AS DOUBLE) / o.nr * 1e6 + 0.5) / 1e6 AS cv
        |  FROM ini n JOIN inorm o ON o.cell = n.cell, idx i
-       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, fd AS (
+       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, c2l AS (
+       |  SELECT cell, list(cv ORDER BY i) AS cvl FROM c2 GROUP BY 1
+       |), fd AS (
        |  SELECT e.vec_id, c.cell,
-       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
-       |  FROM al e JOIN c2 c ON TRUE GROUP BY 1, 2
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvl) AS d
+       |  FROM al e JOIN c2l c ON TRUE
        |), cell AS (
        |  SELECT vec_id, cell AS cid FROM (
        |    SELECT vec_id, cell,
@@ -1405,11 +1409,22 @@ object Pipeline {
     * mean, empty cells keep the previous centroid. Mirrors
     * Ann.kmeansFit bit-for-bit (the 1e-6 grid absorbs sum-order ulps).
     */
+  // Assignment distances via list_dot_product over a per-cell centroid
+  // LIST, not SUM over an unnested (cell, i, cv) join: the unnest form
+  // materializes points × cells × 64 rows, which at the ×10 corpus
+  // (200k vectors × ~425 √n cells) is 5.4e9 join rows — DuckDB spilled
+  // >75 GB and died on disk. The list form's intermediate is points ×
+  // cells (the ×10 gate caught exactly this — an ORACLE that does not
+  // scale is as useless as an engine that does not). list_dot_product
+  // is a sequential in-order loop, deterministic; the fp grid absorbs
+  // the association difference as it always did.
   private def kmeansIterSql(cp: String, cn: String, t: Int): String =
-    s""", d$t AS (
+    s""", cl$t AS (
+       |  SELECT cell, list(cv ORDER BY i) AS cvl FROM $cp GROUP BY 1
+       |), d$t AS (
        |  SELECT e.vec_id, c.cell,
-       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
-       |  FROM ee e JOIN $cp c ON TRUE GROUP BY 1, 2
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvl) AS d
+       |  FROM ee e JOIN cl$t c ON TRUE
        |), a$t AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -1451,10 +1466,12 @@ object Pipeline {
        |  SELECT n.cell, i.i,
        |    FLOOR(CAST(n.embedding[i.i] AS DOUBLE) / o.nr * 1e6 + 0.5) / 1e6 AS cv
        |  FROM ini n JOIN inorm o ON o.cell = n.cell, idx i
-       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, fd AS (
+       |)${kmeansIterSql("c0", "c1", 1)}${kmeansIterSql("c1", "c2", 2)}, c2l AS (
+       |  SELECT cell, list(cv ORDER BY i) AS cvl FROM c2 GROUP BY 1
+       |), fd AS (
        |  SELECT e.vec_id, c.cell,
-       |    SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS d
-       |  FROM ee e JOIN c2 c ON TRUE GROUP BY 1, 2
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvl) AS d
+       |  FROM ee e JOIN c2l c ON TRUE
        |), cell AS (
        |  SELECT vec_id, cell AS cid FROM (
        |    SELECT vec_id, cell,
