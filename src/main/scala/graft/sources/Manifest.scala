@@ -163,7 +163,20 @@ object ManifestTable {
         latestVersion(table) else -1
       val s = body(v)
       try { commit(table, s); return s }
-      catch { case e: java.nio.file.FileAlreadyExistsException => last = e; i += 1 }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // the failed attempt's freshly-written files (anything it
+          // lists beyond the base version it read) sit in data/
+          // unlisted — vacuum only reclaims once-LISTED files, so
+          // delete them here before the body re-runs (the appendBatch
+          // orphan rule, ADVICE r16). Carried-by-reference files are
+          // exactly the base version's list and are never touched.
+          val base = if (v >= 0) readSnapshot(table, v).files.map(_.name).toSet
+            else Set.empty[String]
+          s.files.map(_.name).filterNot(base).foreach(n =>
+            Files.deleteIfExists(new File(dataDir(table), n).toPath))
+          last = e; i += 1
+      }
     }
     throw new IllegalStateException(
       s"commit lost the version race $attempts times in $table", last)
@@ -407,6 +420,14 @@ object ManifestTable {
     * Returns true if the batch committed, false if the log already
     * contained it (idempotent skip). Batch ids per app must be
     * monotone (Spark's foreachBatch contract).
+    *
+    * Unique-key caveat: a blind append never scans existing files, so
+    * the FORMAT cannot enforce the unique-key invariant the COW paths
+    * maintain — that contract moves to the PRODUCER. An append-fed
+    * table keeps upsert/snapshotDiff semantics only if the stream's
+    * keys are globally unique (the offset-derived key an exactly-once
+    * source gives for free: partition·2⁴⁰+offset); a producer that
+    * re-keys rows forfeits it, exactly as Delta's blind APPEND does.
     */
   def appendBatch(spark: SparkSession, table: String, df: DataFrame,
                   appId: String, batchId: Long, buckets: Int): Boolean = {
@@ -415,12 +436,26 @@ object ManifestTable {
     // fast-path skip BEFORE any data IO: the replay case costs one
     // manifest read, never a write job
     if (cur0.txns.getOrElse(appId, -1L) >= batchId) return false
+    val keyCol = cur0.keyCol
     schemaOf(cur0).foreach { st =>
-      require(df.columns.toSet == st.fieldNames.toSet,
-        s"appendBatch schema mismatch: batch has ${df.columns.sorted.mkString(",")} " +
-        s"but $table logs ${st.fieldNames.sorted.mkString(",")}")
+      // name AND type (ADVICE r16): a name-only check let a drifted
+      // column type write parquet that silently coerces (or fails)
+      // under the logged-schema read
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val want = st.fields.map(f => f.name -> f.dataType).toMap
+      require(got == want,
+        s"appendBatch schema mismatch: batch has " +
+        s"${df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(",")} " +
+        s"but $table logs " +
+        s"${st.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(",")}")
     }
-    val newFiles = writeFiles(spark, table, df, cur0.keyCol, buckets)
+    // NULL keys break writeFiles' stats collect (getLong NPE) and fall
+    // outside min/max file pruning — same contract as upsert's guard
+    val nulls = df.agg(count(when(col(keyCol).isNull, lit(1)))).collect()(0).getLong(0)
+    require(nulls == 0L,
+      s"appendBatch has $nulls NULL $keyCol keys — " +
+      "the manifest key column must be non-null")
+    val newFiles = writeFiles(spark, table, df, keyCol, buckets)
     var attempts = 0
     while (true) {
       val v = latestVersion(table)
@@ -438,8 +473,17 @@ object ManifestTable {
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           attempts += 1
-          if (attempts >= 5) throw new IllegalStateException(
-            s"appendBatch lost the version race $attempts times in $table", e)
+          if (attempts >= 5) {
+            // terminal failure: our files were already moved into
+            // data/ but never manifest-listed, so vacuum (which only
+            // deletes once-LISTED files) could never reclaim them —
+            // delete before surfacing, like the zombie-skip path
+            // (ADVICE r16)
+            newFiles.foreach(f =>
+              Files.deleteIfExists(new File(dataDir(table), f.name).toPath))
+            throw new IllegalStateException(
+              s"appendBatch lost the version race $attempts times in $table", e)
+          }
       }
     }
     false // unreachable

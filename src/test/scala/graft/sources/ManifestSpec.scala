@@ -220,6 +220,169 @@ class ManifestSpec extends SparkTestBase {
     assert(readSnapshot(t, 1).op == "racer")
   }
 
+  // --- appendBatch: the Delta streaming-sink shape (txn action) ---
+
+  private def listedEverywhere(t: String): Set[String] =
+    (0 to latestVersion(t))
+      .filter(v => new java.io.File(t, f"_log/v$v%08d.json").exists())
+      .flatMap(v => readSnapshot(t, v).files.map(_.name)).toSet
+
+  private def onDisk(t: String): Set[String] =
+    Option(new java.io.File(t, "data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+
+  test("appendBatch commits monotone batches; replay skips with zero new IO") {
+    val t = mkTable(100, 2)
+    val b0 = Seq((500L, "s-500", 1), (501L, "s-501", 1)).toDF("doc_id", "text", "tag")
+    val b1 = Seq((502L, "s-502", 2)).toDF("doc_id", "text", "tag")
+    assert(appendBatch(spark, t, b0, "appA", 0L, 1))
+    assert(appendBatch(spark, t, b1, "appA", 1L, 1))
+    val s2 = readSnapshot(t, 2)
+    assert(s2.op == "append" && s2.txns == Map("appA" -> 1L))
+    assert(snapshot(spark, t).count() == 103L)
+    // replay of batch 1 (the crash-between-sink-and-commit window):
+    // skipped, no new version, no orphan data file
+    val disk = onDisk(t)
+    assert(!appendBatch(spark, t, b1, "appA", 1L, 1))
+    assert(!appendBatch(spark, t, b0, "appA", 0L, 1)) // older id too
+    assert(latestVersion(t) == 2)
+    assert(onDisk(t) == disk)
+    assert(snapshot(spark, t).count() == 103L)
+  }
+
+  test("txn map carries forward across upsert/compact/evolve/delete") {
+    val t = mkTable(100, 2)
+    val b0 = Seq((900L, "s", 1)).toDF("doc_id", "text", "tag")
+    assert(appendBatch(spark, t, b0, "appA", 7L, 1))
+    upsert(spark, t, Seq((5L, "u", 9)).toDF("doc_id", "text", "tag"), 1)
+    compact(spark, t, 2)
+    addColumns(t, Seq(org.apache.spark.sql.types.StructField(
+      "rating", org.apache.spark.sql.types.DoubleType)))
+    deleteRange(spark, t, 10, 20)
+    assert(readSnapshot(t, latestVersion(t)).txns == Map("appA" -> 7L))
+    // the idempotency lookup is O(1) against the LATEST manifest —
+    // a replay after arbitrary maintenance still skips
+    assert(!appendBatch(spark, t,
+      Seq((900L, "s", 1, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "text", "tag", "rating"), "appA", 7L, 1))
+    // a second app's ids are independent
+    assert(appendBatch(spark, t,
+      Seq((901L, "b", 1, java.lang.Double.valueOf(0.5)))
+        .toDF("doc_id", "text", "tag", "rating"), "appB", 0L, 1))
+    assert(readSnapshot(t, latestVersion(t)).txns ==
+      Map("appA" -> 7L, "appB" -> 0L))
+  }
+
+  test("appendBatch rejects NULL keys and drifted column types loudly") {
+    val t = mkTable(50, 1)
+    val nullKey = Seq((java.lang.Long.valueOf(600L), "a", 1),
+      (null.asInstanceOf[java.lang.Long], "b", 2)).toDF("doc_id", "text", "tag")
+    val e1 = intercept[IllegalArgumentException] {
+      appendBatch(spark, t, nullKey, "appA", 0L, 1)
+    }
+    assert(e1.getMessage.contains("NULL doc_id"))
+    // type drift under matching names: tag int → string
+    val drifted = Seq((601L, "a", "oops")).toDF("doc_id", "text", "tag")
+    val e2 = intercept[IllegalArgumentException] {
+      appendBatch(spark, t, drifted, "appA", 0L, 1)
+    }
+    assert(e2.getMessage.contains("schema mismatch"))
+    assert(latestVersion(t) == 0) // nothing committed, no orphans
+    assert(onDisk(t) == listedEverywhere(t))
+  }
+
+  test("zombie writers race the same batch: exactly one commits, loser leaves no orphan") {
+    // the at-least-once window's worst case — two instances of the
+    // SAME app replaying the SAME batch concurrently (driver failover
+    // with a zombie predecessor). Loop to catch interleavings.
+    for (round <- 0 until 3) {
+      val t = mkTable(60, 2)
+      val rows = Seq((700L + round, "z", 1)).toDF("doc_id", "text", "tag")
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val threads = (0 until 2).map { _ =>
+        new Thread(() => {
+          barrier.await()
+          results.add(appendBatch(spark, t, rows, "appA", 0L, 1))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.toSeq.sorted == Seq(false, true),
+        s"round $round: expected exactly one commit, got ${results.asScala}")
+      assert(readSnapshot(t, latestVersion(t)).txns == Map("appA" -> 0L))
+      assert(snapshot(spark, t).filter(col("doc_id") === (700L + round)).count() == 1L)
+      // the loser's never-listed files were deleted, not leaked
+      assert(onDisk(t) == listedEverywhere(t), s"round $round leaked orphans")
+    }
+  }
+
+  test("appendBatch racing a COW upsert: both land, serial-equivalent snapshot") {
+    for (round <- 0 until 3) {
+      val t = mkTable(100, 2)
+      val appendRows = Seq((800L, "ap", 1)).toDF("doc_id", "text", "tag")
+      val delta = Seq((5L, "up", 9)).toDF("doc_id", "text", "tag")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val t1 = new Thread(() => {
+        barrier.await()
+        try assert(appendBatch(spark, t, appendRows, "appA", 0L, 1))
+        catch { case e: Throwable => errs.add(e) }
+      })
+      val t2 = new Thread(() => {
+        barrier.await()
+        try upsert(spark, t, delta, 1)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      // versions are sequential (1 and 2 in either order), snapshot
+      // equals the serial execution, and no data file leaked
+      assert(latestVersion(t) == 2)
+      val fin = snapshot(spark, t)
+      assert(fin.count() == 101L)
+      assert(fin.filter(col("doc_id") === 5L).select("text")
+        .as[String].head() == "up")
+      assert(fin.filter(col("doc_id") === 800L).count() == 1L)
+      assert(readSnapshot(t, 2).txns == Map("appA" -> 0L))
+      assert(onDisk(t) == listedEverywhere(t), s"round $round leaked orphans")
+    }
+  }
+
+  test("two racing COW upserts on disjoint keys: both land via retry, serial-equivalent") {
+    for (round <- 0 until 3) {
+      val t = mkTable(100, 2)
+      val d1 = Seq((5L, "a", 1)).toDF("doc_id", "text", "tag")
+      val d2 = Seq((95L, "b", 2)).toDF("doc_id", "text", "tag")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val mk = (d: org.apache.spark.sql.DataFrame) => new Thread(() => {
+        barrier.await()
+        try upsert(spark, t, d, 1)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      val ts = Seq(mk(d1), mk(d2))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      assert(latestVersion(t) == 2)
+      val fin = snapshot(spark, t)
+      assert(fin.count() == 100L)
+      assert(fin.filter(col("doc_id") === 5L).select("text").as[String].head() == "a")
+      assert(fin.filter(col("doc_id") === 95L).select("text").as[String].head() == "b")
+      assert(fin.select("doc_id").distinct().count() == 100L)
+      assert(onDisk(t) == listedEverywhere(t), s"round $round leaked orphans")
+    }
+  }
+
+  test("snapshotDiff over an append version is exactly that batch as inserts") {
+    val t = mkTable(100, 2)
+    val b0 = Seq((500L, "s-500", 1), (501L, "s-501", 2)).toDF("doc_id", "text", "tag")
+    appendBatch(spark, t, b0, "appA", 0L, 1)
+    val d = snapshotDiff(spark, t, 0, 1).orderBy("doc_id")
+      .as[(Long, String, Int, String)].collect().toSeq
+    assert(d == Seq((500L, "s-500", 1, "insert"), (501L, "s-501", 2, "insert")))
+  }
+
   test("time travel: v0 is byte-stable across later commits") {
     val t = mkTable(200, 4)
     val before = snapshot(spark, t, Some(0)).orderBy("doc_id")
