@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (local
+    // iteration on one query without the full dump; driver passes 2)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +21,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,7 +45,8 @@ object Verify {
     // the gate — the comparator only sees outputs that exist, so "all
     // pass" can coexist with half the suite missing. This line makes a
     // shrink visible in the driver log and to any human reading it.
-    val total = SparkEntry.queries.size
+    val total = SparkEntry.queries.count { case (name, _) =>
+      only.forall(_.contains(name)) }
     println(s"[verify] wrote ${total - failed.length}/$total query outputs" +
       (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(", ")}" else ""))
     writeOracleJson(outDir)
