@@ -106,9 +106,22 @@ object Bench {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE_MINS", "/root/repo/BASELINE_MINS.json"))
       if (java.nio.file.Files.exists(p)) {
-        val txt = java.nio.file.Files.readString(p)
-        """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // real JSON parse (jackson rides in with Spark), not a regex
+        // over the file — a regex would ingest any future numeric
+        // metadata field as a query floor (ADVICE r15/r16). The file
+        // is a flat {query: seconds} object; anything else fails loud.
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        require(root.isObject, s"$p: expected a flat JSON object")
+        val it = root.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          require(e.getValue.isNumber,
+            s"$p: entry '${e.getKey}' is not numeric: ${e.getValue}")
+          b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
       } else Map.empty
     }
     val rerun = results.map { case (name, best, runs) =>

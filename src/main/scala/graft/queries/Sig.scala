@@ -1321,36 +1321,40 @@ object Sig {
     * sequential sums, so residuals encode at the 1e4 grid (SURVEY §5
     * rule 1).
     */
-  // value_fp on the 1e2 grid (was 1e4): the oracle recomputes the
-  // per-series least-squares slope with SQL aggregates whose parallel
-  // summation association varies with DuckDB's runtime load, so the
-  // residuals carry ~1e-12 run-to-run jitter — at the ×10 corpus
-  // (1M output rows) that clipped one row across a 1e-4 boundary in
-  // loaded runs (row 363592, ±1 ulp of the .5 floor). Same remedy as
-  // sig_periodogram's psd (SURVEY §5): a grid coarse enough that
-  // boundary odds are ~1e-4/suite while any real detrend defect
-  // (wrong slope/intercept/indexing) still lands far outside it.
+  // value_fp back on the 1e4 grid (r15 coarsened it to 1e2): the old
+  // oracle's PARALLEL slope summation carried load-dependent ~1e-12
+  // jitter that clipped one of a million ×10 rows across a boundary;
+  // the oracle now folds each series' sums in a FIXED order (list
+  // aggregation ordered by j + list_dot_product — the kmeans-oracle
+  // fix pattern), so the replay is bit-stable across DuckDB thread
+  // schedules and the fine grid is safe again (VERDICT r16 #4).
   def sigDetrend(s: SparkSession, dir: String): DataFrame =
     Signal.detrend(evReal(s, dir), Seq("user_id"), "t", "value")
       .select(col("user_id"), col("pos"), fp6(col("t")).as("t_fp"),
-        fp2(col("value")).as("value_fp"))
+        fp4(col("value")).as("value_fp"))
       .orderBy("user_id", "pos")
 
   private val sigDetrendSql: String =
-    s"""$sSql, st AS (
-       |  SELECT user_id, COUNT(*) AS n, AVG(value) AS vbar,
-       |    (COUNT(*) - 1) / 2.0 AS jbar
+    s"""$sSql, lv AS (
+       |  SELECT user_id, list(value ORDER BY j) AS vl, COUNT(*) AS n
        |  FROM s GROUP BY 1
+       |), st AS (
+       |  SELECT user_id, list_sum(vl) / n AS vbar, (n - 1) / 2.0 AS jbar, vl
+       |  FROM lv
        |), sl AS (
-       |  SELECT s.user_id,
-       |    SUM((s.j - st.jbar) * (s.value - st.vbar))
-       |      / SUM((s.j - st.jbar) * (s.j - st.jbar)) AS b
-       |  FROM s JOIN st ON st.user_id = s.user_id GROUP BY 1
+       |  SELECT user_id, jbar, vbar,
+       |    list_dot_product(
+       |      list_transform(vl, (x, i) -> CAST(i - 1 AS DOUBLE) - jbar),
+       |      list_transform(vl, (x, i) -> x - vbar)) /
+       |    list_dot_product(
+       |      list_transform(vl, (x, i) -> CAST(i - 1 AS DOUBLE) - jbar),
+       |      list_transform(vl, (x, i) -> CAST(i - 1 AS DOUBLE) - jbar)) AS b
+       |  FROM st
        |)
        |SELECT s.user_id, CAST(s.j AS INT) AS pos,
        |  ${fpSql("s.t", "1e6")} AS t_fp,
-       |  ${fpSql("s.value - (st.vbar + sl.b * (s.j - st.jbar))", "1e2")} AS value_fp
-       |FROM s JOIN st ON st.user_id = s.user_id JOIN sl ON sl.user_id = s.user_id
+       |  ${fpSql("s.value - (sl.vbar + sl.b * (s.j - sl.jbar))", "1e4")} AS value_fp
+       |FROM s JOIN sl ON sl.user_id = s.user_id
        |ORDER BY 1, 2""".stripMargin
 
   /** scipy.signal.welch per user (nperseg=16, noverlap=8, hann,
