@@ -374,6 +374,27 @@ class ManifestSpec extends SparkTestBase {
     }
   }
 
+  test("create from an empty frame: schema'd v0, appendBatch bootstraps the table") {
+    // the streaming-sink bootstrap shape: v0 is an empty snapshot
+    // carrying only the schema; the first micro-batch appends into it
+    val t = tmpTable()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    create(spark, t,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema), "doc_id", 2)
+    val s0 = readSnapshot(t, 0)
+    assert(s0.files.isEmpty && schemaOf(s0).contains(schema))
+    assert(snapshot(spark, t).count() == 0L)
+    assert(appendBatch(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "appA", 0L, 1))
+    assert(snapshot(spark, t).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("snapshotDiff over an append version is exactly that batch as inserts") {
     val t = mkTable(100, 2)
     val b0 = Seq((500L, "s-500", 1), (501L, "s-501", 2)).toDF("doc_id", "text", "tag")
