@@ -13,9 +13,12 @@ object BenchOne {
         s"queries: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
-    val name = args(0)
-    if (!graft.SparkEntry.queries.contains(name)) {
-      System.err.println(s"unknown query '$name'; valid: " +
+    // comma-separated names share one warmed JVM; cache cleared
+    // between queries (Bench's per-query isolation rule)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val bad = names.filterNot(graft.SparkEntry.queries.contains)
+    if (bad.nonEmpty) {
+      System.err.println(s"unknown queries: ${bad.mkString(",")}; valid: " +
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       sys.exit(2)
     }
@@ -27,13 +30,16 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val times = (1 to runs).map { _ =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    names.foreach { name =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      println(f"$name: ${times.map(t => f"$t%.2f").mkString(", ")} (min ${times.min}%.2f)")
     }
-    println(s"$name: ${times.map(t => f"$t%.2f").mkString(", ")}")
     spark.stop()
   }
 }
