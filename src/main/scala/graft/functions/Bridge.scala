@@ -345,6 +345,72 @@ object Bridge {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Single-pass Unicode tokenizer over an already NFC-folded,
+    * lowercased string — semantically IDENTICAL to the two-regex
+    * pipeline it replaces (round 17, the shingle-family cost of the
+    * r15 unicode flip):
+    *
+    *   regexp_replace(s, "([\p{IsHan}\p{IsHiragana}\p{IsKatakana}])", " $1 ")
+    *   regexp_extract_all(_, "[\p{L}\p{N}]+")
+    *
+    * i.e. maximal runs of Unicode letters/numbers (categories L* and
+    * Nd/Nl/No), with Han/Hiragana/Katakana-SCRIPT codepoints emitted
+    * as single-char tokens (they are all \p{L}, and the pad isolated
+    * them). java.util.regex `\p{IsHan}` and `Character.UnicodeScript
+    * .of` read the same Scripts.txt property, so e.g. U+30FC (script
+    * Common, category Lm) joins adjacent tokens under BOTH paths.
+    * One codepoint walk, no intermediate padded string, ASCII short-
+    * circuit (no script/category lookup below 0x80) — the DuckDB
+    * regex oracle replays the original pipeline textually and the
+    * correctness gate proves the equivalence corpus-wide; the spec
+    * pins it against the regex pipeline on adversarial inputs.
+    */
+  def uniTokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (cp < 0x80) {
+        // ASCII fast path: no CJK, letter/digit by range (input is
+        // already lowercased, but A-Z kept for safety — isLetter would
+        // match them too)
+        val isLN = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+          (cp >= 'A' && cp <= 'Z')
+        if (isLN) sb.append(cp.toChar)
+        else if (sb.length > 0) {
+          out += UTF8String.fromString(sb.toString); sb.setLength(0)
+        }
+      } else {
+        val sc = Character.UnicodeScript.of(cp)
+        val isCjk = sc == Character.UnicodeScript.HAN ||
+          sc == Character.UnicodeScript.HIRAGANA ||
+          sc == Character.UnicodeScript.KATAKANA
+        if (isCjk) {
+          if (sb.length > 0) {
+            out += UTF8String.fromString(sb.toString); sb.setLength(0)
+          }
+          out += UTF8String.fromString(str.substring(i, i + cc))
+        } else {
+          val t = Character.getType(cp)
+          val isLN = Character.isLetter(cp) ||
+            t == Character.DECIMAL_DIGIT_NUMBER ||
+            t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+          if (isLN) sb.appendCodePoint(cp)
+          else if (sb.length > 0) {
+            out += UTF8String.fromString(sb.toString); sb.setLength(0)
+          }
+        }
+      }
+      i += cc
+    }
+    if (sb.length > 0) out += UTF8String.fromString(sb.toString)
+    new GenericArrayData(out.toArray)
+  }
+
   def winnow(s: UTF8String, k: Int, w: Int, base: Long, mod: Long): ArrayData = {
     // h < mod and codepoints < 0x110000, so h*base + cp stays in a
     // signed 64-bit long only while (mod-1)*base + 0x10FFFF < 2^63;
@@ -984,6 +1050,7 @@ object Bridge {
     "peakWidthsP" -> (Seq(arrD, arrI, DoubleType, arrD, arrI, arrI) -> peakWidthsT),
     "localMaxima" -> (Seq(arrD) -> arrI),
     "nfc" -> (Seq(StringType) -> StringType),
+    "uniTokens" -> (Seq(StringType) -> ArrayType(StringType, containsNull = false)),
     "winnow" -> (Seq(StringType, IntegerType, IntegerType, LongType, LongType)
       -> ArrayType(LongType, containsNull = false)),
     "simhash" -> (Seq(ArrayType(StringType)) -> StructType(Seq(
@@ -1096,6 +1163,7 @@ object Bridge {
     case "peakWidthsP" => peakWidthsP(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[Double], a(3).asInstanceOf[ArrayData], a(4).asInstanceOf[ArrayData], a(5).asInstanceOf[ArrayData])
     case "localMaxima" => localMaxima(a(0).asInstanceOf[ArrayData])
     case "nfc" => nfc(a(0).asInstanceOf[UTF8String])
+    case "uniTokens" => uniTokens(a(0).asInstanceOf[UTF8String])
     case "winnow" => winnow(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[Int], a(2).asInstanceOf[Int], a(3).asInstanceOf[Long], a(4).asInstanceOf[Long])
     case "simhash" => simhash(a(0).asInstanceOf[ArrayData])
     case "dotp" => dotp(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[ArrayData])

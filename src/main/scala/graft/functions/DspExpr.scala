@@ -290,6 +290,7 @@ object Functions {
         lit(thresholdMin), lit(thresholdMax),
         lit(plateauMin), lit(plateauMax))
     def nfcC(text: Column): Column = call("nfc", text)
+    def uniTokensC(text: Column): Column = call("uniTokens", text)
     def winnowC(text: Column, k: Int = 8, w: Int = 4,
                 base: Long = 31L, mod: Long = 1000000007L): Column =
       call("winnow", text, lit(k), lit(w), lit(base), lit(mod))

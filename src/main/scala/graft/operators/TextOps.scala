@@ -43,16 +43,20 @@ object TextOps {
     * (`\p{IsHan}` there spelled `\p{Han}`), so oracles replay
     * textually.
     */
-  def unicodeTokens(text: Column): Column = {
-    val norm = lower(graft.functions.Functions.dsl.nfcC(text))
-    val padded = regexp_replace(norm,
-      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+  def unicodeTokens(text: Column): Column =
     // [\p{L}\p{N}]+ not \p{L}+: tokens KEEP digits ("v2" stays one
     // token, "3" survives as a token) — the \w-class convention every
     // word tokenizer uses. Dropping digits would merge "chapter 1"
     // and "chapter 2" for the dedup path, a fidelity loss.
-    regexp_extract_all(padded, lit("[\\p{L}\\p{N}]+"), lit(0))
-  }
+    // Since round 17 the pad+extract regex pair runs as ONE codegen'd
+    // codepoint walk (Bridge.uniTokens — identical semantics, ASCII
+    // short-circuit, no padded intermediate string): the two
+    // java.util.regex passes were the dominant cost the r15 unicode
+    // flip added to the whole shingle family. The DuckDB oracles
+    // still replay the ORIGINAL two-regex pipeline textually, so the
+    // correctness gate proves the equivalence corpus-wide every run.
+    graft.functions.Functions.dsl.uniTokensC(
+      lower(graft.functions.Functions.dsl.nfcC(text)))
 
   /** Tiny embedded stopword lists per language (alphabetical order —
     * ties in scoring resolve to the alphabetically first language).

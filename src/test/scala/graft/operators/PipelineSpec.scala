@@ -47,6 +47,42 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == Seq("naïve", "123", "שלום", "привет"))
   }
 
+  test("uniTokens kernel == the two-regex pipeline it replaced (r17)") {
+    graft.functions.Functions.install(spark)
+    // the ORIGINAL r15 pipeline, verbatim — the kernel's contract
+    def regexPath(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val norm = lower(graft.functions.Functions.dsl.nfcC(text))
+      val padded = regexp_replace(norm,
+        "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+      regexp_extract_all(padded, lit("[\\p{L}\\p{N}]+"), lit(0))
+    }
+    val adversarial = Seq(
+      "", " ", "\t\n", "a", "漢", "abc漢def", "漢字かなカナ",
+      "Café crème",                       // decomposed combining marks
+      "ＡＢＣ１２３",                       // fullwidth (Common script, L/N)
+      "ー",                                // U+30FC: script Common, Lm
+      "カーナビ",                           // Katakana + prolonged mark
+      "x² + Ⅻ = ½",                       // No, Nl, No number categories
+      "naïve mixed spaces",      // exotic whitespace
+      "emoji 😀 splits", "🇯🇵 flags",       // supplementary plane, So
+      "under_score-dash.dot",
+      "русский ΚΕΊΜΕΝΟ عربى עברית हिन्दी",  // incl. Greek final-sigma lowering
+      "ạ̃ double-combining", "ᛒᚢᚾᛖ runic",
+      "ligature ﬁne ß ss")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val df = (adversarial ++ docs).toDF("doc_id", "text")
+    val diff = df.select(col("doc_id"),
+        TextOps.unicodeTokens(col("text")).as("k"),
+        regexPath(col("text")).as("r"))
+      .filter(col("k") =!= col("r"))
+      .collect()
+    assert(diff.isEmpty, s"kernel/regex divergence on: " +
+      diff.take(3).map(r => s"${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}").mkString("; "))
+  }
+
   test("simhash: identical docs collide, near-dups are close, disjoint far") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val near = base.replace("dog", "cat")
