@@ -804,6 +804,160 @@ object Stream {
       .orderBy("w_start_s", "event_type")
   }
 
+  /** Streaming READ of the transaction log (round 17, the complement
+    * of stream_manifest_sink's write side): `ManifestStreamProvider`
+    * tails the manifest as a Structured Streaming source whose
+    * offsets ARE versions — the Delta "table as a source" shape. The
+    * table is built from orders in six deterministic appendBatch
+    * slices (o_orderkey % 6); the tail runs paced at one version per
+    * trigger into a parquet file sink, with three lifecycle events
+    * exercised mid-stream: (a) two slices commit WHILE the stream
+    * runs and arrive incrementally, (b) a `compact` commit rewrites
+    * every accumulated file between them and is skipped silently
+    * (dataChange=false — an append tail that re-emitted rewritten
+    * rows would double-count the whole table), and (c) the stream
+    * stops and RESTARTS from its checkpoint with one more slice
+    * committed in between — the tail resumes at the logged version,
+    * so nothing re-emits. The final aggregate over the sink therefore
+    * equals the plain batch aggregate over orders iff every slice
+    * arrived exactly once: one lost, doubled, or re-emitted version
+    * breaks n/sum_key/sum_cust through the hash gate. Scale: each
+    * micro-batch plans a parquet scan over ONLY that version's added
+    * files — never a log scan or table scan (ManifestStream.scala).
+    */
+  def streamManifestSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    def slice(r: Int) = orders.filter(col("o_orderkey") % 6 === r)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-msrc-").toFile
+    cleanupHookInstalled
+    pendingTmp.add(tmp)
+    val table = new java.io.File(tmp, "table").getAbsolutePath
+    val chk = new java.io.File(tmp, "chk").getAbsolutePath
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    ManifestTable.create(s, table, slice(0), "o_orderkey", 2)
+    (1 to 2).foreach(r =>
+      ManifestTable.appendBatch(s, table, slice(r), "seed", r.toLong, buckets = 2))
+    def start() = s.readStream.format("graft.sources.ManifestStreamProvider")
+      .option("maxVersionsPerTrigger", "1").load(table)
+      .writeStream.option("checkpointLocation", chk)
+      .format("parquet").option("path", out).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // v0..v2 drained
+      ManifestTable.appendBatch(s, table, slice(3), "seed", 3L, buckets = 2)
+      ManifestTable.compact(s, table, buckets = 4) // dataChange=false → skipped
+      ManifestTable.appendBatch(s, table, slice(4), "seed", 4L, buckets = 2)
+      q1.processAllAvailable() // v3..v5 drained (v4 compact emits nothing)
+    } finally q1.stop()
+    // restart from checkpoint: the tail resumes at the committed
+    // version; re-emitting any earlier slice breaks the oracle counts
+    ManifestTable.appendBatch(s, table, slice(5), "seed", 5L, buckets = 2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    require(ManifestTable.latestVersion(table) == 6,
+      s"expected 7 versions, got ${ManifestTable.latestVersion(table) + 1}")
+    val streamed = s.read.schema(
+      ManifestTable.schemaOf(ManifestTable.readSnapshot(table, 6)).get)
+      .parquet(out)
+    streamed.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"),
+        fp2(min(col("o_totalprice"))).as("min_fp"),
+        fp2(max(col("o_totalprice"))).as("max_fp"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  private val streamManifestSourceSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS min_fp,
+      |  CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_fp
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Change-feed tail of the SAME source (`readChangeFeed=true` —
+    * Delta's CDF option): the table takes a create, then a mixed
+    * upsert (updates = o_orderkey % 10 = 0 with o_totalprice + 1.0,
+    * inserts = o_orderkey % 4 = 3 — disjoint predicates, so each
+    * row's change type is deterministic), then a metadata-assisted
+    * range delete of [1000, 2999]. The CDC tail replays each version
+    * as `snapshotDiff(v-1, v)` rows tagged `_change_type` +
+    * `_commit_version` (the create as pure inserts), paced one
+    * version per trigger. The aggregate pins per-version change
+    * counts, key sums, and the price envelope: a survivors-rewritten
+    * row leaking in (copy-on-write rewrites whole files), a missed
+    * update, or a delete emitting post-image instead of pre-image
+    * (deletes must carry the UPDATED price for % 10 = 0 keys) each
+    * breaks a different column. The oracle replays the three commits
+    * as plain SQL set arithmetic over orders.
+    */
+  def streamManifestCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mcdc-").toFile
+    cleanupHookInstalled
+    pendingTmp.add(tmp)
+    val table = new java.io.File(tmp, "table").getAbsolutePath
+    val chk = new java.io.File(tmp, "chk").getAbsolutePath
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    ManifestTable.create(s, table,
+      orders.filter(col("o_orderkey") % 4 =!= 3), "o_orderkey", 4)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val inserts = orders.filter(col("o_orderkey") % 4 === 3)
+    ManifestTable.upsert(s, table, updates.unionByName(inserts), buckets = 2)
+    ManifestTable.deleteRange(s, table, 1000L, 2999L)
+    val q = s.readStream.format("graft.sources.ManifestStreamProvider")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(table)
+      .writeStream.option("checkpointLocation", chk)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      ManifestTable.schemaOf(ManifestTable.readSnapshot(table, 2)).get.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType))
+    s.read.schema(cdcSchema).parquet(out)
+      .groupBy(col("_commit_version").as("commit_v"), col("_change_type").as("change"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        fp2(min(col("o_totalprice"))).as("min_fp"),
+        fp2(max(col("o_totalprice"))).as("max_fp"))
+      .orderBy("commit_v", "change")
+  }
+
+  private val streamManifestCdcSql: String =
+    """WITH changes AS (
+      |  SELECT 0 AS commit_v, 'insert' AS change, o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 <> 3
+      |  UNION ALL
+      |  SELECT 1, 'insert', o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 3
+      |  UNION ALL
+      |  SELECT 1, 'update', o_orderkey, o_totalprice + 1.0
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT 2, 'delete', o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END
+      |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+      |)
+      |SELECT commit_v, change, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS min_fp,
+      |  CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_fp
+      |FROM changes
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Gap-based sessionization (4-hour gap) via flatMapGroupsWithState
     * with an event-time timeout. On a bounded stream two session
     * populations emit: (a) every NON-final session of a user — closed
@@ -1297,6 +1451,8 @@ object Stream {
     "stream_ledger_counts" -> (streamLedgerCounts _),
     "stream_ledger_exactly_once" -> (streamLedgerExactlyOnce _),
     "stream_manifest_sink" -> (streamManifestSink _),
+    "stream_manifest_source" -> (streamManifestSource _),
+    "stream_manifest_cdc" -> (streamManifestCdc _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
     "stream_session_window_append" -> (streamSessionWindowAppend _),
@@ -1320,6 +1476,8 @@ object Stream {
     "stream_ledger_counts" -> streamWindowedCountsSql,
     "stream_ledger_exactly_once" -> streamWindowedCountsSql,
     "stream_manifest_sink" -> streamWindowedCountsSql,
+    "stream_manifest_source" -> streamManifestSourceSql,
+    "stream_manifest_cdc" -> streamManifestCdcSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_window" -> streamSessionWindowSql,
     "stream_session_window_append" -> streamSessionWindowAppendSql,

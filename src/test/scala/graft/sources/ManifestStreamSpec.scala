@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import graft.sources.ManifestTable._
+
+/** The streaming-read contracts of the manifest tail (round 17):
+  * version offsets, added-files-only batches, admission pacing,
+  * loud change-commit failure vs skipChangeCommits, the CDC tail's
+  * per-version snapshotDiff equivalence, and replay determinism
+  * across a checkpoint restart.
+  */
+class ManifestStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory("graft_ms").toFile
+
+  private def mkTable(n: Int): String = {
+    val t = new java.io.File(tmpDir(), "t").toString
+    val df = (0 until n).map(i => (i.toLong, s"row-$i", i % 7))
+      .toDF("doc_id", "text", "tag")
+    create(spark, t, df, "doc_id", 2)
+    t
+  }
+
+  private def appendRange(t: String, lo: Int, hi: Int, app: String, batch: Long): Unit = {
+    val df = (lo until hi).map(i => (i.toLong, s"row-$i", i % 7))
+      .toDF("doc_id", "text", "tag")
+    assert(appendBatch(spark, t, df, app, batch, buckets = 1))
+  }
+
+  /** Drain the stream into an in-memory per-batch log via foreachBatch
+    * and return (batchRows, totalDf collected rows).
+    */
+  private def drain(t: String, opts: Map[String, String],
+                    chk: String): Seq[(Long, Seq[org.apache.spark.sql.Row])] = {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[org.apache.spark.sql.Row])]
+    var reader = spark.readStream.format("graft.sources.ManifestStreamProvider")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(t)
+      .writeStream.option("checkpointLocation", chk)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.collect().toSeq
+        batches.synchronized { batches += ((id, rows)) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    batches.toSeq
+  }
+
+  test("append tail: v0 + each append arrive; pacing = one version per trigger") {
+    val t = mkTable(100)
+    appendRange(t, 100, 150, "app", 0L)
+    appendRange(t, 150, 180, "app", 1L)
+    val chk = new java.io.File(tmpDir(), "chk").toString
+    val batches = drain(t, Map("maxVersionsPerTrigger" -> "1"), chk)
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    // 3 versions (create, append, append) → exactly 3 paced non-empty batches
+    assert(nonEmpty.size == 3, s"expected 3 paced batches, got ${batches.map(_._2.size)}")
+    assert(nonEmpty.map(_._2.size) == Seq(100, 50, 30))
+    val all = nonEmpty.flatMap(_._2).map(_.getLong(0)).sorted
+    assert(all == (0L until 180L))
+  }
+
+  test("append tail picks up versions committed while the stream runs") {
+    val t = mkTable(40)
+    val chk = new java.io.File(tmpDir(), "chk").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.ManifestStreamProvider").load(t)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == (0L until 40L))
+      appendRange(t, 40, 60, "app", 0L)
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == (0L until 60L))
+    } finally q.stop()
+  }
+
+  test("append tail fails loudly on an upsert commit; skipChangeCommits skips it") {
+    val t = mkTable(50)
+    val delta = Seq((10L, "upd-10", 99)).toDF("doc_id", "text", "tag")
+    upsert(spark, t, delta, buckets = 1)
+    appendRange(t, 50, 70, "app", 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, Map.empty, new java.io.File(tmpDir(), "chk1").toString)
+    }
+    assert(e.getMessage.contains("upsert") || e.getCause.getMessage.contains("upsert"))
+    // skipChangeCommits: the upsert version vanishes, appends still flow
+    val batches = drain(t, Map("skipChangeCommits" -> "true"),
+      new java.io.File(tmpDir(), "chk2").toString)
+    val all = batches.flatMap(_._2).map(_.getLong(0)).sorted
+    assert(all == (0L until 70L), s"got ${all.size} rows")
+  }
+
+  test("compact and evolve commits are skipped silently (dataChange=false)") {
+    val t = mkTable(60)
+    appendRange(t, 60, 90, "app", 0L)
+    compact(spark, t, buckets = 2)
+    addColumns(t, Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.StringType)))
+    // post-evolution appends carry the widened schema
+    val post = (90 until 100).map(i => (i.toLong, s"row-$i", i % 7, s"x-$i"))
+      .toDF("doc_id", "text", "tag", "extra")
+    assert(appendBatch(spark, t, post, "app", 1L, buckets = 1))
+    // source schema = latest logged schema: pre-evolution files read
+    // `extra` as NULL, the post-evolution append carries real values
+    val batches = drain(t, Map.empty, new java.io.File(tmpDir(), "chk").toString)
+    val all = batches.flatMap(_._2)
+    assert(all.map(_.getLong(0)).sorted == (0L until 100L))
+    val extraIdx = all.head.fieldIndex("extra")
+    assert(all.count(!_.isNullAt(extraIdx)) == 10)
+    assert(all.count(_.isNullAt(extraIdx)) == 90)
+  }
+
+  test("CDC tail: per-version batches equal snapshotDiff; create replays as inserts") {
+    val t = mkTable(50)
+    // v1: 5 updates (changed text) + 10 inserts
+    val delta = ((10 until 15).map(i => (i.toLong, s"upd-$i", i % 7)) ++
+      (50 until 60).map(i => (i.toLong, s"row-$i", i % 7)))
+      .toDF("doc_id", "text", "tag")
+    upsert(spark, t, delta, buckets = 1)
+    // v2: metadata-only range delete
+    deleteRange(spark, t, 20L, 29L)
+    val batches = drain(t, Map("readChangeFeed" -> "true", "maxVersionsPerTrigger" -> "1"),
+      new java.io.File(tmpDir(), "chk").toString)
+    val byVersion = batches.flatMap(_._2)
+      .groupBy(_.getInt(4)) // _commit_version
+      .view.mapValues(_.map(r => (r.getLong(0), r.getString(3))).sorted.toSeq).toMap
+    assert(byVersion(0) == (0 until 50).map(i => (i.toLong, "insert")))
+    assert(byVersion(1).count(_._2 == "update") == 5)
+    assert(byVersion(1).count(_._2 == "insert") == 10)
+    assert(byVersion(2) == (20 until 30).map(i => (i.toLong, "delete")))
+    // and each batch is exactly snapshotDiff(v-1, v)
+    val d12 = snapshotDiff(spark, t, 1, 2)
+      .select(col("doc_id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(byVersion(2) == d12)
+  }
+
+  test("restart from checkpoint resumes at the committed version, no re-emission") {
+    val t = mkTable(30)
+    val chk = new java.io.File(tmpDir(), "chk").toString
+    val b1 = drain(t, Map.empty, chk)
+    assert(b1.flatMap(_._2).size == 30)
+    appendRange(t, 30, 45, "app", 0L)
+    // same checkpoint, fresh source instance → only the new version arrives
+    val b2 = drain(t, Map.empty, chk)
+    val replayed = b2.flatMap(_._2).map(_.getLong(0)).sorted
+    assert(replayed == (30L until 45L), s"restart re-emitted: ${replayed.size} rows")
+  }
+
+  test("replay is deterministic: two fresh tails see identical per-batch contents") {
+    val t = mkTable(40)
+    appendRange(t, 40, 70, "app", 0L)
+    appendRange(t, 70, 85, "app", 1L)
+    def run(chk: String) =
+      drain(t, Map("maxVersionsPerTrigger" -> "1"), chk)
+        .map { case (id, rows) => (id, rows.map(_.getLong(0)).sorted) }
+    val a = run(new java.io.File(tmpDir(), "chkA").toString)
+    val b = run(new java.io.File(tmpDir(), "chkB").toString)
+    assert(a == b, "same offsets produced different batch contents")
+    assert(a.flatMap(_._2).sorted == (0L until 85L))
+    // and the offset arithmetic itself: getOffset paces one version at a time
+    val src = new ManifestStreamSource(spark, t, Map("maxVersionsPerTrigger" -> "1"))
+    assert(src.getOffset.get.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset].offset == 0L)
+  }
+
+  test("user-supplied schema is rejected; pre-schema table path is loud") {
+    val t = mkTable(10)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.ManifestStreamProvider")
+        .schema(org.apache.spark.sql.types.StructType(Nil)).load(t)
+    }
+    assert(e.getMessage.contains("logged schema") ||
+      e.getCause != null && e.getCause.getMessage.contains("logged schema"))
+  }
+}
