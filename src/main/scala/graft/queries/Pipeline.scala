@@ -3063,6 +3063,60 @@ object Pipeline {
        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for stats skipping: the documents table
+    * clustered by n_chars (8 buckets — clusterBy prepends the value
+    * column to the range partitioner, so each file carries a TIGHT
+    * n_chars range while doc_id ranges overlap; the read-optimized
+    * layout tradeoff). Per-column min/max/null stats land in the
+    * manifest from the commit's one stats job.
+    */
+  private def materializeManifestClustered(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_clu/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8,
+        clusterBy = Some("n_chars"))
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Stats-predicate data skipping on a NON-key column (round 17 —
+    * the Delta stats/data-skipping read, generalizing
+    * src_manifest_pruned beyond the key): `snapshotWhere` evaluates
+    * the predicate against each file's per-column min/max/null stats
+    * driver-side and hands Spark ONLY the possibly-matching files —
+    * skipping before any parquet footer is opened — then applies the
+    * SAME Column as the residual row filter, so pruning precision
+    * never touches correctness. The query GATES that skipping
+    * actually engaged (hit files strictly fewer than listed files —
+    * the clustered layout makes the n_chars band provably miss most
+    * buckets) and emits per-doc rows so the oracle checks content:
+    * one unsafely pruned file loses rows, one mis-ordered bound
+    * leaks or loses boundary docs.
+    */
+  def srcManifestSkipping(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestClustered(s, dir)
+    val pred = col("n_chars") >= 420L && col("lang") =!= "zh"
+    val (hit, total) = graft.sources.ManifestTable.matchingFiles(table, pred)
+    require(hit.size < total,
+      s"stats skipping did not engage: ${hit.size}/$total files selected")
+    graft.sources.ManifestTable.snapshotWhere(s, table, pred)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val srcManifestSkippingSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  md5(text) AS text_md5
+      |FROM documents
+      |WHERE n_chars >= 420 AND lang <> 'zh'
+      |ORDER BY 1""".stripMargin
+
   /** Snapshot-diff / CDC read (VERDICT r14 #4) over the main
     * transaction-log fixture: the v0→v1 upsert delta (updates for
     * doc_id % 97 == 0 plus the 100 inserted docs) and the v1→v2
@@ -3832,6 +3886,7 @@ object Pipeline {
     "src_manifest_timetravel" -> (srcManifestTimetravel _),
     "src_manifest_pruned" -> (srcManifestPruned _),
     "src_manifest_evolved" -> (srcManifestEvolved _),
+    "src_manifest_skipping" -> (srcManifestSkipping _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -3918,6 +3973,7 @@ object Pipeline {
     "src_manifest_timetravel" -> srcManifestTimetravelSql,
     "src_manifest_pruned" -> srcManifestPrunedSql,
     "src_manifest_evolved" -> srcManifestEvolvedSql,
+    "src_manifest_skipping" -> srcManifestSkippingSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

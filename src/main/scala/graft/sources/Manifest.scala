@@ -44,9 +44,35 @@ import java.nio.file.Files
   * computed in one distributed job per commit (groupBy input file),
   * never by driver-side row iteration.
   */
+/** Neutral predicate AST for manifest stats pruning: the graftshim
+  * converter lowers a Column's (private[sql]) node tree into this,
+  * so [[ManifestTable.canMatch]] never touches Spark internals.
+  * Opaque = a sub-expression the evaluator must treat as
+  * unknowable (never prune on it).
+  */
+sealed trait PredNode
+object PredNode {
+  final case class FnCall(name: String, args: Seq[PredNode]) extends PredNode
+  final case class Attr(name: String) extends PredNode
+  final case class Lit(value: Any) extends PredNode
+  case object Opaque extends PredNode
+}
+
 object ManifestTable {
 
-  final case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long)
+  /** Per-column file statistics (round 17 — the Delta AddFile `stats`
+    * role): min/max of the non-null values plus the null count, for
+    * every supported-type top-level column (capped — see
+    * [[statsColumns]]). `min`/`max` are None iff the column is
+    * all-NULL in the file. Values are stored as strings typed by the
+    * LOGGED schema (integrals as decimal, floats via
+    * Double/Float.toString — exact round-trip, strings raw), so the
+    * manifest stays a self-contained JSON log.
+    */
+  final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+  final case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
+                             stats: Map[String, ColStats] = Map.empty)
   /** `txns` is the Delta `txn` action's role: the latest batch id
     * committed per streaming app id, carried forward by EVERY commit
     * so an idempotency lookup is O(1) against the latest manifest —
@@ -103,7 +129,19 @@ object ManifestTable {
       sb.append("{\"name\":\"").append(f.name)
         .append("\",\"rows\":").append(f.rows)
         .append(",\"minKey\":").append(f.minKey)
-        .append(",\"maxKey\":").append(f.maxKey).append('}')
+        .append(",\"maxKey\":").append(f.maxKey)
+      if (f.stats.nonEmpty) {
+        sb.append(",\"stats\":{")
+        f.stats.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, st), j) =>
+          if (j > 0) sb.append(',')
+          sb.append('"').append(jsonEscape(c)).append("\":{")
+          st.min.foreach(v => sb.append("\"mn\":\"").append(jsonEscape(v)).append("\","))
+          st.max.foreach(v => sb.append("\"mx\":\"").append(jsonEscape(v)).append("\","))
+          sb.append("\"nl\":").append(st.nulls).append('}')
+        }
+        sb.append('}')
+      }
+      sb.append('}')
     }
     sb.append("]}").toString
   }
@@ -115,8 +153,20 @@ object ManifestTable {
     val it = root.get("files").elements()
     while (it.hasNext) {
       val n = it.next()
+      val stats = Option(n.get("stats")).map { st =>
+        val b = Map.newBuilder[String, ColStats]
+        val fit = st.fields()
+        while (fit.hasNext) {
+          val e = fit.next()
+          b += e.getKey -> ColStats(
+            Option(e.getValue.get("mn")).map(_.asText),
+            Option(e.getValue.get("mx")).map(_.asText),
+            e.getValue.get("nl").asLong)
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, ColStats])
       files += FileEntry(n.get("name").asText, n.get("rows").asLong,
-        n.get("minKey").asLong, n.get("maxKey").asLong)
+        n.get("minKey").asLong, n.get("maxKey").asLong, stats)
     }
     val txns = Option(root.get("txns")).map { t =>
       val b = Map.newBuilder[String, Long]
@@ -196,18 +246,44 @@ object ManifestTable {
 
   // --- data-file write + stats ---
 
-  /** Write `df` as `buckets` range-partitioned files on `keyCol` and
-    * return their manifest entries. Range partitioning gives each
+  /** Top-level columns that get per-file min/max/null stats: the
+    * atomic comparable types, capped at 32 (Delta's
+    * dataSkippingNumIndexedCols default — stats cost rides in the
+    * commit's one stats job and the manifest size, so a 2000-column
+    * table must not pay 2000× either).
+    */
+  private val MaxStatsCols = 32
+  private[sources] def statsColumns(schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.filter(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | BooleanType => true
+      case _ => false
+    }).take(MaxStatsCols)
+  }
+
+  /** Write `df` as `buckets` range-partitioned files and return their
+    * manifest entries. Default layout ranges on `keyCol`, giving each
     * file a tight, near-disjoint key range — what makes min/max
     * pruning effective (a hash layout would give every file the full
-    * key span and prune nothing). Stats come from ONE distributed
-    * pass grouped by output file, not driver iteration.
+    * key span and prune nothing). `clusterBy` prepends a CLUSTER
+    * column to the range partitioner (the lakehouse cluster-for-reads
+    * layout): files then carry tight ranges on THAT column — the
+    * layout [[snapshotWhere]] skipping wants — at the documented cost
+    * of overlapping key ranges (COW upsert/delete stay correct via
+    * range INTERSECTION; they just touch more files). Row counts, key
+    * min/max, AND per-column stats ([[ColStats]], the Delta AddFile
+    * `stats` role) come from ONE distributed pass grouped by output
+    * file, not driver iteration.
     */
   def writeFiles(spark: SparkSession, table: String, df: DataFrame,
-                 keyCol: String, buckets: Int): Seq[FileEntry] = {
+                 keyCol: String, buckets: Int,
+                 clusterBy: Option[String] = None): Seq[FileEntry] = {
     val dd = dataDir(table); dd.mkdirs()
     val tmp = new File(table, s"_stage-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.repartitionByRange(buckets, col(keyCol))
+    val partCols = (clusterBy.toSeq :+ keyCol).map(col)
+    df.repartitionByRange(buckets, partCols: _*)
       .write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val moved = tmp.listFiles().filter(_.getName.endsWith(".parquet")).map { p =>
       val dst = new File(dd, s"f-${java.util.UUID.randomUUID.toString.take(12)}.parquet")
@@ -217,14 +293,31 @@ object ManifestTable {
     tmp.listFiles().foreach(_.delete()); tmp.delete()
     if (moved.isEmpty) Seq.empty
     else {
-      val stats = spark.read.parquet(moved.map(_.getAbsolutePath).toIndexedSeq: _*)
+      val written = spark.read.parquet(moved.map(_.getAbsolutePath).toIndexedSeq: _*)
+      val sCols = statsColumns(written.schema)
+      val statAggs = sCols.zipWithIndex.flatMap { case (f, i) =>
+        Seq(min(col(f.name)).as(s"_mn_$i"), max(col(f.name)).as(s"_mx_$i"),
+          count(when(col(f.name).isNull, lit(1))).as(s"_nl_$i"))
+      }
+      val stats = written
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"),
-          min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+          Seq(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++ statAggs: _*)
         .collect() // control-plane: one row per written FILE
+      def statStr(v: Any): String = v match {
+        case s: String => s
+        case other => other.toString // integral/float/bool round-trip exactly
+      }
       val entries = stats.map { r =>
         val name = new File(new java.net.URI(r.getString(0)).getPath).getName
-        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3))
+        val colStats = sCols.zipWithIndex.map { case (f, i) =>
+          val mnI = r.fieldIndex(s"_mn_$i"); val mxI = r.fieldIndex(s"_mx_$i")
+          f.name -> ColStats(
+            if (r.isNullAt(mnI)) None else Some(statStr(r.get(mnI))),
+            if (r.isNullAt(mxI)) None else Some(statStr(r.get(mxI))),
+            r.getLong(r.fieldIndex(s"_nl_$i")))
+        }.toMap
+        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), colStats)
       }.toSeq.sortBy(_.minKey)
       // A zero-row parquet file produces no stats row, so it would sit
       // in data/ unlisted forever — vacuum only deletes once-LISTED
@@ -242,8 +335,9 @@ object ManifestTable {
     * evolution is representable.
     */
   def create(spark: SparkSession, table: String, df: DataFrame,
-             keyCol: String, buckets: Int): Snapshot = {
-    val files = writeFiles(spark, table, df, keyCol, buckets)
+             keyCol: String, buckets: Int,
+             clusterBy: Option[String] = None): Snapshot = {
+    val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy)
     val s = Snapshot(0, "create", keyCol, files, Some(df.schema.json))
     commit(table, s)
     s
@@ -322,6 +416,200 @@ object ManifestTable {
       .filter(col(s.keyCol) >= lo && col(s.keyCol) <= hi)
   }
 
+  // --- per-column data skipping (round 17: the Delta stats-predicate read) ---
+
+  /** Driver-side comparable form of a stats bound or a predicate
+    * literal, by the column's LOGGED type: numerics as BigDecimal
+    * (exact — Double/Float.toString round-trips, and 2⁶³-scale longs
+    * never lose bits to a double coercion), strings as UTF8String
+    * (Spark's min/max order strings by UTF-8 BYTES; a Java
+    * String.compareTo — UTF-16 code units — disagrees above the BMP
+    * and would prune UNSAFELY), booleans as-is. None = not usable for
+    * pruning (e.g. a NaN bound), which degrades to "file might match".
+    */
+  private def statComparable(raw: String,
+                             dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType =>
+        Some(new java.math.BigDecimal(raw))
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      case BooleanType => Some(java.lang.Boolean.valueOf(raw))
+      case _ => None
+    } catch { case _: NumberFormatException => None } // NaN/Infinity bounds
+  }
+
+  private def litComparable(v: Any): Option[Any] = v match {
+    case null => None
+    case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue))
+    case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
+    case s: java.lang.Short => Some(java.math.BigDecimal.valueOf(s.longValue))
+    case b: java.lang.Byte => Some(java.math.BigDecimal.valueOf(b.longValue))
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(new java.math.BigDecimal(java.lang.Double.toString(d)))
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) None
+      else Some(new java.math.BigDecimal(java.lang.Float.toString(f)))
+    case s: java.lang.String =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u)
+    case b: java.lang.Boolean => Some(b)
+    case d: java.math.BigDecimal => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case _ => None
+  }
+
+  /** compare two comparables of the SAME domain; None = incomparable
+    * (mixed domains — no pruning).
+    */
+  private def cmpVals(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+    case (x: org.apache.spark.unsafe.types.UTF8String,
+          y: org.apache.spark.unsafe.types.UTF8String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Can any row of `file` match `pred`? Three-valued logic collapsed
+    * to a safe boolean: TRUE means "maybe" (read the file — the
+    * residual row filter decides), FALSE means PROVABLY no row
+    * matches, from stats alone. Unknown expression shapes, missing
+    * stats (pre-stats manifests), and incomparable domains all
+    * degrade to TRUE — pruning is an optimization, never a semantics
+    * change. Walks the neutral [[PredNode]] tree derived from the
+    * SAME Column object later applied as the residual filter (the
+    * graftshim converter), so the two cannot drift. Handles and/or/!
+    * (De Morgan pushdown), the five comparisons either side, in,
+    * isNull/isNotNull, <=>.
+    */
+  private[sources] def canMatch(file: FileEntry,
+                                schema: org.apache.spark.sql.types.StructType,
+                                pred: PredNode): Boolean = {
+    import PredNode._
+    def attrName(e: PredNode): Option[String] = e match {
+      case Attr(n) => Some(n)
+      case _ => None
+    }
+    // cmp(col, lit): op encodes which (min/max) bound proves a miss.
+    // An ALL-NULL column (st.min/max absent) provably fails every
+    // comparison; a PRESENT-but-unusable bound (NaN, parse failure)
+    // must instead degrade to "maybe" — conflating the two would
+    // prune a NaN-bounded file unsafely.
+    def cmp(name: String, litV: Any, op: String): Boolean =
+      (file.stats.get(name), schema.fields.find(_.name == name)) match {
+        case (Some(st), Some(f)) =>
+          litComparable(litV) match {
+            case None => true
+            case Some(l) =>
+              if (st.min.isEmpty || st.max.isEmpty) false // all-NULL column
+              else {
+                val mn = st.min.flatMap(statComparable(_, f.dataType))
+                val mx = st.max.flatMap(statComparable(_, f.dataType))
+                if (mn.isEmpty || mx.isEmpty) true // unusable bound
+                else op match {
+                  case ">" => cmpVals(mx.get, l).forall(_ > 0)
+                  case ">=" => cmpVals(mx.get, l).forall(_ >= 0)
+                  case "<" => cmpVals(mn.get, l).forall(_ < 0)
+                  case "<=" => cmpVals(mn.get, l).forall(_ <= 0)
+                  case "=" => cmpVals(mn.get, l).forall(_ <= 0) &&
+                              cmpVals(mx.get, l).forall(_ >= 0)
+                  case "!=" => // provable miss only when the file is constant at l
+                    !(cmpVals(mn.get, l).contains(0) && cmpVals(mx.get, l).contains(0))
+                }
+              }
+          }
+        case _ => true // no stats for the column (pre-stats manifest)
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">="
+      case other => other
+    }
+    def neg(op: String): String = op match {
+      case ">" => "<=" case ">=" => "<" case "<" => ">=" case "<=" => ">"
+      case "=" => "!=" case "!=" => "="
+    }
+    def litOf(e: PredNode): Option[Any] = e match {
+      case PredNode.Lit(v) => Some(v)
+      case _ => None
+    }
+    def binary(l: PredNode, r: PredNode, op: String): Boolean =
+      (attrName(l), litOf(r), attrName(r), litOf(l)) match {
+        case (Some(n), Some(v), _, _) => cmp(n, v, op)
+        case (_, _, Some(n), Some(v)) => cmp(n, v, flip(op))
+        case _ => true
+      }
+    def nullness(a: PredNode, wantNull: Boolean): Boolean = attrName(a) match {
+      case Some(n) => file.stats.get(n).forall(st =>
+        if (wantNull) st.nulls > 0 else st.nulls < file.rows)
+      case None => true
+    }
+    def go(e: PredNode, negate: Boolean): Boolean = e match {
+      case FnCall(name, args) => (name, args) match {
+        case ("and", Seq(a, b)) =>
+          if (negate) go(a, true) || go(b, true) // ¬(a∧b) = ¬a ∨ ¬b
+          else go(a, false) && go(b, false)
+        case ("or", Seq(a, b)) =>
+          if (negate) go(a, true) && go(b, true)
+          else go(a, false) || go(b, false)
+        case ("!" | "not", Seq(x)) => go(x, !negate)
+        case (op @ (">" | ">=" | "<" | "<="), Seq(a, b)) =>
+          binary(a, b, if (negate) neg(op) else op)
+        case ("=" | "==" | "equal_to", Seq(a, b)) =>
+          binary(a, b, if (negate) "!=" else "=")
+        case ("<=>", Seq(a, b)) => (attrName(a), litOf(b)) match {
+          case (Some(_), Some(null)) => nullness(a, wantNull = !negate)
+          case (Some(n), Some(v)) => if (negate) true else cmp(n, v, "=")
+          case _ => true
+        }
+        case ("in", a +: list) if !negate && list.nonEmpty => attrName(a) match {
+          case Some(n) =>
+            val lits = list.flatMap(litOf)
+            if (lits.size != list.size) true // non-literal element
+            else lits.exists(v => cmp(n, v, "="))
+          case None => true
+        }
+        case ("isNull" | "isnull", Seq(a)) => nullness(a, wantNull = !negate)
+        case ("isNotNull" | "isnotnull", Seq(a)) => nullness(a, wantNull = negate)
+        case _ => true // unknown function: never prune on it
+      }
+      case _ => true // unknown node shape
+    }
+    go(pred, negate = false)
+  }
+
+  /** The files of a snapshot a predicate might touch, plus the total
+    * — the observable [[snapshotWhere]] plans from (exposed so reads
+    * and tests can GATE that skipping actually engaged).
+    */
+  def matchingFiles(table: String, predicate: org.apache.spark.sql.Column,
+                    version: Option[Int] = None): (Seq[FileEntry], Int) = {
+    val s = readSnapshot(table, version.getOrElse(latestVersion(table)))
+    val pe = org.apache.spark.sql.graftshim.NodeInternals.predTree(predicate)
+    schemaOf(s) match {
+      case Some(st) => (s.files.filter(f => canMatch(f, st, pe)), s.files.size)
+      case None => (s.files, s.files.size) // pre-schema manifest: no pruning
+    }
+  }
+
+  /** Stats-predicate snapshot read (the Delta data-skipping read,
+    * generalizing [[snapshotRange]] beyond the key column): only
+    * files whose per-column stats admit the predicate are handed to
+    * Spark at all — skipping happens before any parquet footer is
+    * opened — then the SAME predicate applies as the residual row
+    * filter (file stats are coarse; correctness never depends on the
+    * pruning precision). Combine with `clusterBy` at write time to
+    * make the target column's per-file ranges tight.
+    */
+  def snapshotWhere(spark: SparkSession, table: String,
+                    predicate: org.apache.spark.sql.Column,
+                    version: Option[Int] = None): DataFrame = {
+    val s = readSnapshot(table, version.getOrElse(latestVersion(table)))
+    val (hit, _) = matchingFiles(table, predicate, Some(s.version))
+    readFiles(spark, table, s, hit).filter(predicate)
+  }
+
   /** Copy-on-write upsert: delta rows replace same-key rows, new keys
     * append. Only files whose key range contains at least one delta
     * key are rewritten; every other file carries forward BY REFERENCE
@@ -398,12 +686,15 @@ object ManifestTable {
     * small-files repair the compaction sink does for raw dirs, lifted
     * into the transaction log.
     */
-  def compact(spark: SparkSession, table: String, buckets: Int): Snapshot =
+  def compact(spark: SparkSession, table: String, buckets: Int,
+              clusterBy: Option[String] = None): Snapshot =
     commitWithRetry(table) { v =>
       require(v >= 0, s"no manifest in $table/_log")
       val cur = readSnapshot(table, v)
       val all = readFiles(spark, table, cur, cur.files)
-      val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets)
+      // clusterBy here is OPTIMIZE-as-recluster: compaction is the
+      // natural place to (re)establish a read-optimized layout
+      val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets, clusterBy)
       Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson, cur.txns)
     }
 

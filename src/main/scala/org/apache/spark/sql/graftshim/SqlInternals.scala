@@ -36,3 +36,27 @@ object SqlInternals {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .queryExecution.toRdd
 }
+
+object NodeInternals {
+  import graft.sources.PredNode
+
+  /** The predicate tree behind a Column, re-expressed as graft's
+    * neutral [[graft.sources.PredNode]] AST. Spark 4's Column is a
+    * facade over a `private[sql]` ColumnNode tree — the SAME tree
+    * `filter(column)` hands the engine, so deriving the manifest
+    * stats-pruning predicate from it means the pruned predicate and
+    * the residual row filter cannot drift. Anything beyond
+    * function-call/attribute/literal nodes maps to Opaque, which the
+    * evaluator treats as "cannot prune".
+    */
+  def predTree(c: org.apache.spark.sql.Column): PredNode = toPred(c.node)
+
+  private def toPred(n: org.apache.spark.sql.internal.ColumnNode): PredNode = n match {
+    case f: org.apache.spark.sql.internal.UnresolvedFunction =>
+      PredNode.FnCall(f.functionName, f.arguments.map(toPred))
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute
+      if a.nameParts.size == 1 => PredNode.Attr(a.nameParts.head)
+    case l: org.apache.spark.sql.internal.Literal => PredNode.Lit(l.value)
+    case _ => PredNode.Opaque
+  }
+}
