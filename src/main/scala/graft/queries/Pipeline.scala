@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{load, fp4, fp6, fpSql}
+import graft.Tables.{load, fp2, fp4, fp6, fpSql}
 import graft.operators.{Ann, Dedup, Multimodal, TextOps}
 
 /** Training-data pipeline anchor queries (SURVEY.md §2.2) over the
@@ -3117,6 +3117,80 @@ object Pipeline {
       |WHERE n_chars >= 420 AND lang <> 'zh'
       |ORDER BY 1""".stripMargin
 
+  /** One-time fixture for z-order: orders keyed on o_orderkey (16
+    * key-ranged buckets at v0), then `compactZOrder` reclusters on
+    * (o_totalprice, o_custkey) — Delta's OPTIMIZE ZORDER BY as a
+    * compact commit. At 4 bits per column and 16 files the layout
+    * factors into a 4×4 per-column-quantile grid, so BOTH columns
+    * prune afterwards — the multi-dimensional case a single
+    * clusterBy column cannot serve.
+    */
+  private def materializeManifestZorder(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/orders.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_zo/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, o, "o_orderkey", buckets = 16)
+      graft.sources.ManifestTable.compactZOrder(s, table,
+        Seq("o_totalprice", "o_custkey"), buckets = 16)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Z-order read (round 17): after one `compactZOrder` rewrite, a
+    * band predicate on EITHER interleaved column prunes files — the
+    * query gates both dimensions (≤ 3/4 of the files each, comfortably
+    * above the ~half a one-quantile-row band plus range-boundary
+    * straddle can hit, and impossible for an un-z-ordered layout where
+    * a scrambled column hits every file) and digests both band reads
+    * so the oracle checks content. One unsafely pruned file loses
+    * rows through the hash gate; the two reads cover both interleave
+    * bit positions.
+    */
+  def srcManifestZorder(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestZorder(s, dir)
+    import graft.sources.ManifestTable
+    val predPrice = col("o_totalprice") >= 150000.0 && col("o_totalprice") < 240000.0
+    val predCust = col("o_custkey") >= 800L && col("o_custkey") < 1100L
+    val (hitP, totalP) = ManifestTable.matchingFiles(table, predPrice)
+    val (hitC, totalC) = ManifestTable.matchingFiles(table, predCust)
+    require(hitP.size * 4 <= totalP * 3,
+      s"z-order price-band skipping did not engage: ${hitP.size}/$totalP")
+    require(hitC.size * 4 <= totalC * 3,
+      s"z-order custkey-band skipping did not engage: ${hitC.size}/$totalC")
+    def digest(pred: org.apache.spark.sql.Column, tag: String) =
+      ManifestTable.snapshotWhere(s, table, pred)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_custkey")).as("sum_cust"),
+          fp2(min(col("o_totalprice"))).as("min_fp"),
+          fp2(max(col("o_totalprice"))).as("max_fp"))
+        .withColumn("band", lit(tag))
+    digest(predPrice, "price").unionByName(digest(predCust, "cust"))
+      .select("band", "n", "sum_key", "sum_cust", "min_fp", "max_fp")
+      .orderBy("band")
+  }
+
+  private val srcManifestZorderSql: String =
+    """WITH bands AS (
+      |  SELECT 'price' AS band, o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_totalprice >= 150000 AND o_totalprice < 240000
+      |  UNION ALL
+      |  SELECT 'cust', o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_custkey >= 800 AND o_custkey < 1100
+      |)
+      |SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS min_fp,
+      |  CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_fp
+      |FROM bands GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot-diff / CDC read (VERDICT r14 #4) over the main
     * transaction-log fixture: the v0→v1 upsert delta (updates for
     * doc_id % 97 == 0 plus the 100 inserted docs) and the v1→v2
@@ -3887,6 +3961,7 @@ object Pipeline {
     "src_manifest_pruned" -> (srcManifestPruned _),
     "src_manifest_evolved" -> (srcManifestEvolved _),
     "src_manifest_skipping" -> (srcManifestSkipping _),
+    "src_manifest_zorder" -> (srcManifestZorder _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -3974,6 +4049,7 @@ object Pipeline {
     "src_manifest_pruned" -> srcManifestPrunedSql,
     "src_manifest_evolved" -> srcManifestEvolvedSql,
     "src_manifest_skipping" -> srcManifestSkippingSql,
+    "src_manifest_zorder" -> srcManifestZorderSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

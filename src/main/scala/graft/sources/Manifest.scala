@@ -280,11 +280,21 @@ object ManifestTable {
   def writeFiles(spark: SparkSession, table: String, df: DataFrame,
                  keyCol: String, buckets: Int,
                  clusterBy: Option[String] = None): Seq[FileEntry] = {
+    val partCols = (clusterBy.toSeq :+ keyCol).map(col)
+    writeFilesPartitioned(spark, table,
+      df.repartitionByRange(buckets, partCols: _*), keyCol)
+  }
+
+  /** Write an ALREADY-partitioned frame (each partition becomes one
+    * file) and collect its manifest entries + stats. Callers own the
+    * layout choice — range on key, cluster column, or z-value.
+    */
+  private def writeFilesPartitioned(spark: SparkSession, table: String,
+                                    partitioned: DataFrame,
+                                    keyCol: String): Seq[FileEntry] = {
     val dd = dataDir(table); dd.mkdirs()
     val tmp = new File(table, s"_stage-${java.util.UUID.randomUUID.toString.take(8)}")
-    val partCols = (clusterBy.toSeq :+ keyCol).map(col)
-    df.repartitionByRange(buckets, partCols: _*)
-      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    partitioned.write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val moved = tmp.listFiles().filter(_.getName.endsWith(".parquet")).map { p =>
       val dst = new File(dd, s"f-${java.util.UUID.randomUUID.toString.take(12)}.parquet")
       Files.move(p.toPath, dst.toPath)
@@ -697,6 +707,57 @@ object ManifestTable {
       val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets, clusterBy)
       Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson, cur.txns)
     }
+
+  /** Z-order recluster as a compaction commit (round 17 — Delta's
+    * OPTIMIZE ZORDER BY): rewrite the snapshot range-partitioned on
+    * an interleaved-bits z-value over `zCols`, so EVERY z column gets
+    * file-locality at once — with b bits per column and
+    * 2^(nCols·bits) / buckets z-span per file, the file grid factors
+    * into per-column quantile cells (16 files over 2 columns at 4
+    * bits = a 4×4 quantile grid), and [[snapshotWhere]] then prunes
+    * on ANY clustered column, not just one. Per-column bucket ids
+    * come from approxQuantile boundaries (bounded driver collect, the
+    * kmeansFit control-plane shape — quantile, not equal-width, so
+    * skew cannot collapse the grid) applied as a codegen'd literal
+    * comparison chain (the text_curriculum pattern); the z value is
+    * pure bit arithmetic, dropped before write. The snapshot is read
+    * twice (boundaries + rewrite) — persisted across the two passes.
+    * Commits as op `compact` (dataChange=false: same rows, new
+    * layout), so streaming tails skip it.
+    */
+  def compactZOrder(spark: SparkSession, table: String, zCols: Seq[String],
+                    buckets: Int, bitsPerCol: Int = 4): Snapshot = {
+    require(zCols.nonEmpty && zCols.size * bitsPerCol <= 30,
+      s"z-order supports up to ${30 / bitsPerCol} columns at $bitsPerCol bits")
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val all = readFiles(spark, table, cur, cur.files)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nB = 1 << bitsPerCol
+        val bucketCols = zCols.map { c =>
+          val qs = all.stat.approxQuantile(c,
+            (1 until nB).map(_.toDouble / nB).toArray, 0.001)
+          // bucket = #boundaries strictly below the value — a codegen'd
+          // literal chain, monotone even when boundaries repeat
+          qs.foldLeft(lit(0)) { (acc, b) =>
+            acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+          }
+        }
+        val z = (0 until bitsPerCol).flatMap { i =>
+          bucketCols.zipWithIndex.map { case (b, j) =>
+            shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * zCols.size + j)
+          }
+        }.reduce(_ + _)
+        val staged = all.withColumn("_zorder", z)
+          .repartitionByRange(buckets, col("_zorder"), col(cur.keyCol))
+          .drop("_zorder")
+        val newFiles = writeFilesPartitioned(spark, table, staged, cur.keyCol)
+        Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson, cur.txns)
+      } finally { all.unpersist(false); () }
+    }
+  }
 
   /** Idempotent streaming append — the Delta streaming-sink shape
     * (`txn` action + blind append). Each micro-batch commits as an

@@ -150,6 +150,35 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(matchingFiles(tc, col("v") =!= 6.0)._1.size == 1)
   }
 
+  test("z-order recluster: BOTH columns prune afterwards; contents identical") {
+    val t = tmpTable()
+    // a and b are independent scrambled permutations: a key-ranged or
+    // single-column-clustered layout cannot serve both predicates
+    val df = (0 until 1600).map(i =>
+      (i.toLong, ((i * 37) % 1600).toDouble, ((i * 101) % 1600).toDouble))
+      .toDF("id", "a", "b")
+    create(spark, t, df, "id", 16)
+    assert(matchingFiles(t, col("a") < 100.0)._1.size == 16) // control: no locality
+    compactZOrder(spark, t, Seq("a", "b"), buckets = 16)
+    val s1 = readSnapshot(t, 1)
+    assert(s1.op == "compact" && s1.files.size == 16)
+    // one z-quartile-cell band per column: at 4 bits × 2 cols and 16
+    // files, the file grid factors into a 4×4 quantile grid — a
+    // quarter-span band on EITHER column hits one row/column of cells
+    // (+ range-boundary straddle slack: file cuts need not align to cells)
+    val (hitA, totalA) = matchingFiles(t, col("a") >= 405.0 && col("a") < 795.0)
+    val (hitB, totalB) = matchingFiles(t, col("b") >= 405.0 && col("b") < 795.0)
+    assert(totalA == 16 && hitA.size <= 10, s"a-band hit ${hitA.size}/16")
+    assert(totalB == 16 && hitB.size <= 10, s"b-band hit ${hitB.size}/16")
+    // the rewrite is content-neutral
+    val digest = snapshot(spark, t).agg(
+      count(lit(1)), sum(col("id")), sum(col("a")), sum(col("b"))).head()
+    assert(digest.getLong(0) == 1600 && digest.getLong(1) == 1600L * 1599 / 2)
+    assert(digest.getDouble(2) == digest.getDouble(3))
+    // and the z read path answers a point query correctly
+    assert(snapshotWhere(spark, t, col("a") === 500.0 && col("b") >= 0.0).count() == 1)
+  }
+
   test("pre-stats manifests (no stats maps) read fine and never prune") {
     val t = tmpTable()
     val df = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")

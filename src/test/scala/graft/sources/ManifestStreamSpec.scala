@@ -175,6 +175,22 @@ class ManifestStreamSpec extends SparkTestBase {
       org.apache.spark.sql.execution.streaming.runtime.LongOffset].offset == 0L)
   }
 
+  test("startingVersion skips history: only versions >= it are emitted") {
+    val t = mkTable(30)
+    appendRange(t, 30, 50, "app", 0L)
+    appendRange(t, 50, 65, "app", 1L)
+    // start at v2: v0 create and v1 append are history the tail skips
+    val batches = drain(t, Map("startingVersion" -> "2"),
+      new java.io.File(tmpDir(), "chk").toString)
+    val got = batches.flatMap(_._2).map(_.getLong(0)).sorted
+    assert(got == (50L until 65L), s"expected only v2's rows, got ${got.size}")
+    // CDC tail honours it too: v2's diff only
+    val cdc = drain(t, Map("startingVersion" -> "2", "readChangeFeed" -> "true"),
+      new java.io.File(tmpDir(), "chk2").toString).flatMap(_._2)
+    assert(cdc.map(_.getLong(0)).sorted == (50L until 65L))
+    assert(cdc.forall(_.getString(3) == "insert"))
+  }
+
   test("user-supplied schema is rejected; pre-schema table path is loud") {
     val t = mkTable(10)
     val e = intercept[Exception] {
