@@ -3117,6 +3117,71 @@ object Pipeline {
       |WHERE n_chars >= 420 AND lang <> 'zh'
       |ORDER BY 1""".stripMargin
 
+  /** One-time fixture for bloom skipping: documents + a content
+    * digest column, keyed on doc_id with the digest bloom-indexed —
+    * digests are uniformly scrambled across the key-ranged layout,
+    * so every file's digest [min,max] spans ~the whole hex space and
+    * range stats can never prune an equality probe; the per-file
+    * bloom is the only thing that can. Bits scale with the corpus
+    * (~16 bits per expected row per file, pow2-rounded) so the
+    * false-positive rate stays low at any SF.
+    */
+  private def materializeManifestBloom(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_bloom/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("digest", md5(encode(col("text"), "UTF-8")))
+      val buckets = 24
+      val bits = math.max(1 << 12,
+        java.lang.Long.highestOneBit(d.count() / buckets * 16).toInt)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets,
+        bloomFor = Seq("digest"), bloomBits = bits)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Bloom-index point lookup (round 17 — the Delta bloom-filter-
+    * index read): an IN probe of five known content digests against
+    * the bloom-indexed documents table. Range stats are useless here
+    * by construction (every file spans the digest space — the
+    * high-cardinality-scrambled-column case the bloom index exists
+    * for), so the file skipping the query GATES (hit ≤ half) is
+    * attributable to the bloom alone; the probe digests live in ≤ 5
+    * files, and the no-false-negative contract means every match
+    * survives — one unsafely pruned file loses rows through the hash
+    * gate. Probe digests come from a 5-row control-plane read of the
+    * probe docs themselves; the result returns every doc whose
+    * digest matches (exact-duplicate texts ride along), which the
+    * oracle replays as a self-join through DuckDB's md5.
+    */
+  def srcManifestBloom(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestBloom(s, dir)
+    val probeIds = Seq(3L, 97L, 405L, 411L, 487L)
+    val probes = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(probeIds: _*))
+      .select(md5(encode(col("text"), "UTF-8")).as("d"))
+      .collect().map(_.getString(0)).toSeq // 5 rows — control plane
+    val pred = col("digest").isin(probes: _*)
+    val (hit, total) = graft.sources.ManifestTable.matchingFiles(table, pred)
+    require(hit.size * 2 <= total,
+      s"bloom skipping did not engage: ${hit.size}/$total files selected")
+    graft.sources.ManifestTable.snapshotWhere(s, table, pred)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  private val srcManifestBloomSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  md5(text) AS digest
+      |FROM documents
+      |WHERE md5(text) IN
+      |  (SELECT md5(text) FROM documents WHERE doc_id IN (3, 97, 405, 411, 487))
+      |ORDER BY 1""".stripMargin
+
   /** One-time fixture for z-order: orders keyed on o_orderkey (16
     * key-ranged buckets at v0), then `compactZOrder` reclusters on
     * (o_totalprice, o_custkey) — Delta's OPTIMIZE ZORDER BY as a
@@ -3962,6 +4027,7 @@ object Pipeline {
     "src_manifest_evolved" -> (srcManifestEvolved _),
     "src_manifest_skipping" -> (srcManifestSkipping _),
     "src_manifest_zorder" -> (srcManifestZorder _),
+    "src_manifest_bloom" -> (srcManifestBloom _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4050,6 +4116,7 @@ object Pipeline {
     "src_manifest_evolved" -> srcManifestEvolvedSql,
     "src_manifest_skipping" -> srcManifestSkippingSql,
     "src_manifest_zorder" -> srcManifestZorderSql,
+    "src_manifest_bloom" -> srcManifestBloomSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

@@ -71,18 +71,44 @@ object ManifestTable {
     */
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
 
+  /** `blooms` (round 17 — the Delta bloom-filter-index role): per
+    * bloom-indexed column, a base64 blob `[k: 1 byte][m/64 longs BE]`
+    * over the file's non-null values — self-describing, so files
+    * written under different (bits, k) settings coexist in one
+    * snapshot and always probe with their own parameters. Equality /
+    * IN predicates on high-cardinality columns scrambled across the
+    * file layout (where min/max spans everything and range stats
+    * prune nothing) skip via membership instead. Absent = unindexed
+    * file: never prunes, exactly like pre-stats manifests.
+    */
   final case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
-                             stats: Map[String, ColStats] = Map.empty)
+                             stats: Map[String, ColStats] = Map.empty,
+                             blooms: Map[String, String] = Map.empty)
   /** `txns` is the Delta `txn` action's role: the latest batch id
     * committed per streaming app id, carried forward by EVERY commit
     * so an idempotency lookup is O(1) against the latest manifest —
     * never a scan over the log history (which a 100 TB table's
     * long-lived stream would grow unboundedly).
     */
+  /** `bloomCols`/`bloomBits` are table-level bloom-index CONFIG (the
+    * Delta bloom index property's role), carried forward by every
+    * commit like `txns`: files written AFTER the config exists carry
+    * per-file bloom blobs for those columns; pre-config files simply
+    * lack them and never prune — so [[setBloomIndex]] on a 100 TB
+    * table is a metadata-only commit, and the index materializes
+    * incrementally as commits rewrite files (or at once via
+    * [[compact]]), Delta's documented flow. Size `bloomBits` to
+    * ~10 bits per expected row per file (k=6 is near-optimal there,
+    * fpp ≈ 1%); at very large files (10⁶+ rows) the blobs dominate
+    * manifest size and a production system would sidecar them — the
+    * JSON-inline choice here keeps the log self-contained.
+    */
   final case class Snapshot(version: Int, op: String, keyCol: String,
                             files: Seq[FileEntry],
                             schemaJson: Option[String] = None,
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            bloomCols: Seq[String] = Nil,
+                            bloomBits: Int = 1 << 15)
 
   private def logDir(table: String) = new File(table, "_log")
   private def dataDir(table: String) = new File(table, "data")
@@ -123,6 +149,11 @@ object ManifestTable {
       }
       sb.append('}')
     }
+    if (s.bloomCols.nonEmpty) {
+      sb.append(",\"bloomCols\":[")
+        .append(s.bloomCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
+        .append("],\"bloomBits\":").append(s.bloomBits)
+    }
     sb.append(",\"files\":[")
     s.files.zipWithIndex.foreach { case (f, i) =>
       if (i > 0) sb.append(',')
@@ -138,6 +169,14 @@ object ManifestTable {
           st.min.foreach(v => sb.append("\"mn\":\"").append(jsonEscape(v)).append("\","))
           st.max.foreach(v => sb.append("\"mx\":\"").append(jsonEscape(v)).append("\","))
           sb.append("\"nl\":").append(st.nulls).append('}')
+        }
+        sb.append('}')
+      }
+      if (f.blooms.nonEmpty) {
+        sb.append(",\"bl\":{")
+        f.blooms.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, b), j) =>
+          if (j > 0) sb.append(',')
+          sb.append('"').append(jsonEscape(c)).append("\":\"").append(b).append('"')
         }
         sb.append('}')
       }
@@ -165,8 +204,14 @@ object ManifestTable {
         }
         b.result()
       }.getOrElse(Map.empty[String, ColStats])
+      val blooms = Option(n.get("bl")).map { bl =>
+        val b = Map.newBuilder[String, String]
+        val fit = bl.fields()
+        while (fit.hasNext) { val e = fit.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
       files += FileEntry(n.get("name").asText, n.get("rows").asLong,
-        n.get("minKey").asLong, n.get("maxKey").asLong, stats)
+        n.get("minKey").asLong, n.get("maxKey").asLong, stats, blooms)
     }
     val txns = Option(root.get("txns")).map { t =>
       val b = Map.newBuilder[String, Long]
@@ -174,9 +219,16 @@ object ManifestTable {
       while (fit.hasNext) { val e = fit.next(); b += e.getKey -> e.getValue.asLong }
       b.result()
     }.getOrElse(Map.empty[String, Long])
+    val bloomCols = Option(root.get("bloomCols")).map { bc =>
+      val b = Seq.newBuilder[String]
+      val it2 = bc.elements()
+      while (it2.hasNext) b += it2.next().asText
+      b.result()
+    }.getOrElse(Nil)
     Snapshot(root.get("version").asInt, root.get("op").asText,
       root.get("keyCol").asText, files.toSeq,
-      Option(root.get("schema")).map(_.asText), txns)
+      Option(root.get("schema")).map(_.asText), txns,
+      bloomCols, Option(root.get("bloomBits")).map(_.asInt).getOrElse(1 << 15))
   }
 
   /** Atomic put-if-absent commit. Throws FileAlreadyExistsException if
@@ -253,6 +305,56 @@ object ManifestTable {
     * table must not pay 2000× either).
     */
   private val MaxStatsCols = 32
+
+  /** k=6 hashes — near-optimal at ~10 bits/item (k* = m/n·ln2), the
+    * sizing [[Snapshot.bloomBits]]'s scaladoc prescribes.
+    */
+  private val BloomK = 6
+
+  /** blob = [k: 1 byte][bitset words, 8 bytes each BE] — base64. */
+  private def bloomBlob(words: Array[Long], k: Int): String = {
+    val bb = java.nio.ByteBuffer.allocate(1 + words.length * 8)
+    bb.put(k.toByte)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[sources] def bloomUnblob(b64: String): (Array[Long], Int) = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    val k = bb.get().toInt
+    val words = new Array[Long]((bb.remaining()) / 8)
+    var i = 0
+    while (bb.remaining() >= 8) { words(i) = bb.getLong; i += 1 }
+    (words, k)
+  }
+
+  /** The canonical bytes a bloom probe hashes for a literal against a
+    * column of `dt` — MUST mirror the write side's `cast(c as
+    * string)` exactly. None = unprobeable pairing (fractional literal
+    * on an integral column, number on a string column, unsupported
+    * type): degrade to read-the-file.
+    */
+  private def bloomProbeBytes(dt: org.apache.spark.sql.types.DataType,
+                              litV: Any): Option[Array[Byte]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val lv: Option[Long] = litV match {
+          case i: java.lang.Integer => Some(i.longValue)
+          case l: java.lang.Long => Some(l.longValue)
+          case s: java.lang.Short => Some(s.longValue)
+          case b: java.lang.Byte => Some(b.longValue)
+          case _ => None
+        }
+        lv.map(v => String.valueOf(v).getBytes(StandardCharsets.UTF_8))
+      case StringType => litV match {
+        case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
   private[sources] def statsColumns(schema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.types.StructField] = {
     import org.apache.spark.sql.types._
@@ -279,10 +381,12 @@ object ManifestTable {
     */
   def writeFiles(spark: SparkSession, table: String, df: DataFrame,
                  keyCol: String, buckets: Int,
-                 clusterBy: Option[String] = None): Seq[FileEntry] = {
+                 clusterBy: Option[String] = None,
+                 bloomCols: Seq[String] = Nil,
+                 bloomBits: Int = 1 << 15): Seq[FileEntry] = {
     val partCols = (clusterBy.toSeq :+ keyCol).map(col)
     writeFilesPartitioned(spark, table,
-      df.repartitionByRange(buckets, partCols: _*), keyCol)
+      df.repartitionByRange(buckets, partCols: _*), keyCol, bloomCols, bloomBits)
   }
 
   /** Write an ALREADY-partitioned frame (each partition becomes one
@@ -291,7 +395,9 @@ object ManifestTable {
     */
   private def writeFilesPartitioned(spark: SparkSession, table: String,
                                     partitioned: DataFrame,
-                                    keyCol: String): Seq[FileEntry] = {
+                                    keyCol: String,
+                                    bloomCols: Seq[String] = Nil,
+                                    bloomBits: Int = 1 << 15): Seq[FileEntry] = {
     val dd = dataDir(table); dd.mkdirs()
     val tmp = new File(table, s"_stage-${java.util.UUID.randomUUID.toString.take(8)}")
     partitioned.write.mode("overwrite").parquet(tmp.getAbsolutePath)
@@ -309,10 +415,20 @@ object ManifestTable {
         Seq(min(col(f.name)).as(s"_mn_$i"), max(col(f.name)).as(s"_mx_$i"),
           count(when(col(f.name).isNull, lit(1))).as(s"_nl_$i"))
       }
+      // Bloom blobs ride in the SAME per-file stats pass: the agg
+      // input is the column's canonical string (cast — "5" for any
+      // integral 5), the exact encoding [[canMatch]]'s probe hashes,
+      // so write and read can never disagree on bytes.
+      val bCols = bloomCols.filter(c => written.schema.fieldNames.contains(c))
+      val bloomAggs = bCols.zipWithIndex.map { case (c, i) =>
+        graft.functions.BloomAgg.bloom(
+          col(c).cast("string"), bloomBits, BloomK).as(s"_bf_$i")
+      }
       val stats = written
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"),
-          Seq(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++ statAggs: _*)
+          Seq(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++
+            statAggs ++ bloomAggs: _*)
         .collect() // control-plane: one row per written FILE
       def statStr(v: Any): String = v match {
         case s: String => s
@@ -327,7 +443,11 @@ object ManifestTable {
             if (r.isNullAt(mxI)) None else Some(statStr(r.get(mxI))),
             r.getLong(r.fieldIndex(s"_nl_$i")))
         }.toMap
-        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), colStats)
+        val blooms = bCols.zipWithIndex.map { case (c, i) =>
+          val words = r.getSeq[Long](r.fieldIndex(s"_bf_$i"))
+          c -> bloomBlob(words.toArray, BloomK)
+        }.toMap
+        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), colStats, blooms)
       }.toSeq.sortBy(_.minKey)
       // A zero-row parquet file produces no stats row, so it would sit
       // in data/ unlisted forever — vacuum only deletes once-LISTED
@@ -346,12 +466,60 @@ object ManifestTable {
     */
   def create(spark: SparkSession, table: String, df: DataFrame,
              keyCol: String, buckets: Int,
-             clusterBy: Option[String] = None): Snapshot = {
-    val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy)
-    val s = Snapshot(0, "create", keyCol, files, Some(df.schema.json))
+             clusterBy: Option[String] = None,
+             bloomFor: Seq[String] = Nil,
+             bloomBits: Int = 1 << 15): Snapshot = {
+    validateBloomCols(df.schema, bloomFor, bloomBits)
+    val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy,
+      bloomFor, bloomBits)
+    val s = Snapshot(0, "create", keyCol, files, Some(df.schema.json),
+      bloomCols = bloomFor, bloomBits = bloomBits)
     commit(table, s)
     s
   }
+
+  /** Bloom columns must be integral or string typed: those are the
+    * domains with an exact canonical string (the probe encoding), and
+    * the ones equality lookups target. Loud — a silently-unprobeable
+    * index would LOOK like data skipping while never pruning.
+    */
+  private def validateBloomCols(schema: org.apache.spark.sql.types.StructType,
+                                cols: Seq[String], bits: Int): Unit = {
+    import org.apache.spark.sql.types._
+    require(bits >= 64 && bits % 64 == 0,
+      s"bloomBits $bits must be a positive multiple of 64")
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"bloom column '$c' has unsupported type ${other.simpleString}: " +
+          "only integral and string columns have an exact equality encoding")
+      }
+    }
+  }
+
+  /** Enable (or extend) the bloom index on an existing table —
+    * metadata-only, zero data IO (the 100 TB property): commits the
+    * new column list as an `evolve` (dataChange=false; streaming
+    * tails skip it). EXISTING files keep no blobs and never prune;
+    * files written by later commits carry the index, and one
+    * [[compact]] materializes it table-wide — Delta's documented
+    * recreate-to-index flow.
+    */
+  def setBloomIndex(table: String, cols: Seq[String],
+                    bloomBits: Int = 1 << 15): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+        s"setBloomIndex requires a logged schema (table $table predates schema logging)"))
+      validateBloomCols(st, cols, bloomBits)
+      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
+        cur.txns, (cur.bloomCols ++ cols).distinct, bloomBits)
+    }
 
   private def filePaths(table: String, s: Snapshot): Seq[String] =
     s.files.map(f => new File(dataDir(table), f.name).getAbsolutePath)
@@ -406,7 +574,8 @@ object ManifestTable {
       val clash = newCols.map(_.name).intersect(st.fieldNames.toSeq)
       require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
       val widened = org.apache.spark.sql.types.StructType(st.fields ++ newCols)
-      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, Some(widened.json), cur.txns)
+      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, Some(widened.json),
+        cur.txns, cur.bloomCols, cur.bloomBits)
     }
 
   /** Range read with MANIFEST-level file skipping: only files whose
@@ -502,12 +671,33 @@ object ManifestTable {
       case Attr(n) => Some(n)
       case _ => None
     }
+    // Bloom probe — consulted ONLY on provable positive equality (op
+    // "=": direct, IN elements, non-null <=>, and ¬(≠) via neg), never
+    // on "!=" (a bloom can prove a value ABSENT, which for ≠ proves
+    // nothing about other rows). A membership hit is "maybe" (false
+    // positives read the file); a miss is a proven skip — the bloom
+    // has no false negatives over the file's non-null values, and an
+    // equality against NULL rows cannot match anyway. Unprobeable
+    // literal/column pairings, unindexed files, and undecodable blobs
+    // all degrade to read-the-file.
+    def bloomAdmits(name: String, litV: Any): Boolean =
+      (file.blooms.get(name), schema.fields.find(_.name == name)) match {
+        case (Some(b64), Some(f)) =>
+          bloomProbeBytes(f.dataType, litV) match {
+            case Some(bytes) =>
+              val (words, k) = bloomUnblob(b64)
+              if (words.isEmpty || k < 1) true
+              else graft.functions.BloomAgg.contains(words, k, bytes)
+            case None => true
+          }
+        case _ => true
+      }
     // cmp(col, lit): op encodes which (min/max) bound proves a miss.
     // An ALL-NULL column (st.min/max absent) provably fails every
     // comparison; a PRESENT-but-unusable bound (NaN, parse failure)
     // must instead degrade to "maybe" — conflating the two would
     // prune a NaN-bounded file unsafely.
-    def cmp(name: String, litV: Any, op: String): Boolean =
+    def cmpStats(name: String, litV: Any, op: String): Boolean =
       (file.stats.get(name), schema.fields.find(_.name == name)) match {
         case (Some(st), Some(f)) =>
           litComparable(litV) match {
@@ -532,6 +722,9 @@ object ManifestTable {
           }
         case _ => true // no stats for the column (pre-stats manifest)
       }
+    def cmp(name: String, litV: Any, op: String): Boolean =
+      cmpStats(name, litV, op) &&
+        (op != "=" || bloomAdmits(name, litV))
     def flip(op: String): String = op match {
       case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">="
       case other => other
@@ -679,12 +872,13 @@ object ManifestTable {
       }
       val rewritten = (survivors.toSeq ++ replaced.toSeq ++ Seq(inserts))
         .reduce(_ unionByName _)
-      val newFiles = writeFiles(spark, table, rewritten, keyCol, buckets)
+      val newFiles = writeFiles(spark, table, rewritten, keyCol, buckets,
+        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
       // schema carries forward; a post-evolution upsert keeps the
       // widened schema (delta columns must already conform — the
       // unionByName above throws on a mismatch)
       Snapshot(v + 1, "upsert", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-        cur.schemaJson, cur.txns)
+        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits)
     } finally touchedDf.foreach(_.unpersist(false))
   }
 
@@ -704,8 +898,10 @@ object ManifestTable {
       val all = readFiles(spark, table, cur, cur.files)
       // clusterBy here is OPTIMIZE-as-recluster: compaction is the
       // natural place to (re)establish a read-optimized layout
-      val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets, clusterBy)
-      Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson, cur.txns)
+      val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets, clusterBy,
+        cur.bloomCols, cur.bloomBits)
+      Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson,
+        cur.txns, cur.bloomCols, cur.bloomBits)
     }
 
   /** Z-order recluster as a compaction commit (round 17 — Delta's
@@ -753,8 +949,10 @@ object ManifestTable {
         val staged = all.withColumn("_zorder", z)
           .repartitionByRange(buckets, col("_zorder"), col(cur.keyCol))
           .drop("_zorder")
-        val newFiles = writeFilesPartitioned(spark, table, staged, cur.keyCol)
-        Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson, cur.txns)
+        val newFiles = writeFilesPartitioned(spark, table, staged, cur.keyCol,
+          cur.bloomCols, cur.bloomBits)
+        Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson,
+          cur.txns, cur.bloomCols, cur.bloomBits)
       } finally { all.unpersist(false); () }
     }
   }
@@ -807,7 +1005,8 @@ object ManifestTable {
     require(nulls == 0L,
       s"appendBatch has $nulls NULL $keyCol keys — " +
       "the manifest key column must be non-null")
-    val newFiles = writeFiles(spark, table, df, keyCol, buckets)
+    val newFiles = writeFiles(spark, table, df, keyCol, buckets,
+      bloomCols = cur0.bloomCols, bloomBits = cur0.bloomBits)
     var attempts = 0
     while (true) {
       val v = latestVersion(table)
@@ -820,7 +1019,8 @@ object ManifestTable {
         return false
       }
       val snap = Snapshot(v + 1, "append", cur.keyCol, cur.files ++ newFiles,
-        cur.schemaJson, cur.txns + (appId -> batchId))
+        cur.schemaJson, cur.txns + (appId -> batchId),
+        cur.bloomCols, cur.bloomBits)
       try { commit(table, snap); return true }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -884,10 +1084,11 @@ object ManifestTable {
         else {
           val keep = readFiles(spark, table, cur, partial)
             .filter(col(keyCol) < lo || col(keyCol) > hi)
-          writeFiles(spark, table, keep, keyCol, math.max(1, partial.size))
+          writeFiles(spark, table, keep, keyCol, math.max(1, partial.size),
+            bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
         }
       Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-        cur.schemaJson, cur.txns)
+        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits)
     }
 
   /** Snapshot-diff / CDC read (VERDICT r14 #4): the per-key changes
