@@ -3117,6 +3117,87 @@ object Pipeline {
       |WHERE n_chars >= 420 AND lang <> 'zh'
       |ORDER BY 1""".stripMargin
 
+  /** One-time fixture for bin-packing maintenance: half the documents
+    * create 2 well-sized files (v0), the other half streams in as 6
+    * appendBatch slices (quantile bands — scale-independent sizing:
+    * each ≈ N/12 rows vs ≈ N/4 per create file), then `compactSmall`
+    * packs ONLY the small files (min N·0.15, target N·0.25 → 2 packed
+    * files) while the create files carry by reference.
+    */
+  private def materializeManifestOptimize(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_opt/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      val probs = Array(0.5, 7.0 / 12, 8.0 / 12, 9.0 / 12, 10.0 / 12, 11.0 / 12)
+      val qs = d.stat.approxQuantile("doc_id", probs, 0.001)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(
+        s, table, d.filter(col("doc_id") < qs(0)), "doc_id", buckets = 2)
+      (0 until 6).foreach { k =>
+        val slice =
+          if (k == 5) d.filter(col("doc_id") >= qs(5))
+          else d.filter(col("doc_id") >= qs(k) && col("doc_id") < qs(k + 1))
+        require(graft.sources.ManifestTable.appendBatch(
+          s, table, slice, "loader", k.toLong, buckets = 1))
+      }
+      // target 0.26·N, not 0.25: the half-split boundary carries the
+      // approxQuantile error (±0.001·N), and ceil(0.501/0.25) would
+      // round the pack to THREE files — 0.26 absorbs it on both sides
+      graft.sources.ManifestTable.compactSmall(s, table,
+        minRows = math.ceil(n * 0.15).toLong,
+        targetRows = math.ceil(n * 0.26).toLong)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Bin-packing maintenance read (round 17 — Delta OPTIMIZE's
+    * selection semantics): after a create + 6 streaming appends +
+    * one `compactSmall`, the query GATES the maintenance contract
+    * off the manifests alone — the v0 create files survive the
+    * whole lifecycle BY NAME (6 appends and the optimize never
+    * rewrote them: the zero-IO property that makes maintenance
+    * affordable at 100 TB), the 6 small per-batch files packed into
+    * exactly 2, and a replayed appendBatch STILL skips (txn map
+    * carried through maintenance). The result digests the final
+    * snapshot per lang; one lost/doubled row from an unsafe pack
+    * breaks counts, char sums, and the content xor through the hash
+    * gate.
+    */
+  def srcManifestOptimize(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestOptimize(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    val pre = readSnapshot(table, 6)  // after the 6 appends
+    val post = readSnapshot(table, 7) // after compactSmall
+    require(post.op == "compact" && latestVersion(table) == 7,
+      s"expected compactSmall at v7, got ${post.op}/${latestVersion(table)}")
+    val v0Names = v0.files.map(_.name).toSet
+    require(v0Names.subsetOf(post.files.map(_.name).toSet),
+      "create files were rewritten — bin-packing must carry big files by reference")
+    require(pre.files.size == v0.files.size + 6 &&
+      post.files.size == v0.files.size + 2,
+      s"packing shape off: v6=${pre.files.size} v7=${post.files.size} files")
+    require(!appendBatch(s, table, snapshot(s, table).limit(1), "loader", 5L, 1),
+      "replayed batch after maintenance must skip via the txn map")
+    snapshot(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("lang")
+  }
+
+  private val srcManifestOptimizeSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for bloom skipping: documents + a content
     * digest column, keyed on doc_id with the digest bloom-indexed —
     * digests are uniformly scrambled across the key-ranged layout,
@@ -4028,6 +4109,7 @@ object Pipeline {
     "src_manifest_skipping" -> (srcManifestSkipping _),
     "src_manifest_zorder" -> (srcManifestZorder _),
     "src_manifest_bloom" -> (srcManifestBloom _),
+    "src_manifest_optimize" -> (srcManifestOptimize _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4117,6 +4199,7 @@ object Pipeline {
     "src_manifest_skipping" -> srcManifestSkippingSql,
     "src_manifest_zorder" -> srcManifestZorderSql,
     "src_manifest_bloom" -> srcManifestBloomSql,
+    "src_manifest_optimize" -> srcManifestOptimizeSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

@@ -904,6 +904,50 @@ object ManifestTable {
         cur.txns, cur.bloomCols, cur.bloomBits)
     }
 
+  /** Bin-packing compaction (round 17 — Delta OPTIMIZE's actual
+    * selection behavior, which [[compact]]'s whole-table rewrite is
+    * not): rewrite ONLY files under `minRows` into ~`targetRows`-row
+    * ones; every file already big enough carries forward BY
+    * REFERENCE — zero IO, the property that makes maintenance
+    * affordable on a 100 TB table where a streaming sink has
+    * accumulated thousands of small per-batch files next to
+    * well-sized historical ones (a full rewrite would pay the whole
+    * table to fix 1% of it). No-op (no commit, current snapshot
+    * returned) when fewer than two small files exist — repeated
+    * maintenance converges instead of committing empty rewrites.
+    * Commits as `compact` (dataChange=false: streaming tails skip
+    * it); bloom/txn/schema config carries forward, and the rewritten
+    * files get fresh stats + blooms like any write.
+    */
+  def compactSmall(spark: SparkSession, table: String, minRows: Long,
+                   targetRows: Long = 0L): Snapshot = {
+    require(minRows > 0, s"minRows $minRows must be positive")
+    val target = if (targetRows > 0) targetRows else minRows * 4
+    val v0 = latestVersion(table)
+    require(v0 >= 0, s"no manifest in $table/_log")
+    val cur0 = readSnapshot(table, v0)
+    if (cur0.files.count(_.rows < minRows) <= 1) return cur0
+    // control-flow exit for the race case (a concurrent maintainer
+    // already packed the files between our check and the commit):
+    // commitWithRetry commits whatever the body returns, so "nothing
+    // to do" must escape the retry loop, not produce a commit
+    final case class NoopExit(s: Snapshot)
+      extends RuntimeException with scala.util.control.NoStackTrace
+    try commitWithRetry(table) { v =>
+      val cur = readSnapshot(table, v)
+      val (small, big) = cur.files.partition(_.rows < minRows)
+      if (small.size <= 1) throw NoopExit(cur)
+      val smallRows = small.map(_.rows).sum
+      val buckets = math.max(1L, (smallRows + target - 1) / target).toInt
+      val rewritten = readFiles(spark, table, cur, small)
+      val newFiles = writeFiles(spark, table, rewritten, cur.keyCol, buckets,
+        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
+      Snapshot(v + 1, "compact", cur.keyCol,
+        (big ++ newFiles).sortBy(_.minKey), cur.schemaJson,
+        cur.txns, cur.bloomCols, cur.bloomBits)
+    } catch { case NoopExit(s) => s }
+  }
+
   /** Z-order recluster as a compaction commit (round 17 — Delta's
     * OPTIMIZE ZORDER BY): rewrite the snapshot range-partitioned on
     * an interleaved-bits z-value over `zCols`, so EVERY z column gets
