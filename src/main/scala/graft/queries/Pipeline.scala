@@ -2874,23 +2874,32 @@ object Pipeline {
       val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val table = new java.io.File(scratch, "table").getAbsolutePath
       graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8)
-      val updates = d.filter(col("doc_id") % 97 === 0)
-        .withColumn("text", concat(lit("u:"), col("text")))
-        .withColumn("source", lit("upsert"))
-        .withColumn("n_chars", col("n_chars") + 2L)
-      val inserts = s.range(100).select(
-        (lit(mx) + 1L + col("id")).as("doc_id"),
-        concat(lit("ins-"), col("id")).as("text"),
-        element_at(typedLit(Seq("en", "de", "zh", "fr")),
-          (col("id") % 4).cast("int") + 1).as("lang"),
-        lit("insert").as("source"),
-        length(concat(lit("ins-"), col("id"))).cast("long").as("n_chars"))
       graft.sources.ManifestTable.upsert(s, table,
-        updates.unionByName(inserts), buckets = 4)
+        manifestUpsertDelta(s, d, mx), buckets = 4)
       graft.sources.ManifestTable.deleteRange(s, table, mx / 5, 2 * mx / 5)
       graft.sources.ManifestTable.compact(s, table, buckets = 3)
     }
     new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** The v0→v1 upsert delta both manifest fixtures commit (updates
+    * for doc_id % 97 == 0 plus 100 inserted docs) — the Spark replay
+    * of `manifestStateSql`'s upd/ins CTEs.
+    */
+  private def manifestUpsertDelta(s: SparkSession, d: DataFrame,
+                                  mx: Long): DataFrame = {
+    val updates = d.filter(col("doc_id") % 97 === 0)
+      .withColumn("text", concat(lit("u:"), col("text")))
+      .withColumn("source", lit("upsert"))
+      .withColumn("n_chars", col("n_chars") + 2L)
+    val inserts = s.range(100).select(
+      (lit(mx) + 1L + col("id")).as("doc_id"),
+      concat(lit("ins-"), col("id")).as("text"),
+      element_at(typedLit(Seq("en", "de", "zh", "fr")),
+        (col("id") % 4).cast("int") + 1).as("lang"),
+      lit("insert").as("source"),
+      length(concat(lit("ins-"), col("id"))).cast("long").as("n_chars"))
+    updates.unionByName(inserts)
   }
 
   private def manifestDigest(df: DataFrame): DataFrame =
@@ -3146,9 +3155,14 @@ object Pipeline {
       }
       // target 0.26·N, not 0.25: the half-split boundary carries the
       // approxQuantile error (±0.001·N), and ceil(0.501/0.25) would
-      // round the pack to THREE files — 0.26 absorbs it on both sides
+      // round the pack to THREE files — 0.26 absorbs it on both
+      // sides. min 0.10·N, not 0.15: the create's 2-bucket range
+      // split is SAMPLED (≈0.25·N per file, drifting several σ under
+      // load), and a create file dipping under min would be rewritten
+      // and break the by-reference gate; 0.10 clears the small bands
+      // (≈0.083·N, exact) with margin on both sides.
       graft.sources.ManifestTable.compactSmall(s, table,
-        minRows = math.ceil(n * 0.15).toLong,
+        minRows = math.ceil(n * 0.10).toLong,
         targetRows = math.ceil(n * 0.26).toLong)
     }
     new java.io.File(base, "table").getAbsolutePath
@@ -3197,6 +3211,67 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One-time fixture for RESTORE: the same create → upsert →
+    * range-delete lifecycle as the main manifest fixture (own copy —
+    * restore commits a new version, and the shared fixture's sibling
+    * queries pin ITS latest), then `restore(1)` rolls the bad delete
+    * back: v3 re-lists v1's files verbatim.
+    */
+  private def materializeManifestRestore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_res/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8)
+      graft.sources.ManifestTable.upsert(s, table,
+        manifestUpsertDelta(s, d, mx), buckets = 4)
+      graft.sources.ManifestTable.deleteRange(s, table, mx / 5, 2 * mx / 5)
+      graft.sources.ManifestTable.restore(table, 1)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** RESTORE read (round 17 — Delta's RESTORE VERSION AS OF): the
+    * "roll back yesterday's bad load" story. After create → upsert →
+    * range delete, `restore(1)` rolls the delete back as ONE
+    * metadata-only commit — the query GATES that v3's file list is
+    * v1's VERBATIM (zero data IO: no new file names may exist) and
+    * that the restore replays through the CDC read as pure inserts
+    * of exactly the deleted band (`snapshotDiff(2,3)` — what an
+    * incremental consumer must see to re-materialize the rows).
+    * The result digests the restored snapshot per lang against the
+    * replayed v1 oracle: a restore that lost a file, resurrected a
+    * pre-upsert row, or leaked a deleted-band duplicate breaks
+    * counts/sums/spans/xor through the hash gate.
+    */
+  def srcManifestRestore(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestRestore(s, dir)
+    import graft.sources.ManifestTable._
+    val v1 = readSnapshot(table, 1)
+    val v3 = readSnapshot(table, 3)
+    require(v3.op == "restore" &&
+      v3.files.map(_.name) == v1.files.map(_.name),
+      "restore must re-list v1's files verbatim (metadata-only)")
+    val cdc = snapshotDiff(s, table, 2, 3)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("_change_type") =!= "insert", lit(1))).as("bad"))
+      .collect()(0)
+    val expected = snapshot(s, table, Some(1)).count() -
+      snapshot(s, table, Some(2)).count()
+    require(cdc.getLong(1) == 0L && cdc.getLong(0) == expected,
+      s"restore CDC must be exactly the deleted band as inserts: " +
+      s"got ${cdc.getLong(0)} rows (${cdc.getLong(1)} non-insert), want $expected")
+    manifestDigest(snapshot(s, table))
+  }
+
+  private val srcManifestRestoreSql: String =
+    s"""WITH $manifestStateSql
+       |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** One-time fixture for bloom skipping: documents + a content
     * digest column, keyed on doc_id with the digest bloom-indexed —
@@ -4110,6 +4185,7 @@ object Pipeline {
     "src_manifest_zorder" -> (srcManifestZorder _),
     "src_manifest_bloom" -> (srcManifestBloom _),
     "src_manifest_optimize" -> (srcManifestOptimize _),
+    "src_manifest_restore" -> (srcManifestRestore _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4200,6 +4276,7 @@ object Pipeline {
     "src_manifest_zorder" -> srcManifestZorderSql,
     "src_manifest_bloom" -> srcManifestBloomSql,
     "src_manifest_optimize" -> srcManifestOptimizeSql,
+    "src_manifest_restore" -> srcManifestRestoreSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

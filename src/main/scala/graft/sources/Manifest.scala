@@ -1085,6 +1085,44 @@ object ManifestTable {
     false // unreachable
   }
 
+  /** RESTORE (round 17 — Delta's RESTORE TABLE ... VERSION AS OF):
+    * commit a new version whose file list IS `toVersion`'s — time
+    * travel made writable-forward, so "roll back yesterday's bad
+    * load" is one O(files) manifest write with ZERO data IO (the
+    * restored files are immutable and still on disk unless vacuumed —
+    * checked loudly, like every vacuum interaction). Schema and bloom
+    * config restore to the OLD version's too (restoring across an
+    * evolve un-evolves — the Delta contract); the txn map instead
+    * carries FORWARD from the current version: stream idempotency
+    * must survive a rollback, or a replayed micro-batch would
+    * double-append into the restored table. op `restore` is a
+    * data-CHANGING commit: plain streaming tails fail loudly on it
+    * (re-listed files would double-count; skipChangeCommits skips),
+    * while CDC tails replay it as the snapshot diff — the deleted
+    * rows come back as inserts, exactly what an incremental consumer
+    * must see.
+    */
+  def restore(table: String, toVersion: Int): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      require(toVersion >= 0 && toVersion <= v,
+        s"restore target v$toVersion out of range [0, $v]")
+      val cur = readSnapshot(table, v)
+      val old = try readSnapshot(table, toVersion) catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"restore target v$toVersion of $table is outside the retention " +
+            "window (manifest vacuumed)")
+      }
+      val gone = old.files
+        .filterNot(f => new File(dataDir(table), f.name).exists()).map(_.name)
+      require(gone.isEmpty,
+        s"restore to v$toVersion of $table references ${gone.size} data " +
+        s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
+      Snapshot(v + 1, "restore", old.keyCol, old.files, old.schemaJson,
+        cur.txns, old.bloomCols, old.bloomBits)
+    }
+
   /** Retention: delete data files referenced ONLY by versions older
     * than `keepVersions` (and their manifests). The kept window keeps
     * time-traveling; anything outside it stops being readable — the

@@ -191,7 +191,9 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         val prev = if (v == 0) Set.empty[String]
           else ManifestTable.readSnapshot(table, v - 1).files.map(_.name).toSet
         Some(addedFilesDf(snap, prev))
-      case "upsert" | "delete" if !cdc =>
+      case "upsert" | "delete" | "restore" if !cdc =>
+        // restore belongs here too: it re-LISTS previously-removed
+        // files, which an append tail would re-emit as double counts
         if (skipChangeCommits) {
           logInfo(s"manifest stream over $table: skipping ${snap.op} v$v " +
             "(skipChangeCommits=true)")

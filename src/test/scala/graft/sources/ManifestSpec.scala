@@ -415,4 +415,54 @@ class ManifestSpec extends SparkTestBase {
     assert(after == before)
     assert(latestVersion(t) == 2)
   }
+
+  test("restore re-lists the old version verbatim: metadata-only rollback") {
+    val t = mkTable(200, 4)
+    upsert(spark, t, Seq((7L, "x", 1)).toDF("doc_id", "text", "tag"), 1)
+    deleteRange(spark, t, 50, 90)
+    val v1Files = readSnapshot(t, 1).files
+    val dataBefore = new java.io.File(t, "data").listFiles().map(_.getName).toSet
+    val s = restore(t, 1)
+    assert(s.version == 3 && s.op == "restore")
+    // exact old file list, and NO new data file was written
+    assert(s.files == v1Files)
+    assert(new java.io.File(t, "data").listFiles().map(_.getName).toSet == dataBefore)
+    // content equals v1's exactly (the deleted band is back, the
+    // upserted row stays upserted)
+    val v1 = snapshot(spark, t, Some(1)).orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    val now = snapshot(spark, t).orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(now == v1 && now.exists(_ == (7L, "x", 1)))
+    // the rolled-back state (v2) still time-travels
+    assert(snapshot(spark, t, Some(2)).count() == v1.size - 41)
+  }
+
+  test("restore: txns carry FORWARD; schema and bloom config restore BACK") {
+    val t = tmpTable()
+    create(spark, t, (0 until 100).map(i => (i.toLong, s"v$i")).toDF("doc_id", "text"),
+      "doc_id", 2, bloomFor = Seq("text"), bloomBits = 1 << 10)
+    assert(appendBatch(spark, t,
+      Seq((200L, "b0")).toDF("doc_id", "text"), "app", 0L, 1))
+    addColumns(t, Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.DoubleType)))
+    setBloomIndex(t, Seq("doc_id"), bloomBits = 1 << 11)
+    val s = restore(t, 1) // before the evolve and the index change
+    assert(schemaOf(s).get.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(s.bloomCols == Seq("text") && s.bloomBits == (1 << 10))
+    // the stream's idempotency ledger survived the rollback
+    assert(!appendBatch(spark, t, Seq((300L, "x")).toDF("doc_id", "text"), "app", 0L, 1))
+    assert(snapshot(spark, t).count() == 101)
+  }
+
+  test("restore preconditions are loud: bad target, vacuumed files") {
+    val t = mkTable(100, 2)
+    intercept[IllegalArgumentException] { restore(t, 5) }
+    // age v0 out of the retention window, then try to restore to it
+    compact(spark, t, 1)
+    compact(spark, t, 1)
+    vacuum(t, keepVersions = 1)
+    val e = intercept[IllegalStateException] { restore(t, 0) }
+    assert(e.getMessage.contains("retention window"), e.getMessage)
+  }
 }

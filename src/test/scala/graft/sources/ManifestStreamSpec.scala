@@ -101,6 +101,34 @@ class ManifestStreamSpec extends SparkTestBase {
     assert(all == (0L until 70L), s"got ${all.size} rows")
   }
 
+  test("restore: plain tail fails loudly / skips; CDC tail replays the rollback") {
+    // isolate the loud path: a restore as the FIRST change commit
+    val tA = new java.io.File(tmpDir(), "tA").toString
+    create(spark, tA, (0 until 30).map(i => (i.toLong, s"row-$i", i % 7))
+      .toDF("doc_id", "text", "tag"), "doc_id", 1)
+    restore(tA, 0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tA, Map.empty, new java.io.File(tmpDir(), "chkA").toString)
+    }
+    assert(e.getMessage.contains("restore") || e.getCause.getMessage.contains("restore"))
+    // the rollback lifecycle: delete then restore
+    val t = mkTable(50)
+    deleteRange(spark, t, 10L, 19L) // v1
+    restore(t, 0)                   // v2: the 10 rows come back
+    // skipChangeCommits: the delete and restore vanish — v0 only
+    val plain = drain(t, Map("skipChangeCommits" -> "true"),
+      new java.io.File(tmpDir(), "chk2").toString)
+    assert(plain.flatMap(_._2).map(_.getLong(0)).sorted == (0L until 50L))
+    // CDC: the delete emits 10 deletes, the restore 10 inserts back
+    val cdc = drain(t, Map("readChangeFeed" -> "true"),
+      new java.io.File(tmpDir(), "chk3").toString).flatMap(_._2)
+    val byVersion = cdc.groupBy(_.getInt(cdc.head.fieldIndex("_commit_version")))
+    def kinds(v: Int) = byVersion(v)
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("_change_type")))).sorted
+    assert(kinds(1) == (10L until 20L).map((_, "delete")))
+    assert(kinds(2) == (10L until 20L).map((_, "insert")))
+  }
+
   test("compact and evolve commits are skipped silently (dataChange=false)") {
     val t = mkTable(60)
     appendRange(t, 60, 90, "app", 0L)
