@@ -3273,6 +3273,79 @@ object Pipeline {
     s"""WITH $manifestStateSql
        |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for CHECK constraints: documents created WITH
+    * two invariants, a valid upsert committed under them, then a
+    * third constraint ADDED post-hoc — which validates all existing
+    * rows in one scan (Delta's ADD CONSTRAINT behavior) before the
+    * metadata commit lands.
+    */
+  private def materializeManifestConstraint(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_ck/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8,
+        constraints = Map("chars_nonneg" -> "n_chars >= 0",
+          "id_nonneg" -> "doc_id >= 0"))
+      graft.sources.ManifestTable.upsert(s, table,
+        manifestUpsertDelta(s, d, mx), buckets = 4)
+      graft.sources.ManifestTable.setConstraint(s, table,
+        "lang_known", "lang IN ('en','de','zh','fr','es','ja')")
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** CHECK-constraint read (round 17 — Delta's table constraints):
+    * the data-contract story a training pipeline needs at 100 TB —
+    * a held constraint is a table-wide invariant readers may rely
+    * on, because every data-adding commit validates its input BEFORE
+    * anything is written and ADD CONSTRAINT validated the existing
+    * table. The query GATES enforcement live on every run: a
+    * violating upsert and a violating appendBatch both throw and
+    * leave NO new version (atomicity — the rejected frames never
+    * touch the log), while the constraint set read from the manifest
+    * matches what the fixture declared. The result digests the table
+    * against the replayed post-upsert oracle: if the rejected
+    * commits had leaked any row, counts/sums/xor break through the
+    * hash gate.
+    */
+  def srcManifestConstraint(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestConstraint(s, dir)
+    import graft.sources.ManifestTable._
+    val v = latestVersion(table)
+    val snap = readSnapshot(table, v)
+    require(snap.constraints == Map("chars_nonneg" -> "n_chars >= 0",
+      "id_nonneg" -> "doc_id >= 0",
+      "lang_known" -> "lang IN ('en','de','zh','fr','es','ja')"),
+      s"constraint set drifted: ${snap.constraints}")
+    import s.implicits._
+    val badUpsert = Seq((0L, "x", "xx", "bad", -5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e1 = try { upsert(s, table, badUpsert, 4); None } catch {
+      case e: IllegalArgumentException => Some(e.getMessage)
+    }
+    require(e1.exists(_.contains("chars_nonneg")),
+      s"violating upsert was not rejected by chars_nonneg: $e1")
+    val badAppend = Seq((10L << 40, "y", "zz", "bad", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e2 = try { appendBatch(s, table, badAppend, "ck", 0L, 1); None } catch {
+      case e: IllegalArgumentException => Some(e.getMessage)
+    }
+    require(e2.exists(_.contains("lang_known")),
+      s"violating appendBatch was not rejected by lang_known: $e2")
+    require(latestVersion(table) == v,
+      "a rejected commit must leave no version behind")
+    manifestDigest(snapshot(s, table))
+  }
+
+  private val srcManifestConstraintSql: String =
+    s"""WITH $manifestStateSql
+       |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for bloom skipping: documents + a content
     * digest column, keyed on doc_id with the digest bloom-indexed —
     * digests are uniformly scrambled across the key-ranged layout,
@@ -4186,6 +4259,7 @@ object Pipeline {
     "src_manifest_bloom" -> (srcManifestBloom _),
     "src_manifest_optimize" -> (srcManifestOptimize _),
     "src_manifest_restore" -> (srcManifestRestore _),
+    "src_manifest_constraint" -> (srcManifestConstraint _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4277,6 +4351,7 @@ object Pipeline {
     "src_manifest_bloom" -> srcManifestBloomSql,
     "src_manifest_optimize" -> srcManifestOptimizeSql,
     "src_manifest_restore" -> srcManifestRestoreSql,
+    "src_manifest_constraint" -> srcManifestConstraintSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

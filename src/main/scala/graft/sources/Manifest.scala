@@ -103,12 +103,25 @@ object ManifestTable {
     * manifest size and a production system would sidecar them — the
     * JSON-inline choice here keeps the log self-contained.
     */
+  /** `constraints` (round 17 — Delta's CHECK constraints): name → SQL
+    * expression, carried forward by every commit like `txns`/bloom
+    * config. Enforced on the USER-SUPPLIED frame of every
+    * data-adding commit (create / upsert delta / appendBatch batch —
+    * one count job over the daily-delta-sized input, never a table
+    * scan; rewrites of already-validated rows re-check nothing) with
+    * SQL-standard semantics: a row violates iff the expression is
+    * FALSE — NULL passes, like any CHECK. [[setConstraint]] validates
+    * EXISTING data first (one scan — Delta's documented ADD
+    * CONSTRAINT behavior), so a held constraint is a table-wide
+    * invariant a reader may rely on.
+    */
   final case class Snapshot(version: Int, op: String, keyCol: String,
                             files: Seq[FileEntry],
                             schemaJson: Option[String] = None,
                             txns: Map[String, Long] = Map.empty,
                             bloomCols: Seq[String] = Nil,
-                            bloomBits: Int = 1 << 15)
+                            bloomBits: Int = 1 << 15,
+                            constraints: Map[String, String] = Map.empty)
 
   private def logDir(table: String) = new File(table, "_log")
   private def dataDir(table: String) = new File(table, "data")
@@ -153,6 +166,15 @@ object ManifestTable {
       sb.append(",\"bloomCols\":[")
         .append(s.bloomCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
         .append("],\"bloomBits\":").append(s.bloomBits)
+    }
+    if (s.constraints.nonEmpty) {
+      sb.append(",\"constraints\":{")
+      s.constraints.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((n, e), i) =>
+        if (i > 0) sb.append(',')
+        sb.append('"').append(jsonEscape(n)).append("\":\"")
+          .append(jsonEscape(e)).append('"')
+      }
+      sb.append('}')
     }
     sb.append(",\"files\":[")
     s.files.zipWithIndex.foreach { case (f, i) =>
@@ -225,10 +247,17 @@ object ManifestTable {
       while (it2.hasNext) b += it2.next().asText
       b.result()
     }.getOrElse(Nil)
+    val constraints = Option(root.get("constraints")).map { c =>
+      val b = Map.newBuilder[String, String]
+      val fit = c.fields()
+      while (fit.hasNext) { val e = fit.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
     Snapshot(root.get("version").asInt, root.get("op").asText,
       root.get("keyCol").asText, files.toSeq,
       Option(root.get("schema")).map(_.asText), txns,
-      bloomCols, Option(root.get("bloomBits")).map(_.asInt).getOrElse(1 << 15))
+      bloomCols, Option(root.get("bloomBits")).map(_.asInt).getOrElse(1 << 15),
+      constraints)
   }
 
   /** Atomic put-if-absent commit. Throws FileAlreadyExistsException if
@@ -468,12 +497,14 @@ object ManifestTable {
              keyCol: String, buckets: Int,
              clusterBy: Option[String] = None,
              bloomFor: Seq[String] = Nil,
-             bloomBits: Int = 1 << 15): Snapshot = {
+             bloomBits: Int = 1 << 15,
+             constraints: Map[String, String] = Map.empty): Snapshot = {
     validateBloomCols(df.schema, bloomFor, bloomBits)
+    enforceConstraints(df, constraints, s"create of $table")
     val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy,
       bloomFor, bloomBits)
     val s = Snapshot(0, "create", keyCol, files, Some(df.schema.json),
-      bloomCols = bloomFor, bloomBits = bloomBits)
+      bloomCols = bloomFor, bloomBits = bloomBits, constraints = constraints)
     commit(table, s)
     s
   }
@@ -501,6 +532,62 @@ object ManifestTable {
     }
   }
 
+  /** One aggregate job over `df` counting violations of every
+    * constraint at once (never a per-constraint pass). SQL CHECK
+    * semantics: a row violates iff the expression evaluates FALSE —
+    * NULL passes. Throws with the constraint name, expression, and
+    * violation count; nothing has been written when it does.
+    */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Map[String, String],
+                                 what: String): Unit = {
+    if (constraints.isEmpty) return
+    val named = constraints.toSeq.sortBy(_._1)
+    val aggs = named.zipWithIndex.map { case ((_, sql), i) =>
+      count(when(!coalesce(expr(sql).cast("boolean"), lit(true)), lit(1)))
+        .as(s"_viol_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    named.zipWithIndex.foreach { case ((n, sql), i) =>
+      val v = row.getLong(i)
+      if (v > 0) throw new IllegalArgumentException(
+        s"$what: $v row(s) violate CHECK constraint '$n' ($sql)")
+    }
+  }
+
+  /** ADD CONSTRAINT (round 17 — Delta's ALTER TABLE ADD CONSTRAINT
+    * CHECK): validates the EXISTING table first (one scan — the
+    * documented Delta behavior, and what makes a held constraint a
+    * table-wide invariant readers may rely on), then commits the
+    * name → SQL pair as a metadata-only `evolve` every later
+    * data-adding commit enforces on its input.
+    */
+  def setConstraint(spark: SparkSession, table: String, name: String,
+                    sqlExpr: String): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      require(!cur.constraints.contains(name),
+        s"constraint '$name' already exists on $table (drop it first)")
+      enforceConstraints(readFiles(spark, table, cur, cur.files),
+        Map(name -> sqlExpr), s"existing data in $table")
+      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
+        cur.txns, cur.bloomCols, cur.bloomBits,
+        cur.constraints + (name -> sqlExpr))
+    }
+
+  /** DROP CONSTRAINT — metadata-only; loud on an unknown name. */
+  def dropConstraint(table: String, name: String): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      require(cur.constraints.contains(name),
+        s"no constraint '$name' on $table " +
+        s"(have: ${cur.constraints.keys.toSeq.sorted.mkString(", ")})")
+      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
+        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints - name)
+    }
+
   /** Enable (or extend) the bloom index on an existing table —
     * metadata-only, zero data IO (the 100 TB property): commits the
     * new column list as an `evolve` (dataChange=false; streaming
@@ -518,7 +605,7 @@ object ManifestTable {
         s"setBloomIndex requires a logged schema (table $table predates schema logging)"))
       validateBloomCols(st, cols, bloomBits)
       Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
-        cur.txns, (cur.bloomCols ++ cols).distinct, bloomBits)
+        cur.txns, (cur.bloomCols ++ cols).distinct, bloomBits, cur.constraints)
     }
 
   private def filePaths(table: String, s: Snapshot): Seq[String] =
@@ -575,7 +662,7 @@ object ManifestTable {
       require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
       val widened = org.apache.spark.sql.types.StructType(st.fields ++ newCols)
       Snapshot(v + 1, "evolve", cur.keyCol, cur.files, Some(widened.json),
-        cur.txns, cur.bloomCols, cur.bloomBits)
+        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     }
 
   /** Range read with MANIFEST-level file skipping: only files whose
@@ -826,6 +913,7 @@ object ManifestTable {
     require(v >= 0, s"no manifest in $table/_log")
     val cur = readSnapshot(table, v)
     val keyCol = cur.keyCol
+    enforceConstraints(delta, cur.constraints, s"upsert delta into $table")
     // Duplicate delta keys would survive BOTH the semi and anti joins
     // into `replaced`/`inserts`, silently violating the unique-key
     // invariant the range stats and pruning rely on. Fail loudly like
@@ -878,7 +966,7 @@ object ManifestTable {
       // widened schema (delta columns must already conform — the
       // unionByName above throws on a mismatch)
       Snapshot(v + 1, "upsert", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits)
+        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     } finally touchedDf.foreach(_.unpersist(false))
   }
 
@@ -901,7 +989,7 @@ object ManifestTable {
       val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets, clusterBy,
         cur.bloomCols, cur.bloomBits)
       Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits)
+        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     }
 
   /** Bin-packing compaction (round 17 — Delta OPTIMIZE's actual
@@ -944,7 +1032,7 @@ object ManifestTable {
         bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
       Snapshot(v + 1, "compact", cur.keyCol,
         (big ++ newFiles).sortBy(_.minKey), cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits)
+        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     } catch { case NoopExit(s) => s }
   }
 
@@ -996,7 +1084,7 @@ object ManifestTable {
         val newFiles = writeFilesPartitioned(spark, table, staged, cur.keyCol,
           cur.bloomCols, cur.bloomBits)
         Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson,
-          cur.txns, cur.bloomCols, cur.bloomBits)
+          cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
       } finally { all.unpersist(false); () }
     }
   }
@@ -1049,6 +1137,8 @@ object ManifestTable {
     require(nulls == 0L,
       s"appendBatch has $nulls NULL $keyCol keys — " +
       "the manifest key column must be non-null")
+    enforceConstraints(df, cur0.constraints,
+      s"appendBatch($appId, $batchId) into $table")
     val newFiles = writeFiles(spark, table, df, keyCol, buckets,
       bloomCols = cur0.bloomCols, bloomBits = cur0.bloomBits)
     var attempts = 0
@@ -1064,7 +1154,7 @@ object ManifestTable {
       }
       val snap = Snapshot(v + 1, "append", cur.keyCol, cur.files ++ newFiles,
         cur.schemaJson, cur.txns + (appId -> batchId),
-        cur.bloomCols, cur.bloomBits)
+        cur.bloomCols, cur.bloomBits, cur.constraints)
       try { commit(table, snap); return true }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1120,7 +1210,7 @@ object ManifestTable {
         s"restore to v$toVersion of $table references ${gone.size} data " +
         s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
       Snapshot(v + 1, "restore", old.keyCol, old.files, old.schemaJson,
-        cur.txns, old.bloomCols, old.bloomBits)
+        cur.txns, old.bloomCols, old.bloomBits, old.constraints)
     }
 
   /** Retention: delete data files referenced ONLY by versions older
@@ -1170,7 +1260,7 @@ object ManifestTable {
             bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
         }
       Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits)
+        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     }
 
   /** Snapshot-diff / CDC read (VERDICT r14 #4): the per-key changes
