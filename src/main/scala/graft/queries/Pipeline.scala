@@ -3273,6 +3273,73 @@ object Pipeline {
     s"""WITH $manifestStateSql
        |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for predicate DELETE: documents clustered by
+    * n_chars (tight per-file bands), then `deleteWhere` removes the
+    * [250, 430) char band — chosen so all three plan tiers engage
+    * (the band spans ~3 of 8 file-widths of the SF-stable n_chars
+    * distribution: interior files drop metadata-only, edge files
+    * rewrite, the rest carry). The engaged plan counts persist next
+    * to the table for the query's gates.
+    */
+  private def materializeManifestDeleteWhere(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_dw/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8,
+        clusterBy = Some("n_chars"))
+      graft.sources.ManifestTable.deleteWhere(s, table,
+        col("n_chars") >= 250L && col("n_chars") < 430L)
+      val (c, dr, rw) = graft.sources.ManifestTable.lastDeleteWherePlan(table).get
+      java.nio.file.Files.writeString(
+        new java.io.File(scratch, "plan.json").toPath,
+        s"""{"carried":$c,"dropped":$dr,"rewritten":$rw}""")
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Predicate-DELETE read (round 17 — Delta's DELETE WHERE): an
+    * arbitrary non-key band deleted through the three-tier stats
+    * plan. The query GATES off the build-time plan record that every
+    * tier engaged — ≥1 file dropped METADATA-ONLY (proven all-match:
+    * ¬pred unsatisfiable on its stats AND zero nulls in the
+    * referenced column), ≥1 rewritten (boundary straddle), ≥1
+    * carried by reference (proven no-match) — and re-proves the
+    * carried tier from the manifests (v0 names surviving into v1).
+    * On a 100 TB table clustered by the delete column this is the
+    * "delete a time/size band by touching two boundary files" story.
+    * The digest oracle replays SQL DELETE semantics; one unsafely
+    * dropped file (e.g. a NULL-bearing one) loses surviving rows
+    * through the hash gate.
+    */
+  def srcManifestDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestDeleteWhere(s, dir)
+    import graft.sources.ManifestTable._
+    val plan = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.io.File(table).getParent, "plan.json").toPath))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(plan)
+    val (c, dr, rw) =
+      (m.get("carried").asInt, m.get("dropped").asInt, m.get("rewritten").asInt)
+    require(c >= 1 && dr >= 1 && rw >= 1,
+      s"deleteWhere tiers did not all engage: carried=$c dropped=$dr rewritten=$rw")
+    val v0Names = readSnapshot(table, 0).files.map(_.name).toSet
+    require(readSnapshot(table, 1).files.count(f => v0Names(f.name)) == c,
+      "carried-by-reference count does not match the recorded plan")
+    manifestDigest(snapshot(s, table))
+  }
+
+  private val srcManifestDeleteWhereSql: String =
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+       |FROM documents
+       |WHERE NOT (n_chars >= 250 AND n_chars < 430)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for CHECK constraints: documents created WITH
     * two invariants, a valid upsert committed under them, then a
     * third constraint ADDED post-hoc — which validates all existing
@@ -4260,6 +4327,7 @@ object Pipeline {
     "src_manifest_optimize" -> (srcManifestOptimize _),
     "src_manifest_restore" -> (srcManifestRestore _),
     "src_manifest_constraint" -> (srcManifestConstraint _),
+    "src_manifest_deletewhere" -> (srcManifestDeleteWhere _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4352,6 +4420,7 @@ object Pipeline {
     "src_manifest_optimize" -> srcManifestOptimizeSql,
     "src_manifest_restore" -> srcManifestRestoreSql,
     "src_manifest_constraint" -> srcManifestConstraintSql,
+    "src_manifest_deletewhere" -> srcManifestDeleteWhereSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

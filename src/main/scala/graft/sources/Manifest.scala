@@ -1263,6 +1263,74 @@ object ManifestTable {
         cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     }
 
+  /** Predicate DELETE (round 17 — Delta's DELETE WHERE, generalizing
+    * [[deleteRange]] beyond the key column): three-tier plan built
+    * from file stats alone, before any data IO —
+    *
+    *  1. files whose stats PROVE the predicate matches no row carry
+    *     forward BY REFERENCE (zero IO);
+    *  2. files whose stats prove the predicate matches EVERY row
+    *     drop metadata-only — provable as "no row satisfies ¬pred"
+    *     AND zero nulls in every referenced column (a NULL makes the
+    *     predicate NULL, and SQL DELETE keeps such rows, so a
+    *     null-bearing file can never be whole-file dropped);
+    *  3. only straddling files rewrite, keeping rows where the
+    *     predicate is not TRUE (false OR null — SQL semantics).
+    *
+    * On a 100 TB table clustered by the delete column this deletes an
+    * arbitrary band by rewriting just the two boundary files. Both
+    * proofs reuse [[canMatch]] — the same three-valued evaluator the
+    * read path trusts, so the delete plan can never disagree with
+    * what a read would see.
+    */
+  /** The last deleteWhere's (carried, dropped, rewritten) file counts
+    * per table — observability for gates and specs (the
+    * matchingFiles pattern: prove the tiers ENGAGED, not just that
+    * the answer is right).
+    */
+  private val deleteWherePlans =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+  private def logDeleteWherePlan(table: String, carried: Int, dropped: Int,
+                                 rewritten: Int): Unit = {
+    deleteWherePlans.put(table, (carried, dropped, rewritten)); ()
+  }
+  def lastDeleteWherePlan(table: String): Option[(Int, Int, Int)] =
+    Option(deleteWherePlans.get(table))
+
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column): Snapshot = {
+    val pe = org.apache.spark.sql.graftshim.NodeInternals.predTree(predicate)
+    val notPe = org.apache.spark.sql.graftshim.NodeInternals.predTree(!predicate)
+    def refCols(n: PredNode): Set[String] = n match {
+      case PredNode.Attr(a) => Set(a)
+      case PredNode.FnCall(_, args) => args.flatMap(refCols).toSet
+      case _ => Set.empty
+    }
+    val refs = refCols(pe)
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+        s"deleteWhere requires a logged schema (table $table predates schema logging)"))
+      val (mayMatch, untouched) = cur.files.partition(f => canMatch(f, st, pe))
+      val (dropped, rewrite) = mayMatch.partition { f =>
+        !canMatch(f, st, notPe) &&
+          refs.forall(c => f.stats.get(c).exists(_.nulls == 0L))
+      }
+      val newFiles =
+        if (rewrite.isEmpty) Seq.empty
+        else writeFiles(spark, table,
+          readFiles(spark, table, cur, rewrite)
+            .filter(!coalesce(predicate, lit(false))),
+          cur.keyCol, math.max(1, rewrite.size),
+          bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
+      logDeleteWherePlan(table, untouched.size, dropped.size, rewrite.size)
+      Snapshot(v + 1, "delete", cur.keyCol,
+        (untouched ++ newFiles).sortBy(_.minKey), cur.schemaJson,
+        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+    }
+  }
+
   /** Snapshot-diff / CDC read (VERDICT r14 #4): the per-key changes
     * between two committed versions — what an incremental consumer
     * (the daily-delta shape that `dedup_incremental`/`ann_incremental`
