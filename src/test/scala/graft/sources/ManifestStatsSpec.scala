@@ -179,6 +179,23 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(snapshotWhere(spark, t, col("a") === 500.0 && col("b") >= 0.0).count() == 1)
   }
 
+  test("snapshotWhere's residual filter reaches the parquet scan (PushedFilters)") {
+    val t = tmpTable()
+    val df = (0 until 400).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    create(spark, t, df, "id", 4)
+    val read = snapshotWhere(spark, t, col("v") >= 50.0)
+    // file-level skipping happens at the manifest; ROW-GROUP-level
+    // skipping inside the surviving files is Spark's job, and it only
+    // happens if the residual filter is pushed into the scan — a plan
+    // where PushedFilters is empty reads every row group of every hit
+    // file, which at 100 TB is the difference that matters
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,50.0)]")
+      || scan.contains("GreaterThanOrEqual(v,50.0)"),
+      s"residual predicate not pushed to the scan:\n$scan")
+    assert(read.count() == 400 / 2)
+  }
+
   test("pre-stats manifests (no stats maps) read fine and never prune") {
     val t = tmpTable()
     val df = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
