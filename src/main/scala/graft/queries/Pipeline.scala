@@ -3221,7 +3221,9 @@ object Pipeline {
   private def materializeManifestRestore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
-    val base = new java.io.File(s"/tmp/graft_manifest_res/$tag-$fpTag")
+    // -v2: manifests now stamp in-commit timestamps (round 17);
+    // rebuild so the timestamp-travel query resolves real stamps
+    val base = new java.io.File(s"/tmp/graft_manifest_res/$tag-$fpTag-v2")
     graft.Tables.pruneStaleSiblings(base, tag)
     graft.Tables.materializeOnce(base, "_READY") { scratch =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -3272,6 +3274,32 @@ object Pipeline {
   private val srcManifestRestoreSql: String =
     s"""WITH $manifestStateSql
        |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Timestamp time travel (round 17 — Delta's TIMESTAMP AS OF) over
+    * the restore fixture's four-commit history: resolve v1's OWN
+    * in-commit stamp (strictly-monotone by the central
+    * max(now, parent+1) clamp, so "as of ts(v1)" is well-defined
+    * even for commits landed in the same millisecond) and read the
+    * table as of that instant. Gates pin the resolution algebra —
+    * exact stamp → that version, one millisecond earlier → strictly
+    * older, the far future → latest — and the result digests the
+    * resolved snapshot against the replayed post-upsert oracle: an
+    * off-by-one version (reading the delete or the restore instead)
+    * changes counts and spans through the hash gate.
+    */
+  def srcManifestAsofTs(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestRestore(s, dir)
+    import graft.sources.ManifestTable._
+    val ts1 = readSnapshot(table, 1).ts
+    require(ts1 > 0L, "fixture predates in-commit timestamps")
+    require(versionAsOf(table, ts1) == 1 &&
+      versionAsOf(table, ts1 - 1) == 0 &&
+      versionAsOf(table, Long.MaxValue) == 3,
+      "timestamp resolution algebra drifted")
+    manifestDigest(snapshotAsOf(s, table, ts1))
+  }
+
+  private val srcManifestAsofTsSql: String = srcManifestRestoreSql
 
   /** One-time fixture for predicate DELETE: documents clustered by
     * n_chars (tight per-file bands), then `deleteWhere` removes the
@@ -4328,6 +4356,7 @@ object Pipeline {
     "src_manifest_restore" -> (srcManifestRestore _),
     "src_manifest_constraint" -> (srcManifestConstraint _),
     "src_manifest_deletewhere" -> (srcManifestDeleteWhere _),
+    "src_manifest_asof_ts" -> (srcManifestAsofTs _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4421,6 +4450,7 @@ object Pipeline {
     "src_manifest_restore" -> srcManifestRestoreSql,
     "src_manifest_constraint" -> srcManifestConstraintSql,
     "src_manifest_deletewhere" -> srcManifestDeleteWhereSql,
+    "src_manifest_asof_ts" -> srcManifestAsofTsSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

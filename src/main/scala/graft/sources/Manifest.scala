@@ -115,13 +115,22 @@ object ManifestTable {
     * CONSTRAINT behavior), so a held constraint is a table-wide
     * invariant a reader may rely on.
     */
+  /** `ts` (round 17 — Delta's in-commit timestamps): the commit's
+    * epoch-millis, stamped centrally at commit time as
+    * max(now, parent.ts + 1) so the sequence is STRICTLY monotone
+    * even under clock ties or skew — what makes timestamp time
+    * travel ([[versionAsOf]]) well-defined. 0 = a pre-ts manifest
+    * (reads fine; timestamp resolution over such history is
+    * documented-degraded, never wrong-version).
+    */
   final case class Snapshot(version: Int, op: String, keyCol: String,
                             files: Seq[FileEntry],
                             schemaJson: Option[String] = None,
                             txns: Map[String, Long] = Map.empty,
                             bloomCols: Seq[String] = Nil,
                             bloomBits: Int = 1 << 15,
-                            constraints: Map[String, String] = Map.empty)
+                            constraints: Map[String, String] = Map.empty,
+                            ts: Long = 0L)
 
   private def logDir(table: String) = new File(table, "_log")
   private def dataDir(table: String) = new File(table, "data")
@@ -149,6 +158,7 @@ object ManifestTable {
     sb.append("{\"version\":").append(s.version)
       .append(",\"op\":\"").append(s.op)
       .append("\",\"keyCol\":\"").append(s.keyCol).append('"')
+    if (s.ts > 0L) sb.append(",\"ts\":").append(s.ts)
     // the Delta metaData action's role: the table schema rides in the
     // log so an empty snapshot and a schema-evolution commit are
     // representable without reading any data file
@@ -257,7 +267,7 @@ object ManifestTable {
       root.get("keyCol").asText, files.toSeq,
       Option(root.get("schema")).map(_.asText), txns,
       bloomCols, Option(root.get("bloomBits")).map(_.asInt).getOrElse(1 << 15),
-      constraints)
+      constraints, Option(root.get("ts")).map(_.asLong).getOrElse(0L))
   }
 
   /** Atomic put-if-absent commit. Throws FileAlreadyExistsException if
@@ -267,13 +277,22 @@ object ManifestTable {
     * creation (link(2)) is atomic AND fails with EEXIST, which is
     * exactly put-if-absent; the temp name is then unlinked.
     */
-  def commit(table: String, s: Snapshot): Unit = {
+  def commit(table: String, s: Snapshot): Snapshot = {
     logDir(table).mkdirs()
+    // in-commit timestamp, stamped centrally so EVERY commit class
+    // gets it: max(now, parent.ts + 1) keeps the sequence strictly
+    // monotone under clock ties/skew — the property versionAsOf needs
+    val parentTs =
+      if (s.version > 0 && manifestFile(table, s.version - 1).exists())
+        readSnapshot(table, s.version - 1).ts
+      else 0L
+    val stamped = s.copy(ts = math.max(System.currentTimeMillis(), parentTs + 1))
     val tmp = new File(logDir(table),
       s"_tmp-${java.util.UUID.randomUUID.toString.take(8)}.json")
-    Files.write(tmp.toPath, render(s).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp.toPath, render(stamped).getBytes(StandardCharsets.UTF_8))
     try Files.createLink(manifestFile(table, s.version).toPath, tmp.toPath)
     finally Files.deleteIfExists(tmp.toPath): Unit
+    stamped
   }
 
   /** Bounded optimistic-retry commit (VERDICT r14 #4): `body` receives
@@ -293,7 +312,7 @@ object ManifestTable {
         Option(logDir(table).listFiles()).exists(_.exists(_.getName.startsWith("v"))))
         latestVersion(table) else -1
       val s = body(v)
-      try { commit(table, s); return s }
+      try { return commit(table, s) }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           // the failed attempt's freshly-written files (anything it
@@ -320,6 +339,34 @@ object ManifestTable {
     require(vs.nonEmpty, s"no manifest in $table/_log")
     vs.max
   }
+
+  /** Timestamp time travel (round 17 — Delta's TIMESTAMP AS OF): the
+    * latest version whose in-commit timestamp is <= `tsMillis` —
+    * well-defined because [[commit]] stamps strictly monotone ts.
+    * Binary search over the retained version range: O(log versions)
+    * manifest reads, never a full log walk (a years-lived stream's
+    * log is long). Loud when the timestamp predates the oldest
+    * RETAINED version (vacuum may have aged the true answer out) or
+    * the whole table.
+    */
+  def versionAsOf(table: String, tsMillis: Long): Int = {
+    val latest = latestVersion(table)
+    require(latest >= 0, s"no manifest in $table/_log")
+    val oldest = (0 to latest).find(v => manifestFile(table, v).exists()).get
+    require(readSnapshot(table, oldest).ts <= tsMillis,
+      s"timestamp $tsMillis predates the oldest retained version " +
+      s"v$oldest of $table (earlier history vacuumed or never existed)")
+    var lo = oldest; var hi = latest
+    while (lo < hi) { // invariant: ts(lo) <= tsMillis
+      val mid = lo + (hi - lo + 1) / 2
+      if (readSnapshot(table, mid).ts <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  def snapshotAsOf(spark: SparkSession, table: String,
+                   tsMillis: Long): DataFrame =
+    snapshot(spark, table, Some(versionAsOf(table, tsMillis)))
 
   def readSnapshot(table: String, version: Int): Snapshot =
     parse(new String(Files.readAllBytes(manifestFile(table, version).toPath),
@@ -503,10 +550,8 @@ object ManifestTable {
     enforceConstraints(df, constraints, s"create of $table")
     val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy,
       bloomFor, bloomBits)
-    val s = Snapshot(0, "create", keyCol, files, Some(df.schema.json),
-      bloomCols = bloomFor, bloomBits = bloomBits, constraints = constraints)
-    commit(table, s)
-    s
+    commit(table, Snapshot(0, "create", keyCol, files, Some(df.schema.json),
+      bloomCols = bloomFor, bloomBits = bloomBits, constraints = constraints))
   }
 
   /** Bloom columns must be integral or string typed: those are the

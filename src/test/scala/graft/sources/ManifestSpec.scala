@@ -416,6 +416,31 @@ class ManifestSpec extends SparkTestBase {
     assert(latestVersion(t) == 2)
   }
 
+  test("in-commit timestamps are strictly monotone; versionAsOf resolves exactly") {
+    val t = mkTable(50, 1)
+    // rapid-fire commits force clock ties: the max(now, parent+1)
+    // clamp must keep ts strictly increasing anyway
+    (0 until 5).foreach(b => appendBatch(spark, t,
+      Seq((1000L + b, s"b$b", 0)).toDF("doc_id", "text", "tag"), "a", b.toLong, 1))
+    val ts = (0 to 5).map(v => readSnapshot(t, v).ts)
+    assert(ts.forall(_ > 0) && ts.sliding(2).forall(p => p(0) < p(1)),
+      s"not strictly monotone: $ts")
+    // exact hit, between-versions, after-latest, before-create
+    assert(versionAsOf(t, ts(3)) == 3)
+    assert(versionAsOf(t, ts(3) - 1) <= 2) // strictly before v3's stamp
+    assert(versionAsOf(t, Long.MaxValue) == 5)
+    val e = intercept[IllegalArgumentException] { versionAsOf(t, ts(0) - 1) }
+    assert(e.getMessage.contains("predates"))
+    // content resolution matches the version read
+    assert(snapshotAsOf(spark, t, ts(2)).count() ==
+      snapshot(spark, t, Some(2)).count())
+    // vacuumed history: a timestamp older than the retained window is loud
+    compact(spark, t, 1); compact(spark, t, 1)
+    vacuum(t, keepVersions = 2)
+    intercept[IllegalArgumentException] { versionAsOf(t, ts(0)) }
+    assert(versionAsOf(t, Long.MaxValue) == latestVersion(t))
+  }
+
   test("restore re-lists the old version verbatim: metadata-only rollback") {
     val t = mkTable(200, 4)
     upsert(spark, t, Seq((7L, "x", 1)).toDF("doc_id", "text", "tag"), 1)
