@@ -3368,6 +3368,62 @@ object Pipeline {
        |WHERE NOT (n_chars >= 250 AND n_chars < 430)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for key-set DELETE: documents keyed on doc_id,
+    * then `deleteKeys` of every 997th id — a sparse arbitrary list,
+    * the GDPR shape.
+    */
+  private def materializeManifestDeleteKeys(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_dk/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8)
+      graft.sources.ManifestTable.deleteKeys(s, table,
+        d.filter(col("doc_id") % 997 === 0).select("doc_id"))
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Key-set DELETE read (round 17 — the GDPR / right-to-be-forgotten
+    * shape): an arbitrary sparse key LIST deleted through the COW
+    * range-pruned path — no range, no stats-expressible predicate,
+    * so [[deleteWhere]]'s evaluator could never prune it; the
+    * broadcast range-join against the per-file key ranges can. The
+    * query re-derives the EXACT expected pruning from the v0
+    * manifest (a file carries by reference iff its [min,max] span
+    * contains no multiple of 997) and gates the v1 manifest against
+    * it — scale-independent: at small SF most files carry, at ×100
+    * every file legitimately contains victims and the gate pins THAT
+    * instead. The digest oracle replays the deletion; a key deleted
+    * from the wrong file or a survivor lost in a rewrite breaks it.
+    */
+  def srcManifestDeleteKeys(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestDeleteKeys(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    val v1 = readSnapshot(table, 1)
+    val expectedCarried = v0.files.count(f =>
+      (f.minKey + 996) / 997 * 997 > f.maxKey) // no multiple of 997 inside
+    val v0Names = v0.files.map(_.name).toSet
+    require(v1.op == "delete" &&
+      v1.files.count(f => v0Names(f.name)) == expectedCarried,
+      s"deleteKeys pruning drifted: carried " +
+      s"${v1.files.count(f => v0Names(f.name))}, expected $expectedCarried")
+    manifestDigest(snapshot(s, table))
+  }
+
+  private val srcManifestDeleteKeysSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents
+      |WHERE doc_id % 997 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for CHECK constraints: documents created WITH
     * two invariants, a valid upsert committed under them, then a
     * third constraint ADDED post-hoc — which validates all existing
@@ -4357,6 +4413,7 @@ object Pipeline {
     "src_manifest_constraint" -> (srcManifestConstraint _),
     "src_manifest_deletewhere" -> (srcManifestDeleteWhere _),
     "src_manifest_asof_ts" -> (srcManifestAsofTs _),
+    "src_manifest_deletekeys" -> (srcManifestDeleteKeys _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4451,6 +4508,7 @@ object Pipeline {
     "src_manifest_constraint" -> srcManifestConstraintSql,
     "src_manifest_deletewhere" -> srcManifestDeleteWhereSql,
     "src_manifest_asof_ts" -> srcManifestAsofTsSql,
+    "src_manifest_deletekeys" -> srcManifestDeleteKeysSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

@@ -1308,6 +1308,44 @@ object ManifestTable {
         cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     }
 
+  /** Key-set DELETE (round 17): remove an arbitrary list of keys —
+    * the GDPR/right-to-be-forgotten shape, where the victims are a
+    * key LIST (no range, no stats-expressible predicate). File
+    * pruning is the COW upsert's: a broadcast range-join of the
+    * (small) per-file key ranges against the delete keys touches
+    * only files whose [min,max] contains at least one victim — on a
+    * 100 TB key-ranged table a thousand scattered keys rewrite a
+    * few files, everything else carries by reference. Duplicate and
+    * NULL delete keys are tolerated (dedup'd; NULLs can never match
+    * the non-null key invariant). Keys absent from the table simply
+    * delete nothing — the caller's list may be stale.
+    */
+  def deleteKeys(spark: SparkSession, table: String,
+                 keys: DataFrame): Snapshot = commitWithRetry(table) { v =>
+    require(v >= 0, s"no manifest in $table/_log")
+    require(keys.columns.length == 1,
+      s"deleteKeys expects a single-column key frame, got ${keys.columns.mkString(",")}")
+    val cur = readSnapshot(table, v)
+    val keyCol = cur.keyCol
+    val ks = keys.select(col(keys.columns(0)).cast("long").as("_k"))
+      .filter(col("_k").isNotNull).distinct()
+    val ranges = spark.createDataFrame(cur.files.map(f =>
+      (f.name, f.minKey, f.maxKey))).toDF("_file", "_mn", "_mx")
+    val touchedNames = ks
+      .join(broadcast(ranges), col("_k") >= col("_mn") && col("_k") <= col("_mx"))
+      .select("_file").distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = cur.files.partition(f => touchedNames(f.name))
+    val newFiles =
+      if (touched.isEmpty) Seq.empty
+      else writeFiles(spark, table,
+        readFiles(spark, table, cur, touched)
+          .join(ks.withColumnRenamed("_k", keyCol), Seq(keyCol), "left_anti"),
+        keyCol, math.max(1, touched.size),
+        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
+    Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
+      cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+  }
+
   /** Predicate DELETE (round 17 — Delta's DELETE WHERE, generalizing
     * [[deleteRange]] beyond the key column): three-tier plan built
     * from file stats alone, before any data IO —

@@ -66,6 +66,25 @@ class ManifestDeleteWhereSpec extends SparkTestBase {
     assert(snapshot(spark, t, Some(0)).count() == 100)
   }
 
+  test("deleteKeys: scattered key list rewrites only containing files") {
+    val t = tmpTable()
+    val df = (0 until 800).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    create(spark, t, df, "id", 8) // key-ranged: 100 ids per file
+    // victims live in 2 of the 8 files; list includes dups, a NULL,
+    // and keys the table never had
+    val victims = Seq(Some(5L), Some(7L), Some(5L), Some(750L), None,
+      Some(99999L)).toDF("k")
+    val s = deleteKeys(spark, t, victims)
+    val v0Names = readSnapshot(t, 0).files.map(_.name).toSet
+    assert(s.files.count(f => v0Names(f.name)) == 6,
+      s"expected 6 carried files, sizes ${s.files.map(_.rows)}")
+    val got = snapshot(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 800L).filterNot(Set(5L, 7L, 750L)))
+    // an all-absent key list carries EVERY file (zero IO delete)
+    val s2 = deleteKeys(spark, t, Seq(123456L).toDF("k"))
+    assert(s2.files.map(_.name).toSet == s.files.map(_.name).toSet)
+  }
+
   test("unprovable shapes degrade to rewrite-everything, never to a wrong answer") {
     val t = tmpTable()
     val df = (0 until 200).map(i => (i.toLong, s"w$i")).toDF("id", "s")
