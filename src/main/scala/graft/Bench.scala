@@ -138,7 +138,19 @@ object Bench {
       } else (name, best, runs)
     }
     val results2 = rerun
-    val loadEnd = loadAvg
+    // The end-point load must measure EXTERNAL contention, not the
+    // bench's own tail: the 1-minute loadavg read the instant the last
+    // (streaming-heavy) query finishes is dominated by our own
+    // just-quiesced executors and self-flags every run (seen twice at
+    // r17: 0 rows >2x, 0 reruns, yet load_end 2.6-5.0). Let it settle
+    // — bounded — before reading: our own contribution decays within
+    // the window, a genuinely loaded host stays loaded and still flags.
+    val loadEnd = {
+      var l = loadAvg
+      var waited = 0
+      while (l > 2.5 && waited < 4) { Thread.sleep(20000); waited += 1; l = loadAvg }
+      l
+    }
     // contended keys on BOTH endpoints (VERDICT r14 #1): a run that
     // starts idle and ends loaded is just as untrustworthy as one that
     // starts loaded.

@@ -633,8 +633,12 @@ object Stream {
     // while the per-commit budget grows with the data, exactly how
     // production sizes admission control. Env still overrides.
     val nRecords = s.read.parquet(s"$dir/events.parquet").count()
+    // the 2000-record floor caps at n/4 so a tiny corpus (sf0.001:
+    // ~1k records) still paces >= 4 micro-batches instead of tripping
+    // the multi-batch gate; unchanged for every n >= 8000
     val trigger = sys.env.getOrElse("SPARK_GRAFT_LEDGER_EO_TRIGGER",
-      math.max(2000L, math.ceil(nRecords / 10.0).toLong).toString)
+      math.max(math.min(2000L, math.max(1L, nRecords / 4)),
+        math.ceil(nRecords / 10.0).toLong).toString)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-leo-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
@@ -720,8 +724,11 @@ object Stream {
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.DoubleType)))
     val nEvents = s.read.parquet(s"$dir/events.parquet").count()
+    // floor capped at n/4 for tiny corpora (see the ledger-EO note);
+    // identical for every n >= 2000
     val trigger = sys.env.getOrElse("SPARK_GRAFT_MSINK_TRIGGER",
-      math.max(500L, math.ceil(nEvents / 6.0).toLong).toString)
+      math.max(math.min(500L, math.max(1L, nEvents / 4)),
+        math.ceil(nEvents / 6.0).toLong).toString)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-msink-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
