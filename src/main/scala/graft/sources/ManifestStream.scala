@@ -112,8 +112,44 @@ class ManifestStreamSource(spark: SparkSession, table: String,
   private val cdc = ManifestStream.cdcMode(parameters)
   private val skipChangeCommits =
     parameters.getOrElse("skipChangeCommits", "false").toBoolean
-  private val startingVersion =
-    parameters.getOrElse("startingVersion", "0").toInt
+  /** `startingTimestamp` (round 18 — Delta's same-named option, on
+    * top of the in-commit timestamps): epoch millis; the tail begins
+    * at the FIRST version committed at or after it (Delta's
+    * documented inclusive semantics). Resolution is a binary search
+    * over the O(1)-byte ts headers. Loud when the timestamp is newer
+    * than the last commit (nothing to read — Delta errors there too),
+    * or when it falls before a vacuumed history's oldest retained
+    * version (the true answer aged out — never a silent wrong start).
+    * Mutually exclusive with `startingVersion`.
+    */
+  private val startingVersion: Int =
+    parameters.get("startingTimestamp").map(_.toLong) match {
+      case Some(t) =>
+        require(!parameters.contains("startingVersion"),
+          "startingVersion and startingTimestamp are mutually exclusive")
+        val latest = ManifestTable.latestVersion(table)
+        require(ManifestTable.readTsFast(table, latest) >= t,
+          s"startingTimestamp $t is after the last commit of $table " +
+          s"(v$latest) — nothing to stream")
+        val oldest = (0 to latest)
+          .find(v => new File(table, f"_log/v$v%08d.json").exists()).get
+        if (ManifestTable.readTsFast(table, oldest) >= t) {
+          require(oldest == 0,
+            s"startingTimestamp $t predates the oldest retained version " +
+            s"v$oldest of $table (earlier history vacuumed) — the true " +
+            "starting version is unknowable")
+          0
+        } else {
+          var lo = oldest; var hi = latest
+          while (lo < hi) { // first version with ts >= t
+            val mid = lo + (hi - lo) / 2
+            if (ManifestTable.readTsFast(table, mid) >= t) hi = mid
+            else lo = mid + 1
+          }
+          lo
+        }
+      case None => parameters.getOrElse("startingVersion", "0").toInt
+    }
   require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
   private val maxVersionsPerTrigger =
     parameters.get("maxVersionsPerTrigger").map(_.toInt)
@@ -175,8 +211,19 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     * the commit carries no change a tail must emit.
     */
   private def batchForVersion(v: Int): Option[DataFrame] = {
-    val snap = ManifestTable.readSnapshot(table, v)
-    snap.op match {
+    // round 18: the commit's ACTION is the change — op and added
+    // files come from one O(changes) parse, so a tail batch never
+    // reconstructs the parent snapshot just to name-diff it (legacy
+    // full-snapshot manifests keep the diff fallback)
+    val act = ManifestTable.readAction(table, v)
+    val op = act.map(_.op).getOrElse(ManifestTable.readSnapshot(table, v).op)
+    def added: Seq[ManifestTable.FileEntry] = act.map(_.add).getOrElse {
+      val snap = ManifestTable.readSnapshot(table, v)
+      val prev = if (v == 0) Set.empty[String]
+        else ManifestTable.readSnapshot(table, v - 1).files.map(_.name).toSet
+      snap.files.filterNot(f => prev(f.name))
+    }
+    op match {
       case "compact" | "evolve" =>
         // rewrites/relists EXISTING rows — dataChange=false; both tail
         // modes skip (snapshotDiff over a compact would read every
@@ -184,22 +231,20 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         // string proves it for free)
         None
       case "create" if cdc =>
-        Some(addedFilesDf(snap, prevNames = Set.empty)
+        Some(addedFilesDf(v, added)
           .withColumn(ManifestStream.ChangeTypeCol, lit("insert"))
           .withColumn(ManifestStream.CommitVersionCol, lit(v)))
       case "create" | "append" if !cdc =>
-        val prev = if (v == 0) Set.empty[String]
-          else ManifestTable.readSnapshot(table, v - 1).files.map(_.name).toSet
-        Some(addedFilesDf(snap, prev))
+        Some(addedFilesDf(v, added))
       case "upsert" | "delete" | "restore" if !cdc =>
         // restore belongs here too: it re-LISTS previously-removed
         // files, which an append tail would re-emit as double counts
         if (skipChangeCommits) {
-          logInfo(s"manifest stream over $table: skipping ${snap.op} v$v " +
+          logInfo(s"manifest stream over $table: skipping $op v$v " +
             "(skipChangeCommits=true)")
           None
         } else throw new IllegalStateException(
-          s"manifest stream over $table hit a '${snap.op}' commit at v$v: a " +
+          s"manifest stream over $table hit a '$op' commit at v$v: a " +
           "plain append tail cannot represent changed rows. Either tail the " +
           "change feed (.option(\"readChangeFeed\", \"true\")) or skip such " +
           "commits explicitly (.option(\"skipChangeCommits\", \"true\"))")
@@ -212,17 +257,16 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     }
   }
 
-  /** The files version `v` ADDED vs its parent, read under the
-    * source schema — O(added files) IO, name-set diff to decide.
-    * Missing files mean a vacuum raced the tail: fail loudly.
+  /** The files version `v` ADDED, read under the source schema —
+    * O(added files) IO. Missing files mean a vacuum raced the tail:
+    * fail loudly.
     */
-  private def addedFilesDf(snap: ManifestTable.Snapshot,
-                           prevNames: Set[String]): DataFrame = {
-    val added = snap.files.filterNot(f => prevNames(f.name))
+  private def addedFilesDf(v: Int,
+                           added: Seq[ManifestTable.FileEntry]): DataFrame = {
     val dd = new File(table, "data")
     val gone = added.filterNot(f => new File(dd, f.name).exists()).map(_.name)
     require(gone.isEmpty,
-      s"manifest stream over $table: v${snap.version} lists ${gone.size} added " +
+      s"manifest stream over $table: v$v lists ${gone.size} added " +
       s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
     val paths = added.map(f => new File(dd, f.name).getAbsolutePath)
     val base = StructType(schema.fields.filterNot(f =>
