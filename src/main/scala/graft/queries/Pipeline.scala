@@ -3424,6 +3424,71 @@ object Pipeline {
       |WHERE doc_id % 997 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for deletion vectors: documents keyed on
+    * doc_id, then a key-set delete AND a predicate delete, both in
+    * merge-on-read mode (`useDv = true`) — no straddling file is
+    * rewritten; victims land in per-file key-set sidecars.
+    */
+  private def materializeManifestDv(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_dv/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      graft.sources.ManifestTable.create(s, table, d, "doc_id", buckets = 8)
+      graft.sources.ManifestTable.deleteKeys(s, table,
+        d.filter(col("doc_id") % 509 === 0).select("doc_id"), useDv = true)
+      graft.sources.ManifestTable.deleteWhere(s, table,
+        col("n_chars") >= 300L && col("n_chars") < 360L, useDv = true)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Deletion-vector read (round 18 — Delta's merge-on-read DELETE):
+    * the GDPR sweep re-done without copy-on-write. A key-set delete
+    * (v1) and a predicate delete (v2) both land as per-file KEY-SET
+    * SIDECARS the read anti-joins away; the gates prove merge-on-read
+    * actually engaged — v1 lists EXACTLY v0's file names (zero data
+    * files rewritten) with sidecars on precisely the files whose key
+    * span contains a victim (re-derived from the v0 manifest, scale-
+    * independent), and v2 adds no new data file either (its dropped
+    * tier may remove some). The digest replays BOTH deletions in the
+    * oracle: a victim surviving, a survivor lost, or a sidecar
+    * mis-scoped to the wrong file breaks the hash.
+    */
+  def srcManifestDv(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestDv(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    val v1 = readSnapshot(table, 1)
+    val v2 = readSnapshot(table, 2)
+    val v0Names = v0.files.map(_.name).toSet
+    require(v1.op == "delete" && v1.files.map(_.name).toSet == v0Names,
+      "DV key-set delete rewrote or dropped data files — merge-on-read did not engage")
+    val expectDv = v0.files.count(f => (f.minKey + 508) / 509 * 509 <= f.maxKey)
+    require(v1.files.count(_.dv.isDefined) == expectDv,
+      s"DV placement drifted: ${v1.files.count(_.dv.isDefined)} sidecars, " +
+      s"expected $expectDv")
+    val v1Names = v1.files.map(_.name).toSet
+    require(v2.op == "delete" && v2.files.forall(f => v1Names(f.name)),
+      "DV predicate delete wrote new data files — merge-on-read did not engage")
+    require(v2.files.exists(f => f.dvRows >
+      v1.files.find(_.name == f.name).map(_.dvRows).getOrElse(0L)),
+      "predicate delete left no enlarged sidecar")
+    manifestDigest(snapshot(s, table))
+  }
+
+  private val srcManifestDvSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents
+      |WHERE doc_id % 509 <> 0 AND NOT (n_chars >= 300 AND n_chars < 360)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for CHECK constraints: documents created WITH
     * two invariants, a valid upsert committed under them, then a
     * third constraint ADDED post-hoc — which validates all existing
@@ -4414,6 +4479,7 @@ object Pipeline {
     "src_manifest_deletewhere" -> (srcManifestDeleteWhere _),
     "src_manifest_asof_ts" -> (srcManifestAsofTs _),
     "src_manifest_deletekeys" -> (srcManifestDeleteKeys _),
+    "src_manifest_dv" -> (srcManifestDv _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4509,6 +4575,7 @@ object Pipeline {
     "src_manifest_deletewhere" -> srcManifestDeleteWhereSql,
     "src_manifest_asof_ts" -> srcManifestAsofTsSql,
     "src_manifest_deletekeys" -> srcManifestDeleteKeysSql,
+    "src_manifest_dv" -> srcManifestDvSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

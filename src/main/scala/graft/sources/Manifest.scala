@@ -81,9 +81,22 @@ object ManifestTable {
     * prune nothing) skip via membership instead. Absent = unindexed
     * file: never prunes, exactly like pre-stats manifests.
     */
+  /** `dv`/`dvRows` (round 18 — the Delta deletion-vector role,
+    * merge-on-read delete): when set, `dv` names a parquet sidecar in
+    * `data/` holding the KEYS deleted from this file (the key-bitmap
+    * variant — this format's rows carry a unique non-null long key,
+    * so a key set identifies rows exactly), and `dvRows` counts them.
+    * Readers anti-join the sidecar against THIS file's rows only —
+    * a later blind append may legitimately re-insert a deleted key
+    * into another file. `rows`/stats/blooms stay PHYSICAL (the file
+    * is untouched), which keeps pruning conservative. Rewrites
+    * (compact, COW paths) materialize the DV away.
+    */
   final case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
                              stats: Map[String, ColStats] = Map.empty,
-                             blooms: Map[String, String] = Map.empty)
+                             blooms: Map[String, String] = Map.empty,
+                             dv: Option[String] = None,
+                             dvRows: Long = 0L)
   /** `txns` is the Delta `txn` action's role: the latest batch id
     * committed per streaming app id, carried forward by EVERY commit
     * so an idempotency lookup is O(1) against the latest manifest —
@@ -209,6 +222,8 @@ object ManifestTable {
       }
       sb.append('}')
     }
+    f.dv.foreach(d => sb.append(",\"dv\":\"").append(jsonEscape(d))
+      .append("\",\"dvr\":").append(f.dvRows))
     sb.append('}'): Unit
   }
 
@@ -325,7 +340,9 @@ object ManifestTable {
         b.result()
       }.getOrElse(Map.empty[String, String])
       files += FileEntry(n.get("name").asText, n.get("rows").asLong,
-        n.get("minKey").asLong, n.get("maxKey").asLong, stats, blooms)
+        n.get("minKey").asLong, n.get("maxKey").asLong, stats, blooms,
+        Option(n.get("dv")).map(_.asText),
+        Option(n.get("dvr")).map(_.asLong).getOrElse(0L))
     }
     files.toSeq
   }
@@ -625,9 +642,9 @@ object ManifestTable {
           // delete them here before the body re-runs (the appendBatch
           // orphan rule, ADVICE r16). Carried-by-reference files are
           // exactly the base version's list and are never touched.
-          val base = if (v >= 0) readSnapshot(table, v).files.map(_.name).toSet
+          val base = if (v >= 0) listedNames(readSnapshot(table, v)).toSet
             else Set.empty[String]
-          s.files.map(_.name).filterNot(base).foreach(n =>
+          s.files.flatMap(f => f.name :: f.dv.toList).filterNot(base).foreach(n =>
             Files.deleteIfExists(new File(dataDir(table), n).toPath))
           last = e; i += 1
       }
@@ -1059,19 +1076,54 @@ object ManifestTable {
     * back NULL — the union-schema read every lakehouse format provides.
     * Pre-schema manifests (no logged schema) fall back to the files'
     * own merged footer schema.
+    *
+    * Files carrying a deletion vector anti-join their sidecar's key
+    * set PER FILE (on (file, key) — a key deleted from file F may
+    * have been legitimately re-appended into file G later, so a
+    * global key anti-join would over-delete). Plain files never pay
+    * the join; at 100 TB the DV'd region is the recent-delete tail,
+    * not the table.
     */
   private def readFiles(spark: SparkSession, table: String, s: Snapshot,
-                        files: Seq[FileEntry]): DataFrame = {
-    val paths = files.map(f => new File(dataDir(table), f.name).getAbsolutePath)
-    schemaOf(s) match {
-      case Some(st) =>
-        if (paths.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
-        else spark.read.schema(st).parquet(paths: _*)
-      case None =>
-        if (paths.isEmpty) throw new IllegalStateException(
-          s"empty snapshot v${s.version} in $table and no logged schema (pre-schema manifest)")
-        else spark.read.parquet(paths: _*)
+                        files: Seq[FileEntry]): DataFrame =
+    readFilesTagged(spark, table, s, files).drop(FileTagCol)
+
+  /** `readFiles` keeping [[FileTagCol]] = the source file's basename.
+    * The tag is projected AT SCAN time — `input_file_name()` returns
+    * the empty string once a join boundary has been crossed, and the
+    * DV anti-join is exactly such a boundary, so the DV writers (which
+    * need per-file victim attribution) must read through this.
+    */
+  private val FileTagCol = "_fb"
+  private def readFilesTagged(spark: SparkSession, table: String, s: Snapshot,
+                              files: Seq[FileEntry]): DataFrame = {
+    def readRaw(fs: Seq[FileEntry]): DataFrame = {
+      val paths = fs.map(f => new File(dataDir(table), f.name).getAbsolutePath)
+      val df = schemaOf(s) match {
+        case Some(st) =>
+          if (paths.isEmpty)
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+          else spark.read.schema(st).parquet(paths: _*)
+        case None =>
+          if (paths.isEmpty) throw new IllegalStateException(
+            s"empty snapshot v${s.version} in $table and no logged schema (pre-schema manifest)")
+          else spark.read.parquet(paths: _*)
+      }
+      df.withColumn(FileTagCol, element_at(split(input_file_name(), "/"), -1))
+    }
+    val (dvd, plain) = files.partition(_.dv.isDefined)
+    if (dvd.isEmpty) readRaw(files)
+    else {
+      val dvKeys = dvd.map(f =>
+        spark.read.parquet(new File(dataDir(table), f.dv.get).getAbsolutePath)
+          .select(col("k").cast("long").as("_dvk"), lit(f.name).as("_dvf")))
+        .reduce(_ union _)
+      val dvdDf = readRaw(dvd)
+        .join(dvKeys,
+          col(FileTagCol) === col("_dvf") &&
+            col(s.keyCol).cast("long") === col("_dvk"),
+          "left_anti")
+      if (plain.isEmpty) dvdDf else readRaw(plain).unionByName(dvdDf)
     }
   }
 
@@ -1116,8 +1168,7 @@ object ManifestTable {
     val hit = s.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     if (hit.isEmpty) throw new IllegalStateException(
       s"range [$lo,$hi] matches no file in $table v${s.version}")
-    spark.read.parquet(hit.map(f =>
-        new File(dataDir(table), f.name).getAbsolutePath): _*)
+    readFiles(spark, table, s, hit) // applies deletion vectors
       .filter(col(s.keyCol) >= lo && col(s.keyCol) <= hi)
   }
 
@@ -1536,7 +1587,15 @@ object ManifestTable {
     val v0 = latestVersion(table)
     require(v0 >= 0, s"no manifest in $table/_log")
     val cur0 = readSnapshot(table, v0)
-    if (cur0.files.count(_.rows < minRows) <= 1) return cur0
+    // DV'd files are ALWAYS rewrite candidates (round 18): compaction
+    // is where merge-on-read deletes materialize back into clean
+    // files, whatever the file's size
+    def needsRewrite(f: FileEntry): Boolean = f.rows < minRows || f.dv.isDefined
+    def nothingToDo(files: Seq[FileEntry]): Boolean = {
+      val cand = files.filter(needsRewrite)
+      cand.isEmpty || (cand.size == 1 && cand.head.dv.isEmpty)
+    }
+    if (nothingToDo(cur0.files)) return cur0
     // control-flow exit for the race case (a concurrent maintainer
     // already packed the files between our check and the commit):
     // commitWithRetry commits whatever the body returns, so "nothing
@@ -1545,9 +1604,9 @@ object ManifestTable {
       extends RuntimeException with scala.util.control.NoStackTrace
     try commitWithRetry(table) { v =>
       val cur = readSnapshot(table, v)
-      val (small, big) = cur.files.partition(_.rows < minRows)
-      if (small.size <= 1) throw NoopExit(cur)
-      val smallRows = small.map(_.rows).sum
+      val (small, big) = cur.files.partition(needsRewrite)
+      if (nothingToDo(cur.files)) throw NoopExit(cur)
+      val smallRows = small.map(f => f.rows - f.dvRows).sum
       val buckets = math.max(1L, (smallRows + target - 1) / target).toInt
       val rewritten = readFiles(spark, table, cur, small)
       val newFiles = writeFiles(spark, table, rewritten, cur.keyCol, buckets,
@@ -1748,7 +1807,8 @@ object ManifestTable {
             "window (manifest vacuumed)")
       }
       val gone = old.files
-        .filterNot(f => new File(dataDir(table), f.name).exists()).map(_.name)
+        .flatMap(f => f.name :: f.dv.toList) // dv sidecars must survive too
+        .filterNot(n => new File(dataDir(table), n).exists())
       require(gone.isEmpty,
         s"restore to v$toVersion of $table references ${gone.size} data " +
         s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
@@ -1833,7 +1893,7 @@ object ManifestTable {
     * accounts in.
     */
   private def listedNames(s: Snapshot): Iterator[String] =
-    s.files.iterator.map(_.name)
+    s.files.iterator.flatMap(f => f.name :: f.dv.toList)
 
   /** Copy-on-write range delete. Files FULLY inside [lo,hi] are
     * dropped from the manifest without being read (metadata-only
@@ -1860,6 +1920,75 @@ object ManifestTable {
         cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
     }
 
+  /** Write per-file deletion-vector sidecars for `victims` — a
+    * `(_f: file name, _k: key)` frame of NEWLY deleted live rows —
+    * merged with each affected file's EXISTING DV keys (a sidecar
+    * replaces, never chains: one read-side anti-join per file, and
+    * the superseded sidecar ages out via vacuum like any unlisted
+    * file). Only files with at least one new victim get a sidecar;
+    * the rest carry unchanged. Distributed end to end: the victim
+    * set writes through one `partitionBy(file)` job (repartitioned so
+    * each file's keys land in exactly one task → one part file), and
+    * the driver only handles the O(#touched files) name/count rows.
+    * Returns file name → (sidecar name, TOTAL deleted keys).
+    */
+  private def writeDvSidecars(spark: SparkSession, table: String,
+                              victims: DataFrame,
+                              touched: Seq[FileEntry]): Map[String, (String, Long)] = {
+    val newCounts = victims.groupBy("_f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return Map.empty
+    val affected = touched.filter(f => newCounts.contains(f.name))
+    val prior = affected.filter(_.dv.isDefined).map(f =>
+      spark.read.parquet(new File(dataDir(table), f.dv.get).getAbsolutePath)
+        .select(lit(f.name).as("_f"), col("k").cast("long").as("_k")))
+    val all = (victims.select(col("_f"), col("_k").cast("long").as("_k")) +: prior)
+      .reduce(_ unionByName _).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = all.groupBy("_f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val scratch = new File(table,
+        s"_dvstage-${java.util.UUID.randomUUID.toString.take(8)}")
+      all.withColumnRenamed("_k", "k")
+        .repartition(col("_f"))
+        .write.partitionBy("_f").mode("overwrite")
+        .parquet(scratch.getAbsolutePath)
+      val dirs = Option(scratch.listFiles()).getOrElse(Array.empty[File])
+        .filter(d => d.isDirectory && d.getName.startsWith("_f="))
+      val out = dirs.map { d =>
+        val fname = java.net.URLDecoder.decode(
+          d.getName.stripPrefix("_f="), "UTF-8")
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"dv stage for $fname wrote ${parts.length} parts (want 1)")
+        val dvName = s"dv-${java.util.UUID.randomUUID.toString.take(12)}.parquet"
+        Files.move(parts(0).toPath, new File(dataDir(table), dvName).toPath)
+        fname -> (dvName, totals(fname))
+      }.toMap
+      def rmRec(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(): Unit
+      }
+      rmRec(scratch)
+      out
+    } finally { all.unpersist(false); () }
+  }
+
+  /** Shared merge-on-read tail for the two DV delete paths: stamp the
+    * touched entries with their new sidecars; a file whose ENTIRE
+    * physical row set is now deleted drops from the listing instead
+    * (its sidecar stays unreferenced → vacuum reclaims it).
+    */
+  private def dvEntries(touched: Seq[FileEntry],
+                        dvMap: Map[String, (String, Long)]): Seq[FileEntry] =
+    touched.flatMap { f =>
+      dvMap.get(f.name) match {
+        case None => Some(f) // ranges overlapped but no live victim
+        case Some((_, n)) if n >= f.rows => None
+        case Some((dvn, n)) => Some(f.copy(dv = Some(dvn), dvRows = n))
+      }
+    }
+
   /** Key-set DELETE (round 17): remove an arbitrary list of keys —
     * the GDPR/right-to-be-forgotten shape, where the victims are a
     * key LIST (no range, no stats-expressible predicate). File
@@ -1872,8 +2001,17 @@ object ManifestTable {
     * the non-null key invariant). Keys absent from the table simply
     * delete nothing — the caller's list may be stale.
     */
+  /** `useDv = true` (round 18 — Delta's deletion vectors): instead of
+    * rewriting every straddling file copy-on-write, the touched files
+    * carry forward UNMODIFIED with a per-file key-set sidecar the
+    * read path anti-joins away. A GDPR sweep over a key the table is
+    * NOT clustered by then writes O(victims) bytes instead of
+    * rewriting most of the table; [[compact]]/[[compactSmall]]
+    * materialize the vectors back into clean files.
+    */
   def deleteKeys(spark: SparkSession, table: String,
-                 keys: DataFrame): Snapshot = commitWithRetry(table) { v =>
+                 keys: DataFrame, useDv: Boolean = false): Snapshot =
+    commitWithRetry(table) { v =>
     require(v >= 0, s"no manifest in $table/_log")
     require(keys.columns.length == 1,
       s"deleteKeys expects a single-column key frame, got ${keys.columns.mkString(",")}")
@@ -1902,7 +2040,12 @@ object ManifestTable {
     val (touched, untouched) = cur.files.partition(f => touchedNames(f.name))
     val newFiles =
       if (touched.isEmpty) Seq.empty
-      else writeFiles(spark, table,
+      else if (useDv) {
+        val victims = readFilesTagged(spark, table, cur, touched)
+          .join(ks, col(keyCol).cast("long") === col("_k"), "left_semi")
+          .select(col(FileTagCol).as("_f"), col(keyCol).cast("long").as("_k"))
+        dvEntries(touched, writeDvSidecars(spark, table, victims, touched))
+      } else writeFiles(spark, table,
         readFiles(spark, table, cur, touched)
           .join(ks.withColumnRenamed("_k", keyCol), Seq(keyCol), "left_anti"),
         keyCol, math.max(1, touched.size),
@@ -1945,8 +2088,13 @@ object ManifestTable {
   def lastDeleteWherePlan(table: String): Option[(Int, Int, Int)] =
     Option(deleteWherePlans.get(table))
 
+  /** `useDv = true`: the straddling tier writes per-file deletion
+    * vectors instead of rewriting — see [[deleteKeys]]. The carried
+    * and metadata-dropped tiers are identical either way.
+    */
   def deleteWhere(spark: SparkSession, table: String,
-                  predicate: org.apache.spark.sql.Column): Snapshot = {
+                  predicate: org.apache.spark.sql.Column,
+                  useDv: Boolean = false): Snapshot = {
     val pe = org.apache.spark.sql.graftshim.NodeInternals.predTree(predicate)
     val notPe = org.apache.spark.sql.graftshim.NodeInternals.predTree(!predicate)
     def refCols(n: PredNode): Set[String] = n match {
@@ -1967,7 +2115,12 @@ object ManifestTable {
       }
       val newFiles =
         if (rewrite.isEmpty) Seq.empty
-        else writeFiles(spark, table,
+        else if (useDv) {
+          val victims = readFilesTagged(spark, table, cur, rewrite)
+            .filter(coalesce(predicate, lit(false)))
+            .select(col(FileTagCol).as("_f"), col(cur.keyCol).cast("long").as("_k"))
+          dvEntries(rewrite, writeDvSidecars(spark, table, victims, rewrite))
+        } else writeFiles(spark, table,
           readFiles(spark, table, cur, rewrite)
             .filter(!coalesce(predicate, lit(false))),
           cur.keyCol, math.max(1, rewrite.size),
@@ -2006,15 +2159,20 @@ object ManifestTable {
     val a = readSnapshot(table, vFrom)
     val b = readSnapshot(table, vTo)
     val keyCol = b.keyCol
-    val aNames = a.files.map(_.name).toSet
-    val bNames = b.files.map(_.name).toSet
-    val removed = a.files.filterNot(f => bNames(f.name))
-    val added = b.files.filterNot(f => aNames(f.name))
+    // file identity includes the deletion vector (round 18): a DV
+    // delete keeps the file NAME but changes its live rows, so the
+    // entry must land on both sides of the diff (the hash-equal
+    // survivors then cancel, exactly like a rewrite's)
+    val aIds = a.files.map(f => (f.name, f.dv)).toSet
+    val bIds = b.files.map(f => (f.name, f.dv)).toSet
+    val removed = a.files.filterNot(f => bIds((f.name, f.dv)))
+    val added = b.files.filterNot(f => aIds((f.name, f.dv)))
     // loud preconditions (ADVICE r15): a pre-schema empty vTo used to
     // die in readFiles with an unrelated message, and a vacuumed vFrom
     // surfaced as a raw FileNotFoundException mid-job
     val gone = (removed ++ added)
-      .filterNot(f => new File(dataDir(table), f.name).exists()).map(_.name)
+      .flatMap(f => f.name :: f.dv.toList)
+      .filterNot(n => new File(dataDir(table), n).exists())
     require(gone.isEmpty,
       s"snapshotDiff v$vFrom..v$vTo of $table references ${gone.size} data " +
       s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
