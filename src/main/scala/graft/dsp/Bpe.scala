@@ -55,4 +55,54 @@ object Bpe {
     }
     syms
   }
+
+  // ---- byte-level variants (round 18 — the GPT-2 byte alphabet) ----
+  // Same greedy algorithm over UTF-8 BYTE sequences: symbols are byte
+  // arrays, so digits, punctuation, and multi-byte scripts (CJK,
+  // Arabic, Cyrillic) participate in merges instead of falling
+  // outside a closed [a-z] alphabet. decode is plain concatenation of
+  // the byte symbols — no unknown token is possible by construction.
+
+  /** One greedy pass of merge (l, r) over a byte-symbol sequence. */
+  def applyMergeB(syms: Array[Array[Byte]], l: Array[Byte],
+                  r: Array[Byte]): Array[Array[Byte]] = {
+    val n = syms.length
+    if (n < 2) return syms
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (i + 1 < n && java.util.Arrays.equals(syms(i), l) &&
+          java.util.Arrays.equals(syms(i + 1), r)) {
+        val m = new Array[Byte](syms(i).length + syms(i + 1).length)
+        System.arraycopy(syms(i), 0, m, 0, syms(i).length)
+        System.arraycopy(syms(i + 1), 0, m, syms(i).length, syms(i + 1).length)
+        out(k) = m
+        i += 2
+      } else {
+        out(k) = syms(i)
+        i += 1
+      }
+      k += 1
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Encode a word's UTF-8 bytes: split to single-byte symbols, then
+    * apply each merge pair in rank order.
+    */
+  def encodeB(word: Array[Byte], mergesL: Array[Array[Byte]],
+              mergesR: Array[Array[Byte]]): Array[Array[Byte]] = {
+    require(mergesL.length == mergesR.length,
+      s"merge tables differ in length: ${mergesL.length} vs ${mergesR.length}")
+    var syms = new Array[Array[Byte]](word.length)
+    var i = 0
+    while (i < word.length) { syms(i) = Array(word(i)); i += 1 }
+    var t = 0
+    while (t < mergesL.length) {
+      syms = applyMergeB(syms, mergesL(t), mergesR(t))
+      t += 1
+    }
+    syms
+  }
 }

@@ -975,6 +975,34 @@ object Bridge {
   def bpeEncode(word: UTF8String, mergesL: ArrayData, mergesR: ArrayData): ArrayData =
     outS(graft.dsp.Bpe.encode(word.toString, strArr(mergesL), strArr(mergesR)))
 
+  @inline private def binArr(a: ArrayData): Array[Array[Byte]] = {
+    val n = a.numElements()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { out(i) = a.getBinary(i); i += 1 }
+    out
+  }
+
+  @inline private def outB(a: Array[Array[Byte]]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      a.asInstanceOf[Array[Any]])
+
+  /** A binary's single-byte symbol array — byte-level BPE's initial
+    * state.
+    */
+  def byteSyms(bin: Array[Byte]): ArrayData =
+    outB(bin.map(b => Array(b)))
+
+  /** One greedy pass of merge (l, r) over a BYTE-symbol array. */
+  def bpeMergeB(syms: ArrayData, l: Array[Byte], r: Array[Byte]): ArrayData =
+    outB(graft.dsp.Bpe.applyMergeB(binArr(syms), l, r))
+
+  /** Tokenize one word's UTF-8 bytes under an ordered byte merge
+    * table.
+    */
+  def bpeEncodeB(word: Array[Byte], mergesL: ArrayData, mergesR: ArrayData): ArrayData =
+    outB(graft.dsp.Bpe.encodeB(word, binArr(mergesL), binArr(mergesR)))
+
   // ---- signatures for DspExpr --------------------------------------
 
   /** Catalyst argument/return types per bridge function; the generic
@@ -1109,7 +1137,13 @@ object Bridge {
     "bpeMerge" -> (Seq(ArrayType(StringType), StringType, StringType)
       -> ArrayType(StringType, containsNull = false)),
     "bpeEncode" -> (Seq(StringType, ArrayType(StringType), ArrayType(StringType))
-      -> ArrayType(StringType, containsNull = false)))
+      -> ArrayType(StringType, containsNull = false)),
+    "byteSyms" -> (Seq(BinaryType)
+      -> ArrayType(BinaryType, containsNull = false)),
+    "bpeMergeB" -> (Seq(ArrayType(BinaryType), BinaryType, BinaryType)
+      -> ArrayType(BinaryType, containsNull = false)),
+    "bpeEncodeB" -> (Seq(BinaryType, ArrayType(BinaryType), ArrayType(BinaryType))
+      -> ArrayType(BinaryType, containsNull = false)))
 
   /** Interpreted-path dispatch (mirrors the static calls codegen makes). */
   def dispatch(fn: String, a: Array[Any]): Any = fn match {
@@ -1194,6 +1228,9 @@ object Bridge {
     case "imageFrames" => imageFrames(a(0).asInstanceOf[Array[Byte]])
     case "bpeMerge" => bpeMerge(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[UTF8String], a(2).asInstanceOf[UTF8String])
     case "bpeEncode" => bpeEncode(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
+    case "byteSyms" => byteSyms(a(0).asInstanceOf[Array[Byte]])
+    case "bpeMergeB" => bpeMergeB(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Array[Byte]], a(2).asInstanceOf[Array[Byte]])
+    case "bpeEncodeB" => bpeEncodeB(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")
   }
 }

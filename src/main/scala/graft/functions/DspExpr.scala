@@ -339,5 +339,10 @@ object Functions {
       call("bpeMerge", syms, l, r)
     def bpeEncodeC(word: Column, mergesL: Column, mergesR: Column): Column =
       call("bpeEncode", word, mergesL, mergesR)
+    def byteSymsC(bin: Column): Column = call("byteSyms", bin)
+    def bpeMergeBC(syms: Column, l: Column, r: Column): Column =
+      call("bpeMergeB", syms, l, r)
+    def bpeEncodeBC(word: Column, mergesL: Column, mergesR: Column): Column =
+      call("bpeEncodeB", word, mergesL, mergesR)
   }
 }

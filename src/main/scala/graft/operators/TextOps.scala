@@ -364,6 +364,83 @@ object TextOps {
       .select(col(idCol), col("pos"), element_at(vocabMap, col("_tok")).as("token_id"))
   }
 
+  /** BYTE-level BPE training (round 18 — the GPT-2 byte alphabet,
+    * Sennrich's algorithm applied to UTF-8 bytes; both public): word
+    * types are WHITESPACE-split pieces of the RAW text — case,
+    * digits, punctuation, and multi-byte scripts (CJK, Arabic,
+    * Cyrillic) all participate, closing the documented [a-z]+ gap of
+    * [[bpeTrain]] — and symbols are byte sequences. Same scale shape
+    * as the char-level trainer: state is the |V|-row word-type frame,
+    * pair counting partial-aggregates before one shuffle per
+    * iteration, and the only driver traffic is the 1-row argmax
+    * (ties: max count, then unsigned BYTE order — DuckDB's blob
+    * memcmp, so the oracle replays exactly). Returns
+    * (left bytes, right bytes, pairCount) in rank order.
+    */
+  def bpeTrainBytes(df: DataFrame, textCol: String,
+                    nMerges: Int): Array[(Array[Byte], Array[Byte], Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    graft.functions.Functions.install(df.sparkSession)
+    val init = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", byteSymsC(encode(col("word"), "UTF-8")))
+    var state = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte], Long)]
+    try {
+      var t = 0
+      while (t < nMerges) {
+        val top = state.filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"byte BPE training ran out of pairs after ${merges.length} merges " +
+            s"(every word is a single symbol); asked for $nMerges")
+        val (l, r, c) = (top(0).getAs[Array[Byte]](0),
+          top(0).getAs[Array[Byte]](1), top(0).getLong(2))
+        merges += ((l, r, c))
+        if (prev != null) prev.unpersist(false)
+        prev = state
+        state = state.withColumn("syms", bpeMergeBC(col("syms"), lit(l), lit(r)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t += 1
+      }
+    } finally {
+      if (prev != null) prev.unpersist(false)
+      state.unpersist(false)
+    }
+    merges.toArray
+  }
+
+  /** Tokenize raw text under a learned BYTE merge table and decode
+    * straight back: adds `decoded` = the concatenation of every
+    * word's decoded tokens in document order. Because byte-level
+    * symbols cover the whole alphabet, decode∘encode reproduces the
+    * text EXACTLY up to the whitespace the word split consumed —
+    * the roundtrip the text_bpe_bytes_decode oracle gates over the
+    * multilingual slice where [a-z]+ provably loses content. Pure
+    * map-side (merges ride as literal arrays).
+    */
+  def bpeBytesRoundtrip(df: DataFrame, textCol: String,
+                        merges: Array[(Array[Byte], Array[Byte])]): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
+    val mL = typedLit(merges.map(_._1))
+    val mR = typedLit(merges.map(_._2))
+    df.withColumn("decoded", array_join(transform(
+      filter(split(col(textCol), "\\s+"), w => length(w) > 0),
+      w => decode(aggregate(
+        bpeEncodeBC(encode(w, "UTF-8"), mL, mR),
+        lit(Array.emptyByteArray),
+        (acc, tk) => concat(acc, tk)), "UTF-8")), ""))
+  }
+
   /** Deterministic train/val/test assignment from a stable content
     * hash of the id: bucket = first 15 hex digits of md5(id) mod 10000
     * (permille-level granularity). Reproducible across runs, engines

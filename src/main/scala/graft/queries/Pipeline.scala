@@ -1980,6 +1980,114 @@ object Pipeline {
          |FROM off o JOIN ws s ON s.word = o.word JOIN vm v ON v.tok = s.sym
          |ORDER BY 1, 2""".stripMargin
 
+  // ---- byte-level BPE (round 18) -------------------------------------
+
+  private val BpeBytesMerges = 8
+
+  /** Byte-level BPE train (GPT-2's byte alphabet, Sennrich's
+    * algorithm; both public) over the MULTILINGUAL slice — every doc
+    * carries a CJK/Arabic/Cyrillic/accented phrase, so multi-byte
+    * UTF-8 sequences genuinely compete in the pair counts, which the
+    * closed [a-z]+ trainer (text_bpe_train) provably cannot see. The
+    * oracle replays the full deterministic fit in DuckDB over BLOB
+    * symbols (byte extraction via hex/unhex, blob concat, memcmp
+    * tie-break — the same unsigned order Spark's binary sort uses).
+    */
+  def textBpeBytesTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    TextOps.bpeTrainBytes(uDocs(s, dir).select(col("doc_id"), col("_ut")),
+        "_ut", BpeBytesMerges)
+      .zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, hx(l), hx(r), c) }.toSeq
+      .toDF("rank", "l_hex", "r_hex", "cnt")
+      .orderBy("rank")
+  }
+
+  /** One unrolled BYTE-level BPE iteration — [[bpeIterSql]] with BLOB
+    * symbols: the greedy-scan replay (run-parity + consumed-neighbor
+    * rules) is identical; only the symbol domain changes.
+    */
+  private def bpeBytesIterSql(t: Int): String = {
+    val wP = s"bw${t - 1}"
+    s""", bp$t AS MATERIALIZED (
+       |  SELECT l, r, SUM(cnt) AS c FROM (
+       |    SELECT sym AS l, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS r, cnt
+       |    FROM $wP) WHERE r IS NOT NULL GROUP BY 1, 2
+       |), bm$t AS MATERIALIZED (
+       |  SELECT l, r, c FROM bp$t ORDER BY c DESC, l, r LIMIT 1
+       |), bc$t AS MATERIALIZED (
+       |  SELECT w.word, w.cnt, w.pos, w.sym,
+       |    ROW_NUMBER() OVER (PARTITION BY w.word ORDER BY w.pos) AS rn,
+       |    CASE WHEN w.sym = m.l AND LEAD(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) = m.r
+       |      THEN 1 ELSE 0 END AS cand,
+       |    LEAD(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) AS nxt
+       |  FROM $wP w CROSS JOIN bm$t m
+       |), bg$t AS MATERIALIZED (
+       |  SELECT *, CASE WHEN cand = 1
+       |      AND (rn - MIN(rn) OVER (PARTITION BY word, cand, grp)) % 2 = 0
+       |    THEN 1 ELSE 0 END AS mg
+       |  FROM (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY rn) AS grp
+       |        FROM bc$t)
+       |), bw$t AS MATERIALIZED (
+       |  SELECT word, cnt, pos, CASE WHEN mg = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, LAG(mg) OVER (PARTITION BY word ORDER BY rn) AS consumed FROM bg$t)
+       |  WHERE COALESCE(consumed, 0) = 0
+       |)""".stripMargin
+  }
+
+  /** Whitespace word types + per-byte BLOB symbol state over the
+    * multilingual slice (requires the `ud` CTE in scope).
+    */
+  private val bpeBytesBaseSql: String =
+    """bwt AS MATERIALIZED (
+      |  SELECT word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(ut, '\s+'), x -> x <> '')) AS word
+      |    FROM ud)
+      |  GROUP BY 1
+      |), bw0 AS MATERIALIZED (
+      |  SELECT word, cnt, CAST(u.i AS BIGINT) AS pos,
+      |    unhex(substr(hex(encode(word)), 2 * CAST(u.i AS INT) - 1, 2)) AS sym
+      |  FROM bwt, UNNEST(range(1, octet_length(encode(word)) + 1)) AS u(i)
+      |)""".stripMargin
+
+  private val textBpeBytesTrainSql: String =
+    s"WITH $uDocsSql, " + bpeBytesBaseSql +
+      (1 to BpeBytesMerges).map(bpeBytesIterSql).mkString + "\n" +
+      "SELECT * FROM (\n  " +
+      (1 to BpeBytesMerges).map(t =>
+        s"SELECT $t AS rank, hex(l) AS l_hex, hex(r) AS r_hex, CAST(c AS BIGINT) AS cnt FROM bm$t")
+        .mkString("\n  UNION ALL ") +
+      ") ORDER BY rank"
+
+  /** Byte-level decode roundtrip, GATED over the multilingual slice:
+    * encode every whitespace piece's UTF-8 bytes under the trained
+    * merges, decode by concatenation, and assert the document's
+    * whitespace-stripped text reproduces EXACTLY — digits,
+    * punctuation, CJK and all, the content the [a-z]+ pipeline
+    * provably drops. The roundtrip property keeps the oracle trivial
+    * (raw-text md5 + TRUE), with no merge replay: any encoder defect
+    * that loses or reorders a byte flips the verdict.
+    */
+  def textBpeBytesDecode(s: SparkSession, dir: String): DataFrame = {
+    val ud = uDocs(s, dir).select(col("doc_id"), col("_ut"))
+    val merges = TextOps.bpeTrainBytes(ud, "_ut", BpeBytesMerges)
+      .map { case (l, r, _) => (l, r) }
+    TextOps.bpeBytesRoundtrip(ud, "_ut", merges)
+      .select(col("doc_id"),
+        md5(encode(regexp_replace(col("_ut"), "\\s+", ""), "UTF-8")).as("ref_md5"),
+        (col("decoded") === regexp_replace(col("_ut"), "\\s+", ""))
+          .as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val textBpeBytesDecodeSql: String =
+    s"""WITH $uDocsSql
+       |SELECT doc_id,
+       |  md5(regexp_replace(ut, '\\s+', '', 'g')) AS ref_md5,
+       |  TRUE AS roundtrip_ok
+       |FROM ud ORDER BY doc_id""".stripMargin
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionFrame(docs(s, dir), "text")
       .select(col("doc_id"), col("n_shingles"), fp6(col("dup_ratio")).as("dr_fp"))
@@ -4436,6 +4544,8 @@ object Pipeline {
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_ids" -> (textBpeIds _),
     "text_bpe_decode" -> (textBpeDecode _),
+    "text_bpe_bytes_train" -> (textBpeBytesTrain _),
+    "text_bpe_bytes_decode" -> (textBpeBytesDecode _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_split" -> (textSplit _),
@@ -4532,6 +4642,8 @@ object Pipeline {
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_ids" -> textBpeIdsSql,
     "text_bpe_decode" -> textBpeDecodeSql,
+    "text_bpe_bytes_train" -> textBpeBytesTrainSql,
+    "text_bpe_bytes_decode" -> textBpeBytesDecodeSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_split" -> textSplitSql,

@@ -463,6 +463,37 @@ class PipelineSpec extends SparkTestBase {
     assert(Bpe.encode("", Array("a"), Array("a")).toSeq === Seq.empty)
   }
 
+  test("byte-level BPE: multi-byte scripts merge; roundtrip is byte-exact") {
+    import graft.operators.TextOps
+    import graft.dsp.Bpe
+    // kernel: greedy overlap convention over bytes (x x x merges 1st pair)
+    val x = Array('x'.toByte)
+    assert(Bpe.applyMergeB(Array(x, x, x), x, x).map(_.toSeq).toSeq ===
+      Seq(Seq('x'.toByte, 'x'.toByte), Seq('x'.toByte)))
+    // CJK: 東 = E6 9D B1 (3 bytes) — merges inside the character
+    val docs = Seq(
+      (0L, "東京 東京 東京 x7!"),
+      (1L, "東京 naïve 42")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainBytes(docs, "text", 4)
+    // the most frequent adjacent byte pair lives inside 東京 (4 occurrences
+    // of the word across both docs; every other pair is rarer)
+    assert(merges(0)._3 === 4L)
+    // roundtrip: digits, punctuation, CJK, accents — all reproduce
+    val rt = TextOps.bpeBytesRoundtrip(docs, "text",
+      merges.map(m => (m._1, m._2)))
+      .select(col("doc_id"), col("decoded"),
+        regexp_replace(col("text"), "\\s+", "").as("ref"))
+      .collect()
+    rt.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"roundtrip drift on doc ${r.getLong(0)}"))
+    // the [a-z]+ char-level pipeline provably loses this content: its
+    // training regex admits nothing from these documents except "nave"
+    val charStream = docs.select(
+      expr("array_join(regexp_extract_all(lower(text), '[a-z]+', 0), '')"))
+      .collect().map(_.getString(0)).mkString
+    assert(!charStream.contains("東") && !charStream.contains("7"))
+  }
+
   test("bpeTrain learns the most frequent pair first; encode counts match") {
     import graft.operators.TextOps
     val docs = Seq(
