@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** This process's consumed CPU (utime+stime) in clock ticks, from
+    * /proc/self/stat. -1 when unreadable (non-Linux) — callers then
+    * fall back to the raw loadavg.
+    */
+  private[graft] def ownCpuTicks(): Long = try {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    // comm (field 2) may contain spaces — parse after the LAST ')';
+    // the next token is field 3, so utime/stime (fields 14/15) sit at
+    // offsets 11/12
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    rest(11).toLong + rest(12).toLong
+  } catch { case _: Throwable => -1L }
+
+  /** External load = loadavg minus this process's own CPU share over
+    * the sampled window (floored at the 60 s loadavg horizon — CPU
+    * burned before that barely weighs in the EWMA). Pure, so the flag
+    * logic is unit-testable with no sleeps: it cannot self-trigger
+    * (own work subtracts out) and cannot self-suppress a real
+    * external spike (nothing waits for decay). Degrades to the raw
+    * loadavg when tick sampling is unavailable.
+    */
+  private[graft] def externalLoad(loadavg: Double, dTicks: Long,
+                                  windowSec: Double, clkTck: Double): Double =
+    if (dTicks < 0 || windowSec <= 0 || clkTck <= 0) loadavg
+    else math.max(0.0, loadavg - dTicks / clkTck / math.max(windowSec, 60.0))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,21 +50,47 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // EXTERNAL load = loadavg minus this JVM's own CPU share over the
+    // trailing ~minute (VERDICT r17 #6: the r17 settle-loop could
+    // absorb a real external spike that ended within its 80 s window —
+    // it biased the flag toward false; the subtraction can neither
+    // self-trigger NOR self-suppress, and needs no sleeps at the end).
+    val clkTck: Double = try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      out.toDouble
+    } catch { case _: Throwable => 100.0 } // Linux USER_HZ default
+    val cpuSamples =
+      scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        (System.nanoTime(), Bench.ownCpuTicks()))
+    def sampleCpu(): Unit =
+      cpuSamples += ((System.nanoTime(), Bench.ownCpuTicks()))
+    def externalLoadNow(): Double = {
+      val now = System.nanoTime()
+      val ticks = Bench.ownCpuTicks()
+      val target = now - 60L * 1000000000L // the loadavg window
+      val (t0, k0) = cpuSamples.minBy(s => math.abs(s._1 - target))
+      Bench.externalLoad(loadAvg,
+        if (ticks < 0 || k0 < 0) -1L else ticks - k0,
+        (now - t0) / 1e9, clkTck)
+    }
     // Self-adjudicating start (VERDICT r10): a run that STARTS on a
     // loaded host prices phantom regressions into the artifact of
     // record (BENCH_r10 showed 10 queries 2-7x over that a clean twin
-    // re-priced at 0.92-1.61x). Wait — bounded — for the 1-minute
-    // loadavg to drop under the same 2.5 threshold the third-run rule
-    // uses; if it never does, the JSON says "contended": true so the
-    // numbers can't be read as a regression.
+    // re-priced at 0.92-1.61x). Wait — bounded — for the EXTERNAL
+    // 1-minute load to drop under the same 2.5 threshold the
+    // third-run rule uses; if it never does, the JSON says
+    // "contended": true so the numbers can't be read as a regression.
     val loadStart = {
-      var l = loadAvg
+      var l = externalLoadNow()
       var waited = 0
       while (l > 2.5 && waited < 6) {
-        System.err.println(f"[bench] host contended (load $l%.2f), waiting 20s...")
+        System.err.println(f"[bench] host contended (external load $l%.2f), waiting 20s...")
         Thread.sleep(20000)
         waited += 1
-        l = loadAvg
+        sampleCpu()
+        l = externalLoadNow()
       }
       l
     }
@@ -90,6 +145,7 @@ object Bench {
       // every query against a clean store, like the solo BenchOne
       // runs BASELINE.md anchors.
       spark.catalog.clearCache()
+      sampleCpu() // trailing own-CPU record for the external-load math
       (name, best, runs)
     }
     // Auto-re-run defense (VERDICT r14 #1): the r14 artifact of record
@@ -128,7 +184,9 @@ object Bench {
       val floor = standingMins.get(name)
       if (best > 0 && floor.exists(f => best > 2.0 * f)) {
         var waited = 0
-        while (loadAvg > 2.5 && waited < 6) { Thread.sleep(20000); waited += 1 }
+        while (externalLoadNow() > 2.5 && waited < 6) {
+          Thread.sleep(20000); sampleCpu(); waited += 1
+        }
         System.err.println(f"[bench] $name ${best}%.2fs > 2x standing ${floor.get}%.2fs — solo re-run")
         val extra = (0 until 2).map(_ => once(name, fn = SparkEntry.queries(name)))
         spark.catalog.clearCache()
@@ -139,18 +197,13 @@ object Bench {
     }
     val results2 = rerun
     // The end-point load must measure EXTERNAL contention, not the
-    // bench's own tail: the 1-minute loadavg read the instant the last
-    // (streaming-heavy) query finishes is dominated by our own
-    // just-quiesced executors and self-flags every run (seen twice at
-    // r17: 0 rows >2x, 0 reruns, yet load_end 2.6-5.0). Let it settle
-    // — bounded — before reading: our own contribution decays within
-    // the window, a genuinely loaded host stays loaded and still flags.
-    val loadEnd = {
-      var l = loadAvg
-      var waited = 0
-      while (l > 2.5 && waited < 4) { Thread.sleep(20000); waited += 1; l = loadAvg }
-      l
-    }
+    // bench's own tail: the raw 1-minute loadavg read the instant the
+    // last (streaming-heavy) query finishes is dominated by our own
+    // just-quiesced executors and self-flagged every run (seen twice
+    // at r17). Subtracting our own trailing-minute CPU share measures
+    // the genuinely external component directly — no settle sleeps,
+    // and a real external spike can't be absorbed by waiting it out.
+    val loadEnd = externalLoadNow()
     // contended keys on BOTH endpoints (VERDICT r14 #1): a run that
     // starts idle and ends loaded is just as untrustworthy as one that
     // starts loaded.
