@@ -3597,6 +3597,117 @@ object Pipeline {
       |WHERE doc_id % 509 <> 0 AND NOT (n_chars >= 300 AND n_chars < 360)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for three-clause MERGE: documents keyed on
+    * doc_id, then ONE merge commit carrying the full CDC-apply shape —
+    * a source with an `_op` marker column (updates from band U,
+    * deletes from band D, inserts past the key max, one in four
+    * flagged 'ja' to exercise the insert condition) plus a by-source
+    * delete over band B. Bands are narrow and disjoint so most files
+    * carry by reference (the pruning the query gates).
+    */
+  private def materializeManifestMerge(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_merge/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      import graft.sources.ManifestTable
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val bw = mx / 25
+      val u0 = mx / 10; val d0 = mx / 2; val b0 = 3 * mx / 4
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      ManifestTable.create(s, table, d, "doc_id", buckets = 16)
+      val upd = d.filter(col("doc_id") >= u0 && col("doc_id") < u0 + bw)
+        .withColumn("text", concat(lit("m:"), col("text")))
+        .withColumn("source", lit("merge"))
+        .withColumn("n_chars", col("n_chars") + 3L)
+        .withColumn("_op", lit("u"))
+      val del = d.filter(col("doc_id") >= d0 && col("doc_id") < d0 + bw)
+        .withColumn("_op", lit("d"))
+      val ins = s.range(60).select(
+        (lit(mx) + 1L + col("id")).as("doc_id"),
+        concat(lit("mrg-"), col("id")).as("text"),
+        element_at(typedLit(Seq("en", "de", "ja", "fr")),
+          (col("id") % 4).cast("int") + 1).as("lang"),
+        lit("minsert").as("source"),
+        length(concat(lit("mrg-"), col("id"))).cast("long").as("n_chars"))
+        .withColumn("_op", lit("i"))
+      ManifestTable.merge(s, table, upd.unionByName(del).unionByName(ins),
+        buckets = 4,
+        matchedDelete = Some(ManifestTable.srcCol("_op") === "d"),
+        matchedUpdate = Some(ManifestTable.srcCol("_op") === "u" &&
+          col("n_chars") % 2 === 0),
+        notMatchedInsert = Some(ManifestTable.srcCol("lang") =!= "ja"),
+        notMatchedBySourceDelete =
+          Some(col("doc_id") >= b0 && col("doc_id") < b0 + bw))
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Three-clause MERGE read (round 18 — Delta's MERGE INTO / the
+    * CDC-apply shape): one commit carries a conditional full-row
+    * update (fires only where the TARGET's n_chars is even — matched
+    * rows the clause skips carry through unchanged), a matched delete
+    * driven by the source's `_op` marker, a conditional insert (the
+    * 'ja'-flagged rows stay out), and a not-matched-by-source delete
+    * over a stats-prunable key band. The gate proves the upsert-grade
+    * pruning engaged: every v0 file whose key range intersects none
+    * of the three bands must carry into v1 BY REFERENCE (name-equal),
+    * with the expected count re-derived from the v0 manifest — scale-
+    * independent. The digest replays all four row fates in the
+    * oracle; a mis-fired clause on any row breaks the hash.
+    */
+  def srcManifestMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestMerge(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    val v1 = readSnapshot(table, 1)
+    require(v1.op == "merge", s"expected a merge commit at v1, got ${v1.op}")
+    val mx = v0.files.map(_.maxKey).max
+    val bw = mx / 25
+    val bands = Seq(mx / 10, mx / 2, 3 * mx / 4).map(lo => (lo, lo + bw))
+    val expectCarried = v0.files.count(f =>
+      bands.forall { case (lo, hi) => f.maxKey < lo || f.minKey >= hi })
+    val v0Names = v0.files.map(_.name).toSet
+    val carried = v1.files.count(f => v0Names(f.name))
+    require(carried == expectCarried,
+      s"merge pruning drifted: carried $carried files, expected $expectCarried")
+    manifestDigest(snapshot(s, table))
+  }
+
+  private val srcManifestMergeSql: String =
+    """WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents
+      |), kept AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id >= m//10 AND d.doc_id < m//10 + m//25
+      |              AND d.n_chars % 2 = 0
+      |         THEN 'm:' || d.text ELSE d.text END AS text,
+      |    d.lang,
+      |    CASE WHEN d.doc_id >= m//10 AND d.doc_id < m//10 + m//25
+      |              AND d.n_chars % 2 = 0
+      |         THEN 'merge' ELSE d.source END AS source,
+      |    CASE WHEN d.doc_id >= m//10 AND d.doc_id < m//10 + m//25
+      |              AND d.n_chars % 2 = 0
+      |         THEN d.n_chars + 3 ELSE d.n_chars END AS n_chars
+      |  FROM documents d, mxx
+      |  WHERE NOT (d.doc_id >= m//2 AND d.doc_id < m//2 + m//25)
+      |    AND NOT (d.doc_id >= (3*m)//4 AND d.doc_id < (3*m)//4 + m//25)
+      |), ins AS (
+      |  SELECT m + 1 + i AS doc_id, 'mrg-' || i AS text,
+      |    (['en','de','ja','fr'])[CAST(i % 4 AS INT) + 1] AS lang,
+      |    'minsert' AS source, CAST(length('mrg-' || i) AS BIGINT) AS n_chars
+      |  FROM mxx, (SELECT unnest(generate_series(0, 59)) AS i) WHERE i % 4 <> 2
+      |), fin AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM kept
+      |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for CHECK constraints: documents created WITH
     * two invariants, a valid upsert committed under them, then a
     * third constraint ADDED post-hoc — which validates all existing
@@ -4590,6 +4701,7 @@ object Pipeline {
     "src_manifest_asof_ts" -> (srcManifestAsofTs _),
     "src_manifest_deletekeys" -> (srcManifestDeleteKeys _),
     "src_manifest_dv" -> (srcManifestDv _),
+    "src_manifest_merge" -> (srcManifestMerge _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4688,6 +4800,7 @@ object Pipeline {
     "src_manifest_asof_ts" -> srcManifestAsofTsSql,
     "src_manifest_deletekeys" -> srcManifestDeleteKeysSql,
     "src_manifest_dv" -> srcManifestDvSql,
+    "src_manifest_merge" -> srcManifestMergeSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

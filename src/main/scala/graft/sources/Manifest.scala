@@ -136,6 +136,20 @@ object ManifestTable {
     * (reads fine; timestamp resolution over such history is
     * documented-degraded, never wrong-version).
     */
+  /** `colMap`/`deadCols` (round 18 — Delta's column mapping, name
+    * mode): `colMap` maps LOGICAL column names (what every API, the
+    * logged schema, constraints, and predicates speak) to PHYSICAL
+    * names (what parquet files store — fixed at first write, NEVER
+    * rewritten). Identity entries are omitted; an unmapped name is
+    * its own physical. RENAME/DROP COLUMN are then metadata-only
+    * commits on a 100 TB table: rename re-points the logical name,
+    * drop retires the physical into `deadCols` so a later re-ADD of
+    * the same logical name gets a FRESH physical name and can never
+    * resurrect the dropped column's bytes from old files. File stats
+    * and bloom blobs are keyed PHYSICAL (they describe file bytes);
+    * reads translate at the scan boundary, pruning translates at the
+    * stats lookup.
+    */
   final case class Snapshot(version: Int, op: String, keyCol: String,
                             files: Seq[FileEntry],
                             schemaJson: Option[String] = None,
@@ -143,7 +157,9 @@ object ManifestTable {
                             bloomCols: Seq[String] = Nil,
                             bloomBits: Int = 1 << 15,
                             constraints: Map[String, String] = Map.empty,
-                            ts: Long = 0L)
+                            ts: Long = 0L,
+                            colMap: Map[String, String] = Map.empty,
+                            deadCols: Seq[String] = Nil)
 
   /** A commit's DELTA against its parent (round 18 — the Delta
     * action-log shape): `add` carries new-or-changed file entries in
@@ -165,7 +181,9 @@ object ManifestTable {
                           schemaJson: Option[String],
                           txnsDelta: Map[String, Long],
                           bloomConf: Option[(Seq[String], Int)],
-                          constraintsFull: Option[Map[String, String]])
+                          constraintsFull: Option[Map[String, String]],
+                          colMapFull: Option[Map[String, String]] = None,
+                          deadColsFull: Option[Seq[String]] = None)
 
   /** Checkpoint cadence: full-state snapshots every this many
     * commits. The reconstruction tail is then <= this many small
@@ -247,6 +265,22 @@ object ManifestTable {
     sb.append('}'): Unit
   }
 
+  private def appendColMap(sb: StringBuilder, m: Map[String, String]): Unit = {
+    sb.append(",\"colMap\":{")
+    m.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((l, p), i) =>
+      if (i > 0) sb.append(',')
+      sb.append('"').append(jsonEscape(l)).append("\":\"")
+        .append(jsonEscape(p)).append('"')
+    }
+    sb.append('}'): Unit
+  }
+
+  private def appendDeadCols(sb: StringBuilder, dead: Seq[String]): Unit = {
+    sb.append(",\"deadCols\":[")
+      .append(dead.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
+      .append(']'): Unit
+  }
+
   /** Full-snapshot form — checkpoints, plus the rare commit whose
     * delta the action grammar cannot express (see [[diffAction]]).
     * Distinguished from actions by the presence of the `files` key.
@@ -269,6 +303,8 @@ object ManifestTable {
         .append("],\"bloomBits\":").append(s.bloomBits)
     }
     if (s.constraints.nonEmpty) appendConstraints(sb, s.constraints)
+    if (s.colMap.nonEmpty) appendColMap(sb, s.colMap)
+    if (s.deadCols.nonEmpty) appendDeadCols(sb, s.deadCols)
     sb.append(",\"files\":[")
     s.files.zipWithIndex.foreach { case (f, i) =>
       if (i > 0) sb.append(',')
@@ -297,6 +333,10 @@ object ManifestTable {
     a.constraintsFull.foreach(cs =>
       if (cs.isEmpty) sb.append(",\"constraints\":{}")
       else appendConstraints(sb, cs))
+    a.colMapFull.foreach(m =>
+      if (m.isEmpty) sb.append(",\"colMap\":{}") else appendColMap(sb, m))
+    a.deadColsFull.foreach(d =>
+      if (d.isEmpty) sb.append(",\"deadCols\":[]") else appendDeadCols(sb, d))
     if (a.remove.nonEmpty) {
       sb.append(",\"remove\":[")
         .append(a.remove.map(n => "\"" + jsonEscape(n) + "\"").mkString(","))
@@ -371,6 +411,22 @@ object ManifestTable {
       b.result()
     }
 
+  private def parseColMap(root: JNode): Option[Map[String, String]] =
+    Option(root.get("colMap")).map { c =>
+      val b = Map.newBuilder[String, String]
+      val fit = c.fields()
+      while (fit.hasNext) { val e = fit.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
+    }
+
+  private def parseDeadCols(root: JNode): Option[Seq[String]] =
+    Option(root.get("deadCols")).map { d =>
+      val b = Seq.newBuilder[String]
+      val it = d.elements()
+      while (it.hasNext) b += it.next().asText
+      b.result()
+    }
+
   private def parseSnapshot(root: JNode): Snapshot =
     Snapshot(root.get("version").asInt, root.get("op").asText,
       root.get("keyCol").asText, parseFileEntries(root.get("files")),
@@ -378,7 +434,9 @@ object ManifestTable {
       parseBloomCols(root).getOrElse(Nil),
       Option(root.get("bloomBits")).map(_.asInt).getOrElse(1 << 15),
       parseConstraints(root).getOrElse(Map.empty),
-      Option(root.get("ts")).map(_.asLong).getOrElse(0L))
+      Option(root.get("ts")).map(_.asLong).getOrElse(0L),
+      parseColMap(root).getOrElse(Map.empty),
+      parseDeadCols(root).getOrElse(Nil))
 
   private def parseAction(root: JNode): Action = {
     val remove = Option(root.get("remove")).map { r =>
@@ -394,7 +452,7 @@ object ManifestTable {
       Option(root.get("schema")).map(_.asText), parseTxns(root),
       parseBloomCols(root).map(cols =>
         (cols, Option(root.get("bloomBits")).map(_.asInt).getOrElse(1 << 15))),
-      parseConstraints(root))
+      parseConstraints(root), parseColMap(root), parseDeadCols(root))
   }
 
   // --- snapshot reconstruction: checkpoint + action tail (round 18) ---
@@ -419,7 +477,9 @@ object ManifestTable {
       a.bloomConf.map(_._1).getOrElse(parent.bloomCols),
       a.bloomConf.map(_._2).getOrElse(parent.bloomBits),
       a.constraintsFull.getOrElse(parent.constraints),
-      a.ts)
+      a.ts,
+      a.colMapFull.getOrElse(parent.colMap),
+      a.deadColsFull.getOrElse(parent.deadCols))
   }
 
   /** The action expressing `s` as a delta over `parent`, or None when
@@ -442,7 +502,10 @@ object ManifestTable {
       bloomConf = if (s.bloomCols != parent.bloomCols || s.bloomBits != parent.bloomBits)
         Some((s.bloomCols, s.bloomBits)) else None,
       constraintsFull = if (s.constraints != parent.constraints)
-        Some(s.constraints) else None))
+        Some(s.constraints) else None,
+      colMapFull = if (s.colMap != parent.colMap) Some(s.colMap) else None,
+      deadColsFull = if (s.deadCols != parent.deadCols)
+        Some(s.deadCols) else None))
   }
 
   /** In-JVM cache of the newest reconstructed snapshot per table, so
@@ -868,10 +931,18 @@ object ManifestTable {
                  keyCol: String, buckets: Int,
                  clusterBy: Option[String] = None,
                  bloomCols: Seq[String] = Nil,
-                 bloomBits: Int = 1 << 15): Seq[FileEntry] = {
-    val partCols = (clusterBy.toSeq :+ keyCol).map(col)
+                 bloomBits: Int = 1 << 15,
+                 colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // Callers pass LOGICAL frames/names; files store PHYSICAL names
+    // (column mapping, round 18). One projection translates — never
+    // sequential renames (a swap mapping a↔b would corrupt).
+    val pdf = if (colMap.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(colMap.getOrElse(c, c))).toIndexedSeq: _*)
+    val pKey = colMap.getOrElse(keyCol, keyCol)
+    val partCols = (clusterBy.map(c => colMap.getOrElse(c, c)).toSeq :+ pKey).map(col)
     writeFilesPartitioned(spark, table,
-      df.repartitionByRange(buckets, partCols: _*), keyCol, bloomCols, bloomBits)
+      pdf.repartitionByRange(buckets, partCols: _*), pKey, bloomCols, bloomBits)
   }
 
   /** Write an ALREADY-partitioned frame (each partition becomes one
@@ -1027,9 +1098,8 @@ object ManifestTable {
         s"constraint '$name' already exists on $table (drop it first)")
       enforceConstraints(readFiles(spark, table, cur, cur.files),
         Map(name -> sqlExpr), s"existing data in $table")
-      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits,
-        cur.constraints + (name -> sqlExpr))
+      cur.copy(version = v + 1, op = "evolve",
+        constraints = cur.constraints + (name -> sqlExpr))
     }
 
   /** DROP CONSTRAINT — metadata-only; loud on an unknown name. */
@@ -1040,8 +1110,8 @@ object ManifestTable {
       require(cur.constraints.contains(name),
         s"no constraint '$name' on $table " +
         s"(have: ${cur.constraints.keys.toSeq.sorted.mkString(", ")})")
-      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints - name)
+      cur.copy(version = v + 1, op = "evolve",
+        constraints = cur.constraints - name)
     }
 
   /** Enable (or extend) the bloom index on an existing table —
@@ -1060,8 +1130,8 @@ object ManifestTable {
       val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
         s"setBloomIndex requires a logged schema (table $table predates schema logging)"))
       validateBloomCols(st, cols, bloomBits)
-      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, cur.schemaJson,
-        cur.txns, (cur.bloomCols ++ cols).distinct, bloomBits, cur.constraints)
+      cur.copy(version = v + 1, op = "evolve",
+        bloomCols = (cur.bloomCols ++ cols).distinct, bloomBits = bloomBits)
     }
 
   private def filePaths(table: String, s: Snapshot): Seq[String] =
@@ -1070,6 +1140,19 @@ object ManifestTable {
   def schemaOf(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
     s.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** LOGICAL → PHYSICAL column name under the snapshot's mapping
+    * (identity when unmapped — every pre-mapping table).
+    */
+  private def physName(s: Snapshot)(c: String): String = s.colMap.getOrElse(c, c)
+
+  /** The snapshot's logical schema with field names translated to the
+    * PHYSICAL names data files store.
+    */
+  private[sources] def physSchemaOf(s: Snapshot)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(s).map(st => org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physName(s)(f.name)))))
 
   /** Read the listed files under the snapshot's logged schema: columns
     * a data file predates (written before an evolution commit) come
@@ -1101,9 +1184,17 @@ object ManifestTable {
       val paths = fs.map(f => new File(dataDir(table), f.name).getAbsolutePath)
       val df = schemaOf(s) match {
         case Some(st) =>
-          if (paths.isEmpty)
-            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
-          else spark.read.schema(st).parquet(paths: _*)
+          // files store PHYSICAL names; scan under them, then translate
+          // to logical in ONE projection (sequential renames would
+          // corrupt a swap mapping a↔b)
+          val pst = physSchemaOf(s).get
+          val raw =
+            if (paths.isEmpty) spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), pst)
+            else spark.read.schema(pst).parquet(paths: _*)
+          if (s.colMap.isEmpty) raw
+          else raw.select(st.fields.map(f =>
+            col(physName(s)(f.name)).as(f.name)).toIndexedSeq: _*)
         case None =>
           if (paths.isEmpty) throw new IllegalStateException(
             s"empty snapshot v${s.version} in $table and no logged schema (pre-schema manifest)")
@@ -1152,8 +1243,8 @@ object ManifestTable {
       val clash = newCols.map(_.name).intersect(st.fieldNames.toSeq)
       require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
       val widened = org.apache.spark.sql.types.StructType(st.fields ++ newCols)
-      Snapshot(v + 1, "evolve", cur.keyCol, cur.files, Some(widened.json),
-        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+      cur.copy(version = v + 1, op = "evolve",
+        schemaJson = Some(widened.json))
     }
 
   /** Range read with MANIFEST-level file skipping: only files whose
@@ -1324,7 +1415,8 @@ object ManifestTable {
     */
   private[sources] def canMatch(file: FileEntry,
                                 schema: org.apache.spark.sql.types.StructType,
-                                pred: PredNode): Boolean = {
+                                pred: PredNode,
+                                phys: String => String = identity): Boolean = {
     import PredNode._
     def attrName(e: PredNode): Option[String] = e match {
       case Attr(n) => Some(n)
@@ -1340,7 +1432,7 @@ object ManifestTable {
     // literal/column pairings, unindexed files, and undecodable blobs
     // all degrade to read-the-file.
     def bloomAdmits(name: String, litV: Any): Boolean =
-      (file.blooms.get(name), schema.fields.find(_.name == name)) match {
+      (file.blooms.get(phys(name)), schema.fields.find(_.name == name)) match {
         case (Some(b64), Some(f)) =>
           bloomProbeBytes(f.dataType, litV) match {
             case Some(bytes) =>
@@ -1357,7 +1449,7 @@ object ManifestTable {
     // must instead degrade to "maybe" — conflating the two would
     // prune a NaN-bounded file unsafely.
     def cmpStats(name: String, litV: Any, op: String): Boolean =
-      (file.stats.get(name), schema.fields.find(_.name == name)) match {
+      (file.stats.get(phys(name)), schema.fields.find(_.name == name)) match {
         case (Some(st), Some(f)) =>
           cmpDomain(f.dataType, litV).flatMap(dom =>
             litIn(dom, litV).map(l => (dom, l))) match {
@@ -1404,7 +1496,7 @@ object ManifestTable {
         case _ => true
       }
     def nullness(a: PredNode, wantNull: Boolean): Boolean = attrName(a) match {
-      case Some(n) => file.stats.get(n).forall(st =>
+      case Some(n) => file.stats.get(phys(n)).forall(st =>
         if (wantNull) st.nulls > 0 else st.nulls < file.rows)
       case None => true
     }
@@ -1451,7 +1543,8 @@ object ManifestTable {
     val s = readSnapshot(table, version.getOrElse(latestVersion(table)))
     val pe = org.apache.spark.sql.graftshim.NodeInternals.predTree(predicate)
     schemaOf(s) match {
-      case Some(st) => (s.files.filter(f => canMatch(f, st, pe)), s.files.size)
+      case Some(st) =>
+        (s.files.filter(f => canMatch(f, st, pe, physName(s))), s.files.size)
       case None => (s.files, s.files.size) // pre-schema manifest: no pruning
     }
   }
@@ -1534,13 +1627,144 @@ object ManifestTable {
       val rewritten = (survivors.toSeq ++ replaced.toSeq ++ Seq(inserts))
         .reduce(_ unionByName _)
       val newFiles = writeFiles(spark, table, rewritten, keyCol, buckets,
-        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
+        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
+        colMap = cur.colMap)
       // schema carries forward; a post-evolution upsert keeps the
       // widened schema (delta columns must already conform — the
       // unionByName above throws on a mismatch)
-      Snapshot(v + 1, "upsert", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+      cur.copy(version = v + 1, op = "upsert",
+        files = (untouched ++ newFiles).sortBy(_.minKey))
     } finally touchedDf.foreach(_.unpersist(false))
+  }
+
+  /** Prefix under which [[merge]] clause conditions see SOURCE
+    * columns in the joined row (target columns keep their plain
+    * names): `srcCol("qty") > col("qty")` is Delta's
+    * `source.qty > target.qty`.
+    */
+  val SrcPrefix = "_src_"
+  def srcCol(name: String): org.apache.spark.sql.Column = col(SrcPrefix + name)
+
+  /** Three-clause MERGE (the Delta MERGE INTO surface; also the
+    * CDC-apply shape — a source carrying the target columns PLUS
+    * marker/extra columns works, since only target columns are ever
+    * projected into the table). Source rows join the table on the key
+    * column; clause conditions are Columns over the joined row,
+    * referencing TARGET columns by plain name and SOURCE columns via
+    * [[srcCol]]. SQL condition semantics: a clause fires iff its
+    * condition is TRUE (NULL does not fire); `None` = clause absent.
+    *
+    *  - `matchedDelete` — matched target rows where TRUE are deleted.
+    *    Evaluated FIRST (a WHEN MATCHED DELETE listed before the
+    *    update clause, the common CDC ordering).
+    *  - `matchedUpdate` — remaining matched rows where TRUE are
+    *    replaced by their source row (full-row update, the [[upsert]]
+    *    discipline). Matched rows no clause fires on carry through
+    *    unchanged.
+    *  - `notMatchedInsert` — source rows with no target match insert
+    *    where TRUE.
+    *  - `notMatchedBySourceDelete` — target rows with NO source match
+    *    are deleted where TRUE; must reference only plain target
+    *    columns (it prunes through file stats like [[deleteWhere]]).
+    *
+    * Scale shape — the property that makes a CDC apply affordable on
+    * a 100 TB table: only files whose key range contains a source key
+    * (the matched/insert tiers; broadcast range join, same as
+    * [[upsert]]) or whose column stats admit the by-source predicate
+    * are rewritten; every other file carries forward BY REFERENCE
+    * with zero IO. "Not matched" is decided against the touched tier
+    * only, which is exact: an untouched file's key range contains no
+    * source key by construction. One full-outer join computes all
+    * four row fates in a single plan; touched files' deletion vectors
+    * apply on read and materialize away in the rewrite (like
+    * [[compact]]). Duplicate or NULL source keys fail loudly (Delta's
+    * multiple-match error). CHECK constraints validate exactly the
+    * rows the source pushes into the table (inserts + fired updates)
+    * — never a table scan.
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            buckets: Int,
+            matchedDelete: Option[org.apache.spark.sql.Column] = None,
+            matchedUpdate: Option[org.apache.spark.sql.Column] = None,
+            notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+            notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None
+           ): Snapshot = {
+    val bySrcPe = notMatchedBySourceDelete.map(p =>
+      org.apache.spark.sql.graftshim.NodeInternals.predTree(p))
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val keyCol = cur.keyCol
+      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+        s"merge requires a logged schema (table $table predates schema logging)"))
+      val tCols = st.fieldNames.toSeq
+      require(tCols.forall(source.columns.contains),
+        "merge source must carry every target column; missing: " +
+        tCols.filterNot(source.columns.contains).mkString(", "))
+      require(tCols.forall(!_.startsWith(SrcPrefix)),
+        s"target columns may not start with the reserved prefix '$SrcPrefix'")
+      // Key hygiene, the upsert discipline: duplicate source keys would
+      // fan a matched target row out into several joined rows (Delta's
+      // "multiple source rows matched" error); NULL keys break the
+      // matched/not-matched trichotomy. One pass over the (small,
+      // delta-sized) source.
+      val dupCheck = source
+        .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
+          count(when(col(keyCol).isNull, lit(1))).as("nulls")).collect()(0)
+      require(dupCheck.getLong(2) == 0L,
+        s"merge source has ${dupCheck.getLong(2)} NULL $keyCol keys — " +
+        "the manifest key column must be non-null")
+      require(dupCheck.getLong(0) == dupCheck.getLong(1),
+        s"merge source has duplicate keys: ${dupCheck.getLong(0)} rows but " +
+        s"${dupCheck.getLong(1)} distinct $keyCol")
+      // Touched tiers: key-range overlap with a source key (broadcast
+      // range join, control-plane collect of file NAMES), plus — only
+      // when the by-source clause exists — files whose stats admit its
+      // predicate (rows it might delete live nowhere else).
+      val ranges = spark.createDataFrame(cur.files.map(f =>
+        (f.name, f.minKey, f.maxKey))).toDF("_file", "_mn", "_mx")
+      val matchTouched = source.select(col(keyCol).cast("long").as("_k"))
+        .join(broadcast(ranges),
+          col("_k") >= col("_mn") && col("_k") <= col("_mx"))
+        .select("_file").distinct().collect().map(_.getString(0)).toSet
+      val bySrcTouched: Set[String] = bySrcPe match {
+        case Some(pe) => cur.files.filter(f => canMatch(f, st, pe)).map(_.name).toSet
+        case None => Set.empty
+      }
+      val (touched, untouched) = cur.files.partition(f =>
+        matchTouched(f.name) || bySrcTouched(f.name))
+
+      val tDf = readFiles(spark, table, cur, touched)
+      val sDf = source.columns.foldLeft(source)((d, c) =>
+        d.withColumnRenamed(c, SrcPrefix + c))
+      val tKey = col(keyCol)
+      val sKey = col(SrcPrefix + keyCol)
+      def fires(c: Option[org.apache.spark.sql.Column]) =
+        c.map(cc => coalesce(cc.cast("boolean"), lit(false))).getOrElse(lit(false))
+      val matchedRow = tKey.isNotNull && sKey.isNotNull
+      val insertRow = tKey.isNull && sKey.isNotNull
+      val tgtOnlyRow = tKey.isNotNull && sKey.isNull
+      val keep = (insertRow && fires(notMatchedInsert)) ||
+        (matchedRow && !fires(matchedDelete)) ||
+        (tgtOnlyRow && !fires(notMatchedBySourceDelete))
+      val takeSrc = insertRow || (matchedRow && !fires(matchedDelete) &&
+        fires(matchedUpdate))
+      val merged = tDf.join(sDf, tKey === sKey, "full_outer")
+        .filter(keep)
+        .select(tCols.map(c =>
+          when(takeSrc, col(SrcPrefix + c)).otherwise(col(c)).as(c)) :+
+          takeSrc.as("_from_src"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        enforceConstraints(merged.filter(col("_from_src")).drop("_from_src"),
+          cur.constraints, s"merge source into $table")
+        val newFiles = writeFiles(spark, table, merged.drop("_from_src"),
+          keyCol, buckets, bloomCols = cur.bloomCols,
+          bloomBits = cur.bloomBits, colMap = cur.colMap)
+        cur.copy(version = v + 1, op = "merge",
+          files = (untouched ++ newFiles).sortBy(_.minKey))
+      } finally { merged.unpersist(false); () }
+    }
   }
 
   /** Compaction as a COMMIT: rewrite the current snapshot's files
@@ -1560,9 +1784,8 @@ object ManifestTable {
       // clusterBy here is OPTIMIZE-as-recluster: compaction is the
       // natural place to (re)establish a read-optimized layout
       val newFiles = writeFiles(spark, table, all, cur.keyCol, buckets, clusterBy,
-        cur.bloomCols, cur.bloomBits)
-      Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+        cur.bloomCols, cur.bloomBits, cur.colMap)
+      cur.copy(version = v + 1, op = "compact", files = newFiles)
     }
 
   /** Bin-packing compaction (round 17 — Delta OPTIMIZE's actual
@@ -1610,10 +1833,10 @@ object ManifestTable {
       val buckets = math.max(1L, (smallRows + target - 1) / target).toInt
       val rewritten = readFiles(spark, table, cur, small)
       val newFiles = writeFiles(spark, table, rewritten, cur.keyCol, buckets,
-        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
-      Snapshot(v + 1, "compact", cur.keyCol,
-        (big ++ newFiles).sortBy(_.minKey), cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
+        colMap = cur.colMap)
+      cur.copy(version = v + 1, op = "compact",
+        files = (big ++ newFiles).sortBy(_.minKey))
     } catch { case NoopExit(s) => s }
   }
 
@@ -1662,13 +1885,16 @@ object ManifestTable {
             shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * zCols.size + j)
           }
         }.reduce(_ + _)
-        val staged = all.withColumn("_zorder", z)
+        val staged0 = all.withColumn("_zorder", z)
           .repartitionByRange(buckets, col("_zorder"), col(cur.keyCol))
           .drop("_zorder")
-        val newFiles = writeFilesPartitioned(spark, table, staged, cur.keyCol,
-          cur.bloomCols, cur.bloomBits)
-        Snapshot(v + 1, "compact", cur.keyCol, newFiles, cur.schemaJson,
-          cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+        // logical → physical at the write boundary (column mapping)
+        val staged = if (cur.colMap.isEmpty) staged0
+          else staged0.select(staged0.columns.map(c =>
+            col(c).as(physName(cur)(c))).toIndexedSeq: _*)
+        val newFiles = writeFilesPartitioned(spark, table, staged,
+          physName(cur)(cur.keyCol), cur.bloomCols, cur.bloomBits)
+        cur.copy(version = v + 1, op = "compact", files = newFiles)
       } finally { all.unpersist(false); () }
     }
   }
@@ -1724,7 +1950,8 @@ object ManifestTable {
     enforceConstraints(df, cur0.constraints,
       s"appendBatch($appId, $batchId) into $table")
     val newFiles = writeFiles(spark, table, df, keyCol, buckets,
-      bloomCols = cur0.bloomCols, bloomBits = cur0.bloomBits)
+      bloomCols = cur0.bloomCols, bloomBits = cur0.bloomBits,
+      colMap = cur0.colMap)
     var attempts = 0
     var validatedConstraints = cur0.constraints
     while (true) {
@@ -1754,9 +1981,8 @@ object ManifestTable {
         }
         validatedConstraints = cur.constraints
       }
-      val snap = Snapshot(v + 1, "append", cur.keyCol, cur.files ++ newFiles,
-        cur.schemaJson, cur.txns + (appId -> batchId),
-        cur.bloomCols, cur.bloomBits, cur.constraints)
+      val snap = cur.copy(version = v + 1, op = "append",
+        files = cur.files ++ newFiles, txns = cur.txns + (appId -> batchId))
       try { commit(table, snap); return true }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1812,8 +2038,7 @@ object ManifestTable {
       require(gone.isEmpty,
         s"restore to v$toVersion of $table references ${gone.size} data " +
         s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
-      Snapshot(v + 1, "restore", old.keyCol, old.files, old.schemaJson,
-        cur.txns, old.bloomCols, old.bloomBits, old.constraints)
+      old.copy(version = v + 1, op = "restore", txns = cur.txns)
     }
 
   /** Retention: delete data files referenced ONLY by versions older
@@ -1914,10 +2139,11 @@ object ManifestTable {
           val keep = readFiles(spark, table, cur, partial)
             .filter(col(keyCol) < lo || col(keyCol) > hi)
           writeFiles(spark, table, keep, keyCol, math.max(1, partial.size),
-            bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
+            bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
+            colMap = cur.colMap)
         }
-      Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-        cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+      cur.copy(version = v + 1, op = "delete",
+        files = (untouched ++ newFiles).sortBy(_.minKey))
     }
 
   /** Write per-file deletion-vector sidecars for `victims` — a
@@ -2049,9 +2275,10 @@ object ManifestTable {
         readFiles(spark, table, cur, touched)
           .join(ks.withColumnRenamed("_k", keyCol), Seq(keyCol), "left_anti"),
         keyCol, math.max(1, touched.size),
-        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
-    Snapshot(v + 1, "delete", keyCol, (untouched ++ newFiles).sortBy(_.minKey),
-      cur.schemaJson, cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+        bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
+        colMap = cur.colMap)
+    cur.copy(version = v + 1, op = "delete",
+      files = (untouched ++ newFiles).sortBy(_.minKey))
   }
 
   /** Predicate DELETE (round 17 — Delta's DELETE WHERE, generalizing
@@ -2124,11 +2351,11 @@ object ManifestTable {
           readFiles(spark, table, cur, rewrite)
             .filter(!coalesce(predicate, lit(false))),
           cur.keyCol, math.max(1, rewrite.size),
-          bloomCols = cur.bloomCols, bloomBits = cur.bloomBits)
+          bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
+          colMap = cur.colMap)
       logDeleteWherePlan(table, untouched.size, dropped.size, rewrite.size)
-      Snapshot(v + 1, "delete", cur.keyCol,
-        (untouched ++ newFiles).sortBy(_.minKey), cur.schemaJson,
-        cur.txns, cur.bloomCols, cur.bloomBits, cur.constraints)
+      cur.copy(version = v + 1, op = "delete",
+        files = (untouched ++ newFiles).sortBy(_.minKey))
     }
   }
 

@@ -236,7 +236,7 @@ class ManifestStreamSource(spark: SparkSession, table: String,
           .withColumn(ManifestStream.CommitVersionCol, lit(v)))
       case "create" | "append" if !cdc =>
         Some(addedFilesDf(v, added))
-      case "upsert" | "delete" | "restore" if !cdc =>
+      case "upsert" | "merge" | "delete" | "restore" if !cdc =>
         // restore belongs here too: it re-LISTS previously-removed
         // files, which an append tail would re-emit as double counts
         if (skipChangeCommits) {

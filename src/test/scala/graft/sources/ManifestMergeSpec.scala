@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.ManifestTable._
+
+/** Three-clause MERGE contracts (round 18 — the Delta MERGE INTO
+  * surface / CDC-apply shape): clause precedence (matched delete
+  * before update), matched rows no clause fires on carry unchanged,
+  * conditional insert, by-source delete scoped to UNMATCHED rows
+  * only, upsert-grade file pruning (carry-by-reference outside the
+  * touched tiers), loud duplicate/NULL source keys, constraint
+  * enforcement over exactly the source-pushed rows, extra source
+  * columns ignored, and DV materialization on rewrite.
+  */
+class ManifestMergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_mrg").resolve("t").toString
+
+  private def mkTable(n: Int, buckets: Int,
+                      constraints: Map[String, String] = Map.empty): String = {
+    val t = tmpTable()
+    val df = (0 until n).map(i => (i.toLong, s"row-$i", (i % 7).toLong))
+      .toDF("doc_id", "text", "tag")
+    create(spark, t, df, "doc_id", buckets, constraints = constraints)
+    t
+  }
+
+  private def rows(t: String): Map[Long, (String, Long)] =
+    snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("update+insert with always-true conditions == upsert, bit for bit") {
+    val tUp = mkTable(300, 3)
+    val tMg = mkTable(300, 3)
+    val delta = Seq((5L, "upd-5", 50L), (120L, "upd-120", 51L),
+      (300L, "new-300", 52L), (301L, "new-301", 53L))
+      .toDF("doc_id", "text", "tag")
+    upsert(spark, tUp, delta, 2)
+    merge(spark, tMg, delta, 2,
+      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)))
+    assert(rows(tMg) == rows(tUp))
+    assert(readSnapshot(tMg, 1).op == "merge")
+  }
+
+  test("matched delete fires BEFORE update; unmatched clause rows carry unchanged") {
+    val t = mkTable(100, 1)
+    // key 10: marked both deletable and updatable -> delete wins.
+    // key 20: update fires. key 30: matched, no clause fires -> unchanged.
+    val src = Seq((10L, "x", 0L, "d", true), (20L, "upd-20", 9L, "u", true),
+      (30L, "ignored", 9L, "u", false))
+      .toDF("doc_id", "text", "tag", "_op", "_fire")
+    merge(spark, t, src, 1,
+      matchedDelete = Some(srcCol("_op") === "d"),
+      matchedUpdate = Some(srcCol("_fire")))
+    val m = rows(t)
+    assert(!m.contains(10L), "delete clause must win over update")
+    assert(m(20L) == ("upd-20", 9L))
+    assert(m(30L) == ("row-30", 2L), "matched row no clause fires on is unchanged")
+    assert(m.size == 99)
+  }
+
+  test("insert condition filters; NULL condition does not fire (SQL semantics)") {
+    val t = mkTable(50, 1)
+    val src = Seq((100L, "a", 1L, Some(true)), (101L, "b", 1L, Some(false)),
+      (102L, "c", 1L, None))
+      .toDF("doc_id", "text", "tag", "_adm")
+    merge(spark, t, src, 1, notMatchedInsert = Some(srcCol("_adm")))
+    val m = rows(t)
+    assert(m.contains(100L) && !m.contains(101L) && !m.contains(102L),
+      "only a TRUE condition inserts; FALSE and NULL both stay out")
+  }
+
+  test("by-source delete hits ONLY unmatched rows; matched rows keep their fate") {
+    val t = mkTable(100, 1)
+    // band [40, 60) is swept, but 45 is matched (updated) and 50 is
+    // matched with no firing clause -> both survive the sweep.
+    val src = Seq((45L, "upd-45", 9L, "u"), (50L, "keep", 9L, "x"))
+      .toDF("doc_id", "text", "tag", "_op")
+    merge(spark, t, src, 1,
+      matchedUpdate = Some(srcCol("_op") === "u"),
+      notMatchedBySourceDelete = Some(col("doc_id") >= 40L && col("doc_id") < 60L))
+    val m = rows(t)
+    assert(m(45L) == ("upd-45", 9L))
+    assert(m(50L) == ("row-50", 1L))
+    assert((40L until 60L).filterNot(Set(45L, 50L)).forall(k => !m.contains(k)),
+      "unmatched band rows are deleted")
+    assert(m.size == 100 - 18)
+  }
+
+  test("files outside the touched tiers carry BY REFERENCE") {
+    val t = mkTable(800, 8) // files span ~100 keys each
+    val s0 = readSnapshot(t, 0)
+    val src = Seq((5L, "u5", 0L, "u"), (810L, "new", 0L, "i"))
+      .toDF("doc_id", "text", "tag", "_op")
+    merge(spark, t, src, 1,
+      matchedUpdate = Some(srcCol("_op") === "u"),
+      notMatchedInsert = Some(lit(true)),
+      notMatchedBySourceDelete =
+        Some(col("doc_id") >= 700L && col("doc_id") < 710L))
+    val s1 = readSnapshot(t, 1)
+    val v0Names = s0.files.map(_.name).toSet
+    val expectCarried = s0.files.count(f =>
+      !(f.minKey <= 5L && f.maxKey >= 5L) && // source-key tier
+        !(f.maxKey >= 700L && f.minKey < 710L)) // by-source stats tier
+    assert(s1.files.count(f => v0Names(f.name)) == expectCarried,
+      "every file outside the touched tiers must carry by reference")
+    assert(expectCarried >= 5, "fixture must leave a real carried mass")
+  }
+
+  test("duplicate and NULL source keys fail loudly") {
+    val t = mkTable(50, 1)
+    val dup = Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("doc_id", "text", "tag")
+    val e1 = intercept[IllegalArgumentException](
+      merge(spark, t, dup, 1, matchedUpdate = Some(lit(true))))
+    assert(e1.getMessage.contains("duplicate keys"))
+    val nul = Seq((Some(1L), "a", 0L), (None, "b", 0L))
+      .toDF("doc_id", "text", "tag")
+    val e2 = intercept[IllegalArgumentException](
+      merge(spark, t, nul, 1, matchedUpdate = Some(lit(true))))
+    assert(e2.getMessage.contains("NULL"))
+    assert(latestVersion(t) == 0, "rejected merges leave no version")
+  }
+
+  test("constraints validate inserts + fired updates; CDC delete payloads are exempt") {
+    val t = mkTable(50, 1, constraints = Map("tag_nonneg" -> "tag >= 0"))
+    // a delete marker with a violating payload must NOT trip the check
+    // (its row never enters the table)...
+    val delSrc = Seq((10L, "x", -5L, "d")).toDF("doc_id", "text", "tag", "_op")
+    merge(spark, t, delSrc, 1, matchedDelete = Some(srcCol("_op") === "d"))
+    assert(!rows(t).contains(10L))
+    // ...but a violating INSERT and a violating fired UPDATE both do.
+    val badIns = Seq((100L, "y", -1L, "i")).toDF("doc_id", "text", "tag", "_op")
+    val e1 = intercept[IllegalArgumentException](
+      merge(spark, t, badIns, 1, notMatchedInsert = Some(lit(true))))
+    assert(e1.getMessage.contains("tag_nonneg"))
+    val badUpd = Seq((20L, "z", -1L, "u")).toDF("doc_id", "text", "tag", "_op")
+    val e2 = intercept[IllegalArgumentException](
+      merge(spark, t, badUpd, 1, matchedUpdate = Some(srcCol("_op") === "u")))
+    assert(e2.getMessage.contains("tag_nonneg"))
+  }
+
+  test("merge over a DV'd file materializes the vector; no resurrection") {
+    val t = mkTable(100, 1)
+    deleteKeys(spark, t, Seq(7L, 8L).toDF("doc_id"), useDv = true)
+    assert(readSnapshot(t, 1).files.exists(_.dv.isDefined))
+    val src = Seq((50L, "upd-50", 9L)).toDF("doc_id", "text", "tag")
+    merge(spark, t, src, 1, matchedUpdate = Some(lit(true)))
+    val s2 = readSnapshot(t, 2)
+    assert(s2.files.forall(_.dv.isEmpty), "rewrite materializes the DV away")
+    val m = rows(t)
+    assert(!m.contains(7L) && !m.contains(8L), "DV'd keys stay deleted")
+    assert(m(50L) == ("upd-50", 9L) && m.size == 98)
+  }
+
+  test("extra source columns never reach the table; missing target columns are loud") {
+    val t = mkTable(20, 1)
+    val src = Seq((3L, "u3", 1L, "marker", 99)).toDF(
+      "doc_id", "text", "tag", "_op", "extra")
+    merge(spark, t, src, 1, matchedUpdate = Some(lit(true)))
+    assert(snapshot(spark, t).columns.toSeq == Seq("doc_id", "text", "tag"))
+    val bad = Seq((4L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      merge(spark, t, bad, 1, matchedUpdate = Some(lit(true))))
+    assert(e.getMessage.contains("missing"))
+  }
+}
