@@ -3597,6 +3597,113 @@ object Pipeline {
       |WHERE doc_id % 509 <> 0 AND NOT (n_chars >= 300 AND n_chars < 360)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for column mapping: documents keyed on doc_id,
+    * then a metadata-only schema-surgery sequence — text→body and
+    * n_chars→len renames, DROP source, re-ADD source (fresh physical:
+    * old bytes must never resurrect) — followed by one upsert under
+    * the NEW logical names, whose files store PHYSICAL names.
+    */
+  private def materializeManifestRename(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_rename/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      import graft.sources.ManifestTable
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      ManifestTable.create(s, table, d, "doc_id", buckets = 8)
+      ManifestTable.renameColumn(table, "text", "body")
+      ManifestTable.renameColumn(table, "n_chars", "len")
+      ManifestTable.dropColumn(table, "source")
+      ManifestTable.addColumns(table, Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val cur = ManifestTable.snapshot(s, table)
+      val updates = cur.filter(col("doc_id") % 97 === 0)
+        .withColumn("body", concat(lit("u:"), col("body")))
+        .withColumn("source", lit("upsert"))
+        .withColumn("len", col("len") + 2L)
+      val inserts = s.range(100).select(
+        (lit(mx) + 1L + col("id")).as("doc_id"),
+        concat(lit("ins-"), col("id")).as("body"),
+        element_at(typedLit(Seq("en", "de", "zh", "fr")),
+          (col("id") % 4).cast("int") + 1).as("lang"),
+        length(concat(lit("ins-"), col("id"))).cast("long").as("len"),
+        lit("insert").as("source"))
+      ManifestTable.upsert(s, table, updates.unionByName(inserts), buckets = 4)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** Column-mapping read (round 18 — Delta's column mapping, name
+    * mode): RENAME/DROP/re-ADD as metadata-only commits over a table
+    * whose files are never rewritten for schema surgery. The gates
+    * prove the mechanism live: v1-v4 each list v0's file entries
+    * VERBATIM (zero data IO for the whole sequence); the post-upsert
+    * new files store PHYSICAL names (parquet footers carry `text` and
+    * a fresh `source__p*` physical — never `body`, never the retired
+    * plain `source`); and nullness pruning on the renamed `len`
+    * engages through the logical→physical map. The digest replays the
+    * upsert under the new names, with `n_src` pinning no-resurrection:
+    * only upserted/inserted rows carry a source value — one old byte
+    * leaking into the re-added column breaks the count.
+    */
+  def srcManifestRename(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestRename(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    (1 to 4).foreach { v =>
+      val sv = readSnapshot(table, v)
+      require(sv.op == "evolve" && sv.files == v0.files,
+        s"schema surgery at v$v must relist v0's file entries verbatim")
+    }
+    val v5 = readSnapshot(table, 5)
+    val v0Names = v0.files.map(_.name).toSet
+    val newFile = v5.files.map(_.name).filterNot(v0Names).headOption.getOrElse(
+      throw new IllegalStateException("upsert wrote no new file"))
+    val footer = s.read.parquet(
+      new java.io.File(table, s"data/$newFile").getAbsolutePath)
+      .schema.fieldNames.toSeq
+    require(footer.contains("text") && !footer.contains("body") &&
+      footer.exists(_.startsWith("source__p")) && !footer.contains("source"),
+      s"post-rename files must store physical names, got: $footer")
+    require(matchingFiles(table, col("len").isNull)._1.isEmpty,
+      "nullness pruning must engage through the column mapping")
+    snapshot(s, table).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("sum_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        bit_xor(conv(substring(md5(encode(col("body"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"),
+        count(col("source")).as("n_src"))
+      .orderBy("lang")
+  }
+
+  private val srcManifestRenameSql: String =
+    """WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents
+      |), fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'u:' || text ELSE text END AS body,
+      |    lang,
+      |    CASE WHEN doc_id % 97 = 0 THEN n_chars + 2 ELSE n_chars END AS len,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'upsert' ELSE NULL END AS source
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT m + 1 + i, 'ins-' || i,
+      |    (['en','de','zh','fr'])[CAST(i % 4 AS INT) + 1],
+      |    CAST(length('ins-' || i) AS BIGINT), 'insert'
+      |  FROM mxx, (SELECT unnest(generate_series(0, 99)) AS i)
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len) AS BIGINT) AS sum_len,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(body), 1, 15)) AS BIGINT)) AS content_xor,
+      |  CAST(COUNT(source) AS BIGINT) AS n_src
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for three-clause MERGE: documents keyed on
     * doc_id, then ONE merge commit carrying the full CDC-apply shape —
     * a source with an `_op` marker column (updates from band U,
@@ -4702,6 +4809,7 @@ object Pipeline {
     "src_manifest_deletekeys" -> (srcManifestDeleteKeys _),
     "src_manifest_dv" -> (srcManifestDv _),
     "src_manifest_merge" -> (srcManifestMerge _),
+    "src_manifest_rename" -> (srcManifestRename _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_top_words" -> (textTopWords _),
@@ -4801,6 +4909,7 @@ object Pipeline {
     "src_manifest_deletekeys" -> srcManifestDeleteKeysSql,
     "src_manifest_dv" -> srcManifestDvSql,
     "src_manifest_merge" -> srcManifestMergeSql,
+    "src_manifest_rename" -> srcManifestRenameSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_top_words" -> textTopWordsSql,

@@ -1130,8 +1130,11 @@ object ManifestTable {
       val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
         s"setBloomIndex requires a logged schema (table $table predates schema logging)"))
       validateBloomCols(st, cols, bloomBits)
+      // bloom config is stored PHYSICAL (blooms describe file bytes;
+      // writeFiles and the canMatch probe both work in physical space)
       cur.copy(version = v + 1, op = "evolve",
-        bloomCols = (cur.bloomCols ++ cols).distinct, bloomBits = bloomBits)
+        bloomCols = (cur.bloomCols ++ cols.map(physName(cur))).distinct,
+        bloomBits = bloomBits)
     }
 
   private def filePaths(table: String, s: Snapshot): Seq[String] =
@@ -1242,9 +1245,103 @@ object ManifestTable {
         s"addColumns requires a logged schema (table $table predates schema logging)"))
       val clash = newCols.map(_.name).intersect(st.fieldNames.toSeq)
       require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
+      // Column mapping (round 18): a new logical name whose default
+      // physical name is RETIRED (dropped earlier) or already taken by
+      // a live physical (the column was renamed away and the old name
+      // re-added) gets a FRESH physical name — old files' bytes under
+      // the dead name can then never resurrect into the new column.
+      val livePhys = st.fieldNames.map(physName(cur)).toSet
+      val dead = cur.deadCols.toSet
+      val extraMap = newCols.flatMap { f =>
+        if (!dead(f.name) && !livePhys(f.name)) None
+        else {
+          var cand = s"${f.name}__p${v + 1}"
+          var i = 0
+          while (dead(cand) || livePhys(cand)) { i += 1; cand = s"${f.name}__p${v + 1}_$i" }
+          Some(f.name -> cand)
+        }
+      }.toMap
       val widened = org.apache.spark.sql.types.StructType(st.fields ++ newCols)
       cur.copy(version = v + 1, op = "evolve",
-        schemaJson = Some(widened.json))
+        schemaJson = Some(widened.json), colMap = cur.colMap ++ extraMap)
+    }
+
+  /** True when `sqlExpr` plausibly references column `name` — a
+    * conservative word-boundary token match (over-blocking on a name
+    * inside a string literal is acceptable; silently breaking a CHECK
+    * constraint is not).
+    */
+  private def refersTo(sqlExpr: String, name: String): Boolean =
+    ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(sqlExpr).isDefined
+
+  /** RENAME COLUMN as a metadata-only commit (round 18 — Delta's
+    * column mapping, name mode): data files are NEVER rewritten; the
+    * logical name re-points to the column's fixed PHYSICAL name via
+    * `colMap`, reads translate at the scan boundary, stats pruning at
+    * the lookup. Renaming the key column is allowed (the snapshot's
+    * logical keyCol follows). Renaming a column a CHECK constraint
+    * references is refused (Delta's documented restriction — the
+    * stored SQL would silently dangle); drop the constraint first.
+    * Running streaming tails are UNAFFECTED: physical names never
+    * change, and a tail keeps presenting its start-time logical
+    * schema. Commits as `evolve` (dataChange=false).
+    */
+  def renameColumn(table: String, from: String, to: String): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+        s"renameColumn requires a logged schema (table $table predates schema logging)"))
+      require(st.fieldNames.contains(from), s"no column '$from' in $table " +
+        s"(have: ${st.fieldNames.mkString(", ")})")
+      require(!st.fieldNames.contains(to), s"column '$to' already exists in $table")
+      require(!to.startsWith(SrcPrefix),
+        s"column names may not start with the reserved prefix '$SrcPrefix'")
+      val hit = cur.constraints.filter { case (_, sql) => refersTo(sql, from) }
+      require(hit.isEmpty,
+        s"column '$from' is referenced by CHECK constraint(s) " +
+        s"${hit.keys.toSeq.sorted.mkString(", ")} — drop them first")
+      val phys = physName(cur)(from)
+      val renamed = org.apache.spark.sql.types.StructType(
+        st.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      cur.copy(version = v + 1, op = "evolve",
+        keyCol = if (cur.keyCol == from) to else cur.keyCol,
+        schemaJson = Some(renamed.json),
+        colMap = (cur.colMap - from) ++
+          (if (to == phys) Map.empty[String, String] else Map(to -> phys)))
+    }
+
+  /** DROP COLUMN as a metadata-only commit (round 18): files keep
+    * their bytes (time travel still reads the column at old
+    * versions); the current schema simply stops listing it, the
+    * physical name retires into `deadCols` (so a later re-ADD gets a
+    * fresh physical and cannot resurrect old values), and any bloom
+    * index on it is unconfigured. The key column and constraint-
+    * referenced columns are refused loudly. Storage is reclaimed the
+    * way Delta documents: a later rewrite (compact/COW) simply no
+    * longer carries the column.
+    */
+  def dropColumn(table: String, name: String): Snapshot =
+    commitWithRetry(table) { v =>
+      require(v >= 0, s"no manifest in $table/_log")
+      val cur = readSnapshot(table, v)
+      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+        s"dropColumn requires a logged schema (table $table predates schema logging)"))
+      require(st.fieldNames.contains(name), s"no column '$name' in $table " +
+        s"(have: ${st.fieldNames.mkString(", ")})")
+      require(cur.keyCol != name, s"cannot drop the key column '$name' of $table")
+      val hit = cur.constraints.filter { case (_, sql) => refersTo(sql, name) }
+      require(hit.isEmpty,
+        s"column '$name' is referenced by CHECK constraint(s) " +
+        s"${hit.keys.toSeq.sorted.mkString(", ")} — drop them first")
+      val phys = physName(cur)(name)
+      cur.copy(version = v + 1, op = "evolve",
+        schemaJson = Some(org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(_.name == name)).json),
+        colMap = cur.colMap - name,
+        bloomCols = cur.bloomCols.filterNot(_ == phys),
+        deadCols = (cur.deadCols :+ phys).distinct)
     }
 
   /** Range read with MANIFEST-level file skipping: only files whose
@@ -1728,7 +1825,8 @@ object ManifestTable {
           col("_k") >= col("_mn") && col("_k") <= col("_mx"))
         .select("_file").distinct().collect().map(_.getString(0)).toSet
       val bySrcTouched: Set[String] = bySrcPe match {
-        case Some(pe) => cur.files.filter(f => canMatch(f, st, pe)).map(_.name).toSet
+        case Some(pe) =>
+          cur.files.filter(f => canMatch(f, st, pe, physName(cur))).map(_.name).toSet
         case None => Set.empty
       }
       val (touched, untouched) = cur.files.partition(f =>
@@ -2335,10 +2433,11 @@ object ManifestTable {
       val cur = readSnapshot(table, v)
       val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
         s"deleteWhere requires a logged schema (table $table predates schema logging)"))
-      val (mayMatch, untouched) = cur.files.partition(f => canMatch(f, st, pe))
+      val (mayMatch, untouched) =
+        cur.files.partition(f => canMatch(f, st, pe, physName(cur)))
       val (dropped, rewrite) = mayMatch.partition { f =>
-        !canMatch(f, st, notPe) &&
-          refs.forall(c => f.stats.get(c).exists(_.nulls == 0L))
+        !canMatch(f, st, notPe, physName(cur)) &&
+          refs.forall(c => f.stats.get(physName(cur)(c)).exists(_.nulls == 0L))
       }
       val newFiles =
         if (rewrite.isEmpty) Seq.empty

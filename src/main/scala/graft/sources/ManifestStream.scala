@@ -158,6 +158,15 @@ class ManifestStreamSource(spark: SparkSession, table: String,
 
   override val schema: StructType = ManifestStream.sourceSchema(table, parameters)
 
+  /** Column mapping captured at tail start (round 18): data files
+    * store PHYSICAL names, which never change — so a RENAME COLUMN
+    * mid-tail is invisible (this tail keeps presenting its start-time
+    * logical names) and files appended after the rename still read
+    * correctly under the start-time map.
+    */
+  private val colMap: Map[String, String] =
+    ManifestTable.readSnapshot(table, ManifestTable.latestVersion(table)).colMap
+
   // last version handed out by getBatch (inclusive); getOffset never
   // retreats below it, so a stale admission cap after recovery cannot
   // rewind the stream
@@ -271,9 +280,20 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     val paths = added.map(f => new File(dd, f.name).getAbsolutePath)
     val base = StructType(schema.fields.filterNot(f =>
       f.name == ManifestStream.ChangeTypeCol || f.name == ManifestStream.CommitVersionCol))
+    // scan under PHYSICAL names, present the tail's logical names in
+    // one projection (column mapping; a sequential rename would
+    // corrupt a swap map)
+    val basePhys = StructType(base.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
     if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), base)
-    else spark.read.schema(base).parquet(paths: _*)
+    else {
+      val raw = spark.read.schema(basePhys).parquet(paths: _*)
+      if (colMap.isEmpty) raw
+      else raw.select(base.fields.map(f =>
+        org.apache.spark.sql.functions.col(
+          colMap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+    }
   }
 
   override def stop(): Unit = {}
