@@ -979,6 +979,51 @@ object TextOps {
         col("tfidf"))
   }
 
+  // ---- BM25 retrieval ---------------------------------------------------
+
+  /** BM25 top-k retrieval (Robertson et al., Okapi TREC-3 1994; the
+    * idf variant is Lucene's ln(1 + (N−df+0.5)/(df+0.5)), which is
+    * always positive): score every document against a bag of query
+    * terms and return the k best, ties on score broken by id. The
+    * score is rounded to fixed point BEFORE the top-k cut so the
+    * selected set is reproducible across engines (a raw double cut
+    * would let two engines disagree about documents 1e-16 apart at
+    * the k boundary).
+    *
+    * Scale shape: the `isin(queryTerms)` filter lands directly on the
+    * exploded term stream (rows for non-query terms die before any
+    * shuffle); per-(doc,term) tf and per-term df are partial-
+    * aggregatable hash aggs; doc length needs NO explode at all
+    * (`size(words(text))` is a map-side scalar); N and avgdl arrive
+    * as a one-row broadcast; the final top-k is a bounded-heap
+    * TakeOrdered (k rows per partition cross the exchange, never the
+    * corpus). The tf⋈docLen join is keyed on the doc id — AQE
+    * broadcasts the small matched-doc side at daily-query scale.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK >= 1, "topK must be >= 1")
+    val dlen = df.select(col(idCol), size(words(col(textCol))).cast("long").as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").join(dlen, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("_s", col("_idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(graft.Tables.fp4(sum(col("_s"))).as("bm25_fp"),
+        count(lit(1)).as("n_hit"))
+      .orderBy(col("bm25_fp").desc, col(idCol))
+      .limit(topK)
+  }
+
   // ---- n-gram LM quality scoring ----------------------------------------
 
   /** CCNet-style LM quality signal (Wenzek et al. 2020, reduced to a

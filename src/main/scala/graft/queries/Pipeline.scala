@@ -2655,6 +2655,49 @@ object Pipeline {
        |FROM scored WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 top-k retrieval (round 18 — Okapi BM25 with Lucene's
+    * always-positive idf): five query terms spanning common and rarer
+    * vocabulary against the documents corpus, top 15 by score. The
+    * score rounds to fixed point BEFORE the k-cut in BOTH engines, so
+    * the selected set cannot disagree at the boundary; ties break on
+    * doc_id. The oracle retrains df/avgdl/N from scratch in SQL with
+    * every fractional literal cast to DOUBLE (DuckDB types bare
+    * decimals as DECIMAL — non-IEEE arithmetic would drift the hash).
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(docs(s, dir), "doc_id", "text",
+      Seq("hash", "vector", "stream", "filter", "quantile"), topK = 15)
+      .orderBy(col("bm25_fp").desc, col("doc_id"))
+
+  private val textBm25Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents
+      |), dl AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w
+      |), st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+      |  WHERE term IN ('hash','vector','stream','filter','quantile')
+      |  GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), sc AS (
+      |  SELECT tf.doc_id,
+      |    SUM(((ln(1 + (CAST(st.n_docs AS DOUBLE) - dfq.df + CAST(0.5 AS DOUBLE))
+      |                  / (dfq.df + CAST(0.5 AS DOUBLE)))
+      |          * tf.tf) * (CAST(1.2 AS DOUBLE) + 1))
+      |        / (tf.tf + CAST(1.2 AS DOUBLE) *
+      |           ((1 - CAST(0.75 AS DOUBLE)) +
+      |            (CAST(0.75 AS DOUBLE) * dl.dl) / st.avgdl))) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hit
+      |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(FLOOR(s * 1e4 + 0.5) AS BIGINT) AS bm25_fp, n_hit
+      |FROM sc ORDER BY bm25_fp DESC, doc_id LIMIT 15""".stripMargin
+
   /** Benchmark decontamination: eval set = every 97th doc; a training
     * doc is contaminated when it shares a 3-word shingle with the eval
     * set (eval docs trivially contaminate themselves — kept in, the
@@ -4812,6 +4855,7 @@ object Pipeline {
     "src_manifest_rename" -> (srcManifestRename _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
     "text_top_words" -> (textTopWords _),
     "text_cms_ngrams" -> (textCmsNgrams _),
     "text_pipeline_e2e" -> (textPipelineE2e _),
@@ -4912,6 +4956,7 @@ object Pipeline {
     "src_manifest_rename" -> srcManifestRenameSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
+    "text_bm25" -> textBm25Sql,
     "text_top_words" -> textTopWordsSql,
     "text_cms_ngrams" -> textCmsNgramsSql,
     "text_pipeline_e2e" -> textPipelineE2eSql,

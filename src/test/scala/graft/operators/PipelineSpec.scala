@@ -916,6 +916,36 @@ class PipelineSpec extends SparkTestBase {
     assert(out((3L, 1))._1 == "y")
   }
 
+  test("bm25: idf favors rare terms, length norm favors short docs, hand-checked score") {
+    val df = Seq(
+      (1L, "hash"),                       // short doc, one hit
+      (2L, "hash hash filler filler filler filler filler"), // tf=2 but long
+      (3L, "rare"),                       // df=1 term -> highest idf
+      (4L, "filler filler"),              // no query term -> absent
+      (5L, "hash rare")                   // two hits
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(df, "doc_id", "text", Seq("hash", "rare"), topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(4L), "a doc with no query term never scores")
+    assert(out(5L)._2 == 2 && out(1L)._2 == 1)
+    // two hits beat one; a rare term (df=1 of N=5) beats a common one
+    // (df=3) at equal tf and length
+    assert(out(5L)._1 > out(1L)._1 && out(3L)._1 > out(1L)._1)
+    // hand-check doc 3: N=5, df(rare)=2, tf=1, dl=1, avgdl=13/5
+    //   idf = ln(1 + (5-2+0.5)/(2+0.5)); tfn = 2.2/(1 + 1.2*(0.25+0.75*5/13))
+    val want = math.log(1 + 3.5 / 2.5) * 2.2 /
+      (1 + 1.2 * (0.25 + 0.75 * (1.0 / (13.0 / 5))))
+    assert(math.abs(out(3L)._1 - math.floor(want * 1e4 + 0.5)) <= 1,
+      s"got ${out(3L)._1}, want ~${want * 1e4}")
+    // length normalization: doc 1 (dl=1) outranks doc 2 (tf=2, dl=7)
+    assert(out(1L)._1 > out(2L)._1,
+      "a shorter doc must outrank a longer one with mildly higher tf")
+    // topK cap + deterministic order
+    val top1 = TextOps.bm25(df, "doc_id", "text", Seq("hash", "rare"), topK = 1)
+      .collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 5L)
+  }
+
   test("lmScore: common-bigram docs outrank rare-bigram docs; short docs null out") {
     val df = Seq(
       (1L, "the cat sat"),       // bigrams shared with docs 2,3
