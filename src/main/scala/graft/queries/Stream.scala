@@ -811,6 +811,140 @@ object Stream {
       .orderBy("w_start_s", "event_type")
   }
 
+  /** Streaming CDC-apply via idempotent MERGE (round 18 — Delta's
+    * documented foreachBatch-merge pattern, the OTHER streaming sink
+    * shape): each ledger micro-batch reduces to one winner row per
+    * user (latest ts), then [[graft.sources.ManifestTable.mergeBatch]]
+    * applies it as a keyed UPSERT whose update clause carries the
+    * out-of-order guard Delta's docs prescribe —
+    * `src.ts > target.ts` — so a user's events arriving across
+    * partitions/batches in any interleaving converge to the SAME
+    * final state (what makes the result batch-slicing-independent and
+    * the oracle expressible: per user, the max-ts event). The
+    * (appId, batchId) txn rides in the SAME commit as the merge, so
+    * the crash-replayed batch SKIPS (gated), exactly-once as a log
+    * property. A post-stream stale-batch leg pins the guard end to
+    * end: a new batch id carrying ts=0 rows for every user commits as
+    * a merge in which NO row fires the update clause (digest
+    * unchanged through the hash gate).
+    *
+    * Scale shape: mergeBatch is O(touched files) per micro-batch —
+    * the per-batch winner set joins the file-range list broadcast,
+    * and only key-range-hit files rewrite; at 100 TB with a
+    * user-keyed layout a batch touching k users rewrites O(k/rows-
+    * per-file) files, never the table. The reduce-to-winners step is
+    * one partial-aggregatable hash agg per batch.
+    */
+  def streamManifestMergeSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val topic = ledgerTopic(s, dir)
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val nEvents = s.read.parquet(s"$dir/events.parquet").count()
+    val trigger = sys.env.getOrElse("SPARK_GRAFT_MMSINK_TRIGGER",
+      math.max(math.min(500L, math.max(1L, nEvents / 4)),
+        math.ceil(nEvents / 6.0).toLong).toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mmsink-").toFile
+    cleanupHookInstalled
+    pendingTmp.add(tmp)
+    val table = new java.io.File(tmp, "table").getAbsolutePath
+    val chk = new java.io.File(tmp, "chk").getAbsolutePath
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts_ns",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    ManifestTable.create(s, table,
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        sinkSchema), "user_id", 1)
+    val committed = new java.util.concurrent.atomic.AtomicLong(0)
+    val skipped = new java.util.concurrent.atomic.AtomicLong(0)
+    def apply(batch: DataFrame, id: Long): Unit = {
+      // one winner row per user in this batch: the latest-ts event
+      // ((user_id, ts) is unique — the topic's keyed-producer order)
+      val winners = batch.groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ns"), col("event_type"), col("value"))).as("_w"))
+        .select(col("user_id"), col("_w.ts_ns").as("ts_ns"),
+          col("_w.event_type").as("event_type"), col("_w.value").as("value"))
+      if (ManifestTable.mergeBatch(s, table, winners, "mmsink", id, buckets = 2,
+        matchedUpdate = Some(ManifestTable.srcCol("ts_ns") > col("ts_ns")),
+        notMatchedInsert = Some(lit(true))))
+        committed.incrementAndGet()
+      else skipped.incrementAndGet()
+      ()
+    }
+    def start() = s.readStream.format("graft.sources.LedgerProvider")
+      .option("maxRecordsPerTrigger", trigger).load(topic)
+      .select(from_json(col("value"), payload).as("e"))
+      .select(col("e.user_id").as("user_id"), col("e.ts").as("ts_ns"),
+        col("e.event_type").as("event_type"), col("e.value").as("value"))
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch(apply _).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    require(committed.get >= 3,
+      s"expected several paced micro-batch merges, got ${committed.get}")
+    // crash between sink commit and checkpoint commit -> replay skips
+    val commitsDir = new java.io.File(chk, "commits")
+    val latestMarker = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    val crashedId = latestMarker.getName
+    require(latestMarker.delete(), s"could not delete commit marker $crashedId")
+    new java.io.File(commitsDir, s".$crashedId.crc").delete(): Unit
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    require(new java.io.File(commitsDir, crashedId).exists(),
+      s"restart did not replay and re-commit crashed batch $crashedId")
+    require(skipped.get >= 1,
+      "replayed merge batch was not deduped by the manifest txn log")
+    val latest = ManifestTable.readSnapshot(table,
+      ManifestTable.latestVersion(table))
+    require(latest.op == "merge", s"latest op '${latest.op}', expected merge")
+    // out-of-order guard, end to end: a stale batch (ts=0 for every
+    // user) merges under a NEW batch id — matched everywhere, fires
+    // nowhere; the digest below proves zero rows moved
+    val users = ManifestTable.snapshot(s, table).select(col("user_id"))
+      .filter(col("user_id") % 17 === 0) // a small band — the guard
+      // leg must stay O(touched files), not rewrite the table
+    val stale = users.select(col("user_id"), lit(0L).as("ts_ns"),
+      lit("stale").as("event_type"), lit(-1.0).as("value"))
+    require(ManifestTable.mergeBatch(s, table, stale, "mmsink",
+      latest.txns("mmsink") + 1, buckets = 2,
+      matchedUpdate = Some(ManifestTable.srcCol("ts_ns") > col("ts_ns")),
+      notMatchedInsert = Some(lit(true))),
+      "stale guard batch must commit (as a no-row-change merge)")
+    ManifestTable.snapshot(s, table)
+      .select(col("user_id"), col("ts_ns"), col("event_type"),
+        fp2(col("value")).as("value_fp"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle for the merge sink: per user, the latest-ts event — the
+    * batch-slicing-independent fixed point the out-of-order guard
+    * converges to regardless of interleaving.
+    */
+  private val streamManifestMergeSinkSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id, ts_ns, event_type,
+      |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_fp
+      |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Streaming READ of the transaction log (round 17, the complement
     * of stream_manifest_sink's write side): `ManifestStreamProvider`
     * tails the manifest as a Structured Streaming source whose
@@ -1458,6 +1592,7 @@ object Stream {
     "stream_ledger_counts" -> (streamLedgerCounts _),
     "stream_ledger_exactly_once" -> (streamLedgerExactlyOnce _),
     "stream_manifest_sink" -> (streamManifestSink _),
+    "stream_manifest_merge_sink" -> (streamManifestMergeSink _),
     "stream_manifest_source" -> (streamManifestSource _),
     "stream_manifest_cdc" -> (streamManifestCdc _),
     "stream_sessionize" -> (streamSessionize _),
@@ -1483,6 +1618,7 @@ object Stream {
     "stream_ledger_counts" -> streamWindowedCountsSql,
     "stream_ledger_exactly_once" -> streamWindowedCountsSql,
     "stream_manifest_sink" -> streamWindowedCountsSql,
+    "stream_manifest_merge_sink" -> streamManifestMergeSinkSql,
     "stream_manifest_source" -> streamManifestSourceSql,
     "stream_manifest_cdc" -> streamManifestCdcSql,
     "stream_sessionize" -> streamSessionizeSql,

@@ -1784,13 +1784,51 @@ object ManifestTable {
             matchedDelete: Option[org.apache.spark.sql.Column] = None,
             matchedUpdate: Option[org.apache.spark.sql.Column] = None,
             notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
-            notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None
-           ): Snapshot = {
+            notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+            txn: Option[(String, Long)] = None): Snapshot =
+    mergeCore(spark, table, source, buckets, matchedDelete, matchedUpdate,
+      notMatchedInsert, notMatchedBySourceDelete, txn)._1
+
+  /** Idempotent streaming MERGE — the Delta foreachBatch-merge sink
+    * (the documented streaming CDC-apply pattern) with appendBatch's
+    * exactly-once discipline: the (appId, batchId) txn rides in the
+    * SAME commit as the merge, so a crash-replayed micro-batch finds
+    * its id in the log and SKIPS — applying a CDC batch twice would
+    * otherwise re-delete or re-insert rows a later batch already
+    * moved. Returns true if the batch committed, false on the
+    * idempotent skip. Batch ids per app must be monotone (Spark's
+    * foreachBatch contract).
+    */
+  def mergeBatch(spark: SparkSession, table: String, source: DataFrame,
+                 appId: String, batchId: Long, buckets: Int,
+                 matchedDelete: Option[org.apache.spark.sql.Column] = None,
+                 matchedUpdate: Option[org.apache.spark.sql.Column] = None,
+                 notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+                 notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None
+                ): Boolean =
+    mergeCore(spark, table, source, buckets, matchedDelete, matchedUpdate,
+      notMatchedInsert, notMatchedBySourceDelete, Some(appId -> batchId))._2
+
+  private def mergeCore(spark: SparkSession, table: String, source: DataFrame,
+            buckets: Int,
+            matchedDelete: Option[org.apache.spark.sql.Column],
+            matchedUpdate: Option[org.apache.spark.sql.Column],
+            notMatchedInsert: Option[org.apache.spark.sql.Column],
+            notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
+            txn: Option[(String, Long)]): (Snapshot, Boolean) = {
     val bySrcPe = notMatchedBySourceDelete.map(p =>
       org.apache.spark.sql.graftshim.NodeInternals.predTree(p))
-    commitWithRetry(table) { v =>
+    // idempotent-skip escape: commitWithRetry commits whatever the
+    // body returns, so a replayed batch must exit the loop, not
+    // produce a duplicate commit (the compactSmall NoopExit shape)
+    final case class SkipExit(s: Snapshot)
+      extends RuntimeException with scala.util.control.NoStackTrace
+    try (commitWithRetry(table) { v =>
       require(v >= 0, s"no manifest in $table/_log")
       val cur = readSnapshot(table, v)
+      txn.foreach { case (app, b) =>
+        if (cur.txns.get(app).exists(_ >= b)) throw SkipExit(cur)
+      }
       val keyCol = cur.keyCol
       val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
         s"merge requires a logged schema (table $table predates schema logging)"))
@@ -1860,9 +1898,10 @@ object ManifestTable {
           keyCol, buckets, bloomCols = cur.bloomCols,
           bloomBits = cur.bloomBits, colMap = cur.colMap)
         cur.copy(version = v + 1, op = "merge",
-          files = (untouched ++ newFiles).sortBy(_.minKey))
+          files = (untouched ++ newFiles).sortBy(_.minKey),
+          txns = cur.txns ++ txn)
       } finally { merged.unpersist(false); () }
-    }
+    }, true) catch { case SkipExit(s) => (s, false) }
   }
 
   /** Compaction as a COMMIT: rewrite the current snapshot's files

@@ -155,6 +155,33 @@ class ManifestMergeSpec extends SparkTestBase {
     assert(m(50L) == ("upd-50", 9L) && m.size == 98)
   }
 
+  test("mergeBatch: replayed batch skips with zero commits; txn rides in the merge commit") {
+    val t = mkTable(100, 1)
+    val b0 = Seq((5L, "upd-5", 9L), (100L, "new", 9L)).toDF("doc_id", "text", "tag")
+    assert(mergeBatch(spark, t, b0, "app", 0L, 1,
+      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true))))
+    val s1 = readSnapshot(t, 1)
+    assert(s1.op == "merge" && s1.txns.get("app").contains(0L),
+      "the txn must ride in the SAME commit as the merge")
+    // crash-replay of batch 0: skipped, no version, no row movement
+    assert(!mergeBatch(spark, t, b0, "app", 0L, 1,
+      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true))))
+    assert(latestVersion(t) == 1, "a skipped replay must leave no commit")
+    // an older batch id also skips (monotone contract)
+    assert(!mergeBatch(spark, t, b0, "app", -1L + 0L, 1,
+      matchedUpdate = Some(lit(true))))
+    // the txn map carries through maintenance: compact, then replay
+    compact(spark, t, buckets = 2)
+    assert(!mergeBatch(spark, t, b0, "app", 0L, 1,
+      matchedUpdate = Some(lit(true))))
+    // a NEW batch id commits; a different app id is independent
+    assert(mergeBatch(spark, t, b0, "app", 1L, 1,
+      matchedUpdate = Some(lit(true))))
+    assert(mergeBatch(spark, t, b0, "other", 0L, 1,
+      matchedUpdate = Some(lit(true))))
+    assert(rows(t).size == 101)
+  }
+
   test("extra source columns never reach the table; missing target columns are loud") {
     val t = mkTable(20, 1)
     val src = Seq((3L, "u3", 1L, "marker", 99)).toDF(
