@@ -3817,12 +3817,26 @@ object Pipeline {
     val mx = v0.files.map(_.maxKey).max
     val bw = mx / 25
     val bands = Seq(mx / 10, mx / 2, 3 * mx / 4).map(lo => (lo, lo + bw))
-    val expectCarried = v0.files.count(f =>
-      bands.forall { case (lo, hi) => f.maxKey < lo || f.minKey >= hi })
+    // Pruning gates, exact in both density-independent directions
+    // (scaled corpora have replica GAPS in the id space, so a file may
+    // range-overlap the U/D bands while holding no actual source key —
+    // such a file legitimately carries):
+    //  - a file overlapping NO band can never be touched -> must carry;
+    //  - a file overlapping the by-source band B is stats-touched
+    //    unconditionally -> must be rewritten.
     val v0Names = v0.files.map(_.name).toSet
-    val carried = v1.files.count(f => v0Names(f.name))
-    require(carried == expectCarried,
-      s"merge pruning drifted: carried $carried files, expected $expectCarried")
+    val carriedNames = v1.files.map(_.name).filter(v0Names).toSet
+    val mustCarry = v0.files.filter(f =>
+      bands.forall { case (lo, hi) => f.maxKey < lo || f.minKey >= hi })
+      .map(_.name)
+    require(mustCarry.forall(carriedNames),
+      s"merge rewrote a file outside every touched tier: " +
+      s"${mustCarry.filterNot(carriedNames).take(3).mkString(", ")}")
+    val (b0, b1) = bands(2)
+    val mustRewrite = v0.files.filter(f => f.maxKey >= b0 && f.minKey < b1)
+      .map(_.name)
+    require(mustRewrite.forall(n => !carriedNames(n)),
+      "a by-source-band file carried by reference — the stats tier did not engage")
     manifestDigest(snapshot(s, table))
   }
 
