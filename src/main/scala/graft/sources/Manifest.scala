@@ -193,7 +193,7 @@ object ManifestTable {
 
   private def logDir(table: String) = new File(table, "_log")
   private def dataDir(table: String) = new File(table, "data")
-  private def manifestFile(table: String, v: Int) =
+  private[sources] def manifestFile(table: String, v: Int) =
     new File(logDir(table), f"v$v%08d.json")
   private def checkpointFile(table: String, v: Int) =
     new File(logDir(table), f"cp$v%08d.json")
@@ -301,6 +301,11 @@ object ManifestTable {
       sb.append(",\"bloomCols\":[")
         .append(s.bloomCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
         .append("],\"bloomBits\":").append(s.bloomBits)
+    } else if (s.bloomBits != (1 << 15)) {
+      // bits survive the last bloom column being dropped — otherwise a
+      // checkpoint-reconstructed snapshot (default bits) would diverge
+      // from the action-replayed/live one (non-default bits)
+      sb.append(",\"bloomBits\":").append(s.bloomBits)
     }
     if (s.constraints.nonEmpty) appendConstraints(sb, s.constraints)
     if (s.colMap.nonEmpty) appendColMap(sb, s.colMap)
@@ -533,7 +538,14 @@ object ManifestTable {
     val k = cacheKey(table)
     // bounded: the cache is one entry per table path; a long-lived
     // session over many scratch tables must not grow it unboundedly
-    if (snapCache.size > 64 && !snapCache.containsKey(k)) snapCache.clear()
+    if (snapCache.size > 64 && !snapCache.containsKey(k)) {
+      // evict ONE arbitrary entry: clearing everything would make all
+      // concurrently-hot tables pay a full checkpoint+tail
+      // reconstruction at once (thundering herd) just because a 65th
+      // scratch table appeared
+      val it = snapCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     val old = snapCache.get(k)
     if (old == null || old.version <= s.version)
       snapCache.put(k, Cached(s.version, s.ts, s)): Unit
@@ -543,6 +555,15 @@ object ManifestTable {
     * reconstruction (checkpoint + tail) agrees with the live path.
     */
   private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
+
+  /** Oldest retained version — vacuum may have aged earlier ones out
+    * (O(retained gap) stat calls from 0; bounded by the retention
+    * window in practice).
+    */
+  private[sources] def oldestVersion(table: String): Int = {
+    val latest = latestVersion(table)
+    (0 to latest).find(v => manifestFile(table, v).exists()).getOrElse(latest)
+  }
 
   /** The in-commit timestamp of version `v`, read from the FRONT of
     * the manifest file (ts is rendered right after the fixed header
@@ -594,6 +615,13 @@ object ManifestTable {
                      from: Int, to: Int): Snapshot = {
     var snap = base.orNull
     var w = from
+    // Pre-checkpoint vacuumed history (a table last vacuumed by the
+    // full-snapshot-era code has no cp file and no v0): skip to the
+    // oldest SURVIVING version — legacy manifests are self-contained
+    // full snapshots, which the has("files") branch below replays
+    // wholesale; an ACTION with nothing under it still fails loudly.
+    if (snap == null)
+      while (w < to && !manifestFile(table, w).exists()) w += 1
     while (w <= to) {
       val root = readRoot(manifestFile(table, w))
       if (root.has("files")) snap = parseSnapshot(root)
@@ -1028,6 +1056,7 @@ object ManifestTable {
              bloomFor: Seq[String] = Nil,
              bloomBits: Int = 1 << 15,
              constraints: Map[String, String] = Map.empty): Snapshot = {
+    validateColNames(df.schema.fieldNames.toSeq, s"create of $table")
     validateBloomCols(df.schema, bloomFor, bloomBits)
     enforceConstraints(df, constraints, s"create of $table")
     val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy,
@@ -1245,6 +1274,7 @@ object ManifestTable {
         s"addColumns requires a logged schema (table $table predates schema logging)"))
       val clash = newCols.map(_.name).intersect(st.fieldNames.toSeq)
       require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
+      validateColNames(newCols.map(_.name), s"addColumns on $table")
       // Column mapping (round 18): a new logical name whose default
       // physical name is RETIRED (dropped earlier) or already taken by
       // a live physical (the column was renamed away and the old name
@@ -1296,8 +1326,7 @@ object ManifestTable {
       require(st.fieldNames.contains(from), s"no column '$from' in $table " +
         s"(have: ${st.fieldNames.mkString(", ")})")
       require(!st.fieldNames.contains(to), s"column '$to' already exists in $table")
-      require(!to.startsWith(SrcPrefix),
-        s"column names may not start with the reserved prefix '$SrcPrefix'")
+      validateColNames(Seq(to), s"renameColumn on $table")
       val hit = cur.constraints.filter { case (_, sql) => refersTo(sql, from) }
       require(hit.isEmpty,
         s"column '$from' is referenced by CHECK constraint(s) " +
@@ -1730,7 +1759,7 @@ object ManifestTable {
       // widened schema (delta columns must already conform — the
       // unionByName above throws on a mismatch)
       cur.copy(version = v + 1, op = "upsert",
-        files = (untouched ++ newFiles).sortBy(_.minKey))
+        files = untouched ++ newFiles) // commit() canonical-orders
     } finally touchedDf.foreach(_.unpersist(false))
   }
 
@@ -1741,6 +1770,22 @@ object ManifestTable {
     */
   val SrcPrefix = "_src_"
   def srcCol(name: String): org.apache.spark.sql.Column = col(SrcPrefix + name)
+
+  /** Internal column names the read/write machinery projects onto
+    * user frames (file tag, DV join keys, merge bookkeeping, z-value):
+    * a user column with one of these names would be silently
+    * overwritten-and-dropped by every read (the file tag) or break
+    * joins ambiguously — refuse them at every schema-introducing
+    * boundary instead.
+    */
+  private val ReservedCols =
+    Set("_fb", "_dvf", "_dvk", "_from_src", "_zorder")
+  private def validateColNames(names: Seq[String], what: String): Unit = {
+    val bad = names.filter(n => ReservedCols(n) || n.startsWith(SrcPrefix))
+    require(bad.isEmpty,
+      s"$what: reserved column name(s) ${bad.mkString(", ")} (internal: " +
+      s"${ReservedCols.toSeq.sorted.mkString(", ")} and the $SrcPrefix prefix)")
+  }
 
   /** Three-clause MERGE (the Delta MERGE INTO surface; also the
     * CDC-apply shape — a source carrying the target columns PLUS
@@ -1898,7 +1943,7 @@ object ManifestTable {
           keyCol, buckets, bloomCols = cur.bloomCols,
           bloomBits = cur.bloomBits, colMap = cur.colMap)
         cur.copy(version = v + 1, op = "merge",
-          files = (untouched ++ newFiles).sortBy(_.minKey),
+          files = untouched ++ newFiles, // commit() canonical-orders
           txns = cur.txns ++ txn)
       } finally { merged.unpersist(false); () }
     }, true) catch { case SkipExit(s) => (s, false) }
@@ -1973,7 +2018,7 @@ object ManifestTable {
         bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
         colMap = cur.colMap)
       cur.copy(version = v + 1, op = "compact",
-        files = (big ++ newFiles).sortBy(_.minKey))
+        files = big ++ newFiles) // commit() canonical-orders
     } catch { case NoopExit(s) => s }
   }
 
@@ -2280,7 +2325,7 @@ object ManifestTable {
             colMap = cur.colMap)
         }
       cur.copy(version = v + 1, op = "delete",
-        files = (untouched ++ newFiles).sortBy(_.minKey))
+        files = untouched ++ newFiles) // commit() canonical-orders
     }
 
   /** Write per-file deletion-vector sidecars for `victims` — a
@@ -2342,12 +2387,18 @@ object ManifestTable {
     * physical row set is now deleted drops from the listing instead
     * (its sidecar stays unreferenced → vacuum reclaims it).
     */
-  private def dvEntries(touched: Seq[FileEntry],
+  private def dvEntries(table: String, touched: Seq[FileEntry],
                         dvMap: Map[String, (String, Long)]): Seq[FileEntry] =
     touched.flatMap { f =>
       dvMap.get(f.name) match {
         case None => Some(f) // ranges overlapped but no live victim
-        case Some((_, n)) if n >= f.rows => None
+        case Some((dvn, n)) if n >= f.rows =>
+          // the file drops from the listing ENTIRELY, so its
+          // just-written sidecar would never be LISTED — and vacuum
+          // reclaims only once-listed names. Delete it now or it
+          // leaks in data/ forever.
+          Files.deleteIfExists(new File(dataDir(table), dvn).toPath)
+          None
         case Some((dvn, n)) => Some(f.copy(dv = Some(dvn), dvRows = n))
       }
     }
@@ -2407,7 +2458,8 @@ object ManifestTable {
         val victims = readFilesTagged(spark, table, cur, touched)
           .join(ks, col(keyCol).cast("long") === col("_k"), "left_semi")
           .select(col(FileTagCol).as("_f"), col(keyCol).cast("long").as("_k"))
-        dvEntries(touched, writeDvSidecars(spark, table, victims, touched))
+        dvEntries(table, touched,
+          writeDvSidecars(spark, table, victims, touched))
       } else writeFiles(spark, table,
         readFiles(spark, table, cur, touched)
           .join(ks.withColumnRenamed("_k", keyCol), Seq(keyCol), "left_anti"),
@@ -2415,7 +2467,7 @@ object ManifestTable {
         bloomCols = cur.bloomCols, bloomBits = cur.bloomBits,
         colMap = cur.colMap)
     cur.copy(version = v + 1, op = "delete",
-      files = (untouched ++ newFiles).sortBy(_.minKey))
+      files = untouched ++ newFiles) // commit() canonical-orders
   }
 
   /** Predicate DELETE (round 17 — Delta's DELETE WHERE, generalizing
@@ -2484,7 +2536,8 @@ object ManifestTable {
           val victims = readFilesTagged(spark, table, cur, rewrite)
             .filter(coalesce(predicate, lit(false)))
             .select(col(FileTagCol).as("_f"), col(cur.keyCol).cast("long").as("_k"))
-          dvEntries(rewrite, writeDvSidecars(spark, table, victims, rewrite))
+          dvEntries(table, rewrite,
+            writeDvSidecars(spark, table, victims, rewrite))
         } else writeFiles(spark, table,
           readFiles(spark, table, cur, rewrite)
             .filter(!coalesce(predicate, lit(false))),
@@ -2493,7 +2546,7 @@ object ManifestTable {
           colMap = cur.colMap)
       logDeleteWherePlan(table, untouched.size, dropped.size, rewrite.size)
       cur.copy(version = v + 1, op = "delete",
-        files = (untouched ++ newFiles).sortBy(_.minKey))
+        files = untouched ++ newFiles) // commit() canonical-orders
     }
   }
 

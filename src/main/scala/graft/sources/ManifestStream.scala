@@ -131,8 +131,7 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         require(ManifestTable.readTsFast(table, latest) >= t,
           s"startingTimestamp $t is after the last commit of $table " +
           s"(v$latest) — nothing to stream")
-        val oldest = (0 to latest)
-          .find(v => new File(table, f"_log/v$v%08d.json").exists()).get
+        val oldest = ManifestTable.oldestVersion(table)
         if (ManifestTable.readTsFast(table, oldest) >= t) {
           require(oldest == 0,
             s"startingTimestamp $t predates the oldest retained version " +
