@@ -3747,6 +3747,85 @@ object Pipeline {
       |  CAST(COUNT(source) AS BIGINT) AS n_src
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for shallow clone: a documents source table,
+    * cloned zero-copy, then DIVERGED on both sides — the standard
+    * upsert delta lands on the CLONE, while the source takes a
+    * different edit ('X:' prefix on every 89th doc) afterwards. If
+    * isolation leaks in either direction, the clone's digest drifts.
+    */
+  private def materializeManifestClone(s: SparkSession, dir: String): String = {
+    import graft.sources.ManifestTable
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    // The SOURCE materializes first at its FINAL path (a clone holds
+    // absolute references — cloning inside a build-then-rename scratch
+    // would dangle). The divergence upsert lands here too; the clone
+    // below pins VERSION AS OF 0, so it is deterministic regardless of
+    // how far the source has moved by clone time.
+    val srcBase = new java.io.File(s"/tmp/graft_manifest_clone_src/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(srcBase, tag)
+    graft.Tables.materializeOnce(srcBase, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      ManifestTable.create(s,
+        new java.io.File(scratch, "table").getAbsolutePath, d, "doc_id",
+        buckets = 8)
+      ManifestTable.upsert(s,
+        new java.io.File(scratch, "table").getAbsolutePath,
+        d.filter(col("doc_id") % 89 === 0)
+          .withColumn("text", concat(lit("X:"), col("text"))), buckets = 2)
+    }
+    val src = new java.io.File(srcBase, "table").getAbsolutePath
+    val base = new java.io.File(s"/tmp/graft_manifest_clone/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val dst = new java.io.File(scratch, "clone").getAbsolutePath
+      ManifestTable.shallowClone(src, dst, version = Some(0))
+      ManifestTable.upsert(s, dst, manifestUpsertDelta(s, d, mx), buckets = 4)
+    }
+    base.getAbsolutePath
+  }
+
+  /** Shallow-clone read (round 18 — Delta's SHALLOW CLONE): the
+    * zero-copy dev/test branch of a 100 TB table. Gates prove the
+    * mechanism live on every run: the clone's v0 lists ONLY absolute
+    * references into the source's data dir (zero bytes copied); the
+    * post-upsert v1 mixes local rewrites with still-external carries;
+    * and the source's own post-clone edit is visible in the SOURCE
+    * but absent from the clone. The digest replays the clone-side
+    * upsert alone — isolation leaking in either direction (clone
+    * write reaching the source's files, or the source's 'X:' edit
+    * bleeding into the clone's external references... which are the
+    * SAME bytes, so the carve is per-file COW) breaks the hash.
+    */
+  def srcManifestClone(s: SparkSession, dir: String): DataFrame = {
+    val base = materializeManifestClone(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val src = new java.io.File(
+      s"/tmp/graft_manifest_clone_src/$tag-$fpTag/table").getAbsolutePath
+    val dst = new java.io.File(base, "clone").getAbsolutePath
+    import graft.sources.ManifestTable._
+    val c0 = readSnapshot(dst, 0)
+    require(c0.op == "clone" && c0.files.forall(_.name.startsWith("/")),
+      "clone v0 must reference the source by absolute path only")
+    val c1 = readSnapshot(dst, 1)
+    require(c1.files.exists(f => !f.name.startsWith("/")) &&
+      c1.files.exists(f => f.name.startsWith("/")),
+      "post-upsert clone must mix local rewrites with external carries")
+    // the source's divergent edit exists THERE and only there
+    require(snapshot(s, src).filter(col("text").startsWith("X:")).count() > 0,
+      "source-side edit missing — the fixture did not diverge")
+    require(snapshot(s, dst).filter(col("text").startsWith("X:")).count() == 0,
+      "the source's post-clone edit leaked into the clone")
+    manifestDigest(snapshot(s, dst))
+  }
+
+  private val srcManifestCloneSql: String =
+    s"""WITH $manifestStateSql
+       |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for three-clause MERGE: documents keyed on
     * doc_id, then ONE merge commit carrying the full CDC-apply shape —
     * a source with an `_op` marker column (updates from band U,
@@ -4867,6 +4946,7 @@ object Pipeline {
     "src_manifest_dv" -> (srcManifestDv _),
     "src_manifest_merge" -> (srcManifestMerge _),
     "src_manifest_rename" -> (srcManifestRename _),
+    "src_manifest_clone" -> (srcManifestClone _),
     "src_manifest_cdc" -> (srcManifestCdc _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
@@ -4968,6 +5048,7 @@ object Pipeline {
     "src_manifest_dv" -> srcManifestDvSql,
     "src_manifest_merge" -> srcManifestMergeSql,
     "src_manifest_rename" -> srcManifestRenameSql,
+    "src_manifest_clone" -> srcManifestCloneSql,
     "src_manifest_cdc" -> srcManifestCdcSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25" -> textBm25Sql,

@@ -735,8 +735,9 @@ object ManifestTable {
           // exactly the base version's list and are never touched.
           val base = if (v >= 0) listedNames(readSnapshot(table, v)).toSet
             else Set.empty[String]
-          s.files.flatMap(f => f.name :: f.dv.toList).filterNot(base).foreach(n =>
-            Files.deleteIfExists(new File(dataDir(table), n).toPath))
+          s.files.flatMap(f => f.name :: f.dv.toList).filterNot(base)
+            .filterNot(isExternal).foreach(n =>
+              Files.deleteIfExists(new File(dataDir(table), n).toPath))
           last = e; i += 1
       }
     }
@@ -1166,8 +1167,25 @@ object ManifestTable {
         bloomBits = bloomBits)
     }
 
+  /** Resolve a manifest-listed storage name: a plain name lives in
+    * this table's own data/; an ABSOLUTE name is a shallow-clone entry
+    * pointing into the source table's data dir — readable here,
+    * never deletable here (vacuum skips it; the source owns it).
+    */
+  private[sources] def dataFile(table: String, name: String): File =
+    if (name.startsWith("/")) new File(name) else new File(dataDir(table), name)
+  private[sources] def isExternal(name: String): Boolean = name.startsWith("/")
+
+  /** The basename a scan's `input_file_name()` tag reports for a
+    * listed name (external clone entries are absolute paths; local
+    * names are their own leaf). All FileTagCol matching goes through
+    * this — names are UUID-suffixed, so leaf collisions across a
+    * snapshot are negligible by construction.
+    */
+  private def leafName(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+
   private def filePaths(table: String, s: Snapshot): Seq[String] =
-    s.files.map(f => new File(dataDir(table), f.name).getAbsolutePath)
+    s.files.map(f => dataFile(table, f.name).getAbsolutePath)
 
   def schemaOf(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
     s.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -1213,7 +1231,7 @@ object ManifestTable {
   private def readFilesTagged(spark: SparkSession, table: String, s: Snapshot,
                               files: Seq[FileEntry]): DataFrame = {
     def readRaw(fs: Seq[FileEntry]): DataFrame = {
-      val paths = fs.map(f => new File(dataDir(table), f.name).getAbsolutePath)
+      val paths = fs.map(f => dataFile(table, f.name).getAbsolutePath)
       val df = schemaOf(s) match {
         case Some(st) =>
           // files store PHYSICAL names; scan under them, then translate
@@ -1238,8 +1256,9 @@ object ManifestTable {
     if (dvd.isEmpty) readRaw(files)
     else {
       val dvKeys = dvd.map(f =>
-        spark.read.parquet(new File(dataDir(table), f.dv.get).getAbsolutePath)
-          .select(col("k").cast("long").as("_dvk"), lit(f.name).as("_dvf")))
+        spark.read.parquet(dataFile(table, f.dv.get).getAbsolutePath)
+          .select(col("k").cast("long").as("_dvk"),
+            lit(leafName(f.name)).as("_dvf")))
         .reduce(_ union _)
       val dvdDf = readRaw(dvd)
         .join(dvKeys,
@@ -2202,6 +2221,48 @@ object ManifestTable {
     * rows come back as inserts, exactly what an incremental consumer
     * must see.
     */
+  /** SHALLOW CLONE (round 18 — Delta's CREATE TABLE ... SHALLOW CLONE,
+    * public semantics): a new table whose v0 manifest REFERENCES the
+    * source's current data files by absolute path — zero bytes copied,
+    * O(files) metadata, so cloning a 100 TB table for a dev/test/
+    * what-if branch is instant. The clone is independent from that
+    * moment on: writes land in its OWN data/ (a COW rewrite of an
+    * external file reads the source bytes and writes a local
+    * replacement — the external reference simply drops out), the
+    * source never sees them, and later source commits never move the
+    * clone. Schema, column mapping, constraints, and bloom config copy
+    * over; the txn map does NOT (a clone is a new sink identity — a
+    * stream's batch ids must not be considered already-applied).
+    * Vacuum on the clone reclaims only its OWN files (external names
+    * are skipped — the source owns those bytes); vacuuming the SOURCE
+    * can age a still-referenced file out from under a clone, the
+    * documented Delta caveat — the clone's read then fails loudly.
+    * `compact` materializes every external reference into local files
+    * (Delta's documented clone-to-self-contained flow). Cloning a
+    * clone re-points at the ORIGINAL bytes (already-absolute names
+    * carry as-is, never double-prefixed).
+    */
+  def shallowClone(source: String, dest: String,
+                   version: Option[Int] = None): Snapshot = {
+    require(!logDir(dest).exists(),
+      s"shallowClone destination $dest already has a manifest log")
+    val sv = latestVersion(source)
+    require(sv >= 0, s"no manifest in $source/_log")
+    // CLONE ... VERSION AS OF (Delta supports it; the referenced files
+    // are immutable, so an old version clones as cheaply as the tip —
+    // subject to the source's vacuum retention, loud via readSnapshot)
+    val src = readSnapshot(source, version.getOrElse(sv))
+    require(src.schemaJson.isDefined,
+      s"shallowClone requires a logged schema ($source predates schema logging)")
+    val srcData = dataDir(source).getAbsolutePath
+    def abs(n: String): String =
+      if (isExternal(n)) n else new File(srcData, n).getAbsolutePath
+    val files = src.files.map(f => f.copy(name = abs(f.name), dv = f.dv.map(abs)))
+    commit(dest, Snapshot(0, "clone", src.keyCol, files, src.schemaJson,
+      Map.empty, src.bloomCols, src.bloomBits, src.constraints, 0L,
+      src.colMap, src.deadCols))
+  }
+
   def restore(table: String, toVersion: Int): Snapshot =
     commitWithRetry(table) { v =>
       require(v >= 0, s"no manifest in $table/_log")
@@ -2216,7 +2277,7 @@ object ManifestTable {
       }
       val gone = old.files
         .flatMap(f => f.name :: f.dv.toList) // dv sidecars must survive too
-        .filterNot(n => new File(dataDir(table), n).exists())
+        .filterNot(n => dataFile(table, n).exists())
       require(gone.isEmpty,
         s"restore to v$toVersion of $table references ${gone.size} data " +
         s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
@@ -2285,7 +2346,10 @@ object ManifestTable {
       if (v == cutoff) atCutoff = snap
     }
     val live = liveB.result()
-    val dead = (beforeB.result() -- live).toSeq.sorted
+    // external (shallow-clone) names are never reclaimed here — the
+    // SOURCE table owns those bytes; vacuuming a clone must not
+    // reach into it
+    val dead = (beforeB.result() -- live).toSeq.filterNot(isExternal).sorted
     if (atCutoff != null) writeCheckpoint(table, atCutoff)
     dead.foreach(n => Files.deleteIfExists(new File(dataDir(table), n).toPath))
     versions.filter(_ < cutoff).foreach { v =>
@@ -2346,16 +2410,17 @@ object ManifestTable {
     val newCounts = victims.groupBy("_f").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (newCounts.isEmpty) return Map.empty
-    val affected = touched.filter(f => newCounts.contains(f.name))
+    val affected = touched.filter(f => newCounts.contains(leafName(f.name)))
     val prior = affected.filter(_.dv.isDefined).map(f =>
-      spark.read.parquet(new File(dataDir(table), f.dv.get).getAbsolutePath)
-        .select(lit(f.name).as("_f"), col("k").cast("long").as("_k")))
+      spark.read.parquet(dataFile(table, f.dv.get).getAbsolutePath)
+        .select(lit(leafName(f.name)).as("_f"), col("k").cast("long").as("_k")))
     val all = (victims.select(col("_f"), col("_k").cast("long").as("_k")) +: prior)
       .reduce(_ unionByName _).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val totals = all.groupBy("_f").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      dataDir(table).mkdirs() // a shallow clone has no data/ until now
       val scratch = new File(table,
         s"_dvstage-${java.util.UUID.randomUUID.toString.take(8)}")
       all.withColumnRenamed("_k", "k")
@@ -2390,7 +2455,7 @@ object ManifestTable {
   private def dvEntries(table: String, touched: Seq[FileEntry],
                         dvMap: Map[String, (String, Long)]): Seq[FileEntry] =
     touched.flatMap { f =>
-      dvMap.get(f.name) match {
+      dvMap.get(leafName(f.name)) match {
         case None => Some(f) // ranges overlapped but no live victim
         case Some((dvn, n)) if n >= f.rows =>
           // the file drops from the listing ENTIRELY, so its
@@ -2590,7 +2655,7 @@ object ManifestTable {
     // surfaced as a raw FileNotFoundException mid-job
     val gone = (removed ++ added)
       .flatMap(f => f.name :: f.dv.toList)
-      .filterNot(n => new File(dataDir(table), n).exists())
+      .filterNot(n => dataFile(table, n).exists())
     require(gone.isEmpty,
       s"snapshotDiff v$vFrom..v$vTo of $table references ${gone.size} data " +
       s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")

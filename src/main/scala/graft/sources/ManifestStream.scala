@@ -238,11 +238,11 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         // rewritten file to fingerprint-prove "no change"; the op
         // string proves it for free)
         None
-      case "create" if cdc =>
+      case "create" | "clone" if cdc =>
         Some(addedFilesDf(v, added)
           .withColumn(ManifestStream.ChangeTypeCol, lit("insert"))
           .withColumn(ManifestStream.CommitVersionCol, lit(v)))
-      case "create" | "append" if !cdc =>
+      case "create" | "clone" | "append" if !cdc =>
         Some(addedFilesDf(v, added))
       case "upsert" | "merge" | "delete" | "restore" if !cdc =>
         // restore belongs here too: it re-LISTS previously-removed
@@ -271,12 +271,13 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     */
   private def addedFilesDf(v: Int,
                            added: Seq[ManifestTable.FileEntry]): DataFrame = {
-    val dd = new File(table, "data")
-    val gone = added.filterNot(f => new File(dd, f.name).exists()).map(_.name)
+    val gone = added.filterNot(f =>
+      ManifestTable.dataFile(table, f.name).exists()).map(_.name)
     require(gone.isEmpty,
       s"manifest stream over $table: v$v lists ${gone.size} added " +
       s"file(s) that no longer exist (vacuumed?): ${gone.take(3).mkString(", ")}")
-    val paths = added.map(f => new File(dd, f.name).getAbsolutePath)
+    val paths = added.map(f =>
+      ManifestTable.dataFile(table, f.name).getAbsolutePath)
     val base = StructType(schema.fields.filterNot(f =>
       f.name == ManifestStream.ChangeTypeCol || f.name == ManifestStream.CommitVersionCol))
     // scan under PHYSICAL names, present the tail's logical names in
