@@ -3782,7 +3782,21 @@ object Pipeline {
       val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val dst = new java.io.File(scratch, "clone").getAbsolutePath
       ManifestTable.shallowClone(src, dst, version = Some(0))
-      ManifestTable.upsert(s, dst, manifestUpsertDelta(s, d, mx), buckets = 4)
+      // updates confined to the LOWER key half, inserts beyond mx: the
+      // upper-half files provably contain no delta key at ANY scale,
+      // so external carries survive the upsert (the structural gate)
+      val updates = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < mx / 2)
+        .withColumn("text", concat(lit("u:"), col("text")))
+        .withColumn("source", lit("upsert"))
+        .withColumn("n_chars", col("n_chars") + 2L)
+      val inserts = s.range(100).select(
+        (lit(mx) + 1L + col("id")).as("doc_id"),
+        concat(lit("ins-"), col("id")).as("text"),
+        element_at(typedLit(Seq("en", "de", "zh", "fr")),
+          (col("id") % 4).cast("int") + 1).as("lang"),
+        lit("insert").as("source"),
+        length(concat(lit("ins-"), col("id"))).cast("long").as("n_chars"))
+      ManifestTable.upsert(s, dst, updates.unionByName(inserts), buckets = 4)
     }
     base.getAbsolutePath
   }
@@ -3823,8 +3837,32 @@ object Pipeline {
   }
 
   private val srcManifestCloneSql: String =
-    s"""WITH $manifestStateSql
-       |${manifestDigestSql}FROM fin1 GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents
+      |), upd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 AND doc_id < m // 2
+      |         THEN 'u:' || text ELSE text END AS text,
+      |    lang,
+      |    CASE WHEN doc_id % 97 = 0 AND doc_id < m // 2
+      |         THEN 'upsert' ELSE source END AS source,
+      |    CASE WHEN doc_id % 97 = 0 AND doc_id < m // 2
+      |         THEN n_chars + 2 ELSE n_chars END AS n_chars
+      |  FROM documents, mxx
+      |), ins AS (
+      |  SELECT m + 1 + i AS doc_id, 'ins-' || i AS text,
+      |    (['en','de','zh','fr'])[CAST(i % 4 AS INT) + 1] AS lang,
+      |    'insert' AS source,
+      |    CAST(length('ins-' || i) AS BIGINT) AS n_chars
+      |  FROM mxx, (SELECT unnest(generate_series(0, 99)) AS i)
+      |), fin AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM upd
+      |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** One-time fixture for three-clause MERGE: documents keyed on
     * doc_id, then ONE merge commit carrying the full CDC-apply shape —
