@@ -249,7 +249,12 @@ object Bench {
     val head = results2.collect { case (k, v, _) if headline(k) =>
       "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"reruns":$rerunNames,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    // The stdout line must fit the driver's ~2000-char tail window.
+    // The rerun NAME list is unbounded (a noisy host can rerun half
+    // the suite — the x10 refresh rerun 150 rows, a 3.7 KB line):
+    // stdout carries only the COUNT; names stay in detail_file.
+    val rerunCount = results2.count { case (_, _, rs) => rs.size > nRuns }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"n_reruns":$rerunCount,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
