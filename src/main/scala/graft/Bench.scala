@@ -254,7 +254,21 @@ object Bench {
     // the suite — the x10 refresh rerun 150 rows, a 3.7 KB line):
     // stdout carries only the COUNT; names stay in detail_file.
     val rerunCount = results2.count { case (_, _, rs) => rs.size > nRuns }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"n_reruns":$rerunCount,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"n_reruns":$rerunCount,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+    // Teardown BEFORE the metric line, then halt: the RocksDB
+    // StateStore maintenance thread otherwise logs a post-shutdown
+    // "SparkEnv not active" ERROR AFTER the JSON, so the driver's
+    // stdout-tail parse saw garbage and BENCH_r18 recorded
+    // "parsed": null (VERDICT r18 #3/#7). Order: stop any straggler
+    // streaming queries, stop the StateStore maintenance task, stop
+    // the session, print the line LAST, then halt(0) so no shutdown
+    // hook can append to stdout after it.
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

