@@ -4002,6 +4002,115 @@ object Pipeline {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for MERGE schema evolution (Delta autoMerge):
+    * documents keyed on doc_id, then ONE autoMerge MERGE whose source
+    * carries a NEW `priority` column (updates from a narrow band +
+    * inserts past the key max) while OMITTING the existing `source`
+    * column — exercising both evolution directions in a single
+    * commit: new column widens the schema, omitted column keeps its
+    * target value on update and reads NULL on insert.
+    */
+  private def materializeManifestMergeEvolve(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_mev/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      import graft.sources.ManifestTable
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val u0 = mx / 5; val bw = mx / 30
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      ManifestTable.create(s, table, d, "doc_id", buckets = 16)
+      val upd = d.filter(col("doc_id") >= u0 && col("doc_id") < u0 + bw)
+        .select(col("doc_id"), concat(lit("e:"), col("text")).as("text"),
+          col("lang"), (col("n_chars") + 5L).as("n_chars"),
+          lit("high").as("priority")) // `source` omitted on purpose
+      val ins = s.range(80).select(
+        (lit(mx) + 1L + col("id")).as("doc_id"),
+        concat(lit("evo-"), col("id")).as("text"),
+        element_at(typedLit(Seq("en", "de", "zh", "fr")),
+          (col("id") % 4).cast("int") + 1).as("lang"),
+        length(concat(lit("evo-"), col("id"))).cast("long").as("n_chars"),
+        lit("low").as("priority"))
+      ManifestTable.merge(s, table, upd.unionByName(ins), buckets = 4,
+        matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)),
+        autoMerge = true)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** MERGE schema evolution read (round 19 — Delta's
+    * `spark.databricks.delta.schema.autoMerge` semantics): the CDC
+    * pipeline whose upstream added a field. One autoMerge MERGE
+    * widens the logged schema with the source's new `priority`
+    * column IN THE SAME COMMIT as the row changes; files outside the
+    * update band carry BY REFERENCE (zero IO — gated name-equal,
+    * re-derived from the v0 manifest so the check is
+    * scale-independent) and read NULL for the new column through the
+    * union-schema read. The source also OMITS the existing `source`
+    * column: updates keep the target's value, inserts read NULL —
+    * the digest pins both via an insert-only NULL count. Any drift
+    * in row fates or the new column's placement breaks the hash.
+    */
+  def srcManifestMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestMergeEvolve(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    val v1 = readSnapshot(table, 1)
+    require(v1.op == "merge" && v1.version == 1,
+      s"schema evolution must ride the merge commit itself, got ${v1.op}@v${v1.version}")
+    require(!snapshot(s, table, Some(0)).columns.contains("priority") &&
+      snapshot(s, table).columns.contains("priority"),
+      "autoMerge did not widen the schema")
+    val mx = v0.files.map(_.maxKey).max
+    val u0 = mx / 5; val bw = mx / 30
+    val v0Names = v0.files.map(_.name).toSet
+    val carried = v1.files.map(_.name).filter(v0Names).toSet
+    val mustCarry = v0.files.filter(f => f.maxKey < u0 || f.minKey >= u0 + bw)
+      .map(_.name)
+    require(mustCarry.nonEmpty && mustCarry.forall(carried),
+      "autoMerge rewrote a file outside the touched tier: " +
+      mustCarry.filterNot(carried).take(3).mkString(", "))
+    snapshot(s, table)
+      .groupBy(col("lang"), coalesce(col("priority"), lit("none")).as("prio"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        count(when(col("source").isNull, lit(1))).as("n_null_src"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("lang", "prio")
+  }
+
+  private val srcManifestMergeEvolveSql: String =
+    """WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents
+      |), fin AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id >= m//5 AND d.doc_id < m//5 + m//30
+      |         THEN 'e:' || d.text ELSE d.text END AS text,
+      |    d.lang, d.source,
+      |    CASE WHEN d.doc_id >= m//5 AND d.doc_id < m//5 + m//30
+      |         THEN d.n_chars + 5 ELSE d.n_chars END AS n_chars,
+      |    CASE WHEN d.doc_id >= m//5 AND d.doc_id < m//5 + m//30
+      |         THEN 'high' ELSE NULL END AS priority
+      |  FROM documents d, mxx
+      |  UNION ALL
+      |  SELECT m + 1 + i AS doc_id, 'evo-' || i AS text,
+      |    (['en','de','zh','fr'])[CAST(i % 4 AS INT) + 1] AS lang,
+      |    NULL AS source, CAST(length('evo-' || i) AS BIGINT) AS n_chars,
+      |    'low' AS priority
+      |  FROM mxx, (SELECT unnest(generate_series(0, 79)) AS i)
+      |)
+      |SELECT lang, COALESCE(priority, 'none') AS prio,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT) AS n_null_src,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** One-time fixture for CHECK constraints: documents created WITH
     * two invariants, a valid upsert committed under them, then a
     * third constraint ADDED post-hoc — which validates all existing
@@ -4996,6 +5105,7 @@ object Pipeline {
     "src_manifest_deletekeys" -> (srcManifestDeleteKeys _),
     "src_manifest_dv" -> (srcManifestDv _),
     "src_manifest_merge" -> (srcManifestMerge _),
+    "src_manifest_merge_evolve" -> (srcManifestMergeEvolve _),
     "src_manifest_rename" -> (srcManifestRename _),
     "src_manifest_clone" -> (srcManifestClone _),
     "src_manifest_cdc" -> (srcManifestCdc _),
@@ -5098,6 +5208,7 @@ object Pipeline {
     "src_manifest_deletekeys" -> srcManifestDeleteKeysSql,
     "src_manifest_dv" -> srcManifestDvSql,
     "src_manifest_merge" -> srcManifestMergeSql,
+    "src_manifest_merge_evolve" -> srcManifestMergeEvolveSql,
     "src_manifest_rename" -> srcManifestRenameSql,
     "src_manifest_clone" -> srcManifestCloneSql,
     "src_manifest_cdc" -> srcManifestCdcSql,

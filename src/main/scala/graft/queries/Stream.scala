@@ -1000,6 +1000,31 @@ object Stream {
     try q2.processAllAvailable() finally q2.stop()
     require(ManifestTable.latestVersion(table) == 6,
       s"expected 7 versions, got ${ManifestTable.latestVersion(table) + 1}")
+    // Pacing leg (round 19 — Delta's maxFilesPerTrigger/maxBytesPerTrigger
+    // admission): under a 4-file budget the same 7-version log must
+    // drain in several right-sized offset steps — more than one (the
+    // cap engages) but fewer than seven (multi-version admission
+    // engages) — and reach the head exactly. Gated on the source's
+    // own offset arithmetic: deterministic, no trigger timing.
+    val paced = new graft.sources.ManifestStreamSource(s, table,
+      Map("maxFilesPerTrigger" -> "4"))
+    var prevOff: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+    var prevV = -1L
+    var pacedSteps = 0
+    var advancing = true
+    while (advancing && pacedSteps < 10) {
+      val o = paced.getOffset
+      val v = o.map(_.json.trim.toLong).getOrElse(-1L)
+      if (o.isEmpty || v == prevV) advancing = false
+      else {
+        require(v > prevV, s"paced offsets must advance monotonically: $prevV -> $v")
+        paced.getBatch(prevOff, o.get)
+        prevOff = o; prevV = v; pacedSteps += 1
+      }
+    }
+    require(prevV == 6L, s"paced tail must reach the head, stopped at v$prevV")
+    require(pacedSteps >= 3 && pacedSteps <= 6,
+      s"maxFilesPerTrigger=4 over a 7-version log should take 3..6 admissions, took $pacedSteps")
     val streamed = s.read.schema(
       ManifestTable.schemaOf(ManifestTable.readSnapshot(table, 6)).get)
       .parquet(out)

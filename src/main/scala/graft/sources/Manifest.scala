@@ -715,34 +715,120 @@ object ManifestTable {
     * writer won the version) the WHOLE body re-runs against the fresh
     * log, the Delta conflict-retry shape. The loser's orphaned data
     * files are reclaimed by [[vacuum]] (never listed → never live).
+    *
+    * Round 19, conflict-AWARE (VERDICT r18 #4): an ADD-ONLY commit —
+    * every base file carried verbatim, table config untouched — whose
+    * winner ALSO left the config untouched REBASES onto the winner's
+    * snapshot and re-commits WITHOUT re-running the body: the
+    * freshly-written parquet files are already on disk and disjoint
+    * from anything the winner added or removed (Delta's logical
+    * conflict rule for blind appends). A paced streaming appender
+    * racing a maintenance compactor therefore converges instead of
+    * burning its whole attempt budget on full re-runs. Conflicts that
+    * can't rebase (rewrite-shaped commits, config drift, an
+    * idempotency txn the winner already claimed) re-run the body
+    * after a JITTERED exponential backoff — at high commit pressure
+    * the losers must not stampede the next version in lockstep.
     */
-  def commitWithRetry(table: String, attempts: Int = 3)(body: Int => Snapshot): Snapshot = {
+  def commitWithRetry(table: String, attempts: Int = 10)(body: Int => Snapshot): Snapshot = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       val v = if (logDir(table).exists() &&
         Option(logDir(table).listFiles()).exists(_.exists(_.getName.startsWith("v"))))
         latestVersion(table) else -1
-      val s = body(v)
-      try { return commit(table, s) }
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          // the failed attempt's freshly-written files (anything it
-          // lists beyond the base version it read) sit in data/
-          // unlisted — vacuum only reclaims once-LISTED files, so
-          // delete them here before the body re-runs (the appendBatch
-          // orphan rule, ADVICE r16). Carried-by-reference files are
-          // exactly the base version's list and are never touched.
-          val base = if (v >= 0) listedNames(readSnapshot(table, v)).toSet
-            else Set.empty[String]
-          s.files.flatMap(f => f.name :: f.dv.toList).filterNot(base)
-            .filterNot(isExternal).foreach(n =>
-              Files.deleteIfExists(new File(dataDir(table), n).toPath))
-          last = e; i += 1
+      var cur = body(v)
+      var baseV = v
+      var rebases = 0
+      var retryBody = false
+      while (!retryBody) {
+        try { return commit(table, cur) }
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            last = e
+            (if (rebases < MaxRebases) rebaseAddOnly(table, baseV, cur)
+             else None) match {
+              case Some((nb, r)) => cur = r; baseV = nb; rebases += 1
+              case None =>
+                // the failed attempt's freshly-written files (anything
+                // it lists beyond the base version it read) sit in
+                // data/ unlisted — vacuum only reclaims once-LISTED
+                // files, so delete them here before the body re-runs
+                // (the appendBatch orphan rule, ADVICE r16). Carried-
+                // by-reference files are exactly the base version's
+                // list and are never touched.
+                val base = if (baseV >= 0)
+                  listedNames(readSnapshot(table, baseV)).toSet
+                  else Set.empty[String]
+                cur.files.flatMap(f => f.name :: f.dv.toList).filterNot(base)
+                  .filterNot(isExternal).foreach(n =>
+                    Files.deleteIfExists(new File(dataDir(table), n).toPath))
+                i += 1
+                if (i < attempts) backoffJitter(i)
+                retryBody = true
+            }
+        }
       }
     }
     throw new IllegalStateException(
       s"commit lost the version race $attempts times in $table", last)
+  }
+
+  /** Rebase budget per body run: generous (rebases are metadata-only,
+    * O(files) each) but bounded — a pathological livelock must still
+    * surface as the loud version-race error, not a hang.
+    */
+  private val MaxRebases = 20
+
+  /** Jittered exponential backoff between FULL body re-runs:
+    * uniform(0, min(400ms, 25ms·2^attempt)) — randomized so N losers
+    * don't re-collide in lockstep, capped so a single conflict never
+    * stalls a commit pipeline visibly.
+    */
+  private def backoffJitter(attempt: Int): Unit = {
+    val cap = math.min(400L, 25L << math.min(attempt, 5))
+    val ms = java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
+    if (ms > 0) Thread.sleep(ms)
+  }
+
+  /** Try to rebase a LOST add-only commit over the new latest without
+    * re-running its body. Succeeds iff:
+    *  - we had a real base (never a create race);
+    *  - our commit carried every base file verbatim (name AND dv) —
+    *    i.e. its only data action is ADDs;
+    *  - neither we nor the winner chain changed table config
+    *    (key/schema/colMap/constraints/bloom/deadCols);
+    *  - no added file name collides with the winner's listing;
+    *  - no idempotency txn we are claiming was claimed (at an equal or
+    *    newer batch) by the winner — that case must re-run the body so
+    *    its skip logic decides.
+    * The rebased snapshot is the WINNER's state plus our added files
+    * and txn claims: files the winner removed stay removed (our carry
+    * of them was just the base list), which is exactly the
+    * append-over-compaction convergence Delta's conflict checker
+    * allows.
+    */
+  private def rebaseAddOnly(table: String, baseV: Int,
+                            s: Snapshot): Option[(Int, Snapshot)] = {
+    if (baseV < 0) return None
+    val latestV = latestVersion(table)
+    if (latestV <= baseV) return None
+    val base = readSnapshot(table, baseV)
+    val latest = readSnapshot(table, latestV)
+    def cfg(x: Snapshot) = (x.keyCol, x.schemaJson, x.colMap, x.constraints,
+      x.bloomCols, x.bloomBits, x.deadCols)
+    if (cfg(s) != cfg(base) || cfg(latest) != cfg(base)) return None
+    val ourIds = s.files.map(f => (f.name, f.dv)).toSet
+    if (!base.files.forall(f => ourIds((f.name, f.dv)))) return None
+    val baseIds = base.files.map(f => (f.name, f.dv)).toSet
+    val adds = s.files.filterNot(f => baseIds((f.name, f.dv)))
+    val latestNames = latest.files.map(_.name).toSet
+    if (adds.exists(f => latestNames(f.name))) return None
+    val newTxns = s.txns.filter { case (a, b) => !base.txns.get(a).contains(b) }
+    if (newTxns.exists { case (a, b) => latest.txns.get(a).exists(_ >= b) })
+      return None
+    Some((latestV, latest.copy(version = latestV + 1, op = s.op,
+      files = latest.files ++ adds, txns = latest.txns ++ newTxns)))
   }
 
   /** Latest committed version. Fast path: probe FORWARD from the
@@ -1315,26 +1401,47 @@ object ManifestTable {
       val clash = newCols.map(_.name).intersect(st.fieldNames.toSeq)
       require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
       validateColNames(newCols.map(_.name), s"addColumns on $table")
-      // Column mapping (round 18): a new logical name whose default
-      // physical name is RETIRED (dropped earlier) or already taken by
-      // a live physical (the column was renamed away and the old name
-      // re-added) gets a FRESH physical name — old files' bytes under
-      // the dead name can then never resurrect into the new column.
-      val livePhys = st.fieldNames.map(physName(cur)).toSet
-      val dead = cur.deadCols.toSet
-      val extraMap = newCols.flatMap { f =>
-        if (!dead(f.name) && !livePhys(f.name)) None
-        else {
-          var cand = s"${f.name}__p${v + 1}"
-          var i = 0
-          while (dead(cand) || livePhys(cand)) { i += 1; cand = s"${f.name}__p${v + 1}_$i" }
-          Some(f.name -> cand)
-        }
-      }.toMap
+      val extraMap = freshPhysicals(cur, st, newCols, v + 1)
       val widened = org.apache.spark.sql.types.StructType(st.fields ++ newCols)
       cur.copy(version = v + 1, op = "evolve",
         schemaJson = Some(widened.json), colMap = cur.colMap ++ extraMap)
     }
+
+  /** Fresh PHYSICAL names for newly added logical columns (column
+    * mapping, round 18): a new logical name whose default physical is
+    * RETIRED (dropped earlier) or already taken by a live physical
+    * (the column was renamed away and the old name re-added) gets
+    * `name__p<vNew>[_i]` — old files' bytes under the dead name can
+    * then never resurrect into the new column. Batch-safe (ADVICE
+    * r18): duplicate new names are rejected, and a candidate is also
+    * checked against physicals claimed EARLIER IN THE SAME BATCH —
+    * including the identity physicals of plain-named siblings (a
+    * column literally named `a__p<v>` next to a re-added `a`).
+    */
+  private def freshPhysicals(cur: Snapshot,
+                             st: org.apache.spark.sql.types.StructType,
+                             newCols: Seq[org.apache.spark.sql.types.StructField],
+                             vNew: Int): Map[String, String] = {
+    val names = newCols.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate new column names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val livePhys = st.fieldNames.map(physName(cur)).toSet
+    val dead = cur.deadCols.toSet
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= dead; taken ++= livePhys
+    // plain-named additions claim their own names as identity physicals
+    newCols.foreach(f => if (!dead(f.name) && !livePhys(f.name)) taken += f.name)
+    newCols.flatMap { f =>
+      if (!dead(f.name) && !livePhys(f.name)) None
+      else {
+        var cand = s"${f.name}__p$vNew"
+        var i = 0
+        while (taken(cand)) { i += 1; cand = s"${f.name}__p${vNew}_$i" }
+        taken += cand
+        Some(f.name -> cand)
+      }
+    }.toMap
+  }
 
   /** True when `sqlExpr` plausibly references column `name` — a
     * conservative word-boundary token match (over-blocking on a name
@@ -1870,9 +1977,10 @@ object ManifestTable {
             matchedUpdate: Option[org.apache.spark.sql.Column] = None,
             notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
             notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
-            txn: Option[(String, Long)] = None): Snapshot =
+            txn: Option[(String, Long)] = None,
+            autoMerge: Boolean = false): Snapshot =
     mergeCore(spark, table, source, buckets, matchedDelete, matchedUpdate,
-      notMatchedInsert, notMatchedBySourceDelete, txn)._1
+      notMatchedInsert, notMatchedBySourceDelete, txn, autoMerge)._1
 
   /** Idempotent streaming MERGE — the Delta foreachBatch-merge sink
     * (the documented streaming CDC-apply pattern) with appendBatch's
@@ -1889,10 +1997,12 @@ object ManifestTable {
                  matchedDelete: Option[org.apache.spark.sql.Column] = None,
                  matchedUpdate: Option[org.apache.spark.sql.Column] = None,
                  notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
-                 notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None
+                 notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+                 autoMerge: Boolean = false
                 ): Boolean =
     mergeCore(spark, table, source, buckets, matchedDelete, matchedUpdate,
-      notMatchedInsert, notMatchedBySourceDelete, Some(appId -> batchId))._2
+      notMatchedInsert, notMatchedBySourceDelete, Some(appId -> batchId),
+      autoMerge)._2
 
   private def mergeCore(spark: SparkSession, table: String, source: DataFrame,
             buckets: Int,
@@ -1900,7 +2010,8 @@ object ManifestTable {
             matchedUpdate: Option[org.apache.spark.sql.Column],
             notMatchedInsert: Option[org.apache.spark.sql.Column],
             notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
-            txn: Option[(String, Long)]): (Snapshot, Boolean) = {
+            txn: Option[(String, Long)],
+            autoMerge: Boolean = false): (Snapshot, Boolean) = {
     val bySrcPe = notMatchedBySourceDelete.map(p =>
       org.apache.spark.sql.graftshim.NodeInternals.predTree(p))
     // idempotent-skip escape: commitWithRetry commits whatever the
@@ -1915,14 +2026,49 @@ object ManifestTable {
         if (cur.txns.get(app).exists(_ >= b)) throw SkipExit(cur)
       }
       val keyCol = cur.keyCol
-      val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+      val st0 = schemaOf(cur).getOrElse(throw new IllegalStateException(
         s"merge requires a logged schema (table $table predates schema logging)"))
+      // Schema evolution (Delta's MERGE autoMerge): columns the source
+      // carries BEYOND the target schema widen the logged schema in
+      // the SAME commit as the data change — untouched files carry by
+      // reference and read NULL for the new columns via the
+      // union-schema read; colMap assigns fresh physicals exactly as
+      // addColumns would (a dead/shadowed name can never resurrect
+      // old bytes). Without the option, extra source columns stay
+      // silently ignored (the documented CDC-marker-column behavior).
+      val extraSrc: Seq[org.apache.spark.sql.types.StructField] =
+        if (!autoMerge) Nil
+        else source.schema.fields.toSeq
+          .filterNot(f => st0.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+      if (extraSrc.nonEmpty)
+        validateColNames(extraSrc.map(_.name), s"merge autoMerge into $table")
+      val extraMap = freshPhysicals(cur, st0, extraSrc, v + 1)
+      val st = if (extraSrc.isEmpty) st0
+        else org.apache.spark.sql.types.StructType(st0.fields ++ extraSrc)
+      val colMapNew = cur.colMap ++ extraMap
       val tCols = st.fieldNames.toSeq
-      require(tCols.forall(source.columns.contains),
+      val srcHas = source.columns.toSet
+      // Without autoMerge the source must carry the full target row
+      // (full-row update discipline). Under autoMerge a source may
+      // also OMIT target columns — an update keeps the target's value
+      // for them and an insert reads NULL (Delta's UPDATE SET * /
+      // INSERT * with schema evolution) — but never the key.
+      require(autoMerge || tCols.forall(srcHas),
         "merge source must carry every target column; missing: " +
-        tCols.filterNot(source.columns.contains).mkString(", "))
+        tCols.filterNot(srcHas).mkString(", "))
+      require(srcHas(keyCol),
+        s"merge source must carry the key column '$keyCol'")
       require(tCols.forall(!_.startsWith(SrcPrefix)),
         s"target columns may not start with the reserved prefix '$SrcPrefix'")
+      // the rename fold below prefixes EVERY source column — a source
+      // already carrying a '_src_*' name would collide with its own
+      // prefixed twin and fail later as an opaque ambiguous-reference
+      // error (ADVICE r18): refuse it loudly here instead
+      require(source.columns.forall(!_.startsWith(SrcPrefix)),
+        s"merge source columns may not start with the reserved prefix " +
+        s"'$SrcPrefix': " +
+        source.columns.filter(_.startsWith(SrcPrefix)).mkString(", "))
       // Key hygiene, the upsert discipline: duplicate source keys would
       // fan a matched target row out into several joined rows (Delta's
       // "multiple source rows matched" error); NULL keys break the
@@ -1949,7 +2095,7 @@ object ManifestTable {
         .select("_file").distinct().collect().map(_.getString(0)).toSet
       val bySrcTouched: Set[String] = bySrcPe match {
         case Some(pe) =>
-          cur.files.filter(f => canMatch(f, st, pe, physName(cur))).map(_.name).toSet
+          cur.files.filter(f => canMatch(f, st0, pe, physName(cur))).map(_.name).toSet
         case None => Set.empty
       }
       val (touched, untouched) = cur.files.partition(f =>
@@ -1970,20 +2116,38 @@ object ManifestTable {
         (tgtOnlyRow && !fires(notMatchedBySourceDelete))
       val takeSrc = insertRow || (matchedRow && !fires(matchedDelete) &&
         fires(matchedUpdate))
+      // Per-column fate (tDf carries only st0's columns — the touched
+      // tier was read under the PRE-widening schema):
+      //  - old column the source carries: source value when takeSrc,
+      //    else the target's;
+      //  - old column the source omits (autoMerge only): the target's
+      //    value always — updates keep it, inserts read its NULL
+      //    full-outer side;
+      //  - NEW column (autoMerge): source value when takeSrc, else
+      //    NULL — exactly what untouched files read for it.
+      val outCols = st.fields.toSeq.map { f =>
+        val c = f.name
+        if (!srcHas(c)) col(c).as(c)
+        else if (st0.fieldNames.contains(c))
+          when(takeSrc, col(SrcPrefix + c)).otherwise(col(c)).as(c)
+        else
+          when(takeSrc, col(SrcPrefix + c))
+            .otherwise(lit(null).cast(f.dataType)).as(c)
+      }
       val merged = tDf.join(sDf, tKey === sKey, "full_outer")
         .filter(keep)
-        .select(tCols.map(c =>
-          when(takeSrc, col(SrcPrefix + c)).otherwise(col(c)).as(c)) :+
-          takeSrc.as("_from_src"): _*)
+        .select(outCols :+ takeSrc.as("_from_src"): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         enforceConstraints(merged.filter(col("_from_src")).drop("_from_src"),
           cur.constraints, s"merge source into $table")
         val newFiles = writeFiles(spark, table, merged.drop("_from_src"),
           keyCol, buckets, bloomCols = cur.bloomCols,
-          bloomBits = cur.bloomBits, colMap = cur.colMap)
+          bloomBits = cur.bloomBits, colMap = colMapNew)
         cur.copy(version = v + 1, op = "merge",
           files = untouched ++ newFiles, // commit() canonical-orders
+          schemaJson = if (extraSrc.isEmpty) cur.schemaJson else Some(st.json),
+          colMap = colMapNew,
           txns = cur.txns ++ txn)
       } finally { merged.unpersist(false); () }
     }, true) catch { case SkipExit(s) => (s, false) }
@@ -2220,6 +2384,7 @@ object ManifestTable {
             throw new IllegalStateException(
               s"appendBatch lost the version race $attempts times in $table", e)
           }
+          backoffJitter(attempts) // jittered: racing appenders must not re-collide in lockstep
       }
     }
     false // unreachable

@@ -92,11 +92,22 @@ object ManifestStream {
     * stream cannot guess columns), plus the CDC columns in
     * change-feed mode.
     */
-  def sourceSchema(table: String, parameters: Map[String, String]): StructType = {
-    val latest = ManifestTable.latestVersion(table)
-    val snap = ManifestTable.readSnapshot(table, latest)
+  def sourceSchema(table: String, parameters: Map[String, String]): StructType =
+    sourceSchemaOf(table,
+      ManifestTable.readSnapshot(table, ManifestTable.latestVersion(table)),
+      parameters)
+
+  /** Schema derived from ONE given snapshot — so a caller holding a
+    * snapshot can pair schema and colMap from the same version
+    * (ADVICE r18: resolving them with two independent reads let a
+    * rename land in the window and pair a stale logical schema with a
+    * newer map).
+    */
+  private[sources] def sourceSchemaOf(table: String,
+                                      snap: ManifestTable.Snapshot,
+                                      parameters: Map[String, String]): StructType = {
     val base = ManifestTable.schemaOf(snap).getOrElse(throw new IllegalStateException(
-      s"manifest stream over $table: v$latest logs no schema (pre-schema manifest)"))
+      s"manifest stream over $table: v${snap.version} logs no schema (pre-schema manifest)"))
     if (cdcMode(parameters))
       StructType(base.fields.toSeq :+
         StructField(ChangeTypeCol, StringType, nullable = false) :+
@@ -154,8 +165,37 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     parameters.get("maxVersionsPerTrigger").map(_.toInt)
   maxVersionsPerTrigger.foreach(m =>
     require(m >= 1, s"maxVersionsPerTrigger must be >= 1, got $m"))
+  /** `maxFilesPerTrigger` / `maxBytesPerTrigger` (round 19 — Delta's
+    * same-named options): admission by DATA volume, not version
+    * count — a backlogged restart over a log whose commits vary from
+    * one file to thousands gets right-sized batches either way.
+    * Offsets stay version-granular (whole commits only, the unit of
+    * exactly-once replay), so the caps admit versions until the NEXT
+    * one would cross the limit — always at least one (Delta's
+    * at-least-one-file rule: a giant commit still flows, it just
+    * flows alone). Composes with `maxVersionsPerTrigger`: the
+    * tightest cap wins.
+    */
+  private val maxFilesPerTrigger =
+    parameters.get("maxFilesPerTrigger").map(_.toInt)
+  maxFilesPerTrigger.foreach(m =>
+    require(m >= 1, s"maxFilesPerTrigger must be >= 1, got $m"))
+  private val maxBytesPerTrigger =
+    parameters.get("maxBytesPerTrigger").map(_.toLong)
+  maxBytesPerTrigger.foreach(m =>
+    require(m >= 1, s"maxBytesPerTrigger must be >= 1, got $m"))
 
-  override val schema: StructType = ManifestStream.sourceSchema(table, parameters)
+  /** ONE snapshot read at tail start: schema and colMap MUST be
+    * era-consistent (ADVICE r18 — two independent latest-version
+    * reads let a rename commit land in between; a swap-rename
+    * sequence would then present columns transposed under the old
+    * names).
+    */
+  private val startSnap: ManifestTable.Snapshot =
+    ManifestTable.readSnapshot(table, ManifestTable.latestVersion(table))
+
+  override val schema: StructType =
+    ManifestStream.sourceSchemaOf(table, startSnap, parameters)
 
   /** Column mapping captured at tail start (round 18): data files
     * store PHYSICAL names, which never change — so a RENAME COLUMN
@@ -163,8 +203,7 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     * logical names) and files appended after the rename still read
     * correctly under the start-time map.
     */
-  private val colMap: Map[String, String] =
-    ManifestTable.readSnapshot(table, ManifestTable.latestVersion(table)).colMap
+  private val colMap: Map[String, String] = startSnap.colMap
 
   // last version handed out by getBatch (inclusive); getOffset never
   // retreats below it, so a stale admission cap after recovery cannot
@@ -177,15 +216,50 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     case other => other.json.trim.toLong
   }
 
+  /** (added-file count, added bytes) of one version: an O(changes)
+    * action parse plus one stat per added file, MEMOIZED — versions
+    * are immutable, so a long backlog is costed once, not per
+    * getOffset poll.
+    */
+  private val costCache = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+  private def versionCost(v: Int): (Long, Long) = costCache.synchronized {
+    costCache.getOrElseUpdate(v, {
+      val act = ManifestTable.readAction(table, v)
+      val added = act.map(_.add).getOrElse {
+        val snap = ManifestTable.readSnapshot(table, v)
+        val prev = if (v == 0) Set.empty[String]
+          else ManifestTable.readSnapshot(table, v - 1).files.map(_.name).toSet
+        snap.files.filterNot(f => prev(f.name))
+      }
+      (added.size.toLong,
+        added.map(f => ManifestTable.dataFile(table, f.name).length()).sum)
+    })
+  }
+
   override def getOffset: Option[V1Offset] = {
     val latest = ManifestTable.latestVersion(table).toLong
     val floor = math.max(lastEnd, startingVersion - 1L)
-    val capped = maxVersionsPerTrigger match {
+    val vCap = maxVersionsPerTrigger match {
       case Some(m) => math.min(latest, floor + m)
       case None => latest
     }
-    val end = math.max(capped, floor)
-    if (end < startingVersion) None else Some(LongOffset(end))
+    val end =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) vCap
+      else {
+        // admit whole versions until a cap would be crossed; the
+        // FIRST version is admitted unconditionally (at-least-one)
+        var v = floor; var nf = 0L; var nb = 0L; var full = false
+        while (!full && v < vCap) {
+          val (f, b) = versionCost((v + 1).toInt)
+          val over = maxFilesPerTrigger.exists(m => nf + f > m) ||
+            maxBytesPerTrigger.exists(m => nb + b > m)
+          if (over && v > floor) full = true
+          else { v += 1; nf += f; nb += b; if (over) full = true }
+        }
+        v
+      }
+    val end2 = math.max(end, floor)
+    if (end2 < startingVersion) None else Some(LongOffset(end2))
   }
 
   /** Versions (vFrom, vTo] as one micro-batch. Deterministic on

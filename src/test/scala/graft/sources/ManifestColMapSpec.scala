@@ -106,6 +106,34 @@ class ManifestColMapSpec extends SparkTestBase {
       .filter(col("text") === "row-7").count() == 1)
   }
 
+  test("addColumns is batch-safe: duplicate names refused, sibling physical clashes avoided") {
+    // ADVICE r18: candidates were only checked against deadCols and
+    // live physicals, so a batch could assign ONE physical to TWO
+    // logical columns
+    val t = mkTable(20, 1)
+    val dup = intercept[IllegalArgumentException](
+      addColumns(t, Seq(StructField("x", StringType), StructField("x", StringType))))
+    assert(dup.getMessage.contains("duplicate"))
+    // 'text' is dropped (dead physical), then re-added in the SAME
+    // batch as a sibling literally named like its fresh-physical
+    // candidate: the two must land on DISTINCT physicals
+    dropColumn(t, "text") // v1
+    addColumns(t, Seq(
+      StructField("text__p2", StringType), StructField("text", StringType))) // v2
+    val s = readSnapshot(t, 2)
+    val pText = s.colMap.getOrElse("text", "text")
+    val pSib = s.colMap.getOrElse("text__p2", "text__p2")
+    assert(pText != "text", "re-added dead name needs a fresh physical")
+    assert(pText != pSib, s"batch assigned one physical to two columns: $pText")
+    // both columns round-trip values independently through a write
+    upsert(spark, t,
+      Seq((100L, 1L, "sib-val", "text-val")).toDF("doc_id", "tag", "text__p2", "text"), 1)
+    val m = snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(m(100L) == (Some("sib-val"), Some("text-val")))
+    assert(m(7L) == (None, None), "old rows read NULL for both new columns")
+  }
+
   test("swap two column names (a->tmp, b->a, tmp->b) reads correctly") {
     val t = tmpTable()
     val df = (0 until 50).map(i => (i.toLong, s"A-$i", s"B-$i"))

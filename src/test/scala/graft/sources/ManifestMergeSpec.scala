@@ -193,4 +193,67 @@ class ManifestMergeSpec extends SparkTestBase {
       merge(spark, t, bad, 1, matchedUpdate = Some(lit(true))))
     assert(e.getMessage.contains("missing"))
   }
+
+  test("a source column with the reserved _src_ prefix is refused loudly") {
+    // ADVICE r18: the rename fold would otherwise produce a duplicate
+    // '_src_text' and die later as an ambiguous-reference error
+    val t = mkTable(10, 1)
+    val src = Seq((1L, "x", 0L, "m")).toDF("doc_id", "text", "tag", "_src_text")
+    val e = intercept[IllegalArgumentException](
+      merge(spark, t, src, 1, matchedUpdate = Some(lit(true))))
+    assert(e.getMessage.contains("_src_"))
+  }
+
+  test("autoMerge widens the schema in the SAME commit; untouched files read NULL") {
+    val t = mkTable(200, 2)
+    val src = Seq((5L, "upd-5", 50L, "high"), (300L, "new-300", 51L, "low"))
+      .toDF("doc_id", "text", "tag", "priority")
+    val v0Names = readSnapshot(t, 0).files.map(_.name).toSet
+    merge(spark, t, src, 1, matchedUpdate = Some(lit(true)),
+      notMatchedInsert = Some(lit(true)), autoMerge = true)
+    val s1 = readSnapshot(t, 1)
+    // ONE commit: data change + widened schema together
+    assert(s1.op == "merge" && s1.version == 1)
+    val df = snapshot(spark, t)
+    assert(df.columns.toSeq == Seq("doc_id", "text", "tag", "priority"))
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(3)).map(_.toString))).toMap
+    assert(m(5L) == ("upd-5", Some("high")))
+    assert(m(300L) == ("new-300", Some("low")))
+    assert(m(100L)._2.isEmpty, "pre-evolution rows read NULL for the new column")
+    // the file whose key range excludes both source keys carried BY
+    // REFERENCE — schema evolution cost zero IO outside the touched tier
+    assert(s1.files.exists(f => v0Names(f.name)),
+      "autoMerge must not rewrite untouched files")
+  }
+
+  test("autoMerge: omitted target columns keep their value on update, NULL on insert") {
+    val t = mkTable(100, 1)
+    val src = Seq((7L, "seven-upd"), (500L, "five-hundred")).toDF("doc_id", "text")
+    merge(spark, t, src, 1, matchedUpdate = Some(lit(true)),
+      notMatchedInsert = Some(lit(true)), autoMerge = true)
+    val df = snapshot(spark, t)
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)))).toMap
+    assert(m(7L) == ("seven-upd", Some(0L)), "update keeps the omitted column")
+    assert(m(500L) == ("five-hundred", None), "insert reads NULL for it")
+    assert(m(8L) == ("row-8", Some(1L)), "untouched row intact")
+  }
+
+  test("autoMerge re-adding a DROPPED name gets a fresh physical; old bytes stay dead") {
+    val t = mkTable(50, 2)
+    dropColumn(t, "tag") // physical 'tag' retires into deadCols
+    val src = Seq((1L, "one-upd", 99L)).toDF("doc_id", "text", "tag")
+    merge(spark, t, src, 1, matchedUpdate = Some(lit(true)), autoMerge = true)
+    val s = readSnapshot(t, 2)
+    assert(s.colMap.get("tag").exists(_ != "tag"),
+      s"re-added 'tag' must map to a fresh physical, got ${s.colMap}")
+    val df = snapshot(spark, t)
+    val m = df.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(m(1L) == Some(99L))
+    assert(m(2L).isEmpty, "dropped bytes must never resurrect into the re-added column")
+    // the CARRIED file (no source key in range) still holds the old
+    // physical 'tag' bytes on disk — they must read NULL too
+    assert(m(40L).isEmpty, "carried file's dead bytes must not resurrect")
+  }
 }

@@ -203,7 +203,7 @@ class ManifestSpec extends SparkTestBase {
     assert(d02.filter(col("_change_type") === "insert").count() == 2L)
   }
 
-  test("commitWithRetry re-runs the body when a racer takes the version") {
+  test("commitWithRetry re-runs the body when a REWRITE-shaped commit loses the race") {
     val t = mkTable(50, 1)
     var calls = 0
     val s = commitWithRetry(t) { v =>
@@ -212,12 +212,98 @@ class ManifestSpec extends SparkTestBase {
         // simulate a concurrent winner landing v+1 before our commit
         commit(t, readSnapshot(t, v).copy(version = v + 1, op = "racer"))
       }
-      Snapshot(v + 1, "mine", "doc_id", readSnapshot(t, math.min(v, 0)).files,
+      // drops a base file -> NOT add-only -> no rebase, full re-run
+      Snapshot(v + 1, "mine", "doc_id",
+        readSnapshot(t, math.min(v, 0)).files.drop(if (calls == 1) 1 else 0),
         readSnapshot(t, 0).schemaJson)
     }
     assert(calls == 2)
     assert(s.version == 2 && readSnapshot(t, 2).op == "mine")
     assert(readSnapshot(t, 1).op == "racer")
+  }
+
+  test("commitWithRetry REBASES an add-only commit over a winner without re-running") {
+    val t = mkTable(50, 2)
+    val extra = FileEntry("zz-rebase.parquet", 1L, 1000L, 1000L)
+    var calls = 0
+    val s = commitWithRetry(t) { v =>
+      calls += 1
+      val cur = readSnapshot(t, v)
+      if (calls == 1) {
+        // the winner REMOVES one base file (a compactor shape)
+        commit(t, cur.copy(version = v + 1, op = "racer",
+          files = cur.files.drop(1)))
+      }
+      cur.copy(version = v + 1, op = "mine", files = cur.files :+ extra)
+    }
+    assert(calls == 1, "add-only loser must rebase, not re-run the body")
+    assert(s.version == 2 && s.op == "mine")
+    // rebased onto the WINNER's listing: its removal holds, our add lands
+    val v2 = readSnapshot(t, 2)
+    assert(v2.files.map(_.name).contains("zz-rebase.parquet"))
+    assert(v2.files.length == readSnapshot(t, 1).files.length + 1)
+  }
+
+  test("rebase refuses when the winner changed table config or claimed our txn") {
+    val t = mkTable(50, 1)
+    var calls = 0
+    commitWithRetry(t) { v =>
+      calls += 1
+      val cur = readSnapshot(t, v)
+      if (calls == 1) {
+        // winner CHANGES CONFIG (adds a constraint) -> rebase must refuse
+        commit(t, cur.copy(version = v + 1, op = "racer",
+          constraints = Map("c" -> "doc_id >= 0")))
+      }
+      cur.copy(version = v + 1, op = "mine",
+        files = cur.files :+ FileEntry(s"zz-c$calls.parquet", 1L, 2000L, 2000L))
+    }
+    assert(calls == 2, "config drift must force a body re-run")
+    // txn claim: winner records (app, batch) >= ours -> re-run (its skip logic decides)
+    val t2 = mkTable(50, 1)
+    var calls2 = 0
+    commitWithRetry(t2) { v =>
+      calls2 += 1
+      val cur = readSnapshot(t2, v)
+      if (calls2 == 1) {
+        commit(t2, cur.copy(version = v + 1, op = "racer",
+          txns = cur.txns + ("app" -> 7L)))
+      }
+      cur.copy(version = v + 1, op = "mine",
+        files = cur.files :+ FileEntry(s"zz-t$calls2.parquet", 1L, 2000L, 2000L),
+        txns = cur.txns + ("app" -> 7L))
+    }
+    assert(calls2 == 2, "a claimed txn must force a body re-run")
+  }
+
+  test("paced appender racing a concurrent compactor converges without IllegalState") {
+    // VERDICT r18 #4's scenario: a hot table with a streaming sink
+    // plus maintenance compaction. The appender's commits are
+    // add-only (rebase path); the compactor's are rewrites (body
+    // re-run + jittered backoff). Neither may exhaust its attempts.
+    val t = mkTable(40, 2)
+    val nBatches = 12
+    @volatile var appErr: Throwable = null
+    @volatile var cmpErr: Throwable = null
+    val appender = new Thread(() => {
+      try {
+        for (b <- 0 until nBatches) {
+          val df = Seq((1000L + b, s"app-$b", 1)).toDF("doc_id", "text", "tag")
+          assert(appendBatch(spark, t, df, "race-app", b.toLong, 1))
+        }
+      } catch { case e: Throwable => appErr = e }
+    })
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 0 until 8) { compactSmall(spark, t, minRows = 5); Thread.sleep(3) }
+      } catch { case e: Throwable => cmpErr = e }
+    })
+    appender.start(); compactor.start()
+    appender.join(120000); compactor.join(120000)
+    assert(appErr == null, s"appender failed: $appErr")
+    assert(cmpErr == null, s"compactor failed: $cmpErr")
+    assert(snapshot(spark, t).count() == 40L + nBatches)
+    assert(snapshot(spark, t).filter(col("doc_id") >= 1000L).count() == nBatches.toLong)
   }
 
   // --- appendBatch: the Delta streaming-sink shape (txn action) ---

@@ -219,6 +219,63 @@ class ManifestStreamSpec extends SparkTestBase {
     assert(cdc.forall(_.getString(3) == "insert"))
   }
 
+  test("maxFilesPerTrigger paces by ADDED-FILE volume; a giant commit still flows") {
+    def off(src: ManifestStreamSource): Long =
+      src.getOffset.get.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset].offset
+    val t = mkTable(100) // v0 creates 2 files
+    appendRange(t, 100, 150, "app", 0L) // v1: 1 file
+    appendRange(t, 150, 180, "app", 1L) // v2: 1 file
+    appendRange(t, 180, 200, "app", 2L) // v3: 1 file
+    val src = new ManifestStreamSource(spark, t, Map("maxFilesPerTrigger" -> "2"))
+    // v0 alone fills the 2-file budget
+    val o1 = src.getOffset.get
+    assert(off(src) == 0L)
+    src.getBatch(None, o1)
+    // v1+v2 fit together; v3 would cross
+    val o2 = src.getOffset.get
+    assert(off(src) == 2L)
+    src.getBatch(Some(o1), o2)
+    assert(off(src) == 3L)
+    // cap SMALLER than one commit: the commit is admitted anyway
+    // (at-least-one), alone
+    val src1 = new ManifestStreamSource(spark, t, Map("maxFilesPerTrigger" -> "1"))
+    assert(off(src1) == 0L, "a 2-file create must still flow under a 1-file cap")
+    src1.getBatch(None, src1.getOffset.get)
+    assert(off(src1) == 1L)
+    // end-to-end: the drain sees 3 non-empty batches under cap 2
+    val batches = drain(t, Map("maxFilesPerTrigger" -> "2"),
+      new java.io.File(tmpDir(), "chkF").toString)
+    assert(batches.count(_._2.nonEmpty) == 3,
+      s"expected batches (v0 | v1+v2 | v3), got ${batches.map(_._2.size)}")
+    assert(batches.flatMap(_._2).map(_.getLong(0)).sorted == (0L until 200L))
+  }
+
+  test("maxBytesPerTrigger paces by bytes; composes with version cap; bad values loud") {
+    def off(src: ManifestStreamSource): Long =
+      src.getOffset.get.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset].offset
+    val t = mkTable(50) // v0: 2 files
+    appendRange(t, 50, 80, "app", 0L)  // v1
+    appendRange(t, 80, 110, "app", 1L) // v2
+    // 1-byte budget: every version crosses it alone -> strict 1/trigger
+    val src = new ManifestStreamSource(spark, t, Map("maxBytesPerTrigger" -> "1"))
+    assert(off(src) == 0L)
+    src.getBatch(None, src.getOffset.get)
+    assert(off(src) == 1L)
+    src.getBatch(Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(0L)),
+      src.getOffset.get)
+    assert(off(src) == 2L)
+    // a huge byte budget defers to maxVersionsPerTrigger
+    val src2 = new ManifestStreamSource(spark, t,
+      Map("maxBytesPerTrigger" -> "1000000000", "maxVersionsPerTrigger" -> "1"))
+    assert(off(src2) == 0L)
+    intercept[IllegalArgumentException](
+      new ManifestStreamSource(spark, t, Map("maxFilesPerTrigger" -> "0")))
+    intercept[IllegalArgumentException](
+      new ManifestStreamSource(spark, t, Map("maxBytesPerTrigger" -> "0")))
+  }
+
   test("user-supplied schema is rejected; pre-schema table path is loud") {
     val t = mkTable(10)
     val e = intercept[Exception] {
