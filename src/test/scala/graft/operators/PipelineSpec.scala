@@ -494,6 +494,26 @@ class PipelineSpec extends SparkTestBase {
     assert(!charStream.contains("東") && !charStream.contains("7"))
   }
 
+  test("byte BPE: driver fast path and distributed loop produce IDENTICAL merges") {
+    import graft.operators.TextOps
+    // corpus engineered with count TIES (the tie-break — count desc,
+    // then unsigned-byte memcmp on l then r — must agree between the
+    // in-memory argmax and Spark's BinaryType ordering) and high
+    // (>0x7F) bytes, where a SIGNED compare would order differently
+    val docs = Seq(
+      (0L, "東京 東京 abc abd abe ÿþ ÿþ"),
+      (1L, "xy xy xz zz zz qq qq"),
+      (2L, "mnop mnop abc xy zz ÿþ")).toDF("doc_id", "text")
+    val local = TextOps.bpeTrainBytes(docs, "text", 10) // tiny vocab -> driver path
+    val dist = TextOps.bpeTrainBytes(docs, "text", 10, localThreshold = 0L)
+    assert(local.length === dist.length)
+    local.zip(dist).zipWithIndex.foreach {
+      case (((ll, lr, lc), (dl, dr, dc)), i) =>
+        assert(ll.toSeq === dl.toSeq && lr.toSeq === dr.toSeq && lc === dc,
+          s"merge $i drifted between the driver and distributed paths")
+    }
+  }
+
   test("bpeTrain learns the most frequent pair first; encode counts match") {
     import graft.operators.TextOps
     val docs = Seq(
