@@ -1003,6 +1003,30 @@ object Bridge {
   def bpeEncodeB(word: Array[Byte], mergesL: ArrayData, mergesR: ArrayData): ArrayData =
     outB(graft.dsp.Bpe.encodeB(word, binArr(mergesL), binArr(mergesR)))
 
+  /** Viterbi-segment one word under a unigram-LM vocab (parallel
+    * piece/micro-nat-score arrays). The vocab rides as two LITERAL
+    * arrays, so the same ArrayData object arrives for every row of a
+    * task — a per-thread identity-keyed cache rebuilds the lookup map
+    * once per task, not once per row.
+    */
+  private val unigramCache =
+    new ThreadLocal[(AnyRef, Map[String, Long], Int)]()
+  def unigramEnc(word: UTF8String, pieces: ArrayData, lpqs: ArrayData): ArrayData = {
+    val cached = unigramCache.get()
+    val (m, maxLen) =
+      if (cached != null && (cached._1 eq pieces)) (cached._2, cached._3)
+      else {
+        val ps = strArr(pieces)
+        require(ps.length == lpqs.numElements(),
+          s"unigramEnc: ${ps.length} pieces but ${lpqs.numElements()} scores")
+        val mm = ps.zipWithIndex.map { case (p, i) => p -> lpqs.getLong(i) }.toMap
+        val ml = if (ps.isEmpty) 1 else ps.map(_.length).max
+        unigramCache.set((pieces, mm, ml))
+        (mm, ml)
+      }
+    outS(graft.dsp.Unigram.viterbi(word.toString, m, maxLen)._1.toArray)
+  }
+
   // ---- signatures for DspExpr --------------------------------------
 
   /** Catalyst argument/return types per bridge function; the generic
@@ -1143,7 +1167,9 @@ object Bridge {
     "bpeMergeB" -> (Seq(ArrayType(BinaryType), BinaryType, BinaryType)
       -> ArrayType(BinaryType, containsNull = false)),
     "bpeEncodeB" -> (Seq(BinaryType, ArrayType(BinaryType), ArrayType(BinaryType))
-      -> ArrayType(BinaryType, containsNull = false)))
+      -> ArrayType(BinaryType, containsNull = false)),
+    "unigramEnc" -> (Seq(StringType, ArrayType(StringType), ArrayType(LongType))
+      -> ArrayType(StringType, containsNull = false)))
 
   /** Interpreted-path dispatch (mirrors the static calls codegen makes). */
   def dispatch(fn: String, a: Array[Any]): Any = fn match {
@@ -1231,6 +1257,7 @@ object Bridge {
     case "byteSyms" => byteSyms(a(0).asInstanceOf[Array[Byte]])
     case "bpeMergeB" => bpeMergeB(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Array[Byte]], a(2).asInstanceOf[Array[Byte]])
     case "bpeEncodeB" => bpeEncodeB(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
+    case "unigramEnc" => unigramEnc(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")
   }
 }

@@ -344,5 +344,7 @@ object Functions {
       call("bpeMergeB", syms, l, r)
     def bpeEncodeBC(word: Column, mergesL: Column, mergesR: Column): Column =
       call("bpeEncodeB", word, mergesL, mergesR)
+    def unigramEncC(word: Column, pieces: Column, lpqs: Column): Column =
+      call("unigramEnc", word, pieces, lpqs)
   }
 }

@@ -523,6 +523,41 @@ object TextOps {
         (acc, tk) => concat(acc, tk)), "UTF-8")), ""))
   }
 
+  /** Unigram-LM tokenizer fit (Kudo 2018's SentencePiece unigram
+    * algorithm, hard-EM variant — see [[graft.dsp.Unigram]]): the
+    * word-type histogram aggregates DISTRIBUTEDLY (one shuffle,
+    * partial-agg), and the bounded vocabulary-sized frame collects
+    * for the driver-side EM — the same collect-a-model shape as
+    * k-means; the fitted model then broadcasts back as literals for
+    * map-side encoding. At 100 TB the histogram is the only
+    * corpus-sized stage and it is one partial-aggregated pass.
+    */
+  def unigramTrain(df: DataFrame, textCol: String, maxLen: Int = 3,
+                   seedDivisor: Long = 400L,
+                   keepMulti: Int = 40): graft.dsp.Unigram.Model = {
+    val words = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.dsp.Unigram.fit(words, maxLen, seedDivisor, keepMulti)
+  }
+
+  /** Map-side unigram encode under a fitted model: `unigram_tokens` =
+    * each whitespace word's Viterbi pieces, concatenated in document
+    * order. Zero shuffle — the vocab rides as two literal arrays and
+    * the kernel caches its lookup map per task.
+    */
+  def unigramEncode(df: DataFrame, textCol: String,
+                    model: graft.dsp.Unigram.Model): DataFrame = {
+    graft.functions.Functions.install(df.sparkSession)
+    val ps = typedLit(model.pieces.map(_._1).toSeq)
+    val lq = typedLit(model.pieces.map(_._3).toSeq)
+    df.withColumn("unigram_tokens", flatten(transform(
+      filter(split(col(textCol), "\\s+"), w => length(w) > 0),
+      w => unigramEncC(w, ps, lq))))
+  }
+
   /** Deterministic train/val/test assignment from a stable content
     * hash of the id: bucket = first 15 hex digits of md5(id) mod 10000
     * (permille-level granularity). Reproducible across runs, engines

@@ -2108,6 +2108,172 @@ object Pipeline {
        |  ${fpSql("CASE WHEN len(s) > 0 THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) ELSE 0.0 END", "1e6")} AS dr_fp
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  private val UnigramMaxLen = 3
+  private val UnigramSeedDivisor = 400L
+  private val UnigramKeepMulti = 40
+
+  /** Shared oracle CTE chain replaying the WHOLE unigram-LM hard-EM
+    * fit in DuckDB (graft.dsp.Unigram — Kudo 2018's SentencePiece
+    * unigram, public): seed substring counts → integer micro-nat
+    * scores → Viterbi pass 1 (recursive path enumeration; words are
+    * short so paths stay bounded; the argmax replays the engine's
+    * exact integer tie-break: score desc, fewer tokens, then path
+    * under binary collation with a chr(31) separator) → counts →
+    * prune to chars + top-40 multi-char → Laplace re-score → Viterbi
+    * pass 2 → final counts/scores. ALL segmentation decisions are
+    * integer comparisons in both engines; the only float op is the
+    * ln feeding the 1e-6 quantizer.
+    */
+  private val unigramFitSql: String =
+    s"""$uDocsSql, wt AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(ut, '\\s+')) AS w FROM ud) t
+       |  WHERE length(w) > 0 GROUP BY 1
+       |), sub AS MATERIALIZED (
+       |  SELECT substr(word, i, l) AS piece, CAST(SUM(cnt) AS BIGINT) AS c
+       |  FROM wt
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) ii
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $UnigramMaxLen)) AS l) ll
+       |  WHERE i + l - 1 <= length(word)
+       |  GROUP BY 1
+       |), par AS MATERIALIZED (
+       |  SELECT GREATEST(2, (SUM(cnt) + ${UnigramSeedDivisor - 1}) // $UnigramSeedDivisor) AS minc FROM wt
+       |), v0 AS MATERIALIZED (
+       |  SELECT piece, c, length(piece) AS plen FROM sub, par
+       |  WHERE length(piece) = 1 OR c >= minc
+       |), v0s AS MATERIALIZED (
+       |  SELECT piece, plen,
+       |    CAST(ROUND(1e6 * LN(CAST(c AS DOUBLE) /
+       |      (SELECT CAST(SUM(c) AS DOUBLE) FROM v0))) AS BIGINT) AS lpq
+       |  FROM v0
+       |), r1 AS (
+       |  SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS ntok, '' AS path
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT r.word, r.cnt, r.pos + v.plen, r.score + v.lpq, r.ntok + 1,
+       |    r.path || CASE WHEN r.pos = 0 THEN '' ELSE chr(31) END || v.piece
+       |  FROM r1 r JOIN v0s v ON v.piece = substr(r.word, r.pos + 1, v.plen)
+       |  WHERE r.pos < length(r.word)
+       |), s1 AS MATERIALIZED (
+       |  SELECT word, cnt, path FROM (
+       |    SELECT word, cnt, path,
+       |      row_number() OVER (PARTITION BY word
+       |        ORDER BY score DESC, ntok ASC, path ASC) AS rn
+       |    FROM r1 WHERE pos = length(word)) t
+       |  WHERE rn = 1
+       |), c1 AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+       |  FROM (SELECT cnt, unnest(string_split(path, chr(31))) AS piece FROM s1) t
+       |  GROUP BY 1
+       |), v1 AS MATERIALIZED (
+       |  SELECT v0.piece AS piece, COALESCE(c1.c, 0) AS c
+       |  FROM v0 LEFT JOIN c1 ON v0.piece = c1.piece
+       |  WHERE v0.plen = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+       |    FROM c1 WHERE length(piece) > 1 AND c > 0) t
+       |  WHERE rk <= $UnigramKeepMulti
+       |), v1s AS MATERIALIZED (
+       |  SELECT piece, length(piece) AS plen,
+       |    CAST(ROUND(1e6 * LN((c + 1.0) /
+       |      CAST((SELECT SUM(c) FROM v1) + (SELECT COUNT(*) FROM v1) AS DOUBLE))) AS BIGINT) AS lpq
+       |  FROM v1
+       |), r2 AS (
+       |  SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS ntok, '' AS path
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT r.word, r.cnt, r.pos + v.plen, r.score + v.lpq, r.ntok + 1,
+       |    r.path || CASE WHEN r.pos = 0 THEN '' ELSE chr(31) END || v.piece
+       |  FROM r2 r JOIN v1s v ON v.piece = substr(r.word, r.pos + 1, v.plen)
+       |  WHERE r.pos < length(r.word)
+       |), s2 AS MATERIALIZED (
+       |  SELECT word, cnt, path, ntok FROM (
+       |    SELECT word, cnt, path, ntok,
+       |      row_number() OVER (PARTITION BY word
+       |        ORDER BY score DESC, ntok ASC, path ASC) AS rn
+       |    FROM r2 WHERE pos = length(word)) t
+       |  WHERE rn = 1
+       |), c2 AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+       |  FROM (SELECT cnt, unnest(string_split(path, chr(31))) AS piece FROM s2) t
+       |  GROUP BY 1
+       |), vfin AS MATERIALIZED (
+       |  SELECT v1.piece AS piece, COALESCE(c2.c, 0) AS cnt,
+       |    CAST(ROUND(1e6 * LN((COALESCE(c2.c, 0) + 1.0) /
+       |      CAST((SELECT SUM(c) FROM c2) + (SELECT COUNT(*) FROM v1) AS DOUBLE))) AS BIGINT) AS lpq
+       |  FROM v1 LEFT JOIN c2 ON v1.piece = c2.piece
+       |)""".stripMargin
+
+  /** Unigram-LM tokenizer fit (round 19 — SentencePiece's unigram
+    * family, the LLaMA-style counterpart to byte BPE): two
+    * deterministic hard-EM rounds over the multilingual corpus.
+    * Output is the final vocabulary with expected counts and integer
+    * micro-nat log-probs — every column integer, so the DuckDB
+    * replay (which re-runs the ENTIRE fit: seed, two Viterbi passes,
+    * prune, smoothing) must match bit-for-bit. Gates: Viterbi
+    * reassignment under the round-2 model can never lose likelihood
+    * (>= 0 by argmax construction — a broken DP flips it), and at
+    * least one multi-char piece must survive (compression engaged).
+    */
+  def textUnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = uDocs(s, dir).select(col("doc_id"), col("_ut"))
+    val mw = ud.select(explode(filter(split(col("_ut"), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .agg(max(length(col("w")))).collect()(0).getInt(0)
+    require(mw <= 32, s"oracle replay caps word length at 32 chars, corpus has $mw")
+    val m = TextOps.unigramTrain(ud, "_ut", UnigramMaxLen,
+      UnigramSeedDivisor, UnigramKeepMulti)
+    require(m.reassignGain >= 0L,
+      "hard-EM reassignment lost likelihood — the Viterbi argmax is broken")
+    require(m.pieces.exists(_._1.length > 1),
+      "no multi-char piece survived pruning — the fit is degenerate")
+    m.pieces.toSeq.toDF("piece", "cnt", "lpq").orderBy("piece")
+  }
+
+  private val textUnigramTrainSql: String =
+    s"""WITH RECURSIVE $unigramFitSql
+       |SELECT piece, cnt, lpq FROM vfin ORDER BY piece""".stripMargin
+
+  /** Unigram encode over the same corpus: map-side Viterbi under the
+    * broadcast-literal model (zero shuffle — the 100 TB path). The
+    * digest pins per-document token counts (the oracle re-derives
+    * them by joining each document's words to the replayed round-2
+    * segmentation) plus the full-coverage roundtrip: single-char
+    * pieces are never pruned, so concat(tokens) must reproduce the
+    * whitespace-stripped text exactly — any kernel defect that drops
+    * or reorders a piece flips the flag or the count.
+    */
+  def textUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val ud = uDocs(s, dir).select(col("doc_id"), col("_ut"))
+    val m = TextOps.unigramTrain(ud, "_ut", UnigramMaxLen,
+      UnigramSeedDivisor, UnigramKeepMulti)
+    TextOps.unigramEncode(ud, "_ut", m)
+      .select(col("doc_id"),
+        size(col("unigram_tokens")).cast("long").as("n_tokens"),
+        md5(encode(regexp_replace(col("_ut"), "\\s+", ""), "UTF-8")).as("ref_md5"),
+        (array_join(col("unigram_tokens"), "") ===
+          regexp_replace(col("_ut"), "\\s+", "")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val textUnigramEncodeSql: String =
+    s"""WITH RECURSIVE $unigramFitSql, dw AS MATERIALIZED (
+       |  SELECT doc_id, w AS word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(ut, '\\s+')) AS w FROM ud) t
+       |  WHERE length(w) > 0
+       |), enc AS MATERIALIZED (
+       |  SELECT dw.doc_id, CAST(SUM(s2.ntok) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN s2 ON dw.word = s2.word
+       |  GROUP BY 1
+       |)
+       |SELECT ud.doc_id AS doc_id, enc.n_tokens,
+       |  md5(regexp_replace(ut, '\\s+', '', 'g')) AS ref_md5,
+       |  TRUE AS roundtrip_ok
+       |FROM ud JOIN enc ON ud.doc_id = enc.doc_id
+       |ORDER BY 1""".stripMargin
+
   def textSplit(s: SparkSession, dir: String): DataFrame =
     TextOps.hashSplit(docs(s, dir), "doc_id")
       .select(col("doc_id"), col("split"))
@@ -5059,6 +5225,8 @@ object Pipeline {
     "text_bpe_ids" -> (textBpeIds _),
     "text_bpe_decode" -> (textBpeDecode _),
     "text_bpe_bytes_train" -> (textBpeBytesTrain _),
+    "text_unigram_train" -> (textUnigramTrain _),
+    "text_unigram_encode" -> (textUnigramEncode _),
     "text_bpe_bytes_decode" -> (textBpeBytesDecode _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -5162,6 +5330,8 @@ object Pipeline {
     "text_bpe_ids" -> textBpeIdsSql,
     "text_bpe_decode" -> textBpeDecodeSql,
     "text_bpe_bytes_train" -> textBpeBytesTrainSql,
+    "text_unigram_train" -> textUnigramTrainSql,
+    "text_unigram_encode" -> textUnigramEncodeSql,
     "text_bpe_bytes_decode" -> textBpeBytesDecodeSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
