@@ -30,6 +30,8 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+    graft.Bench.calibrate() // JIT warm-up
+    println(f"cal: ${graft.Bench.calibrate()}%.3f s (single-thread ALU anchor)")
     names.foreach { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
