@@ -182,6 +182,42 @@ class ManifestMergeSpec extends SparkTestBase {
     assert(rows(t).size == 101)
   }
 
+  test("mergeBatch + autoMerge: a mid-stream upstream field widens the schema once, idempotently") {
+    // the CDC-sink composition VERDICT r18 Missing #1 describes: the
+    // upstream adds a field between micro-batches; the sink keeps
+    // applying with autoMerge and the schema widens exactly once, in
+    // the same commit as that batch — and a crash-replay of the
+    // widening batch skips WITHOUT touching schema or data.
+    val t = mkTable(100, 1)
+    val b0 = Seq((5L, "u5", 1L)).toDF("doc_id", "text", "tag")
+    assert(mergeBatch(spark, t, b0, "app", 0L, 1,
+      matchedUpdate = Some(lit(true)), autoMerge = true))
+    assert(!snapshot(spark, t).columns.contains("score"))
+    val b1 = Seq((6L, "u6", 2L, 0.9), (200L, "new", 3L, 0.1))
+      .toDF("doc_id", "text", "tag", "score")
+    assert(mergeBatch(spark, t, b1, "app", 1L, 1,
+      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)),
+      autoMerge = true))
+    val s2 = readSnapshot(t, 2)
+    assert(s2.op == "merge" && snapshot(spark, t).columns.contains("score"))
+    // replay of the widening batch: idempotent skip, schema untouched
+    assert(!mergeBatch(spark, t, b1, "app", 1L, 1,
+      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)),
+      autoMerge = true))
+    assert(latestVersion(t) == 2)
+    val m = snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(m(6L) == Some(0.9) && m(200L) == Some(0.1))
+    assert(m(5L).isEmpty, "pre-evolution rows read NULL")
+    // a later batch WITHOUT the new column still applies (autoMerge
+    // allows omission: update keeps the target's score)
+    assert(mergeBatch(spark, t, Seq((6L, "u6b", 4L)).toDF("doc_id", "text", "tag"),
+      "app", 2L, 1, matchedUpdate = Some(lit(true)), autoMerge = true))
+    val m2 = snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(3)))).toMap
+    assert(m2(6L) == (("u6b", Some(0.9))), "omitted column keeps its value across batches")
+  }
+
   test("extra source columns never reach the table; missing target columns are loud") {
     val t = mkTable(20, 1)
     val src = Seq((3L, "u3", 1L, "marker", 99)).toDF(
