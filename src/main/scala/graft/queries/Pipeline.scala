@@ -4277,6 +4277,65 @@ object Pipeline {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
       |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** One-time fixture for DESCRIBE HISTORY: a metadata-surgery
+    * sequence whose per-version action stats are fully deterministic
+    * at EVERY scale factor (create with a fixed bucket count, then
+    * four zero-IO metadata commits) — which is what lets the oracle
+    * be a literal VALUES table.
+    */
+  private def materializeManifestHistory(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_hist/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      import graft.sources.ManifestTable
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      ManifestTable.create(s, table, d, "doc_id", buckets = 8)
+      ManifestTable.addColumns(table, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      ManifestTable.renameColumn(table, "text", "body")
+      ManifestTable.dropColumn(table, "score")
+      ManifestTable.restore(table, 2)
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** DESCRIBE HISTORY (round 19 — Delta's table-history surface):
+    * one row per version from O(changes) ACTION parses — never a
+    * snapshot reconstruction, so a years-lived log lists in
+    * commit-metadata time. Gates: newest-first ordering, strictly
+    * monotone in-commit timestamps (the property versionAsOf binary
+    * search relies on), and LIMIT composing from the newest side.
+    * The per-version (op, added, removed) stats replay as a literal
+    * oracle because the fixture's commits are deterministic at every
+    * SF: a fixed-bucket create (8 files) then four metadata-only
+    * commits (evolve ×3, restore) that add and remove ZERO files —
+    * the zero-IO property the query proves is exactly the one that
+    * makes 100 TB schema surgery instant.
+    */
+  def srcManifestHistory(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestHistory(s, dir)
+    import graft.sources.ManifestTable._
+    import s.implicits._
+    val h = history(table)
+    require(h.map(_._1) == (4 to 0 by -1), s"history order drifted: ${h.map(_._1)}")
+    require(h.map(_._2).sliding(2).forall(p => p(0) > p(1)),
+      "in-commit timestamps must be strictly monotone")
+    require(history(table, 2).map(_._1) == Seq(4, 3),
+      "history LIMIT must bound from the newest side")
+    h.map { case (v, _, op, a, r) => (v, op, a, r) }
+      .toDF("version", "op", "n_added", "n_removed").orderBy("version")
+  }
+
+  private val srcManifestHistorySql: String =
+    """SELECT * FROM (VALUES
+      |  (0, 'create', 8, 0), (1, 'evolve', 0, 0), (2, 'evolve', 0, 0),
+      |  (3, 'evolve', 0, 0), (4, 'restore', 0, 0))
+      |AS t(version, op, n_added, n_removed) ORDER BY version""".stripMargin
+
   /** One-time fixture for CHECK constraints: documents created WITH
     * two invariants, a valid upsert committed under them, then a
     * third constraint ADDED post-hoc — which validates all existing
@@ -5274,6 +5333,7 @@ object Pipeline {
     "src_manifest_dv" -> (srcManifestDv _),
     "src_manifest_merge" -> (srcManifestMerge _),
     "src_manifest_merge_evolve" -> (srcManifestMergeEvolve _),
+    "src_manifest_history" -> (srcManifestHistory _),
     "src_manifest_rename" -> (srcManifestRename _),
     "src_manifest_clone" -> (srcManifestClone _),
     "src_manifest_cdc" -> (srcManifestCdc _),
@@ -5379,6 +5439,7 @@ object Pipeline {
     "src_manifest_dv" -> srcManifestDvSql,
     "src_manifest_merge" -> srcManifestMergeSql,
     "src_manifest_merge_evolve" -> srcManifestMergeEvolveSql,
+    "src_manifest_history" -> srcManifestHistorySql,
     "src_manifest_rename" -> srcManifestRenameSql,
     "src_manifest_clone" -> srcManifestCloneSql,
     "src_manifest_cdc" -> srcManifestCdcSql,

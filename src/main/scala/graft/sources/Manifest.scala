@@ -893,6 +893,35 @@ object ManifestTable {
     * parse — the streaming tail plans an append batch straight off
     * `add`, never reconstructing two snapshots to diff.
     */
+  /** One history row per retained version (newest first — Delta's
+    * DESCRIBE HISTORY shape): (version, ts, op, files added, files
+    * removed). Cost is O(changes) per version — each row is one
+    * ACTION parse, never a snapshot reconstruction, so the history of
+    * a years-lived million-file table reads in commit-metadata time
+    * (full-render fallback only for legacy full-list versions).
+    * `limit` bounds the walk from the newest side, like Delta's
+    * DESCRIBE HISTORY LIMIT n.
+    */
+  def history(table: String, limit: Int = Int.MaxValue)
+      : Seq[(Int, Long, String, Int, Int)] = {
+    require(limit >= 1, s"history limit must be >= 1, got $limit")
+    val latest = latestVersion(table)
+    require(latest >= 0, s"no manifest in $table/_log")
+    val oldest = oldestVersion(table, latest)
+    (math.max(oldest, latest - limit + 1) to latest).reverseIterator.map { v =>
+      readAction(table, v) match {
+        case Some(a) => (v, a.ts, a.op, a.add.size, a.remove.size)
+        case None => // legacy full-list version: diff against parent
+          val s = readSnapshot(table, v)
+          val prev = if (v == oldest) Set.empty[String]
+            else readSnapshot(table, v - 1).files.map(_.name).toSet
+          val names = s.files.map(_.name).toSet
+          (v, s.ts, s.op, s.files.count(f => !prev(f.name)),
+            prev.count(n => !names(n)))
+      }
+    }.toSeq
+  }
+
   def readAction(table: String, v: Int): Option[Action] = {
     val root = readRoot(manifestFile(table, v))
     if (root.has("files")) None else Some(parseAction(root))

@@ -28,6 +28,23 @@ class PlanShapeSpec extends SparkTestBase {
     (1L to 20L).map(i => (i, (1 to 50).map(j => s"w${i % 4}_$j").mkString(" ")))
       .toDF("doc_id", "text")
 
+  test("unigram: encode is map-side (ZERO shuffles); train pays only the histogram agg") {
+    import graft.operators.TextOps
+    val m = TextOps.unigramTrain(docs, "text", maxLen = 3,
+      seedDivisor = 4L, keepMulti = 4) // fit on the same corpus: full coverage
+    // encode: vocab rides as literals, kernel per word — no exchange
+    assert(hashExchanges(TextOps.unigramEncode(docs, "text", m)) == 0,
+      "unigram encode must be a zero-shuffle map-side plan")
+    // the fit's only corpus-sized stage is ONE partial-aggregated
+    // histogram shuffle (the collect-a-model contract): pin the
+    // histogram frame's plan, not the driver loop
+    val hist = docs
+      .select(explode(filter(split(col("text"), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)))
+    assert(hashExchanges(hist) == 1)
+  }
+
   test("signal ops make exactly one hash shuffle") {
     assert(hashExchanges(Signal.rfft(series, Seq("k"), "t", "v")) == 1)
     assert(hashExchanges(Signal.sosfilt(graft.dsp.Design.butterSos(2, 0.4),

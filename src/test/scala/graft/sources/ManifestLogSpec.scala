@@ -158,4 +158,19 @@ class ManifestLogSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+  test("history: newest-first per-version action stats; LIMIT from the head; loud empties") {
+    val t = mkTable(200, 2)                       // v0: create, 2 files
+    assert(appendBatch(spark, t, batch(1000L, 30), "app", 0L, 1)) // v1: +1 file
+    compact(spark, t, buckets = 1)                // v2: 1 add, 3 removes
+    val h = history(t)
+    assert(h.map(_._1) == Seq(2, 1, 0), "newest first")
+    assert(h(2) match { case (0, _, "create", 2, 0) => true; case _ => false }, s"v0 row ${h(2)}")
+    assert(h(1) match { case (1, _, "append", 1, 0) => true; case _ => false }, s"v1 row ${h(1)}")
+    assert(h(0) match { case (2, _, "compact", 1, 3) => true; case _ => false }, s"v2 row ${h(0)}")
+    // ts strictly monotone, newest first
+    assert(h.map(_._2).sliding(2).forall(p => p(0) > p(1)))
+    // LIMIT bounds from the newest side
+    assert(history(t, 2).map(_._1) == Seq(2, 1))
+    intercept[IllegalArgumentException](history(t, 0))
+  }
 }
