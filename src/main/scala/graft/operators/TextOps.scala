@@ -534,11 +534,25 @@ object TextOps {
     */
   def unigramTrain(df: DataFrame, textCol: String, maxLen: Int = 3,
                    seedDivisor: Long = 400L,
-                   keepMulti: Int = 40): graft.dsp.Unigram.Model = {
-    val words = df
+                   keepMulti: Int = 40,
+                   maxTypes: Int = 1000000): graft.dsp.Unigram.Model = {
+    // An open vocabulary (URLs, ids) makes the word-TYPE histogram
+    // unbounded at 100 TB, so the collect is capped at the `maxTypes`
+    // most frequent types — SentencePiece's own input-cap practice:
+    // the frequency mass that drives the fit lives in the head. The
+    // cut is deterministic ((cnt desc, word asc), a bounded-heap
+    // TakeOrdered — maxTypes rows per partition cross, never the
+    // vocabulary) and coverage stays total: fit() seeds every single
+    // CHARACTER of the kept types, and encode-time characters outside
+    // them would fail LOUDLY, never silently.
+    require(maxTypes >= 1, s"maxTypes must be >= 1, got $maxTypes")
+    val hist = df
       .select(explode(filter(split(col(textCol), "\\s+"),
         w => length(w) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val words = hist
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     graft.dsp.Unigram.fit(words, maxLen, seedDivisor, keepMulti)
   }

@@ -514,6 +514,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("unigramTrain caps the collected vocabulary at the MOST FREQUENT types") {
+    import graft.operators.TextOps
+    // 1 head type ('common', count 100) + 50 singleton tail types:
+    // maxTypes=1 must train on the head alone — the open-vocabulary
+    // guard that keeps the collect bounded at 100 TB
+    val docs = (1 to 50).map(i => (i.toLong, s"common common rare$i"))
+      .toDF("doc_id", "text")
+    val m = TextOps.unigramTrain(docs, "text", maxLen = 3,
+      seedDivisor = 4L, keepMulti = 4, maxTypes = 1)
+    val headChars = "common".toSet
+    assert(m.pieces.nonEmpty &&
+      m.pieces.forall(_._1.forall(headChars)),
+      s"tail types leaked into the capped fit: ${m.pieces.map(_._1).mkString(",")}")
+    // determinism across runs of the capped path
+    val m2 = TextOps.unigramTrain(docs, "text", maxLen = 3,
+      seedDivisor = 4L, keepMulti = 4, maxTypes = 1)
+    assert(m.pieces.toSeq == m2.pieces.toSeq)
+  }
+
   test("bpeTrain learns the most frequent pair first; encode counts match") {
     import graft.operators.TextOps
     val docs = Seq(
