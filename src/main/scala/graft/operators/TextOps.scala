@@ -398,14 +398,20 @@ object TextOps {
     // l then r — Spark's BinaryType ordering AND DuckDB's blob
     // memcmp). Corpora whose vocabulary exceeds the threshold keep
     // the distributed loop below.
-    val nTypes = init.count()
+    // persist BEFORE count: the threshold probe and the follow-up
+    // (collect or first merge round) both consume the full corpus
+    // scan + word-type aggregation — unpersisted, it would run twice
+    // before training even starts (ADVICE r19)
+    val first = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = first.count()
     if (nTypes <= localThreshold) {
-      val words = init.select(col("syms"), col("cnt")).collect().map(r =>
-        (r.getSeq[Array[Byte]](0).toArray, r.getLong(1)))
+      val words =
+        try first.select(col("syms"), col("cnt")).collect().map(r =>
+          (r.getSeq[Array[Byte]](0).toArray, r.getLong(1)))
+        finally { first.unpersist(false); () }
       return bpeTrainBytesLocal(words, nMerges)
     }
-    var state = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = state
+    var state = first
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte], Long)]
     try {
       var t = 0

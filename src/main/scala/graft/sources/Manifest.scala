@@ -1393,6 +1393,13 @@ object ManifestTable {
     * f: target data-file leaf)`. The target lives INSIDE the sidecar
     * (the public Delta DV descriptor shape) precisely so the reader
     * never needs a per-file `lit(...)` leg.
+    *
+    * Format guard (ADVICE r19, high): a sidecar written by a
+    * hypothetical earlier key-only format would read `f` as NULL here,
+    * the anti-join condition would never match, and every one of its
+    * deletes would SILENTLY resurrect. A missing target column is
+    * therefore a loud per-row error naming the offending sidecar —
+    * format mismatch must never degrade into a delete-undo.
     */
   private def readDvSidecars(spark: SparkSession, table: String,
                              dvNames: Seq[String]): DataFrame = {
@@ -1403,6 +1410,13 @@ object ManifestTable {
         org.apache.spark.sql.types.StringType)))
     val paths = dvNames.distinct.map(n => dataFile(table, n).getAbsolutePath)
     spark.read.schema(st).parquet(paths: _*)
+      .select(col("k"),
+        when(col("f").isNull, raise_error(concat(
+          lit("deletion-vector sidecar "), input_file_name(),
+          lit(" has no target-file column `f` (legacy/foreign format) — " +
+            "refusing to read: unmatched keys would silently resurrect " +
+            "deleted rows"))).cast("string"))
+          .otherwise(col("f")).as("f"))
   }
 
   /** Snapshot read — latest version unless pinned. An empty snapshot

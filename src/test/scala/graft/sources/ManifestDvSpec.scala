@@ -185,4 +185,28 @@ class ManifestDvSpec extends SparkTestBase {
     // the rewrite materialized the DV away
     assert(readSnapshot(t, 2).files.forall(_.dv.isEmpty))
   }
+
+  test("legacy key-only sidecar fails LOUDLY, never resurrects deletes") {
+    // ADVICE r19 (high): a sidecar missing the target-file column `f`
+    // would read f=NULL, the anti-join would match nothing, and every
+    // delete in it would silently undo. The reader must refuse.
+    val t = mkTable(100, 1)
+    deleteKeys(spark, t, Seq(40L, 41L).toDF("doc_id"), useDv = true)
+    val dvName = readSnapshot(t, 1).files.flatMap(_.dv).head
+    val dvPath = new java.io.File(t, s"data/$dvName")
+    // rewrite the sidecar in a hypothetical legacy format: k only
+    val legacy = spark.read.parquet(dvPath.getAbsolutePath)
+      .select("k").collect().map(_.getLong(0))
+    val stage = java.nio.file.Files.createTempDirectory("graft_dvleg").toString
+    legacy.toSeq.toDF("k").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, dvPath.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ex = intercept[Exception] { snapshot(spark, t).count() }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("no target-file column")),
+      s"wanted the loud legacy-sidecar refusal, got: ${ex.getMessage}")
+  }
 }
