@@ -15,8 +15,8 @@ run / fork := true
 // sbt's own "[success] Total time: ..." epilogue would trail it on
 // stdout and break the driver's tail-parse (VERDICT r19 #5). Success
 // is signalled by the exit code; the epilogue carries no information.
-showSuccess := false
-showTiming := false
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

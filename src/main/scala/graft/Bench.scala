@@ -2,6 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Cal-normalized slowdown ratio (VERDICT r19 #4): compares
+    * hardware-speed-adjusted times, (t/cal) / (min/calMin), so a host
+    * running uniformly 2× slower than the era that set the standing
+    * MIN can neither manufacture a drift finding (every row 2× raw)
+    * nor mask one (a real 2× regression still reads 2× after both
+    * sides normalize). Falls back to the raw ratio when either cal is
+    * unknown (≤ 0 — legacy MIN rows carry no cal).
+    */
+  private[graft] def normRatio(t: Double, cal: Double,
+                               min: Double, calMin: Double): Double =
+    if (cal > 0 && calMin > 0) (t / cal) / (min / calMin) else t / min
+
   /** This process's consumed CPU (utime+stime) in clock ticks, from
     * /proc/self/stat. -1 when unreadable (non-Linux) — callers then
     * fall back to the raw loadavg.
@@ -183,36 +195,47 @@ object Bench {
     // clean run plus the BASELINE.md tables) is re-run solo: wait for
     // load to settle, then two more runs, min over all four. Genuine
     // regressions survive the re-run; contention phantoms don't.
-    val standingMins: Map[String, Double] = {
+    // Entries are either a bare number (legacy: seconds, no cal era)
+    // or {"min": seconds, "cal": calibrate-seconds-of-that-era}
+    // (round 20, VERDICT r19 #4) — the 2x criterion then compares
+    // cal-NORMALIZED ratios via [[normRatio]], so host speed divides
+    // out instead of living in adjudication prose.
+    val standingMins: Map[String, (Double, Double)] = {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE_MINS", "/root/repo/BASELINE_MINS.json"))
       if (java.nio.file.Files.exists(p)) {
         // real JSON parse (jackson rides in with Spark), not a regex
         // over the file — a regex would ingest any future numeric
-        // metadata field as a query floor (ADVICE r15/r16). The file
-        // is a flat {query: seconds} object; anything else fails loud.
+        // metadata field as a query floor (ADVICE r15/r16).
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(p))
         require(root.isObject, s"$p: expected a flat JSON object")
         val it = root.fields()
-        val b = Map.newBuilder[String, Double]
+        val b = Map.newBuilder[String, (Double, Double)]
         while (it.hasNext) {
           val e = it.next()
-          require(e.getValue.isNumber,
-            s"$p: entry '${e.getKey}' is not numeric: ${e.getValue}")
-          b += e.getKey -> e.getValue.asDouble()
+          val v = e.getValue
+          if (v.isNumber) b += e.getKey -> (v.asDouble(), -1.0)
+          else {
+            require(v.isObject && v.has("min") && v.get("min").isNumber,
+              s"$p: entry '${e.getKey}' must be a number or {min, cal}: $v")
+            b += e.getKey -> (v.get("min").asDouble(),
+              if (v.has("cal") && v.get("cal").isNumber) v.get("cal").asDouble() else -1.0)
+          }
         }
         b.result()
       } else Map.empty
     }
     val rerun = results.map { case (name, best, runs) =>
       val floor = standingMins.get(name)
-      if (best > 0 && floor.exists(f => best > 2.0 * f)) {
+      if (best > 0 && floor.exists { case (f, fc) =>
+            normRatio(best, calStart, f, fc) > 2.0 }) {
         var waited = 0
         while (externalLoadNow() > 2.5 && waited < 6) {
           Thread.sleep(20000); sampleCpu(); waited += 1
         }
-        System.err.println(f"[bench] $name ${best}%.2fs > 2x standing ${floor.get}%.2fs — solo re-run")
+        System.err.println(f"[bench] $name ${best}%.2fs > 2x standing " +
+          f"${floor.get._1}%.2fs (cal-normalized) — solo re-run")
         val extra = (0 until 2).map(_ => once(name, fn = SparkEntry.queries(name)))
         spark.catalog.clearCache()
         val all = runs ++ extra

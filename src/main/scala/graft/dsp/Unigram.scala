@@ -41,7 +41,7 @@ object Unigram {
   val MissingScore: Long = -1000000000000L
 
   /** Unsigned-byte (memcmp / DuckDB blob-and-text) string compare. */
-  private def utf8Cmp(a: String, b: String): Int = {
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
@@ -104,8 +104,139 @@ object Unigram {
   }
 
   /** Quantized log-prob: integer micro-nats. */
-  private def q(num: Double, den: Double): Long =
+  private[graft] def q(num: Double, den: Double): Long =
     Math.round(1e6 * Math.log(num / den))
+
+  /** Incremental log-sum-exp in MICRO-nats. */
+  @inline private def lseMicro(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b); val o = math.min(a, b)
+      m + 1e6 * Math.log1p(Math.exp((o - m) / 1e6))
+    }
+
+  /** Soft-EM E-step over ONE word's segmentation lattice (Kudo 2018
+    * §4's expected frequencies — what SentencePiece actually trains
+    * with): forward/backward over all segmentations under integer
+    * micro-nat piece scores, returning
+    *
+    *  - per-piece expected occurrence counts, quantized to integer
+    *    NANO-counts (`round(1e9 · E[occurrences])`) so distributed
+    *    aggregation is exact-integer and therefore bit-deterministic
+    *    across partitionings and cluster sizes — nano (not micro)
+    *    resolution because soft-EM's whole advantage over Viterbi
+    *    counting is the tiny tail mass that keeps candidate pieces
+    *    alive through pruning: a 1e-6 floor kills every piece more
+    *    than ~14 nats behind the best segmentation, 1e-9 moves that
+    *    cliff to ~21 nats, and
+    *  - the word's marginal log-likelihood `Z` in integer micro-nats.
+    *
+    * The only float math is inside this single-word kernel, where the
+    * accumulation order is FIXED by the position loops — the same word
+    * under the same model yields the same bits on any executor.
+    * Output pairs are sorted by piece under UTF-8 byte order.
+    */
+  def lattice(word: String, lpq: collection.Map[String, Long],
+              maxLen: Int): (Array[(String, Long)], Long) = {
+    val n = word.length
+    val NEG = Double.NegativeInfinity
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= maxLen && l <= i) {
+        val j = i - l
+        if (alpha(j) != NEG) lpq.get(word.substring(j, i)) match {
+          case Some(s) => alpha(i) = lseMicro(alpha(i), alpha(j) + s)
+          case None => ()
+        }
+        l += 1
+      }
+      i += 1
+    }
+    require(alpha(n) != NEG,
+      s"word '$word' is not coverable by the vocabulary")
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    var k = n - 1
+    while (k >= 0) {
+      var l = 1
+      while (l <= maxLen && k + l <= n) {
+        val m = k + l
+        if (beta(m) != NEG) lpq.get(word.substring(k, m)) match {
+          case Some(s) => beta(k) = lseMicro(beta(k), s + beta(m))
+          case None => ()
+        }
+        l += 1
+      }
+      k -= 1
+    }
+    val z = alpha(n)
+    val e = mutable.LinkedHashMap.empty[String, Double]
+    i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= maxLen && l <= i) {
+        val j = i - l
+        if (alpha(j) != NEG && beta(i) != NEG) {
+          val piece = word.substring(j, i)
+          lpq.get(piece) match {
+            case Some(s) =>
+              val p = Math.exp((alpha(j) + s + beta(i) - z) / 1e6)
+              e.updateWith(piece) {
+                case Some(v) => Some(v + p); case None => Some(p) }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val pairs = e.iterator
+      .map { case (p, v) => (p, Math.round(EQuant * v)) }
+      .filter(_._2 > 0L).toArray
+      .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0)
+    (pairs, Math.round(z))
+  }
+
+  /** Expected-count quantization unit of [[lattice]]: counts are in
+    * integer NANO-occurrences.
+    */
+  val EQuant: Double = 1e9
+
+  /** Per-EM-round statistics of the production-scale soft-EM fit
+    * ([[graft.operators.TextOps.unigramTrainLarge]]). `loglik` is the
+    * corpus MARGINAL log-likelihood under that round's model (micro-
+    * nats, Σ word-count × lattice Z); `gain` = loglik − previous
+    * round's loglik when the vocabulary was UNCHANGED between them
+    * (the EM monotonicity invariant, gated to within quantization
+    * tolerance), or 0 on rounds following a prune (removing pieces
+    * legitimately lowers Z — monotonicity is only defined at fixed
+    * vocabulary). BigInt because corpus-scale count × micro-nat
+    * products overflow Long at ~10¹² words.
+    */
+  final case class RoundStat(round: Int, nMulti: Int,
+                             loglik: BigInt, gain: BigInt,
+                             vocabChanged: Boolean)
+
+  /** Result of the production-scale fit: final vocabulary
+    * (piece, expected count in [[EQuant]] NANO-occurrences, micro-nat log-prob)
+    * sorted by piece under UTF-8 byte order; per-round stats; and the
+    * corpus word-occurrence total `totalWords` — the quantization
+    * tolerance unit for the monotonicity gate (each word's lattice Z
+    * is rounded to an integer micro-nat, so Σ count·Z carries at most
+    * ±½ micro-nat of rounding noise per word occurrence).
+    */
+  final case class LargeFit(pieces: Array[(String, Long, Long)],
+                            stats: Array[RoundStat],
+                            totalWords: BigInt) {
+    /** The gated invariant: every fixed-vocabulary round's marginal
+      * loglik is non-decreasing to within the documented quantization
+      * tolerance (1 micro-nat per word occurrence).
+      */
+    def monotoneOk: Boolean =
+      stats.filter(s => !s.vocabChanged).forall(_.gain >= -totalWords)
+  }
 
   final case class Model(
       /** (piece, final expected count, final micro-nat log-prob),

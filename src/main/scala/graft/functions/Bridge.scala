@@ -1027,6 +1027,42 @@ object Bridge {
     outS(graft.dsp.Unigram.viterbi(word.toString, m, maxLen)._1.toArray)
   }
 
+  /** Soft-EM lattice E-step for one word (see
+    * [[graft.dsp.Unigram.lattice]]): rows of (piece, micro-expected
+    * count), PLUS one sentinel row ("", Z) carrying the word's
+    * marginal log-likelihood in micro-nats — so one explode+aggregate
+    * pass collects both the expected-count histogram (group by piece)
+    * and the corpus marginal loglik (the "" group). The empty piece
+    * can never collide: vocab pieces are non-empty by construction.
+    */
+  private val unigramSoftCache =
+    new ThreadLocal[(AnyRef, Map[String, Long], Int)]()
+  def unigramExp(word: UTF8String, pieces: ArrayData, lpqs: ArrayData): ArrayData = {
+    val cached = unigramSoftCache.get()
+    val (m, maxLen) =
+      if (cached != null && (cached._1 eq pieces)) (cached._2, cached._3)
+      else {
+        val ps = strArr(pieces)
+        require(ps.length == lpqs.numElements(),
+          s"unigramExp: ${ps.length} pieces but ${lpqs.numElements()} scores")
+        val mm = ps.zipWithIndex.map { case (p, i) => p -> lpqs.getLong(i) }.toMap
+        val ml = if (ps.isEmpty) 1 else ps.map(_.length).max
+        unigramSoftCache.set((pieces, mm, ml))
+        (mm, ml)
+      }
+    val (pairs, z) = graft.dsp.Unigram.lattice(word.toString, m, maxLen)
+    val rows = new Array[Any](pairs.length + 1)
+    var i = 0
+    while (i < pairs.length) {
+      rows(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(pairs(i)._1), pairs(i)._2))
+      i += 1
+    }
+    rows(pairs.length) = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(""), z))
+    new GenericArrayData(rows)
+  }
+
   // ---- signatures for DspExpr --------------------------------------
 
   /** Catalyst argument/return types per bridge function; the generic
@@ -1169,7 +1205,11 @@ object Bridge {
     "bpeEncodeB" -> (Seq(BinaryType, ArrayType(BinaryType), ArrayType(BinaryType))
       -> ArrayType(BinaryType, containsNull = false)),
     "unigramEnc" -> (Seq(StringType, ArrayType(StringType), ArrayType(LongType))
-      -> ArrayType(StringType, containsNull = false)))
+      -> ArrayType(StringType, containsNull = false)),
+    "unigramExp" -> (Seq(StringType, ArrayType(StringType), ArrayType(LongType))
+      -> ArrayType(StructType(Seq(
+        StructField("p", StringType, nullable = false),
+        StructField("e", LongType, nullable = false))), containsNull = false)))
 
   /** Interpreted-path dispatch (mirrors the static calls codegen makes). */
   def dispatch(fn: String, a: Array[Any]): Any = fn match {
@@ -1258,6 +1298,7 @@ object Bridge {
     case "bpeMergeB" => bpeMergeB(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Array[Byte]], a(2).asInstanceOf[Array[Byte]])
     case "bpeEncodeB" => bpeEncodeB(a(0).asInstanceOf[Array[Byte]], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case "unigramEnc" => unigramEnc(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
+    case "unigramExp" => unigramExp(a(0).asInstanceOf[UTF8String], a(1).asInstanceOf[ArrayData], a(2).asInstanceOf[ArrayData])
     case other => throw new IllegalArgumentException(s"unknown bridge fn: $other")
   }
 }

@@ -346,5 +346,7 @@ object Functions {
       call("bpeEncodeB", word, mergesL, mergesR)
     def unigramEncC(word: Column, pieces: Column, lpqs: Column): Column =
       call("unigramEnc", word, pieces, lpqs)
+    def unigramExpC(word: Column, pieces: Column, lpqs: Column): Column =
+      call("unigramExp", word, pieces, lpqs)
   }
 }

@@ -563,16 +563,204 @@ object TextOps {
     graft.dsp.Unigram.fit(words, maxLen, seedDivisor, keepMulti)
   }
 
+  /** Production-scale unigram-LM fit (VERDICT r19 #1 — the shape
+    * SentencePiece actually trains with, Kudo 2018 §4, public). Unlike
+    * [[unigramTrain]] — the small-config variant whose ENTIRE fit a
+    * DuckDB oracle replays bit-for-bit — every corpus-sized stage here
+    * stays DISTRIBUTED, so the parameter point a real pipeline needs
+    * (a 32k-piece vocabulary, maxLen 8–16, a million-type word
+    * histogram) is structurally reachable:
+    *
+    *  - Seed (`seed_sentencepiece_size` practice): the substring
+    *    histogram — all positions, lengths 1..maxLen, weighted by
+    *    word-type count — partial-aggregates in ONE shuffle, and only
+    *    the top `seedSize` multi-char candidates by (count desc,
+    *    piece asc) collect, plus every single character (the
+    *    full-coverage/roundtrip invariant). Driver state is
+    *    O(seedSize + alphabet), never O(all substrings) — the r19
+    *    all-substrings driver HashMap this replaces was ~10⁸ entries
+    *    at production parameters.
+    *  - E-step (SOFT, Kudo 2018's actual estimator — hard-Viterbi
+    *    counting concentrates all mass on the single best path and
+    *    collapses the candidate pool long before a large target is
+    *    reachable): the word-TYPE frame runs a forward/backward
+    *    lattice pass MAP-SIDE under the broadcast-literal model (the
+    *    [[graft.functions.DspExpr]] unigramExp kernel), emitting
+    *    per-piece EXPECTED occurrence counts quantized to integer
+    *    micro-units plus each word's marginal log-likelihood Z;
+    *    exact-integer partial aggregation brings back one
+    *    vocabulary-sized frame per round — so the whole fit is
+    *    bit-deterministic across partitionings and cluster sizes.
+    *  - Prune loop (SentencePiece's iterative shrink): after each
+    *    round keep all single chars + the top max(targetMulti,
+    *    ceil(shrinkKeep · current)) multi-char pieces by (expected
+    *    count desc, piece asc), re-scored with Laplace (+1 word)
+    *    smoothing, until exactly `targetMulti` remain; then
+    *    `finalRounds` more EM rounds at the fixed vocabulary.
+    *
+    * The EM monotonicity invariant is GATED, not assumed: on every
+    * fixed-vocabulary round the corpus marginal loglik must not
+    * decrease beyond the documented quantization tolerance of 1
+    * micro-nat per word occurrence (each word's Z rounds to an
+    * integer micro-nat before the exact-integer aggregation) — see
+    * [[graft.dsp.Unigram.LargeFit.monotoneOk]]. Rounds that PRUNE
+    * legitimately lower Z and are excluded (monotonicity is only
+    * defined at fixed vocabulary).
+    *
+    * Encoding under the fitted model stays Viterbi
+    * ([[unigramEncode]]) — SentencePiece's default decode too.
+    */
+  def unigramTrainLarge(df: DataFrame, textCol: String, maxLen: Int = 8,
+                        seedSize: Int = 20000, targetMulti: Int = 4096,
+                        shrinkKeep: Double = 0.75, finalRounds: Int = 2
+                       ): graft.dsp.Unigram.LargeFit = {
+    import graft.dsp.Unigram
+    require(maxLen >= 2, s"maxLen must be >= 2, got $maxLen")
+    require(targetMulti >= 1 && seedSize >= targetMulti,
+      s"need seedSize ($seedSize) >= targetMulti ($targetMulti) >= 1")
+    require(shrinkKeep > 0.0 && shrinkKeep < 1.0,
+      s"shrinkKeep must be in (0,1), got $shrinkKeep")
+    require(finalRounds >= 1, s"finalRounds must be >= 1, got $finalRounds")
+    graft.functions.Functions.install(df.sparkSession)
+    val hist = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the driver Viterbi kernel indexes UTF-16 code units while
+      // Spark's substring counts code points — identical only on BMP
+      // text; and U+001F is the kernel's reserved path separator.
+      // Loud, never silently divergent (same contract as the small fit).
+      val bad = hist.filter(col("word").contains("\u001f") ||
+        col("word").rlike("[\\x{10000}-\\x{10FFFF}]")).count()
+      require(bad == 0, s"$bad word type(s) contain the reserved " +
+        "separator U+001F or non-BMP characters (surrogate pairs)")
+      // distributed seed: one partial-aggregated substring histogram
+      val subs = hist.select(col("cnt"), explode(expr(
+          s"flatten(transform(sequence(1, length(word)), i -> " +
+          s"transform(sequence(i, least(length(word), i + ${maxLen - 1})), " +
+          s"j -> substring(word, i, j - i + 1))))")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (chars, seedMulti) =
+        try {
+          val cs = subs.filter(length(col("piece")) === 1)
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          val sm = subs.filter(length(col("piece")) > 1)
+            .orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          (cs, sm)
+        } finally { subs.unpersist(false); () }
+      require(chars.nonEmpty, "unigram fit needs a non-empty corpus")
+      require(seedMulti.length >= targetMulti,
+        s"corpus yields only ${seedMulti.length} multi-char seed " +
+        s"candidates — targetMulti=$targetMulti unreachable; lower the " +
+        "target or raise maxLen")
+      val totalWords = BigInt(hist.agg(sum(col("cnt"))).collect()(0).getLong(0))
+      val charNames = chars.map(_._1)
+      val totSeed = (chars.iterator ++ seedMulti.iterator).map(_._2.toDouble).sum
+      var vocab: Array[String] = (charNames ++ seedMulti.map(_._1))
+        .sortWith(Unigram.utf8Cmp(_, _) < 0)
+      var scores: Map[String, Long] = (chars.iterator ++ seedMulti.iterator)
+        .map { case (p, c) => p -> Unigram.q(c.toDouble, totSeed) }.toMap
+      var prevLl: BigInt = null
+      var prunedLastRound = true // round 1 has no fixed-vocab predecessor
+      var lastCounts: collection.Map[String, BigInt] = null
+      val stats = scala.collection.mutable.ArrayBuffer.empty[Unigram.RoundStat]
+      var nMulti = seedMulti.length
+      var remainingFinal = finalRounds
+      var round = 0
+      var done = false
+      while (!done) {
+        round += 1
+        require(round <= 1000, "unigram prune loop failed to converge")
+        // E-step: map-side soft lattice over word types, ONE shuffle;
+        // counts are exact integers (micro-units × word counts in
+        // decimal lanes — corpus-scale products overflow Long), the
+        // "" sentinel group is Σ count·Z = the corpus marginal loglik
+        val ps = typedLit(vocab.toSeq)
+        val lq = typedLit(vocab.map(scores).toSeq)
+        val raw = hist
+          .select(col("cnt"),
+            explode(unigramExpC(col("word"), ps, lq)).as("pe"))
+          .select(col("pe.p").as("p"),
+            (col("cnt").cast("decimal(20,0)") *
+              col("pe.e").cast("decimal(18,0)")).as("ce"))
+          .groupBy("p").agg(sum(col("ce")).as("e"))
+          .collect()
+        var ll: BigInt = null
+        val counts = scala.collection.mutable.HashMap.empty[String, BigInt]
+        raw.foreach { r =>
+          val e = BigInt(r.getDecimal(1).toBigInteger)
+          if (r.getString(0).isEmpty) ll = e else counts(r.getString(0)) = e
+        }
+        require(ll != null, "lattice sentinel row missing (empty corpus?)")
+        val vocabChanged = prunedLastRound
+        val gain = if (vocabChanged) BigInt(0) else ll - prevLl
+        require(vocabChanged || gain >= -totalWords,
+          s"soft-EM round $round lost marginal likelihood ($gain micro-" +
+          s"nats) beyond the ±1-micro-nat-per-word quantization tolerance")
+        prevLl = ll
+        lastCounts = counts
+        // prune + M-step (Laplace re-score over micro-unit counts)
+        val curMulti = nMulti
+        val multiKept: Array[String] =
+          if (curMulti > targetMulti) {
+            val keepK = math.max(targetMulti,
+              math.ceil(shrinkKeep * curMulti).toInt)
+            val surv = vocab.filter(p =>
+              p.length > 1 && counts.getOrElse(p, BigInt(0)) > 0)
+            require(surv.length >= targetMulti,
+              s"only ${surv.length} multi-char pieces carry expected mass " +
+              s"after round $round — targetMulti=$targetMulti unreachable; " +
+              "lower the target or raise seedSize")
+            surv.sortWith { (a, b) =>
+              val ca = counts(a); val cb = counts(b)
+              ca > cb || (ca == cb && Unigram.utf8Cmp(a, b) < 0)
+            }.take(keepK)
+          } else vocab.filter(_.length > 1)
+        prunedLastRound = multiKept.length != curMulti
+        nMulti = multiKept.length
+        vocab = (charNames ++ multiKept).sortWith(Unigram.utf8Cmp(_, _) < 0)
+        // Laplace: +1 word occurrence = +EQuant count units per piece
+        val tot = vocab.iterator
+          .map(p => counts.getOrElse(p, BigInt(0)).toDouble).sum
+        scores = vocab.iterator.map(p => p ->
+          Unigram.q(counts.getOrElse(p, BigInt(0)).toDouble + Unigram.EQuant,
+            tot + Unigram.EQuant * vocab.length)).toMap
+        stats += Unigram.RoundStat(round, nMulti, ll, gain, vocabChanged)
+        if (nMulti <= targetMulti) {
+          // a round that BEGAN at the target vocabulary is a final round
+          if (curMulti <= targetMulti) remainingFinal -= 1
+          done = remainingFinal <= 0
+        }
+      }
+      val pieces = vocab.map { p =>
+        val e = lastCounts.getOrElse(p, BigInt(0))
+        (p, if (e > Long.MaxValue) Long.MaxValue else e.toLong, scores(p))
+      }
+      Unigram.LargeFit(pieces, stats.toArray, totalWords)
+    } finally { hist.unpersist(false); () }
+  }
+
   /** Map-side unigram encode under a fitted model: `unigram_tokens` =
     * each whitespace word's Viterbi pieces, concatenated in document
     * order. Zero shuffle — the vocab rides as two literal arrays and
     * the kernel caches its lookup map per task.
     */
   def unigramEncode(df: DataFrame, textCol: String,
-                    model: graft.dsp.Unigram.Model): DataFrame = {
+                    model: graft.dsp.Unigram.Model): DataFrame =
+    unigramEncode(df, textCol, model.pieces)
+
+  /** As above, over a raw (piece, count, micro-nat score) vocabulary —
+    * the [[unigramTrainLarge]] output shape.
+    */
+  def unigramEncode(df: DataFrame, textCol: String,
+                    pieces: Array[(String, Long, Long)]): DataFrame = {
     graft.functions.Functions.install(df.sparkSession)
-    val ps = typedLit(model.pieces.map(_._1).toSeq)
-    val lq = typedLit(model.pieces.map(_._3).toSeq)
+    val ps = typedLit(pieces.map(_._1).toSeq)
+    val lq = typedLit(pieces.map(_._3).toSeq)
     df.withColumn("unigram_tokens", flatten(transform(
       filter(split(col(textCol), "\\s+"), w => length(w) > 0),
       w => unigramEncC(w, ps, lq))))

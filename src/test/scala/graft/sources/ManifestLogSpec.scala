@@ -164,9 +164,17 @@ class ManifestLogSpec extends SparkTestBase {
     compact(spark, t, buckets = 1)                // v2: 1 add, 3 removes
     val h = history(t)
     assert(h.map(_._1) == Seq(2, 1, 0), "newest first")
-    assert(h(2) match { case (0, _, "create", 2, 0) => true; case _ => false }, s"v0 row ${h(2)}")
-    assert(h(1) match { case (1, _, "append", 1, 0) => true; case _ => false }, s"v1 row ${h(1)}")
-    assert(h(0) match { case (2, _, "compact", 1, 3) => true; case _ => false }, s"v2 row ${h(0)}")
+    assert(h(2) match { case (0, _, "create", 2, 0, 200L, _) => true; case _ => false }, s"v0 row ${h(2)}")
+    assert(h(1) match { case (1, _, "append", 1, 0, 30L, _) => true; case _ => false }, s"v1 row ${h(1)}")
+    assert(h(0) match { case (2, _, "compact", 1, 3, 230L, _) => true; case _ => false }, s"v2 row ${h(0)}")
+    // byte metrics (round 20): logged add.size sums, positive wherever
+    // files were added, and exactly the on-disk lengths
+    h.foreach { row =>
+      assert(row._7 > 0, s"v${row._1} bytesAdded ${row._7} not from the log")
+    }
+    val v1Bytes = readAction(t, 1).get.add.map(f =>
+      new java.io.File(t, s"data/${f.name}").length()).sum
+    assert(h(1)._7 == v1Bytes, s"v1 bytesAdded ${h(1)._7} != on-disk $v1Bytes")
     // ts strictly monotone, newest first
     assert(h.map(_._2).sliding(2).forall(p => p(0) > p(1)))
     // LIMIT bounds from the newest side
