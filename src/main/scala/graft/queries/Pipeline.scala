@@ -4273,6 +4273,115 @@ object Pipeline {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-time fixture for STRING-keyed MERGE (round 20, VERDICT r19
+    * #6 — real CDC tables key on strings): documents re-keyed on a
+    * zero-padded `id = k-%09d(doc_id)` (string order == numeric order,
+    * so the pruning gates are re-derivable), then ONE merge commit:
+    * full-row update over a narrow band + 50 inserts past the key max.
+    */
+  private def materializeManifestMergeStr(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fpTag = graft.Tables.pathFingerprint(s"$dir/documents.parquet")
+    val base = new java.io.File(s"/tmp/graft_manifest_mergestr/$tag-$fpTag")
+    graft.Tables.pruneStaleSiblings(base, tag)
+    graft.Tables.materializeOnce(base, "_READY") { scratch =>
+      import graft.sources.ManifestTable
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val bw = mx / 25; val u0 = mx / 10
+      val table = new java.io.File(scratch, "table").getAbsolutePath
+      def keyed(df: DataFrame): DataFrame =
+        df.select(format_string("k-%09d", col("doc_id")).as("id"),
+          col("text"), col("lang"), col("n_chars"))
+      ManifestTable.create(s, table, keyed(d), "id", buckets = 8)
+      val upd = keyed(d.filter(col("doc_id") >= u0 && col("doc_id") < u0 + bw)
+        .withColumn("text", concat(lit("s:"), col("text")))
+        .withColumn("n_chars", col("n_chars") + 2L))
+      val ins = s.range(50).select(
+        format_string("k-%09d", lit(mx) + 1L + col("id")).as("id"),
+        concat(lit("str-"), col("id")).as("text"),
+        element_at(typedLit(Seq("en", "de", "zh", "fr")),
+          (col("id") % 4).cast("int") + 1).as("lang"),
+        length(concat(lit("str-"), col("id"))).cast("long").as("n_chars"))
+      ManifestTable.merge(s, table, upd.unionByName(ins), buckets = 2,
+        matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)))
+    }
+    new java.io.File(base, "table").getAbsolutePath
+  }
+
+  /** STRING-keyed MERGE read (round 20 — VERDICT r19 #6): the manifest
+    * key machinery generalized past the single-long keyCol. String
+    * keys take never-prunes sentinels in the LONG minKey/maxKey lanes
+    * and range-prune via the logged per-column ColStats instead
+    * (truncated-prefix bounds — conservative by construction). Gates,
+    * re-derived from the v0 manifest so they hold at every SF: the
+    * sentinel lanes are actually stamped, the key column is stats'd in
+    * every file, every v0 file whose ColStats range excludes the whole
+    * update band carries into v1 BY REFERENCE, and at least one file
+    * rewrote. The digest replays both row fates (band update + tail
+    * insert) over the string key.
+    */
+  def srcManifestMergeStr(s: SparkSession, dir: String): DataFrame = {
+    val table = materializeManifestMergeStr(s, dir)
+    import graft.sources.ManifestTable._
+    val v0 = readSnapshot(table, 0)
+    val v1 = readSnapshot(table, 1)
+    require(v1.op == "merge", s"expected a merge commit at v1, got ${v1.op}")
+    require(v0.files.forall(f =>
+      f.minKey == Long.MinValue && f.maxKey == Long.MaxValue),
+      "string-keyed files must carry the never-prunes sentinel lanes")
+    require(v0.files.forall(_.stats.get("id").exists(st =>
+      st.min.isDefined && st.max.isDefined)),
+      "the string key column must be stats'd in every file")
+    // re-derive the update band from the logged stats (keys are 11
+    // chars, far under the 32-char stats prefix — bounds are exact)
+    val m = v0.files.flatMap(_.stats("id").max).max.stripPrefix("k-").toLong
+    val bw = m / 25; val u0 = m / 10
+    def key(x: Long) = f"k-$x%09d"
+    val updLo = key(u0); val updHi = key(u0 + bw - 1)
+    val v0Names = v0.files.map(_.name).toSet
+    val carried = v1.files.map(_.name).filter(v0Names).toSet
+    val mustCarry = v0.files.filter { f =>
+      val st = f.stats("id"); st.max.get < updLo || st.min.get > updHi
+    }.map(_.name)
+    require(mustCarry.nonEmpty && mustCarry.forall(carried),
+      "merge rewrote a file outside the ColStats-touched tier: " +
+      mustCarry.filterNot(carried).take(3).mkString(", "))
+    require(carried.size < v0.files.size,
+      "no file rewrote — the update band missed the table")
+    snapshot(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        bit_xor(conv(substring(md5(encode(col("text"), "UTF-8")), 1, 15),
+          16, 10).cast("long")).as("content_xor"))
+      .orderBy("lang")
+  }
+
+  private val srcManifestMergeStrSql: String =
+    """WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents
+      |), fin AS (
+      |  SELECT printf('k-%09d', doc_id) AS id,
+      |    CASE WHEN doc_id >= m//10 AND doc_id < m//10 + m//25
+      |         THEN 's:' || text ELSE text END AS text,
+      |    lang,
+      |    CASE WHEN doc_id >= m//10 AND doc_id < m//10 + m//25
+      |         THEN n_chars + 2 ELSE n_chars END AS n_chars
+      |  FROM documents, mxx
+      |  UNION ALL
+      |  SELECT printf('k-%09d', m + 1 + i) AS id, 'str-' || i AS text,
+      |    (['en','de','zh','fr'])[CAST(i % 4 AS INT) + 1] AS lang,
+      |    CAST(length('str-' || i) AS BIGINT) AS n_chars
+      |  FROM mxx, (SELECT unnest(generate_series(0, 49)) AS i)
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(id) AS min_id, MAX(id) AS max_id,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One-time fixture for MERGE schema evolution (Delta autoMerge):
     * documents keyed on doc_id, then ONE autoMerge MERGE whose source
     * carries a NEW `priority` column (updates from a narrow band +
@@ -5452,6 +5561,7 @@ object Pipeline {
     "src_manifest_deletekeys" -> (srcManifestDeleteKeys _),
     "src_manifest_dv" -> (srcManifestDv _),
     "src_manifest_merge" -> (srcManifestMerge _),
+    "src_manifest_merge_str" -> (srcManifestMergeStr _),
     "src_manifest_merge_evolve" -> (srcManifestMergeEvolve _),
     "src_manifest_history" -> (srcManifestHistory _),
     "src_manifest_rename" -> (srcManifestRename _),
@@ -5559,6 +5669,7 @@ object Pipeline {
     "src_manifest_deletekeys" -> srcManifestDeleteKeysSql,
     "src_manifest_dv" -> srcManifestDvSql,
     "src_manifest_merge" -> srcManifestMergeSql,
+    "src_manifest_merge_str" -> srcManifestMergeStrSql,
     "src_manifest_merge_evolve" -> srcManifestMergeEvolveSql,
     "src_manifest_history" -> srcManifestHistorySql,
     "src_manifest_rename" -> srcManifestRenameSql,

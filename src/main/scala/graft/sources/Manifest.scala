@@ -1069,6 +1069,26 @@ object ManifestTable {
     s
   }
 
+  private[sources] def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
+  /** True when the snapshot's key column is integral (or the manifest
+    * predates schema logging — the legacy all-long era).
+    */
+  private def integralKey(s: Snapshot): Boolean =
+    schemaOf(s).forall(st => integralType(st(s.keyCol).dataType))
+
+  private def requireIntegralKey(s: Snapshot, what: String): Unit =
+    require(integralKey(s),
+      s"$what supports integral key columns only; '${s.keyCol}' is " +
+      s"${schemaOf(s).map(_(s.keyCol).dataType.simpleString).getOrElse("?")}" +
+      " (string-keyed tables support create/append/upsert/merge/read)")
+
   private[sources] def statsColumns(schema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.types.StructField] = {
     import org.apache.spark.sql.types._
@@ -1135,7 +1155,17 @@ object ManifestTable {
     if (moved.isEmpty) Seq.empty
     else {
       val written = spark.read.parquet(moved.map(_.getAbsolutePath).toIndexedSeq: _*)
-      val sCols = statsColumns(written.schema)
+      // Non-integral (string) keys — round 20, VERDICT r19 #6: the
+      // LONG minKey/maxKey lanes get the never-prunes sentinels and
+      // range pruning rides the per-column ColStats instead (truncated
+      // prefix bounds — conservative by construction). The key column
+      // is force-included in the stats set so a wide table's stats cap
+      // can never silence key pruning.
+      val keyIntegral = integralType(written.schema(keyCol).dataType)
+      val sCols0 = statsColumns(written.schema)
+      val sCols =
+        if (keyIntegral || sCols0.exists(_.name == keyCol)) sCols0
+        else sCols0 ++ written.schema.fields.find(_.name == keyCol)
       val statAggs = sCols.zipWithIndex.flatMap { case (f, i) =>
         Seq(min(col(f.name)).as(s"_mn_$i"), max(col(f.name)).as(s"_mx_$i"),
           count(when(col(f.name).isNull, lit(1))).as(s"_nl_$i"))
@@ -1149,11 +1179,14 @@ object ManifestTable {
         graft.functions.BloomAgg.bloom(
           col(c).cast("string"), bloomBits, BloomK).as(s"_bf_$i")
       }
+      val keyAggs =
+        if (keyIntegral)
+          Seq(min(col(keyCol)).cast("long").as("mn"),
+            max(col(keyCol)).cast("long").as("mx"))
+        else Seq(lit(Long.MinValue).as("mn"), lit(Long.MaxValue).as("mx"))
       val stats = written
         .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("rows"),
-          Seq(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++
-            statAggs ++ bloomAggs: _*)
+        .agg(count(lit(1)).as("rows"), keyAggs ++ statAggs ++ bloomAggs: _*)
         .collect() // control-plane: one row per written FILE
       // strings truncate to a conservative prefix bound (ADVICE r17);
       // integral/float/bool toString round-trips exactly
@@ -1199,6 +1232,18 @@ object ManifestTable {
              bloomBits: Int = 1 << 15,
              constraints: Map[String, String] = Map.empty): Snapshot = {
     validateColNames(df.schema.fieldNames.toSeq, s"create of $table")
+    // key typing (round 20): integral keys get exact minKey/maxKey
+    // range pruning; STRING keys prune via ColStats prefix bounds.
+    // Anything else (float, date, binary...) is refused — its pruning
+    // semantics haven't been built, and silently unpruned tables are
+    // a 100 TB footgun.
+    df.schema(keyCol).dataType match {
+      case dt if integralType(dt) => ()
+      case org.apache.spark.sql.types.StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"create of $table: key column '$keyCol' has type " +
+        s"${other.simpleString}; supported key types are integral and string")
+    }
     validateBloomCols(df.schema, bloomFor, bloomBits)
     enforceConstraints(df, constraints, s"create of $table")
     val files = writeFiles(spark, table, df, keyCol, buckets, clusterBy,
@@ -1598,6 +1643,7 @@ object ManifestTable {
   def snapshotRange(spark: SparkSession, table: String, lo: Long, hi: Long,
                     version: Option[Int] = None): DataFrame = {
     val s = readSnapshot(table, version.getOrElse(latestVersion(table)))
+    requireIntegralKey(s, "snapshotRange (use snapshotWhere for string keys)")
     val hit = s.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     if (hit.isEmpty) throw new IllegalStateException(
       s"range [$lo,$hi] matches no file in $table v${s.version}")
@@ -1916,6 +1962,45 @@ object ManifestTable {
     * broadcast join of the (small) file-range list against the delta
     * keys, collecting only distinct FILE NAMES (control plane).
     */
+  /** Files whose key range may contain one of the frame's keys — the
+    * touched tier of upsert/MERGE/delete, decided from manifest
+    * metadata alone (broadcast range join, control-plane collect of
+    * file NAMES). Integral keys compare against the exact
+    * minKey/maxKey lanes; any other orderable key (string — round 20,
+    * VERDICT r19 #6) compares against the logged per-column ColStats
+    * bounds for the key column (truncated-prefix min/max: conservative
+    * — a truncated min orders ≤ every true value, a truncated max
+    * above them, so pruning can only ADMIT extra files, never miss
+    * one). Files lacking key stats (legacy) are always touched.
+    */
+  private def touchedByKeys(spark: SparkSession, cur: Snapshot,
+                            keys: DataFrame, keyCol: String): Set[String] = {
+    if (integralKey(cur)) {
+      val ranges = spark.createDataFrame(cur.files.map(f =>
+        (f.name, f.minKey, f.maxKey))).toDF("_file", "_mn", "_mx")
+      keys.select(col(keyCol).cast("long").as("_k"))
+        .join(broadcast(ranges),
+          col("_k") >= col("_mn") && col("_k") <= col("_mx"))
+        .select("_file").distinct().collect().map(_.getString(0)).toSet
+    } else {
+      val pKey = physName(cur)(keyCol)
+      val (bounded, statless) = cur.files.partition(f =>
+        f.stats.get(pKey).exists(s => s.min.isDefined && s.max.isDefined))
+      val hit =
+        if (bounded.isEmpty) Set.empty[String]
+        else {
+          val ranges = spark.createDataFrame(bounded.map(f =>
+            (f.name, f.stats(pKey).min.get, f.stats(pKey).max.get)))
+            .toDF("_file", "_mn", "_mx")
+          keys.select(col(keyCol).cast("string").as("_k"))
+            .join(broadcast(ranges),
+              col("_k") >= col("_mn") && col("_k") <= col("_mx"))
+            .select("_file").distinct().collect().map(_.getString(0)).toSet
+        }
+      hit ++ statless.map(_.name)
+    }
+  }
+
   def upsert(spark: SparkSession, table: String, delta: DataFrame,
              buckets: Int): Snapshot = commitWithRetry(table) { v =>
     require(v >= 0, s"no manifest in $table/_log")
@@ -1939,12 +2024,7 @@ object ManifestTable {
     require(dupCheck.getLong(0) == dupCheck.getLong(1),
       s"upsert delta has duplicate keys: ${dupCheck.getLong(0)} rows but " +
       s"${dupCheck.getLong(1)} distinct $keyCol")
-    val ranges = spark.createDataFrame(cur.files.map(f =>
-      (f.name, f.minKey, f.maxKey))).toDF("_file", "_mn", "_mx")
-    val touchedNames = delta.select(col(keyCol).cast("long").as("_k"))
-      .join(broadcast(ranges),
-        col("_k") >= col("_mn") && col("_k") <= col("_mx"))
-      .select("_file").distinct().collect().map(_.getString(0)).toSet
+    val touchedNames = touchedByKeys(spark, cur, delta, keyCol)
     val (touched, untouched) = cur.files.partition(f => touchedNames(f.name))
 
     // Keys in untouched files cannot collide with delta keys (no range
@@ -2156,12 +2236,7 @@ object ManifestTable {
       // range join, control-plane collect of file NAMES), plus — only
       // when the by-source clause exists — files whose stats admit its
       // predicate (rows it might delete live nowhere else).
-      val ranges = spark.createDataFrame(cur.files.map(f =>
-        (f.name, f.minKey, f.maxKey))).toDF("_file", "_mn", "_mx")
-      val matchTouched = source.select(col(keyCol).cast("long").as("_k"))
-        .join(broadcast(ranges),
-          col("_k") >= col("_mn") && col("_k") <= col("_mx"))
-        .select("_file").distinct().collect().map(_.getString(0)).toSet
+      val matchTouched = touchedByKeys(spark, cur, source, keyCol)
       val bySrcTouched: Set[String] = bySrcPe match {
         case Some(pe) =>
           cur.files.filter(f => canMatch(f, st0, pe, physName(cur))).map(_.name).toSet
@@ -2630,6 +2705,7 @@ object ManifestTable {
     commitWithRetry(table) { v =>
       require(v >= 0, s"no manifest in $table/_log")
       val cur = readSnapshot(table, v)
+      requireIntegralKey(cur, "deleteRange (use deleteWhere for string keys)")
       val keyCol = cur.keyCol
       val partial = cur.files.filter(f =>
         f.maxKey >= lo && f.minKey <= hi && !(f.minKey >= lo && f.maxKey <= hi))
@@ -2771,6 +2847,7 @@ object ManifestTable {
         "explicitly (and verify the mapping) before calling deleteKeys")
     }
     val cur = readSnapshot(table, v)
+    requireIntegralKey(cur, "deleteKeys (use deleteWhere for string keys)")
     val keyCol = cur.keyCol
     val ks = keys.select(col(keys.columns(0)).cast("long").as("_k"))
       .filter(col("_k").isNotNull).distinct()
@@ -2861,6 +2938,9 @@ object ManifestTable {
       val newFiles =
         if (rewrite.isEmpty) Seq.empty
         else if (useDv) {
+          // DV sidecars store LONG keys — the merge-on-read path stays
+          // integral-only; string-keyed tables take the COW branch
+          requireIntegralKey(cur, "deleteWhere(useDv = true)")
           val victims = readFilesTagged(spark, table, cur, rewrite)
             .filter(coalesce(predicate, lit(false)))
             .select(col(FileTagCol).as("_f"), col(cur.keyCol).cast("long").as("_k"))

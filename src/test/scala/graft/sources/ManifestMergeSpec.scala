@@ -292,4 +292,60 @@ class ManifestMergeSpec extends SparkTestBase {
     // physical 'tag' bytes on disk — they must read NULL too
     assert(m(40L).isEmpty, "carried file's dead bytes must not resurrect")
   }
+
+  test("STRING-keyed table: merge semantics + ColStats-backed touched-tier pruning") {
+    // VERDICT r19 #6: real CDC tables key on strings. Zero-padded keys
+    // make string order == numeric order, so range pruning is testable.
+    val t = tmpTable()
+    val df = (0 until 800).map(i => (f"k-$i%06d", s"row-$i", (i % 7).toLong))
+      .toDF("id", "text", "tag")
+    create(spark, t, df, "id", buckets = 8)
+    val s0 = readSnapshot(t, 0)
+    // string keys take the sentinel lanes + per-file ColStats bounds
+    assert(s0.files.forall(f => f.minKey == Long.MinValue && f.maxKey == Long.MaxValue))
+    assert(s0.files.forall(_.stats.contains("id")), "key column must be stats'd")
+    val src = Seq(("k-000005", "u5", 50L), ("k-000810", "new", 51L))
+      .toDF("id", "text", "tag")
+    merge(spark, t, src, 1,
+      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)))
+    val s1 = readSnapshot(t, 1)
+    val m = snapshot(spark, t).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m.size == 801 && m("k-000005") == (("u5", 50L)) &&
+      m("k-000810") == (("new", 51L)))
+    // pruning: only files whose ColStats range admits a source key
+    // rewrite; everything else carries BY REFERENCE
+    val v0Names = s0.files.map(_.name).toSet
+    def admits(f: ManifestTable.FileEntry, k: String): Boolean = {
+      val st = f.stats("id"); st.min.get <= k && k <= st.max.get
+    }
+    val expectCarried = s0.files.count(f =>
+      !admits(f, "k-000005") && !admits(f, "k-000810"))
+    assert(s1.files.count(f => v0Names(f.name)) == expectCarried,
+      "string-range pruning must carry untouched files by reference")
+    assert(expectCarried >= 6, "fixture must leave a real carried mass")
+    // upsert takes the same pruning path
+    upsert(spark, t, Seq(("k-000700", "u7", 9L)).toDF("id", "text", "tag"), 1)
+    assert(snapshot(spark, t).filter(col("id") === "k-000700")
+      .collect()(0).getString(1) == "u7")
+    // long-only surfaces refuse loudly instead of silently mis-casting
+    val e1 = intercept[IllegalArgumentException](
+      deleteKeys(spark, t, Seq(1L).toDF("id")))
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException](
+      deleteRange(spark, t, 0L, 10L))
+    assert(e2.getMessage.contains("integral"))
+    val e3 = intercept[IllegalArgumentException](
+      deleteWhere(spark, t, col("tag") === 9L, useDv = true))
+    assert(e3.getMessage.contains("integral"))
+    // the COW deleteWhere branch works on string keys
+    deleteWhere(spark, t, col("id") === "k-000700")
+    assert(snapshot(spark, t).filter(col("id") === "k-000700").count() == 0)
+    // unsupported key TYPES are refused at create
+    val e4 = intercept[IllegalArgumentException] {
+      val bad = Seq((1.5, "x")).toDF("k", "text")
+      create(spark, tmpTable(), bad, "k", 1)
+    }
+    assert(e4.getMessage.contains("supported key types"))
+  }
 }
