@@ -2346,17 +2346,28 @@ object Pipeline {
     */
   private[graft] def compDocs(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val ws = filter(split(col("_ut"), "\\s+"), w => length(w) > 0)
-    // sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly
-    val comp = when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
-        concat((0 until n).map(k => element_at(ws, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // Compounds come from n SHIFTED SLICES of the word array zipped
+    // together — NOT transform(sequence, i => element_at(ws, i + k)):
+    // higher-order functions evaluate their ARRAY arguments once but
+    // re-evaluate captured column expressions per lambda ELEMENT, so
+    // the element_at form recomputed the full split+filter for every
+    // (position × n) reference — O(words²) per doc, measured 116 s
+    // just to materialize `_cw` at ×10 (and every later reference to
+    // `_cw` paid it again). The slice/zip_with form evaluates `ws`
+    // O(n) times per row.
+    val m = greatest(size(ws) - (n - 1), lit(0)) // 0 for short docs
+    val parts = (0 until n).map(k => slice(ws, lit(k + 1), m))
+    val comp = parts.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
     uDocs(s, dir).withColumn("_cw", array_join(comp, " "))
       .select(col("doc_id"), col("_cw"))
   }
 
   def textUnigramLarge(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the fit's histogram build AND the map-side encode both
+    // consume the compound corpus — the session-lifetime bounded-frame
+    // contract (bench clears the cache per query)
     val ud = compDocs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fit = TextOps.unigramTrainLarge(ud, "_cw", maxLen = 8,
       seedSize = 4096, targetMulti = LargeTargetMulti,
       shrinkKeep = 0.75, finalRounds = 2)

@@ -1,19 +1,33 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val name = if (args.nonEmpty) args(0) else "sig_convolve_long"
-    val df = graft.SparkEntry.queries(name)(spark, dir)
-    if (args.length > 1 && args(1) == "explain") df.explain("formatted")
-    else {
-      println(s"ROWS ${df.count()}")
-      df.show(10, truncate = false)
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft_scale/x10"
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
+    val ud = graft.queries.Pipeline.compDocs(spark, dir, 3)
+    t("ud.count 1")(ud.count())
+    t("ud.count 2")(ud.count())
+    val fit = t("fit")(graft.operators.TextOps.unigramTrainLarge(
+      ud, "_cw", maxLen = 8, seedSize = 4096, targetMulti = 256,
+      shrinkKeep = 0.75, finalRounds = 2))
+    t("encode+digest") {
+      graft.operators.TextOps.unigramEncode(ud, "_cw", fit.pieces)
+        .select(col("doc_id"),
+          (array_join(col("unigram_tokens"), "") ===
+            regexp_replace(col("_cw"), "\\s+", "")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
   }
 }

@@ -17,6 +17,7 @@ object UnigramProbe {
     val sfDir = args.headOption.getOrElse("/tmp/graft_scale/x10")
     val target = if (args.length > 1) args(1).toInt else 4096
     val ngram = if (args.length > 2) args(2).toInt else 4
+    val seedSize = if (args.length > 3) args(3).toInt else 50000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +32,7 @@ object UnigramProbe {
     val nDocs = ud.count()
     val t0 = System.nanoTime()
     val fit = graft.operators.TextOps.unigramTrainLarge(ud, "_cw",
-      maxLen = 8, seedSize = 50000, targetMulti = target,
+      maxLen = 8, seedSize = seedSize, targetMulti = target,
       shrinkKeep = 0.75, finalRounds = 2)
     val fitSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
