@@ -17,6 +17,11 @@ run / fork := true
 // is signalled by the exit code; the epilogue carries no information.
 Global / showSuccess := false
 Global / showTiming := false
+// The forked run's stdout must pass through RAW: sbt's default logged
+// output strategy prefixes every line with "[info] ", which breaks the
+// driver's tail-parse of the ONE machine-read JSON line (BENCH_r20
+// "parsed": null — VERDICT r20 "What's wrong" #2).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,6 +65,34 @@ object Bench {
     dt
   }
 
+  /** Parallel-cal probe (VERDICT r20 "Next" #2): the SAME hash-mix
+    * loop run on `n` threads at once, reporting the max wall across
+    * threads. A co-tenant loading OTHER cores inflates this while the
+    * 1-thread [[calibrate]] stays flat — exactly the host effect the
+    * r20 sig_fft 2× adjudication could not see. Ships in the bench
+    * JSON as cal_par_start/cal_par_end.
+    */
+  private[graft] def calibratePar(n: Int): Double = {
+    val walls = new java.util.concurrent.atomic.AtomicLong(0L) // max, in ns
+    val ts = (0 until n).map { _ =>
+      new Thread(() => {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+          x ^= x >>> 29; i += 1
+        }
+        if (x == 42L) System.err.println("calibratePar: improbable fixpoint")
+        val dt = System.nanoTime() - t0
+        var cur = walls.get()
+        while (dt > cur && !walls.compareAndSet(cur, dt)) cur = walls.get()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    walls.get() / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,6 +112,7 @@ object Bench {
     }
     calibrate() // JIT warm-up; the measured runs follow
     val calStart = calibrate()
+    val calParStart = calibratePar(cpus.toInt)
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
@@ -277,7 +306,8 @@ object Bench {
     // stdout line must stay compact. It carries per-FAMILY totals plus a
     // pointer to the full detail file the judge can read directly.
     val calEnd = calibrate()
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"reruns":$rerunNames,"runs_detail":$detail,"contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"sf":"$sfDir"}"""
+    val calParEnd = calibratePar(cpus.toInt)
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"reruns":$rerunNames,"runs_detail":$detail,"contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"cal_par_start":${r3(calParStart)},"cal_par_end":${r3(calParEnd)},"sf":"$sfDir"}"""
     val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), fullJson + "\n")
@@ -303,7 +333,7 @@ object Bench {
     // the suite — the x10 refresh rerun 150 rows, a 3.7 KB line):
     // stdout carries only the COUNT; names stay in detail_file.
     val rerunCount = results2.count { case (_, _, rs) => rs.size > nRuns }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"n_reruns":$rerunCount,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$head,"families":$fams,"failed":$failed,"runs":$nRuns,"n_reruns":$rerunCount,"detail_file":"$detailFile","contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"cal_par_start":${r3(calParStart)},"cal_par_end":${r3(calParEnd)},"sf":"$sfDir"}"""
     // Teardown BEFORE the metric line, then halt: the RocksDB
     // StateStore maintenance thread otherwise logs a post-shutdown
     // "SparkEnv not active" ERROR AFTER the JSON, so the driver's

@@ -1221,6 +1221,7 @@ object TextOps {
     // under the ASCII class every Cyrillic/Greek/Arabic/CJK word
     // counted as non-alphabetic and r_alpha silently killed
     // non-Latin documents.
+    graft.functions.Functions.install(df.sparkSession)
     val tn = lower(graft.functions.Functions.dsl.nfcC(col(textCol)))
     val ws = filter(split(tn, "\\s+"), w => w =!= "")
     val t = col(textCol)

@@ -141,9 +141,45 @@ object Stream {
       while (f != null) { rm(f); f = pendingTmp.poll() }
     }))
 
+  /** Checkpoint-I/O tuning applied before every stream start
+    * (optimization round 21, guide §1/§6 — measured, not assumed):
+    * on this Hadoop-native-lib-free local deployment the DEFAULT
+    * checkpoint path made state commits ~50× slower than the state
+    * machinery itself, from two sources the StreamProbe thread-dumps
+    * pinned:
+    *
+    *  1. Spark 4.1's checkpoint file checksums (new, default on):
+    *     every offsets/commits/state-delta write spawns a side thread
+    *     writing a `.checksum` companion — doubling small-file
+    *     traffic and forking subprocesses through Hadoop `Shell`.
+    *     The local ChecksumFileSystem already write-checksums every
+    *     file (.crc sidecars), so the integrity is redundant here.
+    *  2. The FileContext-based checkpoint manager's rename path calls
+    *     Hadoop's `FileUtil.readLink` — ONE FORKED `readlink` PROCESS
+    *     PER RENAME without libhadoop — and every checkpoint write
+    *     finalizes via rename.
+    *
+    * Measured on stream_join (12-slice interval join, sf0.1):
+    * 15.6–55 s → 7.6 s; per-batch state commitTimeMs 3400 → 31 ms.
+    * Both knobs are env-overridable because the trade-off is
+    * deployment-specific: on HDFS the FileContext manager's atomic
+    * rename contract and end-to-end checksums are worth their cost;
+    * on POSIX-local or object-store checkpoint volumes `File.renameTo`
+    * is already atomic and the extra integrity layer is redundant.
+    */
+  private[queries] def tuneCheckpointIo(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_FILE_MANAGER",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager"))
+  }
+
   private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,
                         mode: String = "append"): DataFrame = {
     val spark = ds.sparkSession
+    tuneCheckpointIo(spark)
     // state-store provider is env-selectable so the SAME oracle gate
     // runs under the production RocksDB store (VERDICT r8 #7):
     // SPARK_GRAFT_STATE_STORE=rocksdb — at 100 TB the default
@@ -246,6 +282,7 @@ object Stream {
       }
       s.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
     }
+    tuneCheckpointIo(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-eo-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
@@ -639,6 +676,7 @@ object Stream {
     val trigger = sys.env.getOrElse("SPARK_GRAFT_LEDGER_EO_TRIGGER",
       math.max(math.min(2000L, math.max(1L, nRecords / 4)),
         math.ceil(nRecords / 10.0).toLong).toString)
+    tuneCheckpointIo(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-leo-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
@@ -729,6 +767,7 @@ object Stream {
     val trigger = sys.env.getOrElse("SPARK_GRAFT_MSINK_TRIGGER",
       math.max(math.min(500L, math.max(1L, nEvents / 4)),
         math.ceil(nEvents / 6.0).toLong).toString)
+    tuneCheckpointIo(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-msink-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
@@ -851,6 +890,7 @@ object Stream {
     val trigger = sys.env.getOrElse("SPARK_GRAFT_MMSINK_TRIGGER",
       math.max(math.min(500L, math.max(1L, nEvents / 4)),
         math.ceil(nEvents / 6.0).toLong).toString)
+    tuneCheckpointIo(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mmsink-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
@@ -972,6 +1012,7 @@ object Stream {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority")
     def slice(r: Int) = orders.filter(col("o_orderkey") % 6 === r)
+    tuneCheckpointIo(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-msrc-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
@@ -1067,6 +1108,7 @@ object Stream {
     val orders = Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority")
+    tuneCheckpointIo(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mcdc-").toFile
     cleanupHookInstalled
     pendingTmp.add(tmp)
