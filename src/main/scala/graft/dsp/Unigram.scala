@@ -54,14 +54,147 @@ object Unigram {
     x.length - y.length
   }
 
+  /** Array-backed character trie over the vocabulary — the kernels'
+    * zero-allocation lookup structure (optimization round 21, guide
+    * §1.2 step 2 "per-task work"): the previous per-probe
+    * `word.substring(j, i)` + hash-map lookup allocated a String and
+    * hashed it for EVERY (position, length) pair, three passes per
+    * word — measured 11–48 s of task CPU per EM round at sf0.1.
+    * A trie walk extends one char per length step and allocates
+    * nothing. Root fan-out is a direct char index (BMP-only — the
+    * fits already refuse surrogate pairs); deeper nodes are sibling
+    * lists (tiny after the first char).
+    */
+  private[dsp] final class Trie(pieceCount: Int) {
+    private var cap = math.max(16, pieceCount * 4)
+    private var ch = new Array[Char](cap)
+    private var firstChild = new Array[Int](cap)
+    private var nextSib = new Array[Int](cap)
+    private var pidA = new Array[Int](cap)
+    private var n = 1 // node 0 = root
+    private val root = { val a = new Array[Int](65536); java.util.Arrays.fill(a, -1); a }
+    firstChild(0) = -1; pidA(0) = -1
+    private def grow(): Unit = {
+      cap *= 2
+      ch = java.util.Arrays.copyOf(ch, cap)
+      firstChild = java.util.Arrays.copyOf(firstChild, cap)
+      nextSib = java.util.Arrays.copyOf(nextSib, cap)
+      pidA = java.util.Arrays.copyOf(pidA, cap)
+    }
+    /** Child of `node` labelled `c`, or -1. `node` 0 is the root. */
+    def step(node: Int, c: Char): Int =
+      if (node == 0) root(c)
+      else {
+        var k = firstChild(node)
+        while (k >= 0 && ch(k) != c) k = nextSib(k)
+        k
+      }
+    /** Piece id terminating at `node`, or -1. */
+    def pid(node: Int): Int = pidA(node)
+    def insert(s: String, reversed: Boolean, id: Int): Unit = {
+      var node = 0
+      var i = 0
+      val L = s.length
+      while (i < L) {
+        val c = if (reversed) s.charAt(L - 1 - i) else s.charAt(i)
+        var k = step(node, c)
+        if (k < 0) {
+          if (n == cap) grow()
+          k = n; n += 1
+          ch(k) = c; firstChild(k) = -1; pidA(k) = -1
+          if (node == 0) { nextSib(k) = -1; root(c) = k }
+          else { nextSib(k) = firstChild(node); firstChild(node) = k }
+        }
+        node = k; i += 1
+      }
+      pidA(node) = id
+    }
+  }
+
+  /** Compiled vocabulary for the lattice/Viterbi kernels: pieces
+    * UTF-8-byte-sorted with aligned micro-nat scores, plus two tries —
+    * `rev` (reversed pieces; serves the end-major loops, where the
+    * candidate substring grows LEFTWARD as its length increases) and
+    * `pre` (prefix; serves the start-major backward pass). Loop order,
+    * guards, and tie-breaks in the kernels are byte-identical to the
+    * map-based originals — only the lookup mechanics changed — so
+    * every oracle-replayed decision and float accumulation is
+    * bit-identical.
+    *
+    * NOT thread-safe: carries per-call scratch buffers (expected-count
+    * lanes reset after each word). Build one per task/thread — the
+    * Bridge kernels cache one per (thread, vocab literal).
+    */
+  final class UniModel private[dsp] (
+      val pieces: Array[String], val scores: Array[Long], val maxLen: Int) {
+    private[dsp] val pre = new Trie(pieces.length)
+    private[dsp] val rev = new Trie(pieces.length)
+    locally {
+      var i = 0
+      while (i < pieces.length) {
+        pre.insert(pieces(i), reversed = false, i)
+        rev.insert(pieces(i), reversed = true, i)
+        i += 1
+      }
+    }
+    // lattice scratch: expected-count lane per piece + touched list,
+    // reset after each word (single-threaded by the contract above)
+    private[dsp] val eLane = new Array[Double](pieces.length)
+    private[dsp] val eSeen = new Array[Boolean](pieces.length)
+    private[dsp] var touched = new Array[Int](math.min(256, math.max(1, pieces.length)))
+    private[dsp] var nTouched = 0
+    private[dsp] def touch(id: Int): Unit = {
+      if (!eSeen(id)) {
+        eSeen(id) = true
+        if (nTouched == touched.length)
+          touched = java.util.Arrays.copyOf(touched, touched.length * 2)
+        touched(nTouched) = id; nTouched += 1
+      }
+    }
+  }
+
+  object UniModel {
+    /** Build from parallel (piece, score) arrays — duplicate pieces
+      * keep the LAST score (the `.toMap` semantics of the map-based
+      * kernels). `maxLen` bounds probe length exactly like the map
+      * API's parameter.
+      */
+    def build(ps: Array[String], lq: Array[Long], maxLen: Int): UniModel = {
+      require(ps.length == lq.length,
+        s"UniModel: ${ps.length} pieces but ${lq.length} scores")
+      val dedup = new java.util.LinkedHashMap[String, java.lang.Long]()
+      var i = 0
+      while (i < ps.length) { dedup.put(ps(i), lq(i)); i += 1 }
+      val entries = new Array[(String, Long)](dedup.size())
+      val it = dedup.entrySet().iterator()
+      i = 0
+      while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+      val sorted = entries.sortWith((a, b) => utf8Cmp(a._1, b._1) < 0)
+      new UniModel(sorted.map(_._1), sorted.map(_._2), maxLen)
+    }
+
+    def fromMap(lpq: collection.Map[String, Long], maxLen: Int): UniModel = {
+      val ps = lpq.keysIterator.toArray
+      build(ps, ps.map(lpq), maxLen)
+    }
+  }
+
   /** Viterbi segmentation of `word` under integer micro-nat scores.
     * Returns (pieces, total score, token count). Loud when the word
     * is not coverable (cannot happen under a fit()-produced model —
     * single-char coverage is invariant).
     */
   def viterbi(word: String, lpq: collection.Map[String, Long],
-              maxLen: Int): (Seq[String], Long, Int) = {
+              maxLen: Int): (Seq[String], Long, Int) =
+    viterbi(word, UniModel.fromMap(lpq, maxLen))
+
+  /** Trie-backed Viterbi — decision-identical to the map API (same
+    * loop order, same tie-breaks); path strings are built only when a
+    * candidate wins or ties (the original built one per probe).
+    */
+  def viterbi(word: String, m: UniModel): (Seq[String], Long, Int) = {
     val n = word.length
+    val maxLen = m.maxLen
     val NoScore = Long.MinValue / 2
     val dpScore = Array.fill(n + 1)(NoScore)
     val dpN = new Array[Int](n + 1)
@@ -70,26 +203,34 @@ object Unigram {
     dpScore(0) = 0L; dpN(0) = 0; dpPath(0) = ""
     var i = 1
     while (i <= n) {
+      var node = 0
       var l = 1
-      while (l <= maxLen && l <= i) {
-        val j = i - l
-        if (dpScore(j) != NoScore) {
-          lpq.get(word.substring(j, i)) match {
-            case Some(s) =>
-              val piece = word.substring(j, i)
-              val sc = dpScore(j) + s
-              val nt = dpN(j) + 1
-              val pth = if (j == 0) piece else dpPath(j) + Sep + piece
-              val better = dpScore(i) == NoScore || sc > dpScore(i) ||
-                (sc == dpScore(i) && (nt < dpN(i) ||
-                  (nt == dpN(i) && utf8Cmp(pth, dpPath(i)) < 0)))
-              if (better) {
-                dpScore(i) = sc; dpN(i) = nt; dpPath(i) = pth; dpPrev(i) = j
+      while (node >= 0 && l <= maxLen && l <= i) {
+        node = m.rev.step(node, word.charAt(i - l))
+        if (node >= 0) {
+          val id = m.rev.pid(node)
+          val j = i - l
+          if (id >= 0 && dpScore(j) != NoScore) {
+            val sc = dpScore(j) + m.scores(id)
+            val nt = dpN(j) + 1
+            var pth: String = null
+            var better = false
+            if (dpScore(i) == NoScore || sc > dpScore(i)) better = true
+            else if (sc == dpScore(i)) {
+              if (nt < dpN(i)) better = true
+              else if (nt == dpN(i)) {
+                pth = if (j == 0) m.pieces(id) else dpPath(j) + Sep + m.pieces(id)
+                better = utf8Cmp(pth, dpPath(i)) < 0
               }
-            case None => ()
+            }
+            if (better) {
+              if (pth == null)
+                pth = if (j == 0) m.pieces(id) else dpPath(j) + Sep + m.pieces(id)
+              dpScore(i) = sc; dpN(i) = nt; dpPath(i) = pth; dpPrev(i) = j
+            }
           }
+          l += 1
         }
-        l += 1
       }
       i += 1
     }
@@ -138,20 +279,32 @@ object Unigram {
     * Output pairs are sorted by piece under UTF-8 byte order.
     */
   def lattice(word: String, lpq: collection.Map[String, Long],
-              maxLen: Int): (Array[(String, Long)], Long) = {
+              maxLen: Int): (Array[(String, Long)], Long) =
+    lattice(word, UniModel.fromMap(lpq, maxLen))
+
+  /** Trie-backed lattice — bit-identical to the map API: identical
+    * loop order means identical log-sum-exp and expected-count
+    * accumulation order, so the same word under the same model yields
+    * the same bits; the emitted pairs are UTF-8-byte-sorted exactly as
+    * before (the model's pieces are pre-sorted with that comparator).
+    */
+  def lattice(word: String, m: UniModel): (Array[(String, Long)], Long) = {
     val n = word.length
+    val maxLen = m.maxLen
     val NEG = Double.NegativeInfinity
     val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
     var i = 1
     while (i <= n) {
+      var node = 0
       var l = 1
-      while (l <= maxLen && l <= i) {
-        val j = i - l
-        if (alpha(j) != NEG) lpq.get(word.substring(j, i)) match {
-          case Some(s) => alpha(i) = lseMicro(alpha(i), alpha(j) + s)
-          case None => ()
+      while (node >= 0 && l <= maxLen && l <= i) {
+        node = m.rev.step(node, word.charAt(i - l))
+        if (node >= 0) {
+          val id = m.rev.pid(node)
+          if (id >= 0 && alpha(i - l) != NEG)
+            alpha(i) = lseMicro(alpha(i), alpha(i - l) + m.scores(id))
+          l += 1
         }
-        l += 1
       }
       i += 1
     }
@@ -160,43 +313,50 @@ object Unigram {
     val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
     var k = n - 1
     while (k >= 0) {
+      var node = 0
       var l = 1
-      while (l <= maxLen && k + l <= n) {
-        val m = k + l
-        if (beta(m) != NEG) lpq.get(word.substring(k, m)) match {
-          case Some(s) => beta(k) = lseMicro(beta(k), s + beta(m))
-          case None => ()
+      while (node >= 0 && l <= maxLen && k + l <= n) {
+        node = m.pre.step(node, word.charAt(k + l - 1))
+        if (node >= 0) {
+          val id = m.pre.pid(node)
+          if (id >= 0 && beta(k + l) != NEG)
+            beta(k) = lseMicro(beta(k), m.scores(id) + beta(k + l))
+          l += 1
         }
-        l += 1
       }
       k -= 1
     }
     val z = alpha(n)
-    val e = mutable.LinkedHashMap.empty[String, Double]
     i = 1
     while (i <= n) {
+      var node = 0
       var l = 1
-      while (l <= maxLen && l <= i) {
-        val j = i - l
-        if (alpha(j) != NEG && beta(i) != NEG) {
-          val piece = word.substring(j, i)
-          lpq.get(piece) match {
-            case Some(s) =>
-              val p = Math.exp((alpha(j) + s + beta(i) - z) / 1e6)
-              e.updateWith(piece) {
-                case Some(v) => Some(v + p); case None => Some(p) }
-            case None => ()
+      while (node >= 0 && l <= maxLen && l <= i) {
+        node = m.rev.step(node, word.charAt(i - l))
+        if (node >= 0) {
+          val id = m.rev.pid(node)
+          if (id >= 0 && alpha(i - l) != NEG && beta(i) != NEG) {
+            m.eLane(id) += Math.exp((alpha(i - l) + m.scores(id) + beta(i) - z) / 1e6)
+            m.touch(id)
           }
+          l += 1
         }
-        l += 1
       }
       i += 1
     }
-    val pairs = e.iterator
-      .map { case (p, v) => (p, Math.round(EQuant * v)) }
-      .filter(_._2 > 0L).toArray
-      .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0)
-    (pairs, Math.round(z))
+    // emit in UTF-8 byte order = ascending piece id (pieces pre-sorted)
+    java.util.Arrays.sort(m.touched, 0, m.nTouched)
+    val buf = Array.newBuilder[(String, Long)]
+    var t = 0
+    while (t < m.nTouched) {
+      val id = m.touched(t)
+      val q = Math.round(EQuant * m.eLane(id))
+      if (q > 0L) buf += ((m.pieces(id), q))
+      m.eLane(id) = 0.0; m.eSeen(id) = false
+      t += 1
+    }
+    m.nTouched = 0
+    (buf.result(), Math.round(z))
   }
 
   /** Expected-count quantization unit of [[lattice]]: counts are in
@@ -281,8 +441,9 @@ object Unigram {
     val t0 = v0.valuesIterator.sum.toDouble
     val lpq0: Map[String, Long] =
       v0.iterator.map { case (p, c) => p -> q(c.toDouble, t0) }.toMap
-    // EM round 1 under the seed model
-    val seg1 = words.map { case (w, c) => (w, c, viterbi(w, lpq0, maxLen)) }
+    // EM round 1 under the seed model (compiled once, not per word)
+    val m0 = UniModel.fromMap(lpq0, maxLen)
+    val seg1 = words.map { case (w, c) => (w, c, viterbi(w, m0)) }
     val ll1 = seg1.map { case (_, c, (_, s, _)) => c * s }.sum
     val cnt1 = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
     seg1.foreach { case (_, c, (ps, _, _)) => ps.foreach(p => cnt1(p) += c) }
@@ -300,7 +461,8 @@ object Unigram {
     val lpq1: Map[String, Long] = v1.iterator
       .map(p => p -> q(cnt1(p) + 1.0, (t1 + v1.length).toDouble)).toMap
     // EM round 2 under the pruned, smoothed model
-    val seg2 = words.map { case (w, c) => (w, c, viterbi(w, lpq1, maxLen)) }
+    val m1 = UniModel.fromMap(lpq1, maxLen)
+    val seg2 = words.map { case (w, c) => (w, c, viterbi(w, m1)) }
     val ll2 = seg2.map { case (_, c, (_, s, _)) => c * s }.sum
     // the gate: seg1 re-scored under the round-2 model (pruned pieces
     // score MissingScore) can never beat seg2, which is argmax there

@@ -1009,23 +1009,39 @@ object Bridge {
     * task — a per-thread identity-keyed cache rebuilds the lookup map
     * once per task, not once per row.
     */
+  /** Diagnostic: number of UniModel (trie) builds — a healthy run
+    * builds once per (task thread, vocab literal); once per ROW means
+    * the identity-keyed cache is missing (the r20 Next-#7 question).
+    */
+  val uniModelBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
   private val unigramCache =
-    new ThreadLocal[(AnyRef, Map[String, Long], Int)]()
-  def unigramEnc(word: UTF8String, pieces: ArrayData, lpqs: ArrayData): ArrayData = {
-    val cached = unigramCache.get()
-    val (m, maxLen) =
-      if (cached != null && (cached._1 eq pieces)) (cached._2, cached._3)
-      else {
-        val ps = strArr(pieces)
-        require(ps.length == lpqs.numElements(),
-          s"unigramEnc: ${ps.length} pieces but ${lpqs.numElements()} scores")
-        val mm = ps.zipWithIndex.map { case (p, i) => p -> lpqs.getLong(i) }.toMap
-        val ml = if (ps.isEmpty) 1 else ps.map(_.length).max
-        unigramCache.set((pieces, mm, ml))
-        (mm, ml)
-      }
-    outS(graft.dsp.Unigram.viterbi(word.toString, m, maxLen)._1.toArray)
+    new ThreadLocal[(AnyRef, graft.dsp.Unigram.UniModel)]()
+  /** Build (or fetch the per-thread cached) compiled trie model for a
+    * literal vocab — the identity-keyed cache means the model (tries +
+    * sorted pieces) is built once per task, not once per row.
+    */
+  @inline private def uniModelFor(
+      cache: ThreadLocal[(AnyRef, graft.dsp.Unigram.UniModel)],
+      fn: String, pieces: ArrayData, lpqs: ArrayData): graft.dsp.Unigram.UniModel = {
+    val cached = cache.get()
+    if (cached != null && (cached._1 eq pieces)) cached._2
+    else {
+      val ps = strArr(pieces)
+      require(ps.length == lpqs.numElements(),
+        s"$fn: ${ps.length} pieces but ${lpqs.numElements()} scores")
+      val lq = new Array[Long](ps.length)
+      var i = 0
+      while (i < ps.length) { lq(i) = lpqs.getLong(i); i += 1 }
+      val ml = if (ps.isEmpty) 1 else ps.map(_.length).max
+      val mm = graft.dsp.Unigram.UniModel.build(ps, lq, ml)
+      uniModelBuilds.incrementAndGet()
+      cache.set((pieces, mm))
+      mm
+    }
   }
+  def unigramEnc(word: UTF8String, pieces: ArrayData, lpqs: ArrayData): ArrayData =
+    outS(graft.dsp.Unigram.viterbi(word.toString,
+      uniModelFor(unigramCache, "unigramEnc", pieces, lpqs))._1.toArray)
 
   /** Soft-EM lattice E-step for one word (see
     * [[graft.dsp.Unigram.lattice]]): rows of (piece, micro-expected
@@ -1036,21 +1052,10 @@ object Bridge {
     * can never collide: vocab pieces are non-empty by construction.
     */
   private val unigramSoftCache =
-    new ThreadLocal[(AnyRef, Map[String, Long], Int)]()
+    new ThreadLocal[(AnyRef, graft.dsp.Unigram.UniModel)]()
   def unigramExp(word: UTF8String, pieces: ArrayData, lpqs: ArrayData): ArrayData = {
-    val cached = unigramSoftCache.get()
-    val (m, maxLen) =
-      if (cached != null && (cached._1 eq pieces)) (cached._2, cached._3)
-      else {
-        val ps = strArr(pieces)
-        require(ps.length == lpqs.numElements(),
-          s"unigramExp: ${ps.length} pieces but ${lpqs.numElements()} scores")
-        val mm = ps.zipWithIndex.map { case (p, i) => p -> lpqs.getLong(i) }.toMap
-        val ml = if (ps.isEmpty) 1 else ps.map(_.length).max
-        unigramSoftCache.set((pieces, mm, ml))
-        (mm, ml)
-      }
-    val (pairs, z) = graft.dsp.Unigram.lattice(word.toString, m, maxLen)
+    val (pairs, z) = graft.dsp.Unigram.lattice(word.toString,
+      uniModelFor(unigramSoftCache, "unigramExp", pieces, lpqs))
     val rows = new Array[Any](pairs.length + 1)
     var i = 0
     while (i < pairs.length) {

@@ -459,14 +459,25 @@ object Dedup {
     val ex = nx.filter(col("_new")).select(col(idCol), col("_h"))
       .join(ih, Seq("_h"), "left")
     val sh = shingleFrame(flagged, idCol, textCol)
+    // Both re-used subtrees are persisted (optimization round 21, the
+    // Pregel/dupClusters bounded-frame discipline): `bd` feeds BOTH
+    // sides of the candidate join and `shd` three consumers (probe
+    // shingles, index shingles, sizes) — without the cache the
+    // tokenize→explode→minhash lineage re-evaluated per consumer
+    // (stage profiles showed the explode stages recomputed with
+    // 30–40% GC time). Both frames are bounded: bd is docs × bands
+    // rows, shd is the distinct (id, shingle) set the verify stage
+    // needs anyway.
     val bd = bands(minhash(sh, idCol, k), idCol, k, r)
       .join(flagged.select(col(idCol), col("_new")), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = bd.filter(col("_new"))
       .select(col("band"), col("sig"), col(idCol).as("nid"))
       .join(bd.filter(!col("_new"))
         .select(col("band"), col("sig"), col(idCol).as("iid")), Seq("band", "sig"))
       .select(col("nid"), col("iid")).distinct()
     val shd = sh.select(col(idCol), col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shN = shd.join(candidates.select(col("nid").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("nid"), col("s"))

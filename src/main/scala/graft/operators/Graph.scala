@@ -84,7 +84,20 @@ object Graph {
         sc.setCheckpointDir(
           s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
       undRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cp = undRaw.checkpoint(eager = true)
+      // Size the Pregel frame's partitioning by the EDGE COUNT, not by
+      // whatever partitioning the upstream similarity stage left
+      // behind (optimization round 21, guide §2 "derive partitioning
+      // from input size"): the union inherited 2× the input's
+      // partitions, so five supersteps over a 2k-edge graph scheduled
+      // ~30 stages of 64 near-empty tasks each (measured: 0.45 s
+      // stage walls with ~30 ms of work). ~2M directed-edge rows
+      // (~100 MB) per partition; the count reads the just-persisted
+      // cache, and every downstream result is exact-integer and
+      // partitioning-independent.
+      val p = math.max(1L, (undRaw.count() + 1999999L) / 2000000L).toInt
+      val sized = undRaw.coalesce(math.min(p,
+        math.max(1, undRaw.rdd.getNumPartitions)))
+      val cp = sized.checkpoint(eager = true)
       undRaw.unpersist(blocking = false)
       cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     } else undRaw

@@ -231,12 +231,31 @@ object TextOps {
     * bounded control-plane collect as Ann.kmeansFit's centroid pull.
     * Returns (left, right, pairCount) in rank order.
     */
-  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Array[(String, String, Long)] = {
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               localThreshold: Long = 200000L): Array[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     graft.functions.Functions.install(df.sparkSession)
     val init = wordTypes(df, textCol)
       .withColumn("syms", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-    var state = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Driver fast path (optimization round 21 — the byte trainer got
+    // this in r18, VERDICT r18 #6; same argument here): the training
+    // state is the WORD-TYPE histogram, vocabulary-sized, so below a
+    // threshold it collects ONCE and the merge loop runs in-memory —
+    // one Spark job instead of nMerges sequential (shuffle + 1-row
+    // collect) jobs. Identical output by construction: same greedy
+    // kernel ([[graft.dsp.Bpe.applyMerge]]), same argmax tie-break
+    // (max count, then UTF-8 byte order on l then r — Spark's string
+    // ordering and DuckDB's text compare).
+    val first = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = first.count()
+    if (nTypes <= localThreshold) {
+      val words =
+        try first.select(col("syms"), col("cnt")).collect().map(r =>
+          (r.getSeq[String](0).toArray, r.getLong(1)))
+        finally { first.unpersist(false); () }
+      return bpeTrainLocal(words, nMerges)
+    }
+    var state = first
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     try {
@@ -266,6 +285,45 @@ object TextOps {
     } finally {
       if (prev != null) prev.unpersist(false)
       state.unpersist(false)
+    }
+    merges.toArray
+  }
+
+  /** In-memory char-BPE merge loop over the collected word-type
+    * histogram — exactly the distributed loop's semantics (same greedy
+    * kernel, same argmax tie-break), minus the per-iteration scheduler
+    * round-trip.
+    */
+  private def bpeTrainLocal(words0: Array[(Array[String], Long)],
+                            nMerges: Int): Array[(String, String, Long)] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var t = 0
+    while (t < nMerges) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), cnt, (x, y) => x + y)
+          i += 1
+        }
+      }
+      require(!counts.isEmpty,
+        s"BPE training ran out of pairs after ${merges.length} merges " +
+          s"(every word is a single symbol); asked for $nMerges")
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      counts.forEach { (k, c) =>
+        val better = c > bc || (c == bc && {
+          val dl = graft.dsp.Unigram.utf8Cmp(k._1, bl)
+          dl < 0 || (dl == 0 && graft.dsp.Unigram.utf8Cmp(k._2, br) < 0)
+        })
+        if (better) { bl = k._1; br = k._2; bc = c }
+      }
+      merges += ((bl, br, bc))
+      words = words.map { case (syms, cnt) =>
+        (graft.dsp.Bpe.applyMerge(syms, bl, br), cnt)
+      }
+      t += 1
     }
     merges.toArray
   }
@@ -622,6 +680,12 @@ object TextOps {
       s"shrinkKeep must be in (0,1), got $shrinkKeep")
     require(finalRounds >= 1, s"finalRounds must be >= 1, got $finalRounds")
     graft.functions.Functions.install(df.sparkSession)
+    val dbg0 = sys.env.contains("SPARK_GRAFT_UNIGRAM_DEBUG")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (dbg0) {
+      System.err.println(f"[unigram] $name: ${(System.nanoTime() - tPhase) / 1e9}%.2f s")
+      tPhase = System.nanoTime()
+    }
     val hist = df
       .select(explode(filter(split(col(textCol), "\\s+"),
         w => length(w) > 0)).as("word"))
@@ -636,6 +700,7 @@ object TextOps {
         col("word").rlike("[\\x{10000}-\\x{10FFFF}]")).count()
       require(bad == 0, s"$bad word type(s) contain the reserved " +
         "separator U+001F or non-BMP characters (surrogate pairs)")
+      phase("hist+badcheck")
       // distributed seed: one partial-aggregated substring histogram
       val subs = hist.select(col("cnt"), explode(expr(
           s"flatten(transform(sequence(1, length(word)), i -> " +
@@ -652,12 +717,14 @@ object TextOps {
             .collect().map(r => (r.getString(0), r.getLong(1)))
           (cs, sm)
         } finally { subs.unpersist(false); () }
+      phase("seed-substrings")
       require(chars.nonEmpty, "unigram fit needs a non-empty corpus")
       require(seedMulti.length >= targetMulti,
         s"corpus yields only ${seedMulti.length} multi-char seed " +
         s"candidates — targetMulti=$targetMulti unreachable; lower the " +
         "target or raise maxLen")
       val totalWords = BigInt(hist.agg(sum(col("cnt"))).collect()(0).getLong(0))
+      phase("totalWords")
       val charNames = chars.map(_._1)
       val totSeed = (chars.iterator ++ seedMulti.iterator).map(_._2.toDouble).sum
       var vocab: Array[String] = (charNames ++ seedMulti.map(_._1))
@@ -672,30 +739,69 @@ object TextOps {
       var remainingFinal = finalRounds
       var round = 0
       var done = false
+      val dbg = sys.env.contains("SPARK_GRAFT_UNIGRAM_DEBUG")
       while (!done) {
         round += 1
+        val tRound = System.nanoTime()
         require(round <= 1000, "unigram prune loop failed to converge")
-        // E-step: map-side soft lattice over word types, ONE shuffle;
-        // counts are exact integers (micro-units × word counts in
-        // decimal lanes — corpus-scale products overflow Long), the
-        // "" sentinel group is Σ count·Z = the corpus marginal loglik
-        val ps = typedLit(vocab.toSeq)
-        val lq = typedLit(vocab.map(scores).toSeq)
-        val raw = hist
-          .select(col("cnt"),
-            explode(unigramExpC(col("word"), ps, lq)).as("pe"))
-          .select(col("pe.p").as("p"),
-            (col("cnt").cast("decimal(20,0)") *
-              col("pe.e").cast("decimal(18,0)")).as("ce"))
-          .groupBy("p").agg(sum(col("ce")).as("e"))
-          .collect()
-        var ll: BigInt = null
-        val counts = scala.collection.mutable.HashMap.empty[String, BigInt]
-        raw.foreach { r =>
-          val e = BigInt(r.getDecimal(1).toBigInteger)
-          if (r.getString(0).isEmpty) ll = e else counts(r.getString(0)) = e
+        // E-step: map-side soft lattice over word types with the
+        // WHOLE partial aggregation inside the task (optimization
+        // round 21, guide §2.4/§4.2): each task builds the trie model
+        // once from the broadcast vocabulary, runs the lattice over
+        // its cached word types, and accumulates exact-integer
+        // expected counts (BigInt — corpus-scale cnt × nano-count
+        // products overflow Long) in a local map; the driver merges
+        // one vocab-sized partial per partition. ZERO shuffle per
+        // round — the previous explode → decimal groupBy wrote and
+        // mmap-fetched 32×32 tiny shuffle blocks per round, which
+        // jstack sampling showed dominating the round wall. Integer
+        // sums are associative/commutative, so the result is
+        // bit-identical under any partitioning (the same argument the
+        // decimal aggregation used). The "" sentinel lane carries
+        // Σ count·Z = the corpus marginal loglik, as before.
+        val spark0 = df.sparkSession
+        val bcVocab = spark0.sparkContext.broadcast((vocab, vocab.map(scores)))
+        val mlCap = maxLen
+        val partials: Array[Array[(String, Array[Byte])]] = {
+          import spark0.implicits._
+          hist.select(col("word"), col("cnt")).as[(String, Long)]
+            .mapPartitions { it =>
+              val (psA, lqA) = bcVocab.value
+              val m = Unigram.UniModel.build(psA, lqA, mlCap)
+              val acc = new java.util.HashMap[String, java.math.BigInteger]()
+              var z = java.math.BigInteger.ZERO
+              it.foreach { case (w, c) =>
+                val (pairs, zw) = Unigram.lattice(w, m)
+                val cB = java.math.BigInteger.valueOf(c)
+                var i = 0
+                while (i < pairs.length) {
+                  val add = java.math.BigInteger.valueOf(pairs(i)._2).multiply(cB)
+                  acc.merge(pairs(i)._1, add, (a, b) => a.add(b))
+                  i += 1
+                }
+                z = z.add(java.math.BigInteger.valueOf(zw).multiply(cB))
+              }
+              val out = new Array[(String, Array[Byte])](acc.size() + 1)
+              val jt = acc.entrySet().iterator()
+              var k = 0
+              while (jt.hasNext) {
+                val e = jt.next()
+                out(k) = (e.getKey, e.getValue.toByteArray); k += 1
+              }
+              out(k) = ("", z.toByteArray)
+              Iterator.single(out)
+            }.collect()
         }
-        require(ll != null, "lattice sentinel row missing (empty corpus?)")
+        bcVocab.destroy()
+        var ll: BigInt = BigInt(0)
+        val counts = scala.collection.mutable.HashMap.empty[String, BigInt]
+        partials.foreach(_.foreach { case (p, bytes) =>
+          val e = BigInt(new java.math.BigInteger(bytes))
+          if (p.isEmpty) ll += e
+          else counts.updateWith(p) {
+            case Some(v) => Some(v + e); case None => Some(e) }
+        })
+        require(partials.nonEmpty, "lattice sentinel row missing (empty corpus?)")
         val vocabChanged = prunedLastRound
         val gain = if (vocabChanged) BigInt(0) else ll - prevLl
         require(vocabChanged || gain >= -totalWords,
@@ -730,6 +836,8 @@ object TextOps {
           Unigram.q(counts.getOrElse(p, BigInt(0)).toDouble + Unigram.EQuant,
             tot + Unigram.EQuant * vocab.length)).toMap
         stats += Unigram.RoundStat(round, nMulti, ll, gain, vocabChanged)
+        if (dbg) System.err.println(
+          f"[unigram] round $round: ${(System.nanoTime() - tRound) / 1e9}%.2f s, nMulti=$nMulti")
         if (nMulti <= targetMulti) {
           // a round that BEGAN at the target vocabulary is a final round
           if (curMulti <= targetMulti) remainingFinal -= 1

@@ -13,11 +13,36 @@ import graft.operators.{Ann, Dedup, Multimodal, TextOps}
   */
 object Pipeline {
 
+  /** CPU-parallelism fix (optimization round 21, guide §2.5 "input
+    * skew"): each testdata table is ONE parquet file with one row
+    * group, so every map-side expression downstream of a bare scan —
+    * shingling, minhash, simhash, BPE, winnowing, image/audio codecs —
+    * ran in a SINGLE task (stage profiles showed 1-task stages of
+    * 0.4–3.4 s dominating the dedup/text/bpe queries while 31 cores
+    * idled). A deterministic hash repartition on the id spreads the
+    * kernel CPU across the session's parallelism; the explicit count
+    * keeps AQE from coalescing the tiny-by-bytes frame back to one
+    * partition (these rows are compute-heavy, not byte-heavy). Every
+    * downstream result is partitioning-independent (per-row exprs,
+    * exact aggregations, explicit ORDER BY), and filters/pruning push
+    * through a RepartitionByExpression. At 100 TB inputs arrive in
+    * thousands of splits and this exchange is a no-op cost; a
+    * single-file local table is exactly the "one huge unsplittable
+    * input" case the guide calls out.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.install(s)
     load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
+  /** embeddings stays UNREPARTITIONED: unlike the text kernels, every
+    * Ann/emb consumer either joins or aggregates immediately (its own
+    * exchange redistributes the work), so the docs()-style repartition
+    * only added a 32-task exchange per query — measured as a
+    * regression (ann_topk_opq 3.2 → 4.3 s, emb_knn_graph 0.3 → 0.7 s)
+    * and reverted.
+    */
   private def embs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.install(s)
     load(s, dir, "embeddings")
@@ -2358,7 +2383,22 @@ object Pipeline {
     val m = greatest(size(ws) - (n - 1), lit(0)) // 0 for short docs
     val parts = (0 until n).map(k => slice(ws, lit(k + 1), m))
     val comp = parts.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
-    uDocs(s, dir).withColumn("_cw", array_join(comp, " "))
+    // Hash-repartition by doc_id BEFORE the compound expression
+    // (optimization round 21, guide §2.5 "input skew"): the documents
+    // table is one parquet file, so the scan — and everything persisted
+    // downstream of it — was ONE partition, making the fit's histogram
+    // build and the whole map-side encode single-threaded (measured
+    // 2.8 s + 2.4 s single-task stages at sf0.1). Partition count
+    // follows spark.sql.shuffle.partitions (scale-adaptive), the split
+    // is deterministic (hash of doc_id), and every downstream result
+    // is partitioning-independent (exact-integer aggregation).
+    // Explicit partition count: AQE coalesces a size-based repartition
+    // of this ~600 KB frame back to ONE partition, but the downstream
+    // cost is CPU per row (lattice/Viterbi kernels), not bytes —
+    // defaultParallelism is the scale-adaptive choice for a
+    // compute-bound frame.
+    uDocs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("_cw", array_join(comp, " "))
       .select(col("doc_id"), col("_cw"))
   }
 

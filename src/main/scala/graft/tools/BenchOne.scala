@@ -29,6 +29,17 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("STREAM_PROBE_JOBS"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val s = e.stageInfo
+          val m = s.taskMetrics
+          val wall = s.completionTime.getOrElse(0L) - s.submissionTime.getOrElse(0L)
+          if (wall >= 100) println(f"[stage] ${s.stageId} '${s.name.take(50)}' " +
+            f"tasks=${s.numTasks} wall=$wall ms exec=${m.executorRunTime} " +
+            f"gc=${m.jvmGCTime} cpu=${m.executorCpuTime / 1000000}")
+        }
+      })
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.Bench.calibrate() // JIT warm-up
     println(f"cal: ${graft.Bench.calibrate()}%.3f s (single-thread ALU anchor)")

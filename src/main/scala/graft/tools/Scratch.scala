@@ -9,6 +9,17 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("STREAM_PROBE_JOBS"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val s = e.stageInfo
+          val m = s.taskMetrics
+          println(f"[stage] ${s.stageId} '${s.name.take(50)}' tasks=${s.numTasks} " +
+            f"wall=${s.completionTime.getOrElse(0L) - s.submissionTime.getOrElse(0L)} ms " +
+            f"exec=${m.executorRunTime} gc=${m.jvmGCTime} deser=${m.executorDeserializeTime} " +
+            f"cpu=${m.executorCpuTime / 1000000}")
+        }
+      })
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_scale/x10"
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -20,6 +31,7 @@ object Scratch {
     val fit = t("fit")(graft.operators.TextOps.unigramTrainLarge(
       ud, "_cw", maxLen = 8, seedSize = 4096, targetMulti = 256,
       shrinkKeep = 0.75, finalRounds = 2))
+    println(s"[scratch] uniModelBuilds after fit: ${graft.functions.Bridge.uniModelBuilds.get}")
     t("encode+digest") {
       graft.operators.TextOps.unigramEncode(ud, "_cw", fit.pieces)
         .select(col("doc_id"),
