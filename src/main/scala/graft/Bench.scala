@@ -308,8 +308,12 @@ object Bench {
     val calEnd = calibrate()
     val calParEnd = calibratePar(cpus.toInt)
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$nRuns,"reruns":$rerunNames,"runs_detail":$detail,"contended":$contendedAny,"load_start":$loadStart,"load_end":$loadEnd,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"cal_par_start":${r3(calParStart)},"cal_par_end":${r3(calParEnd)},"sf":"$sfDir"}"""
+    // core count stamped into the default detail filename (VERDICT r21
+    // #7: the driver's 8-core run overwrote the 32-core detail — runs
+    // at different SPARK_GRAFT_CPUS must not clobber each other). An
+    // explicit SPARK_GRAFT_BENCH_DETAIL still wins unchanged.
     val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/root/repo/BENCH_DETAIL.json")
+      s"/root/repo/BENCH_DETAIL_c$cpus.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), fullJson + "\n")
     def family(name: String): String =
       if (name.startsWith("q")) "rel" else name.takeWhile(_ != '_')

@@ -183,6 +183,10 @@ object Unigram {
     * Returns (pieces, total score, token count). Loud when the word
     * is not coverable (cannot happen under a fit()-produced model —
     * single-char coverage is invariant).
+    *
+    * NOTE (ADVICE r21): this wrapper compiles a full UniModel per call
+    * — O(vocab), not O(word). Per-row/executor hot paths must build
+    * the model once per task and call the compiled overload.
     */
   def viterbi(word: String, lpq: collection.Map[String, Long],
               maxLen: Int): (Seq[String], Long, Int) =
@@ -278,9 +282,46 @@ object Unigram {
     * under the same model yields the same bits on any executor.
     * Output pairs are sorted by piece under UTF-8 byte order.
     */
+  /** NOTE (ADVICE r21): this map-based wrapper compiles a full
+    * UniModel (two tries + 65536-entry root arrays + dedup/sort) PER
+    * CALL — O(vocab), not O(word). Fine for one-shot driver use; any
+    * per-row/executor hot path must build the model once per task via
+    * [[UniModel.build]]/[[UniModel.fromMap]] and call the compiled
+    * overload (see Bridge's per-(thread, vocab) model cache).
+    */
   def lattice(word: String, lpq: collection.Map[String, Long],
               maxLen: Int): (Array[(String, Long)], Long) =
     lattice(word, UniModel.fromMap(lpq, maxLen))
+
+  /** Merge two EM partial-count arrays (piece → BigInteger bytes; the
+    * "" lane is the corpus-marginal sentinel). Integer sums are
+    * associative and commutative, so any merge tree over any
+    * partitioning yields bit-identical totals — the property that lets
+    * the EM E-step treeReduce its per-partition partials on executors
+    * (driver receives ONE O(vocab) array, VERDICT r21 #2) without
+    * touching the oracle hash.
+    */
+  def mergePartials(a: Array[(String, Array[Byte])],
+                    b: Array[(String, Array[Byte])]): Array[(String, Array[Byte])] = {
+    val m = new java.util.HashMap[String, java.math.BigInteger](
+      (a.length + b.length) * 2)
+    var i = 0
+    while (i < a.length) {
+      m.merge(a(i)._1, new java.math.BigInteger(a(i)._2), (x, y) => x.add(y)); i += 1
+    }
+    i = 0
+    while (i < b.length) {
+      m.merge(b(i)._1, new java.math.BigInteger(b(i)._2), (x, y) => x.add(y)); i += 1
+    }
+    val out = new Array[(String, Array[Byte])](m.size())
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = (e.getKey, e.getValue.toByteArray); k += 1
+    }
+    out
+  }
 
   /** Trie-backed lattice — bit-identical to the map API: identical
     * loop order means identical log-sum-exp and expected-count

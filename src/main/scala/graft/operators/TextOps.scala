@@ -762,7 +762,15 @@ object TextOps {
         val spark0 = df.sparkSession
         val bcVocab = spark0.sparkContext.broadcast((vocab, vocab.map(scores)))
         val mlCap = maxLen
-        val partials: Array[Array[(String, Array[Byte])]] = {
+        // Two-level combine (optimization round 22, VERDICT r21 #2):
+        // the per-partition vocab-sized partials treeReduce on the
+        // EXECUTORS, so the driver receives ONE O(vocab) array per EM
+        // round instead of partitions × vocab BigInteger lanes — the
+        // flat collect was O(partitions × vocab) driver traffic, a
+        // 100 TB scale bug with 10⁴–10⁵ input partitions. BigInteger
+        // sums are associative/commutative, so any merge tree yields
+        // bit-identical totals (hash-oracle-verified).
+        val merged: Array[(String, Array[Byte])] = {
           import spark0.implicits._
           hist.select(col("word"), col("cnt")).as[(String, Long)]
             .mapPartitions { it =>
@@ -790,18 +798,21 @@ object TextOps {
               }
               out(k) = ("", z.toByteArray)
               Iterator.single(out)
-            }.collect()
+            }.rdd.treeReduce(Unigram.mergePartials _, depth = 2)
         }
         bcVocab.destroy()
+        if (dbg) System.err.println(
+          s"[unigram] round $round driver received 1 merged partial of " +
+          s"${merged.length} lanes (vocab ${vocab.length})")
         var ll: BigInt = BigInt(0)
         val counts = scala.collection.mutable.HashMap.empty[String, BigInt]
-        partials.foreach(_.foreach { case (p, bytes) =>
+        merged.foreach { case (p, bytes) =>
           val e = BigInt(new java.math.BigInteger(bytes))
           if (p.isEmpty) ll += e
           else counts.updateWith(p) {
             case Some(v) => Some(v + e); case None => Some(e) }
-        })
-        require(partials.nonEmpty, "lattice sentinel row missing (empty corpus?)")
+        }
+        require(merged.nonEmpty, "lattice sentinel row missing (empty corpus?)")
         val vocabChanged = prunedLastRound
         val gain = if (vocabChanged) BigInt(0) else ll - prevLl
         require(vocabChanged || gain >= -totalWords,

