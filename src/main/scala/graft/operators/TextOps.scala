@@ -763,13 +763,19 @@ object TextOps {
         val bcVocab = spark0.sparkContext.broadcast((vocab, vocab.map(scores)))
         val mlCap = maxLen
         // Two-level combine (optimization round 22, VERDICT r21 #2):
-        // the per-partition vocab-sized partials treeReduce on the
-        // EXECUTORS, so the driver receives ONE O(vocab) array per EM
-        // round instead of partitions × vocab BigInteger lanes — the
-        // flat collect was O(partitions × vocab) driver traffic, a
-        // 100 TB scale bug with 10⁴–10⁵ input partitions. BigInteger
-        // sums are associative/commutative, so any merge tree yields
-        // bit-identical totals (hash-oracle-verified).
+        // with many input partitions the per-partition vocab-sized
+        // partials treeReduce on the EXECUTORS, so the driver receives
+        // ONE O(vocab) array per EM round instead of partitions × vocab
+        // BigInteger lanes — the flat collect was O(partitions × vocab)
+        // driver traffic, a 100 TB scale bug at 10⁴–10⁵ input
+        // partitions. Below the threshold the flat collect + driver
+        // merge stays: treeReduce inserts an extra shuffle stage per EM
+        // round, which a ~20-round local fit paid dearly for
+        // (text_unigram_large 2.5 → 4.0 s measured before this gate —
+        // the driver merge of ≤256 partials is microseconds).
+        // BigInteger sums are associative/commutative, so both paths
+        // and any merge tree yield bit-identical totals
+        // (hash-oracle-verified).
         val merged: Array[(String, Array[Byte])] = {
           import spark0.implicits._
           hist.select(col("word"), col("cnt")).as[(String, Long)]
@@ -798,7 +804,11 @@ object TextOps {
               }
               out(k) = ("", z.toByteArray)
               Iterator.single(out)
-            }.rdd.treeReduce(Unigram.mergePartials _, depth = 2)
+            }.rdd match {
+              case prdd if prdd.getNumPartitions <= 256 =>
+                prdd.collect().reduceLeft(Unigram.mergePartials)
+              case prdd => prdd.treeReduce(Unigram.mergePartials _, depth = 2)
+            }
         }
         bcVocab.destroy()
         if (dbg) System.err.println(

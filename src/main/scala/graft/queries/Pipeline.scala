@@ -48,7 +48,7 @@ object Pipeline {
     * (downstream results are partitioning-independent: per-row exprs,
     * exact aggs, explicit sorts).
     */
-  private def spreadByKey(df: DataFrame, key: String): DataFrame = {
+  private[graft] def spreadByKey(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
     else df.repartition(target, col(key))

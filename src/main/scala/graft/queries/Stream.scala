@@ -836,20 +836,33 @@ object Stream {
         else skipped.incrementAndGet()
         ()
       }.start()
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
-    require(committed.get >= 3,
-      s"expected several paced micro-batch commits, got ${committed.get}")
-    val commitsDir = new java.io.File(chk, "commits")
-    val latestMarker = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
-      .maxBy(_.getName.toInt)
-    val crashedId = latestMarker.getName
-    require(latestMarker.delete(), s"could not delete commit marker $crashedId")
-    new java.io.File(commitsDir, s".$crashedId.crc").delete(): Unit
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
-    require(new java.io.File(commitsDir, crashedId).exists(),
-      s"restart did not replay and re-commit crashed batch $crashedId")
+    // Batch-volume-sized shuffle partitions for the per-micro-batch
+    // work (optimization round 22 — the runToSink state-volume rule,
+    // which this entry never got because it doesn't go through
+    // runToSink): every appendBatch aggregation/write inside
+    // foreachBatch otherwise inherits the session's full-corpus
+    // shuffle count for a delta-sized frame. Same env knob, same
+    // production scaling story; restored before the returned (full-
+    // table) aggregate plans.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      require(committed.get >= 3,
+        s"expected several paced micro-batch commits, got ${committed.get}")
+      val commitsDir = new java.io.File(chk, "commits")
+      val latestMarker = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toInt)
+      val crashedId = latestMarker.getName
+      require(latestMarker.delete(), s"could not delete commit marker $crashedId")
+      new java.io.File(commitsDir, s".$crashedId.crc").delete(): Unit
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      require(new java.io.File(commitsDir, crashedId).exists(),
+        s"restart did not replay and re-commit crashed batch $crashedId")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     require(skipped.get >= 1,
       "replayed batch was not deduped by the manifest txn log")
     // CDC gate: v0→v1 is exactly the first batch, as pure inserts
@@ -961,39 +974,48 @@ object Stream {
         col("e.event_type").as("event_type"), col("e.value").as("value"))
       .writeStream.option("checkpointLocation", chk)
       .foreachBatch(apply _).start()
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
-    require(committed.get >= 3,
-      s"expected several paced micro-batch merges, got ${committed.get}")
-    // crash between sink commit and checkpoint commit -> replay skips
-    val commitsDir = new java.io.File(chk, "commits")
-    val latestMarker = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
-      .maxBy(_.getName.toInt)
-    val crashedId = latestMarker.getName
-    require(latestMarker.delete(), s"could not delete commit marker $crashedId")
-    new java.io.File(commitsDir, s".$crashedId.crc").delete(): Unit
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
-    require(new java.io.File(commitsDir, crashedId).exists(),
-      s"restart did not replay and re-commit crashed batch $crashedId")
-    require(skipped.get >= 1,
-      "replayed merge batch was not deduped by the manifest txn log")
-    val latest = ManifestTable.readSnapshot(table,
-      ManifestTable.latestVersion(table))
-    require(latest.op == "merge", s"latest op '${latest.op}', expected merge")
-    // out-of-order guard, end to end: a stale batch (ts=0 for every
-    // user) merges under a NEW batch id — matched everywhere, fires
-    // nowhere; the digest below proves zero rows moved
-    val users = ManifestTable.snapshot(s, table).select(col("user_id"))
-      .filter(col("user_id") % 17 === 0) // a small band — the guard
-      // leg must stay O(touched files), not rewrite the table
-    val stale = users.select(col("user_id"), lit(0L).as("ts_ns"),
-      lit("stale").as("event_type"), lit(-1.0).as("value"))
-    require(ManifestTable.mergeBatch(s, table, stale, "mmsink",
-      latest.txns("mmsink") + 1, buckets = 2,
-      matchedUpdate = Some(ManifestTable.srcCol("ts_ns") > col("ts_ns")),
-      notMatchedInsert = Some(lit(true))),
-      "stale guard batch must commit (as a no-row-change merge)")
+    // batch-volume-sized shuffle partitions for the per-micro-batch
+    // merges (round 22 — the runToSink state-volume rule; see the
+    // stream_manifest_sink note). Restored before the returned
+    // full-table aggregate plans.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      require(committed.get >= 3,
+        s"expected several paced micro-batch merges, got ${committed.get}")
+      // crash between sink commit and checkpoint commit -> replay skips
+      val commitsDir = new java.io.File(chk, "commits")
+      val latestMarker = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toInt)
+      val crashedId = latestMarker.getName
+      require(latestMarker.delete(), s"could not delete commit marker $crashedId")
+      new java.io.File(commitsDir, s".$crashedId.crc").delete(): Unit
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      require(new java.io.File(commitsDir, crashedId).exists(),
+        s"restart did not replay and re-commit crashed batch $crashedId")
+      require(skipped.get >= 1,
+        "replayed merge batch was not deduped by the manifest txn log")
+      val latest = ManifestTable.readSnapshot(table,
+        ManifestTable.latestVersion(table))
+      require(latest.op == "merge", s"latest op '${latest.op}', expected merge")
+      // out-of-order guard, end to end: a stale batch (ts=0 for every
+      // user) merges under a NEW batch id — matched everywhere, fires
+      // nowhere; the digest below proves zero rows moved
+      val users = ManifestTable.snapshot(s, table).select(col("user_id"))
+        .filter(col("user_id") % 17 === 0) // a small band — the guard
+        // leg must stay O(touched files), not rewrite the table
+      val stale = users.select(col("user_id"), lit(0L).as("ts_ns"),
+        lit("stale").as("event_type"), lit(-1.0).as("value"))
+      require(ManifestTable.mergeBatch(s, table, stale, "mmsink",
+        latest.txns("mmsink") + 1, buckets = 2,
+        matchedUpdate = Some(ManifestTable.srcCol("ts_ns") > col("ts_ns")),
+        notMatchedInsert = Some(lit(true))),
+        "stale guard batch must commit (as a no-row-change merge)")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     ManifestTable.snapshot(s, table)
       .select(col("user_id"), col("ts_ns"), col("event_type"),
         fp2(col("value")).as("value_fp"))

@@ -1179,15 +1179,31 @@ object ManifestTable {
         graft.functions.BloomAgg.bloom(
           col(c).cast("string"), bloomBits, BloomK).as(s"_bf_$i")
       }
+      // the key null count rides in the SAME stats pass (optimization
+      // round 22, guide §1.2 "per-task work"): appendBatch previously
+      // ran a dedicated full-batch aggregation job per streaming
+      // micro-batch just to reject NULL keys; the stats scan already
+      // reads every row, so the check is free here and the writers
+      // drop their pre-write pass. Enforced CENTRALLY for every
+      // writer: on violation the just-moved files are deleted (no
+      // orphans) and the commit never happens.
       val keyAggs =
-        if (keyIntegral)
+        (if (keyIntegral)
           Seq(min(col(keyCol)).cast("long").as("mn"),
             max(col(keyCol)).cast("long").as("mx"))
-        else Seq(lit(Long.MinValue).as("mn"), lit(Long.MaxValue).as("mx"))
+        else Seq(lit(Long.MinValue).as("mn"), lit(Long.MaxValue).as("mx"))) :+
+          count(when(col(keyCol).isNull, lit(1))).as("_knulls")
       val stats = written
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"), keyAggs ++ statAggs ++ bloomAggs: _*)
         .collect() // control-plane: one row per written FILE
+      val keyNulls = stats.map(_.getLong(4)).sum
+      if (keyNulls > 0) {
+        moved.foreach(f => Files.deleteIfExists(f.toPath))
+        throw new IllegalArgumentException(
+          s"write into $table has $keyNulls NULL $keyCol keys — " +
+          "the manifest key column must be non-null")
+      }
       // strings truncate to a conservative prefix bound (ADVICE r17);
       // integral/float/bool toString round-trips exactly
       def statStr(v: Any, lower: Boolean): String = v match {
@@ -2001,6 +2017,10 @@ object ManifestTable {
     }
   }
 
+  // delta is NOT persisted despite feeding five plans (optimization
+  // round 22 — measured, then reverted): caching the delta left
+  // src_/stream_manifest_cdc flat while adding the materialization
+  // barrier; the delta lineages here are cheap scans (guide §5).
   def upsert(spark: SparkSession, table: String, delta: DataFrame,
              buckets: Int): Snapshot = commitWithRetry(table) { v =>
     require(v >= 0, s"no manifest in $table/_log")
@@ -2153,7 +2173,26 @@ object ManifestTable {
       notMatchedInsert, notMatchedBySourceDelete, Some(appId -> batchId),
       autoMerge)._2
 
-  private def mergeCore(spark: SparkSession, table: String, source: DataFrame,
+  private def mergeCore(spark: SparkSession, table: String, source0: DataFrame,
+            buckets: Int,
+            matchedDelete: Option[org.apache.spark.sql.Column],
+            matchedUpdate: Option[org.apache.spark.sql.Column],
+            notMatchedInsert: Option[org.apache.spark.sql.Column],
+            notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
+            txn: Option[(String, Long)],
+            autoMerge: Boolean = false): (Snapshot, Boolean) = {
+    // NOT persisted (optimization round 22 — measured, then reverted):
+    // the source feeds three consumers (key hygiene, touched-range
+    // join, the merge join), but caching it made
+    // stream_manifest_merge_sink SLOWER (7.4 → 8.6 s min-of-3): the
+    // materialization barrier plus 3 × 32 cached-partition reads cost
+    // more than recomputing the cheap delta-sized lineage — exactly
+    // guide §5's "only cache when recompute beats the pressure".
+    mergeCoreImpl(spark, table, source0, buckets, matchedDelete,
+      matchedUpdate, notMatchedInsert, notMatchedBySourceDelete, txn, autoMerge)
+  }
+
+  private def mergeCoreImpl(spark: SparkSession, table: String, source: DataFrame,
             buckets: Int,
             matchedDelete: Option[org.apache.spark.sql.Column],
             matchedUpdate: Option[org.apache.spark.sql.Column],
@@ -2471,12 +2510,10 @@ object ManifestTable {
         s"but $table logs " +
         s"${st.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(",")}")
     }
-    // NULL keys break writeFiles' stats collect (getLong NPE) and fall
-    // outside min/max file pruning — same contract as upsert's guard
-    val nulls = df.agg(count(when(col(keyCol).isNull, lit(1)))).collect()(0).getLong(0)
-    require(nulls == 0L,
-      s"appendBatch has $nulls NULL $keyCol keys — " +
-      "the manifest key column must be non-null")
+    // NULL keys are rejected inside writeFiles' stats pass (round 22:
+    // the former dedicated pre-write aggregation job cost one full
+    // batch scan per streaming micro-batch; the stats scan already
+    // reads every row and deletes the staged files before throwing)
     enforceConstraints(df, cur0.constraints,
       s"appendBatch($appId, $batchId) into $table")
     val newFiles = writeFiles(spark, table, df, keyCol, buckets,
