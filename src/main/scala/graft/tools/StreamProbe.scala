@@ -37,15 +37,17 @@ object StreamProbe {
     })
     if (sys.env.contains("STREAM_PROBE_JOBS"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        // boxed java.lang.Long: with a Scala Long value type, remove()
+        // on an absent key unboxes null and NPEs before any null check
+        // can run (ADVICE r21 — and the r21 guard compared a primitive
+        // to null, which scalac flags as always-true)
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           starts.put(e.jobId, System.nanoTime())
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          // guard (ADVICE r21): a dropped/missed onJobStart would make
-          // the Long unboxing NPE inside the listener and lose the line
           val t0 = starts.remove(e.jobId)
           if (t0 != null)
-            println(f"[job] ${e.jobId} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+            println(f"[job] ${e.jobId} ${(System.nanoTime() - t0.longValue()) / 1e6}%.0f ms")
         }
         override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val s = e.stageInfo

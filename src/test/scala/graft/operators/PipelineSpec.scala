@@ -1605,6 +1605,28 @@ class PipelineSpec extends SparkTestBase {
     deg.keys.foreach(v => assert(star7(v) == got(v)._2))
   }
 
+  test("pageRank: driver fast path is bit-identical to the distributed loop") {
+    import graft.operators.Graph
+    // random multigraph with duplicate edges and a self-loop — the
+    // degree-multiset cases where a sloppy local rewrite would diverge
+    val rnd = new scala.util.Random(7)
+    val edges = ((0 until 60).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)) :+ (5L, 5L) :+
+      (3L, 9L) :+ (3L, 9L)).toDF("a", "b")
+    for (it <- Seq(0, 1, 5)) {
+      val fast = Graph.pageRank(edges, "a", "b", iters = it)
+      val dist = Graph.pageRank(edges, "a", "b", iters = it,
+        localThreshold = 0L)
+      assert(fast.schema == dist.schema,
+        s"iters=$it schema: ${fast.schema} vs ${dist.schema}")
+      val f = fast.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val d = dist.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(f.sameElements(d), s"iters=$it: ${f.toSeq} vs ${d.toSeq}")
+    }
+  }
+
   test("pageRank: per-superstep fp6 mass leak stays under the documented floor bound") {
     import graft.operators.Graph
     // each floor loses < 1 fp6 unit: teleport floor (n), damping floor
