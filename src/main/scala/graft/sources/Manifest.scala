@@ -2035,16 +2035,22 @@ object ManifestTable {
     // NULLs, so a null-key delta used to be misreported as
     // "duplicate keys"). All three counts come from one pass over the
     // (small, daily-delta-sized) frame.
-    val dupCheck = delta
+    // concurrent with the touched-file probe (round 22, guide §2.6 —
+    // see mergeCoreImpl): independent control-plane jobs over the
+    // same delta, no longer sequential per streaming micro-batch
+    val dupF = scala.concurrent.Future(delta
       .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
-        count(when(col(keyCol).isNull, lit(1))).as("nulls")).collect()(0)
+        count(when(col(keyCol).isNull, lit(1))).as("nulls")).collect()(0))(
+      scala.concurrent.ExecutionContext.global)
+    val touchedNames = touchedByKeys(spark, cur, delta, keyCol)
+    val dupCheck = scala.concurrent.Await.result(dupF,
+      scala.concurrent.duration.Duration.Inf)
     require(dupCheck.getLong(2) == 0L,
       s"upsert delta has ${dupCheck.getLong(2)} NULL $keyCol keys — " +
       "the manifest key column must be non-null")
     require(dupCheck.getLong(0) == dupCheck.getLong(1),
       s"upsert delta has duplicate keys: ${dupCheck.getLong(0)} rows but " +
       s"${dupCheck.getLong(1)} distinct $keyCol")
-    val touchedNames = touchedByKeys(spark, cur, delta, keyCol)
     val (touched, untouched) = cur.files.partition(f => touchedNames(f.name))
 
     // Keys in untouched files cannot collide with delta keys (no range
@@ -2261,21 +2267,29 @@ object ManifestTable {
       // fan a matched target row out into several joined rows (Delta's
       // "multiple source rows matched" error); NULL keys break the
       // matched/not-matched trichotomy. One pass over the (small,
-      // delta-sized) source.
-      val dupCheck = source
+      // delta-sized) source — submitted CONCURRENTLY with the
+      // touched-file probe below (optimization round 22, guide §2.6
+      // "overlap independent jobs"): the two control-plane jobs read
+      // the same delta-sized source and neither depends on the other,
+      // so a streaming MERGE sink no longer pays their walls in
+      // sequence every micro-batch.
+      val dupF = scala.concurrent.Future(source
         .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
-          count(when(col(keyCol).isNull, lit(1))).as("nulls")).collect()(0)
+          count(when(col(keyCol).isNull, lit(1))).as("nulls")).collect()(0))(
+        scala.concurrent.ExecutionContext.global)
+      // Touched tiers: key-range overlap with a source key (broadcast
+      // range join, control-plane collect of file NAMES), plus — only
+      // when the by-source clause exists — files whose stats admit its
+      // predicate (rows it might delete live nowhere else).
+      val matchTouched = touchedByKeys(spark, cur, source, keyCol)
+      val dupCheck = scala.concurrent.Await.result(dupF,
+        scala.concurrent.duration.Duration.Inf)
       require(dupCheck.getLong(2) == 0L,
         s"merge source has ${dupCheck.getLong(2)} NULL $keyCol keys — " +
         "the manifest key column must be non-null")
       require(dupCheck.getLong(0) == dupCheck.getLong(1),
         s"merge source has duplicate keys: ${dupCheck.getLong(0)} rows but " +
         s"${dupCheck.getLong(1)} distinct $keyCol")
-      // Touched tiers: key-range overlap with a source key (broadcast
-      // range join, control-plane collect of file NAMES), plus — only
-      // when the by-source clause exists — files whose stats admit its
-      // predicate (rows it might delete live nowhere else).
-      val matchTouched = touchedByKeys(spark, cur, source, keyCol)
       val bySrcTouched: Set[String] = bySrcPe match {
         case Some(pe) =>
           cur.files.filter(f => canMatch(f, st0, pe, physName(cur))).map(_.name).toSet
