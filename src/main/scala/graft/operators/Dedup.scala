@@ -526,28 +526,8 @@ object Dedup {
     * thread is safe.
     */
   private def unpersistAfterUse(result: DataFrame,
-                                cached: Seq[DataFrame]): Unit = {
-    val session = result.sparkSession
-    val markerPlan = cached.head.queryExecution.analyzed
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private def cleanup(
-            qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (qe.analyzed.find(_.sameResult(markerPlan)).isDefined &&
-              done.compareAndSet(false, true)) {
-            cached.foreach(_.unpersist(blocking = false))
-            session.listenerManager.unregister(listener)
-          }
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = cleanup(qe)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = cleanup(qe)
-      }
-    session.listenerManager.register(listener)
-  }
+                                cached: Seq[DataFrame]): Unit =
+    CacheUtil.unpersistAfterUse(result, cached)
 
   /** Exact edit-distance verification of candidate near-dup pairs —
     * the VERIFY stage of a production fuzzy-dedup pipeline: banding

@@ -1701,11 +1701,23 @@ object TextOps {
     val test = df.filter(!trainPred)
     val trainToks = train.select(col(labelCol).as("_l"),
       explode(words(col(textCol))).as("_w"))
+    // ONE tokenize→explode→shuffle over the training corpus
+    // (optimization round 22, guide §2.3 "aggregate before you
+    // shuffle" / §5 reuse): `tot` and `vocab` previously re-ran the
+    // explode lineage as separate aggregations — per-label token
+    // totals are the sum of the (label, word) counts and the vocab is
+    // their distinct word set, both derivable from the tiny c2 frame
+    // (labels × vocab rows, the model itself). c2 is persisted for
+    // its four consumers and freed after the first consuming action.
     val c2 = trainToks.groupBy(col("_l"), col("_w"))
       .agg(count(lit(1)).as("_c"))
-    val tot = trainToks.groupBy(col("_l")).agg(count(lit(1)).as("_tot"))
-    val vocab = trainToks.agg(count_distinct(col("_w")).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = c2.groupBy(col("_l")).agg(sum(col("_c")).as("_tot"))
+    val vocab = c2.agg(count_distinct(col("_w")).as("_v"))
     val nTrain = train.agg(count(lit(1)).as("_n_train"))
+    // one row per label, but THREE broadcast consumers (model,
+    // tokScores, scores) — uncached, each broadcast job re-ran the
+    // whole train-side aggregation lineage (round 22, guide §5)
     val labelStats = train.groupBy(col(labelCol).as("_l"))
       .agg(count(lit(1)).as("_n_l"))
       .join(tot, Seq("_l"))
@@ -1716,6 +1728,7 @@ object TextOps {
           .as("_prior_fp"),
         graft.Tables.fp6(log(lit(1.0) / (col("_tot") + col("_v"))))
           .as("_default_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = c2.join(labelStats.select(col("_l"), col("_tot"), col("_v")),
         Seq("_l"))
       .select(col("_l"), col("_w"),
@@ -1731,11 +1744,18 @@ object TextOps {
       .crossJoin(broadcast(labelStats.select(col("_l"), col("_prior_fp"))))
       .join(tokScores, Seq(idCol, "_l"), "left")
       .withColumn("score_fp", col("_prior_fp") + coalesce(col("_tok_fp"), lit(0L)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("score_fp").desc, col("_l"))
-    scores.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col(idCol), col("_l").as("pred_label"), col(labelCol),
-        (col("_l") === col(labelCol)).as("correct"), col("score_fp"))
+    // argmax by (score_fp DESC, _l ASC) as a partial-aggregatable
+    // min-of-struct (negated score makes lexicographic min pick the
+    // winner) instead of a row_number window — one hash agg with
+    // map-side partials replaces the window's exchange + sort
+    // (round 22, guide §2.3/§2.4); same winner row by construction.
+    val result = scores
+      .groupBy(col(idCol), col(labelCol))
+      .agg(min(struct((-col("score_fp")).as("_neg"), col("_l"))).as("_m"))
+      .select(col(idCol), col("_m._l").as("pred_label"), col(labelCol),
+        (col("_m._l") === col(labelCol)).as("correct"),
+        (-col("_m._neg")).as("score_fp"))
+    CacheUtil.unpersistAfterUse(result, Seq(c2, labelStats))
+    result
   }
 }
