@@ -52,11 +52,25 @@ object Dedup {
     * reuses the exchange instead of shuffling again.
     */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String,
-                   tok: Column => Column = TextOps.unicodeTokens): DataFrame =
+                   tok: Column => Column = TextOps.unicodeTokens): DataFrame = {
+    // EXPLICIT partition count (optimization round 22, guide §2.5):
+    // the count-less `repartition(col(idCol))` let AQE size the
+    // exchange by BYTES, and token arrays are tiny — the post-exchange
+    // stage (shingle explode + k×md5 minhash partials) coalesced to
+    // 2 tasks while 30 cores idled (measured: a 2-task 2.2–2.8 s
+    // stage carrying ~5 s of kernel CPU; dedup_minhash_unicode
+    // 3.5 → ~1.4 s solo with the explicit count). These rows are
+    // compute-heavy, not byte-heavy — the spreadByKey rule. The count
+    // keeps the INPUT's parallelism when it is already wider (a
+    // 100 TB corpus arriving in thousands of splits), and floors at
+    // defaultParallelism for single-file local scans.
+    val p = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
     df.select(col(idCol), tok(col(textCol)).as("_ws"))
-      .repartition(col(idCol))
+      .repartition(p, col(idCol))
       .filter(size(col("_ws")) >= 3)
       .select(col(idCol), explode(shingles(col("_ws"))).as("s"))
+  }
 
   /** MinHash signatures: k independent permutations approximated by
     * min over the leading 60 bits of md5(seed || shingle) as BIGINT

@@ -725,6 +725,17 @@ object TextOps {
         "target or raise maxLen")
       val totalWords = BigInt(hist.agg(sum(col("cnt"))).collect()(0).getLong(0))
       phase("totalWords")
+      // EM-input partitioning: measured (optimization round 22), the
+      // session's 32-way split of the cached histogram is NOT
+      // scheduling waste — coalescing the EM input to one
+      // types-per-partition-sized task made text_unigram_large
+      // 3.7 → 7.2 s (the soft-lattice over compound word types is
+      // ~15–25 µs/type of real CPU per round, so the 32 tasks each
+      // carry ~15 ms of genuine work). Left at the inherited
+      // partitioning; the treeReduce gate below handles the
+      // many-partition scale end.
+      val emHist = hist
+      phase("em-sizing")
       val charNames = chars.map(_._1)
       val totSeed = (chars.iterator ++ seedMulti.iterator).map(_._2.toDouble).sum
       var vocab: Array[String] = (charNames ++ seedMulti.map(_._1))
@@ -778,7 +789,7 @@ object TextOps {
         // (hash-oracle-verified).
         val merged: Array[(String, Array[Byte])] = {
           import spark0.implicits._
-          hist.select(col("word"), col("cnt")).as[(String, Long)]
+          emHist.select(col("word"), col("cnt")).as[(String, Long)]
             .mapPartitions { it =>
               val (psA, lqA) = bcVocab.value
               val m = Unigram.UniModel.build(psA, lqA, mlCap)
